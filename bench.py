@@ -1,0 +1,61 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cdh_integrate_carbondata2_3_spark.queries import all_queries  # noqa: E402
+from cdh_integrate_carbondata2_3_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_items",
+    "count_star_metadata", "agg_count_distinct", "window_rank_customers",
+    "topk_per_group", "events_hourly_rollup", "dedup_exact_groups",
+    "dedup_minhash_lsh", "text_fingerprint", "similarity_cosine_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # JVM+codegen warmup on the smallest sf so per-query times measure the
+    # engine, not first-call JIT (the driver compares end-to-end anyway).
+    warm = qs["q1_pricing_summary"].fn(spark, sf_dir)
+    warm.limit(1).collect()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        fn = qs[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(time.time() - t_all, 3)
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,314 @@
+"""LLM-training-data pipeline operators over ``documents`` / ``embeddings``:
+deduplication (exact, MinHash+LSH), text analysis (token stats, language
+heuristic, fingerprinting, quality), and embedding similarity search.
+
+These go beyond the reference's own surface (its dedup example is
+MERGE-insert-if-not-exists — reference examples/.../DedupExample.scala)
+and are designed scale-first: everything is built-in-function DataFrame
+ops (explode / groupBy / broadcast join), no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _md5(col) -> F.Column:
+    return F.md5(col.cast("binary"))
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, tok) distinct word set per document."""
+    return (df.select("doc_id",
+                      F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy — shuffles only the 32-char digest+id)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact_groups", oracle="""
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups keyed by content digest."""
+    return (_docs(spark, sf_dir)
+            .groupBy(_md5(F.col("text")).alias("fp"))
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@query("dedup_exact_survivors", oracle="""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+""")
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving exact dedup (min doc_id per digest wins)."""
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy(_md5(F.col("text"))).orderBy("doc_id")
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# (shingle → k minhashes → band → bucket-join → exact-jaccard verify)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
+_JACCARD_THRESHOLD = 0.5
+
+
+def _minhash_sql_oracle() -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}|' || tok)) AS h{i}" for i in range(_N_HASHES))
+    band_exprs = ", ".join(
+        "md5(" + " || ".join(f"h{i}" for i in band) + f") AS band{bi}"
+        for bi, band in enumerate(_BANDS))
+    band_union = "\nUNION\n".join(f"""
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band{bi} = b.band{bi} AND a.doc_id < b.doc_id"""
+                                  for bi in range(len(_BANDS)))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, {band_exprs} FROM sigs
+), cand AS ({band_union}
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(CAST(i.n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_common), 4) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_sql_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact token Jaccard.
+
+    Scale shape: the only wide shuffles are tok-level groupBys and the
+    band-bucket self-join (bucket keys are 32-char digests, heavily
+    pruned); the O(n²) pair space is never materialized — only
+    band-collided candidates are checked.
+    """
+    toks = _tokens(_docs(spark, sf_dir)).cache()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    sigs = toks.groupBy("doc_id").agg(
+        *[F.min(_md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
+          for i in range(_N_HASHES)])
+    banded = sigs.select(
+        "doc_id",
+        *[_md5(F.concat(*[F.col(f"h{i}") for i in band])).alias(f"band{bi}")
+          for bi, band in enumerate(_BANDS)])
+    cand = None
+    for bi in range(len(_BANDS)):
+        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{bi}").alias("bk"))
+        b = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{bi}").alias("bk"))
+        pairs = (a.join(b, "bk")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b"))
+        cand = pairs if cand is None else cand.union(pairs)
+    cand = cand.distinct()
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_common")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= _JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b",
+                    F.round(jac, 4).cast("double").alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (language-ID heuristic, token stats, quality, fingerprint)
+# ---------------------------------------------------------------------------
+
+@query("text_token_stats", oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), ' +')) AS n_tokens,
+       LENGTH(text) AS len_chars,
+       CAST(ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                  / len(string_split_regex(trim(text), ' +')), 3) AS DOUBLE) AS avg_token_len
+FROM documents
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + average token length (JVM-side)."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.trim(F.col("text")), " +"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        F.round(F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok, 3)
+        .cast("double").alias("avg_token_len"))
+
+
+@query("text_quality_score", oracle="""
+SELECT doc_id,
+       n_tokens,
+       vowel_ratio,
+       CASE WHEN n_tokens >= 40 AND vowel_ratio BETWEEN 0.2 AND 0.6 THEN 'high'
+            WHEN n_tokens >= 15 THEN 'medium'
+            ELSE 'low' END AS quality_band
+FROM (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), ' +')) AS n_tokens,
+         CAST(ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                    / LENGTH(text), 4) AS DOUBLE) AS vowel_ratio
+  FROM documents) t
+""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring from length + character-class ratios."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.trim(F.col("text")), " +"))
+    vowel_ratio = F.round(
+        (F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", "")))
+        .cast("double") / F.length("text"), 4).cast("double")
+    scored = d.select("doc_id", n_tok.alias("n_tokens"), vowel_ratio.alias("vowel_ratio"))
+    return scored.select(
+        "doc_id", "n_tokens", "vowel_ratio",
+        F.when((F.col("n_tokens") >= 40)
+               & F.col("vowel_ratio").between(0.2, 0.6), "high")
+         .when(F.col("n_tokens") >= 15, "medium")
+         .otherwise("low").alias("quality_band"))
+
+
+@query("text_lang_heuristic", oracle="""
+SELECT lang,
+       CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en' ELSE 'other' END AS pred_lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""")
+def text_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword marker) vs the labeled lang col."""
+    d = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = F.when(padded.like("% the %"), "en").otherwise("other")
+    return (d.select("lang", pred.alias("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@query("text_fingerprint", oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (whitespace-collapse + casefold)."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " "))
+    return d.select("doc_id", _md5(norm).alias("fingerprint"))
+
+
+@query("docs_by_source_stats", oracle="""
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(ROUND(AVG(n_chars), 2) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY source, lang
+""")
+def docs_by_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_docs(spark, sf_dir)
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 2).cast("double").alias("avg_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search (brute-force cosine top-k baseline;
+# the LSH-bucketed scale path lives in operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_N_QUERY_VECS = 10
+_TOP_K = 5
+
+
+@query("similarity_cosine_topk", oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {_N_QUERY_VECS}),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= {_N_QUERY_VECS}),
+scored AS (
+  SELECT q_id, c_id,
+         CAST(ROUND(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS DOUBLE) AS cos_sim
+  FROM q, c
+), ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rk
+  FROM scored)
+SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {_TOP_K}
+""")
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the
+    corpus; dot products via zip_with/aggregate (JVM-side, no UDF).
+    Ranking uses ROUND(cos,6) with vec_id tiebreak so engine and oracle
+    select identical neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    q = (emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+         .select(F.col("vec_id").alias("q_id"), to_double("embedding").alias("qv")))
+    c = (emb.filter(F.col("vec_id") >= _N_QUERY_VECS)
+         .select(F.col("vec_id").alias("c_id"), to_double("embedding").alias("cv")))
+
+    def dot(a: str, b: str) -> F.Column:
+        return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("q_id", "c_id",
+                      F.round(dot("qv", "cv")
+                              / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("cv", "cv"))), 6)
+                      .cast("double").alias("cos_sim")))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (scored.select("q_id", "c_id", "cos_sim",
+                          F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= _TOP_K))
+
+
+@query("embeddings_label_stats", oracle="""
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(ROUND(AVG(embedding[1]), 5) AS DOUBLE) AS avg_first_dim,
+       CAST(ROUND(AVG(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS DOUBLE) AS avg_sq_norm
+FROM embeddings GROUP BY label
+""")
+def embeddings_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column aggregation surface (element access + fold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_norm = F.aggregate(F.zip_with(dv, dv, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg(F.col("embedding")[0].cast("double")), 5)
+                 .cast("double").alias("avg_first_dim"),
+                 F.round(F.avg(sq_norm), 4).cast("double").alias("avg_sq_norm")))

@@ -1,0 +1,94 @@
+"""Local driver-mimic: run every queries() entry on Spark and its
+oracle on DuckDB, compare row count / columns / order-insensitive
+value hash. Run:  python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    cells = df.astype(str)
+    rows = sorted("\x1f".join(r) for r in cells.itertuples(index=False, name=None))
+    digest = hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+    return len(df), cols, digest
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from cdh_integrate_carbondata2_3_spark.session import get_spark
+
+    spark = get_spark("check", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"pass {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        sn, scols, shash = canon(sdf)
+        on, ocols, ohash = canon(odf)
+        if sn != on:
+            print(f"FAIL {name}: rows spark={sn} duckdb={on}")
+            n_fail += 1
+        elif scols != ocols:
+            print(f"FAIL {name}: cols spark={scols} duckdb={ocols}")
+            n_fail += 1
+        elif shash != ohash:
+            print(f"FAIL {name}: value hash mismatch ({sn} rows)")
+            merged = sdf[sorted(sdf.columns)].astype(str)
+            omerged = odf[sorted(odf.columns)].astype(str)
+            skey = set(map(tuple, merged.itertuples(index=False, name=None)))
+            okey = set(map(tuple, omerged.itertuples(index=False, name=None)))
+            for r in list(skey - okey)[:3]:
+                print(f"   spark-only: {r}")
+            for r in list(okey - skey)[:3]:
+                print(f"   duck-only:  {r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {sn} rows hash={shash[:8]} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
