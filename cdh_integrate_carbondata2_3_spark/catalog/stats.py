@@ -1,0 +1,80 @@
+"""Parquet footer stats harvesting for the manifest.
+
+Row counts and per-column min/max come from parquet footers (no data
+scan) — the same information the reference persists in its blocklet
+min/max indexes (format/src/main/thrift/carbondata.thrift:37-54
+BlockletMinMaxIndex), kept here at file granularity. Finer-grained
+(row-group) skipping inside a chosen file is Spark's builtin job.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Any
+
+import pyarrow.parquet as pq
+
+from .manifest import FileStat
+
+# stats are only kept for orderable primitive types
+_STATTABLE = {"INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY", "INT96"}
+
+
+def _norm(v: Any) -> Any:
+    """JSON-comparable normalization: timestamps/dates → ISO strings
+    (lexicographically ordered), bytes → utf8 str, numbers unchanged."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ")
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
+def harvest_file(abs_path: str, rel_path: str,
+                 partition: dict[str, str] | None = None) -> FileStat:
+    pf = pq.ParquetFile(abs_path)
+    md = pf.metadata
+    minmax: dict[str, list[Any]] = {}
+    ok: dict[str, bool] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:          # nested — skip
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok[name] = False
+                continue
+            mn, mx = _norm(st.min), _norm(st.max)
+            if mn is None or mx is None:
+                ok[name] = False
+                continue
+            if name not in minmax:
+                minmax[name] = [mn, mx]
+                ok.setdefault(name, True)
+            else:
+                cur = minmax[name]
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+    minmax = {k: v for k, v in minmax.items() if ok.get(k, False)}
+    return FileStat(path=rel_path, rows=md.num_rows,
+                    bytes=os.path.getsize(abs_path), minmax=minmax,
+                    partition=partition or {})
+
+
+def partition_values_from_relpath(rel_path: str) -> dict[str, str]:
+    """Hive-style key=value directories → partition dict."""
+    parts: dict[str, str] = {}
+    for comp in rel_path.split(os.sep)[:-1]:
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            parts[k] = v
+    return parts

@@ -1,0 +1,394 @@
+"""Segment-managed table — the engine's ``CarbonTable``.
+
+Capability parity (SURVEY.md §1.1, §2.1, §2.10):
+- transactional loads (LOAD/INSERT/CTAS) with SORT_SCOPE
+  (NO_SORT | LOCAL_SORT | GLOBAL_SORT | RANGE) — reference
+  DataLoadProcessBuilderOnSpark.scala:71,320
+- INSERT OVERWRITE, TRUNCATE
+- segment management: SHOW SEGMENTS, DELETE SEGMENT BY ID/DATE,
+  CLEAN FILES, segment-scoped reads (``insegment``), ADD SEGMENT
+  (external dirs, mixed formats — MixedFormatHandler.scala:55-230)
+- compaction MINOR / MAJOR / CUSTOM — CarbonTableCompactor.scala
+- metadata count(*) — CarbonCountStar.scala:44-108
+- driver-side min/max file pruning on read — CarbonInputFormat.java:540-681
+
+Physical layout::
+
+    <table_dir>/_meta/tablestatus.json      (atomic manifest)
+    <table_dir>/segment_<id>/part-*.parquet (one dir per load)
+
+All data movement is Spark DataFrame writes; the manifest commit is
+the only custom step (write temp → harvest footer stats → atomic
+JSON swap), so the scan path stays 100% Catalyst-optimized.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+import uuid
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pruning import Predicate, prune_files
+from .manifest import Manifest, Segment, SegmentStatus
+from .stats import harvest_file, partition_values_from_relpath
+
+SORT_SCOPES = ("no_sort", "local_sort", "global_sort", "range_sort")
+
+
+class Table:
+    def __init__(self, spark: SparkSession, table_dir: str):
+        self.spark = spark
+        self.table_dir = os.path.abspath(table_dir)
+        self.manifest = Manifest(self.table_dir)
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(cls, spark: SparkSession, table_dir: str, schema_ddl: str,
+               properties: dict | None = None) -> "Table":
+        """CREATE TABLE (reference CarbonCreateTableCommand). Properties:
+        sort_columns, sort_scope, range_column, partition_by, bucket_number,
+        bucket_columns."""
+        t = cls(spark, table_dir)
+        os.makedirs(table_dir, exist_ok=True)
+        t.manifest.init(schema_ddl, properties)
+        return t
+
+    @classmethod
+    def create_as_select(cls, spark: SparkSession, table_dir: str,
+                         df: DataFrame, properties: dict | None = None) -> "Table":
+        """CTAS (reference CarbonCreateTableAsSelectCommand)."""
+        t = cls.create(spark, table_dir, df.schema.simpleString(), properties)
+        t.insert(df)
+        return t
+
+    @classmethod
+    def open(cls, spark: SparkSession, table_dir: str) -> "Table":
+        t = cls(spark, table_dir)
+        if not t.manifest.exists():
+            raise FileNotFoundError(f"no table at {table_dir}")
+        return t
+
+    def schema_ddl(self) -> str:
+        return self.manifest.load()["schema"]
+
+    # ----------------------------------------------------------------- load
+
+    def _apply_load_sort(self, df: DataFrame) -> DataFrame:
+        props = self.manifest.properties()
+        scope = props.get("sort_scope", "no_sort").lower()
+        sort_cols = props.get("sort_columns", [])
+        range_col = props.get("range_column")
+        if scope == "global_sort" and sort_cols:
+            return df.orderBy(*sort_cols)
+        if scope == "local_sort" and sort_cols:
+            return df.sortWithinPartitions(*sort_cols)
+        if scope == "range_sort" and range_col:
+            n = max(df.rdd.getNumPartitions(), 1)
+            return df.repartitionByRange(n, range_col)
+        return df
+
+    def _write_segment_files(self, df: DataFrame, fmt: str = "parquet") -> str:
+        """Write df to a temp dir inside the table; returns tmp dir."""
+        tmp = os.path.join(self.table_dir, f"_tmp_{uuid.uuid4().hex}")
+        props = self.manifest.properties()
+        writer = self._apply_load_sort(df).write.mode("overwrite")
+        partition_by = props.get("partition_by") or []
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        getattr(writer, "parquet" if fmt == "parquet" else fmt)(tmp)
+        return tmp
+
+    def _commit_segment_dir(self, tmp_dir: str, source: str,
+                            overwrite: bool = False,
+                            status: str = SegmentStatus.SUCCESS) -> int:
+        """Move tmp files into segment_<id>/, harvest stats, swap manifest."""
+        data_files = []
+        for p in sorted(glob.glob(os.path.join(tmp_dir, "**", "*"), recursive=True)):
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", ".")):
+                data_files.append(os.path.relpath(p, tmp_dir))
+
+        committed: dict[str, Any] = {}
+
+        def mutate(doc: dict) -> None:
+            seg_id = self.manifest.next_segment_id(doc)
+            seg_dir = os.path.join(self.table_dir, f"segment_{seg_id}")
+            os.makedirs(seg_dir, exist_ok=True)
+            stats = []
+            for rel in data_files:
+                dst_rel = os.path.join(f"segment_{seg_id}", rel)
+                dst = os.path.join(self.table_dir, dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(tmp_dir, rel), dst)
+                stats.append(harvest_file(
+                    dst, dst_rel, partition_values_from_relpath(rel)))
+            if overwrite:
+                for s in doc["segments"]:
+                    if s["status"] == SegmentStatus.SUCCESS:
+                        s["status"] = SegmentStatus.MARKED_FOR_DELETE
+            seg = Segment(id=seg_id, status=status, format="parquet",
+                          files=stats, load_time=time.time(), source=source)
+            doc["segments"].append(seg.to_json())
+            committed["id"] = seg_id
+
+        self.manifest.update(mutate)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return committed["id"]
+
+    def insert(self, df: DataFrame, overwrite: bool = False,
+               source: str = "insert") -> int:
+        """INSERT INTO/OVERWRITE as a new segment
+        (reference CarbonInsertIntoCommand.scala:96-126)."""
+        tmp = self._write_segment_files(df)
+        return self._commit_segment_dir(tmp, source, overwrite=overwrite)
+
+    def load_csv(self, path: str, header: bool = True,
+                 delimiter: str = ",", overwrite: bool = False,
+                 schema: str | None = None,
+                 bad_records_action: str = "FORCE") -> int:
+        """LOAD DATA INPATH (reference CarbonLoadDataCommand; bad-record
+        actions per docs/dml-of-carbondata.md — FORCE nulls bad cells,
+        FAIL aborts, IGNORE drops bad rows)."""
+        reader = (self.spark.read.option("header", header)
+                  .option("delimiter", delimiter))
+        if schema:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        mode = {"FORCE": "PERMISSIVE", "IGNORE": "DROPMALFORMED",
+                "FAIL": "FAILFAST"}.get(bad_records_action.upper(), "PERMISSIVE")
+        df = reader.option("mode", mode).csv(path)
+        return self.insert(df, overwrite=overwrite, source="load")
+
+    def add_segment(self, external_path: str, fmt: str = "parquet") -> int:
+        """ADD SEGMENT: register an existing folder (any supported format)
+        without copying (reference CarbonAddLoadCommand.scala:66-117)."""
+        exts = {"parquet": "*.parquet", "orc": "*.orc",
+                "csv": "*.csv", "json": "*.json"}
+        pattern = exts.get(fmt, "*")
+        files = sorted(glob.glob(os.path.join(external_path, "**", pattern),
+                                 recursive=True))
+        if not files:
+            raise FileNotFoundError(f"no {fmt} files under {external_path}")
+        stats = []
+        for p in files:
+            if fmt == "parquet":
+                stats.append(harvest_file(p, p))       # abs path kept
+            else:
+                from .manifest import FileStat
+                stats.append(FileStat(path=p, rows=-1, bytes=os.path.getsize(p)))
+
+        def mutate(doc: dict) -> None:
+            seg_id = self.manifest.next_segment_id(doc)
+            seg = Segment(id=seg_id, status=SegmentStatus.SUCCESS, format=fmt,
+                          files=stats, load_time=time.time(),
+                          source="add_segment", external_path=external_path)
+            doc["segments"].append(seg.to_json())
+
+        self.manifest.update(mutate)
+        return self.manifest.next_segment_id() - 1
+
+    def truncate(self) -> None:
+        """TRUNCATE TABLE (reference CarbonTruncateCommand)."""
+        def mutate(doc: dict) -> None:
+            for s in doc["segments"]:
+                if s["status"] in (SegmentStatus.SUCCESS, SegmentStatus.STREAMING,
+                                   SegmentStatus.STREAMING_FINISH):
+                    s["status"] = SegmentStatus.MARKED_FOR_DELETE
+        self.manifest.update(mutate)
+
+    # ----------------------------------------------------------------- read
+
+    def _abs(self, f_path: str) -> str:
+        return f_path if os.path.isabs(f_path) else os.path.join(self.table_dir, f_path)
+
+    def scan_files(self, predicates: Sequence[Predicate] | None = None,
+                   segments: list[int] | None = None) -> dict[str, list[str]]:
+        """Pruned file list per format (driver-side min/max + partition +
+        segment-scope pruning)."""
+        by_fmt: dict[str, list[str]] = {}
+        for seg in self.manifest.queryable_segments(segments):
+            kept = prune_files(seg.files, predicates)
+            if kept:
+                by_fmt.setdefault(seg.format, []).extend(
+                    self._abs(f.path) for f in kept)
+        return by_fmt
+
+    def read(self, predicates: Sequence[Predicate] | None = None,
+             segments: list[int] | None = None,
+             apply_predicates: bool = True) -> DataFrame:
+        """Scan with driver-side pruning; mixed-format segments are
+        unioned by name (reference MixedFormatHandler.scala:55-230).
+        Spark re-evaluates predicates exactly — pruning is only a skip."""
+        by_fmt = self.scan_files(predicates, segments)
+        dfs: list[DataFrame] = []
+        partitioned = bool(self.manifest.properties().get("partition_by"))
+        for fmt, files in by_fmt.items():
+            if fmt == "parquet":
+                reader = self.spark.read
+                if partitioned:
+                    # recover hive-style partition columns from paths
+                    reader = reader.option("basePath", self.table_dir)
+                dfs.append(reader.parquet(*files))
+            elif fmt == "orc":
+                dfs.append(self.spark.read.orc(*files))
+            elif fmt == "csv":
+                dfs.append(self.spark.read.option("header", True)
+                           .option("inferSchema", True).csv(files))
+            elif fmt == "json":
+                dfs.append(self.spark.read.json(files))
+            else:
+                raise ValueError(f"unsupported segment format {fmt}")
+        if not dfs:
+            ddl = self.schema_ddl()
+            empty = self.spark.createDataFrame(
+                [], ddl if not ddl.startswith("struct") else ddl)
+            return empty
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+        if predicates and apply_predicates:
+            for col, op, value in predicates:
+                c = F.col(col)
+                if op == "=":
+                    df = df.filter(c == value)
+                elif op == "!=":
+                    df = df.filter(c != value)
+                elif op == "<":
+                    df = df.filter(c < value)
+                elif op == "<=":
+                    df = df.filter(c <= value)
+                elif op == ">":
+                    df = df.filter(c > value)
+                elif op == ">=":
+                    df = df.filter(c >= value)
+                elif op == "in":
+                    df = df.filter(c.isin(list(value)))
+                elif op == "between":
+                    df = df.filter(c.between(value[0], value[1]))
+                else:
+                    raise ValueError(f"unsupported predicate op {op!r}")
+        return df
+
+    def count(self, segments: list[int] | None = None) -> int:
+        """Metadata-only count(*) (CarbonCountStar analogue). Falls back
+        to a scan for formats without footer counts."""
+        segs = self.manifest.queryable_segments(segments)
+        if any(f.rows < 0 for s in segs for f in s.files):
+            return self.read(segments=segments).count()
+        return sum(f.rows for s in segs for f in s.files)
+
+    # ------------------------------------------------------- segment mgmt
+
+    def show_segments(self) -> DataFrame:
+        """SHOW SEGMENTS as a DataFrame
+        (reference CarbonShowSegmentsCommand)."""
+        rows = [(s.id, s.status, s.format, s.source, s.rows, s.bytes,
+                 len(s.files), s.load_time)
+                for s in self.manifest.segments()]
+        return self.spark.createDataFrame(
+            rows, "id int, status string, format string, source string, "
+                  "rows bigint, bytes bigint, n_files int, load_time double")
+
+    def delete_segment_by_id(self, ids: list[int]) -> None:
+        wanted = set(ids)
+
+        def mutate(doc: dict) -> None:
+            for s in doc["segments"]:
+                if s["id"] in wanted and s["status"] == SegmentStatus.SUCCESS:
+                    s["status"] = SegmentStatus.MARKED_FOR_DELETE
+        self.manifest.update(mutate)
+
+    def delete_segment_by_date(self, before_ts: float) -> None:
+        def mutate(doc: dict) -> None:
+            for s in doc["segments"]:
+                if s["status"] == SegmentStatus.SUCCESS and s["load_time"] < before_ts:
+                    s["status"] = SegmentStatus.MARKED_FOR_DELETE
+        self.manifest.update(mutate)
+
+    def clean_files(self) -> int:
+        """Physically delete data of MARKED_FOR_DELETE / COMPACTED
+        segments (reference CarbonCleanFilesCommand; docs clean-files.md).
+        Returns number of segments cleaned."""
+        cleaned = {"n": 0}
+
+        def mutate(doc: dict) -> None:
+            remaining = []
+            for s in doc["segments"]:
+                if s["status"] in (SegmentStatus.MARKED_FOR_DELETE,
+                                   SegmentStatus.COMPACTED):
+                    if not s.get("external_path"):
+                        seg_dir = os.path.join(self.table_dir, f"segment_{s['id']}")
+                        shutil.rmtree(seg_dir, ignore_errors=True)
+                    cleaned["n"] += 1
+                else:
+                    remaining.append(s)
+            doc["segments"] = remaining
+        self.manifest.update(mutate)
+        return cleaned["n"]
+
+    # ---------------------------------------------------------- compaction
+
+    def compact(self, kind: str = "minor", segment_ids: list[int] | None = None,
+                minor_threshold: int = 4, major_size_mb: float = 1024.0) -> int | None:
+        """Compaction (reference CompactionType.java:26-37,
+        CarbonTableCompactor.scala). MINOR merges ≥ threshold adjacent
+        loads, MAJOR merges all SUCCESS segments below the size cap,
+        CUSTOM merges the given ids. Returns new segment id or None."""
+        kind = kind.lower()
+        segs = [s for s in self.manifest.segments({SegmentStatus.SUCCESS})
+                if s.format == "parquet" and not s.external_path]
+        if kind == "custom":
+            chosen = [s for s in segs if s.id in set(segment_ids or [])]
+        elif kind == "major":
+            cap = major_size_mb * 1024 * 1024
+            chosen = [s for s in segs if s.bytes <= cap]
+        else:
+            chosen = segs if len(segs) >= minor_threshold else []
+        if len(chosen) < 2:
+            return None
+        files = [self._abs(f.path) for s in chosen for f in s.files]
+        df = self.spark.read.parquet(*files)
+        props = self.manifest.properties()
+        sort_cols = props.get("sort_columns", [])
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+        tmp = self._write_segment_files(df)
+        chosen_ids = {s.id for s in chosen}
+
+        # commit: append merged segment + mark sources COMPACTED, one swap
+        data_files = []
+        for p in sorted(glob.glob(os.path.join(tmp, "**", "*"), recursive=True)):
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", ".")):
+                data_files.append(os.path.relpath(p, tmp))
+        new_id = {}
+
+        def mutate(doc: dict) -> None:
+            seg_id = self.manifest.next_segment_id(doc)
+            seg_dir = os.path.join(self.table_dir, f"segment_{seg_id}")
+            os.makedirs(seg_dir, exist_ok=True)
+            stats = []
+            for rel in data_files:
+                dst_rel = os.path.join(f"segment_{seg_id}", rel)
+                dst = os.path.join(self.table_dir, dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(tmp, rel), dst)
+                stats.append(harvest_file(dst, dst_rel,
+                                          partition_values_from_relpath(rel)))
+            for s in doc["segments"]:
+                if s["id"] in chosen_ids:
+                    s["status"] = SegmentStatus.COMPACTED
+            doc["segments"].append(Segment(
+                id=seg_id, status=SegmentStatus.SUCCESS, format="parquet",
+                files=stats, load_time=time.time(), source="compact").to_json())
+            new_id["id"] = seg_id
+
+        self.manifest.update(mutate)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return new_id["id"]

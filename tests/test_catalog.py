@@ -1,0 +1,161 @@
+"""Segment/manifest table lifecycle tests — mirrors the reference's
+dataload/segmentreading/addsegment/compaction/cleanfiles suites
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.catalog import Table
+from cdh_integrate_carbondata2_3_spark.catalog.manifest import SegmentStatus
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _mkdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("int").alias("bucket"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"))
+
+
+def test_create_insert_read_count(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string",
+                     {"sort_columns": ["id"], "sort_scope": "local_sort"})
+    t.insert(_mkdf(spark, 0, 100))
+    t.insert(_mkdf(spark, 100, 250))
+    assert t.count() == 250                       # metadata-only
+    assert t.read().count() == 250
+    segs = t.manifest.segments()
+    assert [s.id for s in segs] == [0, 1]
+    assert all(s.status == SegmentStatus.SUCCESS for s in segs)
+    # footer stats harvested
+    assert segs[0].files[0].minmax["id"][0] == 0
+
+
+def test_minmax_file_pruning(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string",
+                     {"sort_columns": ["id"], "sort_scope": "global_sort"})
+    for lo in range(0, 500, 100):                 # 5 disjoint segments
+        t.insert(_mkdf(spark, lo, lo + 100))
+    all_files = sum(len(v) for v in t.scan_files().values())
+    pruned = sum(len(v) for v in t.scan_files([("id", ">=", 450)]).values())
+    assert pruned < all_files                     # files skipped
+    df = t.read([("id", ">=", 450)])
+    assert df.count() == 50
+    # point lookup prunes to one segment's files
+    point = sum(len(v) for v in t.scan_files([("id", "=", 123)]).values())
+    assert point <= len(t.manifest.segments()[1].files)
+
+
+def test_segment_scoped_read(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string")
+    t.insert(_mkdf(spark, 0, 10))
+    t.insert(_mkdf(spark, 10, 30))
+    assert t.read(segments=[0]).count() == 10     # insegment() analogue
+    assert t.read(segments=[1]).count() == 20
+    assert t.count(segments=[1]) == 20
+
+
+def test_insert_overwrite(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string")
+    t.insert(_mkdf(spark, 0, 50))
+    t.insert(_mkdf(spark, 0, 10), overwrite=True)
+    assert t.read().count() == 10
+    assert t.count() == 10
+
+
+def test_delete_segment_and_clean(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string")
+    t.insert(_mkdf(spark, 0, 10))
+    t.insert(_mkdf(spark, 10, 20))
+    t.delete_segment_by_id([0])
+    assert t.count() == 10
+    n = t.clean_files()
+    assert n == 1
+    assert not os.path.exists(os.path.join(t.table_dir, "segment_0"))
+    assert t.read().count() == 10
+
+
+def test_truncate(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string")
+    t.insert(_mkdf(spark, 0, 10))
+    t.truncate()
+    assert t.count() == 0
+
+
+def test_compaction_minor_and_clean(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string",
+                     {"sort_columns": ["id"]})
+    for lo in range(0, 40, 10):
+        t.insert(_mkdf(spark, lo, lo + 10))
+    new_id = t.compact("minor", minor_threshold=4)
+    assert new_id == 4
+    assert t.count() == 40                        # data preserved
+    statuses = {s.id: s.status for s in t.manifest.segments()}
+    assert statuses[0] == SegmentStatus.COMPACTED
+    assert statuses[4] == SegmentStatus.SUCCESS
+    t.clean_files()
+    assert t.read().count() == 40
+
+
+def test_compaction_custom(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string")
+    for lo in range(0, 30, 10):
+        t.insert(_mkdf(spark, lo, lo + 10))
+    new_id = t.compact("custom", segment_ids=[0, 1])
+    assert new_id == 3
+    assert t.count() == 30
+    assert t.read(segments=[3]).count() == 20
+
+
+def test_add_segment_mixed_format(spark, tdir, tmp_path):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string")
+    t.insert(_mkdf(spark, 0, 10))
+    ext_parq = str(tmp_path / "ext_parquet")
+    _mkdf(spark, 100, 120).write.parquet(ext_parq)
+    t.add_segment(ext_parq, "parquet")
+    ext_csv = str(tmp_path / "ext_csv")
+    _mkdf(spark, 200, 205).write.option("header", True).csv(ext_csv)
+    t.add_segment(ext_csv, "csv")
+    df = t.read()
+    assert df.count() == 35                       # 10 + 20 + 5 mixed formats
+    assert t.count() == 35                        # csv falls back to scan
+
+
+def test_ctas_and_open(spark, tdir):
+    Table.create_as_select(spark, tdir, _mkdf(spark, 0, 25))
+    t2 = Table.open(spark, tdir)
+    assert t2.count() == 25
+
+
+def test_load_csv_bad_records(spark, tdir, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,bucket,name\n1,2,a\nbad,notint,b\n3,4,c\n")
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string")
+    t.load_csv(str(csv), schema="id bigint, bucket int, name string",
+               bad_records_action="IGNORE")
+    assert t.read().count() == 2                  # malformed row dropped
+    t2 = Table.create(spark, str(tmp_path / "t2"),
+                      "id bigint, bucket int, name string")
+    t2.load_csv(str(csv), schema="id bigint, bucket int, name string",
+                bad_records_action="FORCE")
+    df = t2.read()
+    assert df.count() == 3                        # bad cells nulled
+    assert df.filter(F.col("id").isNull()).count() == 1
+
+
+def test_partitioned_table_pruning(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string",
+                     {"partition_by": ["bucket"]})
+    t.insert(_mkdf(spark, 0, 100))
+    files_all = sum(len(v) for v in t.scan_files().values())
+    files_b1 = sum(len(v) for v in t.scan_files([("bucket", "=", 1)]).values())
+    assert files_b1 < files_all
+    assert t.read([("bucket", "=", 1)]).count() == 20
