@@ -330,6 +330,13 @@ class Table:
                 else:
                     remaining.append(s)
             doc["segments"] = remaining
+            # physically remove copy-on-write orphans (files dropped from
+            # segments by UPDATE/DELETE/MERGE rewrites)
+            for rel in doc.pop("orphans", []):
+                p = self._abs(rel)
+                if os.path.exists(p):
+                    os.unlink(p)
+                cleaned["n_orphans"] = cleaned.get("n_orphans", 0) + 1
         self.manifest.update(mutate)
         return cleaned["n"]
 

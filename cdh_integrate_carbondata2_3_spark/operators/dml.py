@@ -1,0 +1,145 @@
+"""Copy-on-write UPDATE / DELETE.
+
+The reference implements IUD with delete-delta bitmaps + update deltas
+sidecar files and later horizontal compaction
+(reference: integration/spark/.../mutation/CarbonProjectForUpdateCommand
+.scala:48-59, DeleteExecution.scala:60-144, HorizontalCompaction.scala).
+
+Spark-first design: **copy-on-write** — find the files containing
+matching rows via ``input_file_name()`` (the analogue of the
+reference's tupleId/getBlockPaths implicit filters,
+CarbonEnv.scala:83-85 + CarbonScanRDD.scala:728), rewrite only those
+files, and swap the manifest atomically. No deltas → no horizontal
+compaction; stale files are removed by CLEAN FILES.
+
+At 100 TB the cost profile: touched-file discovery is a pushed-down
+filter scan (manifest min/max prunes first); the rewrite reads and
+writes only affected files.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog.manifest import Segment, SegmentStatus
+from ..catalog.table import Table
+
+
+def _check_mutable(table: Table) -> None:
+    """Reference blocks UPDATE/DELETE on streaming tables
+    (StreamingTableStrategy.scala)."""
+    if table.manifest.properties().get("streaming"):
+        raise ValueError("UPDATE/DELETE not supported on streaming table")
+
+
+def _norm_file(uri: str) -> str:
+    p = urlparse(uri)
+    return unquote(p.path) if p.scheme else uri
+
+
+def find_touched_files(table: Table, condition: str,
+                       predicates=None) -> list[str]:
+    """Files that contain at least one row matching ``condition``.
+    Driver collects only file *names* (bounded by file count)."""
+    df = table.read(predicates=predicates).withColumn("_file", F.input_file_name())
+    rows = (df.filter(F.expr(condition))
+            .select("_file").distinct().collect())
+    return [_norm_file(r["_file"]) for r in rows]
+
+
+def _replace_files(table: Table, touched_abs: list[str],
+                   rewritten: DataFrame | None, source: str) -> None:
+    """Commit protocol shared by UPDATE/DELETE/MERGE: write rewritten
+    rows (if any) as a new segment dir, then in ONE manifest swap drop
+    the touched file entries and append the new segment."""
+    touched = set(touched_abs)
+
+    new_files_info: list = []
+    tmp = None
+    if rewritten is not None:
+        tmp = table._write_segment_files(rewritten)
+        import glob
+        for p in sorted(glob.glob(os.path.join(tmp, "**", "*"), recursive=True)):
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", ".")):
+                new_files_info.append(os.path.relpath(p, tmp))
+
+    from ..catalog.stats import harvest_file, partition_values_from_relpath
+
+    def mutate(doc: dict) -> None:
+        # drop touched files from their segments; record them as orphans
+        # so CLEAN FILES can physically remove them later (readers that
+        # already planned against the old manifest still see the files)
+        for s in doc["segments"]:
+            dropped = [f["path"] for f in s["files"]
+                       if table._abs(f["path"]) in touched]
+            if dropped:
+                s["files"] = [f for f in s["files"]
+                              if table._abs(f["path"]) not in touched]
+                doc.setdefault("orphans", []).extend(dropped)
+        doc["segments"] = [s for s in doc["segments"]
+                           if s["files"] or s["status"] not in
+                           (SegmentStatus.SUCCESS,)]
+        if tmp is not None and new_files_info:
+            seg_id = table.manifest.next_segment_id(doc)
+            seg_dir = os.path.join(table.table_dir, f"segment_{seg_id}")
+            os.makedirs(seg_dir, exist_ok=True)
+            stats = []
+            for rel in new_files_info:
+                dst_rel = os.path.join(f"segment_{seg_id}", rel)
+                dst = os.path.join(table.table_dir, dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(tmp, rel), dst)
+                stats.append(harvest_file(dst, dst_rel,
+                                          partition_values_from_relpath(rel)))
+            import time as _time
+            doc["segments"].append(Segment(
+                id=seg_id, status=SegmentStatus.SUCCESS, format="parquet",
+                files=stats, load_time=_time.time(), source=source).to_json())
+
+    table.manifest.update(mutate)
+    if tmp is not None:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def delete_rows(table: Table, condition: str, predicates=None) -> int:
+    """DELETE FROM t WHERE condition. Returns deleted row count.
+    (reference: parser CarbonSpark2SqlParser.scala:239-257,
+    DeleteExecution.scala)."""
+    _check_mutable(table)
+    touched = find_touched_files(table, condition, predicates)
+    if not touched:
+        return 0
+    scan = table.spark.read.parquet(*touched)
+    n_before = scan.count()
+    keep = scan.filter(~F.expr(condition))
+    n_kept = keep.count()
+    _replace_files(table, touched, keep if n_kept else None, "delete")
+    return n_before - n_kept
+
+
+def update_rows(table: Table, set_exprs: dict[str, str],
+                condition: str = "true", predicates=None) -> int:
+    """UPDATE t SET col = expr, ... WHERE condition. Returns updated
+    row count. (reference: parser CarbonSpark2SqlParser.scala:259-300,
+    CarbonProjectForUpdateCommand)."""
+    _check_mutable(table)
+    touched = find_touched_files(table, condition, predicates)
+    if not touched:
+        return 0
+    scan = table.spark.read.parquet(*touched)
+    cond = F.expr(condition)
+    n_updated = scan.filter(cond).count()
+    cols = []
+    for name in scan.columns:
+        if name in set_exprs:
+            cols.append(F.when(cond, F.expr(set_exprs[name]))
+                        .otherwise(F.col(name)).alias(name))
+        else:
+            cols.append(F.col(name))
+    _replace_files(table, touched, scan.select(*cols), "update")
+    return n_updated
