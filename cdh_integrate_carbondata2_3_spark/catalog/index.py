@@ -1,0 +1,234 @@
+"""Secondary-index + BloomFilter index — query-time file pruning.
+
+Reference parity (SURVEY.md §2.11):
+- ``CREATE INDEX ... AS 'carbondata'`` — an SI table of
+  (index-col → positionReference) used to pre-prune the main-table
+  scan (reference: integration/spark/.../secondaryindex/,
+  CarbonSecondaryIndexOptimizer.scala:60-87, docs
+  index/secondary-index-guide.md). Ours: a sorted parquet of
+  (col..., _file) consulted on equality/IN predicates.
+- ``CREATE INDEX ... AS 'bloomfilter'`` — per-blocklet bloom for
+  high-cardinality columns (reference: index/bloom/.../
+  BloomCoarseGrainIndex.java:70-134, BLOOM_SIZE/BLOOM_FPP). Ours:
+  per-FILE bloom sidecars built distributed (applyInPandas per file)
+  and evaluated on the driver.
+- REFRESH INDEX / DROP INDEX / SHOW INDEXES; cost-based choice =
+  intersect all applicable indexes (fewest-files wins automatically —
+  reference CarbonCostBasedOptimizer.java:37).
+
+Soundness with stale indexes: each index records the max segment id
+it covers (watermark). Files from newer segments are never pruned by
+the index — mirroring the reference's REINDEX/repair model where SI
+segments must match main-table segments.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import shutil
+from typing import Any, Sequence
+
+from pyspark.sql import functions as F
+
+from ..plans.pruning import Predicate
+
+_INDEXABLE_OPS = {"=", "in"}
+
+
+def _meta_path(table_dir: str, name: str) -> str:
+    return os.path.join(table_dir, "_meta", f"index_{name}.json")
+
+
+def _index_dir(table_dir: str, name: str) -> str:
+    return os.path.join(table_dir, "_meta", "indexes", name)
+
+
+class _Bloom:
+    """Simple double-hashing bloom over md5 (deterministic, portable)."""
+
+    def __init__(self, m_bits: int, k: int, bits: bytearray | None = None):
+        self.m = m_bits
+        self.k = k
+        self.bits = bits if bits is not None else bytearray((m_bits + 7) // 8)
+
+    @staticmethod
+    def _hashes(value: str) -> tuple[int, int]:
+        d = hashlib.md5(value.encode("utf-8")).digest()
+        return (int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1)
+
+    def add(self, value: str) -> None:
+        h1, h2 = self._hashes(value)
+        for i in range(self.k):
+            b = (h1 + i * h2) % self.m
+            self.bits[b >> 3] |= 1 << (b & 7)
+
+    def may_contain(self, value: str) -> bool:
+        h1, h2 = self._hashes(value)
+        for i in range(self.k):
+            b = (h1 + i * h2) % self.m
+            if not (self.bits[b >> 3] >> (b & 7)) & 1:
+                return False
+        return True
+
+    def b64(self) -> str:
+        return base64.b64encode(bytes(self.bits)).decode()
+
+    @classmethod
+    def from_b64(cls, m: int, k: int, s: str) -> "_Bloom":
+        return cls(m, k, bytearray(base64.b64decode(s)))
+
+
+class IndexManager:
+    def __init__(self, table):
+        self.table = table
+
+    # ------------------------------------------------------------- create
+
+    def create_secondary_index(self, name: str, columns: list[str]) -> None:
+        """CREATE INDEX name ON table (columns) AS 'carbondata'."""
+        if os.path.exists(_meta_path(self.table.table_dir, name)):
+            raise FileExistsError(f"index {name} exists")
+        self._build_si(name, columns)
+
+    def create_bloom_index(self, name: str, columns: list[str],
+                           m_bits: int = 64 * 1024 * 8, k: int = 5) -> None:
+        """CREATE INDEX name ON table (columns) AS 'bloomfilter'."""
+        if os.path.exists(_meta_path(self.table.table_dir, name)):
+            raise FileExistsError(f"index {name} exists")
+        self._build_bloom(name, columns, m_bits, k)
+
+    def refresh(self, name: str) -> None:
+        """REFRESH INDEX — rebuild to cover all current segments."""
+        meta = self._load_meta(name)
+        if meta["type"] == "si":
+            self._build_si(name, meta["columns"])
+        else:
+            self._build_bloom(name, meta["columns"], meta["m_bits"], meta["k"])
+
+    def drop(self, name: str) -> None:
+        p = _meta_path(self.table.table_dir, name)
+        if os.path.exists(p):
+            os.unlink(p)
+        shutil.rmtree(_index_dir(self.table.table_dir, name), ignore_errors=True)
+
+    def show(self) -> list[dict]:
+        out = []
+        meta_dir = os.path.join(self.table.table_dir, "_meta")
+        for f in sorted(os.listdir(meta_dir)):
+            if f.startswith("index_") and f.endswith(".json"):
+                with open(os.path.join(meta_dir, f)) as fh:
+                    m = json.load(fh)
+                out.append({k: m[k] for k in ("name", "type", "columns",
+                                              "watermark_segment")})
+        return out
+
+    # -------------------------------------------------------------- build
+
+    def _watermark(self) -> int:
+        segs = self.table.manifest.queryable_segments()
+        return max((s.id for s in segs), default=-1)
+
+    def _covered_files(self, watermark: int) -> set[str]:
+        return {f.path for s in self.table.manifest.queryable_segments()
+                if s.id <= watermark for f in s.files}
+
+    def _build_si(self, name: str, columns: list[str]) -> None:
+        wm = self._watermark()
+        idx_dir = _index_dir(self.table.table_dir, name)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        df = (self.table.read()
+              .withColumn("_file", F.input_file_name())
+              .select(*columns, "_file").distinct()
+              .withColumn("_file", F.expr(
+                  "replace(_file, 'file://', '')")))
+        # sorted by index columns → min/max row-group pruning inside the
+        # SI itself (the reference sorts SI tables the same way)
+        df.sort(*columns).coalesce(1).write.mode("overwrite").parquet(idx_dir)
+        self._save_meta({"name": name, "type": "si", "columns": columns,
+                         "watermark_segment": wm})
+
+    def _build_bloom(self, name: str, columns: list[str],
+                     m_bits: int, k: int) -> None:
+        wm = self._watermark()
+        blooms: dict[str, dict[str, str]] = {}
+
+        def build(pdf):
+            import pandas as pd
+            fname = pdf["_file"].iloc[0].replace("file://", "")
+            out = []
+            for col in columns:
+                b = _Bloom(m_bits, k)
+                for v in pdf[col].dropna().unique():
+                    b.add(str(v))
+                out.append((fname, col, b.b64()))
+            return pd.DataFrame(out, columns=["file", "col", "bloom"])
+
+        rows = (self.table.read()
+                .withColumn("_file", F.input_file_name())
+                .select(*columns, "_file")
+                .groupBy("_file")
+                .applyInPandas(build, "file string, col string, bloom string")
+                .collect())
+        for r in rows:
+            blooms.setdefault(r["file"], {})[r["col"]] = r["bloom"]
+        self._save_meta({"name": name, "type": "bloom", "columns": columns,
+                         "m_bits": m_bits, "k": k,
+                         "watermark_segment": wm, "blooms": blooms})
+
+    def _save_meta(self, meta: dict) -> None:
+        p = _meta_path(self.table.table_dir, meta["name"])
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)
+
+    def _load_meta(self, name: str) -> dict:
+        with open(_meta_path(self.table.table_dir, name)) as f:
+            return json.load(f)
+
+    # -------------------------------------------------------------- prune
+
+    def candidate_files(self, predicates: Sequence[Predicate] | None
+                        ) -> set[str] | None:
+        """Intersected allow-set of ABS file paths, or None if no index
+        applies. Files above an index's watermark are always allowed."""
+        if not predicates:
+            return None
+        allowed: set[str] | None = None
+        for meta in map(self._load_meta, [m["name"] for m in self.show()]):
+            for col, op, value in predicates:
+                if op not in _INDEXABLE_OPS or col not in meta["columns"]:
+                    continue
+                values = [value] if op == "=" else list(value)
+                if meta["type"] == "si":
+                    files = self._si_lookup(meta, col, values)
+                else:
+                    files = self._bloom_lookup(meta, col, values)
+                above_wm = {
+                    self.table._abs(f.path)
+                    for s in self.table.manifest.queryable_segments()
+                    if s.id > meta["watermark_segment"] for f in s.files}
+                files |= above_wm
+                allowed = files if allowed is None else (allowed & files)
+        return allowed
+
+    def _si_lookup(self, meta: dict, col: str, values: list[Any]) -> set[str]:
+        import pyarrow.parquet as pq
+        idx_dir = _index_dir(self.table.table_dir, meta["name"])
+        t = pq.read_table(idx_dir, columns=[col, "_file"],
+                          filters=[(col, "in", values)])
+        return {os.path.abspath(p) for p in t.column("_file").to_pylist()}
+
+    def _bloom_lookup(self, meta: dict, col: str, values: list[Any]) -> set[str]:
+        out = set()
+        for fname, cols in meta["blooms"].items():
+            if col not in cols:
+                out.add(os.path.abspath(fname))
+                continue
+            b = _Bloom.from_b64(meta["m_bits"], meta["k"], cols[col])
+            if any(b.may_contain(str(v)) for v in values):
+                out.add(os.path.abspath(fname))
+        return out

@@ -208,13 +208,24 @@ class Table:
     def _abs(self, f_path: str) -> str:
         return f_path if os.path.isabs(f_path) else os.path.join(self.table_dir, f_path)
 
+    @property
+    def indexes(self):
+        from .index import IndexManager
+        return IndexManager(self)
+
     def scan_files(self, predicates: Sequence[Predicate] | None = None,
-                   segments: list[int] | None = None) -> dict[str, list[str]]:
-        """Pruned file list per format (driver-side min/max + partition +
-        segment-scope pruning)."""
+                   segments: list[int] | None = None,
+                   use_indexes: bool = True) -> dict[str, list[str]]:
+        """Pruned file list per format: driver-side min/max + partition +
+        segment-scope pruning, then SI/bloom index intersection
+        (``use_indexes=False`` is the NI() escape hatch —
+        reference CarbonEnv.scala:86-95)."""
+        allowed = self.indexes.candidate_files(predicates) if use_indexes else None
         by_fmt: dict[str, list[str]] = {}
         for seg in self.manifest.queryable_segments(segments):
             kept = prune_files(seg.files, predicates)
+            if allowed is not None:
+                kept = [f for f in kept if self._abs(f.path) in allowed]
             if kept:
                 by_fmt.setdefault(seg.format, []).extend(
                     self._abs(f.path) for f in kept)
@@ -222,11 +233,12 @@ class Table:
 
     def read(self, predicates: Sequence[Predicate] | None = None,
              segments: list[int] | None = None,
-             apply_predicates: bool = True) -> DataFrame:
+             apply_predicates: bool = True,
+             use_indexes: bool = True) -> DataFrame:
         """Scan with driver-side pruning; mixed-format segments are
         unioned by name (reference MixedFormatHandler.scala:55-230).
         Spark re-evaluates predicates exactly — pruning is only a skip."""
-        by_fmt = self.scan_files(predicates, segments)
+        by_fmt = self.scan_files(predicates, segments, use_indexes)
         dfs: list[DataFrame] = []
         partitioned = bool(self.manifest.properties().get("partition_by"))
         for fmt, files in by_fmt.items():

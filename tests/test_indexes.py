@@ -1,0 +1,91 @@
+"""SI / bloom index tests — mirrors the reference's secondary-index
+and bloom suites (SURVEY.md §5: index/, blockprune/,
+TestPruneUsingSegmentMinMax)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.catalog import Table
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    # city column is NOT sorted → min/max pruning is useless for it,
+    # exactly the case secondary indexes exist for
+    t = Table.create(spark, str(tmp_path / "t"),
+                     "id bigint, city string, age int",
+                     {"sort_columns": ["id"], "sort_scope": "global_sort"})
+    for lo in range(0, 500, 100):
+        t.insert(spark.range(lo, lo + 100).select(
+            "id",
+            F.concat(F.lit("city_"), (F.col("id") % 97)).alias("city"),
+            (F.col("id") % 60).cast("int").alias("age")))
+    return t
+
+
+def _nfiles(t, preds, **kw):
+    return sum(len(v) for v in t.scan_files(preds, **kw).values())
+
+
+def test_secondary_index_prunes(spark, table):
+    no_index = _nfiles(table, [("city", "=", "city_5")])
+    table.indexes.create_secondary_index("si_city", ["city"])
+    with_index = _nfiles(table, [("city", "=", "city_5")])
+    assert with_index < no_index
+    df = table.read([("city", "=", "city_5")])
+    assert df.count() == 6                        # 5,102,199,296,393,490 → %97
+    assert df.filter("city != 'city_5'").count() == 0
+
+
+def test_si_stale_segment_soundness(spark, table):
+    table.indexes.create_secondary_index("si_city", ["city"])
+    # new load AFTER index build — must still be visible in queries
+    table.insert(spark.range(1000, 1010).select(
+        "id", F.lit("city_5").alias("city"), F.lit(1).alias("age")))
+    df = table.read([("city", "=", "city_5")])
+    assert df.count() == 6 + 10
+    # refresh re-covers everything and prunes tighter again
+    before = _nfiles(table, [("city", "=", "city_999")])
+    table.indexes.refresh("si_city")
+    after = _nfiles(table, [("city", "=", "city_999")])
+    assert after <= before
+    assert table.read([("city", "=", "city_999")]).count() == 0
+
+
+def test_ni_escape_hatch(spark, table):
+    table.indexes.create_secondary_index("si_city", ["city"])
+    with_idx = _nfiles(table, [("city", "=", "city_5")])
+    without = _nfiles(table, [("city", "=", "city_5")], use_indexes=False)
+    assert without >= with_idx                    # NI() disables SI use
+
+
+def test_bloom_index_prunes(spark, table):
+    table.indexes.create_bloom_index("bf_age", ["age"])
+    # age repeats every 60 ids → present in all files; equality on an
+    # absent value must prune everything
+    none = _nfiles(table, [("age", "=", 1234)])
+    assert none == 0
+    assert table.read([("age", "=", 1234)]).count() == 0
+    some = table.read([("age", "=", 30)])
+    assert some.count() == 8                      # 30,90,...,450 < 500
+
+
+def test_in_predicate_uses_index(spark, table):
+    table.indexes.create_secondary_index("si_city", ["city"])
+    n = _nfiles(table, [("city", "in", ["city_5", "city_6"])])
+    assert n < _nfiles(table, None)
+    assert table.read([("city", "in", ["city_5", "city_6"])]).count() == 12
+
+
+def test_show_and_drop(spark, table):
+    table.indexes.create_secondary_index("si_city", ["city"])
+    table.indexes.create_bloom_index("bf_age", ["age"])
+    names = {m["name"] for m in table.indexes.show()}
+    assert names == {"si_city", "bf_age"}
+    table.indexes.drop("si_city")
+    assert {m["name"] for m in table.indexes.show()} == {"bf_age"}
+    # duplicate create rejected
+    with pytest.raises(FileExistsError):
+        table.indexes.create_bloom_index("bf_age", ["age"])
