@@ -1,0 +1,336 @@
+"""Materialized views with automatic query rewrite.
+
+Reference parity (SURVEY.md §2.12, §4.1):
+- CREATE/DROP/SHOW/REFRESH MATERIALIZED VIEW
+  (integration/spark/.../command/view/CarbonCreateMVCommand.scala,
+  CarbonRefreshMVCommand.scala)
+- SPJG subsumption rewrite incl. GROUP BY rollup re-aggregation
+  (mv/plan Modularizer/MVMatcher — ours is a spec matcher, scope
+  deliberately bounded: fall back to direct execution on any doubt,
+  as the reference does — MVRewriteRule.scala:56-67)
+- AVG decomposed to SUM/COUNT for incremental correctness
+  (MVRefresher.scala:194)
+- timeseries granularity rollup (timeseries(col,'hour') →
+  date_trunc; MVTimeGranularity.scala:25-35)
+- incremental refresh by source-segment watermark: only segments
+  loaded after the last refresh are scanned (MVRefresher.scala:61-200)
+
+An MV is a segment-managed Table under ``<source>/_meta/mvs/<name>``
+plus a spec JSON. Query entry is :meth:`MVManager.answer` — give it a
+:class:`QuerySpec`; it answers from the best fresh MV or falls back to
+the source scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog.table import Table
+from ..functions.timeseries import timeseries_bucket
+
+# granularities that nest (rollup allowed along this chain; 'week'
+# intentionally excluded — it doesn't nest in month/year)
+_GRAN_CHAIN = ["second", "minute", "five_minute", "ten_minute",
+               "fifteen_minute", "thirty_minute", "hour", "day",
+               "month", "year"]
+
+_SUPPORTED = {"sum", "count", "min", "max", "avg"}
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    fn: str                 # sum | count | min | max | avg
+    col: str                # column name ('*' for count)
+
+    def key(self) -> str:
+        return f"{self.fn}_{self.col if self.col != '*' else 'all'}"
+
+
+@dataclass
+class QuerySpec:
+    """A SPJG aggregate query over one table: optional filter (SQL
+    string), group columns, aggregations {out_alias: AggSpec}, and an
+    optional timeseries bucket (ts_col, granularity) added to the
+    grouping."""
+    group_cols: list[str]
+    aggs: dict[str, AggSpec]
+    filter: str | None = None
+    timeseries: tuple[str, str] | None = None
+    ts_alias: str = "ts_bucket"
+
+
+@dataclass
+class MVMeta:
+    name: str
+    group_cols: list[str]
+    aggs: list[AggSpec]
+    filter: str | None
+    timeseries: list | None
+    watermark: int
+    deferred: bool = False
+
+    def to_json(self) -> dict:
+        return {"name": self.name, "group_cols": self.group_cols,
+                "aggs": [[a.fn, a.col] for a in self.aggs],
+                "filter": self.filter, "timeseries": self.timeseries,
+                "watermark": self.watermark, "deferred": self.deferred}
+
+    @staticmethod
+    def from_json(d: dict) -> "MVMeta":
+        return MVMeta(d["name"], d["group_cols"],
+                      [AggSpec(f, c) for f, c in d["aggs"]],
+                      d["filter"], d.get("timeseries"), d["watermark"],
+                      d.get("deferred", False))
+
+
+def _canon_filter(f: str | None) -> str | None:
+    return " ".join(f.lower().split()) if f else None
+
+
+class MVManager:
+    def __init__(self, source: Table):
+        self.source = source
+        self.mv_root = os.path.join(source.table_dir, "_meta", "mvs")
+
+    # ------------------------------------------------------------------ DDL
+
+    def create(self, name: str, group_cols: list[str],
+               aggs: list[AggSpec], filter: str | None = None,
+               timeseries: tuple[str, str] | None = None,
+               deferred: bool = False) -> None:
+        """CREATE MATERIALIZED VIEW [WITH DEFERRED REFRESH]."""
+        if os.path.exists(self._meta_path(name)):
+            raise FileExistsError(f"MV {name} exists")
+        for a in aggs:
+            if a.fn not in _SUPPORTED:
+                raise ValueError(f"unsupported agg {a.fn}")
+        if timeseries and timeseries[1] not in _GRAN_CHAIN + ["week"]:
+            raise ValueError(f"unsupported granularity {timeseries[1]}")
+        os.makedirs(self.mv_root, exist_ok=True)
+        meta = MVMeta(name, group_cols, self._storage_aggs(aggs),
+                      _canon_filter(filter), list(timeseries) if timeseries else None,
+                      watermark=-1, deferred=deferred)
+        self._save(meta)
+        if not deferred:
+            self.refresh(name)
+
+    @staticmethod
+    def _storage_aggs(aggs: list[AggSpec]) -> list[AggSpec]:
+        """Decompose AVG into SUM+COUNT, always keep count(*)
+        (reference MVRefresher.scala:194)."""
+        out: set[AggSpec] = set()
+        for a in aggs:
+            if a.fn == "avg":
+                out.add(AggSpec("sum", a.col))
+                out.add(AggSpec("count", a.col))
+            else:
+                out.add(a)
+        out.add(AggSpec("count", "*"))
+        return sorted(out, key=lambda a: a.key())
+
+    def drop(self, name: str) -> None:
+        if os.path.exists(self._meta_path(name)):
+            os.unlink(self._meta_path(name))
+        shutil.rmtree(os.path.join(self.mv_root, name), ignore_errors=True)
+
+    def show(self) -> list[dict]:
+        out = []
+        if not os.path.isdir(self.mv_root):
+            return out
+        for f in sorted(os.listdir(self.mv_root)):
+            if not f.endswith(".json") or f.endswith(".json.tmp"):
+                continue
+            with open(os.path.join(self.mv_root, f)) as fh:
+                m = json.load(fh)
+            m["stale"] = m["watermark"] < self._source_watermark()
+            out.append(m)
+        return out
+
+    # -------------------------------------------------------------- refresh
+
+    def refresh(self, name: str, incremental: bool = True) -> None:
+        """REFRESH MATERIALIZED VIEW. Incremental: aggregate only
+        source segments loaded since the last watermark and merge by
+        re-aggregation (valid because storage aggs are decomposed)."""
+        meta = self._load(name)
+        src_wm = self._source_watermark()
+        mv_dir = os.path.join(self.mv_root, name)
+        mv_exists = os.path.exists(os.path.join(mv_dir, "_meta", "tablestatus.json"))
+
+        if not incremental or not mv_exists or meta.watermark < 0:
+            df = self._aggregate_source(meta, segments=None)
+            shutil.rmtree(mv_dir, ignore_errors=True)
+            Table.create_as_select(self.source.spark, mv_dir, df)
+        else:
+            new_segs = [s.id for s in self.source.manifest.queryable_segments()
+                        if s.id > meta.watermark]
+            if new_segs:
+                delta = self._aggregate_source(meta, segments=new_segs)
+                mv_t = Table.open(self.source.spark, mv_dir)
+                merged = self._reaggregate(
+                    mv_t.read().unionByName(delta), meta, meta.group_cols,
+                    keep_storage_names=True)
+                tmp_dir = mv_dir + ".new"
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                Table.create_as_select(self.source.spark, tmp_dir, merged)
+                shutil.rmtree(mv_dir)
+                os.rename(tmp_dir, mv_dir)
+        meta.watermark = src_wm
+        self._save(meta)
+
+    def _aggregate_source(self, meta: MVMeta,
+                          segments: list[int] | None) -> DataFrame:
+        df = self.source.read(segments=segments)
+        if meta.filter:
+            df = df.filter(F.expr(meta.filter))
+        keys: list[Column] = [F.col(c) for c in meta.group_cols]
+        if meta.timeseries:
+            col, gran = meta.timeseries
+            keys.append(timeseries_bucket(F.col(col), gran).alias("ts_bucket"))
+        exprs = []
+        for a in meta.aggs:
+            if a.fn == "count":
+                e = F.count(F.lit(1)) if a.col == "*" else F.count(a.col)
+            else:
+                e = getattr(F, a.fn)(a.col)
+            exprs.append(e.alias(a.key()))
+        return df.groupBy(*keys).agg(*exprs)
+
+    def _reaggregate(self, df: DataFrame, meta: MVMeta,
+                     group_cols: list[str],
+                     keep_storage_names: bool) -> DataFrame:
+        """Merge partial aggregates: sum→sum, count→sum, min→min, max→max."""
+        keys = list(group_cols)
+        if meta.timeseries:
+            keys.append("ts_bucket")
+        exprs = []
+        for a in meta.aggs:
+            k = a.key()
+            merge_fn = {"sum": F.sum, "count": F.sum,
+                        "min": F.min, "max": F.max}[a.fn]
+            exprs.append(merge_fn(k).alias(k))
+        return df.groupBy(*keys).agg(*exprs)
+
+    # -------------------------------------------------------------- rewrite
+
+    def answer(self, q: QuerySpec) -> tuple[DataFrame, str | None]:
+        """Answer a query from the best matching *fresh* MV, else fall
+        back to the source scan. Returns (df, mv_name|None)."""
+        for m in self.show():
+            meta = MVMeta.from_json({k: m[k] for k in
+                                     ("name", "group_cols", "aggs", "filter",
+                                      "timeseries", "watermark", "deferred")})
+            if m["stale"]:
+                continue                       # unsound → skip (deferred MVs
+            if self._matches(meta, q):         # are used only when fresh)
+                return self._rewrite(meta, q), meta.name
+        return self._direct(q), None
+
+    def _matches(self, meta: MVMeta, q: QuerySpec) -> bool:
+        if set(q.group_cols) - set(meta.group_cols):
+            return False
+        if _canon_filter(q.filter) != meta.filter:
+            # allow query filter over query group cols applied on MV
+            if q.filter is None:
+                return False
+            refs_ok = meta.filter is None and all(
+                tok not in q.filter or tok in q.group_cols
+                for tok in self._filter_identifiers(q.filter))
+            if not refs_ok:
+                return False
+        if q.timeseries:
+            if not meta.timeseries:
+                return False
+            if meta.timeseries[0] != q.timeseries[0]:
+                return False
+            mg, qg = meta.timeseries[1], q.timeseries[1]
+            if mg not in _GRAN_CHAIN or qg not in _GRAN_CHAIN:
+                return mg == qg
+            if _GRAN_CHAIN.index(qg) < _GRAN_CHAIN.index(mg):
+                return False                   # query finer than MV
+        elif meta.timeseries:
+            return False                       # MV bucketed, query not
+        stored = {(a.fn, a.col) for a in meta.aggs}
+        for a in q.aggs.values():
+            if a.fn == "avg":
+                if ("sum", a.col) not in stored or ("count", a.col) not in stored:
+                    return False
+            elif a.fn == "count" and a.col == "*":
+                if ("count", "*") not in stored:
+                    return False
+            elif (a.fn, a.col) not in stored:
+                return False
+        return True
+
+    @staticmethod
+    def _filter_identifiers(f: str) -> list[str]:
+        import re
+        return [t for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", f)
+                if t.lower() not in ("and", "or", "not", "in", "between",
+                                     "like", "is", "null", "true", "false")]
+
+    def _rewrite(self, meta: MVMeta, q: QuerySpec) -> DataFrame:
+        mv_t = Table.open(self.source.spark, os.path.join(self.mv_root, meta.name))
+        df = mv_t.read()
+        if _canon_filter(q.filter) != meta.filter and q.filter:
+            df = df.filter(F.expr(q.filter))
+        keys = [F.col(c) for c in q.group_cols]
+        if q.timeseries:
+            keys.append(timeseries_bucket(F.col("ts_bucket"), q.timeseries[1])
+                        .alias(q.ts_alias))
+        exprs = []
+        for alias, a in q.aggs.items():
+            if a.fn == "avg":
+                e = (F.sum(AggSpec("sum", a.col).key())
+                     / F.sum(AggSpec("count", a.col).key()))
+            elif a.fn == "count":
+                e = F.sum(AggSpec("count", a.col).key())
+            elif a.fn == "sum":
+                e = F.sum(a.key())
+            else:
+                e = {"min": F.min, "max": F.max}[a.fn](a.key())
+            exprs.append(e.alias(alias))
+        return df.groupBy(*keys).agg(*exprs)
+
+    def _direct(self, q: QuerySpec) -> DataFrame:
+        df = self.source.read()
+        if q.filter:
+            df = df.filter(F.expr(q.filter))
+        keys = [F.col(c) for c in q.group_cols]
+        if q.timeseries:
+            keys.append(timeseries_bucket(F.col(q.timeseries[0]),
+                                          q.timeseries[1]).alias(q.ts_alias))
+        exprs = []
+        for alias, a in q.aggs.items():
+            if a.fn == "count":
+                e = F.count(F.lit(1)) if a.col == "*" else F.count(a.col)
+            else:
+                e = getattr(F, a.fn)(a.col)
+            exprs.append(e.alias(alias))
+        return df.groupBy(*keys).agg(*exprs)
+
+    # --------------------------------------------------------------- util
+
+    def _source_watermark(self) -> int:
+        return max((s.id for s in self.source.manifest.queryable_segments()),
+                   default=-1)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.mv_root, f"{name}.json")
+
+    def _save(self, meta: MVMeta) -> None:
+        os.makedirs(self.mv_root, exist_ok=True)
+        tmp = self._meta_path(meta.name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta.to_json(), f)
+        os.replace(tmp, self._meta_path(meta.name))
+
+    def _load(self, name: str) -> MVMeta:
+        with open(self._meta_path(name)) as f:
+            return MVMeta.from_json(json.load(f))
