@@ -33,6 +33,9 @@ def parquet_row_count(path: str) -> int:
 
 
 def count_star_dataframe(spark: SparkSession, path: str) -> DataFrame:
-    """Driver-side count(*) fast path as a 1-row DataFrame."""
+    """Driver-side count(*) fast path as a 1-row DataFrame.
+    spark.range avoids the (surprisingly costly) createDataFrame
+    local-relation path — the result is pure metadata either way."""
+    from pyspark.sql import functions as F
     n = parquet_row_count(path)
-    return spark.createDataFrame([(n,)], "count_rows bigint")
+    return spark.range(1).select(F.lit(n).cast("bigint").alias("count_rows"))

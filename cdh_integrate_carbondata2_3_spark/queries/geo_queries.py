@@ -1,0 +1,178 @@
+"""Geo/spatial query surface with DuckDB oracles.
+
+Reference parity (SURVEY.md §2.8, §2.11): ``in_polygon`` filter with
+geoid range-list pre-pruning, ``in_polygon_join`` broadcast polygon
+join, and the z-order geoid generated column
+(geo/.../InPolygonUDF.scala:27-32, GeoHashIndex.java:42-200,
+spatial-index-guide.md:24-133).
+
+The TPC-H-ish testdata has no coordinates, so each query derives a
+deterministic lat/lng from ``c_custkey`` with pure integer/double
+arithmetic that DuckDB reproduces bit-for-bit; the oracle SQL for the
+polygon predicates and the bit-interleaved geoid is *generated from
+the same constants* as the Spark column expressions, so the two
+engines evaluate the identical IEEE-double formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ..functions.geo import (
+    DEFAULT_BITS,
+    in_polygon_convex_expr,
+    in_polygon_join,
+    latlng_to_geoid,
+    polygon_to_ranges,
+)
+
+# Derived point cloud: 0.1-degree grid with a 0.05 offset so points
+# never sit exactly on the integer-coordinate polygon edges below.
+_LAT_SQL = "((c_custkey * 37) % 1800) / 10.0 - 89.95"
+_LNG_SQL = "((c_custkey * 91) % 3600) / 10.0 - 179.95"
+
+
+def _derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lat = ((F.col("c_custkey") * 37) % 1800) / 10.0 - 89.95
+    lng = ((F.col("c_custkey") * 91) % 3600) / 10.0 - 179.95
+    return cust.select("c_custkey", "c_nationkey", "c_mktsegment",
+                       "c_acctbal", lat.alias("lat"), lng.alias("lng"))
+
+
+# CCW convex polygon, integer vertices (lat, lng).
+_CONVEX_POLY = [(-20.0, -30.0), (-20.0, 40.0), (25.0, 55.0),
+                (45.0, 10.0), (30.0, -35.0)]
+
+# General polygons for the broadcast join (one concave).
+_JOIN_POLYS = {
+    1: [(0.0, 0.0), (0.0, 60.0), (50.0, 60.0), (50.0, 0.0)],
+    2: [(-60.0, -120.0), (-60.0, -40.0), (-10.0, -40.0),
+        (-35.0, -80.0), (-10.0, -120.0)],          # concave
+    3: [(10.0, 100.0), (60.0, 130.0), (70.0, 80.0)],
+}
+
+
+def _convex_sql(polygon: list[tuple[float, float]],
+                lat_sql: str, lng_sql: str) -> str:
+    """Same left-of-every-edge test as in_polygon_convex_expr."""
+    conds = []
+    n = len(polygon)
+    for i in range(n):
+        la1, ln1 = polygon[i]
+        la2, ln2 = polygon[(i + 1) % n]
+        conds.append(f"(({ln2 - ln1!r}) * (({lat_sql}) - ({la1!r}))"
+                     f" - ({la2 - la1!r}) * (({lng_sql}) - ({ln1!r})) >= 0)")
+    return " AND ".join(conds)
+
+
+def _raycast_sql(polygon: list[tuple[float, float]],
+                 lat_sql: str, lng_sql: str) -> str:
+    """Even-odd ray cast as SQL — the same edge-crossing formula the
+    pandas UDF evaluates (identical IEEE-double op order)."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        la1, ln1 = polygon[i]
+        la2, ln2 = polygon[(i + 1) % n]
+        denom = (la2 - la1) or 1e-300
+        x = f"({ln1!r} + (({lat_sql}) - {la1!r}) / {denom!r} * {ln2 - ln1!r})"
+        crosses = f"(({la1!r} > ({lat_sql})) <> ({la2!r} > ({lat_sql})))"
+        terms.append(f"CASE WHEN {crosses} AND (({lng_sql}) < {x})"
+                     " THEN 1 ELSE 0 END")
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+def _geoid_sql(lat_sql: str, lng_sql: str, bits: int = DEFAULT_BITS) -> str:
+    """Bit-interleaved z-order geoid — mirrors latlng_to_geoid exactly
+    (quantize → trunc-cast → clamp → interleave)."""
+    n = (1 << bits) - 1
+
+    def quant(col_sql: str, lo: float, hi: float) -> str:
+        q = f"TRUNC((({col_sql}) - ({lo!r})) / {hi - lo!r} * {n})::BIGINT"
+        return f"LEAST(GREATEST({q}, 0), {n})"
+
+    la = quant(lat_sql, -90.0, 90.0)
+    ln = quant(lng_sql, -180.0, 180.0)
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({ln}) >> {i}) & 1) << {2 * i}")
+        parts.append(f"((({la}) >> {i}) & 1) << {2 * i + 1}")
+    return "(" + " | ".join(f"({p})" for p in parts) + ")"
+
+
+@query(
+    "geo_polygon_filter",
+    oracle=f"""
+    SELECT c_nationkey,
+           count(*) AS n_points,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_bal
+    FROM customer
+    WHERE {_convex_sql(_CONVEX_POLY, _LAT_SQL, _LNG_SQL)}
+    GROUP BY c_nationkey
+    """,
+)
+def geo_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN_POLYGON analogue: geoid range-list pre-filter (quad-tree
+    decomposition, applied as a broadcast range semi-join so the geoid
+    expression is evaluated once per row — an OR-of-BETWEEN over 169
+    ranges blows up Catalyst) + exact convex refinement, codegen'd."""
+    pts = _derived_points(spark, sf_dir).withColumn(
+        "geoid", latlng_to_geoid(F.col("lat"), F.col("lng")))
+    ranges = polygon_to_ranges(_CONVEX_POLY, max_depth=8)
+    rdf = spark.createDataFrame(ranges, "__lo bigint, __hi bigint")
+    return (pts.join(F.broadcast(rdf),
+                     (F.col("geoid") >= F.col("__lo"))
+                     & (F.col("geoid") <= F.col("__hi")), "left_semi")
+            .filter(in_polygon_convex_expr(F.col("lat"), F.col("lng"),
+                                           _CONVEX_POLY))
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_points"),
+                 F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                 .cast("decimal(18,2)").cast("double").alias("sum_bal")))
+
+
+@query(
+    "geo_polygon_join",
+    oracle=" UNION ALL ".join(
+        f"""SELECT {pid} AS poly_id, count(*) AS n_points
+            FROM customer
+            WHERE {_raycast_sql(poly, _LAT_SQL, _LNG_SQL)}"""
+        for pid, poly in sorted(_JOIN_POLYS.items())),
+)
+def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN_POLYGON_JOIN analogue: broadcast the (tiny) polygon side,
+    keep (point, polygon) pairs where the point is inside — reference
+    BroadCastPolygonFilterPushJoin (DMLStrategy.scala:77-170)."""
+    pts = _derived_points(spark, sf_dir)
+    polys = spark.createDataFrame(
+        [(pid, ", ".join(f"{la} {ln}" for la, ln in poly))
+         for pid, poly in sorted(_JOIN_POLYS.items())],
+        "poly_id int, polygon string")
+    pairs = in_polygon_join(pts, polys, "lat", "lng", "polygon")
+    return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
+@query(
+    "geo_zorder_geoid",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(DISTINCT {_geoid_sql(_LAT_SQL, _LNG_SQL)}) AS n_cells,
+           min({_geoid_sql(_LAT_SQL, _LNG_SQL)}) AS min_geoid,
+           max({_geoid_sql(_LAT_SQL, _LNG_SQL)}) AS max_geoid
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def geo_zorder_geoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLngToGeoId generated column (SPATIAL_INDEX analogue):
+    bit-interleave as pure column arithmetic, validated value-exact
+    against the oracle's identical interleave formula."""
+    pts = _derived_points(spark, sf_dir).withColumn(
+        "geoid", latlng_to_geoid(F.col("lat"), F.col("lng")))
+    return (pts.groupBy("c_mktsegment")
+            .agg(F.countDistinct("geoid").alias("n_cells"),
+                 F.min("geoid").alias("min_geoid"),
+                 F.max("geoid").alias("max_geoid")))

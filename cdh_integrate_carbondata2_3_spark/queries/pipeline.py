@@ -66,9 +66,13 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (shingle → k minhashes → band → bucket-join → exact-jaccard verify)
 # ---------------------------------------------------------------------------
 
-_N_HASHES = 8
-_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))
-_JACCARD_THRESHOLD = 0.5
+# 16 minhashes in 2 bands of 8: long bands keep the candidate set
+# near-linear on this corpus (tiny vocab → inter-doc Jaccard ~0.5, so
+# short bands would collide quadratically); the exact-Jaccard verify
+# step supplies precision.
+_N_HASHES = 16
+_BANDS = (tuple(range(0, 8)), tuple(range(8, 16)))
+_JACCARD_THRESHOLD = 0.6
 
 
 def _minhash_sql_oracle() -> str:
