@@ -1,0 +1,361 @@
+"""Near-duplicate detection + ANN similarity — the scale paths.
+
+Completes the training-data-pipeline dedup family beyond
+``pipeline.py`` (exact + MinHash/LSH): SimHash, word-n-gram Jaccard,
+embedding-cosine near-dup, and multi-probe LSH approximate
+nearest-neighbor search. The reference's own dedup surface is
+MERGE-insert-if-not-exists (reference examples/.../DedupExample.scala);
+these operators are the 100TB-scale generalizations.
+
+Every operator is expressed twice from the *same Python constants*:
+once as Spark column expressions and once as DuckDB oracle SQL, so the
+driver's value-hash comparison pins the semantics bit-for-bit. All
+hashing derives from md5 hex (identical in both engines); no
+engine-specific ``hash()`` is used.
+
+Scale notes (all operators):
+- the O(n²) pair space is never materialized — candidates come from
+  band/bucket collisions (SimHash bands, shingle inverted index,
+  sign-buckets, LSH buckets) and only candidates are verified;
+- bucket keys are small fixed-width values, so the self-join shuffles
+  are narrow;
+- everything is built-in-function DataFrame ops (explode / groupBy /
+  join) — no Python UDF anywhere in these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import query
+from .pipeline import _docs, _md5, _tokens
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 32-bit signature from md5-derived token bits,
+# 4 LSH bands of 8 bits, hamming-distance verify.
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+_SIM_BANDS = 4                 # 8 bits per band
+# ham ≤ 1 of 32: this synthetic corpus has a tiny vocabulary, so token
+# SETS collide heavily and looser thresholds flag ~half the pair space
+_SIM_MAX_HAMMING = 1
+
+
+def _hexval_sql(h: str, p: int) -> str:
+    """Value 0..15 of 0-indexed hex char ``p`` of md5-hex expression ``h``."""
+    return f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
+
+
+def _hexval_col(h: Column, p: int) -> Column:
+    return F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
+
+
+def _simhash_oracle() -> str:
+    # per-token ±1 contribution for each signature bit
+    contribs = ", ".join(
+        f"(((({_hexval_sql('h', j // 4)}) >> {j % 4}) & 1) * 2 - 1) AS c{j}"
+        for j in range(_SIM_BITS))
+    sums = ", ".join(f"SUM(c{j}) AS s{j}" for j in range(_SIM_BITS))
+    pack = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIM_BITS))
+    bands = ", ".join(
+        f"((sim >> {8 * b}) & 255) AS band{b}" for b in range(_SIM_BANDS))
+    band_union = "\nUNION\n".join(
+        f"""  SELECT a.doc_id AS doc_a, a.sim AS sim_a, b.doc_id AS doc_b, b.sim AS sim_b
+  FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
+        for b in range(_SIM_BANDS))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents
+), bits AS (
+  SELECT doc_id, {contribs}
+  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+), sums AS (
+  SELECT doc_id, {sums} FROM bits GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS sim FROM sums
+), banded AS (
+  SELECT doc_id, sim, {bands} FROM sigs
+), cand AS (
+{band_union}
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_SIM_MAX_HAMMING}
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signature (sign of summed ±1 md5
+    bit contributions over the distinct token set), multi-band LSH
+    candidates, exact hamming verify.
+
+    Scale shape: one tok-level groupBy builds all 32 bit-sums map-side
+    partial; candidates come from 4 band self-joins on 8-bit keys; the
+    verify is a single bit_count on already-joined signatures."""
+    toks = _tokens(_docs(spark, sf_dir))
+    h = _md5(F.col("tok"))
+    contribs = [
+        (F.shiftright(_hexval_col(h, j // 4), j % 4).bitwiseAND(F.lit(1))
+         * 2 - 1).alias(f"c{j}")
+        for j in range(_SIM_BITS)]
+    bits = toks.select("doc_id", *contribs)
+    sums = bits.groupBy("doc_id").agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(_SIM_BITS)])
+    pack = None
+    for j in range(_SIM_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        pack = term if pack is None else pack + term
+    sigs = sums.select("doc_id", pack.cast("bigint").alias("sim"))
+    banded = sigs.select(
+        "doc_id", "sim",
+        *[F.shiftright(F.col("sim"), 8 * b).bitwiseAND(F.lit(255)).alias(f"band{b}")
+          for b in range(_SIM_BANDS)])
+    cand = None
+    for b in range(_SIM_BANDS):
+        a_side = banded.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sim").alias("sim_a"),
+                               F.col(f"band{b}").alias("bk"))
+        b_side = banded.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sim").alias("sim_b"),
+                               F.col(f"band{b}").alias("bk"))
+        pairs = (a_side.join(b_side, "bk")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "sim_a", "doc_b", "sim_b"))
+        cand = pairs if cand is None else cand.union(pairs)
+    cand = cand.distinct()
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.filter(ham <= _SIM_MAX_HAMMING)
+            .select("doc_a", "doc_b", ham.cast("int").alias("hamming")))
+
+
+# ---------------------------------------------------------------------------
+# Word-bigram Jaccard near-dup: shingle inverted index (df-capped) for
+# candidates, exact Jaccard verify.
+# ---------------------------------------------------------------------------
+
+_NGRAM_DF_CAP = 100      # shingles seen in more docs don't generate candidates
+_NGRAM_THRESHOLD = 0.5
+
+
+def _ngram_oracle() -> str:
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+      generate_series(1, len(string_split_regex(trim(text), ' +')) - 1),
+      i -> string_split_regex(trim(text), ' +')[i] || ' ' ||
+           string_split_regex(trim(text), ' +')[i + 1])) AS g
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id
+), rare AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {_NGRAM_DF_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM grams a JOIN rare r ON a.g = r.g
+  JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(CAST(i.n_common AS DOUBLE) / (sa.n_g + sb.n_g - i.n_common), 4) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_g + sb.n_g - i.n_common) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup pairs via a df-capped shingle
+    inverted index (the df cap is the scale knob: frequent shingles
+    produce quadratic candidate blowup and almost no signal, exactly
+    the stop-shingle rule used by large-scale dedup pipelines)."""
+    d = _docs(spark, sf_dir)
+    arr = F.split(F.trim(F.col("text")), " +")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)))
+    grams = (d.select("doc_id", F.explode(grams_arr).alias("g"))
+             .distinct().cache())
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _NGRAM_DF_CAP).select("g"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    cand = (a.join(rare, "g").join(b, "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_common")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= _NGRAM_THRESHOLD)
+            .select("doc_a", "doc_b",
+                    F.round(jac, 4).cast("double").alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: sign-bucket blocking + exact cosine verify.
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.40
+_SIGN_DIMS = 3           # leading dims whose sign forms the blocking key
+
+
+def _dot_col(a: str, b: str) -> Column:
+    return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _emb_near_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(_SIGN_DIMS))
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, ({bucket}) AS bk FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+  FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cos_sim
+FROM pairs WHERE cos >= {_COS_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_near", oracle=_emb_near_oracle())
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: block on the sign pattern of the
+    leading dims (2^k buckets — random-hyperplane LSH with axis-aligned
+    planes), verify exact cosine within buckets. Recall/cost tradeoff
+    is the bucket count; the pair space is quadratic only per bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = None
+    for d in range(_SIGN_DIMS):
+        term = F.when(F.col("embedding")[d] > 0, F.lit(1 << d)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    v = emb.select("vec_id", dv.alias("e"), bucket.alias("bk"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bk")
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bk")
+    cos = (_dot_col("ea", "eb")
+           / (F.sqrt(_dot_col("ea", "ea")) * F.sqrt(_dot_col("eb", "eb"))))
+    return (a.join(b, "bk")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .filter(cos >= _COS_THRESHOLD)
+            .select("vec_a", "vec_b",
+                    F.round(cos, 6).cast("double").alias("cos_sim")))
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH ANN: random-hyperplane signatures (deterministic
+# integer weights), flip-1 probe expansion, exact-cosine rerank.
+# ---------------------------------------------------------------------------
+
+_ANN_PLANES = 4
+_ANN_DIM = 64
+_ANN_QUERY_VECS = 10
+_ANN_TOP_K = 5
+
+
+def _plane_weights(i: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane ±-ish integer weights —
+    reproducible in SQL as literals, no RNG."""
+    return [((i * 37 + j * 91) % 19) - 9 for j in range(_ANN_DIM)]
+
+
+def _ann_oracle() -> str:
+    projs = ", ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(f"{w}.0" for w in _plane_weights(i))
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)" for i in range(_ANN_PLANES))
+    sig = " + ".join(f"p{i}" for i in range(_ANN_PLANES))
+    proj_cols = ", ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(f"{w}.0" for w in _plane_weights(i))
+        + f"]) > 0 THEN {1 << i} ELSE 0 END) AS p{i}"
+        for i in range(_ANN_PLANES))
+    flips = ", ".join(str(f) for f in [0] + [1 << i for i in range(_ANN_PLANES)])
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sigs AS (
+  SELECT vec_id, e, ({sig}) AS sig
+  FROM (SELECT vec_id, e, {proj_cols} FROM v)
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, xor(sig, f) AS probe
+  FROM sigs, unnest([{flips}]) AS t(f)
+  WHERE vec_id < {_ANN_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS c_id, e AS ce, sig FROM sigs WHERE vec_id >= {_ANN_QUERY_VECS}
+), cand AS (
+  SELECT DISTINCT q_id, c_id, qe, ce FROM q JOIN c ON c.sig = q.probe
+), scored AS (
+  SELECT q_id, c_id,
+         CAST(ROUND(list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS DOUBLE) AS cos_sim
+  FROM cand
+), ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rk
+  FROM scored)
+SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {_ANN_TOP_K}
+"""
+
+
+@query("similarity_ann_lsh", oracle=_ann_oracle())
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-probe
+    random-hyperplane LSH: 2^planes buckets, query probes its own
+    bucket plus every flip-1 neighbor bucket, candidates reranked by
+    exact cosine. The scale path for ``similarity_cosine_topk``'s
+    brute force — candidate count is corpus/2^planes × probes instead
+    of the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", dv.alias("e"))
+    sig = None
+    for i in range(_ANN_PLANES):
+        w = F.array(*[F.lit(float(x)) for x in _plane_weights(i)])
+        proj = F.aggregate(F.zip_with(F.col("e"), w, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        term = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = v.select("vec_id", "e", sig.alias("sig"))
+    flips = F.array(*[F.lit(x) for x in [0] + [1 << i for i in range(_ANN_PLANES)]])
+    q = (sigs.filter(F.col("vec_id") < _ANN_QUERY_VECS)
+         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+                 F.explode(flips).alias("f"),
+                 F.col("sig"))
+         .select("q_id", "qe", F.col("sig").bitwiseXOR(F.col("f")).alias("probe")))
+    c = (sigs.filter(F.col("vec_id") >= _ANN_QUERY_VECS)
+         .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), "sig"))
+    cand = (c.join(F.broadcast(q), F.col("sig") == F.col("probe"))
+            .select("q_id", "c_id", "qe", "ce").distinct())
+    cos = (_dot_col("qe", "ce")
+           / (F.sqrt(_dot_col("qe", "qe")) * F.sqrt(_dot_col("ce", "ce"))))
+    scored = cand.select("q_id", "c_id",
+                         F.round(cos, 6).cast("double").alias("cos_sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (scored.select("q_id", "c_id", "cos_sim",
+                          F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= _ANN_TOP_K))

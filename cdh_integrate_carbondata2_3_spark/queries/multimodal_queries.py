@@ -1,0 +1,83 @@
+"""Multimodal-column queries with DuckDB oracles.
+
+The binary content is the documents' utf-8 text (ASCII in this
+corpus, so byte offsets == char offsets and the oracle can recompute
+every byte-level feature with substr/md5/ascii in SQL). The Spark
+side runs the REAL plumbing — binary column, metadata struct,
+mapInPandas Arrow batches — not the SQL shortcut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import (
+    FRAME_LEN,
+    FRAME_STRIDE,
+    attach_binary,
+    extract_features,
+    sample_frames,
+)
+from . import query
+from .pipeline import _docs
+
+
+def _head_word_sql(h: str) -> str:
+    """int(md5_hex[:8], 16) from hex chars (no hex-parse builtin needed)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+        for p in range(8)]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query("multimodal_feature_extract", oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_bytes,
+       md5(text) AS digest,
+       CAST({_head_word_sql('md5(text)')} AS BIGINT) AS head_word,
+       CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+                                          i -> ascii(substr(text, i, 1))),
+                           'sum') / CAST(length(text) AS DOUBLE) AS DOUBLE) AS mean_byte
+FROM documents
+""")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob → features through the real mapInPandas path (binary
+    column in, Arrow batch, one feature row per blob)."""
+    media = attach_binary(_docs(spark, sf_dir))
+    return extract_features(media.select("doc_id", "content"))
+
+
+@query("multimodal_frame_sample", oracle=f"""
+SELECT doc_id,
+       CAST(k AS INT) AS frame_no,
+       md5(substr(text, k * {FRAME_STRIDE} + 1, {FRAME_LEN})) AS frame_digest
+FROM documents,
+     unnest(generate_series(0, CAST(floor((length(text) - {FRAME_LEN})
+                                          / {FRAME_STRIDE}.0) AS BIGINT))) AS t(k)
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob → N frames through mapInPandas (video frame-sampling batch
+    shape: strided slices of the byte stream, one digest per frame)."""
+    media = attach_binary(_docs(spark, sf_dir))
+    return sample_frames(media.select("doc_id", "content"))
+
+
+@query("multimodal_meta_stats", oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+       COUNT(*) AS n_blobs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(ROUND(AVG(16 + doc_id % 64), 3) AS DOUBLE) AS avg_width,
+       CAST(MAX(16 + (doc_id * 7) % 64) AS INT) AS max_height
+FROM documents
+GROUP BY 1
+""")
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata struct surface: group by nested field, aggregate
+    over struct members + blob sizes (all JVM-side)."""
+    media = attach_binary(_docs(spark, sf_dir))
+    return (media.groupBy(F.col("meta.fmt").alias("fmt"))
+            .agg(F.count(F.lit(1)).alias("n_blobs"),
+                 F.sum(F.length("content")).alias("total_bytes"),
+                 F.round(F.avg("meta.width"), 3).cast("double").alias("avg_width"),
+                 F.max("meta.height").alias("max_height")))

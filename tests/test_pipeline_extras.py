@@ -1,0 +1,93 @@
+"""Unit tests for the dedup-extra + multimodal modules (the oracle
+value-match runs in tools/check.py; these cover the module APIs)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.functions import multimodal as mm
+from cdh_integrate_carbondata2_3_spark.queries.dedup_extra import (
+    _plane_weights,
+    dedup_embedding_near,
+    dedup_simhash,
+    similarity_ann_lsh,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fake_decode_deterministic():
+    a = mm.fake_decode(b"hello world")
+    assert a == mm.fake_decode(b"hello world")
+    assert a["n_bytes"] == 11
+    assert a["digest"] == hashlib.md5(b"hello world").hexdigest()
+    assert a["head_word"] == int(a["digest"][:8], 16)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x00", "image")
+
+
+def test_attach_binary_schema(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    out = mm.attach_binary(df)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "content", "meta"]
+    assert dict(out.dtypes)["content"] == "binary"
+    row = out.first()
+    assert bytes(row["content"]) == b"abc"
+    assert row["meta"]["fmt"] == "audio" and row["meta"]["sample_rate"] == 16000
+
+
+def test_extract_features_batch_shape(spark):
+    df = mm.attach_binary(spark.createDataFrame(
+        [(i, "x" * (i + 1)) for i in range(5)], "doc_id bigint, text string"))
+    out = extract = mm.extract_features(df.select("doc_id", "content")).collect()
+    assert len(out) == 5
+    by_id = {r["doc_id"]: r for r in extract}
+    assert by_id[2]["n_bytes"] == 3
+    assert by_id[2]["mean_byte"] == float(ord("x"))
+
+
+def test_sample_frames_multi_row(spark):
+    text = "a" * 100  # frames at 0,32,64 (len 16 each)
+    df = mm.attach_binary(spark.createDataFrame(
+        [(7, text)], "doc_id bigint, text string"))
+    rows = mm.sample_frames(df.select("doc_id", "content")).collect()
+    assert [r["frame_no"] for r in sorted(rows, key=lambda r: r["frame_no"])] == [0, 1, 2]
+    want = hashlib.md5(b"a" * 16).hexdigest()
+    assert all(r["frame_digest"] == want for r in rows)
+
+
+def test_plane_weights_deterministic_and_nontrivial():
+    w0, w1 = _plane_weights(0), _plane_weights(1)
+    assert w0 == _plane_weights(0)
+    assert w0 != w1 and len(w0) == 64
+    assert any(x > 0 for x in w0) and any(x < 0 for x in w0)
+
+
+def test_simhash_pairs_ordered(spark):
+    rows = dedup_simhash(spark, SF).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"] and r["hamming"] <= 1
+
+
+def test_embedding_near_threshold(spark):
+    rows = dedup_embedding_near(spark, SF).collect()
+    assert rows
+    assert all(r["cos_sim"] >= 0.40 and r["vec_a"] < r["vec_b"] for r in rows)
+
+
+def test_ann_topk_bounded(spark):
+    rows = similarity_ann_lsh(spark, SF).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rk"])
+    assert per_q
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
