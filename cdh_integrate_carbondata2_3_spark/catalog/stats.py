@@ -49,11 +49,17 @@ def harvest_file(abs_path: str, rel_path: str,
             name = col.path_in_schema
             if "." in name:          # nested — skip
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    ok[name] = False
+                    continue
+                mn, mx = _norm(st.min), _norm(st.max)
+            except NotImplementedError:
+                # pyarrow can't decode stats for some logical types
+                # (e.g. decimal) — the file just loses its min/max prune
                 ok[name] = False
                 continue
-            mn, mx = _norm(st.min), _norm(st.max)
             if mn is None or mx is None:
                 ok[name] = False
                 continue

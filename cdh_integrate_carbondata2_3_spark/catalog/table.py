@@ -78,6 +78,158 @@ class Table:
     def schema_ddl(self) -> str:
         return self.manifest.load()["schema"]
 
+    # ------------------------------------------------- schema evolution
+    #
+    # Reference: CarbonAlterTableAddColumnCommand / DropColumnCommand /
+    # ColRenameDataTypeChangeCommand (SURVEY.md §1.2). Like the
+    # reference, evolution NEVER rewrites data files — the manifest
+    # records the current schema plus rename lineage and defaults, and
+    # the read path aligns every file's columns to the current schema
+    # (rename chain → missing-column defaults → declared order/casts).
+
+    _WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def _schema_struct(self):
+        from pyspark.sql.types import StructType
+        ddl = self.schema_ddl()
+        if ddl.startswith("struct<"):
+            # simpleString form → field list form
+            ddl = ddl[len("struct<"):-1].replace(":", " ")
+        return StructType.fromDDL(ddl)
+
+    def _set_schema(self, struct, extra_mutate=None) -> None:
+        def mutate(doc: dict) -> None:
+            doc["schema"] = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in struct.fields)
+            doc["schema_evolved"] = True     # read path: mergeSchema on
+            if extra_mutate:
+                extra_mutate(doc)
+        self.manifest.update(mutate)
+
+    def add_column(self, name: str, dtype: str, default=None) -> None:
+        """ALTER TABLE ADD COLUMNS: metadata-only; old files surface the
+        default (NULL unless given) on read."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+        struct = self._schema_struct()
+        if name in struct.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        struct = struct.add(StructField(name, _parse_datatype_string(dtype)))
+
+        def extra(doc: dict) -> None:
+            if default is not None:
+                # segments with id < before_seg predate the column: on
+                # read, every such row surfaces the default (era-exact —
+                # later explicit NULLs are preserved)
+                doc.setdefault("column_defaults", {})[name] = {
+                    "value": default,
+                    "before_seg": self.manifest.next_segment_id(doc),
+                }
+        self._set_schema(struct, extra)
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMNS: metadata-only; the column stays in
+        old files but is projected away."""
+        from pyspark.sql.types import StructType
+        struct = self._schema_struct()
+        if name not in struct.fieldNames():
+            raise ValueError(f"no column {name!r}")
+        remaining = [f for f in struct.fields if f.name != name]
+        if not remaining:
+            raise ValueError("cannot drop the last column")
+
+        def extra(doc: dict) -> None:
+            doc.setdefault("column_defaults", {}).pop(name, None)
+        self._set_schema(StructType(remaining), extra)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE CHANGE old new: metadata-only; rename lineage is
+        kept so files written under any historical name still resolve."""
+        from pyspark.sql.types import StructField, StructType
+        struct = self._schema_struct()
+        if old not in struct.fieldNames():
+            raise ValueError(f"no column {old!r}")
+        if new in struct.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        fields = [StructField(new, f.dataType, f.nullable) if f.name == old else f
+                  for f in struct.fields]
+
+        def extra(doc: dict) -> None:
+            renames = doc.setdefault("column_renames", [])
+            renames.append([old, new])
+            defaults = doc.setdefault("column_defaults", {})
+            if old in defaults:
+                defaults[new] = defaults.pop(old)
+        self._set_schema(StructType(fields), extra)
+
+    def change_column_type(self, name: str, new_type: str) -> None:
+        """ALTER TABLE CHANGE datatype: widening only (int→bigint,
+        float→double, decimal precision/scale growth) — same restriction
+        as the reference."""
+        from pyspark.sql.types import DecimalType, StructField, StructType, \
+            _parse_datatype_string
+        struct = self._schema_struct()
+        if name not in struct.fieldNames():
+            raise ValueError(f"no column {name!r}")
+        cur = struct[name].dataType
+        tgt = _parse_datatype_string(new_type)
+        cur_s, tgt_s = cur.simpleString(), tgt.simpleString()
+        ok = (cur_s, tgt_s) in self._WIDENINGS
+        if isinstance(cur, DecimalType) and isinstance(tgt, DecimalType):
+            ok = (tgt.precision >= cur.precision and tgt.scale >= cur.scale
+                  and tgt.precision - tgt.scale >= cur.precision - cur.scale)
+        if not ok and cur_s != tgt_s:
+            raise ValueError(f"non-widening type change {cur_s} → {tgt_s}")
+        fields = [StructField(name, tgt, f.nullable) if f.name == name else f
+                  for f in struct.fields]
+        self._set_schema(StructType(fields))
+
+    def _align_to_schema(self, df: DataFrame,
+                         era_fills: dict | None = None) -> DataFrame:
+        """Project any file-era schema onto the current table schema:
+        apply the rename chain, fill era-applicable defaults, drop
+        extras, cast to declared types in declared order. ``era_fills``
+        maps column → default for columns added AFTER every file in
+        this df was written (so an unconditional fill is exact)."""
+        doc = self.manifest.load()
+        struct = self._schema_struct()
+        declared = struct.fieldNames()
+        renames = doc.get("column_renames", [])
+        era_fills = era_fills or {}
+        same_shape = [(f.name, f.dataType.simpleString()) for f in struct.fields] \
+            == [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if not renames and not era_fills and same_shape:
+            return df
+        have = set(df.columns)
+        for old, new in renames:            # oldest rename first
+            if old in have and new in have:
+                # mixed file eras surfaced BOTH names (mergeSchema):
+                # per row exactly one is non-null
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))) \
+                       .drop(old)
+                have.discard(old)
+            elif old in have:
+                df = df.withColumnRenamed(old, new)
+                have.discard(old)
+                have.add(new)
+        cols = []
+        for f in struct.fields:
+            if f.name in have and f.name in era_fills:
+                # column surfaced by mergeSchema but physically absent
+                # from this era's files → every value is null → fill
+                cols.append(F.coalesce(F.col(f.name).cast(f.dataType),
+                                       F.lit(era_fills[f.name]).cast(f.dataType))
+                            .alias(f.name))
+            elif f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(era_fills.get(f.name))
+                            .cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
     # ----------------------------------------------------------------- load
 
     def _apply_load_sort(self, df: DataFrame) -> DataFrame:
@@ -238,25 +390,50 @@ class Table:
         """Scan with driver-side pruning; mixed-format segments are
         unioned by name (reference MixedFormatHandler.scala:55-230).
         Spark re-evaluates predicates exactly — pruning is only a skip."""
-        by_fmt = self.scan_files(predicates, segments, use_indexes)
-        dfs: list[DataFrame] = []
+        doc = self.manifest.load()
+        defaults = doc.get("column_defaults", {})
+        allowed = self.indexes.candidate_files(predicates) if use_indexes else None
         partitioned = bool(self.manifest.properties().get("partition_by"))
-        for fmt, files in by_fmt.items():
+
+        # group surviving files by (format, evolution era): a segment's
+        # era decides which added-column defaults fill it on read
+        groups: dict[tuple, list[str]] = {}
+        for seg in self.manifest.queryable_segments(segments):
+            kept = prune_files(seg.files, predicates)
+            if allowed is not None:
+                kept = [f for f in kept if self._abs(f.path) in allowed]
+            if not kept:
+                continue
+            fills = tuple(sorted(
+                (c, spec["before_seg"], spec["value"])
+                for c, spec in defaults.items() if seg.id < spec["before_seg"]))
+            groups.setdefault((seg.format, fills), []).extend(
+                self._abs(f.path) for f in kept)
+
+        dfs: list[DataFrame] = []
+        for (fmt, fills), files in groups.items():
             if fmt == "parquet":
                 reader = self.spark.read
                 if partitioned:
                     # recover hive-style partition columns from paths
                     reader = reader.option("basePath", self.table_dir)
-                dfs.append(reader.parquet(*files))
+                if doc.get("schema_evolved"):
+                    # file eras have different footers; without this the
+                    # inferred schema comes from one sampled footer and
+                    # evolution-era columns silently vanish
+                    reader = reader.option("mergeSchema", True)
+                part = reader.parquet(*files)
             elif fmt == "orc":
-                dfs.append(self.spark.read.orc(*files))
+                part = self.spark.read.orc(*files)
             elif fmt == "csv":
-                dfs.append(self.spark.read.option("header", True)
-                           .option("inferSchema", True).csv(files))
+                part = (self.spark.read.option("header", True)
+                        .option("inferSchema", True).csv(files))
             elif fmt == "json":
-                dfs.append(self.spark.read.json(files))
+                part = self.spark.read.json(files)
             else:
                 raise ValueError(f"unsupported segment format {fmt}")
+            dfs.append(self._align_to_schema(
+                part, {c: v for c, _, v in fills}))
         if not dfs:
             ddl = self.schema_ddl()
             empty = self.spark.createDataFrame(
@@ -372,8 +549,10 @@ class Table:
             chosen = segs if len(segs) >= minor_threshold else []
         if len(chosen) < 2:
             return None
-        files = [self._abs(f.path) for s in chosen for f in s.files]
-        df = self.spark.read.parquet(*files)
+        # read through the aligned path so schema-evolution defaults /
+        # renames are MATERIALIZED into the compacted files (the merged
+        # segment gets a fresh id, i.e. a post-evolution era)
+        df = self.read(segments=[s.id for s in chosen])
         props = self.manifest.properties()
         sort_cols = props.get("sort_columns", [])
         if sort_cols:
