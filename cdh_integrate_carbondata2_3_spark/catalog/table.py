@@ -293,11 +293,25 @@ class Table:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return committed["id"]
 
+    def _cast_to_schema(self, df: DataFrame) -> DataFrame:
+        """Pre-insertion casts (reference CarbonPreInsertionCasts rule):
+        align the incoming frame to the declared schema — positional
+        when arity matches (INSERT SELECT semantics), so e.g. VALUES
+        decimal literals land as the declared DOUBLE instead of writing
+        a mixed-type parquet file."""
+        struct = self._schema_struct()
+        if len(df.columns) != len(struct.fields):
+            raise ValueError(
+                f"insert arity {len(df.columns)} != table {len(struct.fields)}")
+        return df.select(*[
+            F.col(c).cast(f.dataType).alias(f.name)
+            for c, f in zip(df.columns, struct.fields)])
+
     def insert(self, df: DataFrame, overwrite: bool = False,
                source: str = "insert") -> int:
         """INSERT INTO/OVERWRITE as a new segment
         (reference CarbonInsertIntoCommand.scala:96-126)."""
-        tmp = self._write_segment_files(df)
+        tmp = self._write_segment_files(self._cast_to_schema(df))
         return self._commit_segment_dir(tmp, source, overwrite=overwrite)
 
     def load_csv(self, path: str, header: bool = True,

@@ -66,18 +66,46 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (shingle → k minhashes → band → bucket-join → exact-jaccard verify)
 # ---------------------------------------------------------------------------
 
-# 16 minhashes in 2 bands of 8: long bands keep the candidate set
-# near-linear on this corpus (tiny vocab → inter-doc Jaccard ~0.5, so
-# short bands would collide quadratically); the exact-Jaccard verify
-# step supplies precision.
+# Shingle unit = word TRIGRAM: unigram token SETS are degenerate on a
+# small-vocabulary corpus (every long doc converges to the full vocab
+# → all pairs pass any threshold → quadratic output); order-sensitive
+# trigrams separate true clone families (J≈1) from unrelated docs
+# (J≈0) regardless of document length.
 _N_HASHES = 16
 _BANDS = (tuple(range(0, 8)), tuple(range(8, 16)))
 _JACCARD_THRESHOLD = 0.6
 
 
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct word-trigram set per document.
+
+    The token array is projected FIRST: referencing split() directly
+    inside the transform lambda re-evaluates it per element (no CSE
+    across lambda scopes) — measured 7× slower."""
+    a = F.col("arr")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(a) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(a, i),
+                              F.element_at(a, i + 1),
+                              F.element_at(a, i + 2)))
+    return (df.select("doc_id", F.split(F.trim(F.col("text")), " +").alias("arr"))
+            .select("doc_id", F.explode(tri).alias("sh")).distinct())
+
+
+_SHINGLE_SQL = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+             generate_series(1, len(string_split_regex(trim(text), ' +')) - 2),
+             i -> string_split_regex(trim(text), ' +')[i] || ' ' ||
+                  string_split_regex(trim(text), ' +')[i + 1] || ' ' ||
+                  string_split_regex(trim(text), ' +')[i + 2])) AS sh
+  FROM documents
+"""
+
+
 def _minhash_sql_oracle() -> str:
     sig_cols = ", ".join(
-        f"MIN(md5('{i}|' || tok)) AS h{i}" for i in range(_N_HASHES))
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(_N_HASHES))
     band_exprs = ", ".join(
         "md5(" + " || ".join(f"h{i}" for i in band) + f") AS band{bi}"
         for bi, band in enumerate(_BANDS))
@@ -86,9 +114,7 @@ def _minhash_sql_oracle() -> str:
   FROM banded a JOIN banded b ON a.band{bi} = b.band{bi} AND a.doc_id < b.doc_id"""
                                   for bi in range(len(_BANDS)))
     return f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
-  FROM documents
+WITH toks AS ({_SHINGLE_SQL}
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
 ), sigs AS (
@@ -100,7 +126,7 @@ WITH toks AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
   JOIN toks ta ON ta.doc_id = c.doc_a
-  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -121,10 +147,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned); the O(n²) pair space is never materialized — only
     band-collided candidates are checked.
     """
-    toks = _tokens(_docs(spark, sf_dir)).cache()
+    toks = _shingles(_docs(spark, sf_dir)).cache()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     sigs = toks.groupBy("doc_id").agg(
-        *[F.min(_md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
+        *[F.min(_md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
           for i in range(_N_HASHES)])
     banded = sigs.select(
         "doc_id",
@@ -139,9 +165,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_a", "doc_b"))
         cand = pairs if cand is None else cand.union(pairs)
     cand = cand.distinct()
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "sh")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "sh"])
              .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))

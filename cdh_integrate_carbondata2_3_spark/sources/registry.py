@@ -16,43 +16,51 @@ TPCH_TABLES = (
 )
 
 # Tables whose parquet uses TIMESTAMP(NANOS) — Spark's vectorized parquet
-# reader rejects nanos (PARQUET_TYPE_ILLEGAL), so these go through an
-# Arrow-side cast to microseconds. On a real cluster this is a one-time
-# ingest normalization; here it's done at load (tables are small).
+# reader rejects nanos (PARQUET_TYPE_ILLEGAL). Scale path: read the ns
+# column as a raw long (nanosAsLong), floor to micros with INTEGRAL
+# arithmetic, and rebuild a TIMESTAMP_NTZ from date/time components —
+# fully distributed, session-timezone independent, and byte-identical
+# to DuckDB's own ns→us truncation of the same files.
 _NANOS_TS_TABLES = {"events"}
+
+_EPOCH_DAY_US = 86_400_000_000
+
+
+def _ns_long_to_ntz(col: str):
+    from pyspark.sql import functions as F
+    import datetime
+    us = F.expr(f"`{col}` div 1000")
+    days = us - (us % _EPOCH_DAY_US)
+    date = F.date_add(F.lit(datetime.date(1970, 1, 1)),
+                      (F.expr(f"(`{col}` div 1000) div {_EPOCH_DAY_US}")).cast("int"))
+    rem = us % _EPOCH_DAY_US
+    h = (rem - rem % 3_600_000_000) / 3_600_000_000
+    m = (rem % 3_600_000_000 - rem % 60_000_000) / 60_000_000
+    # double seconds from integral micros: error ≪ 0.5µs, so
+    # make_timestamp_ntz recovers the exact truncated microsecond
+    s = (rem % 60_000_000).cast("double") / 1e6
+    return F.make_timestamp_ntz(F.year(date), F.month(date), F.dayofmonth(date),
+                                h.cast("int"), m.cast("int"), s)
 
 
 def _load_nanos_table(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from pyspark.sql import types as T
 
-    tbl = pq.read_table(path)
-    # Floor nanos to micros — same truncation DuckDB applies when it
-    # reads TIMESTAMP(NANOS) parquet, keeping engine and oracle aligned.
-    import pyarrow.compute as pc
-    cols, fields = [], []
-    for i, f in enumerate(tbl.schema):
-        col = tbl.column(i)
-        if pa.types.is_timestamp(f.type):
-            col = pc.cast(pc.floor_temporal(col, unit="microsecond"),
-                          pa.timestamp("us"))
-            f = pa.field(f.name, pa.timestamp("us"))
-        cols.append(col)
-        fields.append(f)
-    tbl = pa.table(cols, schema=pa.schema(fields))
-    _ARROW_TO_SPARK = {
-        "int64": T.LongType(), "int32": T.IntegerType(),
-        "double": T.DoubleType(), "float": T.FloatType(),
-        "string": T.StringType(), "large_string": T.StringType(),
-    }
-    spark_fields = []
-    for f in tbl.schema:
-        if pa.types.is_timestamp(f.type):
-            spark_fields.append(T.StructField(f.name, T.TimestampNTZType()))
+    ts_cols = [f.name for f in pq.read_schema(path)
+               if pa.types.is_timestamp(f.type)]
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)      # schema resolved eagerly here
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
-            spark_fields.append(T.StructField(f.name, _ARROW_TO_SPARK[str(f.type)]))
-    return spark.createDataFrame(tbl.to_pandas(), schema=T.StructType(spark_fields))
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    for c in ts_cols:
+        df = df.withColumn(c, _ns_long_to_ntz(c))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

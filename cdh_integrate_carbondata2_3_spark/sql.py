@@ -1,0 +1,409 @@
+"""Extended-SQL entry point — the engine's CarbonExtensions.
+
+The reference injects its own parser ahead of Spark's
+(CarbonExtensionSqlParser.scala:33-42: try carbon parser, fall through
+to Spark). Ours is the same shape in Python: a regex pre-parser
+dispatches the extended command surface (parser grammar:
+CarbonSpark2SqlParser.scala — UPDATE :259-300, DELETE :239-257,
+segment mgmt :507-611, CREATE INDEX :192-231, streams :154-183,
+LOAD :493-505) to the engine's command layer; anything unrecognized
+runs as plain ``spark.sql`` over the catalog's tables registered as
+views, after the MV-rewrite and metadata-count(*) fast paths
+(MVRewriteRule.scala:40-123, CarbonCountStar.scala:44-108).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog.table import Table
+from .mv.manager import AggSpec, MVManager, QuerySpec
+from .operators import dml, merge as merge_ops
+from .streaming.streams import StreamManager, finish_streaming
+
+
+def _ci(pattern: str) -> re.Pattern:
+    return re.compile(pattern, re.IGNORECASE | re.DOTALL)
+
+
+_CREATE_TABLE = _ci(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
+    r"(?:USING\s+\w+\s*)?(?:TBLPROPERTIES\s*\((.*?)\))?\s*$")
+_CTAS = _ci(r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.*)$")
+_DROP_TABLE = _ci(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
+_LOAD_DATA = _ci(
+    r"^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+"
+    r"(OVERWRITE\s+)?INTO\s+TABLE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\))?\s*$")
+_INSERT = _ci(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*)$")
+_UPDATE_TUPLE = _ci(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s*\(([^)]+)\)\s*=\s*\((.*?)\)\s*"
+    r"(?:WHERE\s+(.*?))?\s*$")
+_UPDATE_PLAIN = _ci(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s*(?:WHERE\s+(.*?))?\s*$")
+_DELETE_SEGMENT_ID = _ci(
+    r"^\s*DELETE\s+FROM\s+TABLE\s+(\w+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*"
+    r"\(([\d\s,]+)\)\s*$")
+_DELETE_SEGMENT_DATE = _ci(
+    r"^\s*DELETE\s+FROM\s+TABLE\s+(\w+)\s+WHERE\s+SEGMENT\.STARTTIME\s+"
+    r"BEFORE\s+'([^']+)'\s*$")
+_DELETE = _ci(r"^\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*?))?\s*$")
+_SHOW_SEGMENTS = _ci(r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+TABLE\s+(\w+)\s*$")
+_CLEAN_FILES = _ci(r"^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\w+)\s*$")
+_ALTER_COMPACT = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+COMPACT\s+'(\w+)'\s*"
+    r"(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([\d\s,]+)\))?\s*$")
+_ALTER_ADD_COLS = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS\s*\((.*?)\)\s*"
+    r"(?:TBLPROPERTIES\s*\((.*?)\))?\s*$")
+_ALTER_DROP_COLS = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS\s*\((.*?)\)\s*$")
+_ALTER_CHANGE = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+CHANGE\s+(\w+)\s+(\w+)\s+([\w(),\s]+?)\s*$")
+_ALTER_FINISH_STREAMING = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+FINISH\s+STREAMING\s*$")
+_TRUNCATE = _ci(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$")
+_CREATE_INDEX = _ci(
+    r"^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*\(([^)]+)\)\s+"
+    r"AS\s+'(\w+)'\s*(?:PROPERTIES\s*\((.*?)\))?\s*$")
+_DROP_INDEX = _ci(
+    r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
+_SHOW_INDEXES = _ci(r"^\s*SHOW\s+INDEXES\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
+_CREATE_MV = _ci(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*"
+    r"(WITH\s+DEFERRED\s+REFRESH\s+)?AS\s+(SELECT\b.*)$")
+_REFRESH_MV = _ci(r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+TABLE\s+(\w+)\s*$")
+_DROP_MV = _ci(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+TABLE\s+(\w+)\s*$")
+_SHOW_MV = _ci(r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s+ON\s+TABLE\s+(\w+)\s*$")
+_CREATE_STREAM = _ci(
+    r"^\s*CREATE\s+STREAM\s+(\w+)\s+ON\s+TABLE\s+(\w+)\s+"
+    r"STMPROPERTIES\s*\((.*?)\)\s*(?:AS\s+(SELECT\b.*))?$")
+_DROP_STREAM = _ci(r"^\s*DROP\s+STREAM\s+(\w+)\s*$")
+_SHOW_STREAMS = _ci(r"^\s*SHOW\s+STREAMS\s*$")
+_EXPLAIN = _ci(r"^\s*EXPLAIN\s+(SELECT\b.*)$")
+_DESCRIBE = _ci(r"^\s*DESC(?:RIBE)?\s+(FORMATTED\s+)?(\w+)\s*$")
+_COUNT_STAR = _ci(r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(\w+)\s*)?"
+                  r"FROM\s+(\w+)\s*$")
+# SPJG shape for the MV-rewrite fast path
+_SPJG = _ci(r"^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s*"
+            r"(?:WHERE\s+(.*?))?\s*GROUP\s+BY\s+(.*?)\s*$")
+_AGG_ITEM = _ci(r"^\s*(sum|count|min|max|avg)\s*\(\s*(\*|\w+)\s*\)\s*"
+                r"(?:AS\s+(\w+))?\s*$")
+_TS_ITEM = _ci(r"^\s*timeseries\s*\(\s*(\w+)\s*,\s*'(\w+)'\s*\)\s*"
+               r"(?:AS\s+(\w+))?\s*$")
+
+
+def _parse_props(s: str | None) -> dict:
+    """'k1'='v1', 'k2'='v2' → dict (list-valued for comma strings)."""
+    props: dict = {}
+    if not s:
+        return props
+    for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", s):
+        k = k.lower()
+        if k in ("sort_columns", "bucket_columns", "partition_by"):
+            props[k] = [c.strip() for c in v.split(",") if c.strip()]
+        else:
+            props[k] = v
+    return props
+
+
+class Engine:
+    """A warehouse of segment-managed tables + the extended-SQL
+    dispatcher. ``Engine(spark, dir).sql(...)`` is the user entry —
+    same role as a CarbonSession."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse_dir)
+        os.makedirs(self.warehouse, exist_ok=True)
+        self.streams = StreamManager(spark)
+
+    # --------------------------------------------------------------- catalog
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def table(self, name: str) -> Table:
+        return Table.open(self.spark, self._dir(name))
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.exists(os.path.join(self.warehouse, d, "_meta",
+                                           "tablestatus.json")))
+
+    def _register_views(self) -> None:
+        for name in self.tables():
+            self.table(name).read().createOrReplaceTempView(name)
+
+    def _df(self, rows: list[tuple], schema: str) -> DataFrame:
+        return self.spark.createDataFrame(rows, schema)
+
+    # ------------------------------------------------------------------ sql
+
+    def sql(self, text: str) -> DataFrame:
+        text = text.strip().rstrip(";")
+
+        if m := _CTAS.match(text):
+            self._register_views()
+            Table.create_as_select(self.spark, self._dir(m.group(1)),
+                                   self.spark.sql(m.group(2)))
+            return self._ok(f"created {m.group(1)}")
+        if m := _CREATE_TABLE.match(text):
+            Table.create(self.spark, self._dir(m.group(1)), m.group(2).strip(),
+                         _parse_props(m.group(3)))
+            return self._ok(f"created {m.group(1)}")
+        if m := _DROP_TABLE.match(text):
+            shutil.rmtree(self._dir(m.group(1)), ignore_errors=True)
+            return self._ok(f"dropped {m.group(1)}")
+        if m := _LOAD_DATA.match(text):
+            opts = _parse_props(m.group(4))
+            seg = self.table(m.group(3)).load_csv(
+                m.group(1), overwrite=bool(m.group(2)),
+                delimiter=opts.get("delimiter", ","),
+                header=opts.get("header", "true").lower() != "false",
+                bad_records_action=opts.get("bad_records_action", "FORCE"))
+            return self._ok(f"segment {seg}")
+        if m := _INSERT.match(text):
+            self._register_views()
+            seg = self.table(m.group(2)).insert(
+                self.spark.sql(m.group(3)),
+                overwrite=m.group(1).lower() == "overwrite")
+            return self._ok(f"segment {seg}")
+        if m := _UPDATE_TUPLE.match(text):
+            cols = [c.strip() for c in m.group(2).split(",")]
+            vals = [v.strip() for v in m.group(3).split(",")]
+            n = dml.update_rows(self.table(m.group(1)),
+                                dict(zip(cols, vals)), m.group(4) or "true")
+            return self._ok(f"updated {n}")
+        if m := _DELETE_SEGMENT_ID.match(text):
+            ids = [int(x) for x in m.group(2).replace(",", " ").split()]
+            self.table(m.group(1)).delete_segment_by_id(ids)
+            return self._ok(f"deleted segments {ids}")
+        if m := _DELETE_SEGMENT_DATE.match(text):
+            import datetime
+            ts = datetime.datetime.fromisoformat(m.group(2)).timestamp()
+            self.table(m.group(1)).delete_segment_by_date(ts)
+            return self._ok("deleted segments by date")
+        if m := _DELETE.match(text):
+            n = dml.delete_rows(self.table(m.group(1)), m.group(2) or "true")
+            return self._ok(f"deleted {n}")
+        if (m := _UPDATE_PLAIN.match(text)) and "=" in m.group(2):
+            sets = dict(kv.split("=", 1) for kv in m.group(2).split(","))
+            sets = {k.strip(): v.strip() for k, v in sets.items()}
+            n = dml.update_rows(self.table(m.group(1)), sets,
+                                m.group(3) or "true")
+            return self._ok(f"updated {n}")
+        if m := _SHOW_SEGMENTS.match(text):
+            return self.table(m.group(1)).show_segments()
+        if m := _CLEAN_FILES.match(text):
+            n = self.table(m.group(1)).clean_files()
+            return self._ok(f"cleaned {n}")
+        if m := _ALTER_COMPACT.match(text):
+            ids = ([int(x) for x in m.group(3).replace(",", " ").split()]
+                   if m.group(3) else None)
+            seg = self.table(m.group(1)).compact(m.group(2).lower(),
+                                                 segment_ids=ids)
+            return self._ok(f"compacted → {seg}")
+        if m := _ALTER_ADD_COLS.match(text):
+            t = self.table(m.group(1))
+            defaults = {k.split(".")[-1]: v
+                        for k, v in _parse_props(m.group(3)).items()
+                        if k.lower().startswith("default.value.")}
+            for spec in m.group(2).split(","):
+                col, dtype = spec.strip().split(None, 1)
+                t.add_column(col, dtype, default=defaults.get(col))
+            return self._ok("added columns")
+        if m := _ALTER_DROP_COLS.match(text):
+            t = self.table(m.group(1))
+            for col in m.group(2).split(","):
+                t.drop_column(col.strip())
+            return self._ok("dropped columns")
+        if m := _ALTER_FINISH_STREAMING.match(text):
+            finish_streaming(self.table(m.group(1)))
+            return self._ok("finished streaming")
+        if m := _ALTER_CHANGE.match(text):
+            t, old, new, dtype = (self.table(m.group(1)), m.group(2),
+                                  m.group(3), m.group(4).strip())
+            if old != new:
+                t.rename_column(old, new)
+            cur = dict(zip(t._schema_struct().fieldNames(),
+                           [f.dataType.simpleString()
+                            for f in t._schema_struct().fields]))
+            if cur.get(new, "").lower() != dtype.lower().replace(" ", ""):
+                t.change_column_type(new, dtype)
+            return self._ok(f"changed {old} → {new} {dtype}")
+        if m := _TRUNCATE.match(text):
+            self.table(m.group(1)).truncate()
+            return self._ok("truncated")
+        if m := _CREATE_INDEX.match(text):
+            t, cols = self.table(m.group(2)), \
+                [c.strip() for c in m.group(3).split(",")]
+            kind = m.group(4).lower()
+            if kind == "carbondata":
+                t.indexes.create_secondary_index(m.group(1), cols)
+            elif kind == "bloomfilter":
+                t.indexes.create_bloom_index(m.group(1), cols)
+            else:
+                raise ValueError(f"unsupported index kind {kind!r} "
+                                 "(lucene: out of scope, use rlike)")
+            return self._ok(f"index {m.group(1)}")
+        if m := _DROP_INDEX.match(text):
+            self.table(m.group(2)).indexes.drop(m.group(1))
+            return self._ok(f"dropped index {m.group(1)}")
+        if m := _SHOW_INDEXES.match(text):
+            rows = self.table(m.group(1)).indexes.show()
+            return self._df(
+                [(r["name"], r["type"], ",".join(r["columns"]),
+                  r["watermark_segment"]) for r in rows],
+                "name string, type string, columns string, watermark_segment int")
+        if m := _CREATE_MV.match(text):
+            return self._create_mv(m.group(1), bool(m.group(2)), m.group(3))
+        if m := _REFRESH_MV.match(text):
+            MVManager(self.table(m.group(2))).refresh(m.group(1))
+            return self._ok(f"refreshed {m.group(1)}")
+        if m := _DROP_MV.match(text):
+            MVManager(self.table(m.group(2))).drop(m.group(1))
+            return self._ok(f"dropped {m.group(1)}")
+        if m := _SHOW_MV.match(text):
+            rows = MVManager(self.table(m.group(1))).show()
+            return self._df(
+                [(r["name"], ",".join(r["group_cols"]), bool(r["stale"]))
+                 for r in rows],
+                "name string, group_cols string, stale boolean")
+        if m := _CREATE_STREAM.match(text):
+            props = _parse_props(m.group(3))
+            info = self.streams.create_stream(
+                m.group(1), self.table(m.group(2)),
+                source_kind=props.get("source_kind", "file"),
+                source_path=props.get("source_path"),
+                source_format=props.get("record_format", "csv"),
+                source_schema=props.get("source_schema"),
+                trigger_interval=props.get("interval"))
+            return self._ok(f"stream {info.name} started")
+        if m := _DROP_STREAM.match(text):
+            self.streams.drop_stream(m.group(1))
+            return self._ok(f"dropped stream {m.group(1)}")
+        if _SHOW_STREAMS.match(text):
+            rows = self.streams.show_streams()
+            return self._df(
+                [(r["name"], r["source"], r["sink"], r["status"]) for r in rows],
+                "name string, source string, sink string, status string")
+        if m := _EXPLAIN.match(text):
+            return self._explain(m.group(1))
+        if m := _DESCRIBE.match(text):
+            return self._describe(m.group(2), formatted=bool(m.group(1)))
+        if m := _COUNT_STAR.match(text):
+            # CarbonCountStar fast path: valid only when every queryable
+            # segment has footer row counts (same guard idea as
+            # DMLStrategy.scala:265-292)
+            name = m.group(2)
+            if name in self.tables():
+                alias = m.group(1) or "count(1)"
+                return self._df([(self.table(name).count(),)],
+                                f"`{alias}` bigint")
+        # MV rewrite fast path, then plain Spark SQL over views
+        if (df := self._try_mv_rewrite(text)) is not None:
+            return df
+        self._register_views()
+        return self.spark.sql(text)
+
+    # --------------------------------------------------------------- helpers
+
+    def _ok(self, msg: str) -> DataFrame:
+        return self._df([(msg,)], "result string")
+
+    def _parse_spjg(self, sql: str):
+        """SELECT g..., aggs... FROM t [WHERE f] GROUP BY g... → pieces
+        (None if the query isn't that shape)."""
+        m = _SPJG.match(sql)
+        if not m:
+            return None
+        select_items = [s.strip() for s in m.group(1).split(",")]
+        table, where = m.group(2), m.group(3)
+        group_by = [g.strip() for g in m.group(4).split(",")]
+        aggs: dict[str, AggSpec] = {}
+        plain: list[str] = []
+        timeseries = None
+        ts_alias = "ts_bucket"
+        for item in select_items:
+            if am := _AGG_ITEM.match(item):
+                fn, col, alias = am.group(1).lower(), am.group(2), am.group(3)
+                aggs[alias or f"{fn}({col})"] = AggSpec(fn, col)
+            elif tm := _TS_ITEM.match(item):
+                timeseries = (tm.group(1), tm.group(2).lower())
+                ts_alias = tm.group(3) or "ts_bucket"
+            elif re.fullmatch(r"\w+", item):
+                plain.append(item)
+            else:
+                return None
+        group_cols = []
+        for g in group_by:
+            if tm := _TS_ITEM.match(g):
+                if timeseries and (tm.group(1), tm.group(2).lower()) != timeseries:
+                    return None
+                continue
+            if not re.fullmatch(r"\w+", g):
+                return None
+            group_cols.append(g)
+        if set(plain) - set(group_cols):
+            return None
+        return table, QuerySpec(group_cols, aggs, where, timeseries, ts_alias)
+
+    def _try_mv_rewrite(self, sql: str) -> DataFrame | None:
+        parsed = self._parse_spjg(sql)
+        if not parsed:
+            return None
+        table, spec = parsed
+        if table not in self.tables():
+            return None
+        mgr = MVManager(self.table(table))
+        if not mgr.show():
+            return None
+        df, _mv = mgr.answer(spec)
+        return df
+
+    def _create_mv(self, name: str, deferred: bool, select_sql: str) -> DataFrame:
+        parsed = self._parse_spjg(select_sql)
+        if not parsed:
+            raise ValueError("MV must be a single-table SPJG aggregate "
+                             "(same scope the reference's matcher covers)")
+        table, spec = parsed
+        MVManager(self.table(table)).create(
+            name, spec.group_cols, list(spec.aggs.values()),
+            filter=spec.filter, timeseries=spec.timeseries, deferred=deferred)
+        return self._ok(f"mv {name}")
+
+    def _explain(self, select_sql: str) -> DataFrame:
+        """EXPLAIN with pruning info (reference CarbonExplainCommand +
+        ExplainCollector): plan text plus files-pruned counters for
+        single-table filters."""
+        self._register_views()
+        df = self.spark.sql(select_sql)
+        plan = df._jdf.queryExecution().toString()
+        lines = [("plan", plan)]
+        for name in self.tables():
+            if re.search(rf"\b{name}\b", select_sql, re.IGNORECASE):
+                t = self.table(name)
+                total = sum(len(s.files)
+                            for s in t.manifest.queryable_segments())
+                lines.append((f"table.{name}.total_files", str(total)))
+        return self._df(lines, "item string, value string")
+
+    def _describe(self, name: str, formatted: bool) -> DataFrame:
+        t = self.table(name)
+        struct = t._schema_struct()
+        rows = [(f.name, f.dataType.simpleString(), "") for f in struct.fields]
+        if formatted:
+            doc = t.manifest.load()
+            rows += [("", "", ""),
+                     ("# Detailed Table Information", "", "")]
+            rows += [("Location", t.table_dir, ""),
+                     ("Table Properties", str(doc.get("properties", {})), ""),
+                     ("Segments", str(len(doc["segments"])), ""),
+                     ("Rows", str(t.count()), "")]
+        return self._df(rows, "col_name string, data_type string, comment string")

@@ -1,0 +1,128 @@
+"""Extended-SQL dispatcher tests — mirrors the reference's e2e SQL
+suites (CarbonSpark2SqlParser surface exercised through SQL strings)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdh_integrate_carbondata2_3_spark.sql import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.sql("CREATE TABLE src (id INT, grp STRING, amt DOUBLE) "
+          "TBLPROPERTIES('sort_columns'='id', 'sort_scope'='local_sort')")
+    e.sql("INSERT INTO src SELECT * FROM VALUES "
+          "(1,'a',10.0),(2,'a',20.0),(3,'b',30.0),(4,'b',40.0) t(id,grp,amt)")
+    return e
+
+
+def test_create_insert_select(eng):
+    rows = eng.sql("SELECT grp, sum(amt) AS s FROM src GROUP BY grp "
+                   "ORDER BY grp").collect()
+    assert [(r["grp"], r["s"]) for r in rows] == [("a", 30.0), ("b", 70.0)]
+
+
+def test_count_star_metadata_path(eng):
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 4
+    assert eng.sql("SELECT COUNT(*) AS n FROM src").first()["n"] == 4
+
+
+def test_ctas_and_drop(eng):
+    eng.sql("CREATE TABLE derived AS SELECT id, amt * 2 AS amt2 FROM src")
+    assert eng.sql("SELECT COUNT(*) FROM derived").first()[0] == 4
+    eng.sql("DROP TABLE derived")
+    assert "derived" not in eng.tables()
+
+
+def test_update_delete(eng):
+    eng.sql("UPDATE src SET (amt) = (amt + 1) WHERE id = 1")
+    assert eng.sql("SELECT amt FROM src WHERE id = 1").first()[0] == 11.0
+    eng.sql("DELETE FROM src WHERE grp = 'b'")
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 2
+
+
+def test_segment_management(eng):
+    eng.sql("INSERT INTO src SELECT * FROM VALUES (9,'z',90.0) t(id,grp,amt)")
+    segs = eng.sql("SHOW SEGMENTS FOR TABLE src").collect()
+    assert len(segs) == 2
+    eng.sql("DELETE FROM TABLE src WHERE SEGMENT.ID IN (1)")
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 4
+    eng.sql("CLEAN FILES FOR TABLE src")
+    assert len(eng.sql("SHOW SEGMENTS FOR TABLE src").collect()) == 1
+
+
+def test_compaction_sql(eng):
+    for i in range(3):
+        eng.sql(f"INSERT INTO src SELECT * FROM VALUES ({10+i},'c',1.0) t(a,b,c)")
+    eng.sql("ALTER TABLE src COMPACT 'minor'")
+    segs = eng.sql("SHOW SEGMENTS FOR TABLE src").collect()
+    assert any(s["source"] == "compact" for s in segs)
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 7
+
+
+def test_alter_columns_sql(eng):
+    eng.sql("ALTER TABLE src ADD COLUMNS (tag STRING) "
+            "TBLPROPERTIES('DEFAULT.VALUE.tag'='none')")
+    assert {r["tag"] for r in eng.sql("SELECT tag FROM src").collect()} == {"none"}
+    eng.sql("ALTER TABLE src CHANGE tag label string")
+    assert "label" in eng.sql("SELECT * FROM src").columns
+    eng.sql("ALTER TABLE src DROP COLUMNS (label)")
+    assert "label" not in eng.sql("SELECT * FROM src").columns
+    eng.sql("ALTER TABLE src CHANGE id id bigint")
+    assert dict(eng.sql("SELECT * FROM src").dtypes)["id"] == "bigint"
+
+
+def test_index_sql(eng):
+    eng.sql("CREATE INDEX si_grp ON TABLE src (grp) AS 'carbondata'")
+    rows = eng.sql("SHOW INDEXES ON TABLE src").collect()
+    assert rows and rows[0]["name"] == "si_grp"
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 4
+    eng.sql("DROP INDEX si_grp ON TABLE src")
+    assert not eng.sql("SHOW INDEXES ON TABLE src").collect()
+
+
+def test_mv_sql_roundtrip(eng):
+    eng.sql("CREATE MATERIALIZED VIEW mv1 AS "
+            "SELECT grp, sum(amt) AS s FROM src GROUP BY grp")
+    rows = eng.sql("SHOW MATERIALIZED VIEWS ON TABLE src").collect()
+    assert rows[0]["name"] == "mv1" and not rows[0]["stale"]
+    got = {(r["grp"], r["s"]) for r in
+           eng.sql("SELECT grp, sum(amt) AS s FROM src GROUP BY grp").collect()}
+    assert got == {("a", 30.0), ("b", 70.0)}
+    eng.sql("DROP MATERIALIZED VIEW mv1 ON TABLE src")
+    assert not eng.sql("SHOW MATERIALIZED VIEWS ON TABLE src").collect()
+
+
+def test_truncate_sql(eng):
+    eng.sql("TRUNCATE TABLE src")
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 0
+
+
+def test_load_data_sql(eng, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,grp,amt\n7,q,70.5\n8,q,80.5\n")
+    eng.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE src")
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 6
+
+
+def test_describe(eng):
+    plain = eng.sql("DESCRIBE src").collect()
+    assert [r["col_name"] for r in plain][:3] == ["id", "grp", "amt"]
+    fmt = eng.sql("DESC FORMATTED src").collect()
+    assert any(r["col_name"] == "Location" for r in fmt)
+
+
+def test_explain_has_pruning_info(eng):
+    rows = eng.sql("EXPLAIN SELECT * FROM src WHERE id = 1").collect()
+    items = {r["item"] for r in rows}
+    assert "plan" in items and "table.src.total_files" in items
+
+
+def test_fallthrough_plain_sql(eng):
+    # window functions etc. — not extended syntax, plain Spark SQL
+    rows = eng.sql(
+        "SELECT id, row_number() OVER (PARTITION BY grp ORDER BY amt) rn "
+        "FROM src").collect()
+    assert {r["rn"] for r in rows} == {1, 2}
