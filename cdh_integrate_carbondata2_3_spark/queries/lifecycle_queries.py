@@ -1,0 +1,210 @@
+"""Table-lifecycle queries — the segment/DML/MV feature set expressed
+as oracle-checked queries, so the driver's correctness gate covers the
+table format itself, not just the relational surface.
+
+Each query builds a scratch segment-managed table under /tmp from the
+driver's parquet (deterministic subsets), applies lifecycle operations
+(copy-on-write DELETE/UPDATE, keyed MERGE, segment-scoped read,
+compaction, schema evolution, MV rewrite), and returns an aggregate
+whose oracle recomputes the same final state in pure SQL over the
+source parquet.
+
+Reference parity exercised end-to-end: mutation/ (UPDATE/DELETE),
+merge/ (upsert), management/ (segments, compaction), view/ (MV
+rewrite), schema/ (ALTER ADD COLUMNS) — SURVEY.md §2.10–§2.12.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.table import Table
+from ..mv.manager import AggSpec, MVManager, QuerySpec
+from ..operators import dml, merge as merge_ops
+from . import query
+
+_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".scratch", "lifecycle")
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(_ROOT, tag, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+def _lineitem_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .filter(F.col("l_orderkey") < 1000)
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    F.col("l_quantity").cast("double").alias("qty")))
+
+
+_SUBSET_SQL = """(SELECT l_orderkey, l_linenumber, l_returnflag,
+                         CAST(l_quantity AS DOUBLE) AS qty
+                  FROM lineitem WHERE l_orderkey < 1000)"""
+
+
+@query("table_delete_cow", oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DOUBLE) AS sum_qty
+FROM {_SUBSET_SQL} s
+WHERE NOT (qty < 10)
+GROUP BY l_returnflag
+""")
+def table_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE (reference DeleteExecution.scala): load a
+    table, DELETE WHERE qty < 10, aggregate the survivors."""
+    t = Table.create_as_select(spark, _scratch("del", sf_dir),
+                               _lineitem_subset(spark, sf_dir))
+    dml.delete_rows(t, "qty < 10")
+    return (t.read().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("qty").cast("double").alias("sum_qty")))
+
+
+@query("table_update_cow", oracle=f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linenumber = 1 THEN qty + 100 ELSE qty END) AS DOUBLE)
+         AS sum_qty
+FROM {_SUBSET_SQL} s
+GROUP BY l_returnflag
+""")
+def table_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE (reference CarbonProjectForUpdateCommand):
+    UPDATE SET qty = qty + 100 WHERE l_linenumber = 1, then aggregate."""
+    t = Table.create_as_select(spark, _scratch("upd", sf_dir),
+                               _lineitem_subset(spark, sf_dir))
+    dml.update_rows(t, {"qty": "qty + 100"}, "l_linenumber = 1")
+    return (t.read().groupBy("l_returnflag")
+            .agg(F.sum("qty").cast("double").alias("sum_qty")))
+
+
+@query("table_merge_upsert", oracle="""
+WITH t AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,2)) AS p
+           FROM orders WHERE o_orderkey < 500),
+     s AS (SELECT o_orderkey AS k,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2)) AS p
+           FROM orders WHERE o_orderkey >= 250 AND o_orderkey < 750),
+     merged AS (
+       SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.p, t.p) AS p
+       FROM t FULL OUTER JOIN s ON t.k = s.k)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(p) AS DOUBLE) AS sum_price
+FROM merged
+""")
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed UPSERT (reference UpsertBuilder / scd-and-cdc-guide):
+    overlapping keys updated from source, new keys inserted."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tgt = (orders.filter(F.col("o_orderkey") < 500)
+           .select(F.col("o_orderkey").alias("k"),
+                   F.col("o_totalprice").cast("decimal(14,2)").alias("p")))
+    src = (orders.filter((F.col("o_orderkey") >= 250) & (F.col("o_orderkey") < 750))
+           .select(F.col("o_orderkey").alias("k"),
+                   (F.col("o_totalprice").cast("decimal(14,2)") * 2)
+                   .cast("decimal(14,2)").alias("p")))
+    t = Table.create_as_select(spark, _scratch("ups", sf_dir), tgt)
+    merge_ops.upsert(t, src, "k")
+    return t.read().agg(F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("p").cast("double").alias("sum_price"))
+
+
+@query("table_segment_scoped", oracle=f"""
+SELECT COUNT(*) AS n_rows, CAST(SUM(qty) AS DOUBLE) AS sum_qty
+FROM {_SUBSET_SQL} s WHERE l_linenumber = 1
+""")
+def table_segment_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-scoped read (reference insegment()/
+    carbon.input.segments): two loads, query only the first segment."""
+    sub = _lineitem_subset(spark, sf_dir)
+    t = Table.create(spark, _scratch("seg", sf_dir),
+                     "l_orderkey bigint, l_linenumber int, "
+                     "l_returnflag string, qty double")
+    t.insert(sub.filter(F.col("l_linenumber") == 1))     # segment 0
+    t.insert(sub.filter(F.col("l_linenumber") != 1))     # segment 1
+    return (t.read(segments=[0])
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("qty").cast("double").alias("sum_qty")))
+
+
+@query("table_compaction", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_returnflag) AS n_flags,
+       CAST(SUM(qty) AS DOUBLE) AS sum_qty
+FROM {_SUBSET_SQL} s WHERE l_linenumber <= 3
+""")
+def table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (reference CarbonTableCompactor): three loads merged
+    into one segment; results identical before/after."""
+    sub = _lineitem_subset(spark, sf_dir)
+    t = Table.create(spark, _scratch("cmp", sf_dir),
+                     "l_orderkey bigint, l_linenumber int, "
+                     "l_returnflag string, qty double")
+    for ln in (1, 2, 3):
+        t.insert(sub.filter(F.col("l_linenumber") == ln))
+    t.compact("minor", minor_threshold=2)
+    t.clean_files()
+    assert len(t.manifest.queryable_segments()) == 1
+    return (t.read()
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("l_returnflag").alias("n_flags"),
+                 F.sum("qty").cast("double").alias("sum_qty")))
+
+
+@query("table_schema_evolution", oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN p_partkey < 100 THEN 5 ELSE p_size END) AS BIGINT)
+         AS sum_sz
+FROM part WHERE p_partkey < 200
+GROUP BY p_brand
+""")
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER ADD COLUMNS with default (reference
+    CarbonAlterTableAddColumnCommand): era-0 rows surface the default,
+    era-1 rows carry real values."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    t = Table.create(spark, _scratch("evo", sf_dir),
+                     "p_partkey bigint, p_brand string")
+    t.insert(part.filter(F.col("p_partkey") < 100)
+             .select("p_partkey", "p_brand"))
+    t.add_column("sz", "bigint", default=5)
+    t.insert(part.filter((F.col("p_partkey") >= 100) & (F.col("p_partkey") < 200))
+             .select("p_partkey", "p_brand", F.col("p_size").cast("bigint")))
+    return (t.read().groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("sz").alias("sum_sz")))
+
+
+@query("table_mv_rewrite", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def table_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV auto-rewrite (reference MVRewriteRule): the aggregate is
+    answered FROM THE MV (asserted), and must equal the direct result."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_returnflag", "l_linestatus",
+                  F.col("l_quantity").cast("double").alias("qty")))
+    t = Table.create_as_select(spark, _scratch("mv", sf_dir), li)
+    mgr = MVManager(t)
+    mgr.create("mv_flag", ["l_returnflag", "l_linestatus"],
+               [AggSpec("sum", "qty"), AggSpec("count", "*")])
+    df, mv_used = mgr.answer(QuerySpec(
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": AggSpec("sum", "qty"), "n_rows": AggSpec("count", "*")}))
+    assert mv_used == "mv_flag", "query was not answered from the MV"
+    return df.select("l_returnflag", "l_linestatus",
+                     F.col("sum_qty").cast("double").alias("sum_qty"),
+                     "n_rows")

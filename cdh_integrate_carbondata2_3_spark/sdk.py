@@ -1,0 +1,183 @@
+"""Spark-free SDK reader/writer over segment-managed tables.
+
+Reference: sdk/sdk/src/main/java/org/apache/carbondata/sdk/file/ —
+CarbonWriter.java (build rows → files without a cluster),
+CarbonReader.java (iterate projected/filtered rows),
+ArrowCarbonReader.java (Arrow out), PaginationCarbonReader.java
+(offset/limit pages over cumulative file row ranges).
+
+Ours is pyarrow end-to-end and commits through the SAME manifest as
+the Spark engine, so SDK-written segments are immediately queryable by
+``Table.read`` and vice versa.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Any, Iterator
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .catalog.manifest import Manifest, Segment, SegmentStatus
+from .catalog.stats import harvest_file
+
+_DDL_TO_ARROW = {
+    "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+    "integer": pa.int32(), "bigint": pa.int64(), "long": pa.int64(),
+    "float": pa.float32(), "double": pa.float64(),
+    "string": pa.string(), "varchar": pa.string(), "char": pa.string(),
+    "boolean": pa.bool_(), "binary": pa.binary(),
+    "date": pa.date32(), "timestamp": pa.timestamp("us"),
+}
+
+
+def _ddl_to_arrow_schema(schema_ddl: str) -> pa.Schema:
+    fields = []
+    for spec in schema_ddl.split(","):
+        name, dtype = spec.strip().split(None, 1)
+        dtype = dtype.strip().lower()
+        if dtype.startswith("decimal"):
+            p, s = dtype[dtype.index("(") + 1:-1].split(",")
+            fields.append(pa.field(name, pa.decimal128(int(p), int(s))))
+        else:
+            fields.append(pa.field(name, _DDL_TO_ARROW[dtype]))
+    return pa.schema(fields)
+
+
+class SdkWriter:
+    """CarbonWriter analogue: buffer rows (or accept Arrow tables),
+    flush as one segment per ``close``/``flush_segment`` — all local,
+    no SparkSession."""
+
+    def __init__(self, table_dir: str, schema_ddl: str | None = None,
+                 rows_per_file: int = 1 << 20):
+        self.table_dir = os.path.abspath(table_dir)
+        self.manifest = Manifest(self.table_dir)
+        if not self.manifest.exists():
+            if schema_ddl is None:
+                raise ValueError("new table needs schema_ddl")
+            os.makedirs(self.table_dir, exist_ok=True)
+            self.manifest.init(schema_ddl, {})
+        self.schema = _ddl_to_arrow_schema(self.manifest.load()["schema"])
+        self.rows_per_file = rows_per_file
+        self._buffer: list[dict] = []
+
+    def write(self, row: dict[str, Any]) -> None:
+        self._buffer.append(row)
+
+    def write_arrow(self, tbl: pa.Table) -> int:
+        """Write a whole Arrow table as one segment."""
+        return self._commit(tbl.cast(self.schema))
+
+    def flush_segment(self) -> int | None:
+        if not self._buffer:
+            return None
+        tbl = pa.Table.from_pylist(self._buffer, schema=self.schema)
+        self._buffer = []
+        return self._commit(tbl)
+
+    close = flush_segment
+
+    def _commit(self, tbl: pa.Table) -> int:
+        tmp = os.path.join(self.table_dir, f"_tmp_{uuid.uuid4().hex}")
+        os.makedirs(tmp)
+        rels = []
+        for i in range(0, max(tbl.num_rows, 1), self.rows_per_file):
+            rel = f"part-{i // self.rows_per_file:05d}.parquet"
+            pq.write_table(tbl.slice(i, self.rows_per_file),
+                           os.path.join(tmp, rel))
+            rels.append(rel)
+        committed = {}
+
+        def mutate(doc: dict) -> None:
+            seg_id = self.manifest.next_segment_id(doc)
+            seg_dir = os.path.join(self.table_dir, f"segment_{seg_id}")
+            os.makedirs(seg_dir, exist_ok=True)
+            stats = []
+            for rel in rels:
+                dst_rel = os.path.join(f"segment_{seg_id}", rel)
+                dst = os.path.join(self.table_dir, dst_rel)
+                os.rename(os.path.join(tmp, rel), dst)
+                stats.append(harvest_file(dst, dst_rel))
+            doc["segments"].append(Segment(
+                id=seg_id, status=SegmentStatus.SUCCESS, format="parquet",
+                files=stats, load_time=time.time(), source="sdk").to_json())
+            committed["id"] = seg_id
+
+        self.manifest.update(mutate)
+        os.rmdir(tmp)
+        return committed["id"]
+
+
+class SdkReader:
+    """CarbonReader/ArrowCarbonReader/PaginationCarbonReader analogue:
+    projected + filtered reads, Arrow/pandas out, and offset/limit
+    pagination that opens ONLY the files whose cumulative row range
+    intersects the page (PaginationCarbonReader.java behavior)."""
+
+    def __init__(self, table_dir: str, columns: list[str] | None = None,
+                 filter_expr: pc.Expression | None = None):
+        self.table_dir = os.path.abspath(table_dir)
+        self.manifest = Manifest(self.table_dir)
+        self.columns = columns
+        self.filter_expr = filter_expr
+
+    def _files(self) -> list[tuple[str, int]]:
+        out = []
+        for seg in self.manifest.queryable_segments():
+            if seg.format != "parquet":
+                raise ValueError("SDK reads parquet segments only")
+            for f in seg.files:
+                p = f.path if os.path.isabs(f.path) \
+                    else os.path.join(self.table_dir, f.path)
+                out.append((p, f.rows))
+        return out
+
+    def to_arrow(self) -> pa.Table:
+        parts = []
+        for p, _ in self._files():
+            t = pq.read_table(p, columns=self.columns)
+            if self.filter_expr is not None:
+                t = t.filter(self.filter_expr)
+            parts.append(t)
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
+    def __iter__(self) -> Iterator[dict]:
+        for p, _ in self._files():
+            t = pq.read_table(p, columns=self.columns)
+            if self.filter_expr is not None:
+                t = t.filter(self.filter_expr)
+            yield from t.to_pylist()
+
+    def total_rows(self) -> int:
+        return sum(r for _, r in self._files())
+
+    def read_page(self, offset: int, limit: int) -> pa.Table:
+        """Rows [offset, offset+limit) in manifest order, touching only
+        the files that intersect the range."""
+        parts = []
+        pos = 0
+        need_lo, need_hi = offset, offset + limit
+        for p, rows in self._files():
+            lo, hi = pos, pos + rows
+            pos = hi
+            if hi <= need_lo:
+                continue
+            if lo >= need_hi:
+                break
+            t = pq.read_table(p, columns=self.columns)
+            start = max(need_lo - lo, 0)
+            length = min(need_hi, hi) - (lo + start)
+            parts.append(t.slice(start, length))
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
