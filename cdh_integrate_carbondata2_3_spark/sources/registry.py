@@ -63,13 +63,24 @@ def _load_nanos_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# plan cache: DataFrames are immutable logical plans, so reusing one
+# skips the per-call parquet footer/schema inference (the same effect a
+# registered temp view gets); keyed by session so a new session never
+# sees another session's plan
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TPCH_TABLES:
         raise KeyError(f"unknown table {name!r}")
-    path = f"{sf_dir}/{name}.parquet"
-    if name in _NANOS_TS_TABLES:
-        return _load_nanos_table(spark, path)
-    return spark.read.parquet(path)
+    key = (id(spark), sf_dir, name)
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        path = f"{sf_dir}/{name}.parquet"
+        df = (_load_nanos_table(spark, path) if name in _NANOS_TS_TABLES
+              else spark.read.parquet(path))
+        _PLAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,

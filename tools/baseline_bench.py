@@ -1,0 +1,76 @@
+"""Engine-vs-plain-Spark baseline comparison (BASELINE.md target:
+headline queries within 2× of plain `spark.read.parquet` + Spark SQL
+on the same data).
+
+For every headline query that has a SQL oracle, run BOTH:
+  (a) the engine's DataFrame implementation, and
+  (b) the oracle SQL executed by PLAIN Spark over parquet temp views
+    (not DuckDB — this isolates our engine overhead on the same
+    executor), skipping oracles that use DuckDB-only syntax.
+
+Prints one JSON line: per-query engine/plain seconds + ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from cdh_integrate_carbondata2_3_spark.queries import all_queries  # noqa: E402
+from cdh_integrate_carbondata2_3_spark.session import get_spark  # noqa: E402
+from cdh_integrate_carbondata2_3_spark.sources.registry import (  # noqa: E402
+    TPCH_TABLES,
+    register_views,
+)
+
+from bench import HEADLINE  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("baseline_bench")
+    register_views(spark, sf_dir, TPCH_TABLES)
+    qs = all_queries()
+
+    # warmup
+    qs["q1_pricing_summary"].fn(spark, sf_dir).limit(1).collect()
+
+    def timed(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    out = {}
+    for name in HEADLINE:
+        q = qs[name]
+        # interleave and take min-of-2 per side so neither side pays the
+        # cold cache / first-plan cost alone
+        engine_s = min(timed(lambda: q.fn(spark, sf_dir).count())
+                       for _ in range(2))
+        plain_s = None
+        if q.oracle:
+            try:
+                plain_s = min(timed(lambda: spark.sql(q.oracle).count())
+                              for _ in range(2))
+            except Exception:
+                plain_s = None       # DuckDB-only syntax in the oracle
+        out[name] = {
+            "engine_s": round(engine_s, 3),
+            "plain_spark_s": round(plain_s, 3) if plain_s else None,
+            "ratio": round(engine_s / plain_s, 2) if plain_s else None}
+    comparable = [v for v in out.values() if v["ratio"] is not None]
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "queries": out,
+        "median_ratio": sorted(v["ratio"] for v in comparable)[
+            len(comparable) // 2] if comparable else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
