@@ -145,9 +145,23 @@ class Manifest:
         self._write({"version": 0, "schema": schema_ddl,
                      "properties": properties or {}, "segments": []})
 
-    def load(self) -> dict:
-        with open(self.status_path) as f:
+    def load(self, version: int | None = None) -> dict:
+        """Current manifest, or a historical version (time travel —
+        reference keeps tablestatus history files for the same
+        purpose)."""
+        path = self.status_path if version is None else os.path.join(
+            self.meta_dir, f"tablestatus.v{version}.json")
+        if version is not None and not os.path.exists(path):
+            raise FileNotFoundError(f"no manifest version {version}")
+        with open(path) as f:
             return json.load(f)
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("tablestatus.v") and f.endswith(".json"):
+                out.append(int(f[len("tablestatus.v"):-len(".json")]))
+        return sorted(out)
 
     def _write(self, doc: dict) -> None:
         tmp = os.path.join(self.meta_dir, f".tablestatus.{uuid.uuid4().hex}.tmp")
@@ -174,15 +188,17 @@ class Manifest:
 
     # -- segment accessors -------------------------------------------------
 
-    def segments(self, statuses: set[str] | None = None) -> list[Segment]:
-        doc = self.load()
+    def segments(self, statuses: set[str] | None = None,
+                 version: int | None = None) -> list[Segment]:
+        doc = self.load(version)
         segs = [Segment.from_json(s) for s in doc["segments"]]
         if statuses is not None:
             segs = [s for s in segs if s.status in statuses]
         return segs
 
-    def queryable_segments(self, segment_ids: list[int] | None = None) -> list[Segment]:
-        segs = self.segments(QUERYABLE)
+    def queryable_segments(self, segment_ids: list[int] | None = None,
+                           version: int | None = None) -> list[Segment]:
+        segs = self.segments(QUERYABLE, version)
         if segment_ids is not None:
             wanted = set(segment_ids)
             segs = [s for s in segs if s.id in wanted]

@@ -237,6 +237,15 @@ class Table:
         scope = props.get("sort_scope", "no_sort").lower()
         sort_cols = props.get("sort_columns", [])
         range_col = props.get("range_column")
+        bucket_cols = props.get("bucket_columns", [])
+        bucket_n = int(props.get("bucket_number", 0) or 0)
+        if bucket_cols and bucket_n > 0:
+            # hash bucketing (reference schema.thrift:171-176 /
+            # CarbonDataSourceScan bucket HashPartitioning): task i of
+            # repartition(n, cols) IS bucket pmod(murmur3(cols), n), so
+            # the part-index in each file name records its bucket
+            df = df.repartition(bucket_n, *[F.col(c) for c in bucket_cols])
+            return df.sortWithinPartitions(*sort_cols) if sort_cols else df
         if scope == "global_sort" and sort_cols:
             return df.orderBy(*sort_cols)
         if scope == "local_sort" and sort_cols:
@@ -245,6 +254,7 @@ class Table:
             n = max(df.rdd.getNumPartitions(), 1)
             return df.repartitionByRange(n, range_col)
         return df
+
 
     def _write_segment_files(self, df: DataFrame, fmt: str = "parquet") -> str:
         """Write df to a temp dir inside the table; returns tmp dir."""
@@ -257,10 +267,22 @@ class Table:
         getattr(writer, "parquet" if fmt == "parquet" else fmt)(tmp)
         return tmp
 
+    @staticmethod
+    def _bucket_from_filename(rel: str) -> str | None:
+        """part-00007-<uuid>… → '7' (the task/bucket index)."""
+        base = os.path.basename(rel)
+        if base.startswith("part-"):
+            try:
+                return str(int(base.split("-")[1]))
+            except (IndexError, ValueError):
+                return None
+        return None
+
     def _commit_segment_dir(self, tmp_dir: str, source: str,
                             overwrite: bool = False,
                             status: str = SegmentStatus.SUCCESS) -> int:
         """Move tmp files into segment_<id>/, harvest stats, swap manifest."""
+        bucketed = bool(self.manifest.properties().get("bucket_columns"))
         data_files = []
         for p in sorted(glob.glob(os.path.join(tmp_dir, "**", "*"), recursive=True)):
             if os.path.isfile(p) and not os.path.basename(p).startswith(("_", ".")):
@@ -278,8 +300,12 @@ class Table:
                 dst = os.path.join(self.table_dir, dst_rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(os.path.join(tmp_dir, rel), dst)
-                stats.append(harvest_file(
-                    dst, dst_rel, partition_values_from_relpath(rel)))
+                parts = partition_values_from_relpath(rel)
+                if bucketed:
+                    b = self._bucket_from_filename(rel)
+                    if b is not None:
+                        parts["__bucket__"] = b
+                stats.append(harvest_file(dst, dst_rel, parts))
             if overwrite:
                 for s in doc["segments"]:
                     if s["status"] == SegmentStatus.SUCCESS:
@@ -320,15 +346,31 @@ class Table:
                  bad_records_action: str = "FORCE") -> int:
         """LOAD DATA INPATH (reference CarbonLoadDataCommand; bad-record
         actions per docs/dml-of-carbondata.md — FORCE nulls bad cells,
-        FAIL aborts, IGNORE drops bad rows)."""
+        FAIL aborts, IGNORE drops bad rows, REDIRECT quarantines bad
+        rows under <table>/_meta/badrecords/ and loads the rest)."""
+        action = bad_records_action.upper()
         reader = (self.spark.read.option("header", header)
                   .option("delimiter", delimiter))
+        if action == "REDIRECT":
+            if not schema:
+                raise ValueError("REDIRECT needs an explicit schema")
+            aug = schema + ", _corrupt string"
+            df = (reader.schema(aug).option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt").csv(path))
+            df = df.cache()
+            bad = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+            quarantine = os.path.join(self.table_dir, "_meta", "badrecords",
+                                      uuid.uuid4().hex)
+            if bad.limit(1).count():
+                bad.write.mode("overwrite").text(quarantine)
+            good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            return self.insert(good, overwrite=overwrite, source="load")
         if schema:
             reader = reader.schema(schema)
         else:
             reader = reader.option("inferSchema", True)
         mode = {"FORCE": "PERMISSIVE", "IGNORE": "DROPMALFORMED",
-                "FAIL": "FAILFAST"}.get(bad_records_action.upper(), "PERMISSIVE")
+                "FAIL": "FAILFAST"}.get(action, "PERMISSIVE")
         df = reader.option("mode", mode).csv(path)
         return self.insert(df, overwrite=overwrite, source="load")
 
@@ -379,43 +421,88 @@ class Table:
         from .index import IndexManager
         return IndexManager(self)
 
+    def _bucket_target(self, predicates: Sequence[Predicate] | None) -> str | None:
+        """Bucket id implied by equality predicates on ALL bucket
+        columns, else None (reference CarbonDataSourceScan bucket
+        HashPartitioning; repartition task i == pmod(murmur3, n))."""
+        props = self.manifest.properties()
+        bucket_cols = props.get("bucket_columns", [])
+        n = int(props.get("bucket_number", 0) or 0)
+        if not bucket_cols or n <= 0 or not predicates:
+            return None
+        eqs = {c: v for c, op, v in predicates if op == "="}
+        if not all(c in eqs for c in bucket_cols):
+            return None
+        # literals must hash with the COLUMN's type: murmur3(42: int)
+        # != murmur3(42: bigint), and HashPartitioning used the column
+        types = {f.name: f.dataType for f in self._schema_struct().fields}
+        lits = [F.lit(eqs[c]).cast(types[c]) if c in types else F.lit(eqs[c])
+                for c in bucket_cols]
+        row = (self.spark.range(1).select(
+            F.pmod(F.hash(*lits), F.lit(n)).alias("b")).first())
+        return str(int(row["b"]))
+
     def scan_files(self, predicates: Sequence[Predicate] | None = None,
                    segments: list[int] | None = None,
                    use_indexes: bool = True) -> dict[str, list[str]]:
         """Pruned file list per format: driver-side min/max + partition +
-        segment-scope pruning, then SI/bloom index intersection
+        bucket + segment-scope pruning, then SI/bloom index intersection
         (``use_indexes=False`` is the NI() escape hatch —
         reference CarbonEnv.scala:86-95)."""
         allowed = self.indexes.candidate_files(predicates) if use_indexes else None
+        target_bucket = self._bucket_target(predicates)
         by_fmt: dict[str, list[str]] = {}
         for seg in self.manifest.queryable_segments(segments):
             kept = prune_files(seg.files, predicates)
             if allowed is not None:
                 kept = [f for f in kept if self._abs(f.path) in allowed]
+            if target_bucket is not None:
+                kept = [f for f in kept
+                        if f.partition.get("__bucket__", target_bucket)
+                        == target_bucket]
             if kept:
                 by_fmt.setdefault(seg.format, []).extend(
                     self._abs(f.path) for f in kept)
         return by_fmt
 
+    def history(self) -> list[int]:
+        """Available manifest versions for time travel."""
+        return self.manifest.versions()
+
     def read(self, predicates: Sequence[Predicate] | None = None,
              segments: list[int] | None = None,
              apply_predicates: bool = True,
-             use_indexes: bool = True) -> DataFrame:
+             use_indexes: bool = True,
+             as_of: int | None = None) -> DataFrame:
         """Scan with driver-side pruning; mixed-format segments are
         unioned by name (reference MixedFormatHandler.scala:55-230).
-        Spark re-evaluates predicates exactly — pruning is only a skip."""
-        doc = self.manifest.load()
+        Spark re-evaluates predicates exactly — pruning is only a skip.
+
+        ``as_of=N`` reads the segment set of manifest version N (segment
+        time travel over tablestatus history — valid until CLEAN FILES
+        physically removes the data of deleted/compacted segments)."""
+        doc = self.manifest.load(as_of)
         defaults = doc.get("column_defaults", {})
-        allowed = self.indexes.candidate_files(predicates) if use_indexes else None
+        # SI/bloom indexes describe the CURRENT file set — using them to
+        # prune a historical snapshot could drop rewritten-away files
+        allowed = (self.indexes.candidate_files(predicates)
+                   if use_indexes and as_of is None else None)
         partitioned = bool(self.manifest.properties().get("partition_by"))
+
+        target_bucket = self._bucket_target(predicates)
 
         # group surviving files by (format, evolution era): a segment's
         # era decides which added-column defaults fill it on read
         groups: dict[tuple, list[str]] = {}
-        for seg in self.manifest.queryable_segments(segments):
+        for seg in self.manifest.queryable_segments(segments, version=as_of):
             kept = prune_files(seg.files, predicates)
             if allowed is not None:
                 kept = [f for f in kept if self._abs(f.path) in allowed]
+            if target_bucket is not None:
+                # files without bucket info (pre-bucketing loads) stay
+                kept = [f for f in kept
+                        if f.partition.get("__bucket__", target_bucket)
+                        == target_bucket]
             if not kept:
                 continue
             fills = tuple(sorted(

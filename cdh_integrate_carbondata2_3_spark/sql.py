@@ -34,6 +34,7 @@ _CREATE_TABLE = _ci(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
     r"(?:USING\s+\w+\s*)?(?:TBLPROPERTIES\s*\((.*?)\))?\s*$")
 _CTAS = _ci(r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.*)$")
+_CREATE_LIKE = _ci(r"^\s*CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s*$")
 _DROP_TABLE = _ci(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
 _LOAD_DATA = _ci(
     r"^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+"
@@ -148,6 +149,12 @@ class Engine:
     def sql(self, text: str) -> DataFrame:
         text = text.strip().rstrip(";")
 
+        if m := _CREATE_LIKE.match(text):
+            src = self.table(m.group(2))
+            doc = src.manifest.load()
+            Table.create(self.spark, self._dir(m.group(1)),
+                         doc["schema"], doc.get("properties", {}))
+            return self._ok(f"created {m.group(1)} like {m.group(2)}")
         if m := _CTAS.match(text):
             self._register_views()
             Table.create_as_select(self.spark, self._dir(m.group(1)),

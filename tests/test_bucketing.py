@@ -1,0 +1,64 @@
+"""Hash-bucketed tables (reference schema.thrift BucketingInfo +
+CarbonDataSourceScan HashPartitioning): bucketed loads, driver-side
+bucket pruning on point lookups, soundness vs full scan."""
+
+from __future__ import annotations
+
+from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+N_BUCKETS = 8
+
+
+def _mk(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "t"), "id bigint, v string",
+                     {"bucket_columns": ["id"], "bucket_number": str(N_BUCKETS),
+                      "sort_columns": ["id"]})
+    t.insert(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], "id bigint, v string"))
+    return t
+
+
+def test_bucketed_load_writes_bucket_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    segs = t.manifest.queryable_segments()
+    buckets = {f.partition.get("__bucket__") for s in segs for f in s.files}
+    assert buckets <= {str(i) for i in range(N_BUCKETS)}
+    assert len(buckets) > 1
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    all_files = sum(len(v) for v in t.scan_files().values())
+    pruned = sum(len(v) for v in t.scan_files([("id", "=", 42)]).values())
+    assert pruned < all_files
+    # correctness: pruned read returns exactly the matching row
+    rows = t.read(predicates=[("id", "=", 42)]).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(42, "v42")]
+
+
+def test_every_key_found_under_bucket_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for k in (0, 1, 7, 99, 250, 499):
+        rows = t.read(predicates=[("id", "=", k)]).collect()
+        assert len(rows) == 1 and rows[0]["id"] == k
+
+
+def test_non_equality_predicates_do_not_bucket_prune(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    got = {r["id"] for r in t.read(predicates=[("id", "<", 10)]).collect()}
+    assert got == set(range(10))
+
+
+def test_mixed_unbucketed_files_kept(spark, tmp_path):
+    """Files without bucket info (e.g. loaded before bucketing was
+    configured) must survive bucket pruning."""
+    t = Table.create(spark, str(tmp_path / "t"), "id bigint, v string")
+    t.insert(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+
+    def enable_buckets(doc):
+        doc["properties"]["bucket_columns"] = ["id"]
+        doc["properties"]["bucket_number"] = str(N_BUCKETS)
+    t.manifest.update(enable_buckets)
+    t.insert(spark.createDataFrame([(2, "b")], "id bigint, v string"))
+    assert {r["id"] for r in t.read(predicates=[("id", "=", 1)]).collect()} == {1}
+    assert {r["id"] for r in t.read(predicates=[("id", "=", 2)]).collect()} == {2}

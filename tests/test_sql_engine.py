@@ -95,6 +95,13 @@ def test_mv_sql_roundtrip(eng):
     assert not eng.sql("SHOW MATERIALIZED VIEWS ON TABLE src").collect()
 
 
+def test_create_table_like(eng):
+    eng.sql("CREATE TABLE clone LIKE src")
+    assert "clone" in eng.tables()
+    assert eng.table("clone").schema_ddl() == eng.table("src").schema_ddl()
+    assert eng.sql("SELECT COUNT(*) FROM clone").first()[0] == 0
+
+
 def test_truncate_sql(eng):
     eng.sql("TRUNCATE TABLE src")
     assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 0
