@@ -1,0 +1,120 @@
+"""More table-format features inside the correctness gate:
+mixed-format segments (ADD SEGMENT), hive-partitioned tables with
+partition pruning, and complex-type (array) processing.
+
+Reference parity: MixedFormatHandler.scala:55-230 (one table, many
+file formats), CarbonAddLoadCommand (register external folders),
+standardpartition/ suites, complexType suites (SURVEY.md §2.1, §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.table import Table
+from . import query
+from .lifecycle_queries import _scratch
+
+
+@query("table_mixed_format_segments", oracle="""
+SELECT r_name, COUNT(*) AS n_rows, CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM (
+  SELECT s.s_suppkey, s.s_acctbal, r.r_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey)
+GROUP BY r_name
+""")
+def table_mixed_format_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One table, parquet + csv + json segments (ADD SEGMENT): the
+    supplier rows are split three ways by format and must union back
+    to exactly the source (then joined to dims for the aggregate)."""
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .select("s_suppkey", "s_nationkey",
+                   F.col("s_acctbal").cast("double").alias("s_acctbal")))
+    root = _scratch("mixed", sf_dir)
+    t = Table.create(spark, os.path.join(root, "t"),
+                     "s_suppkey bigint, s_nationkey int, s_acctbal double")
+    # native parquet segment
+    t.insert(sup.filter(F.col("s_suppkey") % 3 == 0))
+    # external csv segment
+    csv_dir = os.path.join(root, "ext_csv")
+    (sup.filter(F.col("s_suppkey") % 3 == 1)
+        .coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir))
+    t.add_segment(csv_dir, fmt="csv")
+    # external json segment
+    json_dir = os.path.join(root, "ext_json")
+    (sup.filter(F.col("s_suppkey") % 3 == 2)
+        .coalesce(1).write.mode("overwrite").json(json_dir))
+    t.add_segment(json_dir, fmt="json")
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    df = t.read()
+    return (df.join(F.broadcast(nation),
+                    df.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_bal")))
+
+
+@query("table_partition_pruning", oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderkey < 2000
+GROUP BY o_orderpriority
+""")
+def table_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned table (partition_by=o_orderstatus): the
+    predicate prunes to one partition directory driver-side, and the
+    result still matches the unpartitioned source."""
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") < 2000)
+              .select("o_orderkey", "o_orderpriority",
+                      F.col("o_totalprice").cast("decimal(14,2)")
+                      .alias("o_totalprice"), "o_orderstatus"))
+    t = Table.create(spark, _scratch("part", sf_dir),
+                     "o_orderkey bigint, o_orderpriority string, "
+                     "o_totalprice decimal(14,2), o_orderstatus string",
+                     {"partition_by": ["o_orderstatus"]})
+    t.insert(orders)
+    pruned = t.scan_files([("o_orderstatus", "=", "F")])
+    full = t.scan_files()
+    assert sum(map(len, pruned.values())) < sum(map(len, full.values())), \
+        "partition pruning did not reduce the file set"
+    return (t.read(predicates=[("o_orderstatus", "=", "F")])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_totalprice").cast("double").alias("sum_price")))
+
+
+@query("complex_array_functions", oracle="""
+SELECT label,
+       CAST(MAX(len(list_filter(embedding, x -> x > 0))) AS INT) AS max_pos,
+       CAST(MIN(len(list_filter(embedding, x -> x > 0))) AS INT) AS min_pos,
+       CAST(SUM(CASE WHEN embedding[1] > embedding[64] THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_gt_last
+FROM embeddings
+GROUP BY label
+""")
+def complex_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY-type surface (SURVEY §1.2 complex types): filter/size/
+    element access inside aggregates, all JVM-side higher-order
+    functions."""
+    from ..sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_pos = F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+    first_gt_last = F.when(F.col("embedding")[0] > F.col("embedding")[63], 1) \
+        .otherwise(0)
+    return (emb.groupBy("label")
+            .agg(F.max(n_pos).alias("max_pos"),
+                 F.min(n_pos).alias("min_pos"),
+                 F.sum(first_gt_last).alias("first_gt_last")))
