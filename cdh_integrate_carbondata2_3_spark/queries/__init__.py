@@ -40,5 +40,5 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate REGISTRY.
     from . import relational, pipeline, geo_queries, dedup_extra  # noqa: F401
     from . import multimodal_queries, lifecycle_queries, subqueries  # noqa: F401
-    from . import streaming_queries, lifecycle_extra  # noqa: F401
+    from . import streaming_queries, lifecycle_extra, tpch_rest  # noqa: F401
     return dict(REGISTRY)
