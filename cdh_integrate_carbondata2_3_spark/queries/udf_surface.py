@@ -1,0 +1,99 @@
+"""Session-UDF surface in the correctness gate: text_match (Lucene
+fallback), timeseries() granularity buckets, NI() hint, and
+insegment() time travel — all routed through the engine's extended-SQL
+entry point so the gate exercises the parser rewrites themselves.
+
+Reference parity: CarbonEnv.scala:83-113 (UDF registration),
+MVFunctions.scala:28-32 (timeseries), LuceneFineGrainIndex.java:204
+(text_match), CarbonSpark2SqlParser / secondary-index-guide.md:159 (NI).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.table import Table
+from ..sql import Engine
+from . import query
+from .lifecycle_queries import _scratch
+
+
+def _engine(spark: SparkSession, tag: str, sf_dir: str) -> Engine:
+    return Engine(spark, _scratch(tag, sf_dir))
+
+
+@query("udf_text_match", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE regexp_matches(text, '(^|\s)slow(\S*)($|\s)')
+  AND NOT regexp_matches(text, '(^|\s)fast($|\s)')
+GROUP BY source
+""")
+def udf_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_match('text:slow* AND NOT text:fast') through the engine's
+    SQL entry: the Lucene-ish query compiles to token-boundary RLIKE
+    predicates evaluated JVM-side (full-text scoring out of scope)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "udf_tm", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:slow* AND NOT text:fast') "
+        "GROUP BY source")
+
+
+@query("udf_timeseries_rollup", oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+       (date_trunc('hour', ts) + INTERVAL ((minute(ts) // 15) * 15) MINUTE)
+         AS bucket_15m_sample,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1, 2
+""")
+def udf_timeseries_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries(ts,'day') + timeseries(ts,'fifteen_minute') buckets
+    via the SQL entry point (granularities per MVTimeGranularity.scala:
+    25-35); both compile to date_trunc/interval arithmetic, no UDF."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "udf_ts", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "events"),
+                     "event_id bigint, ts timestamp, event_type string, "
+                     "value double")
+    t.insert(load_table(spark, sf_dir, "events")
+             .select("event_id", "ts", "event_type", "value"))
+    return eng.sql(
+        "SELECT timeseries(ts, 'day') AS bucket_day, "
+        "timeseries(ts, 'fifteen_minute') AS bucket_15m_sample, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value "
+        "FROM events WHERE NI(event_type = 'click') GROUP BY 1, 2")
+
+
+@query("udf_insegment_travel", oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_orderkey < 500
+GROUP BY l_returnflag
+""")
+def udf_insegment_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insegment('0') restricts the scan to the first load: segment 1
+    (the l_orderkey >= 500 half) must be invisible, so the result equals
+    the oracle computed over only the first half."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_returnflag"))
+    eng = _engine(spark, "udf_seg", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "li"),
+                     "l_orderkey bigint, l_returnflag string")
+    t.insert(li.filter(F.col("l_orderkey") < 500))          # segment 0
+    t.insert(li.filter(F.col("l_orderkey") >= 500))         # segment 1
+    return eng.sql(
+        "SELECT l_returnflag, COUNT(*) AS n_rows FROM li "
+        "WHERE insegment('0') GROUP BY l_returnflag")

@@ -96,6 +96,53 @@ _AGG_ITEM = _ci(r"^\s*(sum|count|min|max|avg)\s*\(\s*(\*|\w+)\s*\)\s*"
                 r"(?:AS\s+(\w+))?\s*$")
 _TS_ITEM = _ci(r"^\s*timeseries\s*\(\s*(\w+)\s*,\s*'(\w+)'\s*\)\s*"
                r"(?:AS\s+(\w+))?\s*$")
+# Session UDF surface (reference CarbonEnv.scala:83-113) handled as
+# parser-level rewrites so the hot path stays JVM-side:
+_TEXT_MATCH_FN = _ci(r"text_match(?:_with_limit)?\s*\(\s*'([^']+)'\s*"
+                     r"(?:,\s*\d+\s*)?\)")
+_TIMESERIES_FN = _ci(r"timeseries\s*\(\s*([\w.]+)\s*,\s*'(\w+)'\s*\)")
+_INSEGMENT_FN = _ci(r"insegment\s*\(\s*'([\d\s,]+)'\s*\)")
+_FROM_TABLE = _ci(r"\bFROM\s+(\w+)")
+_NI_OPEN = _ci(r"\bNI\s*\(")
+
+
+def _strip_ni(text: str) -> str:
+    """Drop NI(...) wrappers, keeping the wrapped expression (the NI
+    hint only disables secondary-index rewriting — CarbonEnv.scala:86-95,
+    docs secondary-index-guide.md:159)."""
+    while m := _NI_OPEN.search(text):
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            depth += {"(": 1, ")": -1}.get(text[i], 0)
+            i += 1
+        inner = text[m.end():i - 1]
+        text = text[:m.start()] + "(" + inner + ")" + text[i:]
+    return text
+
+
+def _lucene_to_sql(query: str) -> str:
+    """Translate a Lucene-ish text_match query ('field:term' terms with
+    * / ? wildcards joined by AND/OR/NOT) into a whitespace-token RLIKE
+    predicate — the documented fallback for the reference's Lucene
+    fine-grain index (LuceneFineGrainIndex.java:204; full-text scoring
+    is out of scope, SURVEY.md §2.11)."""
+    parts = re.split(r"\s+(AND|OR)\s+", query.strip(), flags=re.IGNORECASE)
+    out: list[str] = []
+    for p in parts:
+        tok = p.strip()
+        if tok.upper() in ("AND", "OR"):
+            out.append(tok.upper())
+            continue
+        if neg := re.match(r"^NOT\s+", tok, flags=re.IGNORECASE):
+            out.append("NOT")
+            tok = tok[neg.end():]
+        m = re.match(r"^([\w.]+):(\S+)$", tok)
+        if not m:
+            raise ValueError(f"text_match: cannot parse term {tok!r}")
+        field, pat = m.groups()
+        rx = re.escape(pat).replace(r"\*", r"\\S*").replace(r"\?", r"\\S")
+        out.append(f"({field} RLIKE '(^|\\\\s){rx}($|\\\\s)')")
+    return "(" + " ".join(out) + ")"
 
 
 def _parse_props(s: str | None) -> dict:
@@ -316,8 +363,41 @@ class Engine:
         # MV rewrite fast path, then plain Spark SQL over views
         if (df := self._try_mv_rewrite(text)) is not None:
             return df
+        text, seg_scope = self._rewrite_udf_surface(text)
         self._register_views()
+        for tname, segs in seg_scope.items():
+            self.table(tname).read(segments=segs).createOrReplaceTempView(tname)
         return self.spark.sql(text)
+
+    def _rewrite_udf_surface(self, text: str) -> tuple[str, dict[str, list[int]]]:
+        """Resolve the session-UDF surface textually before Spark parses:
+        NI() unwrap, timeseries() -> date_trunc (MVFunctions.scala:28-32),
+        text_match() -> RLIKE fallback, insegment() -> segment-scoped view
+        (CarbonEnv.scala:100-103). All rewrites keep the expression
+        JVM-side — no Python UDF in the query plan."""
+        from .functions.timeseries import GRANULARITIES
+        text = _strip_ni(text)
+        text = _TEXT_MATCH_FN.sub(lambda m: _lucene_to_sql(m.group(1)), text)
+
+        def _ts(m: re.Match) -> str:
+            from .functions.timeseries import _MINUTE_BUCKETS
+            col, g = m.group(1), m.group(2).lower()
+            if n := _MINUTE_BUCKETS.get(g):
+                return (f"(date_trunc('hour', {col}) + make_dt_interval(0, 0, "
+                        f"cast(minute({col}) / {n} as int) * {n}, 0))")
+            if GRANULARITIES.get(g) is None:
+                raise ValueError(f"unsupported timeseries granularity {g!r}")
+            return f"date_trunc('{GRANULARITIES[g]}', {m.group(1)})"
+        text = _TIMESERIES_FN.sub(_ts, text)
+
+        seg_scope: dict[str, list[int]] = {}
+        if m := _INSEGMENT_FN.search(text):
+            ft = _FROM_TABLE.search(text)
+            if ft and ft.group(1) in self.tables():
+                seg_scope[ft.group(1)] = [
+                    int(x) for x in m.group(1).replace(",", " ").split()]
+                text = _INSEGMENT_FN.sub("TRUE", text)
+        return text, seg_scope
 
     # --------------------------------------------------------------- helpers
 

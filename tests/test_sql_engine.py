@@ -133,3 +133,50 @@ def test_fallthrough_plain_sql(eng):
         "SELECT id, row_number() OVER (PARTITION BY grp ORDER BY amt) rn "
         "FROM src").collect()
     assert {r["rn"] for r in rows} == {1, 2}
+
+
+# ----------------------------------------------------------- UDF surface
+# (CarbonEnv.scala:83-113: NI / text_match / insegment / timeseries)
+
+def test_ni_hint_unwrapped(eng):
+    # nested parens inside NI() must survive the unwrap
+    rows = eng.sql("SELECT id FROM src WHERE NI(id = least(1, 2))").collect()
+    assert [r["id"] for r in rows] == [1]
+
+
+def test_text_match_rlike_fallback(eng):
+    eng.sql("CREATE TABLE docs (id INT, body STRING)")
+    eng.sql("INSERT INTO docs SELECT * FROM VALUES "
+            "(1,'spark scan fast'),(2,'slow scan'),(3,'scanner x') t(id,body)")
+    rows = eng.sql("SELECT id FROM docs WHERE text_match('body:scan') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2]            # token, not substring
+    rows = eng.sql("SELECT id FROM docs WHERE text_match('body:scan*') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]          # wildcard
+    rows = eng.sql("SELECT id FROM docs WHERE "
+                   "text_match('body:scan* AND NOT body:slow')").collect()
+    assert sorted(r["id"] for r in rows) == [1, 3]
+
+
+def test_timeseries_rewrite(eng):
+    eng.sql("CREATE TABLE tsx (ts TIMESTAMP, v INT)")
+    eng.sql("INSERT INTO tsx SELECT * FROM VALUES "
+            "(TIMESTAMP'2024-01-01 10:07:00', 1),"
+            "(TIMESTAMP'2024-01-01 10:22:00', 2),"
+            "(TIMESTAMP'2024-01-01 11:02:00', 4) t(ts, v)")
+    rows = eng.sql("SELECT timeseries(ts,'hour') AS h, sum(v) AS s "
+                   "FROM tsx GROUP BY 1 ORDER BY 1").collect()
+    assert [r["s"] for r in rows] == [3, 4]
+    rows = eng.sql("SELECT timeseries(ts,'fifteen_minute') AS b, sum(v) AS s "
+                   "FROM tsx GROUP BY 1 ORDER BY 1").collect()
+    assert [(str(r["b"])[-8:], r["s"]) for r in rows] == [
+        ("10:00:00", 1), ("10:15:00", 2), ("11:00:00", 4)]
+
+
+def test_insegment_scoped_query(eng):
+    eng.sql("INSERT INTO src SELECT * FROM VALUES (9,'z',90.0) t(id,grp,amt)")
+    all_rows = eng.sql("SELECT COUNT(*) AS n FROM src").first()["n"]
+    seg0 = eng.sql("SELECT COUNT(*) AS n FROM src "
+                   "WHERE insegment('0')").first()["n"]
+    assert (all_rows, seg0) == (5, 4)
