@@ -247,6 +247,14 @@ class Table:
             df = df.repartition(bucket_n, *[F.col(c) for c in bucket_cols])
             return df.sortWithinPartitions(*sort_cols) if sort_cols else df
         if scope == "global_sort" and sort_cols:
+            # GLOBAL_SORT_PARTITIONS (docs dml-of-carbondata.md load
+            # option): fix the output file count; range partitioning +
+            # per-partition sort is the same total order as orderBy but
+            # with a deterministic file fan-out for min/max pruning
+            n = int(props.get("global_sort_partitions", 0) or 0)
+            if n > 0:
+                return (df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+                        .sortWithinPartitions(*sort_cols))
             return df.orderBy(*sort_cols)
         if scope == "local_sort" and sort_cols:
             return df.sortWithinPartitions(*sort_cols)
@@ -562,6 +570,14 @@ class Table:
                     df = df.filter(c.isin(list(value)))
                 elif op == "between":
                     df = df.filter(c.between(value[0], value[1]))
+                elif op == "ranges":
+                    # exact re-evaluation is a bucketed hash semi-join
+                    # (see functions.geo.range_list_semi_join); here the
+                    # rows already passed file-level pruning, so a plain
+                    # OR-of-BETWEEN would also be sound but blows up
+                    # codegen for large lists — delegate to the join.
+                    from ..functions.geo import range_list_semi_join
+                    df = range_list_semi_join(df, col, list(value))
                 else:
                     raise ValueError(f"unsupported predicate op {op!r}")
         return df

@@ -150,6 +150,32 @@ def polygon_to_ranges(polygon: list[tuple[float, float]],
 
 # --------------------------------------------------------- exact predicates
 
+def range_list_semi_join(df: DataFrame, geoid_col: str,
+                         ranges: list[tuple[int, int]],
+                         bucket_depth: int = 8,
+                         bits: int = DEFAULT_BITS) -> DataFrame:
+    """Restrict ``df`` to rows whose geoid falls in one of the given
+    DISJOINT quad-tree ranges, as a bucketed broadcast HASH join: one
+    probe on ``geoid >> shift`` per row plus a residual BETWEEN, instead
+    of a broadcast nested-loop join that evaluates every range predicate
+    per row (O(#ranges) comparisons — the reference pushes range lists
+    into its scan for the same reason, GeoHashIndex.java:187).
+
+    Disjointness makes the inner join duplicate-free: at most one range
+    contains any geoid, so no post-join distinct is needed.
+    """
+    shift = 2 * (bits - bucket_depth)
+    rows = [(b, lo, hi)
+            for lo, hi in ranges
+            for b in range(lo >> shift, (hi >> shift) + 1)]
+    rdf = df.sparkSession.createDataFrame(
+        rows, "__b bigint, __lo bigint, __hi bigint")
+    return (df.withColumn("__b", F.shiftright(F.col(geoid_col), shift))
+            .join(F.broadcast(rdf), "__b")
+            .filter(F.col(geoid_col).between(F.col("__lo"), F.col("__hi")))
+            .drop("__b", "__lo", "__hi"))
+
+
 def point_in_polygon(lat: float, lng: float,
                      polygon: list[tuple[float, float]]) -> bool:
     """Driver-side ray cast (even-odd rule)."""

@@ -59,6 +59,17 @@ def file_may_match(f: FileStat, predicates: Sequence[Predicate]) -> bool:
             if hi < mn or lo > mx:
                 return False
             continue
+        if op == "ranges":
+            # disjoint [lo, hi] list (spatial range-list pushdown —
+            # reference GeoHashIndex.java:187 query-by-range-list):
+            # skip the file iff no range overlaps [mn, mx]
+            pairs = [(_norm_value(lo), _norm_value(hi)) for lo, hi in value]
+            if not all(_comparable(mn, lo) and _comparable(mx, hi)
+                       for lo, hi in pairs):
+                continue
+            if all(hi < mn or lo > mx for lo, hi in pairs):
+                return False
+            continue
         if op == "in":
             vals = [_norm_value(x) for x in value]
             if not all(_comparable(mn, x) for x in vals):

@@ -26,6 +26,7 @@ from ..functions.geo import (
     in_polygon_join,
     latlng_to_geoid,
     polygon_to_ranges,
+    range_list_semi_join,
 )
 
 # Derived point cloud: 0.1-degree grid with a 0.05 offset so points
@@ -115,19 +116,17 @@ def _geoid_sql(lat_sql: str, lng_sql: str, bits: int = DEFAULT_BITS) -> str:
     """,
 )
 def geo_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN_POLYGON analogue: geoid range-list pre-filter (quad-tree
-    decomposition, applied as a broadcast range semi-join so the geoid
-    expression is evaluated once per row — an OR-of-BETWEEN over 169
-    ranges blows up Catalyst) + exact convex refinement, codegen'd."""
-    pts = _derived_points(spark, sf_dir).withColumn(
-        "geoid", latlng_to_geoid(F.col("lat"), F.col("lng")))
-    ranges = polygon_to_ranges(_CONVEX_POLY, max_depth=8)
-    rdf = spark.createDataFrame(ranges, "__lo bigint, __hi bigint")
-    return (pts.join(F.broadcast(rdf),
-                     (F.col("geoid") >= F.col("__lo"))
-                     & (F.col("geoid") <= F.col("__hi")), "left_semi")
-            .filter(in_polygon_convex_expr(F.col("lat"), F.col("lng"),
-                                           _CONVEX_POLY))
+    """IN_POLYGON analogue over a computed (non-indexed) geoid: the
+    engine plans the exact convex test directly — pure codegen'd column
+    arithmetic, one pass, no joins. The quad-tree range-list pre-filter
+    only pays when geoid is a STORED sort column whose manifest min/max
+    can skip files (that path is geo_spatial_index_prune); bolting it
+    onto an on-the-fly geoid adds a broadcast join for zero pruning,
+    which is how the reference behaves too (no SPATIAL_INDEX property →
+    plain UDF filter, GeoHashIndex.java:42)."""
+    pts = _derived_points(spark, sf_dir)
+    return (pts.filter(in_polygon_convex_expr(F.col("lat"), F.col("lng"),
+                                              _CONVEX_POLY))
             .groupBy("c_nationkey")
             .agg(F.count("*").alias("n_points"),
                  F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
@@ -176,3 +175,45 @@ def geo_zorder_geoid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("geoid").alias("n_cells"),
                  F.min("geoid").alias("min_geoid"),
                  F.max("geoid").alias("max_geoid")))
+
+
+@query(
+    "geo_spatial_index_prune",
+    oracle=f"""
+    SELECT c_nationkey, count(*) AS n_points
+    FROM customer
+    WHERE {_convex_sql(_CONVEX_POLY, _LAT_SQL, _LNG_SQL)}
+    GROUP BY c_nationkey
+    """,
+)
+def geo_spatial_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored SPATIAL_INDEX path end-to-end (GeoHashIndex.java:
+    42-200): geoid generated at load, table globally sorted on it, the
+    polygon's quad-tree range list pushed as a manifest min/max 'ranges'
+    predicate — the scan must touch FEWER files than a full scan (the
+    assert), then exact convex refinement on the survivors."""
+    import os
+    from ..catalog.table import Table
+    from .lifecycle_queries import _scratch
+
+    pts = _derived_points(spark, sf_dir).withColumn(
+        "geoid", latlng_to_geoid(F.col("lat"), F.col("lng")))
+    t = Table.create(
+        spark, os.path.join(_scratch("geo_sidx", sf_dir), "t"),
+        "c_custkey bigint, c_nationkey int, lat double, lng double, "
+        "geoid bigint",
+        {"sort_columns": ["geoid"], "sort_scope": "global_sort",
+         "global_sort_partitions": 8})
+    t.insert(pts.select("c_custkey", "c_nationkey", "lat", "lng", "geoid"))
+
+    ranges = polygon_to_ranges(_CONVEX_POLY, max_depth=8)
+    pred = [("geoid", "ranges", ranges)]
+    n_pruned = sum(map(len, t.scan_files(pred).values()))
+    n_all = sum(map(len, t.scan_files().values()))
+    assert n_pruned < n_all, \
+        f"range-list pruning kept {n_pruned}/{n_all} files"
+    return (t.read(predicates=pred)
+            .filter(in_polygon_convex_expr(F.col("lat"), F.col("lng"),
+                                           _CONVEX_POLY))
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_points")))

@@ -148,10 +148,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-collided candidates are checked.
     """
     toks = _shingles(_docs(spark, sf_dir)).cache()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # ONE wide shuffle of the token relation: signature mins and the
+    # set size come out of the same doc_id aggregation (vs. a second
+    # full shuffle for a separate sizes groupBy).
     sigs = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
         *[F.min(_md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
           for i in range(_N_HASHES)])
+    sizes = sigs.select("doc_id", "n_tok")
     banded = sigs.select(
         "doc_id",
         *[_md5(F.concat(*[F.col(f"h{i}") for i in band])).alias(f"band{bi}")
