@@ -1,0 +1,124 @@
+"""Physical-plan shape assertions: the properties that make queries
+scale (predicate pushdown to the parquet scan, column pruning,
+broadcast of dimension tables, partial aggregation, top-k without a
+full sort, whole-stage codegen) must be visible in `.explain` output —
+a correct result from a bad plan is a regression at 100 TB even when
+row counts match.
+
+Mirrors what the reference guarantees structurally: pushed filters
+(CarbonFilters.scala:75-250), projection pruning
+(PushDownHelper.scala:27), broadcast SI joins (DMLStrategy.scala:
+172-236), TakeOrderedAndProject (CarbonTakeOrderedAndProjectExec.scala:
+29-86), metadata count(*) (CarbonCountStar.scala:44-108).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_shipdate") > "1998-03-15")
+          .select("l_orderkey", "l_extendedprice"))
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    m = re.search(r"ReadSchema: (.*)", plan_of(df))
+    assert m, "no ReadSchema in plan"
+    schema = m.group(1)
+    assert "l_returnflag" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema and "l_partkey" not in schema
+
+
+@pytest.mark.parametrize("name", [
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q7_volume_shipping", "q10_returned_items",
+])
+def test_dimension_joins_are_broadcast(spark, sf_dir, name):
+    plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"{name} has no broadcast join"
+
+
+def test_fact_fact_join_shuffles_not_broadcasts(spark, sf_dir):
+    # lineitem x orders must NOT broadcast either fact side (it would
+    # OOM at scale; the hint would silently pin it)
+    plan = plan_of(QUERIES["q8_market_share"].fn(spark, sf_dir))
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["q1_pricing_summary"].fn(spark, sf_dir))
+    # two HashAggregates (partial + final) around one exchange
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["q3_shipping_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, \
+        "ORDER BY + LIMIT should not plan a global sort"
+
+
+def test_whole_stage_codegen_covers_scan_filter_agg(spark, sf_dir):
+    # AQE finalizes codegen stages only at execution; run, then inspect.
+    # Codegen'd operators carry the `*(n)` prefix in simple-mode output.
+    df = QUERIES["q6_forecast_revenue"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    spans = set(re.findall(r"\*\((\d+)\)", plan))
+    assert spans, f"no WholeStageCodegen spans:\n{plan[:500]}"
+    # scan-filter-project-partialAgg must fuse into ONE span
+    assert re.search(r"\*\((\d+)\) HashAggregate.*partial_sum", plan)
+    m_f = re.search(r"\*\((\d+)\) Filter", plan)
+    m_a = re.search(r"\*\((\d+)\) HashAggregate\(keys=\[\], functions=\[partial", plan)
+    assert m_f and m_a and m_f.group(1) == m_a.group(1), \
+        "filter and partial aggregate are in different codegen stages"
+
+
+def test_no_python_udf_in_relational_plans(spark, sf_dir):
+    for name in ("q1_pricing_summary", "q5_local_supplier_volume",
+                 "agg_rollup", "window_rank_customers",
+                 "text_token_stats", "text_lang_heuristic"):
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, \
+            f"{name} fell off the JVM into a row-at-a-time Python UDF"
+
+
+def test_count_star_is_metadata_only(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE t (id INT)")
+    eng.sql("INSERT INTO t SELECT * FROM VALUES (1),(2),(3) v(id)")
+    df = eng.sql("SELECT COUNT(*) FROM t")
+    # metadata fast path: the answer is a local one-row DataFrame with
+    # no file scan in its plan
+    assert "FileScan" not in plan_of(df)
+    assert df.first()[0] == 3
+
+
+def test_minhash_has_no_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and \
+           "BroadcastNestedLoopJoin" not in plan, \
+        "LSH candidate generation must stay an equi-join on band keys"
