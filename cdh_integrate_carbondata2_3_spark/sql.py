@@ -230,7 +230,21 @@ class Engine:
             return self._ok(f"segment {seg}")
         if m := _UPDATE_TUPLE.match(text):
             cols = [c.strip() for c in m.group(2).split(",")]
-            vals = [v.strip() for v in m.group(3).split(",")]
+            rhs = m.group(3).strip()
+            # subquery RHS (CarbonSpark2SqlParser.scala:259-300 allows
+            # SET (c1,..) = (SELECT ..)): uncorrelated — evaluate once,
+            # bind the single row's values positionally as literals
+            self._register_views()
+            if rhs.lower().startswith("select"):
+                rows = self.spark.sql(rhs).collect()
+                if len(rows) != 1:
+                    raise ValueError(
+                        f"UPDATE subquery must return exactly 1 row, "
+                        f"got {len(rows)}")
+                vals = [repr(v) if isinstance(v, str) else str(v)
+                        for v in rows[0]]
+            else:
+                vals = [v.strip() for v in rhs.split(",")]
             n = dml.update_rows(self.table(m.group(1)),
                                 dict(zip(cols, vals)), m.group(4) or "true")
             return self._ok(f"updated {n}")
@@ -244,6 +258,7 @@ class Engine:
             self.table(m.group(1)).delete_segment_by_date(ts)
             return self._ok("deleted segments by date")
         if m := _DELETE.match(text):
+            self._register_views()      # WHERE may contain subqueries
             n = dml.delete_rows(self.table(m.group(1)), m.group(2) or "true")
             return self._ok(f"deleted {n}")
         if (m := _UPDATE_PLAIN.match(text)) and "=" in m.group(2):

@@ -180,3 +180,17 @@ def test_insegment_scoped_query(eng):
     seg0 = eng.sql("SELECT COUNT(*) AS n FROM src "
                    "WHERE insegment('0')").first()["n"]
     assert (all_rows, seg0) == (5, 4)
+
+
+def test_update_with_subquery_rhs(eng):
+    # SET (cols) = (SELECT ...) — uncorrelated, bound positionally
+    # (reference CarbonSpark2SqlParser.scala:259-300)
+    eng.sql("UPDATE src SET (grp, amt) = "
+            "(SELECT 'mx', max(amt) * 2 FROM src) WHERE id = 1")
+    row = eng.sql("SELECT grp, amt FROM src WHERE id = 1").first()
+    assert (row["grp"], row["amt"]) == ("mx", 80.0)
+
+
+def test_delete_with_subquery_where(eng):
+    eng.sql("DELETE FROM src WHERE amt >= (SELECT avg(amt) FROM src)")
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 2
