@@ -85,6 +85,10 @@ _CREATE_STREAM = _ci(
     r"STMPROPERTIES\s*\((.*?)\)\s*(?:AS\s+(SELECT\b.*))?$")
 _DROP_STREAM = _ci(r"^\s*DROP\s+STREAM\s+(\w+)\s*$")
 _SHOW_STREAMS = _ci(r"^\s*SHOW\s+STREAMS\s*$")
+_SHOW_TABLES = _ci(r"^\s*SHOW\s+TABLES\s*$")
+_REFRESH_TABLE = _ci(r"^\s*REFRESH\s+TABLE\s+(\w+)\s*$")
+_SHOW_METACACHE = _ci(r"^\s*SHOW\s+METACACHE(?:\s+ON\s+TABLE\s+(\w+))?\s*$")
+_DROP_METACACHE = _ci(r"^\s*DROP\s+METACACHE\s+ON\s+TABLE\s+(\w+)\s*$")
 _EXPLAIN = _ci(r"^\s*EXPLAIN\s+(SELECT\b.*)$")
 _DESCRIBE = _ci(r"^\s*DESC(?:RIBE)?\s+(FORMATTED\s+)?(\w+)\s*$")
 _COUNT_STAR = _ci(r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(\w+)\s*)?"
@@ -362,6 +366,35 @@ class Engine:
             return self._df(
                 [(r["name"], r["source"], r["sink"], r["status"]) for r in rows],
                 "name string, source string, sink string, status string")
+        if _SHOW_TABLES.match(text):
+            return self._df([(t,) for t in self.tables()],
+                            "table_name string")
+        if m := _REFRESH_TABLE.match(text):
+            # metadata re-sync (RefreshCarbonTableCommand analogue):
+            # re-read the manifest and rebind the catalog view
+            name = m.group(1)
+            self.table(name).read().createOrReplaceTempView(name)
+            return self._ok(f"refreshed {name}")
+        if m := _SHOW_METACACHE.match(text):
+            names = [m.group(1)] if m.group(1) else self.tables()
+            rows = []
+            for name in names:
+                t = self.table(name)
+                doc = t.manifest.load()
+                mpath = os.path.join(t.table_dir, "_meta")
+                mbytes = sum(os.path.getsize(os.path.join(mpath, f))
+                             for f in os.listdir(mpath)) \
+                    if os.path.isdir(mpath) else 0
+                rows.append((name, len(doc.get("segments", [])),
+                             sum(len(s["files"]) for s in doc["segments"]),
+                             len(t.indexes.show()), mbytes))
+            return self._df(rows, "table string, n_segments int, "
+                                  "n_files int, n_indexes int, meta_bytes bigint")
+        if m := _DROP_METACACHE.match(text):
+            # our manifests are read per-operation (nothing pinned on the
+            # driver); evict any Spark-side cached scan of the table
+            self.spark.catalog.clearCache()
+            return self._ok(f"dropped cache for {m.group(1)}")
         if m := _EXPLAIN.match(text):
             return self._explain(m.group(1))
         if m := _DESCRIBE.match(text):

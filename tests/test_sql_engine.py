@@ -194,3 +194,16 @@ def test_update_with_subquery_rhs(eng):
 def test_delete_with_subquery_where(eng):
     eng.sql("DELETE FROM src WHERE amt >= (SELECT avg(amt) FROM src)")
     assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 2
+
+
+def test_show_tables_refresh_metacache(eng):
+    assert [r["table_name"] for r in eng.sql("SHOW TABLES").collect()] == ["src"]
+    eng.sql("REFRESH TABLE src")
+    rows = eng.sql("SHOW METACACHE").collect()
+    assert rows[0]["table"] == "src" and rows[0]["n_segments"] == 1 \
+        and rows[0]["meta_bytes"] > 0
+    eng.sql("CREATE INDEX si_g ON TABLE src (grp) AS 'carbondata'")
+    row = eng.sql("SHOW METACACHE ON TABLE src").first()
+    assert row["n_indexes"] == 1
+    eng.sql("DROP METACACHE ON TABLE src")
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 4
