@@ -85,6 +85,12 @@ _CREATE_STREAM = _ci(
     r"STMPROPERTIES\s*\((.*?)\)\s*(?:AS\s+(SELECT\b.*))?$")
 _DROP_STREAM = _ci(r"^\s*DROP\s+STREAM\s+(\w+)\s*$")
 _SHOW_STREAMS = _ci(r"^\s*SHOW\s+STREAMS\s*$")
+_MERGE = _ci(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.*)$")
+_MERGE_WHEN = _ci(
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+(.+?)\s*"
+    r"(?=WHEN\s+(?:NOT\s+)?MATCHED|$)")
 _SHOW_TABLES = _ci(r"^\s*SHOW\s+TABLES\s*$")
 _REFRESH_TABLE = _ci(r"^\s*REFRESH\s+TABLE\s+(\w+)\s*$")
 _SHOW_METACACHE = _ci(r"^\s*SHOW\s+METACACHE(?:\s+ON\s+TABLE\s+(\w+))?\s*$")
@@ -366,6 +372,8 @@ class Engine:
             return self._df(
                 [(r["name"], r["source"], r["sink"], r["status"]) for r in rows],
                 "name string, source string, sink string, status string")
+        if m := _MERGE.match(text):
+            return self._merge_sql(*m.groups())
         if _SHOW_TABLES.match(text):
             return self._df([(t,) for t in self.tables()],
                             "table_name string")
@@ -446,6 +454,67 @@ class Engine:
                     int(x) for x in m.group(1).replace(",", " ").split()]
                 text = _INSEGMENT_FN.sub("TRUE", text)
         return text, seg_scope
+
+    # --------------------------------------------------------------- merge
+
+    def _merge_sql(self, tname: str, talias: str | None, sname: str,
+                   salias: str | None, cond: str, clauses: str) -> DataFrame:
+        """MERGE INTO SQL (reference ANTLR grammar CarbonSqlBase.g4:
+        133-146) lowered onto the programmatic MergeBuilder. User
+        aliases are rebound to the builder's internal tgt/src aliases."""
+        def norm(s: str) -> str:
+            for al, rep in ((talias or tname, "tgt"), (salias or sname, "src")):
+                s = re.sub(rf"\b{re.escape(al)}\s*\.", f"{rep}.", s,
+                           flags=re.IGNORECASE)
+            return s
+
+        def split_top(s: str) -> list[str]:
+            parts, depth, cur = [], 0, []
+            for ch in s:
+                if ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                else:
+                    depth += {"(": 1, ")": -1}.get(ch, 0)
+                    cur.append(ch)
+            parts.append("".join(cur))
+            return [p.strip() for p in parts if p.strip()]
+
+        b = merge_ops.merge(self.table(tname), self.table(sname).read(),
+                            norm(cond))
+        for neg, ccond, act in _MERGE_WHEN.findall(clauses):
+            cb = (b.when_not_matched(norm(ccond) if ccond else None) if neg
+                  else b.when_matched(norm(ccond) if ccond else None))
+            a = act.strip().rstrip(";").strip()
+            u = a.upper()
+            if u == "DELETE":
+                cb.delete()
+            elif re.fullmatch(r"UPDATE\s+SET\s+\*", a, re.IGNORECASE):
+                cb.update_all()
+            elif u.startswith("UPDATE"):
+                body = re.sub(r"^UPDATE\s+SET\s+", "", a, flags=re.IGNORECASE)
+                sets = {}
+                for kv in split_top(body):
+                    k, v = kv.split("=", 1)
+                    sets[k.strip().split(".")[-1]] = norm(v.strip())
+                cb.update_expr(sets)
+            elif re.fullmatch(r"INSERT\s+\*", a, re.IGNORECASE):
+                cb.insert_all()
+            elif u.startswith("INSERT"):
+                mi = re.match(r"INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*$",
+                              a, re.IGNORECASE | re.DOTALL)
+                if not mi:
+                    raise ValueError(f"cannot parse MERGE action {a!r}")
+                cols = [c.strip().split(".")[-1]
+                        for c in split_top(mi.group(1))]
+                vals = [norm(v) for v in split_top(mi.group(2))]
+                cb.insert_expr(dict(zip(cols, vals)))
+            else:
+                raise ValueError(f"cannot parse MERGE action {a!r}")
+        st = b.execute()
+        return self._df(
+            [(st.updated, st.deleted, st.inserted)],
+            "updated bigint, deleted bigint, inserted bigint")
 
     # --------------------------------------------------------------- helpers
 

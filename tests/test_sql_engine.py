@@ -207,3 +207,33 @@ def test_show_tables_refresh_metacache(eng):
     assert row["n_indexes"] == 1
     eng.sql("DROP METACACHE ON TABLE src")
     assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 4
+
+
+def test_merge_into_sql(eng):
+    # reference ANTLR MERGE grammar (CarbonSqlBase.g4:133-146)
+    eng.sql("CREATE TABLE delta (id INT, grp STRING, amt DOUBLE)")
+    eng.sql("INSERT INTO delta SELECT * FROM VALUES "
+            "(1,'a',100.0),(3,'X',0.0),(9,'new',9.0) t(id,grp,amt)")
+    res = eng.sql(
+        "MERGE INTO src AS t USING delta AS d ON t.id = d.id "
+        "WHEN MATCHED AND d.grp = 'X' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET amt = d.amt, grp = t.grp "
+        "WHEN NOT MATCHED THEN INSERT (id, grp, amt) "
+        "VALUES (d.id, d.grp, d.amt)").first()
+    assert (res["updated"], res["deleted"], res["inserted"]) == (1, 1, 1)
+    rows = {r["id"]: (r["grp"], r["amt"]) for r in
+            eng.sql("SELECT * FROM src").collect()}
+    assert rows[1] == ("a", 100.0)      # updated amt, kept grp
+    assert 3 not in rows                # deleted
+    assert rows[9] == ("new", 9.0)      # inserted
+    assert rows[2] == ("a", 20.0) and rows[4] == ("b", 40.0)
+
+
+def test_merge_into_sql_update_star(eng):
+    eng.sql("CREATE TABLE d2 (id INT, grp STRING, amt DOUBLE)")
+    eng.sql("INSERT INTO d2 SELECT * FROM VALUES (2,'zz',222.0) t(id,grp,amt)")
+    eng.sql("MERGE INTO src USING d2 ON src.id = d2.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    row = eng.sql("SELECT grp, amt FROM src WHERE id = 2").first()
+    assert (row["grp"], row["amt"]) == ("zz", 222.0)
