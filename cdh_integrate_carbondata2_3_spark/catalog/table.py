@@ -410,6 +410,60 @@ class Table:
         self.manifest.update(mutate)
         return self.manifest.next_segment_id() - 1
 
+    # ----------------------------------------------------- hive partitions
+
+    def show_partitions(self) -> list[dict[str, str]]:
+        """Distinct hive-partition value sets across queryable files
+        (reference CarbonShowCarbonPartitionsCommand)."""
+        seen: list[dict[str, str]] = []
+        part_cols = self.manifest.properties().get("partition_by") or []
+        for seg in self.manifest.queryable_segments():
+            for f in seg.files:
+                spec = {c: f.partition[c] for c in part_cols
+                        if c in f.partition}
+                if spec and spec not in seen:
+                    seen.append(spec)
+        return sorted(seen, key=lambda d: sorted(d.items()))
+
+    def add_partition(self, spec: dict[str, str], location: str,
+                      fmt: str = "parquet") -> int:
+        """ALTER TABLE ADD PARTITION (reference
+        CarbonAlterTableAddHivePartitionCommand.scala): register an
+        external folder as one segment whose files all carry the given
+        partition values (no copy)."""
+        seg_id = self.add_segment(location, fmt=fmt)
+
+        def mutate(doc: dict) -> None:
+            for s in doc["segments"]:
+                if s["id"] == seg_id:
+                    for f in s["files"]:
+                        f.setdefault("partition", {}).update(
+                            {k: str(v) for k, v in spec.items()})
+
+        self.manifest.update(mutate)
+        return seg_id
+
+    def drop_partition(self, spec: dict[str, str]) -> int:
+        """ALTER TABLE DROP PARTITION: logically remove every file whose
+        partition values match the spec (physical removal is CLEAN
+        FILES, same split as segment deletes)."""
+        dropped = 0
+
+        def mutate(doc: dict) -> None:
+            nonlocal dropped
+            for s in doc["segments"]:
+                kept = []
+                for f in s["files"]:
+                    p = f.get("partition", {})
+                    if all(p.get(k) == str(v) for k, v in spec.items()):
+                        dropped += 1
+                    else:
+                        kept.append(f)
+                s["files"] = kept
+
+        self.manifest.update(mutate)
+        return dropped
+
     def truncate(self) -> None:
         """TRUNCATE TABLE (reference CarbonTruncateCommand)."""
         def mutate(doc: dict) -> None:
@@ -516,14 +570,22 @@ class Table:
             fills = tuple(sorted(
                 (c, spec["before_seg"], spec["value"])
                 for c, spec in defaults.items() if seg.id < spec["before_seg"]))
-            groups.setdefault((seg.format, fills), []).extend(
+            # external segments of a partitioned table (ADD PARTITION
+            # LOCATION ...) carry partition values only in the manifest,
+            # not as hive dirs — inject them as literal columns at read
+            ext_spec: tuple = ()
+            if partitioned and seg.external_path and kept:
+                pcols = self.manifest.properties().get("partition_by") or []
+                ext_spec = tuple((c, kept[0].partition[c])
+                                 for c in pcols if c in kept[0].partition)
+            groups.setdefault((seg.format, fills, ext_spec), []).extend(
                 self._abs(f.path) for f in kept)
 
         dfs: list[DataFrame] = []
-        for (fmt, fills), files in groups.items():
+        for (fmt, fills, ext_spec), files in groups.items():
             if fmt == "parquet":
                 reader = self.spark.read
-                if partitioned:
+                if partitioned and not ext_spec:
                     # recover hive-style partition columns from paths
                     reader = reader.option("basePath", self.table_dir)
                 if doc.get("schema_evolved"):
@@ -541,6 +603,8 @@ class Table:
                 part = self.spark.read.json(files)
             else:
                 raise ValueError(f"unsupported segment format {fmt}")
+            for c, v in ext_spec:
+                part = part.withColumn(c, F.lit(v))
             dfs.append(self._align_to_schema(
                 part, {c: v for c, _, v in fills}))
         if not dfs:

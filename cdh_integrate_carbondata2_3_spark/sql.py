@@ -68,6 +68,20 @@ _ALTER_CHANGE = _ci(
 _ALTER_FINISH_STREAMING = _ci(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+FINISH\s+STREAMING\s*$")
 _TRUNCATE = _ci(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$")
+_ADD_PARTITION = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+PARTITION\s*\((.*?)\)\s+"
+    r"LOCATION\s+'([^']+)'\s*$")
+_DROP_PARTITION = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s*\((.*?)\)\s*$")
+_SHOW_PARTITIONS = _ci(r"^\s*SHOW\s+PARTITIONS\s+(\w+)\s*$")
+
+
+def _parse_part_spec(s: str) -> dict[str, str]:
+    spec = {}
+    for kv in s.split(","):
+        k, _, v = kv.partition("=")
+        spec[k.strip()] = v.strip().strip("'\"")
+    return spec
 _CREATE_INDEX = _ci(
     r"^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*\(([^)]+)\)\s+"
     r"AS\s+'(\w+)'\s*(?:PROPERTIES\s*\((.*?)\))?\s*$")
@@ -319,6 +333,20 @@ class Engine:
         if m := _TRUNCATE.match(text):
             self.table(m.group(1)).truncate()
             return self._ok("truncated")
+        if m := _ADD_PARTITION.match(text):
+            seg = self.table(m.group(1)).add_partition(
+                _parse_part_spec(m.group(2)), m.group(3))
+            return self._ok(f"added partition as segment {seg}")
+        if m := _DROP_PARTITION.match(text):
+            n = self.table(m.group(1)).drop_partition(
+                _parse_part_spec(m.group(2)))
+            return self._ok(f"dropped {n} files")
+        if m := _SHOW_PARTITIONS.match(text):
+            parts = self.table(m.group(1)).show_partitions()
+            return self._df(
+                [(", ".join(f"{k}={v}" for k, v in sorted(p.items())),)
+                 for p in parts],
+                "partition string")
         if m := _CREATE_INDEX.match(text):
             t, cols = self.table(m.group(2)), \
                 [c.strip() for c in m.group(3).split(",")]

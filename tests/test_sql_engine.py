@@ -237,3 +237,29 @@ def test_merge_into_sql_update_star(eng):
             "WHEN NOT MATCHED THEN INSERT *")
     row = eng.sql("SELECT grp, amt FROM src WHERE id = 2").first()
     assert (row["grp"], row["amt"]) == ("zz", 222.0)
+
+
+def test_hive_partition_commands(eng, spark, tmp_path):
+    eng.sql("CREATE TABLE pt (id INT, v DOUBLE, region STRING) "
+            "TBLPROPERTIES('partition_by'='region')")
+    eng.sql("INSERT INTO pt SELECT * FROM VALUES "
+            "(1,1.0,'eu'),(2,2.0,'us'),(3,3.0,'eu') t(id,v,region)")
+    parts = [r["partition"] for r in eng.sql("SHOW PARTITIONS pt").collect()]
+    assert parts == ["region=eu", "region=us"]
+
+    # ADD PARTITION LOCATION: external parquet without hive dirs; the
+    # partition value comes from the manifest at read time
+    ext = str(tmp_path / "ext_asia")
+    spark.createDataFrame([(7, 7.0)], "id int, v double") \
+        .write.parquet(ext)
+    eng.sql(f"ALTER TABLE pt ADD PARTITION (region='asia') LOCATION '{ext}'")
+    rows = {r["id"]: r["region"] for r in eng.sql("SELECT * FROM pt").collect()}
+    assert rows[7] == "asia" and len(rows) == 4
+    assert eng.sql("SELECT COUNT(*) AS n FROM pt WHERE region='asia'") \
+        .first()["n"] == 1
+
+    eng.sql("ALTER TABLE pt DROP PARTITION (region='eu')")
+    left = sorted(r["id"] for r in eng.sql("SELECT * FROM pt").collect())
+    assert left == [2, 7]
+    parts = [r["partition"] for r in eng.sql("SHOW PARTITIONS pt").collect()]
+    assert parts == ["region=asia", "region=us"]
