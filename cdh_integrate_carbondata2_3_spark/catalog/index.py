@@ -12,9 +12,17 @@ Reference parity (SURVEY.md §2.11):
   BloomCoarseGrainIndex.java:70-134, BLOOM_SIZE/BLOOM_FPP). Ours:
   per-FILE bloom sidecars built distributed (applyInPandas per file)
   and evaluated on the driver.
-- REFRESH INDEX / DROP INDEX / SHOW INDEXES; cost-based choice =
-  intersect all applicable indexes (fewest-files wins automatically —
-  reference CarbonCostBasedOptimizer.java:37).
+- ``CREATE INDEX ... AS 'lucene'`` — fine-grain full-text index
+  answering ``text_match('field:term*')`` (reference: index/lucene/
+  .../LuceneFineGrainIndex.java:63-204, docs index/lucene-index-guide
+  .md). Ours: a token→file inverted-postings parquet (whitespace
+  tokens, matching the RLIKE refinement semantics in sql.py); query
+  terms intersect postings to a candidate file set, Spark's RLIKE
+  re-evaluates exactly. Scoring/relevance is out of scope, pruning is
+  the contract.
+- REFRESH INDEX / REINDEX / REGISTER / DROP INDEX / SHOW INDEXES;
+  cost-based choice = intersect all applicable indexes (fewest-files
+  wins automatically — reference CarbonCostBasedOptimizer.java:37).
 
 Soundness with stale indexes: each index records the max segment id
 it covers (watermark). Files from newer segments are never pruned by
@@ -100,13 +108,34 @@ class IndexManager:
             raise FileExistsError(f"index {name} exists")
         self._build_bloom(name, columns, m_bits, k)
 
+    def create_fts_index(self, name: str, columns: list[str]) -> None:
+        """CREATE INDEX name ON table (columns) AS 'lucene'."""
+        if os.path.exists(_meta_path(self.table.table_dir, name)):
+            raise FileExistsError(f"index {name} exists")
+        self._build_fts(name, columns)
+
     def refresh(self, name: str) -> None:
         """REFRESH INDEX — rebuild to cover all current segments."""
         meta = self._load_meta(name)
         if meta["type"] == "si":
             self._build_si(name, meta["columns"])
+        elif meta["type"] == "fts":
+            self._build_fts(name, meta["columns"])
         else:
             self._build_bloom(name, meta["columns"], meta["m_bits"], meta["k"])
+
+    def repair(self, name: str | None = None) -> list[str]:
+        """REINDEX [INDEX TABLE name] ON table — rebuild stale indexes
+        (watermark below the newest segment). Returns rebuilt names."""
+        wm = self._watermark()
+        rebuilt = []
+        for m in self.show():
+            if name is not None and m["name"] != name:
+                continue
+            if m["watermark_segment"] < wm:
+                self.refresh(m["name"])
+                rebuilt.append(m["name"])
+        return rebuilt
 
     def drop(self, name: str) -> None:
         p = _meta_path(self.table.table_dir, name)
@@ -148,6 +177,31 @@ class IndexManager:
         # SI itself (the reference sorts SI tables the same way)
         df.sort(*columns).coalesce(1).write.mode("overwrite").parquet(idx_dir)
         self._save_meta({"name": name, "type": "si", "columns": columns,
+                         "watermark_segment": wm})
+
+    def _build_fts(self, name: str, columns: list[str]) -> None:
+        """Token→file inverted postings: whitespace tokens (the same
+        tokenization the text_match RLIKE refinement uses), distinct per
+        file, sorted by (col, tok) so the postings parquet itself prunes
+        by row-group min/max on lookup."""
+        wm = self._watermark()
+        idx_dir = _index_dir(self.table.table_dir, name)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        base = (self.table.read()
+                .withColumn("_file", F.input_file_name())
+                .withColumn("_file", F.expr("replace(_file, 'file://', '')")))
+        posts = None
+        for col in columns:
+            p = (base.select(
+                    F.lit(col).alias("col"),
+                    F.explode(F.split(F.col(col).cast("string"),
+                                      r"\s+")).alias("tok"),
+                    "_file")
+                 .filter(F.col("tok") != ""))
+            posts = p if posts is None else posts.unionByName(p)
+        (posts.distinct().sort("col", "tok")
+         .coalesce(1).write.mode("overwrite").parquet(idx_dir))
+        self._save_meta({"name": name, "type": "fts", "columns": columns,
                          "watermark_segment": wm})
 
     def _build_bloom(self, name: str, columns: list[str],
@@ -200,13 +254,20 @@ class IndexManager:
         allowed: set[str] | None = None
         for meta in map(self._load_meta, [m["name"] for m in self.show()]):
             for col, op, value in predicates:
-                if op not in _INDEXABLE_OPS or col not in meta["columns"]:
+                if col not in meta["columns"]:
                     continue
-                values = [value] if op == "=" else list(value)
-                if meta["type"] == "si":
-                    files = self._si_lookup(meta, col, values)
+                if meta["type"] == "fts":
+                    if op != "text_match":
+                        continue
+                    files = self._fts_lookup(meta, col, list(value))
+                elif op in _INDEXABLE_OPS:
+                    values = [value] if op == "=" else list(value)
+                    if meta["type"] == "si":
+                        files = self._si_lookup(meta, col, values)
+                    else:
+                        files = self._bloom_lookup(meta, col, values)
                 else:
-                    files = self._bloom_lookup(meta, col, values)
+                    continue
                 above_wm = {
                     self.table._abs(f.path)
                     for s in self.table.manifest.queryable_segments()
@@ -221,6 +282,32 @@ class IndexManager:
         t = pq.read_table(idx_dir, columns=[col, "_file"],
                           filters=[(col, "in", values)])
         return {os.path.abspath(p) for p in t.column("_file").to_pylist()}
+
+    def _fts_lookup(self, meta: dict, col: str,
+                    terms: list[str]) -> set[str]:
+        """Files that may contain ALL the given terms (conjunctive
+        text_match). A trailing ``*`` is a prefix wildcard; ``?`` terms
+        are not prunable and act as match-anything."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        idx_dir = _index_dir(self.table.table_dir, meta["name"])
+        t = pq.read_table(idx_dir, columns=["tok", "_file"],
+                          filters=[("col", "=", col)])
+        allowed: set[str] | None = None
+        for term in terms:
+            if "?" in term or (term.count("*") - term.endswith("*")) > 0:
+                continue                    # not prunable → no constraint
+            if term.endswith("*"):
+                mask = pc.starts_with(t.column("tok"), term[:-1])
+            else:
+                mask = pc.equal(t.column("tok"), term)
+            files = {os.path.abspath(p)
+                     for p in t.filter(mask).column("_file").to_pylist()}
+            allowed = files if allowed is None else (allowed & files)
+        return allowed if allowed is not None else {
+            os.path.abspath(self.table._abs(f.path))
+            for s in self.table.manifest.queryable_segments()
+            for f in s.files}
 
     def _bloom_lookup(self, meta: dict, col: str, values: list[Any]) -> set[str]:
         out = set()

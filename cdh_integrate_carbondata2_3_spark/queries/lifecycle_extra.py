@@ -96,6 +96,35 @@ def table_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("o_totalprice").cast("double").alias("sum_price")))
 
 
+@query("table_fts_text_match", oracle="""
+SELECT doc_id, n_chars
+FROM documents
+WHERE regexp_matches(text, '(^| )hash($| )')
+  AND regexp_matches(text, '(^| )vector($| )')
+""")
+def table_fts_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-equivalent full-text index end-to-end: documents loaded
+    into a segmented table, a token→file postings index built
+    (CREATE INDEX ... AS 'lucene'), and a conjunctive text_match
+    answered through postings-intersection file pruning + exact RLIKE
+    refinement (reference LuceneFineGrainIndex.java:63-204)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "n_chars"))
+    t = Table.create(spark, _scratch("fts", sf_dir),
+                     "doc_id bigint, text string, n_chars bigint")
+    t.insert(docs.filter(F.col("doc_id") % 2 == 0))
+    t.insert(docs.filter(F.col("doc_id") % 2 == 1))
+    t.indexes.create_fts_index("ft_text", ["text"])
+    preds = [("text", "text_match", ["hash", "vector"])]
+    pruned = sum(map(len, t.scan_files(preds).values()))
+    full = sum(map(len, t.scan_files().values()))
+    assert pruned <= full, "FTS pruning must never add files"
+    return (t.read(predicates=preds, apply_predicates=False)
+            .filter(F.col("text").rlike(r"(^|\s)hash($|\s)")
+                    & F.col("text").rlike(r"(^|\s)vector($|\s)"))
+            .select("doc_id", "n_chars"))
+
+
 @query("complex_array_functions", oracle="""
 SELECT label,
        CAST(MAX(len(list_filter(embedding, x -> x > 0))) AS INT) AS max_pos,

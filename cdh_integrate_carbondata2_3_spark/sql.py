@@ -88,6 +88,12 @@ _CREATE_INDEX = _ci(
 _DROP_INDEX = _ci(
     r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
 _SHOW_INDEXES = _ci(r"^\s*SHOW\s+INDEXES\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
+# REINDEX [INDEX TABLE name] ON table / REGISTER INDEX TABLE name ON table
+# (reference CarbonSpark2SqlParser.scala:750-780)
+_REINDEX = _ci(
+    r"^\s*REINDEX(?:\s+INDEX\s+TABLE\s+(\w+))?\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
+_REGISTER_INDEX = _ci(
+    r"^\s*REGISTER\s+INDEX\s+TABLE\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
 _CREATE_MV = _ci(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*"
     r"(WITH\s+DEFERRED\s+REFRESH\s+)?AS\s+(SELECT\b.*)$")
@@ -355,10 +361,22 @@ class Engine:
                 t.indexes.create_secondary_index(m.group(1), cols)
             elif kind == "bloomfilter":
                 t.indexes.create_bloom_index(m.group(1), cols)
+            elif kind == "lucene":
+                t.indexes.create_fts_index(m.group(1), cols)
             else:
-                raise ValueError(f"unsupported index kind {kind!r} "
-                                 "(lucene: out of scope, use rlike)")
+                raise ValueError(f"unsupported index kind {kind!r}")
             return self._ok(f"index {m.group(1)}")
+        if m := _REINDEX.match(text):
+            rebuilt = self.table(m.group(2)).indexes.repair(m.group(1))
+            return self._ok(f"reindexed {','.join(rebuilt) or '(none stale)'}")
+        if m := _REGISTER_INDEX.match(text):
+            # re-attach an existing index table after metadata refresh
+            # (reference RegisterIndexTableCommand): validate + repair
+            t = self.table(m.group(2))
+            if not any(i["name"] == m.group(1) for i in t.indexes.show()):
+                raise FileNotFoundError(f"index {m.group(1)} not found")
+            t.indexes.repair(m.group(1))
+            return self._ok(f"registered index {m.group(1)}")
         if m := _DROP_INDEX.match(text):
             self.table(m.group(2)).indexes.drop(m.group(1))
             return self._ok(f"dropped index {m.group(1)}")
@@ -447,10 +465,21 @@ class Engine:
         # MV rewrite fast path, then plain Spark SQL over views
         if (df := self._try_mv_rewrite(text)) is not None:
             return df
-        text, seg_scope = self._rewrite_udf_surface(text)
+        text, seg_scope, fts_preds = self._rewrite_udf_surface(text)
         self._register_views()
         for tname, segs in seg_scope.items():
             self.table(tname).read(segments=segs).createOrReplaceTempView(tname)
+        if fts_preds:
+            # rebind the queried table through the FTS candidate file set
+            # (files not containing every required token are skipped)
+            ft = _FROM_TABLE.search(text)
+            if ft and ft.group(1) in self.tables() \
+                    and ft.group(1) not in seg_scope:
+                t = self.table(ft.group(1))
+                if any(m["type"] == "fts" for m in t.indexes.show()):
+                    t.read(predicates=fts_preds,
+                           apply_predicates=False).createOrReplaceTempView(
+                               ft.group(1))
         return self.spark.sql(text)
 
     def _rewrite_udf_surface(self, text: str) -> tuple[str, dict[str, list[int]]]:
@@ -461,6 +490,7 @@ class Engine:
         JVM-side — no Python UDF in the query plan."""
         from .functions.timeseries import GRANULARITIES
         text = _strip_ni(text)
+        fts_preds = self._fts_prune_predicates(text)
         text = _TEXT_MATCH_FN.sub(lambda m: _lucene_to_sql(m.group(1)), text)
 
         def _ts(m: re.Match) -> str:
@@ -481,7 +511,26 @@ class Engine:
                 seg_scope[ft.group(1)] = [
                     int(x) for x in m.group(1).replace(",", " ").split()]
                 text = _INSEGMENT_FN.sub("TRUE", text)
-        return text, seg_scope
+        return text, seg_scope, fts_preds
+
+    def _fts_prune_predicates(self, text: str) -> list[tuple]:
+        """If the query's single text_match() is a pure conjunction of
+        positive terms (no OR/NOT anywhere that could make file pruning
+        unsound), return [(field, 'text_match', [terms...])] predicates
+        for the scan; else []. The RLIKE rewrite always re-evaluates
+        exactly — pruning only skips files (Lucene coarse candidate set,
+        reference LuceneFineGrainIndex.java:204)."""
+        calls = _TEXT_MATCH_FN.findall(text)
+        if len(calls) != 1 or re.search(r"\b(OR|NOT)\b", text, re.IGNORECASE):
+            return []
+        by_field: dict[str, list[str]] = {}
+        for part in re.split(r"\s+AND\s+", calls[0].strip(),
+                             flags=re.IGNORECASE):
+            m = re.match(r"^([\w.]+):(\S+)$", part.strip())
+            if not m:
+                return []
+            by_field.setdefault(m.group(1), []).append(m.group(2))
+        return [(f, "text_match", terms) for f, terms in by_field.items()]
 
     # --------------------------------------------------------------- merge
 

@@ -79,6 +79,55 @@ def test_in_predicate_uses_index(spark, table):
     assert table.read([("city", "in", ["city_5", "city_6"])]).count() == 12
 
 
+@pytest.fixture()
+def docs_table(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "docs"),
+                     "doc_id bigint, body string", {})
+    rows1 = [(i, f"alpha common w{i}") for i in range(50)]
+    rows2 = [(i, f"bravo common w{i}") for i in range(50, 100)]
+    t.insert(spark.createDataFrame(rows1, "doc_id bigint, body string"))
+    t.insert(spark.createDataFrame(rows2, "doc_id bigint, body string"))
+    return t
+
+
+def test_fts_index_prunes_and_matches(spark, docs_table):
+    t = docs_table
+    total = _nfiles(t, None)
+    t.indexes.create_fts_index("ft_body", ["body"])
+    # 'alpha' lives only in segment 0 → its files prune away the rest
+    n = _nfiles(t, [("body", "text_match", ["alpha"])])
+    assert 0 < n < total
+    # prefix wildcard: w5* matches w5, w50..w59 (both segments' files)
+    pref_files = t.scan_files([("body", "text_match", ["w5*"])])
+    pref = sum(len(v) for v in pref_files.values())
+    assert 0 < pref <= total
+    got = t.read([("body", "text_match", ["w5*"])], apply_predicates=False)
+    assert got.filter("body rlike '(^| )w5[0-9]?($| )'").count() == 11
+    # conjunction intersects postings
+    both = _nfiles(t, [("body", "text_match", ["alpha", "w7"])])
+    assert 0 < both <= n
+    # absent term prunes everything
+    assert _nfiles(t, [("body", "text_match", ["zulu"])]) == 0
+    # exact rows (pruning is a skip, not the filter)
+    got = t.read([("body", "text_match", ["alpha"])],
+                 apply_predicates=False)
+    assert got.filter("body like 'alpha %'").count() == 50
+
+
+def test_fts_stale_segment_soundness(spark, docs_table):
+    t = docs_table
+    t.indexes.create_fts_index("ft_body", ["body"])
+    t.insert(spark.createDataFrame([(999, "alpha late")],
+                                   "doc_id bigint, body string"))
+    # post-index segment must never be pruned away
+    files = t.scan_files([("body", "text_match", ["charlie"])])
+    n_new = sum(len(v) for v in files.values())
+    assert n_new >= 1                      # the late segment survives
+    rebuilt = t.indexes.repair()
+    assert rebuilt == ["ft_body"]
+    assert t.indexes.repair() == []        # now fresh → no-op
+
+
 def test_show_and_drop(spark, table):
     table.indexes.create_secondary_index("si_city", ["city"])
     table.indexes.create_bloom_index("bf_age", ["age"])

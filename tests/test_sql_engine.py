@@ -159,6 +159,35 @@ def test_text_match_rlike_fallback(eng):
     assert sorted(r["id"] for r in rows) == [1, 3]
 
 
+def test_text_match_with_lucene_index(eng):
+    eng.sql("CREATE TABLE ftd (id INT, body STRING)")
+    eng.sql("INSERT INTO ftd SELECT * FROM VALUES "
+            "(1,'alpha scan fast'),(2,'bravo scan') t(id,body)")
+    eng.sql("INSERT INTO ftd SELECT * FROM VALUES "
+            "(3,'charlie walk slow') t(id,body)")
+    eng.sql("CREATE INDEX ft ON TABLE ftd (body) AS 'lucene'")
+    assert any(r["type"] == "fts"
+               for r in eng.sql("SHOW INDEXES ON ftd").collect())
+    rows = eng.sql("SELECT id FROM ftd WHERE text_match('body:scan') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    rows = eng.sql("SELECT id FROM ftd WHERE "
+                   "text_match('body:alpha AND body:fast')").collect()
+    assert [r["id"] for r in rows] == [1]
+    # stale index must not hide a post-index load
+    eng.sql("INSERT INTO ftd SELECT * FROM VALUES (4,'alpha late') t(id,body)")
+    rows = eng.sql("SELECT id FROM ftd WHERE text_match('body:alpha') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 4]
+    eng.sql("REINDEX ON TABLE ftd")
+    rows = eng.sql("SELECT id FROM ftd WHERE text_match('body:alpha') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 4]
+    eng.sql("REGISTER INDEX TABLE ft ON ftd")
+    with pytest.raises(FileNotFoundError):
+        eng.sql("REGISTER INDEX TABLE nope ON ftd")
+
+
 def test_timeseries_rewrite(eng):
     eng.sql("CREATE TABLE tsx (ts TIMESTAMP, v INT)")
     eng.sql("INSERT INTO tsx SELECT * FROM VALUES "
