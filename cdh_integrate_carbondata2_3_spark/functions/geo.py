@@ -148,6 +148,69 @@ def polygon_to_ranges(polygon: list[tuple[float, float]],
     return merged
 
 
+def ranges_union(lists: list[list[tuple[int, int]]]) -> list[tuple[int, int]]:
+    """Union of inclusive range lists (reference PolygonRangeListExpression
+    'OR' — spatial-index-guide.md range-list ops). Result is sorted and
+    disjoint."""
+    flat = sorted(r for lst in lists for r in lst)
+    merged: list[tuple[int, int]] = []
+    for lo, hi in flat:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def ranges_intersect(a: list[tuple[int, int]],
+                     b: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Intersection of two sorted disjoint inclusive range lists
+    (reference range-list 'AND'). Two-pointer sweep, O(|a|+|b|)."""
+    out: list[tuple[int, int]] = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo <= hi:
+            out.append((lo, hi))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def combine_range_lists(lists: list[list[tuple[int, int]]],
+                        op: str = "OR") -> list[tuple[int, int]]:
+    """IN_POLYGON_RANGE_LIST's opType: 'OR' = union, 'AND' =
+    intersection of all lists (docs spatial-index-guide.md)."""
+    if op.upper() == "OR":
+        return ranges_union(lists)
+    if op.upper() == "AND":
+        out = ranges_union([lists[0]]) if lists else []
+        for lst in lists[1:]:
+            out = ranges_intersect(out, ranges_union([lst]))
+        return out
+    raise ValueError(f"unsupported range-list op {op!r} (OR|AND)")
+
+
+def to_range_list(polygon: list[tuple[float, float]],
+                  **kw) -> list[tuple[int, int]]:
+    """ToRangeList analogue (GeoUtilUDFs.scala:28-33)."""
+    return polygon_to_ranges(polygon, **kw)
+
+
+def to_range_list_as_string(polygon: list[tuple[float, float]],
+                            **kw) -> str:
+    """ToRangeListAsString analogue: 'lo,hi;lo,hi;...'."""
+    return ";".join(f"{lo},{hi}" for lo, hi in polygon_to_ranges(polygon, **kw))
+
+
+def parse_range_list_string(s: str) -> list[tuple[int, int]]:
+    return [(int(lo), int(hi))
+            for lo, hi in (part.split(",") for part in s.split(";") if part)]
+
+
 # --------------------------------------------------------- exact predicates
 
 def range_list_semi_join(df: DataFrame, geoid_col: str,
@@ -205,6 +268,106 @@ def in_polygon_convex_expr(lat: Column, lng: Column,
                  - F.lit(la2 - la1) * (lng - F.lit(ln1)))
         conds.append(cross >= 0)
     return reduce(lambda a, b: a & b, conds)
+
+
+def in_polygon_expr(lat: Column, lng: Column,
+                    polygon: list[tuple[float, float]]) -> Column:
+    """Exact membership for a GENERAL (possibly concave) polygon as
+    pure column arithmetic — the even-odd ray cast unrolled per edge
+    (crossing count parity), whole-stage codegen'd, no UDF."""
+    crossings = None
+    n = len(polygon)
+    for i in range(n):
+        la1, ln1 = polygon[i]
+        la2, ln2 = polygon[(i + 1) % n]
+        denom = (la2 - la1) or 1e-300
+        x = F.lit(ln1) + (lat - F.lit(la1)) / F.lit(denom) * F.lit(ln2 - ln1)
+        crosses = (F.lit(la1) > lat) != (F.lit(la2) > lat)
+        term = F.when(crosses & (lng < x), 1).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    return crossings % 2 == 1
+
+
+def in_polygon_list_expr(lat: Column, lng: Column,
+                         polygons: list[list[tuple[float, float]]],
+                         op: str = "OR") -> Column:
+    """IN_POLYGON_LIST analogue: membership in the union ('OR') or
+    intersection ('AND') of several polygons
+    (docs spatial-index-guide.md polygon-list UDF). Pure column
+    arithmetic — one fused codegen stage, no UDF, no join."""
+    exprs = [in_polygon_expr(lat, lng, p) for p in polygons]
+    if op.upper() == "OR":
+        return reduce(lambda a, b: a | b, exprs)
+    if op.upper() == "AND":
+        return reduce(lambda a, b: a & b, exprs)
+    raise ValueError(f"unsupported polygon-list op {op!r} (OR|AND)")
+
+
+_METERS_PER_DEGREE = 111320.0
+
+
+def in_polyline_list_expr(lat: Column, lng: Column,
+                          polylines: list[list[tuple[float, float]]],
+                          buffer_m: float) -> Column:
+    """IN_POLYLINE_LIST analogue: true when the point lies within
+    ``buffer_m`` meters of any polyline segment (docs
+    spatial-index-guide.md polyline-list UDF; the reference converts
+    the buffer to a polygon — ours tests point-to-segment distance
+    directly, same region). Planar small-angle model: degrees scaled
+    by a constant meters-per-degree — deterministic and reproducible
+    in plain SQL (the oracle uses the identical formula)."""
+    buf_deg2 = (buffer_m / _METERS_PER_DEGREE) ** 2
+    conds = []
+    for line in polylines:
+        for (la1, ln1), (la2, ln2) in zip(line, line[1:]):
+            dla, dln = la2 - la1, ln2 - ln1
+            len2 = (dla * dla + dln * dln) or 1e-300
+            t = ((lat - F.lit(la1)) * F.lit(dla)
+                 + (lng - F.lit(ln1)) * F.lit(dln)) / F.lit(len2)
+            t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+            pla = F.lit(la1) + t * F.lit(dla)
+            pln = F.lit(ln1) + t * F.lit(dln)
+            d2 = (lat - pla) * (lat - pla) + (lng - pln) * (lng - pln)
+            conds.append(d2 <= F.lit(buf_deg2))
+    return reduce(lambda a, b: a | b, conds)
+
+
+def filter_in_polygon_range_list(df: DataFrame, geoid_col: str,
+                                 range_lists: list[list[tuple[int, int]]],
+                                 op: str = "OR") -> DataFrame:
+    """IN_POLYGON_RANGE_LIST analogue: rows whose stored geoid falls in
+    the union/intersection of the given range lists. The combined list
+    is disjoint, so the bucketed broadcast semi-join is duplicate-free
+    (see range_list_semi_join) and the same ranges can be pushed as a
+    manifest 'ranges' predicate when the geoid is a sort column."""
+    combined = combine_range_lists(range_lists, op)
+    if not combined:
+        return df.filter(F.lit(False))
+    return range_list_semi_join(df, geoid_col, combined)
+
+
+def in_polygon_join_range_list(points: DataFrame, polygons: DataFrame,
+                               geoid_col: str, ranges_col: str) -> DataFrame:
+    """IN_POLYGON_JOIN_RANGE_LIST analogue: join points to polygon rows
+    whose pre-computed range list ('lo,hi;lo,hi;...' as produced by
+    to_range_list_as_string) contains the point's geoid — the ranges
+    ARE the predicate, no exact refinement (reference
+    BroadCastPolygonRangeListFilterPushJoin, DMLStrategy.scala:77-170).
+
+    The range strings are parsed COLUMN-side (split/explode — JVM
+    built-ins), the exploded (polygon, lo, hi) side stays tiny and is
+    broadcast; each point probes it with a range condition."""
+    exploded = (polygons
+                .withColumn("__r", F.explode(F.split(F.col(ranges_col), ";")))
+                .withColumn("__lo", F.split("__r", ",")[0].cast("bigint"))
+                .withColumn("__hi", F.split("__r", ",")[1].cast("bigint"))
+                .drop("__r", ranges_col))
+    cond = (F.col(geoid_col) >= F.col("__lo")) \
+        & (F.col(geoid_col) <= F.col("__hi"))
+    # disjoint quad-tree ranges → at most one range of a polygon matches
+    # a geoid, so no dedup is needed after the join
+    return (points.join(F.broadcast(exploded), cond, "inner")
+            .drop("__lo", "__hi"))
 
 
 def in_polygon_udf(polygon: list[tuple[float, float]]):

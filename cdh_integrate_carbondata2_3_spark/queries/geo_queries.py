@@ -22,11 +22,18 @@ from pyspark.sql import functions as F
 from . import query
 from ..functions.geo import (
     DEFAULT_BITS,
+    _METERS_PER_DEGREE,
+    combine_range_lists,
+    filter_in_polygon_range_list,
     in_polygon_convex_expr,
     in_polygon_join,
+    in_polygon_join_range_list,
+    in_polygon_list_expr,
+    in_polyline_list_expr,
     latlng_to_geoid,
     polygon_to_ranges,
     range_list_semi_join,
+    to_range_list_as_string,
 )
 
 # Derived point cloud: 0.1-degree grid with a 0.05 offset so points
@@ -151,6 +158,153 @@ def geo_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          for pid, poly in sorted(_JOIN_POLYS.items())],
         "poly_id int, polygon string")
     pairs = in_polygon_join(pts, polys, "lat", "lng", "polygon")
+    return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
+def _polyline_sql(polylines: list[list[tuple[float, float]]],
+                  buffer_m: float, lat_sql: str, lng_sql: str) -> str:
+    """Point-within-buffer-of-any-segment, identical op order to
+    in_polyline_list_expr (clamped projection + squared distance)."""
+    buf2 = (buffer_m / _METERS_PER_DEGREE) ** 2
+    conds = []
+    for line in polylines:
+        for (la1, ln1), (la2, ln2) in zip(line, line[1:]):
+            dla, dln = la2 - la1, ln2 - ln1
+            len2 = (dla * dla + dln * dln) or 1e-300
+            t = (f"LEAST(GREATEST(((({lat_sql}) - ({la1!r})) * ({dla!r}) + "
+                 f"(({lng_sql}) - ({ln1!r})) * ({dln!r})) / ({len2!r}), "
+                 f"0.0), 1.0)")
+            pla = f"(({la1!r}) + {t} * ({dla!r}))"
+            pln = f"(({ln1!r}) + {t} * ({dln!r}))"
+            conds.append(
+                f"((({lat_sql}) - {pla}) * (({lat_sql}) - {pla}) + "
+                f"(({lng_sql}) - {pln}) * (({lng_sql}) - {pln}) <= {buf2!r})")
+    return "(" + " OR ".join(conds) + ")"
+
+
+def _ranges_sql(ranges: list[tuple[int, int]], geoid_sql: str) -> str:
+    if not ranges:
+        return "FALSE"
+    return "(" + " OR ".join(
+        f"({geoid_sql} BETWEEN {lo} AND {hi})" for lo, hi in ranges) + ")"
+
+
+# Second polygon for list ops: concave, overlapping _CONVEX_POLY.
+_CONCAVE_POLY = [(-40.0, -10.0), (-40.0, 70.0), (20.0, 70.0),
+                 (-10.0, 30.0), (20.0, -10.0)]
+
+# Polylines for the buffer query (lat, lng vertices; ~2000 km buffer so
+# both sf0.001's sparse grid and sf0.1's dense grid catch points).
+_POLYLINES = [
+    [(-30.0, -150.0), (0.0, -90.0), (40.0, -60.0)],
+    [(10.0, 60.0), (35.0, 110.0)],
+]
+_BUFFER_M = 2_000_000.0
+
+
+@query(
+    "geo_polygon_list_filter",
+    oracle=f"""
+    SELECT 'OR' AS op, count(*) AS n_points
+    FROM customer
+    WHERE {_raycast_sql(_CONVEX_POLY, _LAT_SQL, _LNG_SQL)}
+       OR {_raycast_sql(_CONCAVE_POLY, _LAT_SQL, _LNG_SQL)}
+    UNION ALL
+    SELECT 'AND' AS op, count(*) AS n_points
+    FROM customer
+    WHERE {_raycast_sql(_CONVEX_POLY, _LAT_SQL, _LNG_SQL)}
+      AND {_raycast_sql(_CONCAVE_POLY, _LAT_SQL, _LNG_SQL)}
+    """,
+)
+def geo_polygon_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN_POLYGON_LIST analogue: union and intersection of a convex and
+    a concave polygon (docs spatial-index-guide.md polygon-list UDF),
+    evaluated as one fused pure-column ray-cast per polygon — no UDF,
+    no join, one scan per op."""
+    pts = _derived_points(spark, sf_dir)
+    polys = [_CONVEX_POLY, _CONCAVE_POLY]
+    out = []
+    for op in ("OR", "AND"):
+        mask = in_polygon_list_expr(F.col("lat"), F.col("lng"), polys, op)
+        out.append(pts.filter(mask).select(
+            F.lit(op).alias("op"), F.lit(1).alias("one")))
+    both = out[0].unionByName(out[1])
+    return both.groupBy("op").agg(F.count("one").alias("n_points"))
+
+
+@query(
+    "geo_polyline_buffer",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n_points
+    FROM customer
+    WHERE {_polyline_sql(_POLYLINES, _BUFFER_M, _LAT_SQL, _LNG_SQL)}
+    GROUP BY c_mktsegment
+    """,
+)
+def geo_polyline_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN_POLYLINE_LIST analogue: points within a meter buffer of any
+    polyline segment (docs spatial-index-guide.md polyline-list UDF) —
+    clamped point-to-segment projection as pure column arithmetic,
+    identical IEEE formula on the oracle side."""
+    pts = _derived_points(spark, sf_dir)
+    mask = in_polyline_list_expr(F.col("lat"), F.col("lng"),
+                                 _POLYLINES, _BUFFER_M)
+    return (pts.filter(mask)
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n_points")))
+
+
+_RL_A = polygon_to_ranges(_CONVEX_POLY, max_depth=6)
+_RL_B = polygon_to_ranges(_CONCAVE_POLY, max_depth=6)
+
+
+@query(
+    "geo_range_list_ops",
+    oracle=f"""
+    SELECT 'OR' AS op, count(*) AS n_points FROM customer
+    WHERE {_ranges_sql(combine_range_lists([_RL_A, _RL_B], "OR"),
+                       _geoid_sql(_LAT_SQL, _LNG_SQL))}
+    UNION ALL
+    SELECT 'AND' AS op, count(*) AS n_points FROM customer
+    WHERE {_ranges_sql(combine_range_lists([_RL_A, _RL_B], "AND"),
+                       _geoid_sql(_LAT_SQL, _LNG_SQL))}
+    """,
+)
+def geo_range_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN_POLYGON_RANGE_LIST analogue: union/intersection of two
+    quad-tree range lists applied to the stored z-order geoid — the
+    range algebra runs driver-side (tiny), membership is the bucketed
+    broadcast semi-join, never an O(#ranges) per-row disjunction."""
+    pts = _derived_points(spark, sf_dir).withColumn(
+        "geoid", latlng_to_geoid(F.col("lat"), F.col("lng")))
+    out = []
+    for op in ("OR", "AND"):
+        hit = filter_in_polygon_range_list(pts, "geoid", [_RL_A, _RL_B], op)
+        out.append(hit.select(F.lit(op).alias("op"), F.lit(1).alias("one")))
+    both = out[0].unionByName(out[1])
+    return both.groupBy("op").agg(F.count("one").alias("n_points"))
+
+
+@query(
+    "geo_polygon_join_range_list",
+    oracle=" UNION ALL ".join(
+        f"""SELECT {pid} AS poly_id, count(*) AS n_points FROM customer
+            WHERE {_ranges_sql(polygon_to_ranges(poly, max_depth=6),
+                               _geoid_sql(_LAT_SQL, _LNG_SQL))}"""
+        for pid, poly in ((1, _CONVEX_POLY), (2, _CONCAVE_POLY))),
+)
+def geo_polygon_join_range_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN_POLYGON_JOIN_RANGE_LIST analogue: the polygon side carries
+    'lo,hi;...' range-list STRINGS (to_range_list_as_string output);
+    they are parsed column-side (split/explode), broadcast, and probed
+    with a range condition — the ranges are the join predicate
+    (reference BroadCastPolygonFilterPushJoin range-list variant)."""
+    pts = _derived_points(spark, sf_dir).withColumn(
+        "geoid", latlng_to_geoid(F.col("lat"), F.col("lng")))
+    polys = spark.createDataFrame(
+        [(pid, to_range_list_as_string(poly, max_depth=6))
+         for pid, poly in ((1, _CONVEX_POLY), (2, _CONCAVE_POLY))],
+        "poly_id int, ranges string")
+    pairs = in_polygon_join_range_list(pts, polys, "geoid", "ranges")
     return pairs.groupBy("poly_id").agg(F.count("*").alias("n_points"))
 
 

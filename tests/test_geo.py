@@ -110,3 +110,86 @@ def test_in_polygon_join(spark):
                 if geo.point_in_polygon(r["lat"], r["lng"], BOX)}
     assert by_poly.get("tri", set()) == want_tri
     assert by_poly.get("box", set()) == want_box
+
+
+def test_range_list_algebra():
+    a = [(0, 10), (20, 30)]
+    b = [(5, 25), (40, 50)]
+    assert geo.ranges_union([a, b]) == [(0, 30), (40, 50)]
+    assert geo.ranges_intersect(a, b) == [(5, 10), (20, 25)]
+    assert geo.combine_range_lists([a, b], "AND") == [(5, 10), (20, 25)]
+    assert geo.combine_range_lists([a, b], "OR") == [(0, 30), (40, 50)]
+    assert geo.ranges_intersect(a, [(100, 200)]) == []
+    # adjacent ranges coalesce
+    assert geo.ranges_union([[(0, 4)], [(5, 9)]]) == [(0, 9)]
+
+
+def test_range_list_string_roundtrip():
+    s = geo.to_range_list_as_string(TRI, max_depth=5)
+    assert geo.parse_range_list_string(s) == geo.to_range_list(TRI, max_depth=5)
+
+
+def test_in_polygon_expr_matches_raycast(spark):
+    # concave polygon: pure-column ray cast vs driver ray cast
+    concave = [(0.0, 0.0), (0.0, 9.0), (9.0, 9.0), (2.0, 5.0), (9.0, 0.0)]
+    df = _points_df(spark).withColumn(
+        "hit", geo.in_polygon_expr(F.col("lat"), F.col("lng"), concave))
+    for r in df.collect():
+        assert r["hit"] == geo.point_in_polygon(r["lat"], r["lng"], concave)
+
+
+def test_in_polygon_list_expr(spark):
+    df = _points_df(spark)
+    n_or = df.filter(geo.in_polygon_list_expr(
+        F.col("lat"), F.col("lng"), [TRI, BOX], "OR")).count()
+    n_and = df.filter(geo.in_polygon_list_expr(
+        F.col("lat"), F.col("lng"), [TRI, BOX], "AND")).count()
+    n_tri = df.filter(geo.in_polygon_expr(F.col("lat"), F.col("lng"), TRI)).count()
+    n_box = df.filter(geo.in_polygon_expr(F.col("lat"), F.col("lng"), BOX)).count()
+    assert n_and <= min(n_tri, n_box) <= max(n_tri, n_box) <= n_or
+    assert n_or == n_tri + n_box - n_and        # inclusion-exclusion
+
+
+def test_in_polyline_list_expr(spark):
+    # vertical segment lat 2..8 at lng 5, ~111km buffer = 1 degree
+    line = [[(2.0, 5.0), (8.0, 5.0)]]
+    df = _points_df(spark).withColumn(
+        "hit", geo.in_polyline_list_expr(F.col("lat"), F.col("lng"),
+                                         line, 111320.0))
+    for r in df.collect():
+        la, ln = r["lat"], r["lng"]
+        t = max(0.0, min(1.0, (la - 2.0) / 6.0))
+        d2 = (la - (2.0 + t * 6.0)) ** 2 + (ln - 5.0) ** 2
+        assert r["hit"] == (d2 <= 1.0), (la, ln)
+
+
+def test_filter_in_polygon_range_list(spark):
+    df = _points_df(spark).withColumn(
+        "geoid", geo.latlng_to_geoid(F.col("lat"), F.col("lng")))
+    ra = geo.polygon_to_ranges(TRI, max_depth=7)
+    rb = geo.polygon_to_ranges(BOX, max_depth=7)
+    n_or = geo.filter_in_polygon_range_list(df, "geoid", [ra, rb], "OR").count()
+    n_and = geo.filter_in_polygon_range_list(df, "geoid", [ra, rb], "AND").count()
+    assert 0 < n_and < n_or
+    # AND result ⊆ each single list's result
+    n_a = geo.filter_in_polygon_range_list(df, "geoid", [ra], "OR").count()
+    assert n_and <= n_a <= n_or
+
+
+def test_in_polygon_join_range_list(spark):
+    df = _points_df(spark).withColumn(
+        "geoid", geo.latlng_to_geoid(F.col("lat"), F.col("lng")))
+    polys = spark.createDataFrame(
+        [(1, geo.to_range_list_as_string(TRI, max_depth=7)),
+         (2, geo.to_range_list_as_string(BOX, max_depth=7))],
+        "poly_id int, ranges string")
+    pairs = geo.in_polygon_join_range_list(df, polys, "geoid", "ranges")
+    counts = {r["poly_id"]: r["n"] for r in
+              pairs.groupBy("poly_id").agg(F.count("*").alias("n")).collect()}
+    # join counts equal the per-list filter counts (no dups, no losses)
+    ra = geo.polygon_to_ranges(TRI, max_depth=7)
+    rb = geo.polygon_to_ranges(BOX, max_depth=7)
+    assert counts[1] == geo.filter_in_polygon_range_list(
+        df, "geoid", [ra], "OR").count()
+    assert counts[2] == geo.filter_in_polygon_range_list(
+        df, "geoid", [rb], "OR").count()
