@@ -23,7 +23,8 @@ HEADLINE = (
     "count_star_metadata", "agg_count_distinct", "window_rank_customers",
     "topk_per_group", "events_hourly_rollup", "dedup_exact_groups",
     "dedup_minhash_lsh", "text_fingerprint", "similarity_cosine_topk",
-    "similarity_ann_lsh", "geo_polygon_filter", "multimodal_frame_sample",
+    "similarity_ann_lsh", "similarity_ann_ivf", "geo_polygon_filter",
+    "multimodal_frame_sample",
 )
 
 

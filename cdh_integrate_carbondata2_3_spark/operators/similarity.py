@@ -1,0 +1,119 @@
+"""Reusable similarity-search operators over embedding columns.
+
+Beyond the reference's surface (SURVEY.md §7 watch-list: training-data
+pipeline extras): approximate nearest-neighbor search for
+``array<double>`` embedding columns, designed for the 100 TB shape —
+the corpus is never cross-joined against itself; candidates come from
+partition (inverted-list / hash-bucket) collisions and only candidates
+are reranked exactly.
+
+Three tiers, same (id, e) DataFrame contract:
+- ``cosine_topk``     — exact brute force; the correctness baseline.
+  Scale: O(|corpus| × |queries|), acceptable only for small query sets
+  (the query side is broadcast).
+- LSH multi-probe     — in ``queries/dedup_extra.similarity_ann_lsh``:
+  random-hyperplane signatures, flip-1 probes.
+- ``ivf_assign/ivf_search`` — IVF (inverted-file) coarse quantizer:
+  vectors are assigned to their nearest centroid's list at WRITE time
+  (one narrow pass — the assignment is a broadcast argmax against a
+  tiny centroid set, no shuffle of the corpus), and a query probes only
+  the ``nprobe`` nearest lists. At cluster scale the lists map to
+  partitions (``repartition(list_id)`` on write), so a probe touches
+  nprobe partitions instead of the whole corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    """Sequential-order dot product of two array<double> columns —
+    same left-to-right accumulation as DuckDB's list_dot_product, so
+    oracle comparisons are IEEE-exact."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "id", vec_col: str = "e") -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query side against
+    the corpus, rerank per query. Columns out:
+    (q_id, c_id, cos_sim, rk)."""
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("qe"))
+    c = corpus.select(F.col(id_col).alias("c_id"),
+                      F.col(vec_col).alias("ce"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("q_id", "c_id",
+                      F.round(cosine("qe", "ce"), 6).cast("double")
+                      .alias("cos_sim")))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (scored.select("q_id", "c_id", "cos_sim",
+                          F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= k))
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "id", vec_col: str = "e") -> DataFrame:
+    """Assign every vector to its nearest centroid's inverted list.
+
+    ``centroids`` is (cid, ce) and SMALL (it is broadcast); the argmax
+    is a broadcast nested-loop score + per-id window. Ties break on
+    the lower cid deterministically. Output: (id, e, list_id).
+
+    Implementation note (measured at sf0.1, 2000×64d): inlining the
+    collected centroids as literal/unrolled expressions avoids the
+    per-id shuffle but loses end-to-end — building ~1000-node column
+    trees costs seconds of py4j round-trips and the giant expressions
+    fall out of fast codegen (window+HOF 2.1s vs literal-unrolled 13s
+    full-query). The broadcast join keeps expression trees small; the
+    by-id shuffle happens once at index-build (write) time."""
+    c = centroids.select(F.col("cid"), F.col("ce"))
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id", "e", "cid", cosine("e", "ce").alias("sim"))
+    w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "e", F.col("cid").alias("list_id")))
+
+
+def ivf_search(assigned: DataFrame, centroids: DataFrame,
+               queries: DataFrame, nprobe: int, k: int,
+               id_col: str = "id", vec_col: str = "e") -> DataFrame:
+    """Probe the ``nprobe`` nearest inverted lists per query, rerank
+    candidates by exact cosine, keep top-k. Output:
+    (q_id, c_id, cos_sim, rk).
+
+    Scale shape: queries × centroids is tiny (both broadcast-size);
+    the corpus-side work is a hash join of the assigned lists against
+    the exploded (query, probe-list) pairs — only vectors in probed
+    lists are scored."""
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("qe"))
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "q_id", "qe", "cid", cosine("qe", "ce").alias("sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (qc.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= nprobe)
+              .select("q_id", "qe", F.col("cid").alias("list_id")))
+    cand = (assigned.select(F.col("id").alias("c_id"), F.col("e").alias("ce"),
+                            "list_id")
+            .join(F.broadcast(probes), "list_id"))
+    scored = cand.select("q_id", "c_id",
+                         F.round(cosine("qe", "ce"), 6).cast("double")
+                         .alias("cos_sim"))
+    wk = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (scored.select("q_id", "c_id", "cos_sim",
+                          F.row_number().over(wk).alias("rk"))
+            .filter(F.col("rk") <= k))

@@ -362,3 +362,86 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.select("q_id", "c_id", "cos_sim",
                           F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= _ANN_TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantizer lists + nprobe search —
+# the partition-pruning scale path next to the LSH multi-probe variant.
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROID_IDS = (20, 80, 140, 200, 260, 320, 380, 440)
+_IVF_NPROBE = 2
+_IVF_TOP_K = 5
+_IVF_QUERY_VECS = 10
+
+_COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _ivf_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+    cos_ct = _COS_SQL.format(a="c.e", b="t.ce")
+    cos_qt = _COS_SQL.format(a="q.qe", b="t.ce")
+    cos_qc = _COS_SQL.format(a="cand.qe", b="cand.ce")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id IN ({ids})
+), corpus AS (
+  SELECT vec_id AS id, e FROM v WHERE vec_id >= {_IVF_QUERY_VECS}
+), assigned AS (
+  SELECT id, e, cid AS list_id FROM (
+    SELECT c.id, c.e, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.id
+                              ORDER BY {cos_ct} DESC, t.cid) AS rn
+    FROM corpus c CROSS JOIN cent t)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < {_IVF_QUERY_VECS}
+), probes AS (
+  SELECT q_id, qe, cid AS list_id FROM (
+    SELECT q.q_id, q.qe, t.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos_qt} DESC, t.cid) AS rn
+    FROM q CROSS JOIN cent t)
+  WHERE rn <= {_IVF_NPROBE}
+), cand AS (
+  SELECT p.q_id, p.qe, a.id AS c_id, a.e AS ce
+  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+), scored AS (
+  SELECT q_id, c_id,
+         CAST(ROUND({cos_qc}, 6) AS DOUBLE) AS cos_sim
+  FROM cand
+), ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id) AS rk
+  FROM scored)
+SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {_IVF_TOP_K}
+"""
+
+
+@query("similarity_ann_ivf", oracle=_ivf_oracle())
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor: corpus vectors assigned once
+    to their nearest centroid's inverted list (broadcast argmax, no
+    corpus shuffle), queries probe only the nprobe nearest lists and
+    rerank candidates by exact cosine — at cluster scale the lists are
+    write-time partitions, so a probe touches nprobe partitions
+    instead of the whole corpus (operators/similarity.py)."""
+    from ..operators.similarity import ivf_assign, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # cache the decoded vectors: the interpreted element-cast transform
+    # would otherwise re-run for every sub-job (centroid collect,
+    # assignment, probe selection, rerank)
+    v = emb.select(F.col("vec_id").alias("id"), dv.alias("e")).cache()
+    centroids = (v.filter(F.col("id").isin(list(_IVF_CENTROID_IDS)))
+                 .select(F.col("id").alias("cid"), F.col("e").alias("ce")))
+    corpus = v.filter(F.col("id") >= _IVF_QUERY_VECS)
+    queries = v.filter(F.col("id") < _IVF_QUERY_VECS)
+    assigned = ivf_assign(corpus, centroids)
+    return ivf_search(assigned, centroids, queries,
+                      nprobe=_IVF_NPROBE, k=_IVF_TOP_K)

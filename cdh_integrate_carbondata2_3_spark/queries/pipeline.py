@@ -284,8 +284,10 @@ def docs_by_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding similarity search (brute-force cosine top-k baseline;
-# the LSH-bucketed scale path lives in operators/similarity.py)
+# Embedding similarity search (brute-force cosine top-k baseline; the
+# scale paths are the LSH multi-probe and IVF inverted-list variants —
+# queries/dedup_extra.py similarity_ann_lsh / similarity_ann_ivf,
+# reusable operators in operators/similarity.py)
 # ---------------------------------------------------------------------------
 
 _N_QUERY_VECS = 10
