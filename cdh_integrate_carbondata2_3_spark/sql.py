@@ -14,6 +14,7 @@ views, after the MV-rewrite and metadata-count(*) fast paths
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -116,6 +117,16 @@ _REFRESH_TABLE = _ci(r"^\s*REFRESH\s+TABLE\s+(\w+)\s*$")
 _SHOW_METACACHE = _ci(r"^\s*SHOW\s+METACACHE(?:\s+ON\s+TABLE\s+(\w+))?\s*$")
 _DROP_METACACHE = _ci(r"^\s*DROP\s+METACACHE\s+ON\s+TABLE\s+(\w+)\s*$")
 _EXPLAIN = _ci(r"^\s*EXPLAIN\s+(SELECT\b.*)$")
+# DESCRIBE COLUMN col[.nested...] ON table / DESCRIBE SHORT table
+# (reference CarbonSpark2SqlParser.scala:121-135,
+#  CarbonDescribeColumnCommand / CarbonDescribeShortCommand)
+_DESCRIBE_COLUMN = _ci(
+    r"^\s*DESC(?:RIBE)?\s+COLUMN\s+([\w.]+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
+_DESCRIBE_SHORT = _ci(r"^\s*DESC(?:RIBE)?\s+SHORT\s+(\w+)\s*$")
+# CARBONCLI FOR TABLE t OPTIONS('-cmd'='summary'|'benchmark')
+# (reference parser :625-633, CarbonCliCommand → tools/cli CarbonCli.java)
+_CARBONCLI = _ci(
+    r"^\s*CARBONCLI\s+FOR\s+TABLE\s+(\w+)\s+OPTIONS\s*\((.*?)\)\s*$")
 _DESCRIBE = _ci(r"^\s*DESC(?:RIBE)?\s+(FORMATTED\s+)?(\w+)\s*$")
 _COUNT_STAR = _ci(r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(\w+)\s*)?"
                   r"FROM\s+(\w+)\s*$")
@@ -451,6 +462,22 @@ class Engine:
             return self._ok(f"dropped cache for {m.group(1)}")
         if m := _EXPLAIN.match(text):
             return self._explain(m.group(1))
+        if m := _DESCRIBE_COLUMN.match(text):
+            return self._describe_column(m.group(2), m.group(1))
+        if m := _DESCRIBE_SHORT.match(text):
+            return self._describe_short(m.group(1))
+        if m := _CARBONCLI.match(text):
+            opts = _parse_props(m.group(2))
+            cmd = opts.get("-cmd", "summary")
+            from . import cli
+            if cmd == "summary":
+                out = cli.summary(self._dir(m.group(1)))
+            elif cmd == "benchmark":
+                out = cli.bench(self._dir(m.group(1)))
+            else:
+                raise ValueError(f"carboncli: unsupported -cmd {cmd!r}")
+            rows = [(k, json.dumps(v, default=str)) for k, v in out.items()]
+            return self._df(rows, "item string, value string")
         if m := _DESCRIBE.match(text):
             return self._describe(m.group(2), formatted=bool(m.group(1)))
         if m := _COUNT_STAR.match(text):
@@ -674,6 +701,52 @@ class Engine:
                             for s in t.manifest.queryable_segments())
                 lines.append((f"table.{name}.total_files", str(total)))
         return self._df(lines, "item string, value string")
+
+    def _describe_column(self, table: str, path: str) -> DataFrame:
+        """DESCRIBE COLUMN col[.child...] ON table: drill into complex
+        types, listing the children of the addressed field (reference
+        CarbonDescribeColumnCommand)."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+        dtype = self.table(table)._schema_struct()
+        walked = []
+        for part in path.split("."):
+            if isinstance(dtype, ArrayType):
+                dtype = dtype.elementType
+            if not isinstance(dtype, StructType) \
+                    or part not in dtype.fieldNames():
+                raise ValueError(
+                    f"column {'.'.join(walked + [part])!r} not found "
+                    f"in {table}")
+            dtype = dtype[part].dataType
+            walked.append(part)
+        rows = []
+        if isinstance(dtype, StructType):
+            rows = [(f.name, f.dataType.simpleString(), "struct child")
+                    for f in dtype.fields]
+        elif isinstance(dtype, ArrayType):
+            rows = [("item", dtype.elementType.simpleString(),
+                     "array element")]
+        elif isinstance(dtype, MapType):
+            rows = [("key", dtype.keyType.simpleString(), "map key"),
+                    ("value", dtype.valueType.simpleString(), "map value")]
+        else:
+            rows = [(path, dtype.simpleString(), "primitive")]
+        return self._df(rows, "col_name string, data_type string, "
+                              "comment string")
+
+    def _describe_short(self, name: str) -> DataFrame:
+        """DESCRIBE SHORT: top-level columns only, complex types
+        abbreviated to their container kind (reference
+        CarbonDescribeShortCommand)."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+        struct = self.table(name)._schema_struct()
+        short = {StructType: "struct<...>", ArrayType: "array<...>",
+                 MapType: "map<...>"}
+        rows = [(f.name,
+                 short.get(type(f.dataType), f.dataType.simpleString()), "")
+                for f in struct.fields]
+        return self._df(rows, "col_name string, data_type string, "
+                              "comment string")
 
     def _describe(self, name: str, formatted: bool) -> DataFrame:
         t = self.table(name)

@@ -138,6 +138,37 @@ def test_fallthrough_plain_sql(eng):
 # ----------------------------------------------------------- UDF surface
 # (CarbonEnv.scala:83-113: NI / text_match / insegment / timeseries)
 
+def test_describe_column_and_short(eng):
+    eng.sql("CREATE TABLE cx (id INT, "
+            "meta STRUCT<author: STRING, tags: ARRAY<STRING>>, "
+            "kv MAP<STRING, INT>)")
+    rows = eng.sql("DESCRIBE COLUMN meta ON cx").collect()
+    assert [(r["col_name"], r["data_type"]) for r in rows] == [
+        ("author", "string"), ("tags", "array<string>")]
+    rows = eng.sql("DESCRIBE COLUMN meta.tags ON cx").collect()
+    assert rows[0]["data_type"] == "string"      # array element type
+    rows = eng.sql("DESCRIBE COLUMN kv ON cx").collect()
+    assert [(r["col_name"], r["data_type"]) for r in rows] == [
+        ("key", "string"), ("value", "int")]
+    rows = eng.sql("DESC SHORT cx").collect()
+    assert [(r["col_name"], r["data_type"]) for r in rows] == [
+        ("id", "int"), ("meta", "struct<...>"), ("kv", "map<...>")]
+    with pytest.raises(ValueError):
+        eng.sql("DESCRIBE COLUMN nope ON cx")
+
+
+def test_carboncli_sql_passthrough(eng):
+    rows = eng.sql("CARBONCLI FOR TABLE src OPTIONS('-cmd'='summary')") \
+        .collect()
+    d = {r["item"]: r["value"] for r in rows}
+    assert "schema" in d and "segments" in d
+    assert int(d["total_rows"]) == 4
+    rows = eng.sql("CARBONCLI FOR TABLE src OPTIONS('-cmd'='benchmark')") \
+        .collect()
+    d = {r["item"]: r["value"] for r in rows}
+    assert int(d["rows"]) == 4
+
+
 def test_ni_hint_unwrapped(eng):
     # nested parens inside NI() must survive the unwrap
     rows = eng.sql("SELECT id FROM src WHERE NI(id = least(1, 2))").collect()
