@@ -346,7 +346,27 @@ class Table:
         """INSERT INTO/OVERWRITE as a new segment
         (reference CarbonInsertIntoCommand.scala:96-126)."""
         tmp = self._write_segment_files(self._cast_to_schema(df))
-        return self._commit_segment_dir(tmp, source, overwrite=overwrite)
+        seg = self._commit_segment_dir(tmp, source, overwrite=overwrite)
+        self._maybe_auto_compact()
+        return seg
+
+    def _maybe_auto_compact(self) -> None:
+        """Auto load merge (reference carbon.enable.auto.load.merge +
+        COMPACTION_LEVEL_THRESHOLD, docs dml-of-carbondata.md
+        compaction): when the table property ``auto_load_merge`` is
+        'true', a MINOR compaction fires after each load once the
+        un-merged load count reaches the threshold (first number of
+        ``compaction_level_threshold``, default 4)."""
+        props = self.manifest.properties()
+        if str(props.get("auto_load_merge", "")).lower() != "true":
+            return
+        thr = 4
+        if spec := props.get("compaction_level_threshold"):
+            try:
+                thr = int(str(spec).split(",")[0])
+            except ValueError:
+                pass
+        self.compact("minor", minor_threshold=thr)
 
     def load_csv(self, path: str, header: bool = True,
                  delimiter: str = ",", overwrite: bool = False,

@@ -105,6 +105,30 @@ def test_compaction_minor_and_clean(spark, tdir):
     assert t.read().count() == 40
 
 
+def test_auto_load_merge(spark, tdir):
+    t = Table.create(spark, tdir, "id bigint, bucket int, name string",
+                     {"auto_load_merge": "true",
+                      "compaction_level_threshold": "3,2"})
+    for lo in range(0, 20, 10):
+        t.insert(_mkdf(spark, lo, lo + 10))
+    # below threshold: no merge yet
+    assert all(s.status == SegmentStatus.SUCCESS
+               for s in t.manifest.segments())
+    t.insert(_mkdf(spark, 20, 30))
+    statuses = {s.id: s.status for s in t.manifest.segments()}
+    # third load tripped the auto minor compaction
+    assert statuses[0] == SegmentStatus.COMPACTED
+    assert statuses[3] == SegmentStatus.SUCCESS
+    assert t.count() == 30
+    # without the property nothing fires
+    t2 = Table.create(spark, tdir + "_plain",
+                      "id bigint, bucket int, name string")
+    for lo in range(0, 50, 10):
+        t2.insert(_mkdf(spark, lo, lo + 10))
+    assert all(s.status == SegmentStatus.SUCCESS
+               for s in t2.manifest.segments())
+
+
 def test_compaction_custom(spark, tdir):
     t = Table.create(spark, tdir, "id bigint, bucket int, name string")
     for lo in range(0, 30, 10):
