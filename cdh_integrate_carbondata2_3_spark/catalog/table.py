@@ -676,12 +676,21 @@ class Table:
 
     # ------------------------------------------------------- segment mgmt
 
-    def show_segments(self) -> DataFrame:
-        """SHOW SEGMENTS as a DataFrame
-        (reference CarbonShowSegmentsCommand)."""
+    def show_segments(self, history: bool = False,
+                      limit: int | None = None) -> DataFrame:
+        """SHOW [HISTORY] SEGMENTS as a DataFrame (reference
+        CarbonShowSegmentsCommand): visible (queryable) segments only
+        unless ``history``; ``limit`` keeps the N largest segment
+        ids (docs segment-management-on-carbondata.md:54-65)."""
+        from .manifest import QUERYABLE
+        segs = [s for s in self.manifest.segments()
+                if history or s.status in QUERYABLE]
+        segs.sort(key=lambda s: -s.id)
+        if limit is not None:
+            segs = segs[:limit]
         rows = [(s.id, s.status, s.format, s.source, s.rows, s.bytes,
                  len(s.files), s.load_time)
-                for s in self.manifest.segments()]
+                for s in segs]
         return self.spark.createDataFrame(
             rows, "id int, status string, format string, source string, "
                   "rows bigint, bytes bigint, n_files int, load_time double")

@@ -54,7 +54,17 @@ _DELETE_SEGMENT_DATE = _ci(
     r"^\s*DELETE\s+FROM\s+TABLE\s+(\w+)\s+WHERE\s+SEGMENT\.STARTTIME\s+"
     r"BEFORE\s+'([^']+)'\s*$")
 _DELETE = _ci(r"^\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*?))?\s*$")
-_SHOW_SEGMENTS = _ci(r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+TABLE\s+(\w+)\s*$")
+# SHOW [HISTORY] SEGMENTS ON t [LIMIT n] [AS SELECT ... FROM t_segments]
+# (reference CarbonShowSegmentsCommand / CarbonShowSegmentsAsSelectCommand,
+#  docs segment-management-on-carbondata.md:54-104)
+_SHOW_SEGMENTS_AS = _ci(
+    r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?(\w+)\s*"
+    r"(?:LIMIT\s+(\d+)\s+)?AS\s+(SELECT\b.*)$")
+_SHOW_HISTORY_SEGMENTS = _ci(
+    r"^\s*SHOW\s+HISTORY\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?(\w+)\s*$")
+_SHOW_SEGMENTS = _ci(
+    r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?(\w+)\s*"
+    r"(?:LIMIT\s+(\d+))?\s*$")
 _CLEAN_FILES = _ci(r"^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\w+)\s*$")
 _ALTER_COMPACT = _ci(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+COMPACT\s+'(\w+)'\s*"
@@ -308,8 +318,17 @@ class Engine:
             n = dml.update_rows(self.table(m.group(1)), sets,
                                 m.group(3) or "true")
             return self._ok(f"updated {n}")
+        if m := _SHOW_SEGMENTS_AS.match(text):
+            t, limit, sel = m.group(1), m.group(2), m.group(3)
+            df = self.table(t).show_segments(
+                history=True, limit=int(limit) if limit else None)
+            df.createOrReplaceTempView(f"{t}_segments")
+            return self.spark.sql(sel)
+        if m := _SHOW_HISTORY_SEGMENTS.match(text):
+            return self.table(m.group(1)).show_segments(history=True)
         if m := _SHOW_SEGMENTS.match(text):
-            return self.table(m.group(1)).show_segments()
+            return self.table(m.group(1)).show_segments(
+                limit=int(m.group(2)) if m.group(2) else None)
         if m := _CLEAN_FILES.match(text):
             n = self.table(m.group(1)).clean_files()
             return self._ok(f"cleaned {n}")

@@ -53,6 +53,24 @@ def test_segment_management(eng):
     assert len(eng.sql("SHOW SEGMENTS FOR TABLE src").collect()) == 1
 
 
+def test_show_segments_variants(eng):
+    eng.sql("INSERT INTO src SELECT * FROM VALUES (9,'z',90.0) t(id,grp,amt)")
+    eng.sql("DELETE FROM TABLE src WHERE SEGMENT.ID IN (1)")
+    # plain: only visible segments; HISTORY: includes marked-for-delete
+    assert len(eng.sql("SHOW SEGMENTS ON src").collect()) == 1
+    hist = eng.sql("SHOW HISTORY SEGMENTS ON src").collect()
+    assert {r["status"] for r in hist} == {"SUCCESS", "MARKED_FOR_DELETE"}
+    # LIMIT keeps the largest ids
+    eng.sql("INSERT INTO src SELECT * FROM VALUES (10,'w',1.0) t(id,grp,amt)")
+    top = eng.sql("SHOW SEGMENTS ON src LIMIT 1").collect()
+    assert [r["id"] for r in top] == [2]
+    # AS SELECT runs against the <table>_segments pseudo-view
+    rows = eng.sql("SHOW SEGMENTS ON src AS "
+                   "SELECT id, status FROM src_segments "
+                   "WHERE status = 'SUCCESS' ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [0, 2]
+
+
 def test_compaction_sql(eng):
     for i in range(3):
         eng.sql(f"INSERT INTO src SELECT * FROM VALUES ({10+i},'c',1.0) t(a,b,c)")
