@@ -269,6 +269,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", _md5(norm).alias("fingerprint"))
 
 
+# GPT-2-ish pretokenizer classes: letter runs, digit runs, single
+# non-alphanumeric marks — the BPE-input segmentation (identical regex
+# dialect subset in Spark's Java regex and DuckDB's RE2)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query("text_bpe_tokens", oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS INT)
+         AS n_unique_bpe,
+       CAST(len(string_split_regex(trim(text), ' +')) AS INT) AS n_ws
+FROM documents
+""")
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting next to the whitespace count
+    (training-data cost estimation): regexp_extract_all with a
+    pretokenizer-class regex, all JVM-side."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
+    ws = F.split(F.trim(F.col("text")), " +")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+        F.size(ws).alias("n_ws"))
+
+
 @query("docs_by_source_stats", oracle="""
 SELECT source, lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,

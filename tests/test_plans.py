@@ -122,3 +122,35 @@ def test_minhash_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and \
            "BroadcastNestedLoopJoin" not in plan, \
         "LSH candidate generation must stay an equi-join on band keys"
+
+
+def test_geo_list_filters_stay_jvm_side(spark, sf_dir):
+    # polygon-list and polyline-buffer predicates are pure column
+    # arithmetic: no Python UDF, single scan, codegen present
+    for name in ("geo_polygon_list_filter", "geo_polyline_buffer"):
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        # the predicate is a plain Filter over the scan — no join stage
+        assert "Join" not in plan, name
+
+
+def test_range_list_join_is_broadcast(spark, sf_dir):
+    # range-list membership joins broadcast the tiny range side;
+    # the point side must never be broadcast or cartesian-joined
+    plan = plan_of(QUERIES["geo_polygon_join_range_list"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["similarity_ann_ivf"].fn(spark, sf_dir))
+    # the probed-lists join must broadcast the (tiny) probe side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_tokens_plan_is_single_scan_no_udf(spark, sf_dir):
+    plan = plan_of(QUERIES["text_bpe_tokens"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # pure per-row projection: no shuffle, no join, one codegen span
+    assert "Exchange" not in plan and "Join" not in plan
