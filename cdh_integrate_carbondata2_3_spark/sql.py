@@ -333,10 +333,19 @@ class Engine:
             n = self.table(m.group(1)).clean_files()
             return self._ok(f"cleaned {n}")
         if m := _ALTER_COMPACT.match(text):
+            kind = m.group(2).lower()
+            if kind in ("streaming", "close_streaming"):
+                # handoff: convert finished streaming segments to columnar
+                # (reference CompactionType.STREAMING/CLOSE_STREAMING,
+                #  StreamHandoffRDD.scala:99+); CLOSE_STREAMING also
+                # closes the open segment first
+                from .streaming.streams import handoff
+                done = handoff(self.table(m.group(1)),
+                               include_open=kind == "close_streaming")
+                return self._ok(f"handed off segments {done}")
             ids = ([int(x) for x in m.group(3).replace(",", " ").split()]
                    if m.group(3) else None)
-            seg = self.table(m.group(1)).compact(m.group(2).lower(),
-                                                 segment_ids=ids)
+            seg = self.table(m.group(1)).compact(kind, segment_ids=ids)
             return self._ok(f"compacted → {seg}")
         if m := _ALTER_ADD_COLS.match(text):
             t = self.table(m.group(1))

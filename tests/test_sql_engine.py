@@ -4,6 +4,7 @@ suites (CarbonSpark2SqlParser surface exercised through SQL strings)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from cdh_integrate_carbondata2_3_spark.sql import Engine
 
@@ -51,6 +52,20 @@ def test_segment_management(eng):
     assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 4
     eng.sql("CLEAN FILES FOR TABLE src")
     assert len(eng.sql("SHOW SEGMENTS FOR TABLE src").collect()) == 1
+
+
+def test_compact_close_streaming_sql(eng, spark):
+    from cdh_integrate_carbondata2_3_spark.streaming import (
+        append_streaming_batch)
+    eng.sql("CREATE TABLE stt (id INT) TBLPROPERTIES('streaming'='true')")
+    append_streaming_batch(eng.table("stt"),
+                           spark.range(5).select(F.col("id").cast("int")))
+    assert any(s.status == "STREAMING"
+               for s in eng.table("stt").manifest.segments())
+    eng.sql("ALTER TABLE stt COMPACT 'CLOSE_STREAMING'")
+    statuses = {s.status for s in eng.table("stt").manifest.segments()}
+    assert "STREAMING" not in statuses and "STREAMING_FINISH" not in statuses
+    assert eng.sql("SELECT COUNT(*) FROM stt").first()[0] == 5
 
 
 def test_show_segments_variants(eng):
