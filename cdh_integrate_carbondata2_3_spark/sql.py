@@ -54,6 +54,11 @@ _DELETE_SEGMENT_DATE = _ci(
     r"^\s*DELETE\s+FROM\s+TABLE\s+(\w+)\s+WHERE\s+SEGMENT\.STARTTIME\s+"
     r"BEFORE\s+'([^']+)'\s*$")
 _DELETE = _ci(r"^\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*?))?\s*$")
+# SET carbon.input.segments.[db.]t = ids|* — session-scoped segment
+# reads for subsequent queries (docs segment-management:162-183)
+_SET_INPUT_SEGMENTS = _ci(
+    r"^\s*SET\s+carbon\.input\.segments\.(?:\w+\.)?(\w+)\s*=\s*"
+    r"(\*|[\d,\s]+)\s*$")
 # SHOW [HISTORY] SEGMENTS ON t [LIMIT n] [AS SELECT ... FROM t_segments]
 # (reference CarbonShowSegmentsCommand / CarbonShowSegmentsAsSelectCommand,
 #  docs segment-management-on-carbondata.md:54-104)
@@ -220,6 +225,8 @@ class Engine:
         self.warehouse = os.path.abspath(warehouse_dir)
         os.makedirs(self.warehouse, exist_ok=True)
         self.streams = StreamManager(spark)
+        # SET carbon.input.segments scopes (table → segment ids)
+        self._input_segments: dict[str, list[int]] = {}
 
     # --------------------------------------------------------------- catalog
 
@@ -318,6 +325,14 @@ class Engine:
             n = dml.update_rows(self.table(m.group(1)), sets,
                                 m.group(3) or "true")
             return self._ok(f"updated {n}")
+        if m := _SET_INPUT_SEGMENTS.match(text):
+            t, ids = m.group(1), m.group(2).strip()
+            if ids == "*":
+                self._input_segments.pop(t, None)
+                return self._ok(f"reset segments for {t}")
+            self._input_segments[t] = [
+                int(x) for x in ids.replace(",", " ").split()]
+            return self._ok(f"segments {self._input_segments[t]} for {t}")
         if m := _SHOW_SEGMENTS_AS.match(text):
             t, limit, sel = m.group(1), m.group(2), m.group(3)
             df = self.table(t).show_segments(
@@ -515,12 +530,17 @@ class Engine:
             name = m.group(2)
             if name in self.tables():
                 alias = m.group(1) or "count(1)"
-                return self._df([(self.table(name).count(),)],
-                                f"`{alias}` bigint")
+                return self._df(
+                    [(self.table(name).count(
+                        segments=self._input_segments.get(name)),)],
+                    f"`{alias}` bigint")
         # MV rewrite fast path, then plain Spark SQL over views
         if (df := self._try_mv_rewrite(text)) is not None:
             return df
         text, seg_scope, fts_preds = self._rewrite_udf_surface(text)
+        # SET carbon.input.segments scopes (insegment() wins if both)
+        for tname, segs in self._input_segments.items():
+            seg_scope.setdefault(tname, segs)
         self._register_views()
         for tname, segs in seg_scope.items():
             self.table(tname).read(segments=segs).createOrReplaceTempView(tname)

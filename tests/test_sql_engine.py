@@ -54,6 +54,19 @@ def test_segment_management(eng):
     assert len(eng.sql("SHOW SEGMENTS FOR TABLE src").collect()) == 1
 
 
+def test_set_input_segments(eng):
+    eng.sql("INSERT INTO src SELECT * FROM VALUES (9,'z',90.0) t(id,grp,amt)")
+    eng.sql("SET carbon.input.segments.default.src = 1")
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 1
+    rows = eng.sql("SELECT id FROM src").collect()
+    assert [r["id"] for r in rows] == [9]
+    # insegment() overrides the session scope
+    assert eng.sql("SELECT COUNT(*) AS n FROM src "
+                   "WHERE insegment('0')").first()["n"] == 4
+    eng.sql("SET carbon.input.segments.default.src = *")
+    assert eng.sql("SELECT COUNT(*) FROM src").first()[0] == 5
+
+
 def test_compact_close_streaming_sql(eng, spark):
     from cdh_integrate_carbondata2_3_spark.streaming import (
         append_streaming_batch)
