@@ -1,0 +1,196 @@
+"""Deterministic sampling / chunking / curation operators for
+training-data pipelines — beyond the reference's surface (SURVEY.md §7
+watch-list), alongside the dedup family in ``pipeline.py``.
+
+Everything here is *deterministic* (content/id-hash driven, no RNG) so
+runs are reproducible and resumable at 100 TB: a re-run after a failed
+stage selects exactly the same rows, and the DuckDB oracle can recompute
+the selection bit-for-bit. All operators are pure built-in-function
+DataFrame ops — the sampling predicates are map-side (no shuffle at
+all), chunking is one generator-explode (no shuffle), and the shard /
+funnel summaries aggregate on a handful of keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import query
+from .pipeline import _docs
+
+# md5 of the *decimal string* of doc_id — identical in Spark
+# (md5(cast(cast(id as string) as binary))) and DuckDB
+# (md5(CAST(id AS VARCHAR))), so both engines pick the same rows.
+
+
+def _id_hash(col: str = "doc_id") -> F.Column:
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
+_ID_HASH_SQL = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@query("sample_hash_bernoulli", oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_ID_HASH_SQL} < '1a'
+""")
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic Bernoulli sample: keep rows whose id-hash falls
+    below a hex threshold ('1a'/'100' ≈ 10.2%). Map-side predicate only —
+    at 100 TB this is a pure scan-filter, no shuffle, and the same rows
+    survive on every re-run (unlike ``df.sample`` whose seed interacts
+    with partitioning)."""
+    return (_docs(spark, sf_dir)
+            .filter(_id_hash() < "1a")
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+@query("sample_stratified_lang", oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_ID_HASH_SQL} < CASE WHEN lang = 'en' THEN '8'
+                            WHEN lang IN ('es', 'fr') THEN '4'
+                            ELSE '1' END
+""")
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (en 50%, es/fr 25%,
+    rest ~6%) — the standard language-rebalancing step of a pretraining
+    mix. The rate table is inlined as a CASE expression (broadcast-free,
+    whole-stage codegen); scale cost is identical to a plain filter."""
+    threshold = (F.when(F.col("lang") == "en", F.lit("8"))
+                 .when(F.col("lang").isin("es", "fr"), F.lit("4"))
+                 .otherwise(F.lit("1")))
+    return (_docs(spark, sf_dir)
+            .filter(_id_hash() < threshold)
+            .select("doc_id", "lang", "n_chars"))
+
+
+@query("sample_reservoir_per_source", oracle=f"""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_ID_HASH_SQL}, doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 5
+""")
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group 'reservoir': the k docs with the
+    smallest id-hash per source. One hash-partitioned window (single
+    shuffle on source); because the order key is a uniform hash this is
+    an unbiased uniform sample per group, yet reproducible. At scale,
+    rank-k selection via window + early filter lets AQE collapse the
+    post-filter tiny output."""
+    w = W.partitionBy("source").orderBy(_id_hash(), "doc_id")
+    return (_docs(spark, sf_dir)
+            .select("source", "doc_id", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 5))
+
+
+_CHUNK = 64  # tokens per training chunk
+# stride == chunk (non-overlapping); a doc with n tokens yields
+# floor((n-1)/CHUNK)+1 chunks, the last one ragged.
+
+
+@query("text_chunk_windows", oracle=f"""
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_no,
+       CAST(len(list_slice(toks, k * {_CHUNK} + 1, k * {_CHUNK} + {_CHUNK})) AS INT)
+         AS n_tokens,
+       md5(array_to_string(list_slice(toks, k * {_CHUNK} + 1,
+                                      k * {_CHUNK} + {_CHUNK}), ' ')) AS chunk_digest
+FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+      FROM documents) d,
+     unnest(generate_series(0, CAST(floor((len(toks) - 1) / {_CHUNK}.0) AS BIGINT)))
+       AS t(k)
+""")
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size token windows (context-window
+    packing for LLM training). One narrow generator-explode per doc — no
+    shuffle; emitting a digest instead of the chunk text keeps the
+    output row ~50 bytes regardless of chunk size."""
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.split(F.trim(F.col("text")), " +").alias("toks")))
+    n_chunks_minus1 = F.floor((F.size("toks") - 1) / _CHUNK).cast("int")
+    chunk = F.slice(F.col("toks"), F.col("chunk_no") * _CHUNK + 1, _CHUNK)
+    return (d.select("doc_id", "toks",
+                     F.explode(F.sequence(F.lit(0), n_chunks_minus1))
+                     .alias("chunk_no"))
+            .select("doc_id", "chunk_no",
+                    F.size(chunk).alias("n_tokens"),
+                    F.md5(F.concat_ws(" ", chunk).cast("binary"))
+                    .alias("chunk_digest")))
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@query("quality_filter_funnel", oracle=f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(trim(text), ' +'),
+                         t -> t IN ({_STOP_SQL})))
+           / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE) AS stop_ratio
+  FROM documents)
+SELECT '00_total' AS stage, COUNT(*) AS n_docs FROM d
+UNION ALL
+SELECT '10_lang', COUNT(*) FROM d WHERE lang IN ('en', 'es')
+UNION ALL
+SELECT '20_length', COUNT(*) FROM d
+ WHERE lang IN ('en', 'es') AND n_chars BETWEEN 100 AND 450
+UNION ALL
+SELECT '30_stop_ratio', COUNT(*) FROM d
+ WHERE lang IN ('en', 'es') AND n_chars BETWEEN 100 AND 450
+   AND stop_ratio <= 0.06
+""")
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage quality-filter funnel with per-stage survivor counts
+    (the acceptance report every curation pipeline needs). Computed in
+    ONE scan: each stage is a conditional count over the same pass —
+    not four scans — so at 100 TB it costs exactly one read."""
+    toks = F.split(F.trim(F.col("text")), " +")
+    stop_ratio = (F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+                  / F.size(toks).cast("double"))
+    d = _docs(spark, sf_dir).select(
+        "lang", "n_chars", stop_ratio.alias("stop_ratio"))
+    lang_ok = F.col("lang").isin("en", "es")
+    len_ok = lang_ok & F.col("n_chars").between(100, 450)
+    ratio_ok = len_ok & (F.col("stop_ratio") <= 0.06)
+    agg = d.agg(
+        F.count(F.lit(1)).alias("00_total"),
+        F.count_if(lang_ok).alias("10_lang"),
+        F.count_if(len_ok).alias("20_length"),
+        F.count_if(ratio_ok).alias("30_stop_ratio"))
+    stack = F.explode(F.map_from_arrays(
+        F.array(*[F.lit(c) for c in agg.columns]),
+        F.array(*[F.col(f"`{c}`") for c in agg.columns])))
+    return agg.select(stack.alias("stage", "n_docs"))
+
+
+_N_SHARDS = 8
+
+
+@query("sample_train_shards", oracle=f"""
+SELECT CAST((strpos('0123456789abcdef', substr({_ID_HASH_SQL}, 1, 1)) - 1)
+            % {_N_SHARDS} AS INT) AS shard_id,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""")
+def sample_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data ordering: shard
+    = first hex nibble of the id-hash mod N. Pure map-side expression +
+    an aggregate over N keys (partial agg collapses everything before
+    the single tiny shuffle) — the write path would be
+    ``.repartition(shard_id).write`` with identical cost shape."""
+    shard = (F.conv(F.substring(_id_hash(), 1, 1), 16, 10)
+             .cast("int") % _N_SHARDS)
+    return (_docs(spark, sf_dir)
+            .groupBy(shard.alias("shard_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.sum("n_chars").alias("total_chars")))

@@ -1,0 +1,98 @@
+"""Deterministic sampling / chunking operators: correctness of the
+selection logic plus the plan-shape properties that make them free at
+100 TB (the samplers and the chunker must be pure map-side — zero
+Exchange; the funnel must be one scan; the shard summary exactly one
+tiny shuffle)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.queries import all_queries
+from tests.test_plans import plan_of
+
+QUERIES = all_queries()
+
+
+def test_bernoulli_sample_is_shuffle_free(spark, sf_dir):
+    df = QUERIES["sample_hash_bernoulli"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    df = QUERIES["sample_stratified_lang"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_chunker_is_shuffle_free(spark, sf_dir):
+    df = QUERIES["text_chunk_windows"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan and "Generate" in plan
+
+
+def test_funnel_single_scan(spark, sf_dir):
+    df = QUERIES["quality_filter_funnel"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # one scan node in the detail section (each node prints twice:
+    # tree line + "(n) <Node>" header)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_shards_partial_agg_before_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["sample_train_shards"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_sampling_is_deterministic_across_runs(spark, sf_dir):
+    q = QUERIES["sample_hash_bernoulli"].fn
+    a = {r.doc_id for r in q(spark, sf_dir).collect()}
+    b = {r.doc_id for r in q(spark, sf_dir).collect()}
+    assert a == b and a
+
+
+def test_stratified_rates_ordered(spark, sf_dir):
+    """en must be sampled at a visibly higher rate than the tail langs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = {r.lang: r.n for r in
+               QUERIES["sample_stratified_lang"].fn(spark, sf_dir)
+               .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rate = {k: sampled.get(k, 0) / totals[k] for k in totals}
+    assert rate["en"] > rate.get("zh", 0)
+    assert rate["en"] > 0.3
+
+
+def test_chunks_cover_every_token(spark, sf_dir):
+    """Sum of chunk token counts == doc token count (no token dropped
+    or duplicated by the window arithmetic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = (docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), " +")).alias("n"))
+        .collect())
+    got = {r.doc_id: r.s for r in
+           QUERIES["text_chunk_windows"].fn(spark, sf_dir)
+           .groupBy("doc_id").agg(F.sum("n_tokens").alias("s")).collect()}
+    for r in expected:
+        assert got[r.doc_id] == r.n, r.doc_id
+
+
+def test_funnel_monotone(spark, sf_dir):
+    rows = {r.stage: r.n_docs for r in
+            QUERIES["quality_filter_funnel"].fn(spark, sf_dir).collect()}
+    assert (rows["00_total"] >= rows["10_lang"] >= rows["20_length"]
+            >= rows["30_stop_ratio"])
+    assert rows["30_stop_ratio"] > 0
+
+
+def test_shards_cover_all_docs(spark, sf_dir):
+    df = QUERIES["sample_train_shards"].fn(spark, sf_dir)
+    total = df.agg(F.sum("n_docs")).collect()[0][0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs
+    assert df.count() == 8
