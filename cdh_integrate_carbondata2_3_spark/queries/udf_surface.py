@@ -48,6 +48,29 @@ def udf_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+@query("udf_text_match_limit", oracle=r"""
+SELECT COUNT(*) AS n_matched
+FROM (SELECT * FROM documents
+      WHERE regexp_matches(text, '(^|\s)slow(\S*)($|\s)')
+      LIMIT 25) t
+""")
+def udf_text_match_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_match_with_limit('text:slow*', 25): the limit-N cut applies
+    to the matched-row set before downstream operators (reference
+    TEXT_MATCH_WITH_LIMIT, lucene-index-guide.md). COUNT keeps the gate
+    deterministic — which 25 rows survive is engine-order-dependent on
+    both sides, but the count is exactly min(25, matches)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "udf_tml", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    return eng.sql(
+        "SELECT COUNT(*) AS n_matched FROM documents "
+        "WHERE text_match_with_limit('text:slow*', 25)")
+
+
 @query("udf_timeseries_rollup", oracle="""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
        (date_trunc('hour', ts) + INTERVAL ((minute(ts) // 15) * 15) MINUTE)

@@ -155,7 +155,13 @@ _TS_ITEM = _ci(r"^\s*timeseries\s*\(\s*(\w+)\s*,\s*'(\w+)'\s*\)\s*"
 # Session UDF surface (reference CarbonEnv.scala:83-113) handled as
 # parser-level rewrites so the hot path stays JVM-side:
 _TEXT_MATCH_FN = _ci(r"text_match(?:_with_limit)?\s*\(\s*'([^']+)'\s*"
-                     r"(?:,\s*\d+\s*)?\)")
+                     r"(?:,\s*(\d+)\s*)?\)")
+# text_match_with_limit('q', N) standing alone as the WHERE clause —
+# the only composition whose limit-N semantics is sound to push
+# (mirrors Lucene usage, reference docs lucene-index-guide.md)
+_TEXT_MATCH_LIMIT_SOLE = _ci(
+    r"FROM\s+(\w+)\s+WHERE\s+text_match_with_limit\s*\(\s*'([^']+)'\s*,"
+    r"\s*(\d+)\s*\)\s*(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|$)")
 _TIMESERIES_FN = _ci(r"timeseries\s*\(\s*([\w.]+)\s*,\s*'(\w+)'\s*\)")
 _INSEGMENT_FN = _ci(r"insegment\s*\(\s*'([\d\s,]+)'\s*\)")
 _FROM_TABLE = _ci(r"\bFROM\s+(\w+)")
@@ -566,6 +572,17 @@ class Engine:
         from .functions.timeseries import GRANULARITIES
         text = _strip_ni(text)
         fts_preds = self._fts_prune_predicates(text)
+        if "text_match_with_limit" in text.lower():
+            m = _TEXT_MATCH_LIMIT_SOLE.search(text)
+            if not m:
+                raise ValueError(
+                    "text_match_with_limit must be the sole WHERE predicate "
+                    "(its limit-N cut is unsound combined with other "
+                    "predicates)")
+            tbl, q, n, tail = m.group(1), m.group(2), int(m.group(3)), m.group(4)
+            sub = (f"FROM (SELECT * FROM {tbl} WHERE {_lucene_to_sql(q)} "
+                   f"LIMIT {n}) {tbl} WHERE TRUE {tail or ''}")
+            text = text[:m.start()] + sub + text[m.end():]
         text = _TEXT_MATCH_FN.sub(lambda m: _lucene_to_sql(m.group(1)), text)
 
         def _ts(m: re.Match) -> str:
@@ -599,7 +616,7 @@ class Engine:
         if len(calls) != 1 or re.search(r"\b(OR|NOT)\b", text, re.IGNORECASE):
             return []
         by_field: dict[str, list[str]] = {}
-        for part in re.split(r"\s+AND\s+", calls[0].strip(),
+        for part in re.split(r"\s+AND\s+", calls[0][0].strip(),
                              flags=re.IGNORECASE):
             m = re.match(r"^([\w.]+):(\S+)$", part.strip())
             if not m:

@@ -236,6 +236,28 @@ def test_text_match_rlike_fallback(eng):
     assert sorted(r["id"] for r in rows) == [1, 3]
 
 
+def test_text_match_with_limit(eng):
+    eng.sql("CREATE TABLE docs (id INT, body STRING)")
+    eng.sql("INSERT INTO docs SELECT * FROM VALUES "
+            "(1,'spark scan fast'),(2,'slow scan'),(3,'scanner x') t(id,body)")
+    # limit below match count → exactly N rows survive
+    rows = eng.sql("SELECT id FROM docs WHERE "
+                   "text_match_with_limit('body:scan*', 2)").collect()
+    assert len(rows) == 2
+    # limit above match count → all matches
+    rows = eng.sql("SELECT id FROM docs WHERE "
+                   "text_match_with_limit('body:scan', 10)").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    # the cut feeds downstream operators (GROUP BY over the limited set)
+    n = eng.sql("SELECT COUNT(*) AS n FROM docs WHERE "
+                "text_match_with_limit('body:scan*', 2)").first()["n"]
+    assert n == 2
+    # unsound composition must be rejected, not silently mis-limited
+    with pytest.raises(ValueError, match="sole WHERE predicate"):
+        eng.sql("SELECT id FROM docs WHERE "
+                "text_match_with_limit('body:scan*', 2) OR id = 3")
+
+
 def test_text_match_with_lucene_index(eng):
     eng.sql("CREATE TABLE ftd (id INT, body STRING)")
     eng.sql("INSERT INTO ftd SELECT * FROM VALUES "
