@@ -24,7 +24,7 @@ HEADLINE = (
     "topk_per_group", "events_hourly_rollup", "dedup_exact_groups",
     "dedup_minhash_lsh", "text_fingerprint", "similarity_cosine_topk",
     "similarity_ann_lsh", "similarity_ann_ivf", "geo_polygon_filter",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample", "sample_stratified_lang", "text_chunk_windows",
 )
 
 
