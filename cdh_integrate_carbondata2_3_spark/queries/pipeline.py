@@ -75,6 +75,19 @@ _N_HASHES = 16
 _BANDS = (tuple(range(0, 8)), tuple(range(8, 16)))
 _JACCARD_THRESHOLD = 0.6
 
+# MinHash family: ONE md5 per shingle → 60-bit int x → 16 linear
+# transforms (a_i·x + b_i) mod P. Replaces 16 md5-per-token (the old
+# hot loop — measured 5.2s → ~3s at sf0.1). Constants sized so every
+# intermediate fits signed 64-bit under Spark ANSI overflow checking:
+# a_i < 2^16, x mod P < 2^31 → product < 2^47.
+_MH_PRIME = 2147483647                      # 2^31 - 1
+_MH_COEFFS = tuple((104729 * (i + 1) % 65521, 7919 * i + 13)
+                   for i in range(_N_HASHES))
+# 15 hex chars of md5 → bigint (60 bits, fits BIGINT in both engines)
+_HEX15_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(sh), {p + 1}, 1)) - 1)"
+    f" * {16 ** (14 - p)}" for p in range(15)) + ")"
+
 
 _SHINGLE_SQL = """
   SELECT DISTINCT doc_id,
@@ -89,9 +102,11 @@ _SHINGLE_SQL = """
 
 def _minhash_sql_oracle() -> str:
     sig_cols = ", ".join(
-        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(_N_HASHES))
+        f"MIN(({a} * x + {b}) % {_MH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS))
     band_exprs = ", ".join(
-        "md5(" + " || ".join(f"h{i}" for i in band) + f") AS band{bi}"
+        "md5(" + " || '|' || ".join(f"CAST(h{i} AS VARCHAR)" for i in band)
+        + f") AS band{bi}"
         for bi, band in enumerate(_BANDS))
     band_union = "\nUNION\n".join(f"""
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -101,8 +116,10 @@ def _minhash_sql_oracle() -> str:
 WITH toks AS ({_SHINGLE_SQL}
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+), toksx AS (
+  SELECT doc_id, {_HEX15_SQL} % {_MH_PRIME} AS x FROM toks
 ), sigs AS (
-  SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id
+  SELECT doc_id, {sig_cols} FROM toksx GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, {band_exprs} FROM sigs
 ), cand AS ({band_union}
@@ -153,13 +170,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variant avoids even this shuffle but loses whole-stage codegen —
     # higher-order functions are interpreted — and measures 2× slower).
     toks = docsets.select("doc_id", F.explode("shs").alias("sh"))
-    sigs = toks.groupBy("doc_id").agg(
+    # one md5 per shingle; 16 signature hashes are linear transforms of
+    # its first 60 bits — integer codegen instead of 16 string digests
+    x = (F.conv(F.substring(_md5(F.col("sh")), 1, 15), 16, 10)
+         .cast("long") % _MH_PRIME)
+    sigs = toks.select("doc_id", x.alias("x")).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
-        *[F.min(_md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-          for i in range(_N_HASHES)])
+        *[F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_PRIME).alias(f"h{i}")
+          for i, (a, b) in enumerate(_MH_COEFFS)])
     banded = sigs.select(
         "doc_id", "n_tok",
-        *[_md5(F.concat(*[F.col(f"h{i}") for i in band])).alias(f"band{bi}")
+        *[_md5(F.concat_ws("|", *[F.col(f"h{i}").cast("string")
+                                  for i in band])).alias(f"band{bi}")
           for bi, band in enumerate(_BANDS)])
     cand = None
     for bi in range(len(_BANDS)):
