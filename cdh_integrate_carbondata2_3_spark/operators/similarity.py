@@ -42,6 +42,20 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a) -> Column:
+    """sqrt(dot(v, v)) — precompute per VECTOR before a join so the
+    pair-scoring loop does one dot instead of three. Bit-identical to
+    inlining: sqrt over the same sequential accumulation of the same
+    array, so cosine = dot/(norm_a*norm_b) hashes equal to the
+    DuckDB oracle's inline form."""
+    return F.sqrt(dot(a, a))
+
+
+def _cos_pre(qn: str = "qn", cn: str = "cn") -> Column:
+    """cosine from a pair dot + the two precomputed norms; the
+    expression tree (divide(dot, multiply(a, b))) matches the inline
+    cosine() exactly."""
+    return dot("qe", "ce") / (F.col(qn) * F.col(cn))
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -50,12 +64,14 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
     the corpus, rerank per query. Columns out:
     (q_id, c_id, cos_sim, rk)."""
     q = queries.select(F.col(id_col).alias("q_id"),
-                       F.col(vec_col).alias("qe"))
+                       F.col(vec_col).alias("qe"),
+                       norm(F.col(vec_col)).alias("qn"))
     c = corpus.select(F.col(id_col).alias("c_id"),
-                      F.col(vec_col).alias("ce"))
+                      F.col(vec_col).alias("ce"),
+                      norm(F.col(vec_col)).alias("cn"))
     scored = (c.crossJoin(F.broadcast(q))
               .select("q_id", "c_id",
-                      F.round(cosine("qe", "ce"), 6).cast("double")
+                      F.round(_cos_pre(), 6).cast("double")
                       .alias("cos_sim")))
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (scored.select("q_id", "c_id", "cos_sim",
@@ -78,10 +94,13 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     fall out of fast codegen (window+HOF 2.1s vs literal-unrolled 13s
     full-query). The broadcast join keeps expression trees small; the
     by-id shuffle happens once at index-build (write) time."""
-    c = centroids.select(F.col("cid"), F.col("ce"))
-    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    c = centroids.select(F.col("cid"), F.col("ce"),
+                         norm(F.col("ce")).alias("cn"))
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"),
+                      norm(F.col(vec_col)).alias("qn"))
     scored = v.crossJoin(F.broadcast(c)).select(
-        "id", "e", "cid", cosine("e", "ce").alias("sim"))
+        "id", "e", "cid",
+        (dot("e", "ce") / (F.col("qn") * F.col("cn"))).alias("sim"))
     w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -100,18 +119,20 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame,
     the exploded (query, probe-list) pairs — only vectors in probed
     lists are scored."""
     q = queries.select(F.col(id_col).alias("q_id"),
-                       F.col(vec_col).alias("qe"))
+                       F.col(vec_col).alias("qe"),
+                       norm(F.col(vec_col)).alias("qn"))
     qc = q.crossJoin(F.broadcast(centroids)).select(
-        "q_id", "qe", "cid", cosine("qe", "ce").alias("sim"))
+        "q_id", "qe", "qn", "cid",
+        (dot("qe", "ce") / (F.col("qn") * norm(F.col("ce")))).alias("sim"))
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
     probes = (qc.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= nprobe)
-              .select("q_id", "qe", F.col("cid").alias("list_id")))
+              .select("q_id", "qe", "qn", F.col("cid").alias("list_id")))
     cand = (assigned.select(F.col("id").alias("c_id"), F.col("e").alias("ce"),
-                            "list_id")
+                            norm(F.col("e")).alias("cn"), "list_id")
             .join(F.broadcast(probes), "list_id"))
     scored = cand.select("q_id", "c_id",
-                         F.round(cosine("qe", "ce"), 6).cast("double")
+                         F.round(_cos_pre(), 6).cast("double")
                          .alias("cos_sim"))
     wk = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (scored.select("q_id", "c_id", "cos_sim",

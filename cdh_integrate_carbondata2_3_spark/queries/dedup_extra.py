@@ -343,19 +343,24 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.lit(0.0), lambda acc, x: acc + x)
         term = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    sigs = v.select("vec_id", "e", sig.alias("sig"))
+    vnorm = F.sqrt(_dot_col("e", "e"))
+    sigs = v.select("vec_id", "e", vnorm.alias("n"), sig.alias("sig"))
     flips = F.array(*[F.lit(x) for x in [0] + [1 << i for i in range(_ANN_PLANES)]])
     q = (sigs.filter(F.col("vec_id") < _ANN_QUERY_VECS)
          .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+                 F.col("n").alias("qn"),
                  F.explode(flips).alias("f"),
                  F.col("sig"))
-         .select("q_id", "qe", F.col("sig").bitwiseXOR(F.col("f")).alias("probe")))
+         .select("q_id", "qe", "qn",
+                 F.col("sig").bitwiseXOR(F.col("f")).alias("probe")))
     c = (sigs.filter(F.col("vec_id") >= _ANN_QUERY_VECS)
-         .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), "sig"))
+         .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"),
+                 F.col("n").alias("cn"), "sig"))
     cand = (c.join(F.broadcast(q), F.col("sig") == F.col("probe"))
-            .select("q_id", "c_id", "qe", "ce").distinct())
-    cos = (_dot_col("qe", "ce")
-           / (F.sqrt(_dot_col("qe", "qe")) * F.sqrt(_dot_col("ce", "ce"))))
+            .select("q_id", "c_id", "qe", "ce", "qn", "cn").distinct())
+    # norms precomputed once per VECTOR (bit-identical to inlining:
+    # sqrt of the same sequential dot), one pair-dot in the rerank
+    cos = _dot_col("qe", "ce") / (F.col("qn") * F.col("cn"))
     scored = cand.select("q_id", "c_id",
                          F.round(cos, 6).cast("double").alias("cos_sim"))
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
