@@ -25,6 +25,7 @@ HEADLINE = (
     "dedup_minhash_lsh", "text_fingerprint", "similarity_cosine_topk",
     "similarity_ann_lsh", "similarity_ann_ivf", "geo_polygon_filter",
     "multimodal_frame_sample", "sample_stratified_lang", "text_chunk_windows",
+    "join_asof_events", "join_range_events",
 )
 
 

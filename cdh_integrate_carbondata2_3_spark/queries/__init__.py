@@ -41,5 +41,5 @@ def all_queries() -> dict[str, Query]:
     from . import relational, pipeline, geo_queries, dedup_extra  # noqa: F401
     from . import multimodal_queries, lifecycle_queries, subqueries  # noqa: F401
     from . import streaming_queries, lifecycle_extra, tpch_rest  # noqa: F401
-    from . import udf_surface, sampling  # noqa: F401
+    from . import udf_surface, sampling, temporal_queries  # noqa: F401
     return dict(REGISTRY)

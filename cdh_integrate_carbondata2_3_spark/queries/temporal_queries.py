@@ -1,0 +1,109 @@
+"""Temporal-join gate queries over the events table.
+
+As-of / range joins are absent from the reference (SURVEY.md §2.3) —
+this is the event-stream extension surface. DuckDB's native ASOF JOIN
+and a plain theta join serve as independently-implemented oracles for
+the engine's union+window / bucketized formulations.
+
+Null payloads (left rows with no match) are COALESCEd to sentinels on
+BOTH sides: pandas widens nullable int columns to float on one side
+but not always the other, which would break the value hash even when
+the data agrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join
+from . import query
+from .relational import _t
+
+
+def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+
+
+@query("join_asof_events", oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       COALESCE(c.click_id, -1) AS click_id,
+       COALESCE(CAST(c.ts AS VARCHAR), '') AS click_ts
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for each purchase, the user's most recent
+    click at-or-before it (union+window, one shuffle — see
+    operators/temporal.py)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id")))
+    j = asof_join(_purchases(spark, sf_dir), clicks, on="user_id")
+    return j.select(
+        "purchase_id", "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("matched_ts").cast("string"), F.lit("")).alias("click_ts"))
+
+
+@query("join_asof_forward_tol", oracle="""
+WITH errors AS (
+  SELECT user_id, ts, MAX(event_id) AS error_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       COALESCE(CASE WHEN e.ts <= p.ts + INTERVAL 2 HOUR THEN e.error_id END,
+                -1) AS error_id
+FROM purchases p ASOF LEFT JOIN errors e
+  ON p.user_id = e.user_id AND p.ts <= e.ts
+""")
+def join_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: the first error after each
+    purchase, only if within 2 hours."""
+    e = _t(spark, sf_dir, "events")
+    errors = (e.filter(F.col("event_type") == "error")
+              .groupBy("user_id", "ts").agg(F.max("event_id").alias("error_id")))
+    j = asof_join(_purchases(spark, sf_dir), errors, on="user_id",
+                  direction="forward", tolerance="INTERVAL 2 HOURS")
+    return j.select("purchase_id", "user_id",
+                    F.coalesce("error_id", F.lit(-1)).alias("error_id"))
+
+
+@query("join_range_events", oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       COUNT(*) AS n_views,
+       CAST(SUM(CAST(v.value AS DECIMAL(18,4))) AS DOUBLE) AS view_value
+FROM events p JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 6 HOUR AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+""")
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: views in the 6 hours before each purchase,
+    via the bucketized (key, time-bucket) equi-join."""
+    e = _t(spark, sf_dir, "events")
+    p = (_purchases(spark, sf_dir)
+         .select("purchase_id", "user_id",
+                 (F.col("ts") - F.expr("INTERVAL 6 HOURS")).alias("w_start"),
+                 F.col("ts").alias("w_end")))
+    v = (e.filter(F.col("event_type") == "view")
+         .select("user_id", "ts", "value"))
+    j = range_join(p, v, on="user_id", start_col="w_start", end_col="w_end",
+                   bucket_s=6 * 3600)
+    return (j.groupBy("purchase_id", "user_id")
+            .agg(F.count(F.lit(1)).alias("n_views"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("view_value")))
