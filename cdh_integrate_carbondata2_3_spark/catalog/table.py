@@ -430,6 +430,88 @@ class Table:
         self.manifest.update(mutate)
         return self.manifest.next_segment_id() - 1
 
+    # ------------------------------------------------------------ staging
+
+    def insert_stage(self, batch_file_count: int | None = None) -> int | None:
+        """INSERT INTO t STAGE: commit stage entries written by
+        external SDK writers (SdkStageWriter) as ONE new segment
+        (reference CarbonInsertFromStageCommand.scala:71-183; parser
+        CarbonSpark2SqlParser.scala:556-564 with option
+        'batch_file_count'). Oldest entries first; ``.stage`` metadata
+        files are removed only after the manifest commit, and a crash
+        in between is healed on the next call (metadata whose data
+        files were already moved is dropped — the reference recovers
+        analogously via its stage snapshot file, L94-111).
+        Returns the new segment id, or None if the stage is empty."""
+        import json as _json
+        stage_dir = os.path.join(self.table_dir, "stage")
+        metas = sorted(glob.glob(os.path.join(stage_dir, "*.stage")),
+                       key=os.path.getmtime)
+        if batch_file_count is not None:
+            metas = metas[:batch_file_count]
+        if not metas:
+            return None
+        rels: list[str] = []
+        live_metas: list[str] = []
+        for mp in metas:
+            with open(mp) as f:
+                files = _json.load(f)["files"]
+            if all(os.path.exists(os.path.join(stage_dir, r)) for r in files):
+                rels.extend(files)
+                live_metas.append(mp)
+            else:
+                # crash recovery: files already moved by a previous
+                # insert_stage that died before removing the metadata
+                os.remove(mp)
+        metas = live_metas
+        if not metas:
+            return None
+        committed: dict[str, int] = {}
+
+        def mutate(doc: dict) -> None:
+            seg_id = self.manifest.next_segment_id(doc)
+            seg_dir = os.path.join(self.table_dir, f"segment_{seg_id}")
+            os.makedirs(seg_dir, exist_ok=True)
+            stats = []
+            for rel in rels:
+                dst_rel = os.path.join(f"segment_{seg_id}", rel)
+                os.rename(os.path.join(stage_dir, rel),
+                          os.path.join(self.table_dir, dst_rel))
+                stats.append(harvest_file(
+                    os.path.join(self.table_dir, dst_rel), dst_rel))
+            doc["segments"].append(Segment(
+                id=seg_id, status=SegmentStatus.SUCCESS, format="parquet",
+                files=stats, load_time=time.time(),
+                source="insert_stage").to_json())
+            committed["id"] = seg_id
+
+        self.manifest.update(mutate)
+        for mp in metas:
+            os.remove(mp)
+        return committed["id"]
+
+    def delete_stage(self, retain_hour: float = 0.0) -> int:
+        """DELETE FROM TABLE t STAGE: garbage-collect orphan stage
+        data files (no ``.stage`` metadata references them — e.g. a
+        writer crashed between data and metadata) older than
+        ``retain_hour`` (reference CarbonDeleteStageFilesCommand)."""
+        import json as _json
+        stage_dir = os.path.join(self.table_dir, "stage")
+        if not os.path.isdir(stage_dir):
+            return 0
+        referenced: set[str] = set()
+        for mp in glob.glob(os.path.join(stage_dir, "*.stage")):
+            with open(mp) as f:
+                referenced.update(_json.load(f)["files"])
+        cutoff = time.time() - retain_hour * 3600
+        removed = 0
+        for p in glob.glob(os.path.join(stage_dir, "*.parquet")):
+            if (os.path.basename(p) not in referenced
+                    and os.path.getmtime(p) <= cutoff):
+                os.remove(p)
+                removed += 1
+        return removed
+
     # ----------------------------------------------------- hive partitions
 
     def show_partitions(self) -> list[dict[str, str]]:

@@ -13,6 +13,7 @@ the Spark engine, so SDK-written segments are immediately queryable by
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -111,6 +112,55 @@ class SdkWriter:
         self.manifest.update(mutate)
         os.rmdir(tmp)
         return committed["id"]
+
+
+class SdkStageWriter:
+    """Flink-SDK-writer analogue: write data files plus a ``.stage``
+    metadata file into ``<table>/stage/`` WITHOUT touching the
+    manifest — staged data is invisible to queries until
+    ``INSERT INTO t STAGE`` commits it (reference
+    CarbonInsertFromStageCommand.scala:71-183: external writers drop
+    stage files, the command picks them up transactionally).
+
+    Each ``commit()`` is one stage entry; a single INSERT STAGE may
+    consume many entries from many concurrent writers.
+    """
+
+    def __init__(self, table_dir: str, schema_ddl: str | None = None):
+        self.table_dir = os.path.abspath(table_dir)
+        self.manifest = Manifest(self.table_dir)
+        if not self.manifest.exists():
+            if schema_ddl is None:
+                raise ValueError("new table needs schema_ddl")
+            os.makedirs(self.table_dir, exist_ok=True)
+            self.manifest.init(schema_ddl, {})
+        self.schema = _ddl_to_arrow_schema(self.manifest.load()["schema"])
+        self.stage_dir = os.path.join(self.table_dir, "stage")
+        os.makedirs(self.stage_dir, exist_ok=True)
+        self._buffer: list[dict] = []
+
+    def write(self, row: dict[str, Any]) -> None:
+        self._buffer.append(row)
+
+    def commit(self) -> str | None:
+        """Flush buffered rows as one stage entry: data file first,
+        ``.stage`` metadata last (the metadata file IS the commit
+        marker — a crash in between leaves an orphan data file that
+        ``DELETE FROM TABLE t STAGE`` garbage-collects)."""
+        if not self._buffer:
+            return None
+        tbl = pa.Table.from_pylist(self._buffer, schema=self.schema)
+        self._buffer = []
+        token = uuid.uuid4().hex
+        data_rel = f"{token}-part-00000.parquet"
+        pq.write_table(tbl, os.path.join(self.stage_dir, data_rel))
+        meta = {"files": [data_rel], "rows": tbl.num_rows,
+                "create_time": time.time()}
+        tmp = os.path.join(self.stage_dir, f"_{token}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(self.stage_dir, f"{token}.stage"))
+        return token
 
 
 class SdkReader:

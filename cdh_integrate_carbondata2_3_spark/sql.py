@@ -42,6 +42,15 @@ _LOAD_DATA = _ci(
     r"(OVERWRITE\s+)?INTO\s+TABLE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\))?\s*$")
 _INSERT = _ci(
     r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*)$")
+# INSERT INTO t STAGE / DELETE FROM TABLE t STAGE — commit / GC stage
+# files dropped by external SDK writers (reference
+# CarbonSpark2SqlParser.scala:531-564, CarbonInsertFromStageCommand)
+_INSERT_STAGE = _ci(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+STAGE\s*"
+    r"(?:OPTIONS\s*\((.*?)\))?\s*$")
+_DELETE_STAGE = _ci(
+    r"^\s*DELETE\s+FROM\s+TABLE\s+(\w+)\s+STAGE\s*"
+    r"(?:OPTIONS\s*\((.*?)\))?\s*$")
 _UPDATE_TUPLE = _ci(
     r"^\s*UPDATE\s+(\w+)\s+SET\s*\(([^)]+)\)\s*=\s*\((.*?)\)\s*"
     r"(?:WHERE\s+(.*?))?\s*$")
@@ -286,6 +295,17 @@ class Engine:
                 header=opts.get("header", "true").lower() != "false",
                 bad_records_action=opts.get("bad_records_action", "FORCE"))
             return self._ok(f"segment {seg}")
+        if m := _INSERT_STAGE.match(text):
+            opts = _parse_props(m.group(2))
+            bfc = opts.get("batch_file_count")
+            seg = self.table(m.group(1)).insert_stage(
+                batch_file_count=int(bfc) if bfc else None)
+            return self._ok("stage empty" if seg is None else f"segment {seg}")
+        if m := _DELETE_STAGE.match(text):
+            opts = _parse_props(m.group(2))
+            n = self.table(m.group(1)).delete_stage(
+                retain_hour=float(opts.get("retain_hour", 0)))
+            return self._ok(f"removed {n}")
         if m := _INSERT.match(text):
             self._register_views()
             seg = self.table(m.group(2)).insert(

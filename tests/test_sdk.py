@@ -64,3 +64,41 @@ def test_spark_write_sdk_read(spark, tmp_path):
     t.insert(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double"))
     r = SdkReader(str(tmp_path / "t"))
     assert sorted(x["id"] for x in r) == [1, 2]
+
+
+def test_stage_writer_invisible_until_insert_stage(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.sdk import SdkStageWriter
+    t = Table.create(spark, str(tmp_path / "t"), "id bigint, v double")
+    t.insert(spark.createDataFrame([(1, 1.0)], "id bigint, v double"))
+    w = SdkStageWriter(str(tmp_path / "t"))
+    w.write({"id": 2, "v": 2.0})
+    w.commit()
+    w.write({"id": 3, "v": 3.0})
+    w.commit()
+    assert t.count() == 1                       # staged data not visible
+    seg = t.insert_stage()
+    assert seg == 1
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3]
+    assert t.insert_stage() is None             # stage drained
+
+
+def test_insert_stage_batch_and_delete_stage_sql(spark, tmp_path):
+    import os
+    from cdh_integrate_carbondata2_3_spark.sdk import SdkStageWriter
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE st (id INT, v DOUBLE)")
+    tdir = eng.table("st").table_dir
+    w = SdkStageWriter(tdir)
+    for i in range(3):
+        w.write({"id": i, "v": float(i)})
+        w.commit()
+    eng.sql("INSERT INTO st STAGE OPTIONS('batch_file_count'='2')")
+    assert eng.table("st").count() == 2         # only 2 oldest entries
+    # orphan data file (writer died before metadata): GC'd by DELETE STAGE
+    orphan = os.path.join(tdir, "stage", "deadbeef-part-00000.parquet")
+    open(orphan, "wb").close()
+    eng.sql("DELETE FROM TABLE st STAGE")
+    assert not os.path.exists(orphan)
+    eng.sql("INSERT INTO st STAGE")             # remaining entry intact
+    assert eng.table("st").count() == 3
