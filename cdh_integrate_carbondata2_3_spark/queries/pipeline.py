@@ -262,6 +262,61 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise("low").alias("quality_band"))
 
 
+@query("text_repetition_filters", oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), words AS (
+  SELECT doc_id, unnest(ws) AS w FROM toks
+), wcount AS (
+  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct
+  FROM words GROUP BY doc_id
+), topw AS (
+  SELECT doc_id, MAX(c) AS top_w FROM (
+    SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w)
+  GROUP BY doc_id
+), bg AS (
+  SELECT t.doc_id, list_extract(ws, i) || ' ' || list_extract(ws, i + 1) AS g
+  FROM toks t, unnest(range(1, len(ws))) AS r(i)
+), topg AS (
+  SELECT doc_id, MAX(c) AS top_g FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words, w.n_distinct,
+       CAST(ROUND(CAST(t.top_w AS DOUBLE) / w.n_words, 4) AS DOUBLE)
+         AS top_word_frac,
+       CAST(ROUND(CAST(COALESCE(g.top_g, 0) AS DOUBLE)
+                  / GREATEST(w.n_words - 1, 1), 4) AS DOUBLE)
+         AS top_bigram_frac,
+       CAST(ROUND(CAST(t.top_w AS DOUBLE) / w.n_words, 4) > 0.12
+            OR CAST(ROUND(CAST(COALESCE(g.top_g, 0) AS DOUBLE)
+                          / GREATEST(w.n_words - 1, 1), 4) AS DOUBLE) > 0.08
+            AS BOOLEAN) AS is_repetitive
+FROM wcount w JOIN topw t USING (doc_id) LEFT JOIN topg g USING (doc_id)
+""")
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-word / top-bigram
+    fraction) with ZERO shuffles: per-document sorted-array fold
+    (functions/repetition.py) instead of the explode→groupBy
+    every-token shuffle the oracle uses. The plan is scan+project —
+    the shape that survives 100 TB."""
+    from ..functions.repetition import (bigrams, distinct_count,
+                                        max_run_count, tokens)
+    d = _docs(spark, sf_dir)
+    ws = tokens(F.col("text"))
+    doc = d.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    top_w = F.round(max_run_count(F.col("ws")).cast("double") / n, 4) \
+        .cast("double")
+    top_g = F.round(max_run_count(bigrams(F.col("ws"))).cast("double")
+                    / F.greatest(n - 1, F.lit(1)), 4).cast("double")
+    return doc.select(
+        "doc_id", n.alias("n_words"),
+        distinct_count(F.col("ws")).alias("n_distinct"),
+        top_w.alias("top_word_frac"), top_g.alias("top_bigram_frac"),
+        ((top_w > 0.12) | (top_g > 0.08)).alias("is_repetitive"))
+
+
 @query("text_lang_heuristic", oracle="""
 SELECT lang,
        CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en' ELSE 'other' END AS pred_lang,

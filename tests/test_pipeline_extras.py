@@ -137,3 +137,20 @@ def test_ivf_search_matches_bruteforce_when_probing_all(spark):
     ivf1 = S.ivf_search(assigned, cents, queries, nprobe=1, k=5)
     per_q = ivf1.groupBy("q_id").count().collect()
     assert all(r["count"] <= 5 for r in per_q)
+
+
+def test_max_run_count_edges(spark):
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.functions.repetition import (
+        bigrams, max_run_count, tokens)
+    df = spark.createDataFrame(
+        [("a a a b c",), ("x",), ("p q p q p",), ("",)], "text string")
+    out = df.select(
+        max_run_count(tokens(F.col("text"))).alias("topw"),
+        max_run_count(bigrams(tokens(F.col("text")))).alias("topg")).collect()
+    # 'a a a b c' → top word 3×'a'; bigrams: 'a a','a a','a b','b c' → 2
+    assert (out[0]["topw"], out[0]["topg"]) == (3, 2)
+    assert (out[1]["topw"], out[1]["topg"]) == (1, 0)   # single token
+    # 'p q p q p' → word 3×'p'; bigrams 'p q'×2,'q p'×2 → 2
+    assert (out[2]["topw"], out[2]["topg"]) == (3, 2)
+    assert out[3]["topw"] == 1                          # '' → ['']
