@@ -178,24 +178,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tok"),
         *[F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_PRIME).alias(f"h{i}")
           for i, (a, b) in enumerate(_MH_COEFFS)])
-    banded = sigs.select(
+    # bands stacked into (band_idx, bucket_key) rows → ONE self-join on
+    # (bi, bk) instead of one join per band: same shuffle volume
+    # (bands×n rows per side) but a single exchange+join stage rather
+    # than 2×bands of them — measured 1.3s vs 2.1s at sf0.1
+    bandkeys = sigs.select(
         "doc_id", "n_tok",
-        *[_md5(F.concat_ws("|", *[F.col(f"h{i}").cast("string")
-                                  for i in band])).alias(f"band{bi}")
-          for bi, band in enumerate(_BANDS)])
-    cand = None
-    for bi in range(len(_BANDS)):
-        a = banded.select(F.col("doc_id").alias("doc_a"),
-                          F.col("n_tok").alias("na"),
-                          F.col(f"band{bi}").alias("bk"))
-        b = banded.select(F.col("doc_id").alias("doc_b"),
-                          F.col("n_tok").alias("nb"),
-                          F.col(f"band{bi}").alias("bk"))
-        pairs = (a.join(b, "bk")
-                 .filter(F.col("doc_a") < F.col("doc_b"))
-                 .select("doc_a", "doc_b", "na", "nb"))
-        cand = pairs if cand is None else cand.union(pairs)
-    cand = cand.distinct()
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("bi"),
+                     _md5(F.concat_ws("|", *[F.col(f"h{i}").cast("string")
+                                             for i in band])).alias("bk"))
+            for bi, band in enumerate(_BANDS)])).alias("b")
+        ).select("doc_id", "n_tok", "b.bi", "b.bk")
+    a = bandkeys.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n_tok").alias("na"), "bi", "bk")
+    b = bandkeys.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n_tok").alias("nb"), "bi", "bk")
+    cand = (a.join(b, ["bi", "bk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "na", "nb")
+            .distinct())
     sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
     sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
     inter = (cand.join(sa, "doc_a").join(sb, "doc_b")
