@@ -430,6 +430,36 @@ class Table:
         self.manifest.update(mutate)
         return self.manifest.next_segment_id() - 1
 
+    # -------------------------------------------------- table properties
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES (reference
+        CarbonAlterTableSetCommand.scala): metadata-only merge."""
+        def mutate(doc: dict) -> None:
+            doc.setdefault("properties", {}).update(props)
+        self.manifest.update(mutate)
+
+    def unset_properties(self, keys: Sequence[str]) -> None:
+        """ALTER TABLE UNSET TBLPROPERTIES (reference
+        CarbonAlterTableUnsetCommand.scala)."""
+        def mutate(doc: dict) -> None:
+            for k in keys:
+                doc.setdefault("properties", {}).pop(k, None)
+        self.manifest.update(mutate)
+
+    def show_create(self, name: str) -> str:
+        """SHOW CREATE TABLE DDL text (reference
+        CarbonShowCreateTableCommand.scala)."""
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in self._schema_struct().fields)
+        props = self.manifest.properties()
+        out = f"CREATE TABLE {name} (\n  {cols}\n)"
+        if props:
+            kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+            out += f"\nTBLPROPERTIES ({kv})"
+        return out
+
     # ------------------------------------------------------------ staging
 
     def insert_stage(self, batch_file_count: int | None = None) -> int | None:

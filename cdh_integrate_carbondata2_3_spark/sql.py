@@ -92,6 +92,16 @@ _ALTER_CHANGE = _ci(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+CHANGE\s+(\w+)\s+(\w+)\s+([\w(),\s]+?)\s*$")
 _ALTER_FINISH_STREAMING = _ci(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+FINISH\s+STREAMING\s*$")
+# SET/UNSET TBLPROPERTIES, RENAME TO, SHOW CREATE TABLE (reference
+# CarbonAlterTableSetCommand / CarbonAlterTableUnsetCommand /
+# CarbonAlterTableRenameCommand / CarbonShowCreateTableCommand)
+_ALTER_SET_PROPS = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.*?)\)\s*$")
+_ALTER_UNSET_PROPS = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\((.*?)\)\s*$")
+_ALTER_RENAME_TABLE = _ci(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$")
+_SHOW_CREATE_TABLE = _ci(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$")
 _TRUNCATE = _ci(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$")
 _ADD_PARTITION = _ci(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+PARTITION\s*\((.*?)\)\s+"
@@ -405,6 +415,23 @@ class Engine:
         if m := _ALTER_FINISH_STREAMING.match(text):
             finish_streaming(self.table(m.group(1)))
             return self._ok("finished streaming")
+        if m := _ALTER_SET_PROPS.match(text):
+            self.table(m.group(1)).set_properties(_parse_props(m.group(2)))
+            return self._ok("properties set")
+        if m := _ALTER_UNSET_PROPS.match(text):
+            keys = [k.strip().strip("'\"") for k in m.group(2).split(",")]
+            self.table(m.group(1)).unset_properties(keys)
+            return self._ok("properties unset")
+        if m := _ALTER_RENAME_TABLE.match(text):
+            old, new = m.group(1), m.group(2)
+            if new in self.tables():
+                raise ValueError(f"table {new!r} already exists")
+            os.rename(self._dir(old), self._dir(new))
+            self.spark.catalog.dropTempView(old)
+            return self._ok(f"renamed {old} → {new}")
+        if m := _SHOW_CREATE_TABLE.match(text):
+            ddl = self.table(m.group(1)).show_create(m.group(1))
+            return self._df([(ddl,)], "createtab_stmt string")
         if m := _ALTER_CHANGE.match(text):
             t, old, new, dtype = (self.table(m.group(1)), m.group(2),
                                   m.group(3), m.group(4).strip())

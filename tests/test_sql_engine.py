@@ -391,3 +391,25 @@ def test_hive_partition_commands(eng, spark, tmp_path):
     assert left == [2, 7]
     parts = [r["partition"] for r in eng.sql("SHOW PARTITIONS pt").collect()]
     assert parts == ["region=asia", "region=us"]
+
+
+def test_set_unset_tblproperties(eng):
+    eng.sql("ALTER TABLE src SET TBLPROPERTIES('comment'='hi', 'x'='1')")
+    props = eng.table("src").manifest.properties()
+    assert props["comment"] == "hi" and props["x"] == "1"
+    eng.sql("ALTER TABLE src UNSET TBLPROPERTIES('x')")
+    props = eng.table("src").manifest.properties()
+    assert "x" not in props and props["comment"] == "hi"
+
+
+def test_show_create_table(eng):
+    row = eng.sql("SHOW CREATE TABLE src").collect()[0]
+    ddl = row["createtab_stmt"]
+    assert ddl.startswith("CREATE TABLE src (")
+    assert "id INT" in ddl and "sort_columns" in ddl
+
+
+def test_rename_table(eng):
+    eng.sql("ALTER TABLE src RENAME TO dst")
+    assert "src" not in eng.tables() and "dst" in eng.tables()
+    assert eng.sql("SELECT count(*) AS n FROM dst").collect()[0]["n"] == 4
