@@ -509,10 +509,14 @@ class Engine:
                 "name string, group_cols string, stale boolean")
         if m := _CREATE_STREAM.match(text):
             props = _parse_props(m.group(3))
+            src_path = props.get("source_path")
+            if props.get("source_table"):       # managed-table source
+                src_path = self._dir(props["source_table"])
             info = self.streams.create_stream(
                 m.group(1), self.table(m.group(2)),
-                source_kind=props.get("source_kind", "file"),
-                source_path=props.get("source_path"),
+                source_kind=("table" if props.get("source_table")
+                             else props.get("source_kind", "file")),
+                source_path=src_path,
                 source_format=props.get("record_format", "csv"),
                 source_schema=props.get("source_schema"),
                 trigger_interval=props.get("interval"))

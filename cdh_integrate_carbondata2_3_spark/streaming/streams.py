@@ -186,6 +186,17 @@ class StreamManager:
             if source_format == "csv":
                 reader = reader.option("header", True)
             src = reader.load(source_path)
+        elif source_kind == "table":
+            # managed-table source: tail the manifest via the "carbon"
+            # datasource — a committed segment is exactly one batch, so
+            # the stream never reads half-written files (reference:
+            # streaming source TABLE, CarbonCreateStreamCommand.scala:
+            # 82-120 resolves the source table's format/location)
+            if source_path is None:
+                raise ValueError("table source needs source_path (table dir)")
+            from ..sources.carbon_datasource import register
+            register(self.spark)
+            src = self.spark.readStream.format("carbon").load(source_path)
         elif source_kind == "kafka":
             reader = self.spark.readStream.format("kafka")
             for k, v in (source_options or {}).items():

@@ -115,3 +115,21 @@ def test_watermark_window_surface(spark, tmp_path):
         assert sorted(r["sv"] for r in rows) == [1.0, 4.0, 5.0]
     finally:
         q.stop()
+
+
+def test_table_source_stream_tails_manifest(spark, sink, tmp_path):
+    """CREATE STREAM with a managed-table source: each committed
+    segment of the source arrives as one micro-batch in the sink."""
+    src = Table.create(spark, str(tmp_path / "srctab"), "id bigint, v double")
+    src.insert(spark.range(0, 50).selectExpr("id", "id * 0.5 AS v"))
+    mgr = StreamManager(spark)
+    info = mgr.create_stream("t1", sink, source_kind="table",
+                             source_path=src.table_dir)
+    try:
+        info.query.processAllAvailable()
+        assert sink.read().count() == 50
+        src.insert(spark.range(50, 80).selectExpr("id", "id * 0.5 AS v"))
+        info.query.processAllAvailable()
+        assert sink.read().count() == 80
+    finally:
+        mgr.drop_stream("t1")
