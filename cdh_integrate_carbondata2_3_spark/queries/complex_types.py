@@ -1,0 +1,69 @@
+"""MAP-type surface inside the correctness gate (SURVEY §1.2).
+
+The reference's complex-type support covers ARRAY/STRUCT/MAP up to
+two nesting levels (format/src/main/thrift/schema.thrift:39 DataType
+MAP; integration/spark complexType test suites). ARRAY is covered by
+`complex_array_functions` and STRUCT by the multimodal metadata
+queries; this module closes the MAP gap end-to-end: a managed table
+with a `map<string,string>` column is created, written, read back
+through the schema-aligned segment reader, and queried with
+`element_at` / `map_keys` / `explode` — all JVM-side built-ins.
+
+The DuckDB oracle never needs MAP: it recomputes the same final
+relation from the source parquet, which is exactly the point — the
+map round-trip through the table format must be lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.table import Table
+from . import query
+from .lifecycle_queries import _scratch
+
+
+@query("complex_map_functions", oracle="""
+SELECT pk, pv, n_rows, min_key, n_keys FROM (
+  SELECT 'prio' AS pk, o_orderpriority AS pv,
+         COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+         CAST(2 AS INT) AS n_keys
+  FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderpriority
+  UNION ALL
+  SELECT 'status' AS pk, o_orderstatus AS pv,
+         COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+         CAST(2 AS INT) AS n_keys
+  FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderstatus)
+""")
+def complex_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP column end-to-end: build map('status',...,'prio',...) per
+    order, store it in a managed table, read it back, then explode the
+    entries and aggregate per (key, value) — with map_keys/element_at
+    exercised in the same plan."""
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") < 5000)
+              .select("o_orderkey",
+                      F.create_map(
+                          F.lit("status"), F.col("o_orderstatus"),
+                          F.lit("prio"), F.col("o_orderpriority"),
+                      ).alias("props")))
+    t = Table.create(spark, _scratch("maptype", sf_dir),
+                     "o_orderkey bigint, props map<string,string>")
+    t.insert(orders)
+
+    df = t.read()
+    # element_at + map_keys on the round-tripped column
+    df = df.select(
+        "o_orderkey",
+        "props",
+        F.size(F.map_keys(F.col("props"))).alias("n_keys"),
+        F.element_at(F.col("props"), F.lit("status")).alias("status"),
+    )
+    entries = df.select(
+        "o_orderkey", "n_keys",
+        F.explode(F.col("props")).alias("pk", "pv"))
+    return (entries.groupBy("pk", "pv")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("n_keys").alias("n_keys")))
