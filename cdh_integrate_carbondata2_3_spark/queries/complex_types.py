@@ -25,15 +25,15 @@ from .lifecycle_queries import _scratch
 
 
 @query("complex_map_functions", oracle="""
-SELECT pk, pv, n_rows, min_key, n_keys FROM (
+SELECT pk, pv, n_rows, min_key, n_keys, n_elem_match FROM (
   SELECT 'prio' AS pk, o_orderpriority AS pv,
          COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
-         CAST(2 AS INT) AS n_keys
+         CAST(2 AS INT) AS n_keys, CAST(0 AS BIGINT) AS n_elem_match
   FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderpriority
   UNION ALL
   SELECT 'status' AS pk, o_orderstatus AS pv,
          COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
-         CAST(2 AS INT) AS n_keys
+         CAST(2 AS INT) AS n_keys, COUNT(*) AS n_elem_match
   FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderstatus)
 """)
 def complex_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,9 +61,15 @@ def complex_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("props"), F.lit("status")).alias("status"),
     )
     entries = df.select(
-        "o_orderkey", "n_keys",
+        "o_orderkey", "n_keys", "status",
         F.explode(F.col("props")).alias("pk", "pv"))
+    # n_elem_match forces element_at into the executed plan: for
+    # pk='status' entries the looked-up value must equal the exploded
+    # value (count == n_rows), and 0 for every other key.
     return (entries.groupBy("pk", "pv")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("o_orderkey").alias("min_key"),
-                 F.max("n_keys").alias("n_keys")))
+                 F.max("n_keys").alias("n_keys"),
+                 F.sum(F.when((F.col("pk") == "status")
+                              & (F.col("pv") == F.col("status")), 1)
+                       .otherwise(0)).alias("n_elem_match")))

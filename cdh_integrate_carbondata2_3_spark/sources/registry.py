@@ -47,8 +47,14 @@ def _load_nanos_table(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ts_cols = [f.name for f in pq.read_schema(path)
-               if pa.types.is_timestamp(f.type)]
+    # Only TIMESTAMP(NANOS) needs the long-rebuild path; micro/milli
+    # timestamps are natively supported by the vectorized reader, and
+    # applying the rebuild to them would be both wrong and a plan error
+    # (`ts div 1000` on a TIMESTAMP_NTZ operand).
+    ns_cols = [f.name for f in pq.read_schema(path)
+               if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    if not ns_cols:
+        return spark.read.parquet(path)
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -58,8 +64,9 @@ def _load_nanos_table(spark: SparkSession, path: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    for c in ts_cols:
-        df = df.withColumn(c, _ns_long_to_ntz(c))
+    for c in ns_cols:
+        if dict(df.dtypes).get(c) == "bigint":   # conf honored → raw ns longs
+            df = df.withColumn(c, _ns_long_to_ntz(c))
     return df
 
 
