@@ -667,14 +667,20 @@ class Table:
              segments: list[int] | None = None,
              apply_predicates: bool = True,
              use_indexes: bool = True,
-             as_of: int | None = None) -> DataFrame:
+             as_of: int | None = None,
+             bucket_id: int | None = None) -> DataFrame:
         """Scan with driver-side pruning; mixed-format segments are
         unioned by name (reference MixedFormatHandler.scala:55-230).
         Spark re-evaluates predicates exactly — pruning is only a skip.
 
         ``as_of=N`` reads the segment set of manifest version N (segment
         time travel over tablestatus history — valid until CLEAN FILES
-        physically removes the data of deleted/compacted segments)."""
+        physically removes the data of deleted/compacted segments).
+
+        ``bucket_id=b`` restricts the scan to files of hash bucket b
+        (for the bucket-map join in ``operators.bucketed``); requires
+        every queryable file to carry bucket info — a mixed pre/post
+        bucketing history would silently drop rows otherwise."""
         doc = self.manifest.load(as_of)
         defaults = doc.get("column_defaults", {})
         # SI/bloom indexes describe the CURRENT file set — using them to
@@ -684,6 +690,17 @@ class Table:
         partitioned = bool(self.manifest.properties().get("partition_by"))
 
         target_bucket = self._bucket_target(predicates)
+        if bucket_id is not None:
+            if target_bucket is not None and target_bucket != str(bucket_id):
+                # predicate-implied bucket disagrees → empty scan
+                return self.read(segments=[-1])
+            target_bucket = str(bucket_id)
+            for seg in self.manifest.queryable_segments(segments, version=as_of):
+                for f in seg.files:
+                    if "__bucket__" not in f.partition:
+                        raise ValueError(
+                            f"file {f.path} has no bucket info; "
+                            "bucket-scoped read needs a fully bucketed table")
 
         # group surviving files by (format, evolution era): a segment's
         # era decides which added-column defaults fill it on read

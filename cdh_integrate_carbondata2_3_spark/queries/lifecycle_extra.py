@@ -147,3 +147,46 @@ def complex_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(n_pos).alias("max_pos"),
                  F.min(n_pos).alias("min_pos"),
                  F.sum(first_gt_last).alias("first_gt_last")))
+
+
+@query("table_bucket_map_join", oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey < 4000
+GROUP BY o_orderpriority
+""")
+def table_bucket_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed fact-fact join with no shuffle exchange (reference
+    CarbonDataSourceScan.scala:69-87 bucketed HashPartitioning; Spark
+    formulation: per-bucket broadcast joins over co-partitioned files
+    — operators/bucketed.py). Orders and lineitem subsets are loaded
+    into tables bucketed on the order key into the same bucket count;
+    the join must touch only same-bucket file pairs and still return
+    exactly the plain join's rows."""
+    from ..operators.bucketed import bucketed_join
+
+    root = _scratch("bmj", sf_dir)
+    props = {"bucket_columns": ["o_orderkey"], "bucket_number": "4"}
+    to = Table.create(spark, os.path.join(root, "o"),
+                      "o_orderkey bigint, o_orderpriority string",
+                      dict(props))
+    to.insert(spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") < 4000)
+              .select("o_orderkey", "o_orderpriority"))
+    tl = Table.create(spark, os.path.join(root, "l"),
+                      "o_orderkey bigint, l_extendedprice double",
+                      dict(props))
+    tl.insert(spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .filter(F.col("l_orderkey") < 4000)
+              .select(F.col("l_orderkey").alias("o_orderkey"),
+                      F.col("l_extendedprice").cast("double")))
+
+    joined = bucketed_join(to, tl, ["o_orderkey"], "inner")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, "bucket join shuffled"
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+                  .cast("double").alias("sum_price")))

@@ -62,3 +62,55 @@ def test_mixed_unbucketed_files_kept(spark, tmp_path):
     t.insert(spark.createDataFrame([(2, "b")], "id bigint, v string"))
     assert {r["id"] for r in t.read(predicates=[("id", "=", 1)]).collect()} == {1}
     assert {r["id"] for r in t.read(predicates=[("id", "=", 2)]).collect()} == {2}
+
+
+# ---------------------------------------------------------------- join
+
+def _mk_pair(spark, tmp_path, n=4):
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    props = {"bucket_columns": ["id"], "bucket_number": str(n)}
+    l = Table.create(spark, str(tmp_path / "l"), "id bigint, lv string", dict(props))
+    r = Table.create(spark, str(tmp_path / "r"), "id bigint, rv string", dict(props))
+    l.insert(spark.createDataFrame(
+        [(i, f"l{i}") for i in range(200)], "id bigint, lv string"))
+    r.insert(spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100, 300)], "id bigint, rv string"))
+    return l, r
+
+
+def test_bucket_map_join_correct_and_shuffle_free(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.operators.bucketed import bucketed_join
+    l, r = _mk_pair(spark, tmp_path)
+    df = bucketed_join(l, r, ["id"], "inner")
+    got = {(x["id"], x["lv"], x["rv"]) for x in df.collect()}
+    assert got == {(i, f"l{i}", f"r{i}") for i in range(100, 200)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_bucket_map_join_outer_variants(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.operators.bucketed import bucketed_join
+    l, r = _mk_pair(spark, tmp_path)
+    assert bucketed_join(l, r, ["id"], "left").count() == 200
+    assert bucketed_join(l, r, ["id"], "right").count() == 200
+    assert bucketed_join(l, r, ["id"], "full").count() == 300
+    assert bucketed_join(l, r, ["id"], "left_semi").count() == 100
+    assert bucketed_join(l, r, ["id"], "left_anti").count() == 100
+    # shuffle-free also holds for the one-side-preserved variants
+    for how in ("left", "right", "left_semi", "left_anti"):
+        plan = (bucketed_join(l, r, ["id"], how)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange hashpartitioning" not in plan, how
+
+
+def test_bucket_join_fallback_when_not_cobucketed(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    from cdh_integrate_carbondata2_3_spark.operators.bucketed import bucketed_join
+    l, _ = _mk_pair(spark, tmp_path)
+    plain = Table.create(spark, str(tmp_path / "p"), "id bigint, rv string")
+    plain.insert(spark.createDataFrame(
+        [(i, f"r{i}") for i in range(150, 250)], "id bigint, rv string"))
+    df = bucketed_join(l, plain, ["id"], "inner")
+    assert df.count() == 50
