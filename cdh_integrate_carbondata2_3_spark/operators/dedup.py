@@ -1,0 +1,263 @@
+"""Parameterized near-duplicate / ANN building blocks.
+
+The gate queries in ``queries/dedup_extra.py`` pin demo-sized
+constants (so their DuckDB oracles can be generated from the same
+numbers); these operators are the production surface where every
+blocking knob is a parameter the caller sizes to the corpus.
+
+Bucket-occupancy math (the knob that decides 100 TB survival): every
+blocking scheme here puts each item into one (or ``probes``) of B
+buckets and the verify step is quadratic PER BUCKET, so expected
+verify cost is ``N²/B`` pair evaluations for N items under a uniform
+hash. Size B so that ``N/B`` (expected bucket occupancy) stays in the
+10³–10⁴ range:
+
+- SimHash bands:          B = 2^(bits/bands) per band  → for N=10⁹
+  use bits=64, bands=4 → 2^16 buckets is too few; bands=2×32-bit or
+  bits=128 via two md5 words. The ``bands``דbits/bands`` split also
+  sets recall: a pair collides if ANY band matches.
+- Hyperplane sign LSH:    B = 2^planes                 → planes ≈
+  log2(N) - 12 keeps occupancy ≈ 4096 (planes=18 for N=10⁹).
+- n-gram inverted index:  B = #distinct rare shingles; the ``df_cap``
+  bounds per-shingle candidate fan-out to ``df_cap²`` pairs.
+
+Nothing here shuffles more than (key, id) pairs; verification always
+runs on candidate pairs only, never the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _md5(col: Column) -> Column:
+    return F.md5(col.cast("string"))
+
+
+def _hexval(h: Column, p: int) -> Column:
+    """Value 0..15 of hex char p of an md5-hex column."""
+    return F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
+
+
+def dot(a, b) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def plane_weights(i: int, dim: int, modulus: int = 19) -> list[int]:
+    """Deterministic pseudo-random hyperplane weights in
+    [-(m-1)/2, (m-1)/2] — reproducible as SQL literals, no RNG, so a
+    signature computed at write time equals one computed at query
+    time on any cluster."""
+    half = modulus // 2
+    return [((i * 37 + j * 91) % modulus) - half for j in range(dim)]
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash_signatures(tokens: DataFrame, id_col: str = "doc_id",
+                       tok_col: str = "tok", bits: int = 64) -> DataFrame:
+    """(id, sim) with a ``bits``-wide (≤64) SimHash over the DISTINCT
+    token set: bit j is the sign of the summed ±1 contributions of
+    md5-bit j across tokens. One groupBy with map-side partials — the
+    only shuffle is (id, 64 ints)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
+    h = _md5(F.col(tok_col))
+    contribs = [
+        (F.shiftright(_hexval(h, j // 4), j % 4).bitwiseAND(F.lit(1))
+         * 2 - 1).alias(f"c{j}")
+        for j in range(bits)]
+    sums = (tokens.select(id_col, *contribs)
+            .groupBy(id_col)
+            .agg(*[F.sum(f"c{j}").alias(f"s{j}") for j in range(bits)]))
+    pack = None
+    for j in range(bits):
+        # bit 63 of a signed long is the sign bit: adding Long.MIN_VALUE
+        # sets it (1 << 63 itself overflows the literal)
+        bitval = -(1 << 63) if j == 63 else (1 << j)
+        term = (F.when(F.col(f"s{j}") > 0, F.lit(bitval))
+                .otherwise(F.lit(0)).cast("bigint"))
+        pack = term if pack is None else pack + term
+    return sums.select(id_col, pack.cast("bigint").alias("sim"))
+
+
+def simhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                       bits: int = 64, bands: int = 8) -> DataFrame:
+    """Candidate pairs whose signatures agree on ≥1 of ``bands`` bands
+    of ``bits/bands`` bits. All bands are stacked into ONE self-join
+    keyed on (band_index, band_value) — band count changes recall, not
+    the number of shuffles."""
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    w = bits // bands
+    def band_val(b: int) -> Column:
+        if w >= 64:                       # single band = whole signature
+            return F.col("sim")
+        # shiftrightunsigned: the top band of a 64-bit sig must not
+        # smear the sign bit into its value
+        return (F.shiftrightunsigned(F.col("sim"), w * b)
+                .bitwiseAND(F.lit((1 << w) - 1)))
+    banded = sigs.select(
+        id_col, "sim",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("bi"), band_val(b).alias("bv"))
+            for b in range(bands)])).alias("band"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"),
+                      "band")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"),
+                      "band")
+    return (a.join(b, "band")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "sim_a", "id_b", "sim_b").distinct())
+
+
+def simhash_near_dups(tokens: DataFrame, id_col: str = "doc_id",
+                      tok_col: str = "tok", *, bits: int = 64,
+                      bands: int = 8, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with signature hamming distance ≤
+    ``max_hamming``. Occupancy: per band, B = 2^(bits/bands) buckets —
+    size ``bits/bands ≈ log2(N) - 12`` so each band bucket holds ~4k
+    items (see module docstring)."""
+    sigs = simhash_signatures(tokens, id_col, tok_col, bits)
+    cand = simhash_band_pairs(sigs, id_col, bits, bands)
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.filter(ham <= max_hamming)
+            .select("id_a", "id_b", ham.cast("int").alias("hamming")))
+
+
+# -------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", *, n: int = 2,
+                            df_cap: int = 100,
+                            threshold: float = 0.5) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with word-``n``-gram Jaccard ≥
+    ``threshold``.
+
+    Candidates: inverted index over shingles seen in ≤ ``df_cap`` docs
+    (frequent shingles carry no signal and cost df² candidate pairs).
+    Verify: ``size(array_intersect(sa, sb))`` on the cached per-doc
+    DISTINCT shingle arrays — one narrow join per side instead of
+    re-joining the exploded shingle relation (two wide shuffles
+    saved vs the relational formulation)."""
+    arr = F.split(F.trim(F.col(text_col)), " +")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j)
+                                     for j in range(n)]))
+    per_doc = (docs.select(id_col, F.array_distinct(grams_arr).alias("gs"))
+               .cache())
+    grams = per_doc.select(id_col, F.explode("gs").alias("g"))
+    rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap).select("g"))
+    a = grams.select(F.col(id_col).alias("id_a"), "g")
+    b = grams.select(F.col(id_col).alias("id_b"), "g")
+    cand = (a.join(rare, "g").join(b, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("gs").alias("sa"))
+    sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("gs").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / union
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .filter(jac >= threshold)
+            .select("id_a", "id_b",
+                    F.round(jac, 4).cast("double").alias("jaccard")))
+
+
+# ------------------------------------------- hyperplane sign blocking
+
+def hyperplane_signature(vec_col: str, planes: int, dim: int) -> Column:
+    """``planes``-bit signature: bit i is the sign of the dot product
+    with deterministic hyperplane i. B = 2^planes buckets; pick
+    ``planes ≈ log2(N) - 12`` for ~4k occupancy."""
+    sig = None
+    for i in range(planes):
+        w = F.array(*[F.lit(float(x)) for x in plane_weights(i, dim)])
+        proj = dot(F.col(vec_col), w)
+        term = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig.cast("bigint")
+
+
+def axis_sign_signature(vec_col: str, planes: int) -> Column:
+    """Axis-aligned variant (sign of the leading ``planes`` dims) —
+    cheaper (no dot products) but only valid when leading dims are
+    informative; the demo oracles use this form."""
+    sig = None
+    for d in range(planes):
+        term = (F.when(F.col(vec_col)[d] > 0, F.lit(1 << d))
+                .otherwise(F.lit(0)))
+        sig = term if sig is None else sig + term
+    return sig.cast("bigint")
+
+
+def cosine_near_dups(vecs: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "e", *, threshold: float = 0.8,
+                     planes: int = 12, dim: int | None = None,
+                     axis_aligned: bool = False) -> DataFrame:
+    """(id_a, id_b, cos_sim) for same-bucket pairs with cosine ≥
+    ``threshold``. Blocking = 2^planes sign buckets; verify cost is
+    N²/2^planes exact cosines."""
+    if axis_aligned:
+        bucket = axis_sign_signature(vec_col, planes)
+    else:
+        if dim is None:
+            raise ValueError("dim required for hyperplane signatures")
+        bucket = hyperplane_signature(vec_col, planes, dim)
+    v = vecs.select(F.col(id_col), F.col(vec_col).alias("e"),
+                    bucket.alias("bk"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "bk")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"), "bk")
+    cos = dot("ea", "eb") / (F.sqrt(dot("ea", "ea")) * F.sqrt(dot("eb", "eb")))
+    return (a.join(b, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cos >= threshold)
+            .select("id_a", "id_b",
+                    F.round(cos, 6).cast("double").alias("cos_sim")))
+
+
+# ------------------------------------------------- multi-probe LSH ANN
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame,
+                 id_col: str = "id", vec_col: str = "e", *,
+                 planes: int = 16, dim: int = 64, k: int = 10,
+                 flip_radius: int = 1) -> DataFrame:
+    """(q_id, c_id, cos_sim, rk): top-``k`` approximate neighbors per
+    query via multi-probe hyperplane LSH. Queries probe their own
+    bucket plus every bucket within hamming ``flip_radius`` of the
+    signature (1 + planes probes at radius 1), so recall degrades
+    gracefully as ``planes`` grows; candidate count per query is
+    ``probes × N/2^planes``. Query side is exploded × probes and
+    broadcast — the corpus is scanned once, never shuffled."""
+    sig = hyperplane_signature(vec_col, planes, dim)
+    norm = F.sqrt(dot(vec_col, vec_col))
+
+    flips = [0] + [1 << i for i in range(planes)]
+    if flip_radius >= 2:
+        flips += [(1 << i) | (1 << j)
+                  for i in range(planes) for j in range(i + 1, planes)]
+    c = corpus.select(F.col(id_col).alias("c_id"),
+                      F.col(vec_col).alias("ce"), norm.alias("cn"),
+                      sig.alias("sig"))
+    q = (queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("qe"), norm.alias("qn"),
+                        sig.alias("sig"),
+                        F.explode(F.array(*[F.lit(x) for x in flips]))
+                        .alias("f"))
+         .select("q_id", "qe", "qn",
+                 F.col("sig").bitwiseXOR(F.col("f")).alias("probe")))
+    cand = (c.join(F.broadcast(q), F.col("sig") == F.col("probe"))
+            .select("q_id", "c_id", "qe", "ce", "qn", "cn").distinct())
+    cos = dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    scored = cand.select("q_id", "c_id",
+                         F.round(cos, 6).cast("double").alias("cos_sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (scored.select("q_id", "c_id", "cos_sim",
+                          F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= k))

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 from . import query
-from .pipeline import _docs, _md5, _tokens
+from .pipeline import _docs, _tokens
 
 # ---------------------------------------------------------------------------
 # SimHash near-dup: 32-bit signature from md5-derived token bits,
@@ -47,10 +47,6 @@ _SIM_MAX_HAMMING = 1
 def _hexval_sql(h: str, p: int) -> str:
     """Value 0..15 of 0-indexed hex char ``p`` of md5-hex expression ``h``."""
     return f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
-
-
-def _hexval_col(h: Column, p: int) -> Column:
-    return F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
 
 
 def _simhash_oracle() -> str:
@@ -96,43 +92,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit contributions over the distinct token set), multi-band LSH
     candidates, exact hamming verify.
 
-    Scale shape: one tok-level groupBy builds all 32 bit-sums map-side
-    partial; candidates come from 4 band self-joins on 8-bit keys; the
-    verify is a single bit_count on already-joined signatures."""
+    Delegates to the parameterized ``operators.dedup.simhash_near_dups``
+    (production knobs: signature width ≤64, band count, hamming cap;
+    bucket-occupancy sizing math in that module's docstring) with the
+    demo constants this oracle is generated from."""
+    from ..operators.dedup import simhash_near_dups
+
     toks = _tokens(_docs(spark, sf_dir))
-    h = _md5(F.col("tok"))
-    contribs = [
-        (F.shiftright(_hexval_col(h, j // 4), j % 4).bitwiseAND(F.lit(1))
-         * 2 - 1).alias(f"c{j}")
-        for j in range(_SIM_BITS)]
-    bits = toks.select("doc_id", *contribs)
-    sums = bits.groupBy("doc_id").agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(_SIM_BITS)])
-    pack = None
-    for j in range(_SIM_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        pack = term if pack is None else pack + term
-    sigs = sums.select("doc_id", pack.cast("bigint").alias("sim"))
-    banded = sigs.select(
-        "doc_id", "sim",
-        *[F.shiftright(F.col("sim"), 8 * b).bitwiseAND(F.lit(255)).alias(f"band{b}")
-          for b in range(_SIM_BANDS)])
-    cand = None
-    for b in range(_SIM_BANDS):
-        a_side = banded.select(F.col("doc_id").alias("doc_a"),
-                               F.col("sim").alias("sim_a"),
-                               F.col(f"band{b}").alias("bk"))
-        b_side = banded.select(F.col("doc_id").alias("doc_b"),
-                               F.col("sim").alias("sim_b"),
-                               F.col(f"band{b}").alias("bk"))
-        pairs = (a_side.join(b_side, "bk")
-                 .filter(F.col("doc_a") < F.col("doc_b"))
-                 .select("doc_a", "sim_a", "doc_b", "sim_b"))
-        cand = pairs if cand is None else cand.union(pairs)
-    cand = cand.distinct()
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cand.filter(ham <= _SIM_MAX_HAMMING)
-            .select("doc_a", "doc_b", ham.cast("int").alias("hamming")))
+    pairs = simhash_near_dups(toks, "doc_id", "tok", bits=_SIM_BITS,
+                              bands=_SIM_BANDS, max_hamming=_SIM_MAX_HAMMING)
+    return pairs.select(F.col("id_a").alias("doc_a"),
+                        F.col("id_b").alias("doc_b"), "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -182,36 +152,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index (the df cap is the scale knob: frequent shingles
     produce quadratic candidate blowup and almost no signal, exactly
     the stop-shingle rule used by large-scale dedup pipelines)."""
-    d = _docs(spark, sf_dir)
-    a = F.col("arr")
-    grams_arr = F.transform(
-        F.sequence(F.lit(1), F.size(a) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(a, i), F.element_at(a, i + 1)))
-    # project the split array first — inlining split() into the lambda
-    # re-evaluates it per element (measured 7× slower on _shingles)
-    grams = (d.select("doc_id", F.split(F.trim(F.col("text")), " +").alias("arr"))
-             .select("doc_id", F.explode(grams_arr).alias("g"))
-             .distinct().cache())
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= _NGRAM_DF_CAP).select("g"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
-    cand = (a.join(rare, "g").join(b, "g")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "g"])
-             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("nb"))
-    jac = (F.col("n_common").cast("double")
-           / (F.col("na") + F.col("nb") - F.col("n_common")))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .filter(jac >= _NGRAM_THRESHOLD)
-            .select("doc_a", "doc_b",
-                    F.round(jac, 4).cast("double").alias("jaccard")))
+    from ..operators.dedup import ngram_jaccard_near_dups
+
+    pairs = ngram_jaccard_near_dups(_docs(spark, sf_dir), "doc_id", "text",
+                                    n=2, df_cap=_NGRAM_DF_CAP,
+                                    threshold=_NGRAM_THRESHOLD)
+    return pairs.select(F.col("id_a").alias("doc_a"),
+                        F.col("id_b").alias("doc_b"), "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -220,11 +167,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_THRESHOLD = 0.40
 _SIGN_DIMS = 3           # leading dims whose sign forms the blocking key
-
-
-def _dot_col(a: str, b: str) -> Column:
-    return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _emb_near_oracle() -> str:
@@ -251,22 +193,15 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading dims (2^k buckets — random-hyperplane LSH with axis-aligned
     planes), verify exact cosine within buckets. Recall/cost tradeoff
     is the bucket count; the pair space is quadratic only per bucket."""
+    from ..operators.dedup import cosine_near_dups
+
     emb = load_table(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    bucket = None
-    for d in range(_SIGN_DIMS):
-        term = F.when(F.col("embedding")[d] > 0, F.lit(1 << d)).otherwise(F.lit(0))
-        bucket = term if bucket is None else bucket + term
-    v = emb.select("vec_id", dv.alias("e"), bucket.alias("bk"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bk")
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bk")
-    cos = (_dot_col("ea", "eb")
-           / (F.sqrt(_dot_col("ea", "ea")) * F.sqrt(_dot_col("eb", "eb"))))
-    return (a.join(b, "bk")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .filter(cos >= _COS_THRESHOLD)
-            .select("vec_a", "vec_b",
-                    F.round(cos, 6).cast("double").alias("cos_sim")))
+    v = emb.select("vec_id", dv.alias("e"))
+    pairs = cosine_near_dups(v, "vec_id", "e", threshold=_COS_THRESHOLD,
+                             planes=_SIGN_DIMS, axis_aligned=True)
+    return pairs.select(F.col("id_a").alias("vec_a"),
+                        F.col("id_b").alias("vec_b"), "cos_sim")
 
 
 # ---------------------------------------------------------------------------
@@ -333,40 +268,15 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine. The scale path for ``similarity_cosine_topk``'s
     brute force — candidate count is corpus/2^planes × probes instead
     of the full corpus."""
+    from ..operators.dedup import ann_lsh_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = emb.select("vec_id", dv.alias("e"))
-    sig = None
-    for i in range(_ANN_PLANES):
-        w = F.array(*[F.lit(float(x)) for x in _plane_weights(i)])
-        proj = F.aggregate(F.zip_with(F.col("e"), w, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-        term = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    vnorm = F.sqrt(_dot_col("e", "e"))
-    sigs = v.select("vec_id", "e", vnorm.alias("n"), sig.alias("sig"))
-    flips = F.array(*[F.lit(x) for x in [0] + [1 << i for i in range(_ANN_PLANES)]])
-    q = (sigs.filter(F.col("vec_id") < _ANN_QUERY_VECS)
-         .select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
-                 F.col("n").alias("qn"),
-                 F.explode(flips).alias("f"),
-                 F.col("sig"))
-         .select("q_id", "qe", "qn",
-                 F.col("sig").bitwiseXOR(F.col("f")).alias("probe")))
-    c = (sigs.filter(F.col("vec_id") >= _ANN_QUERY_VECS)
-         .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"),
-                 F.col("n").alias("cn"), "sig"))
-    cand = (c.join(F.broadcast(q), F.col("sig") == F.col("probe"))
-            .select("q_id", "c_id", "qe", "ce", "qn", "cn").distinct())
-    # norms precomputed once per VECTOR (bit-identical to inlining:
-    # sqrt of the same sequential dot), one pair-dot in the rerank
-    cos = _dot_col("qe", "ce") / (F.col("qn") * F.col("cn"))
-    scored = cand.select("q_id", "c_id",
-                         F.round(cos, 6).cast("double").alias("cos_sim"))
-    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (scored.select("q_id", "c_id", "cos_sim",
-                          F.row_number().over(w).alias("rk"))
-            .filter(F.col("rk") <= _ANN_TOP_K))
+    return ann_lsh_topk(v.filter(F.col("vec_id") >= _ANN_QUERY_VECS),
+                        v.filter(F.col("vec_id") < _ANN_QUERY_VECS),
+                        "vec_id", "e", planes=_ANN_PLANES, dim=_ANN_DIM,
+                        k=_ANN_TOP_K, flip_radius=1)
 
 
 # ---------------------------------------------------------------------------

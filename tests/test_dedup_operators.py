@@ -1,0 +1,108 @@
+"""Parameterized dedup/ANN operators (operators/dedup.py): the
+blocking knobs must actually move bucket counts (the 100 TB lever),
+and verify steps must stay exact."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.operators import dedup
+
+
+def _vecs(spark, n=64, dim=16):
+    def comp(i, j):
+        # deterministic but unstructured (multiplicative hashing)
+        return ((i * 2654435761 + j * 97 + (i * j * 40503)) % 1999 - 999) / 999.0
+    rows = [(i, [comp(i, j) for j in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id int, e array<double>")
+
+
+def test_hyperplane_bucket_count_scales_with_planes(spark):
+    v = _vecs(spark, n=256)
+    counts = {}
+    for planes in (2, 4, 8):
+        sig = dedup.hyperplane_signature("e", planes, 16)
+        counts[planes] = v.select(sig.alias("bk")).distinct().count()
+        assert counts[planes] <= 2 ** planes
+    # more planes → strictly finer blocking on this corpus
+    assert counts[2] < counts[4] < counts[8]
+
+
+def test_simhash_wide_signature_and_band_split(spark):
+    toks = spark.createDataFrame(
+        [(d, f"tok{t}") for d in range(20) for t in range(d % 5, d % 5 + 8)],
+        "doc_id int, tok string")
+    sigs = dedup.simhash_signatures(toks, bits=64)
+    vals = [r["sim"] for r in sigs.collect()]
+    assert len(vals) == 20
+    # high bits really used (bit 63 set → negative in signed-long view)
+    assert any(abs(v) > (1 << 32) for v in vals)
+    # identical token sets → identical signatures → hamming 0 pairs
+    pairs = dedup.simhash_near_dups(toks, bits=64, bands=8, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    same = {(a, b) for a in range(20) for b in range(a + 1, 20)
+            if a % 5 == b % 5}
+    assert got >= same
+
+
+def test_simhash_rejects_bad_params(spark):
+    toks = spark.createDataFrame([(1, "a")], "doc_id int, tok string")
+    try:
+        dedup.simhash_near_dups(toks, bits=65)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    try:
+        dedup.simhash_near_dups(toks, bits=64, bands=7)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_ngram_jaccard_operator_exact_vs_bruteforce(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "a completely different sentence with no overlap here"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id int, text string")
+    pairs = dedup.ngram_jaccard_near_dups(docs, threshold=0.3, df_cap=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(texts, 2):
+        ga, gb = grams(ta), grams(tb)
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.3:
+            want[(ia, ib)] = round(j, 4)
+    assert got == want
+
+
+def test_cosine_near_dups_hyperplane_mode_is_exact_within_buckets(spark):
+    v = _vecs(spark, n=40)
+    pairs = dedup.cosine_near_dups(v, "vec_id", "e", threshold=0.99,
+                                   planes=4, dim=16)
+    for r in pairs.collect():
+        assert r["cos_sim"] >= 0.99
+
+
+def test_ann_lsh_topk_param_surface(spark):
+    v = _vecs(spark, n=80)
+    res = dedup.ann_lsh_topk(
+        v.filter(F.col("vec_id") >= 5), v.filter(F.col("vec_id") < 5),
+        "vec_id", "e", planes=6, dim=16, k=3, flip_radius=2)
+    rows = res.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["rk"])
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
