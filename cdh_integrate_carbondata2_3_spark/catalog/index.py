@@ -10,8 +10,11 @@ Reference parity (SURVEY.md §2.11):
 - ``CREATE INDEX ... AS 'bloomfilter'`` — per-blocklet bloom for
   high-cardinality columns (reference: index/bloom/.../
   BloomCoarseGrainIndex.java:70-134, BLOOM_SIZE/BLOOM_FPP). Ours:
-  per-FILE bloom sidecars built distributed (applyInPandas per file)
-  and evaluated on the driver.
+  per-FILE bloom sidecars built AND stored executor-side
+  (applyInPandas per file → parquet under the index dir); lookups
+  read the sidecar with a column filter, and past a row threshold
+  membership is evaluated on the executors too (only surviving file
+  names reach the driver).
 - ``CREATE INDEX ... AS 'lucene'`` — fine-grain full-text index
   answering ``text_match('field:term*')`` (reference: index/lucene/
   .../LuceneFineGrainIndex.java:63-204, docs index/lucene-index-guide
@@ -21,8 +24,9 @@ Reference parity (SURVEY.md §2.11):
   re-evaluates exactly. Scoring/relevance is out of scope, pruning is
   the contract.
 - REFRESH INDEX / REINDEX / REGISTER / DROP INDEX / SHOW INDEXES;
-  cost-based choice = intersect all applicable indexes (fewest-files
-  wins automatically — reference CarbonCostBasedOptimizer.java:37).
+  cost-based choice = consult applicable indexes cheapest-first
+  (SI < bloom < FTS) and short-circuit once the allow-set stops
+  shrinking (reference CarbonCostBasedOptimizer.java:37).
 
 Soundness with stale indexes: each index records the max segment id
 it covers (watermark). Files from newer segments are never pruned by
@@ -206,8 +210,15 @@ class IndexManager:
 
     def _build_bloom(self, name: str, columns: list[str],
                      m_bits: int, k: int) -> None:
+        """Per-file bloom sidecars written EXECUTOR-side as a parquet of
+        (file, col, bloom-b64) under the index dir; the meta JSON keeps
+        only the pointer + params. At 100k-file scale nothing funnels
+        through the driver at build time, and lookups read the sidecar
+        with a column-predicate pushdown instead of deserializing one
+        giant JSON blob on every plan."""
         wm = self._watermark()
-        blooms: dict[str, dict[str, str]] = {}
+        idx_dir = _index_dir(self.table.table_dir, name)
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
         def build(pdf):
             import pandas as pd
@@ -220,17 +231,15 @@ class IndexManager:
                 out.append((fname, col, b.b64()))
             return pd.DataFrame(out, columns=["file", "col", "bloom"])
 
-        rows = (self.table.read()
-                .withColumn("_file", F.input_file_name())
-                .select(*columns, "_file")
-                .groupBy("_file")
-                .applyInPandas(build, "file string, col string, bloom string")
-                .collect())
-        for r in rows:
-            blooms.setdefault(r["file"], {})[r["col"]] = r["bloom"]
+        (self.table.read()
+         .withColumn("_file", F.input_file_name())
+         .select(*columns, "_file")
+         .groupBy("_file")
+         .applyInPandas(build, "file string, col string, bloom string")
+         .write.mode("overwrite").parquet(idx_dir))
         self._save_meta({"name": name, "type": "bloom", "columns": columns,
                          "m_bits": m_bits, "k": k,
-                         "watermark_segment": wm, "blooms": blooms})
+                         "watermark_segment": wm})
 
     def _save_meta(self, meta: dict) -> None:
         p = _meta_path(self.table.table_dir, meta["name"])
@@ -245,35 +254,60 @@ class IndexManager:
 
     # -------------------------------------------------------------- prune
 
+    # cost order for index consultation (reference
+    # CarbonCostBasedOptimizer.java:37 picks the cheapest covering
+    # index): SI is an exact sorted lookup with row-group pruning,
+    # bloom must touch every file's bitset, FTS scans postings.
+    _TYPE_COST = {"si": 0, "bloom": 1, "fts": 2}
+
     def candidate_files(self, predicates: Sequence[Predicate] | None
                         ) -> set[str] | None:
         """Intersected allow-set of ABS file paths, or None if no index
-        applies. Files above an index's watermark are always allowed."""
+        applies. Files above an index's watermark are always allowed.
+
+        Per PREDICATE, only the single cheapest covering index is
+        consulted (an SI on a column makes a bloom on the same column
+        dead weight — the reference picks one index, not all); the
+        per-predicate results intersect, stopping early once the set is
+        empty. ``self.last_consulted`` records which indexes ran."""
+        self.last_consulted: list[str] = []
         if not predicates:
             return None
-        allowed: set[str] | None = None
+        # cheapest covering index per predicate position
+        best: dict[int, tuple] = {}
         for meta in map(self._load_meta, [m["name"] for m in self.show()]):
-            for col, op, value in predicates:
+            for pi, (col, op, value) in enumerate(predicates):
                 if col not in meta["columns"]:
                     continue
                 if meta["type"] == "fts":
                     if op != "text_match":
                         continue
-                    files = self._fts_lookup(meta, col, list(value))
-                elif op in _INDEXABLE_OPS:
-                    values = [value] if op == "=" else list(value)
-                    if meta["type"] == "si":
-                        files = self._si_lookup(meta, col, values)
-                    else:
-                        files = self._bloom_lookup(meta, col, values)
-                else:
+                elif op not in _INDEXABLE_OPS:
                     continue
-                above_wm = {
-                    self.table._abs(f.path)
-                    for s in self.table.manifest.queryable_segments()
-                    if s.id > meta["watermark_segment"] for f in s.files}
-                files |= above_wm
-                allowed = files if allowed is None else (allowed & files)
+                cost = (self._TYPE_COST[meta["type"]], len(meta["columns"]))
+                cur = best.get(pi)
+                if cur is None or cost < cur[0]:
+                    best[pi] = (cost, meta, col, op, value)
+        allowed: set[str] | None = None
+        for _, meta, col, op, value in sorted(best.values(),
+                                              key=lambda j: j[0]):
+            if allowed is not None and not allowed:
+                break
+            if meta["type"] == "fts":
+                files = self._fts_lookup(meta, col, list(value))
+            else:
+                values = [value] if op == "=" else list(value)
+                if meta["type"] == "si":
+                    files = self._si_lookup(meta, col, values)
+                else:
+                    files = self._bloom_lookup(meta, col, values)
+            self.last_consulted.append(meta["name"])
+            above_wm = {
+                self.table._abs(f.path)
+                for s in self.table.manifest.queryable_segments()
+                if s.id > meta["watermark_segment"] for f in s.files}
+            files |= above_wm
+            allowed = files if allowed is None else (allowed & files)
         return allowed
 
     def _si_lookup(self, meta: dict, col: str, values: list[Any]) -> set[str]:
@@ -309,13 +343,35 @@ class IndexManager:
             for s in self.table.manifest.queryable_segments()
             for f in s.files}
 
+    # above this many sidecar rows, evaluate membership on the executors
+    # (driver reads only the surviving file names, not every bitset)
+    _BLOOM_DISTRIBUTED_ROWS = 20_000
+
     def _bloom_lookup(self, meta: dict, col: str, values: list[Any]) -> set[str]:
+        import pyarrow.parquet as pq
+        idx_dir = _index_dir(self.table.table_dir, meta["name"])
+        m_bits, k = meta["m_bits"], meta["k"]
+        svals = [str(v) for v in values]
+        ds = pq.ParquetDataset(idx_dir, filters=[("col", "=", col)])
+        n_rows = sum(fr.metadata.num_rows for fr in ds.fragments)
+        if n_rows >= self._BLOOM_DISTRIBUTED_ROWS:
+            @F.pandas_udf("boolean")
+            def may_contain(blooms):
+                import pandas as pd
+                return pd.Series([
+                    any(_Bloom.from_b64(m_bits, k, s).may_contain(v)
+                        for v in svals)
+                    for s in blooms])
+            rows = (self.table.spark.read.parquet(idx_dir)
+                    .filter(F.col("col") == col)
+                    .filter(may_contain(F.col("bloom")))
+                    .select("file").collect())
+            return {os.path.abspath(r["file"]) for r in rows}
+        t = ds.read(columns=["file", "bloom"])
         out = set()
-        for fname, cols in meta["blooms"].items():
-            if col not in cols:
-                out.add(os.path.abspath(fname))
-                continue
-            b = _Bloom.from_b64(meta["m_bits"], meta["k"], cols[col])
-            if any(b.may_contain(str(v)) for v in values):
+        for fname, b64 in zip(t.column("file").to_pylist(),
+                              t.column("bloom").to_pylist()):
+            b = _Bloom.from_b64(m_bits, k, b64)
+            if any(b.may_contain(v) for v in svals):
                 out.add(os.path.abspath(fname))
         return out

@@ -138,3 +138,26 @@ def test_show_and_drop(spark, table):
     # duplicate create rejected
     with pytest.raises(FileExistsError):
         table.indexes.create_bloom_index("bf_age", ["age"])
+
+
+def test_bloom_sidecar_is_parquet_not_meta_json(spark, table):
+    import json, os
+    table.indexes.create_bloom_index("bl2", ["city"])
+    meta = json.load(open(os.path.join(
+        table.table_dir, "_meta", "index_bl2.json")))
+    assert "blooms" not in meta            # no bitsets in driver meta
+    idx_dir = os.path.join(table.table_dir, "_meta", "indexes", "bl2")
+    assert any(f.endswith(".parquet") for f in os.listdir(idx_dir))
+    # and the sidecar actually prunes
+    assert table.read([("city", "=", "city_5")]).count() == 6
+
+
+def test_cost_based_pick_skips_bloom_when_si_answers(spark, table):
+    im = table.indexes
+    im.create_secondary_index("si_city2", ["city"])
+    im.create_bloom_index("bl_city2", ["city"])
+    allowed = im.candidate_files([("city", "=", "city_5")])
+    assert allowed is not None
+    # the exact SI ran; the (more expensive) bloom was short-circuited
+    assert im.last_consulted[0] == "si_city2"
+    assert "bl_city2" not in im.last_consulted
