@@ -1,0 +1,213 @@
+"""Training-data pipeline operators, round 3: PII redaction,
+benchmark decontamination, near-dup clustering (connected
+components), and greedy sequence packing.
+
+These extend the LLM-pipeline surface (SURVEY.md "beyond the
+reference" mandate) the same way the dedup/sampling families do: each
+operator is a production-shaped DataFrame pipeline over the
+``documents`` table with a DuckDB oracle pinning the semantics.
+
+The synthetic corpus contains no real PII, so the redaction query
+first INJECTS deterministic PII (an email for doc_id % 3 == 0, a
+phone number for doc_id % 4 == 0 — both derived from doc_id/source so
+both engines build identical strings) and then redacts it; the
+verified output counts redactions per language and checks the exact
+byte shrinkage, so a regex that over- or under-matches fails the
+hash."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import query
+from .pipeline import _docs
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.com"
+_PHONE_RE = r"\(555\) [0-9]{3}-[0-9]{4}"
+
+_PACK_WINDOW = 256          # tokens per packed training sequence
+
+_DECON_MOD = 10             # doc_id % MOD == 0 → benchmark member
+_DECON_N = 5                # shared word-n-gram length
+
+
+@query("text_pii_redact", oracle=f"""
+WITH injected AS (
+  SELECT doc_id, lang,
+         trim(text)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@' || source || '.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, lang, t,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS r
+  FROM injected
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN regexp_matches(t, '{_EMAIL_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+       CAST(SUM(CASE WHEN regexp_matches(t, '{_PHONE_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+       CAST(SUM(len(t) - len(r)) AS BIGINT) AS len_delta
+FROM red GROUP BY lang
+""")
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex-scrub emails and phone numbers to typed
+    placeholders. Pure JVM regexp_replace in one projection — a scan
+    +map at any scale. The verified aggregate counts matched docs per
+    language and the exact byte delta of the rewrite."""
+    d = _docs(spark, sf_dir)
+    email = F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id"),
+                            F.lit("@"), F.col("source"), F.lit(".com"))
+                   ).otherwise(F.lit(""))
+    phone = F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" call (555) 010-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                   4, "0"))).otherwise(F.lit(""))
+    t = F.concat(F.trim(F.col("text")), email, phone)
+    inj = d.select("doc_id", "lang", t.alias("t"))
+    r = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>")
+    red = inj.select("doc_id", "lang", "t", r.alias("r"))
+    return (red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("t").rlike(_EMAIL_RE).cast("long")).alias("n_email"),
+        F.sum(F.col("t").rlike(_PHONE_RE).cast("long")).alias("n_phone"),
+        F.sum(F.length("t") - F.length("r")).alias("len_delta")))
+
+
+def _gram_expr_sql(n: int) -> str:
+    return (f"list_transform(generate_series(1, len(ws) - {n - 1}), "
+            f"i -> list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' '))")
+
+
+@query("text_decontaminate", oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, unnest({_gram_expr_sql(_DECON_N)}) AS g FROM w
+), bench AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % {_DECON_MOD} = 0
+)
+SELECT a.doc_id, COUNT(DISTINCT a.g) AS n_shared
+FROM g a JOIN bench b ON a.g = b.g
+WHERE a.doc_id % {_DECON_MOD} != 0
+GROUP BY a.doc_id
+""")
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    word-{n}-gram with the held-out benchmark set (here: every
+    doc_id % 10 == 0 doc stands in for the benchmark). Scale shape:
+    the benchmark gram set is orders smaller than the corpus → build
+    it distinct and broadcast-join the corpus gram stream against it;
+    nothing quadratic, one aggregation by doc."""
+    d = _docs(spark, sf_dir)
+    arr = F.split(F.trim(F.col("text")), " +")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (_DECON_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, _DECON_N)))
+    g = (d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g")))
+    bench = (g.filter(F.col("doc_id") % _DECON_MOD == 0)
+             .select("g").distinct())
+    return (g.filter(F.col("doc_id") % _DECON_MOD != 0)
+            .join(F.broadcast(bench), "g")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("g").alias("n_shared")))
+
+
+@query("dedup_components", oracle=f"""
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+      generate_series(1, len(string_split_regex(trim(text), ' +')) - 1),
+      i -> string_split_regex(trim(text), ' +')[i] || ' ' ||
+           string_split_regex(trim(text), ' +')[i + 1])) AS g
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id
+), rare AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 100
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM grams a JOIN rare r ON a.g = r.g
+  JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+), edges AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n_g + sb.n_g - i.n_common) >= 0.5
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+), reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), lab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+)
+SELECT comp AS component_id, COUNT(*) AS n_members
+FROM lab GROUP BY comp
+""")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: bigram-Jaccard pairs (threshold 0.5) as
+    edges → connected components via iterative min-label propagation
+    (operators/graph.py) → component id + size. The oracle recomputes
+    the same components with a recursive transitive closure — feasible
+    for DuckDB on the small pair set, while the Spark side runs the
+    O(diameter)-round distributed algorithm that survives 10⁹ edges."""
+    from ..operators.dedup import ngram_jaccard_near_dups
+    from ..operators.graph import connected_components
+
+    edges = ngram_jaccard_near_dups(_docs(spark, sf_dir), "doc_id", "text",
+                                    n=2, df_cap=100, threshold=0.5)
+    comps = connected_components(edges, "id_a", "id_b")
+    return (comps.groupBy(F.col("comp").alias("component_id"))
+            .agg(F.count(F.lit(1)).alias("n_members")))
+
+
+@query("text_pack_sequences", oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), ' +')) AS ntok
+  FROM documents
+), c AS (
+  SELECT source, doc_id, ntok,
+         SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(FLOOR((cum - ntok) / {_PACK_WINDOW}.0) AS INT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+FROM c GROUP BY source, bin
+""")
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate docs per source in doc_id
+    order into {window}-token training sequences; a doc's bin is the
+    window its first token lands in. One window-function pass (the
+    partition key is the pack group), then a narrow groupBy — the
+    standard streaming-concat packing shape, no Python in the loop."""
+    d = _docs(spark, sf_dir)
+    ntok = F.size(F.split(F.trim(F.col("text")), " +"))
+    w = W.partitionBy("source").orderBy("doc_id")
+    c = (d.select("source", "doc_id", ntok.alias("ntok"))
+         .withColumn("cum", F.sum("ntok").over(w)))
+    return (c.groupBy(
+        "source",
+        F.floor((F.col("cum") - F.col("ntok")) / _PACK_WINDOW)
+        .cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("ntok").alias("sum_tokens")))

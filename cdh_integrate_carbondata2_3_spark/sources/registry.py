@@ -8,6 +8,8 @@ directly so Catalyst gets full pushdown/pruning on the scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TPCH_TABLES = (
@@ -51,7 +53,13 @@ def _load_nanos_table(spark: SparkSession, path: str) -> DataFrame:
     # timestamps are natively supported by the vectorized reader, and
     # applying the rebuild to them would be both wrong and a plan error
     # (`ts div 1000` on a TIMESTAMP_NTZ operand).
-    ns_cols = [f.name for f in pq.read_schema(path)
+    schema_src = path
+    if os.path.isdir(path):                # Spark-written dir-parquet
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            return spark.read.parquet(path)
+        schema_src = os.path.join(path, parts[0])
+    ns_cols = [f.name for f in pq.read_schema(schema_src)
                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
     if not ns_cols:
         return spark.read.parquet(path)

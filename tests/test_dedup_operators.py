@@ -106,3 +106,30 @@ def test_ann_lsh_topk_param_surface(spark):
     for q, rks in by_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 3
+
+
+def test_connected_components_basic(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        connected_components, dedup_survivors)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8)], "id_a bigint, id_b bigint")
+    comps = {(r["node"], r["comp"])
+             for r in connected_components(edges).collect()}
+    assert comps == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (8, 8)}
+    all_ids = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id bigint")
+    surv = {r["doc_id"] for r in
+            dedup_survivors(edges, all_ids).collect()}
+    # one survivor per component + every untouched doc
+    assert surv == {0, 1, 4, 5, 7, 8, 9}
+
+
+def test_connected_components_chain_diameter(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        connected_components)
+    # a 12-node path needs several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint")
+    comps = connected_components(edges).collect()
+    assert {r["comp"] for r in comps} == {0}
+    assert len(comps) == 12
