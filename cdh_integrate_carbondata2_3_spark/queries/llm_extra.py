@@ -211,3 +211,67 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("bin"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("ntok").alias("sum_tokens")))
+
+
+@query("embedding_quantize_int8", oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id, label,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale,
+         e
+  FROM v
+), err AS (
+  SELECT vec_id, label, scale,
+         CAST(ROUND(list_max(list_transform(e,
+               x -> abs(round(x / scale) * scale - x))), 9)
+              AS DECIMAL(18,9)) AS err_max,
+         CAST(ROUND(list_sum(list_transform(e,
+               x -> abs(round(x / scale) * scale - x))) / len(e), 9)
+              AS DECIMAL(18,9)) AS err_mean,
+         CAST((SELECT COUNT(*) FROM unnest(e) AS t(x)
+               WHERE abs(round(x / scale)) > 127) AS BIGINT) AS n_clip
+  FROM q
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(err_mean) AS DOUBLE) AS sum_err_mean,
+       CAST(MAX(err_max) AS DOUBLE) AS max_err,
+       CAST(SUM(n_clip) AS BIGINT) AS n_clipped
+FROM err GROUP BY label
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|x|/127, q = round(x/scale), with byte-exact
+    reconstruction-error verification. All row-local array arithmetic
+    (transform/aggregate over the array) — a scan+map at any scale;
+    this is the storage-shrink step before ANN serving (4× smaller
+    vectors, dot products on int8). Per-vector errors fold
+    deterministically (index order), round to DECIMAL(18,9), and sum
+    exactly, so both engines hash identical aggregates; n_clipped == 0
+    proves the quantizer never leaves int8 range."""
+    from ..sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", "label", dv.alias("e"))
+    scale = F.array_max(F.transform(F.col("e"), F.abs)) / F.lit(127.0)
+    q = v.select("vec_id", "label", F.col("e"), scale.alias("scale"))
+    elem_err = F.transform(
+        F.col("e"),
+        lambda x: F.abs(F.round(x / F.col("scale")) * F.col("scale") - x))
+    err = q.select(
+        "vec_id", "label", "scale",
+        F.round(F.array_max(elem_err), 9)
+         .cast("decimal(18,9)").alias("err_max"),
+        F.round(F.aggregate(elem_err, F.lit(0.0), lambda a, x: a + x)
+                / F.size("e"), 9).cast("decimal(18,9)").alias("err_mean"),
+        F.size(F.filter(
+            F.col("e"),
+            lambda x: F.abs(F.round(x / F.col("scale"))) > 127))
+         .cast("bigint").alias("n_clip"))
+    return (err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("err_mean").cast("double").alias("sum_err_mean"),
+        F.max("err_max").cast("double").alias("max_err"),
+        F.sum("n_clip").cast("bigint").alias("n_clipped")))
