@@ -86,7 +86,7 @@ def simhash_signatures(tokens: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                       bits: int = 64, bands: int = 8) -> DataFrame:
+                       bits: int = 64, bands: int = 4) -> DataFrame:
     """Candidate pairs whose signatures agree on ≥1 of ``bands`` bands
     of ``bits/bands`` bits. All bands are stacked into ONE self-join
     keyed on (band_index, band_value) — band count changes recall, not
@@ -117,11 +117,14 @@ def simhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(tokens: DataFrame, id_col: str = "doc_id",
                       tok_col: str = "tok", *, bits: int = 64,
-                      bands: int = 8, max_hamming: int = 3) -> DataFrame:
+                      bands: int = 4, max_hamming: int = 3) -> DataFrame:
     """(id_a, id_b, hamming) pairs with signature hamming distance ≤
     ``max_hamming``. Occupancy: per band, B = 2^(bits/bands) buckets —
     size ``bits/bands ≈ log2(N) - 12`` so each band bucket holds ~4k
-    items (see module docstring)."""
+    items (see module docstring). Default 64/4 = 16-bit bands (65k
+    buckets per band) carries ~10⁸ docs at ~1.5k occupancy; demo
+    corpora override down, billion-doc corpora go to bits=64 bands=2
+    or double-word signatures."""
     sigs = simhash_signatures(tokens, id_col, tok_col, bits)
     cand = simhash_band_pairs(sigs, id_col, bits, bands)
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

@@ -138,3 +138,63 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame,
     return (scored.select("q_id", "c_id", "cos_sim",
                           F.row_number().over(wk).alias("rk"))
             .filter(F.col("rk") <= k))
+
+
+def sq_dist(a, b) -> Column:
+    """Index-ordered squared euclidean distance — deterministic fold,
+    matches DuckDB's list_sum(list_transform(...)) form bit-for-bit."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_refine(v: DataFrame, centroids: DataFrame, iters: int = 1,
+                  id_col: str = "id", vec_col: str = "e",
+                  cid_col: str = "cid", cvec_col: str = "ce",
+                  round_digits: int = 9) -> tuple[DataFrame, DataFrame]:
+    """``iters`` rounds of Lloyd's k-means starting from ``centroids``;
+    returns (assignment df (id, cluster), final centroids df (cid, ce)).
+
+    Distributed shape (MLlib's): the corpus never shuffles — each round
+    is one broadcast-argmin assignment pass plus one posexplode →
+    (cluster, dim) aggregation; only the k×dim centroid matrix returns
+    to the driver between rounds (k and dim are small by definition of
+    a coarse quantizer). Per-dim means accumulate in DECIMAL and are
+    rounded to ``round_digits`` so the next round's distances are
+    bit-reproducible regardless of aggregation order — the property
+    that lets a DuckDB oracle replay the same iterations exactly."""
+    spark = v.sparkSession
+    cent = centroids.select(F.col(cid_col).alias("cid"),
+                            F.col(cvec_col).alias("ce"))
+
+    def assign_to(c):
+        d2 = sq_dist(vec_col, "ce")
+        w = W.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
+        return (v.crossJoin(F.broadcast(c))
+                .select(id_col, vec_col, "cid", d2.alias("d2"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(id_col, vec_col, F.col("cid").alias("cluster")))
+
+    for _ in range(iters):
+        assign = assign_to(cent)
+        dims = assign.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("i", "x"))
+        # an empty cluster simply drops out (standard Lloyd's hazard);
+        # callers needing fixed k should re-seed from the widest cluster
+        # exact DECIMAL sum, then ONE double division — engine-neutral
+        # (decimal/int division rules differ between engines)
+        means = (dims.groupBy("cluster", "i")
+                 .agg((F.sum(F.col("x").cast("decimal(28,14)"))
+                       .cast("double")
+                       / F.count(F.lit(1))).alias("m"))
+                 .groupBy("cluster")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("i", "m"))),
+                     lambda s: F.round(s["m"], round_digits)).alias("ce"))
+                 .select(F.col("cluster").alias("cid"), "ce"))
+        cent = spark.createDataFrame(
+            means.collect(), "cid bigint, ce array<double>")
+    # assignment is w.r.t. the FINAL centroids (one more argmin pass)
+    return assign_to(cent).select(id_col, "cluster"), cent

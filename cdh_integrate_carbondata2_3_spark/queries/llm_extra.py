@@ -275,3 +275,74 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("err_mean").cast("double").alias("sum_err_mean"),
         F.max("err_max").cast("double").alias("max_err"),
         F.sum("n_clip").cast("bigint").alias("n_clipped")))
+
+
+_KM_SEEDS = (0, 80, 160, 240, 320, 400)
+_KM_D2_SQL = ("list_sum(list_transform(generate_series(1, len({e})), "
+              "i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i])))")
+
+
+@query("similarity_kmeans_refine", oracle=f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+), c0 AS (
+  SELECT id AS cid, e AS ce FROM v
+  WHERE id IN ({", ".join(str(s) for s in _KM_SEEDS)})
+), a1 AS (
+  SELECT id, e, cid AS cluster FROM (
+    SELECT v.id, v.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+             {_KM_D2_SQL.format(e='v.e', c='c.ce')}, c.cid) AS rn
+    FROM v CROSS JOIN c0 c) WHERE rn = 1
+), dims AS (
+  SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS i
+  FROM a1
+), c1 AS (
+  SELECT cluster AS cid,
+         list(round(mval, 9) ORDER BY i) AS ce
+  FROM (SELECT cluster, i,
+               CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mval
+        FROM dims GROUP BY cluster, i)
+  GROUP BY cluster
+), a2 AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT v.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+             {_KM_D2_SQL.format(e='v.e', c='c.ce')}, c.cid) AS rn
+    FROM v CROSS JOIN c1 c) WHERE rn = 1
+)
+SELECT a2.cluster,
+       COUNT(*) AS n_members,
+       CAST(SUM(a2.id) AS BIGINT) AS sum_ids,
+       CAST(ROUND(sqrt(list_sum(list_transform(c1.ce, x -> x * x))), 6)
+            AS DOUBLE) AS centroid_norm
+FROM a2 JOIN c1 ON c1.cid = a2.cluster
+GROUP BY a2.cluster, c1.ce
+""")
+def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's k-means round refining the IVF coarse quantizer:
+    seed centroids are data vectors, one broadcast-argmin assignment,
+    per-dim DECIMAL-exact mean update, reassignment against the
+    refined centroids (operators/similarity.kmeans_refine). The oracle
+    replays the identical iteration unrolled in SQL — possible only
+    because the means round to 9 digits after an exact DECIMAL sum, so
+    both engines feed bit-identical centroids into round 2. At cluster
+    scale the corpus never shuffles: assignment is a broadcast argmin,
+    the k×dim mean matrix is the only thing that moves."""
+    from ..operators.similarity import kmeans_refine, sq_dist, dot  # noqa: F401
+    from ..sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select(F.col("vec_id").alias("id"), dv.alias("e"))
+    seeds = v.filter(F.col("id").isin(list(_KM_SEEDS))).select(
+        F.col("id").alias("cid"), F.col("e").alias("ce"))
+    assign, cent = kmeans_refine(v, seeds, iters=1)
+    cnorm = F.round(F.sqrt(F.aggregate(
+        F.transform(F.col("ce"), lambda x: x * x),
+        F.lit(0.0), lambda a, x: a + x)), 6).cast("double")
+    return (assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum("id").cast("bigint").alias("sum_ids"))
+            .join(cent.select(F.col("cid").alias("cluster"),
+                              cnorm.alias("centroid_norm")), "cluster"))

@@ -779,3 +779,28 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sess.groupBy("user_id", "session_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.min("ts").cast("string").alias("session_start")))
+
+
+@query("agg_exact_quantiles", oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS p50,
+       CAST(ROUND(quantile_cont(o_totalprice, 0.95), 4) AS DOUBLE) AS p95,
+       CAST(ROUND(quantile_cont(o_totalprice, 0.99), 4) AS DOUBLE) AS p99
+FROM orders GROUP BY o_orderpriority
+""")
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: linear interpolation on the sorted group).
+    Scale note: exact percentile sorts each group's values — fine for
+    grouped dashboards (group count × values/group bounded); for
+    full-corpus quantiles at 100 TB switch to `approx_percentile`
+    (t-digest, mergeable map-side, no global sort) and accept the
+    documented error bound — that variant has no cross-engine oracle,
+    which is exactly why the gate pins the exact form."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99")))

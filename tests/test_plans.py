@@ -154,3 +154,18 @@ def test_bpe_tokens_plan_is_single_scan_no_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # pure per-row projection: no shuffle, no join, one codegen span
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_ngram_jaccard_verify_uses_array_intersect(spark):
+    """The Jaccard verify must intersect cached per-doc shingle arrays
+    (narrow id->array joins), not re-join the exploded gram relation —
+    the plan carries array_intersect and a bounded exchange count."""
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+        ngram_jaccard_near_dups)
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(6)],
+        "doc_id int, text string")
+    plan = (ngram_jaccard_near_dups(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "array_intersect" in plan
+    assert plan.count("Exchange hashpartitioning") <= 8
