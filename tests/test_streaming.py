@@ -133,3 +133,50 @@ def test_table_source_stream_tails_manifest(spark, sink, tmp_path):
         assert sink.read().count() == 80
     finally:
         mgr.drop_stream("t1")
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup: dropDuplicatesWithinWatermark composed through
+    the CREATE STREAM transform hook — duplicate keys across
+    micro-batches reach the sink exactly once."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    from cdh_integrate_carbondata2_3_spark.streaming.streams import StreamManager
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sink = Table.create(spark, str(tmp_path / "sink"),
+                        "id bigint, ts timestamp, v string",
+                        {"streaming": "true"})
+    mgr = StreamManager(spark)
+    info = mgr.create_stream(
+        "dedup_s", sink, source_kind="file", source_path=str(src_dir),
+        source_format="json", source_schema="id bigint, ts timestamp, v string",
+        transform=lambda df: (df.withWatermark("ts", "10 minutes")
+                              .dropDuplicatesWithinWatermark(["id"])),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        # two files, overlapping ids — batch 2 repeats every batch-1 id
+        rows1 = [{"id": i, "ts": "2026-01-01T00:00:00", "v": f"a{i}"}
+                 for i in range(5)]
+        rows2 = [{"id": i, "ts": "2026-01-01T00:00:30", "v": f"b{i}"}
+                 for i in range(3, 8)]
+        for n, rows in (("f1.json", rows1), ("f2.json", rows2)):
+            with open(src_dir / n, "w") as f:
+                f.write("\n".join(_json.dumps(r) for r in rows))
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                info.query.processAllAvailable()
+                if sink.read().count() > 0 and n == "f1.json":
+                    break
+                if n == "f2.json":
+                    break
+                _time.sleep(0.5)
+    finally:
+        mgr.drop_stream("dedup_s")
+    got = sink.read().groupBy("id").count().collect()
+    assert {r["id"] for r in got} == set(range(8))
+    assert all(r["count"] == 1 for r in got), "duplicate id reached sink"
