@@ -1,0 +1,79 @@
+"""Property-based invariants (hypothesis) for driver-side primitives —
+no SparkSession needed, so these run fast and explore odd inputs:
+
+- bloom filters never produce false negatives, at any (m, k);
+- connected_components agrees with a reference union-find on random
+  graphs (checked through the same label-propagation math the Spark
+  operator runs, driver-side).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from cdh_integrate_carbondata2_3_spark.catalog.index import _Bloom
+
+
+@settings(max_examples=50, deadline=None)
+@given(values=st.lists(st.text(min_size=0, max_size=30), max_size=60),
+       probes=st.lists(st.text(min_size=0, max_size=30), max_size=20),
+       m_bits=st.integers(min_value=8, max_value=4096),
+       k=st.integers(min_value=1, max_value=8))
+def test_bloom_no_false_negatives(values, probes, m_bits, k):
+    b = _Bloom(m_bits, k)
+    for v in values:
+        b.add(v)
+    for v in values:
+        assert b.may_contain(v)          # added → always reported
+    # round-trip through the b64 sidecar encoding preserves membership
+    b2 = _Bloom.from_b64(m_bits, k, b.b64())
+    for v in values:
+        assert b2.may_contain(v)
+    for p in probes:
+        # may_contain may false-positive but must never crash
+        b2.may_contain(p)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _label_propagation(edges, max_iter=100):
+    """Driver-side replica of operators.graph.connected_components'
+    per-round math: comp[node] = min(comp[node], min(comp[neighbors]))."""
+    sym: dict[int, set[int]] = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    comp = {n: n for n in sym}
+    for _ in range(max_iter):
+        new = {n: min([comp[n]] + [comp[v] for v in sym[n]])
+               for n in sym}
+        if new == comp:
+            return comp
+        comp = new
+    raise RuntimeError("no convergence")
+
+
+@settings(max_examples=80, deadline=None)
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),
+              st.integers(min_value=0, max_value=40)),
+    min_size=1, max_size=60))
+def test_label_propagation_matches_union_find(edges):
+    want = _union_find_components(edges)
+    got = _label_propagation(edges)
+    assert got == want
