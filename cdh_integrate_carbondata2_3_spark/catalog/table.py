@@ -261,7 +261,48 @@ class Table:
         if scope == "range_sort" and range_col:
             n = max(df.rdd.getNumPartitions(), 1)
             return df.repartitionByRange(n, range_col)
+        if scope == "zorder" and sort_cols:
+            return self._apply_zorder(df, sort_cols, props)
         return df
+
+    _ZORDER_BITS = 6        # 2^6 quantile buckets per column
+
+    def _apply_zorder(self, df: DataFrame, cols: list[str],
+                      props: dict) -> DataFrame:
+        """Multi-dimensional clustering (sort_scope='zorder'): each
+        sort column is quantile-bucketized to 2^bits ranks (approx
+        quantile sketch — distributed, no global window), the bucket
+        bits are interleaved into one z-value, and files are written
+        range-partitioned + sorted by it. Every file then covers a
+        small hyper-rectangle, so manifest min/max pruning works on
+        ALL the z-columns at once — the lakehouse OPTIMIZE ZORDER
+        shape, and the generalization of the spatial index's
+        geoid clustering (functions/geo.py latlng_to_geoid).
+        Numeric columns only (quantile sketch requirement)."""
+        bits = int(props.get("zorder_bits", self._ZORDER_BITS))
+        n_buckets = (1 << bits) - 1
+        probs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
+        dnum = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+        bounds = {c: sorted(set(b))
+                  for c, b in zip(cols, dnum.stat.approxQuantile(
+                      cols, probs, 0.01))}
+        z = None
+        n = len(cols)
+        for ci, c in enumerate(cols):
+            arr = F.array(*[F.lit(b) for b in bounds[c]])
+            bucket = F.size(F.filter(
+                arr, lambda b: F.col(c).cast("double") >= b))
+            for j in range(bits):
+                part = F.shiftleft(
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                    j * n + ci)
+                z = part if z is None else z.bitwiseOR(part)
+        nparts = int(props.get("global_sort_partitions", 0) or 0) \
+            or max(df.rdd.getNumPartitions(), 1)
+        return (df.withColumn("__z__", z)
+                .repartitionByRange(nparts, "__z__")
+                .sortWithinPartitions("__z__")
+                .drop("__z__"))
 
 
     def _write_segment_files(self, df: DataFrame, fmt: str = "parquet") -> str:

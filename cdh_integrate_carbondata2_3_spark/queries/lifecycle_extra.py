@@ -190,3 +190,40 @@ def table_bucket_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
                   .cast("double").alias("sum_price")))
+
+
+@query("table_zorder_prune", oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_custkey < 300 AND o_totalprice < 100000
+GROUP BY o_orderpriority
+""")
+def table_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered load (sort_scope='zorder' on two uncorrelated
+    numeric columns): after one insert, manifest min/max pruning must
+    skip files for predicates on EITHER column, and the pruned scan
+    returns exactly the plain-SQL result. The lakehouse OPTIMIZE
+    ZORDER shape generalizing the spatial geoid clustering."""
+    root = _scratch("zorder", sf_dir)
+    t = Table.create(spark, os.path.join(root, "t"),
+                     "o_orderkey bigint, o_custkey bigint, "
+                     "o_totalprice double, o_orderpriority string",
+                     {"sort_columns": ["o_custkey", "o_totalprice"],
+                      "sort_scope": "zorder",
+                      "global_sort_partitions": "12"})
+    t.insert(spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .select("o_orderkey", "o_custkey",
+                     F.col("o_totalprice").cast("double"),
+                     "o_orderpriority"))
+    total = sum(len(v) for v in t.scan_files().values())
+    pruned = sum(len(v) for v in t.scan_files(
+        [("o_custkey", "<", 300), ("o_totalprice", "<", 100000.0)]).values())
+    assert pruned < total, "zorder clustering produced no file skipping"
+    df = t.read([("o_custkey", "<", 300),
+                 ("o_totalprice", "<", 100000.0)])
+    return (df.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                  .cast("double").alias("sum_price")))

@@ -183,3 +183,32 @@ def test_partitioned_table_pruning(spark, tdir):
     files_b1 = sum(len(v) for v in t.scan_files([("bucket", "=", 1)]).values())
     assert files_b1 < files_all
     assert t.read([("bucket", "=", 1)]).count() == 20
+
+
+def test_zorder_load_prunes_on_both_dimensions(spark, tmp_path):
+    """sort_scope='zorder': after one load clustered on (x, y), file
+    min/max pruning must be effective for predicates on EITHER column
+    — the property a linear sort only gives its leading column."""
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    t = Table.create(spark, str(tmp_path / "zt"),
+                     "x bigint, y bigint, v bigint",
+                     {"sort_columns": ["x", "y"], "sort_scope": "zorder",
+                      "global_sort_partitions": "16"})
+    # 64x64 grid — x and y both uniform, uncorrelated
+    grid = (spark.range(4096)
+            .select((F.col("id") % 64).alias("x"),
+                    (F.col("id") / 64).cast("bigint").alias("y"),
+                    F.col("id").alias("v")))
+    t.insert(grid)
+
+    total = sum(len(v) for v in t.scan_files().values())
+    assert total >= 8
+    px = sum(len(v) for v in t.scan_files([("x", "<", 8)]).values())
+    py = sum(len(v) for v in t.scan_files([("y", "<", 8)]).values())
+    assert px < total / 2, (px, total)
+    assert py < total / 2, (py, total)
+    # correctness: pruned reads return exactly the matching rows
+    assert t.read([("x", "<", 8)]).count() == 8 * 64
+    assert t.read([("y", "<", 8)]).count() == 8 * 64
