@@ -227,3 +227,44 @@ def table_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
                   .cast("double").alias("sum_price")))
+
+
+@query("table_runtime_filter_join", oracle="""
+SELECT n_name,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey = 1
+GROUP BY n_name
+""")
+def table_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime join-filter pruning (DPP analogue over manifest
+    min/max): the filtered nation dim's keys prune the customer fact
+    scan to files whose nationkey range can match, before the join
+    reads them (plans/runtime_filter.py). The fact table is loaded
+    range-sorted on the join key so min/max pruning has traction; the
+    query asserts files were actually skipped."""
+    from ..plans.runtime_filter import dim_filtered_join
+
+    root = _scratch("rtf", sf_dir)
+    t = Table.create(spark, os.path.join(root, "cust"),
+                     "c_custkey bigint, c_nationkey int, c_acctbal double",
+                     {"sort_columns": ["c_nationkey"],
+                      "sort_scope": "global_sort",
+                      "global_sort_partitions": "10"})
+    t.insert(spark.read.parquet(f"{sf_dir}/customer.parquet")
+             .select("c_custkey", "c_nationkey",
+                     F.col("c_acctbal").cast("double")))
+    nat = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+           .filter(F.col("n_regionkey") == 1)
+           .select("n_nationkey", "n_name"))
+    total = sum(len(v) for v in t.scan_files().values())
+    pruned = sum(len(v) for v in t.scan_files(
+        [("c_nationkey", "in",
+          [r[0] for r in nat.select("n_nationkey").collect()])]).values())
+    assert pruned < total, "runtime filter skipped no files"
+    joined = dim_filtered_join(t, nat, [("c_nationkey", "n_nationkey")])
+    return (joined.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                  .cast("double").alias("sum_bal")))

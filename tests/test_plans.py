@@ -169,3 +169,29 @@ def test_ngram_jaccard_verify_uses_array_intersect(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "array_intersect" in plan
     assert plan.count("Exchange hashpartitioning") <= 8
+
+
+def test_runtime_filter_join_caps_and_falls_back(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    from cdh_integrate_carbondata2_3_spark.plans.runtime_filter import (
+        dim_filtered_join)
+    from pyspark.sql import functions as F
+
+    t = Table.create(spark, str(tmp_path / "f"), "k bigint, v bigint",
+                     {"sort_columns": ["k"], "sort_scope": "global_sort",
+                      "global_sort_partitions": "4"})
+    t.insert(spark.range(1000).select(F.col("id").alias("k"),
+                                      (F.col("id") * 2).alias("v")))
+    dim = spark.createDataFrame([(5, "a"), (700, "b")], "dk bigint, name string")
+    got = dim_filtered_join(t, dim, [("k", "dk")]).collect()
+    assert {(r["k"], r["name"]) for r in got} == {(5, "a"), (700, "b")}
+    # over-cap dim: same answer, no error (pruning silently disabled)
+    big_dim = spark.range(999).select(F.col("id").alias("dk"))
+    assert dim_filtered_join(t, big_dim, [("k", "dk")],
+                             max_keys=100).count() == 999
+    # unsound join types refused
+    try:
+        dim_filtered_join(t, dim, [("k", "dk")], how="left")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
