@@ -656,6 +656,11 @@ class Table:
         from .index import IndexManager
         return IndexManager(self)
 
+    @property
+    def vector_indexes(self):
+        from .vector_index import VectorIndexManager
+        return VectorIndexManager(self)
+
     def _bucket_target(self, predicates: Sequence[Predicate] | None) -> str | None:
         """Bucket id implied by equality predicates on ALL bucket
         columns, else None (reference CarbonDataSourceScan bucket
