@@ -346,3 +346,90 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("id").cast("bigint").alias("sum_ids"))
             .join(cent.select(F.col("cid").alias("cluster"),
                               cnorm.alias("centroid_norm")), "cluster"))
+
+
+_VX_K = 6
+_VX_NPROBE = 2
+_VX_TOPK = 5
+_VX_NQ = 5
+_VX_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+
+
+@query("table_vector_index_search", oracle=f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+), c0 AS (
+  SELECT id AS cid, e AS ce FROM v WHERE id < {_VX_K}
+), a1 AS (
+  SELECT id, e, cid AS cluster FROM (
+    SELECT v.id, v.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+             {_KM_D2_SQL.format(e='v.e', c='c.ce')}, c.cid) AS rn
+    FROM v CROSS JOIN c0 c) WHERE rn = 1
+), dims AS (
+  SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a1
+), c1 AS (
+  SELECT cluster AS cid, list(round(mval, 9) ORDER BY i) AS ce
+  FROM (SELECT cluster, i,
+               CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS mval
+        FROM dims GROUP BY cluster, i)
+  GROUP BY cluster
+), a2 AS (
+  SELECT id, cid AS list_id FROM (
+    SELECT v.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+             {_KM_D2_SQL.format(e='v.e', c='c.ce')}, c.cid) AS rn
+    FROM v CROSS JOIN c1 c) WHERE rn = 1
+), q AS (
+  SELECT id AS q_id, e AS qe FROM v WHERE id < {_VX_NQ}
+), probes AS (
+  SELECT q_id, qe, cid AS list_id FROM (
+    SELECT q.q_id, q.qe, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             {_KM_D2_SQL.format(e='q.qe', c='c.ce')}, c.cid) AS rn
+    FROM q CROSS JOIN c1 c) WHERE rn <= {_VX_NPROBE}
+), cand AS (
+  SELECT p.q_id, p.qe, v.id AS c_id, v.e AS ce
+  FROM probes p JOIN a2 ON a2.list_id = p.list_id
+  JOIN v ON v.id = a2.id
+  WHERE v.id != p.q_id
+), scored AS (
+  SELECT q_id, c_id,
+         CAST(ROUND({_VX_COS.format(a='qe', b='ce')}, 6) AS DOUBLE) AS cos_sim
+  FROM cand
+)
+SELECT q_id, c_id, cos_sim, rk FROM (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id) AS rk
+  FROM scored) WHERE rk <= {_VX_TOPK}
+""")
+def table_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format ANN end-to-end: embeddings loaded into a managed
+    table, CREATE VECTOR INDEX (k-means centroids + executor-written
+    list-assignment sidecar — catalog/vector_index.py), probe-search
+    reranked by exact cosine. The oracle replays centroid learning,
+    assignment, probing, and rerank in SQL, so the whole persisted-ANN
+    path — not just the search math — is pinned bit-for-bit."""
+    import os as _os
+
+    from ..catalog.table import Table
+    from ..catalog.vector_index import VectorIndexManager
+    from .lifecycle_queries import _scratch
+
+    root = _scratch("vecidx", sf_dir)
+    t = Table.create(spark, _os.path.join(root, "t"),
+                     "vec_id bigint, embedding array<float>")
+    t.insert(spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+             .select("vec_id", "embedding"))
+    vm = VectorIndexManager(t)
+    vm.create("vx", "vec_id", "embedding", k=_VX_K, iters=1)
+    q = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .filter(F.col("vec_id") < _VX_NQ)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.transform(F.col("embedding"),
+                             lambda x: x.cast("double")).alias("qe")))
+    res, stale = vm.search("vx", q, nprobe=_VX_NPROBE, topk=_VX_TOPK)
+    assert not stale
+    return res
