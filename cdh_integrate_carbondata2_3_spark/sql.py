@@ -470,6 +470,11 @@ class Engine:
                 t.indexes.create_bloom_index(m.group(1), cols)
             elif kind == "lucene":
                 t.indexes.create_fts_index(m.group(1), cols)
+            elif kind == "ivf":
+                # CREATE INDEX v ON TABLE t (id_col, vec_col) AS 'ivf'
+                if len(cols) != 2:
+                    raise ValueError("ivf index needs (id_col, vector_col)")
+                t.vector_indexes.create(m.group(1), cols[0], cols[1])
             else:
                 raise ValueError(f"unsupported index kind {kind!r}")
             return self._ok(f"index {m.group(1)}")

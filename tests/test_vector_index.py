@@ -82,3 +82,17 @@ def test_ivf_staleness_watermark(spark, sf_dir, vtable):
     vm.refresh("ivf3")
     _, stale = vm.search("ivf3", _queries(spark, sf_dir))
     assert not stale
+
+
+def test_create_ivf_index_via_sql(spark, tmp_path, sf_dir):
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE ve (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    src = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    eng.table("ve").insert(src)
+    eng.sql("CREATE INDEX vq ON TABLE ve (vec_id, embedding) AS 'ivf'")
+    t = eng.table("ve")
+    res, stale = t.vector_indexes.search("vq", _queries(spark, sf_dir))
+    assert not stale and res.count() > 0
