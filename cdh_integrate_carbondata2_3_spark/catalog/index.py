@@ -276,6 +276,8 @@ class IndexManager:
         # cheapest covering index per predicate position
         best: dict[int, tuple] = {}
         for meta in map(self._load_meta, [m["name"] for m in self.show()]):
+            if meta["type"] not in self._TYPE_COST:
+                continue                  # e.g. ivf — not a file pruner
             for pi, (col, op, value) in enumerate(predicates):
                 if col not in meta["columns"]:
                     continue

@@ -71,9 +71,12 @@ class VectorIndexManager:
          .repartition(max(1, k // 4), "list_id")
          .write.mode("overwrite").parquet(idx_dir))
         centroids = [(r["cid"], list(r["ce"])) for r in cent.collect()]
-        self._save_meta({"name": name, "type": "ivf", "id_col": id_col,
-                         "vec_col": vec_col, "k": k, "iters": iters,
-                         "centroids": centroids,
+        # "columns" keeps the shared index listing/pruning machinery
+        # happy (IndexManager.show / candidate_files iterate ALL metas)
+        self._save_meta({"name": name, "type": "ivf",
+                         "columns": [id_col, vec_col],
+                         "id_col": id_col, "vec_col": vec_col,
+                         "k": k, "iters": iters, "centroids": centroids,
                          "watermark_segment": wm})
 
     def search(self, name: str, queries: DataFrame, *,

@@ -96,3 +96,15 @@ def test_create_ivf_index_via_sql(spark, tmp_path, sf_dir):
     t = eng.table("ve")
     res, stale = t.vector_indexes.search("vq", _queries(spark, sf_dir))
     assert not stale and res.count() > 0
+
+
+def test_ivf_index_coexists_with_predicate_reads(spark, sf_dir, vtable):
+    """An ivf index must not break the shared index machinery: SHOW
+    INDEXES lists it, and predicate reads (which iterate every index
+    meta) still work."""
+    vm = VectorIndexManager(vtable)
+    vm.create("ivf4", "vec_id", "embedding", k=4, iters=1)
+    listed = {i["name"]: i["type"] for i in vtable.indexes.show()}
+    assert listed.get("ivf4") == "ivf"
+    assert vtable.read([("vec_id", "=", 7)]).count() == 1
+    assert vtable.read([("vec_id", "in", [1, 2, 3])]).count() == 3
