@@ -73,3 +73,56 @@ def complex_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when((F.col("pk") == "status")
                               & (F.col("pv") == F.col("status")), 1)
                        .otherwise(0)).alias("n_elem_match")))
+
+
+@query("complex_nested_two_level", oracle="""
+WITH src AS (
+  SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey < 3000
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_statuses,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(MAX(max_price) AS DOUBLE) AS max_price
+FROM (
+  SELECT o_custkey, o_orderstatus,
+         COUNT(*) AS n_orders,
+         MAX(o_totalprice) AS max_price
+  FROM src GROUP BY o_custkey, o_orderstatus)
+GROUP BY o_custkey
+""")
+def complex_nested_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level nested types end-to-end (survey §1.2: ARRAY/STRUCT/MAP
+    to depth 2, reference complexType suites): build a
+    map<string, array<struct<okey,price>>> per customer (status →
+    orders), round-trip it through a managed table, then unnest both
+    levels back and aggregate. The oracle recomputes the same relation
+    flat — the nested round-trip must be lossless at both depths."""
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") < 3000))
+    per_status = (orders.groupBy("o_custkey", "o_orderstatus")
+                  .agg(F.sort_array(F.collect_list(F.struct(
+                      F.col("o_orderkey").alias("okey"),
+                      F.col("o_totalprice").alias("price")))).alias("arr")))
+    nested = (per_status.groupBy("o_custkey")
+              .agg(F.map_from_entries(F.sort_array(F.collect_list(
+                  F.struct("o_orderstatus", "arr")))).alias("by_status")))
+    t = Table.create(
+        spark, _scratch("nested2", sf_dir),
+        "o_custkey bigint, "
+        "by_status map<string,array<struct<okey:bigint,price:double>>>")
+    t.insert(nested)
+
+    df = t.read()
+    lvl1 = df.select("o_custkey",
+                     F.explode(F.col("by_status")).alias("status", "arr"))
+    return (lvl1.select(
+        "o_custkey",
+        F.size("arr").cast("bigint").alias("n_orders"),
+        F.aggregate(F.col("arr"), F.lit(float("-inf")),
+                    lambda a, s: F.greatest(a, s["price"]))
+        .alias("max_price"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_statuses"),
+             F.sum("n_orders").cast("bigint").alias("n_orders"),
+             F.max("max_price").cast("double").alias("max_price")))

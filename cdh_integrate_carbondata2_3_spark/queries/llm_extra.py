@@ -433,3 +433,61 @@ def table_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res, stale = vm.search("vx", q, nprobe=_VX_NPROBE, topk=_VX_TOPK)
     assert not stale
     return res
+
+
+@query("events_gap_fill", oracle="""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value
+  FROM events WHERE user_id % 50 = 0
+), bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e
+), hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), grid AS (
+  SELECT t.event_type, hours.h
+  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours
+), actual AS (
+  SELECT event_type, h, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM e GROUP BY event_type, h
+)
+SELECT g.event_type,
+       CAST(g.h AS VARCHAR) AS hour,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       CAST(ROUND(COALESCE(a.sv, 0), 4) AS DOUBLE) AS sum_value,
+       CAST(SUM(COALESCE(a.n, 0)) OVER (
+         PARTITION BY g.event_type ORDER BY g.h) AS BIGINT) AS cum_events
+FROM grid g LEFT JOIN actual a
+  ON a.event_type = g.event_type AND a.h = g.h
+""")
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense (event_type × hour) grid over
+    the observed range, zero-filled where no events landed, plus a
+    running cumulative across the filled series — the densification
+    step dashboards and window features need before interpolation.
+    Scale shape: the hour spine is sequence()-generated (rows = range,
+    not data), the grid is dims × spine (tiny) broadcast against the
+    hourly partial aggregate; raw events are touched exactly once."""
+    from ..sources.registry import load_table
+
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id") % 50 == 0)
+         .select("event_type",
+                 F.date_trunc("hour", F.col("ts")).alias("h"), "value"))
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(F.explode(F.sequence(
+        "h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    grid = e.select("event_type").distinct().crossJoin(hours)
+    actual = (e.groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,6)")).alias("sv")))
+    w = W.partitionBy("event_type").orderBy("h")
+    return (grid.join(actual, ["event_type", "h"], "left")
+            .select("event_type",
+                    F.col("h").cast("string").alias("hour"),
+                    F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+                    .alias("n_events"),
+                    F.round(F.coalesce(F.col("sv"), F.lit(0)), 4)
+                    .cast("double").alias("sum_value"),
+                    F.sum(F.coalesce(F.col("n"), F.lit(0))).over(w)
+                    .cast("bigint").alias("cum_events")))
