@@ -120,3 +120,41 @@ def udf_insegment_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT l_returnflag, COUNT(*) AS n_rows FROM li "
         "WHERE insegment('0') GROUP BY l_returnflag")
+
+
+@query("udf_grouped_agg_pandas", oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n * n) AS BIGINT) AS sum_sq_tokens
+FROM (SELECT lang, len(string_split_regex(trim(text), ' +')) AS n
+      FROM documents)
+GROUP BY lang
+""")
+def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF surface (SURVEY §2.13): the per-group
+    aggregate runs as an Arrow-batched pandas reduction on the
+    executors — integer math (sum of squared token counts) so the
+    result is order-independent and hash-comparable. The group-by
+    shuffle and partial aggregation stay JVM-side; only the final
+    per-group reduction crosses into pandas."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    # module-level `from __future__ import annotations` stringifies
+    # type hints, so the agg kind is declared explicitly
+    @F.pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def sum_sq(n):
+        return int((pd.Series(n).astype("int64") ** 2).sum())
+
+    @F.pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def n_rows(n):
+        return int(pd.Series(n).size)
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg —
+    # both outputs come from the Arrow path
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.size(F.split(F.trim(F.col("text")), " +"))
+    return (d.select("lang", ntok.cast("bigint").alias("n"))
+            .groupBy("lang")
+            .agg(n_rows(F.col("n")).alias("n_docs"),
+                 sum_sq(F.col("n")).alias("sum_sq_tokens")))
