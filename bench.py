@@ -26,6 +26,9 @@ HEADLINE = (
     "similarity_ann_lsh", "similarity_ann_ivf", "geo_polygon_filter",
     "multimodal_frame_sample", "sample_stratified_lang", "text_chunk_windows",
     "join_asof_events", "join_range_events",
+    # round 3 additions
+    "text_pii_redact", "events_gap_fill", "embedding_quantize_int8",
+    "text_pack_sequences", "agg_exact_quantiles", "similarity_kmeans_refine",
 )
 
 

@@ -113,11 +113,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_arr = F.transform(
         F.sequence(F.lit(1), F.size(arr) - (_DECON_N - 1)),
         lambda i: F.concat_ws(" ", F.slice(arr, i, _DECON_N)))
-    g = (d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g")))
-    bench = (g.filter(F.col("doc_id") % _DECON_MOD == 0)
-             .select("g").distinct())
-    return (g.filter(F.col("doc_id") % _DECON_MOD != 0)
-            .join(F.broadcast(bench), "g")
+    # explode each side from its own filtered scan: the benchmark set
+    # only pays the gram explode for its ~1/MOD of the corpus (a full
+    # explode then filter would shingle every doc twice)
+    bench = (d.filter(F.col("doc_id") % _DECON_MOD == 0)
+             .select(F.explode(F.array_distinct(grams_arr)).alias("g"))
+             .distinct())
+    g = (d.filter(F.col("doc_id") % _DECON_MOD != 0)
+         .select("doc_id",
+                 F.explode(F.array_distinct(grams_arr)).alias("g")))
+    return (g.join(F.broadcast(bench), "g")
             .groupBy("doc_id")
             .agg(F.count_distinct("g").alias("n_shared")))
 
