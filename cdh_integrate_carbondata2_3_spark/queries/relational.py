@@ -804,3 +804,32 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99")))
+
+
+@query("events_rolling_window", oracle="""
+SELECT user_id, CAST(ts AS VARCHAR) AS ts_s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_24h
+FROM events WHERE user_id < 40
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+""")
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frames (RANGE BETWEEN INTERVAL ... PRECEDING):
+    per-event rolling 24h count and sum per user — the sliding-window
+    feature shape ROWS frames can't express when event spacing is
+    irregular. One shuffle on the partition key; the frame scan is a
+    per-partition ordered pass. Sum accumulates in DECIMAL so the
+    frame-order float addition can't drift the hash."""
+    e = _t(spark, sf_dir, "events")
+    e.filter(F.col("user_id") < 40).createOrReplaceTempView(
+        "__rolling_events__")
+    return spark.sql("""
+        SELECT user_id, CAST(ts AS STRING) AS ts_s,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 AS sum_24h
+        FROM __rolling_events__
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                     AND CURRENT ROW)""")
