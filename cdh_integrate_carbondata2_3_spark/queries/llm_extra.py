@@ -496,3 +496,51 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double").alias("sum_value"),
                     F.sum(F.coalesce(F.col("n"), F.lit(0))).over(w)
                     .cast("bigint").alias("cum_events")))
+
+
+@query("corpus_curation_pipeline", oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         len(string_split_regex(trim(text), ' +')) AS n_tokens,
+         md5(text) AS digest
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE n_tokens >= 15
+), survivors AS (
+  SELECT * FROM kept
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY digest)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST((SELECT COUNT(*) FROM kept) -
+            (SELECT COUNT(*) FROM survivors) AS BIGINT) AS n_deduped
+FROM survivors GROUP BY lang
+""")
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation flow in ONE DAG — the shape a real
+    training-data run takes: quality filter (min token count) → exact
+    dedup keeping the lowest doc_id per content digest → per-language
+    corpus stats with a global dedup-loss count. Each stage is an
+    operator verified on its own elsewhere; this query pins their
+    COMPOSITION (filter-before-dedup ordering, survivor rule, loss
+    accounting). One scan, one digest groupBy, one final agg — the
+    window-free survivor join keeps every stage a narrow shuffle."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "lang", "source",
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("n_tokens"),
+        F.md5(F.col("text")).alias("digest"))
+    kept = scored.filter(F.col("n_tokens") >= 15).cache()
+    winners = (kept.groupBy("digest")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .select("doc_id"))
+    survivors = kept.join(winners, "doc_id")
+    n_kept = kept.count()
+    n_surv = survivors.count()
+    return (survivors.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.count_distinct("source").cast("bigint").alias("n_sources"))
+            .withColumn("n_deduped", F.lit(n_kept - n_surv).cast("bigint")))
