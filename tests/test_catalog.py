@@ -212,3 +212,23 @@ def test_zorder_load_prunes_on_both_dimensions(spark, tmp_path):
     # correctness: pruned reads return exactly the matching rows
     assert t.read([("x", "<", 8)]).count() == 8 * 64
     assert t.read([("y", "<", 8)]).count() == 8 * 64
+
+
+def test_alter_to_zorder_applies_on_next_load(spark, tmp_path):
+    """sort_scope can be flipped to zorder via table properties after
+    creation; the next insert writes clustered files."""
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    t = Table.create(spark, str(tmp_path / "zalter"),
+                     "x bigint, y bigint")
+    t.set_properties({"sort_columns": ["x", "y"],
+                      "sort_scope": "zorder",
+                      "global_sort_partitions": "8"})
+    grid = (spark.range(1024)
+            .select((F.col("id") % 32).alias("x"),
+                    (F.col("id") / 32).cast("bigint").alias("y")))
+    t.insert(grid)
+    total = sum(len(v) for v in t.scan_files().values())
+    px = sum(len(v) for v in t.scan_files([("x", "<", 4)]).values())
+    assert px < total
