@@ -194,3 +194,36 @@ def sample_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("min_doc"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+_W_HEX = ("(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)")
+_W_U16_SQL = " + ".join(
+    f"({_W_HEX.format(p=i + 1)}) * {16 ** (3 - i)}" for i in range(4))
+_W_DENOM = 20_000     # weight scale: p(keep) = min(1, n_chars / 20000)
+
+
+@query("sample_weighted_tokens", oracle=f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents
+WHERE ({_W_U16_SQL}) * {_W_DENOM} < n_chars * 65536
+GROUP BY lang
+""")
+def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: p(keep) proportional
+    to document length (the token-budget-aware sampling a training mix
+    uses — long docs carry more tokens, so equal-probability sampling
+    under-weights them). The uniform draw is the first 16 bits of the
+    id md5; the comparison is pure integer arithmetic
+    (u16 * DENOM < n_chars * 2^16) so both engines decide identically
+    with no float threshold. Map-side predicate only — a scan-filter
+    at any scale, reproducible across reruns and partitionings."""
+    d = _docs(spark, sf_dir)
+    u16 = F.conv(F.substring(_id_hash(), 1, 4), 16, 10).cast("long")
+    return (d.filter(u16 * _W_DENOM < F.col("n_chars") * 65536)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                 F.min("doc_id").cast("bigint").alias("min_doc")))

@@ -158,3 +158,50 @@ def udf_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(n_rows(F.col("n")).alias("n_docs"),
                  sum_sq(F.col("n")).alias("sum_sq_tokens")))
+
+
+@query("udf_python_udtf", oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), ' +')) AS n
+  FROM documents WHERE doc_id < 200
+), chunks AS (
+  SELECT doc_id, lang, i AS chunk_idx,
+         CASE WHEN n - i * 20 > 20 THEN 20 ELSE n - i * 20 END AS n_words
+  FROM t, unnest(generate_series(0, CAST(ceil(n / 20.0) AS INT) - 1)) AS u(i)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       CAST(MAX(n_words) AS BIGINT) AS max_chunk_words
+FROM chunks GROUP BY lang
+""")
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table functions): a chunking UDTF
+    emits one row per 20-word window of each document via LATERAL —
+    the 1→N user-defined shape UDFs can't express. Arrow-batched like
+    pandas UDFs; the aggregate after the lateral join is JVM-side.
+    The oracle replays the chunk arithmetic with generate_series."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_words int")
+    class ChunkWords:
+        def eval(self, text: str):
+            n = len((text or "").split())
+            i = 0
+            while i * 20 < n:
+                yield (i, min(20, n - i * 20))
+                i += 1
+
+    spark.udtf.register("__chunk_words__", ChunkWords)
+    (spark.read.parquet(f"{sf_dir}/documents.parquet")
+     .filter(F.col("doc_id") < 200)
+     .select("doc_id", "lang", F.trim(F.col("text")).alias("text"))
+     .createOrReplaceTempView("__udtf_docs__"))
+    return spark.sql("""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(c.n_words) AS BIGINT) AS sum_words,
+               CAST(MAX(c.n_words) AS BIGINT) AS max_chunk_words
+        FROM __udtf_docs__, LATERAL __chunk_words__(text) c
+        GROUP BY lang""")
