@@ -93,7 +93,7 @@ class MergeBuilder:
     """``merge(target, source, condition).when_matched()...execute()``"""
 
     def __init__(self, target: Table, source: DataFrame,
-                 condition: str | Column):
+                 condition: str | Column, key_hint: str | None = None):
         _check_mutable(target)
         self.target = target
         self.source = source
@@ -103,6 +103,11 @@ class MergeBuilder:
         self.not_matched_by_source: list[_Action] = []
         self.target_columns = target.read().columns
         self._history: tuple[Table, dict[str, Column]] | None = None
+        # equi-key merges can pre-prune the matched-file scan with the
+        # source's key min/max (reference CarbonMergeDataSetCommand
+        # CDC block pruning, :215): target files whose key range can't
+        # intersect the source never get read, let alone rewritten
+        self.key_hint = key_hint
 
     # -- clause surface (reference MergeDataSetBuilder.scala) --------------
 
@@ -149,7 +154,15 @@ class MergeBuilder:
             else:
                 # capture file name at scan time — input_file_name() is
                 # empty when evaluated above a join
-                tgt_f = self.target.read().withColumn(
+                preds = None
+                if self.key_hint:
+                    mm = src.agg(
+                        F.min(self.key_hint).alias("lo"),
+                        F.max(self.key_hint).alias("hi")).first()
+                    if mm["lo"] is not None:
+                        preds = [(self.key_hint, "between",
+                                  (mm["lo"], mm["hi"]))]
+                tgt_f = self.target.read(predicates=preds).withColumn(
                     "_file", F.input_file_name()).alias("tgt")
                 touched = sorted({
                     _norm_file(r["_file"]) for r in
@@ -256,32 +269,38 @@ class MergeBuilder:
         return stats
 
 
-def merge(target: Table, source: DataFrame, condition: str | Column) -> MergeBuilder:
-    return MergeBuilder(target, source, condition)
+def merge(target: Table, source: DataFrame, condition: str | Column,
+          key_hint: str | None = None) -> MergeBuilder:
+    return MergeBuilder(target, source, condition, key_hint)
 
 
 # -- keyed shorthand (reference CarbonSession.scala:288-318) ---------------
 
+def _keyed(target: Table, source: DataFrame, key: str) -> MergeBuilder:
+    return merge(target, source.dropDuplicates([key]),
+                 f"tgt.{key} = src.{key}", key_hint=key)
+
+
 def upsert(target: Table, source: DataFrame, key: str) -> MergeStats:
-    return (merge(target, source.dropDuplicates([key]), f"tgt.{key} = src.{key}")
+    return (_keyed(target, source, key)
             .when_matched().update_all()
             .when_not_matched().insert_all()
             .execute())
 
 
 def update(target: Table, source: DataFrame, key: str) -> MergeStats:
-    return (merge(target, source.dropDuplicates([key]), f"tgt.{key} = src.{key}")
+    return (_keyed(target, source, key)
             .when_matched().update_all()
             .execute())
 
 
 def delete(target: Table, source: DataFrame, key: str) -> MergeStats:
-    return (merge(target, source.dropDuplicates([key]), f"tgt.{key} = src.{key}")
+    return (_keyed(target, source, key)
             .when_matched().delete()
             .execute())
 
 
 def insert(target: Table, source: DataFrame, key: str) -> MergeStats:
-    return (merge(target, source.dropDuplicates([key]), f"tgt.{key} = src.{key}")
+    return (_keyed(target, source, key)
             .when_not_matched().insert_all()
             .execute())

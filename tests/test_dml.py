@@ -133,3 +133,34 @@ def test_merge_history_table(spark, table, tmp_path):
     h = hist.read()
     assert h.count() == 2                        # pre-images captured
     assert h.filter("state = 'new'").count() == 2
+
+
+def test_keyed_merge_prunes_matched_scan_by_key_range(spark, tmp_path, monkeypatch):
+    """Keyed MERGE passes the source key min/max into the touched-file
+    scan (CDC block pruning): the target read must receive a between
+    predicate, and results stay exact."""
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    from cdh_integrate_carbondata2_3_spark.operators import merge as m
+
+    t = Table.create(spark, str(tmp_path / "mt"), "k bigint, v string",
+                     {"sort_columns": ["k"], "sort_scope": "global_sort",
+                      "global_sort_partitions": "8"})
+    t.insert(spark.range(800).select(F.col("id").alias("k"),
+                                     F.concat(F.lit("v"), F.col("id")).alias("v")))
+    seen = {}
+    orig_read = Table.read
+
+    def spy(self, predicates=None, **kw):
+        if predicates:
+            seen["preds"] = predicates
+        return orig_read(self, predicates=predicates, **kw)
+
+    monkeypatch.setattr(Table, "read", spy)
+    src = spark.createDataFrame(
+        [(100, "new100"), (101, "new101")], "k bigint, v string")
+    stats = m.upsert(t, src, "k")
+    assert stats.updated == 2
+    assert seen["preds"] == [("k", "between", (100, 101))]
+    got = {r["v"] for r in t.read([("k", "in", [100, 101, 102])]).collect()}
+    assert got == {"new100", "new101", "v102"}
