@@ -16,6 +16,7 @@ reference's include/exclude executor contract.
 from __future__ import annotations
 
 import datetime as _dt
+import re
 from typing import Any, Sequence
 
 from ..catalog.manifest import FileStat
@@ -101,3 +102,59 @@ def prune_files(files: Sequence[FileStat],
     if not predicates:
         return list(files)
     return [f for f in files if file_may_match(f, predicates)]
+
+
+_SIMPLE_CMP = re.compile(
+    r"^\s*(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$")
+_SIMPLE_IN = re.compile(r"^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)
+_SIMPLE_BETWEEN = re.compile(
+    r"^\s*(\w+)\s+BETWEEN\s+('(?:[^']*)'|-?\d+(?:\.\d+)?)"
+    r"\s+AND\s+('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$", re.IGNORECASE)
+
+
+def _lit(s: str):
+    s = s.strip()
+    if s.startswith("'"):
+        return s[1:-1]
+    return float(s) if "." in s else int(s)
+
+
+def parse_simple_condition(condition: str) -> list[Predicate] | None:
+    """Best-effort SQL condition → pruning predicates for the
+    manifest/SI machinery. Handles top-level AND conjunctions of
+    ``col op literal`` / ``col IN (...)`` / ``col BETWEEN a AND b``;
+    returns None for anything it can't FULLY understand (OR, NOT,
+    subqueries, expressions) — conservative by construction: pruning
+    with a wrong predicate would drop rows, so the fallback is always
+    "no file pruning" (Spark still pushes the row filter exactly)."""
+    if not condition or condition.strip().lower() == "true":
+        return None
+    upper = f" {condition.upper()} "
+    if " OR " in upper or " NOT " in upper or "SELECT" in upper:
+        return None
+    # split on AND, re-joining the AND that belongs to a BETWEEN
+    raw = re.split(r"\s+AND\s+", condition, flags=re.IGNORECASE)
+    parts: list[str] = []
+    i = 0
+    while i < len(raw):
+        frag = raw[i]
+        if (re.match(r"^\s*\w+\s+BETWEEN\s+", frag, re.IGNORECASE)
+                and i + 1 < len(raw)):
+            frag = f"{frag} AND {raw[i + 1]}"
+            i += 1
+        parts.append(frag)
+        i += 1
+    preds: list[Predicate] = []
+    for part in parts:
+        if m := _SIMPLE_CMP.match(part):
+            col, op, val = m.group(1), m.group(2), _lit(m.group(3))
+            preds.append((col, "!=" if op == "<>" else op, val))
+        elif m := _SIMPLE_IN.match(part):
+            vals = [_lit(v) for v in m.group(2).split(",") if v.strip()]
+            preds.append((m.group(1), "in", vals))
+        elif m := _SIMPLE_BETWEEN.match(part):
+            preds.append((m.group(1), "between",
+                          (_lit(m.group(2)), _lit(m.group(3)))))
+        else:
+            return None            # unknown fragment → no pruning at all
+    return preds or None

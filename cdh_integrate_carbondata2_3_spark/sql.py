@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog.table import Table
 from .mv.manager import AggSpec, MVManager, QuerySpec
 from .operators import dml, merge as merge_ops
+from .plans.pruning import parse_simple_condition
 from .streaming.streams import StreamManager, finish_streaming
 
 
@@ -353,13 +354,16 @@ class Engine:
             return self._ok("deleted segments by date")
         if m := _DELETE.match(text):
             self._register_views()      # WHERE may contain subqueries
-            n = dml.delete_rows(self.table(m.group(1)), m.group(2) or "true")
+            cond = m.group(2) or "true"
+            n = dml.delete_rows(self.table(m.group(1)), cond,
+                                predicates=parse_simple_condition(cond))
             return self._ok(f"deleted {n}")
         if (m := _UPDATE_PLAIN.match(text)) and "=" in m.group(2):
             sets = dict(kv.split("=", 1) for kv in m.group(2).split(","))
             sets = {k.strip(): v.strip() for k, v in sets.items()}
-            n = dml.update_rows(self.table(m.group(1)), sets,
-                                m.group(3) or "true")
+            cond = m.group(3) or "true"
+            n = dml.update_rows(self.table(m.group(1)), sets, cond,
+                                predicates=parse_simple_condition(cond))
             return self._ok(f"updated {n}")
         if m := _SET_INPUT_SEGMENTS.match(text):
             t, ids = m.group(1), m.group(2).strip()

@@ -164,3 +164,30 @@ def test_keyed_merge_prunes_matched_scan_by_key_range(spark, tmp_path, monkeypat
     assert seen["preds"] == [("k", "between", (100, 101))]
     got = {r["v"] for r in t.read([("k", "in", [100, 101, 102])]).collect()}
     assert got == {"new100", "new101", "v102"}
+
+
+def test_sql_delete_prunes_files_with_simple_where(spark, tmp_path, monkeypatch):
+    """DELETE ... WHERE k < 100 must reach find_touched_files with
+    manifest-pruning predicates parsed from the WHERE."""
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+    from cdh_integrate_carbondata2_3_spark.operators import dml as dml_mod
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE dt (k BIGINT, v STRING) TBLPROPERTIES ("
+            "'sort_columns'='k', 'sort_scope'='global_sort', "
+            "'global_sort_partitions'='6')")
+    eng.table("dt").insert(spark.range(600).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v")))
+    seen = {}
+    orig = dml_mod.find_touched_files
+
+    def spy(table, condition, predicates=None):
+        seen["preds"] = predicates
+        return orig(table, condition, predicates)
+
+    monkeypatch.setattr(dml_mod, "find_touched_files", spy)
+    eng.sql("DELETE FROM dt WHERE k < 100")
+    assert seen["preds"] == [("k", "<", 100)]
+    assert eng.table("dt").count() == 500
