@@ -77,3 +77,50 @@ def test_label_propagation_matches_union_find(edges):
     want = _union_find_components(edges)
     got = _label_propagation(edges)
     assert got == want
+
+
+import cdh_integrate_carbondata2_3_spark.catalog  # noqa: E402,F401 (break import cycle)
+from cdh_integrate_carbondata2_3_spark.plans.pruning import (  # noqa: E402
+    parse_simple_condition)
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_num = st.integers(min_value=-10**6, max_value=10**6)
+_strlit = st.from_regex(r"[a-zA-Z0-9_ ]{0,12}", fullmatch=True)
+
+
+@settings(max_examples=80, deadline=None)
+@given(parts=st.lists(
+    st.one_of(
+        st.tuples(_ident, st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+                  _num),
+        st.tuples(_ident, st.just("in"),
+                  st.lists(_num, min_size=1, max_size=5)),
+        st.tuples(_ident, st.just("between"), st.tuples(_num, _num)),
+        st.tuples(_ident, st.just("=s"), _strlit),
+    ), min_size=1, max_size=5))
+def test_parse_simple_condition_roundtrip(parts):
+    frags, want = [], []
+    for p in parts:
+        col, op, v = p
+        if op == "in":
+            frags.append(f"{col} IN ({', '.join(str(x) for x in v)})")
+            want.append((col, "in", list(v)))
+        elif op == "between":
+            frags.append(f"{col} BETWEEN {v[0]} AND {v[1]}")
+            want.append((col, "between", (v[0], v[1])))
+        elif op == "=s":
+            frags.append(f"{col} = '{v}'")
+            want.append((col, "=", v))
+        else:
+            frags.append(f"{col} {op} {v}")
+            want.append((col, op, v))
+    assert parse_simple_condition(" AND ".join(frags)) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(cond=st.sampled_from([
+    "a = 1 OR b = 2", "NOT a = 1", "a = (SELECT max(x) FROM t)",
+    "length(a) > 3", "a + 1 = 2", "true", "a LIKE 'x%'",
+]))
+def test_parse_simple_condition_bails_on_complex(cond):
+    assert parse_simple_condition(cond) is None
