@@ -544,3 +544,61 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").cast("bigint").alias("total_tokens"),
                  F.count_distinct("source").cast("bigint").alias("n_sources"))
             .withColumn("n_deduped", F.lit(n_kept - n_surv).cast("bigint")))
+
+
+@query("events_gap_fill_locf", oracle="""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value
+  FROM events WHERE user_id % 100 = 0
+), bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e
+), hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), grid AS (
+  SELECT t.event_type, hours.h
+  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours
+), actual AS (
+  SELECT event_type, h,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 4) AS DOUBLE) AS avg_v
+  FROM e GROUP BY event_type, h
+)
+SELECT g.event_type, CAST(g.h AS VARCHAR) AS hour,
+       CAST(CASE WHEN a.avg_v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+       CAST(last_value(a.avg_v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE
+       ) AS carried_v
+FROM grid g LEFT JOIN actual a
+  ON a.event_type = g.event_type AND a.h = g.h
+""")
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward: the dense
+    hourly grid's empty buckets inherit the most recent observed
+    hourly mean (last_value IGNORE NULLS over an ordered frame) — the
+    interpolation step after densification. The observed mean rounds
+    from a DECIMAL-exact sum before the carry, so both engines carry
+    bit-identical values through arbitrarily long gaps."""
+    from ..sources.registry import load_table
+
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id") % 100 == 0)
+         .select("event_type",
+                 F.date_trunc("hour", F.col("ts")).alias("h"), "value"))
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(F.explode(F.sequence(
+        "h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    grid = e.select("event_type").distinct().crossJoin(hours)
+    actual = (e.groupBy("event_type", "h")
+              .agg(F.round(
+                  F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                  / F.count(F.lit(1)), 4).alias("avg_v")))
+    w = (W.partitionBy("event_type").orderBy("h")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (grid.join(actual, ["event_type", "h"], "left")
+            .select("event_type",
+                    F.col("h").cast("string").alias("hour"),
+                    F.when(F.col("avg_v").isNull(), 1).otherwise(0)
+                    .cast("int").alias("is_gap"),
+                    F.last("avg_v", ignorenulls=True).over(w)
+                    .cast("double").alias("carried_v")))
