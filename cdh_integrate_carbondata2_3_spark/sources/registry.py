@@ -81,20 +81,23 @@ def _load_nanos_table(spark: SparkSession, path: str) -> DataFrame:
 # plan cache: DataFrames are immutable logical plans, so reusing one
 # skips the per-call parquet footer/schema inference (the same effect a
 # registered temp view gets); keyed by session so a new session never
-# sees another session's plan
-_PLAN_CACHE: dict[tuple, DataFrame] = {}
+# sees another session's plan. The cached tuple holds the session
+# object itself: the identity check makes an id()-reuse collision
+# impossible (the strong ref pins the address while the entry lives).
+_PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TPCH_TABLES:
         raise KeyError(f"unknown table {name!r}")
     key = (id(spark), sf_dir, name)
-    df = _PLAN_CACHE.get(key)
-    if df is None:
-        path = f"{sf_dir}/{name}.parquet"
-        df = (_load_nanos_table(spark, path) if name in _NANOS_TS_TABLES
-              else spark.read.parquet(path))
-        _PLAN_CACHE[key] = df
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    path = f"{sf_dir}/{name}.parquet"
+    df = (_load_nanos_table(spark, path) if name in _NANOS_TS_TABLES
+          else spark.read.parquet(path))
+    _PLAN_CACHE[key] = (spark, df)
     return df
 
 
