@@ -84,14 +84,22 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     """Assign every vector to its nearest centroid's inverted list.
 
     ``centroids`` is (cid, ce) and SMALL (it is broadcast); the argmax
-    is a broadcast nested-loop score + per-id window. Ties break on
-    the lower cid deterministically. Output: (id, e, list_id).
+    is a broadcast nested-loop score + a per-id ``min_by`` aggregate.
+    Ties break on the lower cid deterministically (the ordering key is
+    the struct (-sim, cid), compared lexicographically). Output:
+    (id, e, list_id).
+
+    Scale shape: the aggregate (unlike the window-argmin it replaced)
+    has a PARTIAL phase — each map task reduces its slice of the N×k
+    corpus×centroid expansion down to one row per id BEFORE the
+    shuffle, so the exchange carries ≤N rows instead of N×k. At 10⁹
+    vectors × 1024 lists that is a 1024× smaller shuffle.
 
     Implementation note (measured at sf0.1, 2000×64d): inlining the
     collected centroids as literal/unrolled expressions avoids the
     per-id shuffle but loses end-to-end — building ~1000-node column
     trees costs seconds of py4j round-trips and the giant expressions
-    fall out of fast codegen (window+HOF 2.1s vs literal-unrolled 13s
+    fall out of fast codegen (agg+HOF ~2s vs literal-unrolled 13s
     full-query). The broadcast join keeps expression trees small; the
     by-id shuffle happens once at index-build (write) time."""
     c = centroids.select(F.col("cid"), F.col("ce"),
@@ -101,10 +109,12 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     scored = v.crossJoin(F.broadcast(c)).select(
         "id", "e", "cid",
         (dot("e", "ce") / (F.col("qn") * F.col("cn"))).alias("sim"))
-    w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", "e", F.col("cid").alias("list_id")))
+    best = (scored.groupBy("id")
+            .agg(F.min_by(F.struct(F.col("e"), F.col("cid")),
+                          F.struct((-F.col("sim")).alias("ns"),
+                                   F.col("cid"))).alias("b")))
+    return best.select("id", F.col("b.e").alias("e"),
+                       F.col("b.cid").alias("list_id"))
 
 
 def ivf_search(assigned: DataFrame, centroids: DataFrame,
@@ -124,10 +134,18 @@ def ivf_search(assigned: DataFrame, centroids: DataFrame,
     qc = q.crossJoin(F.broadcast(centroids)).select(
         "q_id", "qe", "qn", "cid",
         (dot("qe", "ce") / (F.col("qn") * norm(F.col("ce")))).alias("sim"))
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
-    probes = (qc.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= nprobe)
-              .select("q_id", "qe", "qn", F.col("cid").alias("list_id")))
+    # top-nprobe lists per query as an aggregate (sort the per-query
+    # centroid scores, slice) — no Window anywhere on the probe path;
+    # the (-sim, cid) struct key makes ties deterministic (asc cid)
+    probes = (qc.groupBy("q_id")
+              .agg(F.slice(F.array_sort(F.collect_list(
+                  F.struct((-F.col("sim")).alias("ns"), F.col("cid"),
+                           F.col("qe"), F.col("qn")))), 1, nprobe)
+                  .alias("ps"))
+              .select("q_id", F.explode("ps").alias("p"))
+              .select("q_id", F.col("p.qe").alias("qe"),
+                      F.col("p.qn").alias("qn"),
+                      F.col("p.cid").alias("list_id")))
     cand = (assigned.select(F.col("id").alias("c_id"), F.col("e").alias("ce"),
                             norm(F.col("e")).alias("cn"), "list_id")
             .join(F.broadcast(probes), "list_id"))
@@ -169,13 +187,19 @@ def kmeans_refine(v: DataFrame, centroids: DataFrame, iters: int = 1,
                             F.col(cvec_col).alias("ce"))
 
     def assign_to(c):
+        # per-id argmin as min_by over the (d2, cid) struct key: the
+        # PARTIAL aggregate collapses each map task's N×k slice to one
+        # row per id before the shuffle (the window-argmin it replaced
+        # shuffled all N×k scored rows)
         d2 = sq_dist(vec_col, "ce")
-        w = W.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
         return (v.crossJoin(F.broadcast(c))
                 .select(id_col, vec_col, "cid", d2.alias("d2"))
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(id_col, vec_col, F.col("cid").alias("cluster")))
+                .groupBy(id_col)
+                .agg(F.min_by(F.struct(F.col(vec_col), F.col("cid")),
+                              F.struct(F.col("d2"), F.col("cid")))
+                     .alias("b"))
+                .select(id_col, F.col("b")[vec_col].alias(vec_col),
+                        F.col("b.cid").alias("cluster")))
 
     for _ in range(iters):
         assign = assign_to(cent)

@@ -149,6 +149,22 @@ def test_ivf_probe_join_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_argmin_is_partial_aggregate_not_window(spark):
+    """The nearest-centroid argmin (ivf_assign / kmeans assign_to) must
+    plan as a partial-then-final aggregate, not a Window: the partial
+    phase collapses each map task's N×k corpus×centroid expansion to
+    one row per id BEFORE the shuffle (a Window would shuffle all N×k
+    scored rows — k× more exchange volume at scale)."""
+    from cdh_integrate_carbondata2_3_spark.operators import similarity as S
+    corpus = spark.range(40).selectExpr(
+        "id", "array(cast(id as double), cast(id % 7 as double)) as e")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [10.0, 3.0])], "cid bigint, ce array<double>")
+    plan = plan_of(S.ivf_assign(corpus, cents))
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "partial_min" in plan
+
+
 def test_bpe_tokens_plan_is_single_scan_no_udf(spark, sf_dir):
     plan = plan_of(QUERIES["text_bpe_tokens"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan
