@@ -2,20 +2,33 @@
 that turns near-dup PAIRS (minhash/simhash/jaccard output) into dedup
 GROUPS with one survivor per component.
 
-Spark formulation: iterative min-label propagation. Each round every
-node takes the min component label among itself and its neighbors;
-convergence in O(diameter) rounds (near-dup graphs are
-short-diameter: components are quasi-cliques, so 2-4 rounds in
-practice). Per round: one shuffle for the neighbor-min groupBy and
-one for the label join — both keyed on node id, no edge blow-up.
+Two algorithms behind one API:
+
+- ``algorithm="label"`` (default): iterative min-label propagation.
+  Each round every node takes the min component label among itself and
+  its neighbors; convergence in O(diameter) rounds (near-dup graphs
+  are short-diameter: components are quasi-cliques, so 2-4 rounds in
+  practice). Per round: one shuffle for the neighbor-min groupBy and
+  one for the label join — both keyed on node id, no edge blow-up.
+  The convergence test rides the same frame: the propagation select
+  carries a ``_chg`` flag, so deciding "done" is a zero-shuffle
+  partial-sum over the just-checkpointed labels instead of a separate
+  old-vs-new join+count job.
+
+- ``algorithm="star"``: alternating large-star/small-star (Kiveris et
+  al., "Connected Components in MapReduce and Beyond"). Each round
+  rewires edges toward the current per-neighborhood minimum, so label
+  information travels multiple hops per round — O(log n) rounds on
+  high-diameter graphs (paths, meshes) where plain propagation needs
+  O(diameter). The fixpoint is a disjoint union of depth-1 stars
+  centered at component minima, detected exactly by two cheap
+  aggregates (every source has one distinct target; no target is
+  itself a source). Costs more per round (two groupBys + the rewiring
+  join) — for quasi-clique near-dup graphs the default wins, which is
+  why star is opt-in.
+
 ``localCheckpoint`` truncates the growing lineage each round (on a
 real cluster use ``checkpoint`` with a DFS dir instead; flag below).
-
-At 10⁹-edge scale the round count, not per-round cost, dominates;
-the large-star/small-star optimization (Kiveris et al., "Connected
-Components in MapReduce and Beyond") halves rounds by rewiring edges
-toward the current minimum — the hook is the same loop shape, so the
-propagation step can be swapped without changing callers.
 """
 
 from __future__ import annotations
@@ -26,16 +39,26 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", *, max_iter: int = 30,
-                         use_local_checkpoint: bool = True) -> DataFrame:
+                         use_local_checkpoint: bool = True,
+                         algorithm: str = "label") -> DataFrame:
     """(node, comp) for every node in ``edges``; ``comp`` is the
     component's minimum node id. Edges are undirected; self-loops and
-    duplicates are fine."""
+    duplicates are fine. ``algorithm``: "label" (min-label
+    propagation, O(diameter) rounds — default, best for the
+    short-diameter quasi-cliques near-dup blocking emits) or "star"
+    (large-star/small-star, O(log n) rounds — for high-diameter
+    graphs)."""
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v")))
            .distinct())
     if use_local_checkpoint:
         sym = sym.localCheckpoint()
+    if algorithm == "star":
+        return _star_components(sym, max_iter, use_local_checkpoint)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} "
+                         "(expected 'label' or 'star')")
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
     for _ in range(max_iter):
@@ -43,20 +66,79 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                             .withColumnRenamed("comp", "vcomp"), "v")
                    .groupBy("u").agg(F.min("vcomp").alias("nmin"))
                    .withColumnRenamed("u", "node"))
+        # labels only ever decrease, so "changed" is exactly
+        # nmin < comp — computed inline and summed from the SAME
+        # materialized frame (no separate old-vs-new join job)
         new_labels = (labels.join(nbr_min, "node", "left")
                       .select("node",
                               F.least(F.col("comp"),
                                       F.coalesce(F.col("nmin"),
                                                  F.col("comp")))
-                              .alias("comp")))
+                              .alias("comp"),
+                              (F.coalesce(F.col("nmin"), F.col("comp"))
+                               < F.col("comp")).cast("bigint")
+                              .alias("_chg")))
         if use_local_checkpoint:
-            new_labels = new_labels.localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new_labels
+            # lazy: the convergence agg below is the action that
+            # materializes the checkpoint — ONE job per round total
+            # (the old shape was eager-checkpoint + join+count = two
+            # jobs and an extra shuffle per round)
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.agg(F.sum("_chg")).first()[0]
+        labels = new_labels.drop("_chg")
         if changed == 0:
             return labels
+    raise RuntimeError(f"did not converge in {max_iter} rounds")
+
+
+def _star_components(sym: DataFrame, max_iter: int,
+                     use_local_checkpoint: bool) -> DataFrame:
+    """Alternating large-star / small-star rounds until the edge set
+    is a disjoint union of stars centered at component minima.
+
+    large-star(u): with m = min(N(u) ∪ {u}), connect every neighbor
+    v > u to m. small-star (on edges directed larger→smaller): with
+    m = min(N(u) ∪ {u}), connect u and every smaller neighbor to m.
+    Both preserve connectivity; alternation converges in O(log n)
+    rounds (Kiveris et al. 2014, thm 2)."""
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    if use_local_checkpoint:
+        nodes = nodes.localCheckpoint()
+    # directed larger→smaller, self-loops dropped (re-attached at end)
+    e = (sym.filter(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v")).distinct())
+    for _ in range(max_iter):
+        # -- large-star over the symmetric view
+        s = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (s.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        large = (s.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        # -- small-star on the larger→smaller direction
+        d = large.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (d.join(mins2, "u")
+             .selectExpr("stack(2, u, m, v, m) as (u, v)")
+             .filter(F.col("u") != F.col("v")).distinct())
+        if use_local_checkpoint:
+            e = e.localCheckpoint()
+        # fixpoint iff depth-1 forest: one distinct target per source
+        # and no target is itself a source (stars don't chain)
+        multi = (e.groupBy("u").agg(F.count_distinct("v").alias("c"))
+                 .filter(F.col("c") > 1).limit(1).count())
+        chain = (e.select("v").distinct()
+                 .join(e.select(F.col("u").alias("v")).distinct(), "v")
+                 .limit(1).count())
+        if multi == 0 and chain == 0:
+            return (nodes.join(e.withColumnRenamed("u", "node"),
+                               "node", "left")
+                    .select("node",
+                            F.coalesce(F.col("v"), F.col("node"))
+                            .alias("comp")))
     raise RuntimeError(f"did not converge in {max_iter} rounds")
 
 

@@ -133,3 +133,54 @@ def test_connected_components_chain_diameter(spark):
     comps = connected_components(edges).collect()
     assert {r["comp"] for r in comps} == {0}
     assert len(comps) == 12
+
+
+def test_cc_convergence_check_rides_propagation_jobs(spark):
+    """The convergence test must NOT be a separate old-vs-new
+    join+count job per round: the _chg flag rides the propagation
+    select and the lazy localCheckpoint is materialized by the
+    convergence sum itself. Measured on this Spark (AQE on, 11-round
+    path): folded shape = 100 jobs vs 148 for the join+count shape —
+    the bound below fails if the separate-join shape comes back."""
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        connected_components)
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a bigint, id_b bigint")
+    sc.setJobGroup("cc_jobs", "cc_jobs")
+    try:
+        assert connected_components(edges).count() == 12
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_jobs"))
+    finally:
+        sc.setJobGroup("", "")
+    assert n_jobs <= 120, f"{n_jobs} jobs: convergence check regressed?"
+
+
+def test_star_components_path_graph(spark):
+    """Large-star/small-star on the worst case for propagation — a
+    path graph (diameter = n-1). Star rewiring hops multiple levels
+    per round, so a 24-node path converges well inside max_iter=8
+    where plain propagation would need ~23 rounds."""
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        connected_components)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(23)], "id_a bigint, id_b bigint")
+    comps = connected_components(edges, algorithm="star", max_iter=8)
+    rows = comps.collect()
+    assert {r["comp"] for r in rows} == {0}
+    assert len(rows) == 24
+
+
+def test_star_matches_label_propagation(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        connected_components)
+    # two components + a self-loop + duplicate/reversed edges
+    pairs = [(1, 2), (2, 3), (3, 1), (2, 1), (5, 6), (6, 7),
+             (9, 9), (7, 5), (3, 4)]
+    edges = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    want = {(r["node"], r["comp"])
+            for r in connected_components(edges).collect()}
+    got = {(r["node"], r["comp"])
+           for r in connected_components(edges, algorithm="star").collect()}
+    assert got == want == {(1, 1), (2, 1), (3, 1), (4, 1),
+                           (5, 5), (6, 5), (7, 5), (9, 9)}
