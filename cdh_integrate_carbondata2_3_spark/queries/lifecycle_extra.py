@@ -130,23 +130,30 @@ SELECT label,
        CAST(MAX(len(list_filter(embedding, x -> x > 0))) AS INT) AS max_pos,
        CAST(MIN(len(list_filter(embedding, x -> x > 0))) AS INT) AS min_pos,
        CAST(SUM(CASE WHEN embedding[1] > embedding[64] THEN 1 ELSE 0 END) AS BIGINT)
-         AS first_gt_last
+         AS first_gt_last,
+       CAST(MAX(embedding[5]) AS DOUBLE) AS max_e5
 FROM embeddings
 GROUP BY label
 """)
 def complex_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY-type surface (SURVEY §1.2 complex types): filter/size/
-    element access inside aggregates, all JVM-side higher-order
-    functions."""
+    element_at inside aggregates, all JVM-side higher-order functions.
+    Every function named here reaches the VERIFIED output (Catalyst
+    prunes anything select-then-dropped): element_at feeds both
+    first_gt_last (1-based positions 1 and 64) and max_e5, matching
+    DuckDB's 1-based list indexing in the oracle."""
     from ..sources.registry import load_table
     emb = load_table(spark, sf_dir, "embeddings")
     n_pos = F.size(F.filter(F.col("embedding"), lambda x: x > 0))
-    first_gt_last = F.when(F.col("embedding")[0] > F.col("embedding")[63], 1) \
+    first_gt_last = F.when(F.element_at(F.col("embedding"), 1)
+                           > F.element_at(F.col("embedding"), 64), 1) \
         .otherwise(0)
     return (emb.groupBy("label")
             .agg(F.max(n_pos).alias("max_pos"),
                  F.min(n_pos).alias("min_pos"),
-                 F.sum(first_gt_last).alias("first_gt_last")))
+                 F.sum(first_gt_last).alias("first_gt_last"),
+                 F.max(F.element_at(F.col("embedding"), 5))
+                 .cast("double").alias("max_e5")))
 
 
 @query("table_bucket_map_join", oracle="""
