@@ -282,7 +282,7 @@ class IndexManager:
                 if col not in meta["columns"]:
                     continue
                 if meta["type"] == "fts":
-                    if op != "text_match":
+                    if op not in ("text_match", "text_match_any"):
                         continue
                 elif op not in _INDEXABLE_OPS:
                     continue
@@ -296,7 +296,9 @@ class IndexManager:
             if allowed is not None and not allowed:
                 break
             if meta["type"] == "fts":
-                files = self._fts_lookup(meta, col, list(value))
+                files = self._fts_lookup(
+                    meta, col, list(value),
+                    mode="any" if op == "text_match_any" else "all")
             else:
                 values = [value] if op == "=" else list(value)
                 if meta["type"] == "si":
@@ -319,31 +321,61 @@ class IndexManager:
                           filters=[(col, "in", values)])
         return {os.path.abspath(p) for p in t.column("_file").to_pylist()}
 
-    def _fts_lookup(self, meta: dict, col: str,
-                    terms: list[str]) -> set[str]:
-        """Files that may contain ALL the given terms (conjunctive
-        text_match). A trailing ``*`` is a prefix wildcard; ``?`` terms
-        are not prunable and act as match-anything."""
+    def _fts_lookup(self, meta: dict, col: str, terms: list[str],
+                    mode: str = "all") -> set[str]:
+        """Postings lookup. ``mode="all"`` (conjunctive text_match):
+        files that may contain ALL the given terms — per-term postings
+        intersect. ``mode="any"`` (disjunctive): files that may match
+        ANY term — per-term sets union (sound for OR: every matching
+        row matches some branch, whose file is in that branch's set).
+        A term containing spaces is a quoted PHRASE: its file set is
+        the intersection of its tokens' postings (a row matching the
+        phrase contains every token). A trailing ``*`` is a prefix
+        wildcard; ``?`` terms are not prunable and act as
+        match-anything (in "any" mode that makes the whole lookup
+        unprunable)."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
         idx_dir = _index_dir(self.table.table_dir, meta["name"])
         t = pq.read_table(idx_dir, columns=["tok", "_file"],
                           filters=[("col", "=", col)])
+
+        def _all_files() -> set[str]:
+            return {os.path.abspath(self.table._abs(f.path))
+                    for s in self.table.manifest.queryable_segments()
+                    for f in s.files}
+
+        def _term_files(term: str) -> set[str] | None:
+            """Files that may match one term (phrase-aware); None =
+            unprunable, no constraint."""
+            acc: set[str] | None = None
+            for tk in term.split():
+                if "?" in tk or (tk.count("*") - tk.endswith("*")) > 0:
+                    continue            # wildcard token → no constraint
+                if tk.endswith("*"):
+                    mask = pc.starts_with(t.column("tok"), tk[:-1])
+                else:
+                    mask = pc.equal(t.column("tok"), tk)
+                files = {os.path.abspath(p)
+                         for p in t.filter(mask).column("_file").to_pylist()}
+                acc = files if acc is None else (acc & files)
+            return acc
+
+        if mode == "any":
+            out: set[str] = set()
+            for term in terms:
+                tf = _term_files(term)
+                if tf is None:          # one unprunable branch → all
+                    return _all_files()
+                out |= tf
+            return out
         allowed: set[str] | None = None
         for term in terms:
-            if "?" in term or (term.count("*") - term.endswith("*")) > 0:
-                continue                    # not prunable → no constraint
-            if term.endswith("*"):
-                mask = pc.starts_with(t.column("tok"), term[:-1])
-            else:
-                mask = pc.equal(t.column("tok"), term)
-            files = {os.path.abspath(p)
-                     for p in t.filter(mask).column("_file").to_pylist()}
-            allowed = files if allowed is None else (allowed & files)
-        return allowed if allowed is not None else {
-            os.path.abspath(self.table._abs(f.path))
-            for s in self.table.manifest.queryable_segments()
-            for f in s.files}
+            tf = _term_files(term)
+            if tf is None:
+                continue
+            allowed = tf if allowed is None else (allowed & tf)
+        return allowed if allowed is not None else _all_files()
 
     # above this many sidecar rows, evaluate membership on the executors
     # (driver reads only the surviving file names, not every bitset)

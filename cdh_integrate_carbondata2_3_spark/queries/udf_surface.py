@@ -48,6 +48,35 @@ def udf_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+@query("table_fts_phrase", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE regexp_matches(text, '(^|\s)slow\s+filter($|\s)')
+   OR regexp_matches(text, '(^|\s)vector($|\s)')
+GROUP BY source
+""")
+def table_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase + OR text_match through the SQL surface with a
+    Lucene-analogue postings index: text_match('text:"slow filter" OR
+    text:vector') compiles to a phrase RLIKE (tokens in order,
+    whitespace-separated) OR'd with a token RLIKE, and the postings
+    index prunes files by UNION of per-branch sets — the phrase branch
+    intersects its tokens' postings (reference phrase queries:
+    LuceneFineGrainIndex.java:63-204; scoring/slop remain out of
+    scope, documented in sql.py _lucene_to_sql)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_ph", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX ftp ON TABLE documents (text) AS 'lucene'")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:\"slow filter\" OR text:vector') "
+        "GROUP BY source")
+
+
 @query("udf_text_match_limit", oracle=r"""
 SELECT COUNT(*) AS n_matched
 FROM (SELECT * FROM documents

@@ -202,13 +202,49 @@ def _strip_ni(text: str) -> str:
     return text
 
 
+def _stash_phrases(query: str) -> tuple[str, list[str]]:
+    """Replace double-quoted phrases with \\x00N\\x00 placeholders so
+    AND/OR splitting can't cut inside a phrase. Unbalanced quotes and
+    proximity suffixes (~N — Lucene sloppy phrase, unsupported) raise
+    explicitly rather than silently mis-matching."""
+    if query.count('"') % 2:
+        raise ValueError(f"text_match: unbalanced quotes in {query!r}")
+    phrases: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        phrases.append(m.group(1))
+        return f"\x00{len(phrases) - 1}\x00"
+
+    stashed = re.sub(r'"([^"]*)"', _stash, query)
+    if m := re.search(r"\x00~\S*|\x00\d+\x00~\S*", stashed):
+        raise ValueError(
+            f"text_match: proximity phrases ('...'~N) are not supported "
+            f"(got {query!r}); the reference's Lucene slop semantics are "
+            "out of scope — use an exact phrase or AND of terms")
+    return stashed, phrases
+
+
+def _phrase_regex(phrase: str) -> str:
+    """Whitespace-token phrase → regex: tokens in order, separated by
+    runs of whitespace (wildcards are literal inside phrases, as in
+    Lucene)."""
+    toks = phrase.split()
+    if not toks:
+        raise ValueError("text_match: empty phrase")
+    return r"\\s+".join(re.escape(t) for t in toks)
+
+
 def _lucene_to_sql(query: str) -> str:
     """Translate a Lucene-ish text_match query ('field:term' terms with
-    * / ? wildcards joined by AND/OR/NOT) into a whitespace-token RLIKE
-    predicate — the documented fallback for the reference's Lucene
-    fine-grain index (LuceneFineGrainIndex.java:204; full-text scoring
-    is out of scope, SURVEY.md §2.11)."""
-    parts = re.split(r"\s+(AND|OR)\s+", query.strip(), flags=re.IGNORECASE)
+    * / ? wildcards, 'field:"exact phrase"' quoted phrases, joined by
+    AND/OR/NOT) into a whitespace-token RLIKE predicate — the documented
+    fallback for the reference's Lucene fine-grain index
+    (LuceneFineGrainIndex.java:204; scoring/fuzzy/slop out of scope,
+    SURVEY.md §2.11 — unsupported syntax raises, never silently
+    mis-parses). NOTE: AND binds tighter than OR in the emitted SQL
+    (Lucene's practical precedence for '+'-free queries)."""
+    stashed, phrases = _stash_phrases(query.strip())
+    parts = re.split(r"\s+(AND|OR)\s+", stashed, flags=re.IGNORECASE)
     out: list[str] = []
     for p in parts:
         tok = p.strip()
@@ -222,7 +258,19 @@ def _lucene_to_sql(query: str) -> str:
         if not m:
             raise ValueError(f"text_match: cannot parse term {tok!r}")
         field, pat = m.groups()
-        rx = re.escape(pat).replace(r"\*", r"\\S*").replace(r"\?", r"\\S")
+        if pm := re.fullmatch(r"\x00(\d+)\x00", pat):
+            rx = _phrase_regex(phrases[int(pm.group(1))])
+        elif "\x00" in pat:
+            raise ValueError(
+                f"text_match: cannot parse term {tok!r} (quoted phrases "
+                "must span the whole term value: field:\"a b\")")
+        else:
+            if "~" in pat:
+                raise ValueError(
+                    f"text_match: fuzzy terms (term~N) are not supported "
+                    f"(got {tok!r}); the reference's Lucene edit-distance "
+                    "semantics are out of scope — use * / ? wildcards")
+            rx = re.escape(pat).replace(r"\*", r"\\S*").replace(r"\?", r"\\S")
         out.append(f"({field} RLIKE '(^|\\\\s){rx}($|\\\\s)')")
     return "(" + " ".join(out) + ")"
 
@@ -673,15 +721,44 @@ class Engine:
         exactly — pruning only skips files (Lucene coarse candidate set,
         reference LuceneFineGrainIndex.java:204)."""
         calls = _TEXT_MATCH_FN.findall(text)
-        if len(calls) != 1 or re.search(r"\b(OR|NOT)\b", text, re.IGNORECASE):
+        if len(calls) != 1:
             return []
+        # OUTSIDE the call, OR/NOT make the text_match an optional
+        # conjunct — pruning on it would drop rows; inside, OR is
+        # handled by union postings below and NOT disables pruning.
+        rest = _TEXT_MATCH_FN.sub(" ", text)
+        if re.search(r"\b(OR|NOT)\b", rest, re.IGNORECASE):
+            return []
+        try:
+            stashed, phrases = _stash_phrases(calls[0][0].strip())
+        except ValueError:
+            return []                   # parse error surfaces in rewrite
+        if re.search(r"\bNOT\b", stashed, re.IGNORECASE):
+            return []
+        has_or = bool(re.search(r"\bOR\b", stashed, re.IGNORECASE))
         by_field: dict[str, list[str]] = {}
-        for part in re.split(r"\s+AND\s+", calls[0][0].strip(),
+        for part in re.split(r"\s+(?:AND|OR)\s+", stashed,
                              flags=re.IGNORECASE):
             m = re.match(r"^([\w.]+):(\S+)$", part.strip())
             if not m:
                 return []
-            by_field.setdefault(m.group(1), []).append(m.group(2))
+            field, pat = m.groups()
+            if pm := re.fullmatch(r"\x00(\d+)\x00", pat):
+                pat = phrases[int(pm.group(1))]   # phrase → token string
+                if not pat.split():
+                    return []
+            elif "\x00" in pat:
+                return []
+            by_field.setdefault(field, []).append(pat)
+        if has_or:
+            # union pruning is sound for any AND/OR mix without NOT
+            # (every matching row matches ≥1 positive term), but only
+            # single-field: per-field predicates INTERSECT downstream,
+            # which would be wrong across OR'd fields.
+            if len(by_field) != 1:
+                return []
+            [(f, terms)] = by_field.items()
+            return [(f, "text_match_any", terms)]
         return [(f, "text_match", terms) for f, terms in by_field.items()]
 
     # --------------------------------------------------------------- merge

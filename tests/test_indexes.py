@@ -114,6 +114,25 @@ def test_fts_index_prunes_and_matches(spark, docs_table):
     assert got.filter("body like 'alpha %'").count() == 50
 
 
+def test_fts_or_and_phrase_pruning(spark, docs_table):
+    t = docs_table
+    t.indexes.create_fts_index("ft_body", ["body"])
+    total = _nfiles(t, None)
+    n_alpha = _nfiles(t, [("body", "text_match", ["alpha"])])
+    # any-mode: union of per-term file sets
+    n_or = _nfiles(t, [("body", "text_match_any", ["alpha", "bravo"])])
+    assert n_or == total                       # both segments covered
+    n_half = _nfiles(t, [("body", "text_match_any", ["alpha", "zulu"])])
+    assert n_half == n_alpha                   # absent branch adds nothing
+    # a non-prunable wildcard branch makes the union unprunable (sound)
+    n_wild = _nfiles(t, [("body", "text_match_any", ["alpha", "w?"])])
+    assert n_wild == total
+    # phrase term = intersection of its tokens' postings
+    n_phrase = _nfiles(t, [("body", "text_match", ["alpha common"])])
+    assert n_phrase == n_alpha
+    assert _nfiles(t, [("body", "text_match", ["alpha bravo"])]) == 0
+
+
 def test_fts_stale_segment_soundness(spark, docs_table):
     t = docs_table
     t.indexes.create_fts_index("ft_body", ["body"])

@@ -236,6 +236,52 @@ def test_text_match_rlike_fallback(eng):
     assert sorted(r["id"] for r in rows) == [1, 3]
 
 
+def test_text_match_phrase_and_or(eng):
+    eng.sql("CREATE TABLE pdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO pdocs SELECT * FROM VALUES "
+            "(1,'spark scan fast'),(2,'fast scan spark'),(3,'scan slow x'),"
+            "(4,'walk quick') t(id,body)")
+    # quoted phrase: tokens must be adjacent and in order
+    rows = eng.sql("SELECT id FROM pdocs WHERE "
+                   "text_match('body:\"spark scan\"') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1]
+    # OR of a phrase and a term
+    rows = eng.sql(
+        "SELECT id FROM pdocs WHERE "
+        "text_match('body:\"scan slow\" OR body:quick') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [3, 4]
+    # AND binds tighter than OR
+    rows = eng.sql(
+        "SELECT id FROM pdocs WHERE "
+        "text_match('body:fast AND body:spark OR body:quick') "
+        "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 4]
+    # unsupported Lucene syntax raises explicitly, never mis-matches
+    with pytest.raises(ValueError, match="proximity"):
+        eng.sql("SELECT id FROM pdocs WHERE text_match('body:\"a b\"~2')")
+    with pytest.raises(ValueError, match="fuzzy"):
+        eng.sql("SELECT id FROM pdocs WHERE text_match('body:spark~1')")
+    with pytest.raises(ValueError, match="unbalanced"):
+        eng.sql("SELECT id FROM pdocs WHERE text_match('body:\"a b')")
+
+
+def test_fts_prune_predicate_shapes(eng):
+    f = eng._fts_prune_predicates
+    # single-field OR → union ("any") predicate
+    assert f("SELECT * FROM t WHERE text_match('b:x OR b:y')") == \
+        [("b", "text_match_any", ["x", "y"])]
+    # OR across fields: per-field predicates intersect downstream, so
+    # pruning must be declined
+    assert f("SELECT * FROM t WHERE text_match('a:x OR b:y')") == []
+    # text_match not a required conjunct → no pruning
+    assert f("SELECT * FROM t WHERE text_match('b:x') OR id = 1") == []
+    # phrase contributes its tokens as one space-joined term
+    assert f("SELECT * FROM t WHERE text_match('b:\"x y\" AND b:z')") == \
+        [("b", "text_match", ["x y", "z"])]
+    # NOT anywhere inside → no pruning
+    assert f("SELECT * FROM t WHERE text_match('b:x AND NOT b:y')") == []
+
+
 def test_text_match_with_limit(eng):
     eng.sql("CREATE TABLE docs (id INT, body STRING)")
     eng.sql("INSERT INTO docs SELECT * FROM VALUES "
