@@ -78,6 +78,101 @@ def test_concurrent_updates_serialize(tmp_path):
     assert doc["version"] == n_threads * n_each  # init is v0, each update +1
 
 
+_WRITER = r"""
+import sys
+from cdh_integrate_carbondata2_3_spark.catalog.manifest import Manifest
+table_dir, tid, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+m = Manifest(table_dir)
+for i in range(n):
+    def mut(doc, tid=tid, i=i):
+        doc["segments"].append({
+            "id": max((s["id"] for s in doc["segments"]), default=-1) + 1,
+            "status": "SUCCESS", "format": "parquet",
+            "files": [{"path": f"f_{tid}_{i}.parquet", "rows": 1,
+                       "bytes": 1, "minmax": {}, "partition": {}}],
+            "load_time": 0.0, "source": f"w{tid}"})
+    m.update(mut)
+print("OK")
+"""
+
+_COMPACTOR = r"""
+import sys, time
+from cdh_integrate_carbondata2_3_spark.catalog.manifest import Manifest
+table_dir, seconds = sys.argv[1], float(sys.argv[2])
+
+class NoOp(Exception):
+    pass
+
+m = Manifest(table_dir)
+n_merged, end = 0, time.time() + seconds
+while time.time() < end:
+    def mut(doc):
+        cands = [s for s in doc["segments"]
+                 if s["status"] == "SUCCESS" and s["source"].startswith("w")]
+        if len(cands) < 2:
+            raise NoOp()
+        a, b = cands[0], cands[1]
+        a["status"] = b["status"] = "COMPACTED"
+        doc["segments"].append({
+            "id": max(s["id"] for s in doc["segments"]) + 1,
+            "status": "SUCCESS", "format": "parquet",
+            "files": a["files"] + b["files"],
+            "load_time": 0.0, "source": "compact"})
+    try:
+        m.update(mut)
+        n_merged += 1
+    except NoOp:
+        time.sleep(0.02)
+print("MERGED", n_merged)
+"""
+
+
+def test_two_process_inserts_and_compaction_lose_nothing(tmp_path):
+    """TRUE cross-process contention (the reference's tablestatus lock
+    guards separate JVMs — core/.../locks/): 4 writer PROCESSES insert
+    segments while a compactor PROCESS concurrently marks pairs
+    COMPACTED and appends merged segments. The O_CREAT|O_EXCL lockfile
+    must serialize them: no inserted segment lost, every inserted file
+    visible in exactly one live (SUCCESS) segment, ids unique."""
+    import subprocess
+    import sys
+
+    m = _mk(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    n_writers, n_each = 4, 12
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WRITER, m.table_dir, str(t), str(n_each)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for t in range(n_writers)]
+    procs.append(subprocess.Popen(
+        [sys.executable, "-c", _COMPACTOR, m.table_dir, "4"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=120) for p in procs]
+    assert all(p.returncode == 0 for p in procs), \
+        [(p.returncode, o, e) for p, (o, e) in zip(procs, outs)]
+    n_merged = int(outs[-1][0].split()[-1])
+
+    doc = m.load()
+    segs = doc["segments"]
+    # every insert survived — none lost to a racing writer/compactor
+    for t in range(n_writers):
+        assert sum(s["source"] == f"w{t}" for s in segs) == n_each
+    # ids assigned under the lock never collide
+    ids = [s["id"] for s in segs]
+    assert len(ids) == len(set(ids))
+    # row/file conservation: each inserted file lives in EXACTLY one
+    # SUCCESS segment (its original one, or the compacted merge)
+    live_paths = [f["path"] for s in segs if s["status"] == "SUCCESS"
+                  for f in s["files"]]
+    want = {f"f_{t}_{i}.parquet"
+            for t in range(n_writers) for i in range(n_each)}
+    assert sorted(live_paths) == sorted(want)
+    assert sum(s["source"] == "compact" for s in segs) == n_merged
+    # the version counter saw every update exactly once
+    assert doc["version"] == n_writers * n_each + n_merged
+
+
 def test_version_history_kept(tmp_path):
     m = _mk(tmp_path)
     for i in range(3):
