@@ -132,6 +132,16 @@ class Manifest:
         self.table_dir = table_dir
         self.meta_dir = os.path.join(table_dir, "_meta")
         self.status_path = os.path.join(self.meta_dir, "tablestatus.json")
+        # (mtime_ns, size) → parsed doc + Segment list. A 1e5-file
+        # manifest is ~33 MB of JSON (~1 s to parse); queries vastly
+        # outnumber commits, so re-parsing per scan is the first
+        # driver-side wall at reference-index-server metadata volumes
+        # (tools/bench_manifest_prune.py has the numbers). os.replace
+        # updates mtime, so any commit — ours or another process's —
+        # invalidates the key on the next stat.
+        self._cache_key: tuple[int, int] | None = None
+        self._cache_doc: dict | None = None
+        self._cache_segs: list["Segment"] | None = None
 
     # -- io ----------------------------------------------------------------
 
@@ -145,16 +155,32 @@ class Manifest:
         self._write({"version": 0, "schema": schema_ddl,
                      "properties": properties or {}, "segments": []})
 
-    def load(self, version: int | None = None) -> dict:
+    def load(self, version: int | None = None, *,
+             _use_cache: bool = True) -> dict:
         """Current manifest, or a historical version (time travel —
         reference keeps tablestatus history files for the same
-        purpose)."""
+        purpose). The current manifest is served from the stat-keyed
+        parse cache; callers must treat the result as READ-ONLY (the
+        one mutator, ``update``, bypasses the cache)."""
+        if version is None and _use_cache:
+            key = self._stat_key()
+            if key == self._cache_key and self._cache_doc is not None:
+                return self._cache_doc
+            with open(self.status_path) as f:
+                doc = json.load(f)
+            self._cache_key, self._cache_doc = key, doc
+            self._cache_segs = None
+            return doc
         path = self.status_path if version is None else os.path.join(
             self.meta_dir, f"tablestatus.v{version}.json")
         if version is not None and not os.path.exists(path):
             raise FileNotFoundError(f"no manifest version {version}")
         with open(path) as f:
             return json.load(f)
+
+    def _stat_key(self) -> tuple[int, int]:
+        st = os.stat(self.status_path)
+        return (st.st_mtime_ns, st.st_size)
 
     def versions(self) -> list[int]:
         out = []
@@ -180,21 +206,36 @@ class Manifest:
         """Read-modify-write under the writer lock; ``mutate(doc)`` edits
         the manifest dict in place."""
         with ManifestLock(self.meta_dir):
-            doc = self.load()
+            # fresh parse: the mutator edits this dict in place, so it
+            # must never be the cached (shared, read-only) object
+            doc = self.load(_use_cache=False)
             mutate(doc)
             doc["version"] += 1
             self._write(doc)
+            self._cache_key = None      # next read re-stats + re-parses
             return doc
 
     # -- segment accessors -------------------------------------------------
 
     def segments(self, statuses: set[str] | None = None,
                  version: int | None = None) -> list[Segment]:
-        doc = self.load(version)
-        segs = [Segment.from_json(s) for s in doc["segments"]]
+        if version is None:
+            # reuse materialized Segment objects while the file is
+            # unchanged — from_json over 1e5 FileStats costs ~0.4 s,
+            # paid once per commit instead of once per query. Nothing
+            # in the codebase mutates Segment/FileStat instances
+            # (update() goes through raw dicts).
+            doc = self.load()
+            if self._cache_segs is None:
+                self._cache_segs = [Segment.from_json(s)
+                                    for s in doc["segments"]]
+            segs = self._cache_segs
+        else:
+            segs = [Segment.from_json(s)
+                    for s in self.load(version)["segments"]]
         if statuses is not None:
             segs = [s for s in segs if s.status in statuses]
-        return segs
+        return list(segs) if statuses is None else segs
 
     def queryable_segments(self, segment_ids: list[int] | None = None,
                            version: int | None = None) -> list[Segment]:

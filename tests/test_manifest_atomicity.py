@@ -78,6 +78,28 @@ def test_concurrent_updates_serialize(tmp_path):
     assert doc["version"] == n_threads * n_each  # init is v0, each update +1
 
 
+def _seg(i):
+    return {"id": i, "status": "SUCCESS", "format": "parquet",
+            "files": [], "load_time": 0.0, "source": "t"}
+
+
+def test_load_cache_serves_and_invalidates(tmp_path):
+    m = _mk(tmp_path)
+    d1 = m.load()
+    assert m.load() is d1                      # stat-keyed cache hit
+    assert m.segments() is not m.segments()    # list copy, objects shared
+    m.update(lambda doc: doc["segments"].append(_seg(0)))
+    d2 = m.load()
+    assert d2 is not d1
+    assert len(d2["segments"]) == 1
+    # a DIFFERENT Manifest instance (≈ another driver/process) commits;
+    # the first instance must see it via the mtime/size key, not stale
+    m2 = Manifest(m.table_dir)
+    m2.update(lambda doc: doc["segments"].append(_seg(1)))
+    assert [s["id"] for s in m.load()["segments"]] == [0, 1]
+    assert [s.id for s in m.segments()] == [0, 1]
+
+
 _WRITER = r"""
 import sys
 from cdh_integrate_carbondata2_3_spark.catalog.manifest import Manifest
