@@ -36,12 +36,54 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Queries already stamped green in CORRECTNESS_r01/r02.json. The driver's
+# Round-4 window plan: every query is stamped green somewhere in
+# CORRECTNESS_r01-r03, so the 50 driver slots go to keeping stamps
+# FRESH — brand-new queries first, then the queries with the OLDEST
+# stamp (r1-only, i.e. not re-verified since round 1), then
+# r2-stamped queries whose code paths changed this round (min_by
+# argmin, text_match parser, manifest cache), then other r2 rows.
+_ROTATE_BACK_IN: tuple[str, ...] = (
+    # oldest stamps: green in r1 only (24)
+    "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
+    "distinct_projection", "docs_by_source_stats", "embeddings_label_stats",
+    "events_hourly_rollup", "events_json_extract", "events_sessionize",
+    "geo_polygon_filter", "geo_polygon_join", "geo_polygon_list_filter",
+    "geo_polyline_buffer", "orderby_limit_topk", "scalar_date_funcs",
+    "scalar_math_case", "similarity_cosine_topk", "text_bpe_tokens",
+    "text_fingerprint", "text_lang_heuristic", "text_quality_score",
+    "text_repetition_filters", "text_token_stats", "topk_per_group",
+    # r2-stamped, code path changed in round 4 (17)
+    "complex_array_functions", "similarity_ann_ivf", "similarity_ann_lsh",
+    "table_fts_text_match", "udf_text_match", "udf_text_match_limit",
+    "table_compaction", "table_delete_cow", "table_update_cow",
+    "table_merge_upsert", "table_mv_rewrite", "table_schema_evolution",
+    "table_segment_scoped", "table_mixed_format_segments",
+    "table_partition_pruning", "stream_ingest_handoff",
+    "udf_insegment_travel",
+    # r2-stamped fill (8) — next-oldest after the above
+    "dedup_embedding_near", "dedup_ngram_jaccard", "dedup_simhash",
+    "geo_polygon_join_range_list", "geo_range_list_ops",
+    "geo_spatial_index_prune", "geo_zorder_geoid",
+    "multimodal_feature_extract",
+)
+
+# Queries stamped green in CORRECTNESS_r01/r02/r03.json. The driver's
 # correctness gate checks only the FIRST 50 entries of queries() per
 # round, so entries verified in a previous round yield their slot to
 # not-yet-stamped ones (they stay registered and keep running in
 # pytest/bench; only the dict ordering changes).
 _STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # round 3 (CORRECTNESS_r03.json, 50/50 green; names also in r1/r2
+    # lists below kept their stamp fresh there):
+    "agg_exact_quantiles", "events_rolling_window", "table_bucket_map_join",
+    "table_zorder_prune", "table_runtime_filter_join", "udf_timeseries_rollup",
+    "udf_grouped_agg_pandas", "udf_python_udtf", "sample_weighted_tokens",
+    "join_asof_events", "join_asof_forward_tol", "join_range_events",
+    "complex_map_functions", "complex_nested_two_level", "text_pii_redact",
+    "text_decontaminate", "dedup_components", "text_pack_sequences",
+    "events_gap_fill", "events_gap_fill_locf", "embedding_quantize_int8",
+    "corpus_curation_pipeline", "similarity_kmeans_refine",
+    "table_vector_index_search",
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_items",
     "filter_point_lookup", "filter_range_scan", "filter_in_like_null",
@@ -88,8 +130,10 @@ def all_queries() -> dict[str, Query]:
     from . import streaming_queries, lifecycle_extra, tpch_rest  # noqa: F401
     from . import udf_surface, sampling, temporal_queries  # noqa: F401
     from . import complex_types, llm_extra  # noqa: F401
-    unstamped = {n: q for n, q in REGISTRY.items()
-                 if n not in _STAMPED_PRIOR_ROUNDS}
-    stamped = {n: q for n, q in REGISTRY.items()
-               if n in _STAMPED_PRIOR_ROUNDS}
-    return {**unstamped, **stamped}
+    never = {n: q for n, q in REGISTRY.items()
+             if n not in _STAMPED_PRIOR_ROUNDS
+             and n not in _ROTATE_BACK_IN}
+    rotated = {n: REGISTRY[n] for n in _ROTATE_BACK_IN if n in REGISTRY}
+    rest = {n: q for n, q in REGISTRY.items()
+            if n not in never and n not in rotated}
+    return {**never, **rotated, **rest}
