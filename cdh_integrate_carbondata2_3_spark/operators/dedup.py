@@ -200,6 +200,22 @@ def axis_sign_signature(vec_col: str, planes: int) -> Column:
     return sig.cast("bigint")
 
 
+def planes_for(n: int, target_occupancy: int = 4096) -> int:
+    """Plane count that holds expected sign-LSH bucket occupancy at
+    ``target_occupancy`` for an ``n``-item corpus: B = 2^planes, want
+    n/B ≈ target. This is the module-docstring occupancy math as code
+    (planes ≈ log2(N) - 12 for the default target): pass its result as
+    ``planes=`` when the corpus outgrows a pinned demo constant —
+    measured at the 10× replica, leaving the 2-vector demo default
+    (planes=3, 8 buckets) in place turns candidate verification
+    quadratic (tools/occupancy_demo.py, SCALE.md). More planes =
+    fewer candidate pairs but lower recall (a near-dup pair must agree
+    on EVERY plane); recover recall with multi-probe (ann_lsh_topk's
+    flip_radius) or a second hash family, not fewer planes."""
+    import math
+    return max(1, math.ceil(math.log2(max(n, 2) / max(target_occupancy, 1))))
+
+
 def cosine_near_dups(vecs: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "e", *, threshold: float = 0.8,
                      planes: int = 12, dim: int | None = None,

@@ -108,6 +108,20 @@ def test_ann_lsh_topk_param_surface(spark):
         assert len(rks) <= 3
 
 
+def test_planes_for_occupancy_sizing():
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import planes_for
+    # the module-docstring example: N=1e9 at ~4k occupancy → 18 planes
+    assert planes_for(10**9) == 18
+    # expected occupancy n / 2^planes lands at-or-under target
+    for n in (100, 20_000, 10**6, 10**9):
+        for target in (256, 4096):
+            p = planes_for(n, target)
+            assert n / (1 << p) <= target
+            assert p >= 1
+    # tiny corpora never get a degenerate bucket count
+    assert planes_for(0) == 1 and planes_for(5000, 4096) == 1
+
+
 def test_connected_components_basic(spark):
     from cdh_integrate_carbondata2_3_spark.operators.graph import (
         connected_components, dedup_survivors)

@@ -38,8 +38,12 @@ def main() -> int:
     spark = get_spark("check", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; Spark-written replicas
+        # (tools/make_scale.py) are part-file directories
+        pat = f"{p}/*.parquet" if Path(p).is_dir() else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
