@@ -127,7 +127,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count_distinct("g").alias("n_shared")))
 
 
-@query("dedup_components", oracle=f"""
+_CC_ORACLE = """
 WITH RECURSIVE grams AS (
   SELECT DISTINCT doc_id, unnest(list_transform(
       generate_series(1, len(string_split_regex(trim(text), ' +')) - 1),
@@ -165,7 +165,10 @@ WITH RECURSIVE grams AS (
 )
 SELECT comp AS component_id, COUNT(*) AS n_members
 FROM lab GROUP BY comp
-""")
+"""
+
+
+@query("dedup_components", oracle=_CC_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: bigram-Jaccard pairs (threshold 0.5) as
     edges → connected components via iterative min-label propagation
@@ -179,6 +182,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ngram_jaccard_near_dups(_docs(spark, sf_dir), "doc_id", "text",
                                     n=2, df_cap=100, threshold=0.5)
     comps = connected_components(edges, "id_a", "id_b")
+    return (comps.groupBy(F.col("comp").alias("component_id"))
+            .agg(F.count(F.lit(1)).alias("n_members")))
+
+
+@query("dedup_components_star", oracle=_CC_ORACLE)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_components, run through the
+    large-star/small-star algorithm (operators/graph.py, Kiveris et
+    al.) — the O(log n)-round variant for high-diameter graphs. The
+    shared oracle pins both algorithms to the same components."""
+    from ..operators.dedup import ngram_jaccard_near_dups
+    from ..operators.graph import connected_components
+
+    edges = ngram_jaccard_near_dups(_docs(spark, sf_dir), "doc_id", "text",
+                                    n=2, df_cap=100, threshold=0.5)
+    comps = connected_components(edges, "id_a", "id_b", algorithm="star")
     return (comps.groupBy(F.col("comp").alias("component_id"))
             .agg(F.count(F.lit(1)).alias("n_members")))
 
