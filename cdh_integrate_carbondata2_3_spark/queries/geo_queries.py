@@ -259,14 +259,19 @@ _RL_B = polygon_to_ranges(_CONCAVE_POLY, max_depth=6)
 
 @query(
     "geo_range_list_ops",
+    # geoid computed ONCE in a MATERIALIZED CTE: DuckDB inlines plain
+    # CTEs/subqueries, so the ~4.4 KB bit-interleave expression was
+    # re-evaluated inside all ~86 BETWEEN bounds — OOM at the 10×
+    # replica (SCALE.md round-4 run); materialized: 0.4 s
     oracle=f"""
-    SELECT 'OR' AS op, count(*) AS n_points FROM customer
-    WHERE {_ranges_sql(combine_range_lists([_RL_A, _RL_B], "OR"),
-                       _geoid_sql(_LAT_SQL, _LNG_SQL))}
+    WITH pts AS MATERIALIZED (
+      SELECT {_geoid_sql(_LAT_SQL, _LNG_SQL)} AS g FROM customer
+    )
+    SELECT 'OR' AS op, count(*) AS n_points FROM pts
+    WHERE {_ranges_sql(combine_range_lists([_RL_A, _RL_B], "OR"), "g")}
     UNION ALL
-    SELECT 'AND' AS op, count(*) AS n_points FROM customer
-    WHERE {_ranges_sql(combine_range_lists([_RL_A, _RL_B], "AND"),
-                       _geoid_sql(_LAT_SQL, _LNG_SQL))}
+    SELECT 'AND' AS op, count(*) AS n_points FROM pts
+    WHERE {_ranges_sql(combine_range_lists([_RL_A, _RL_B], "AND"), "g")}
     """,
 )
 def geo_range_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,10 +291,14 @@ def geo_range_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "geo_polygon_join_range_list",
-    oracle=" UNION ALL ".join(
-        f"""SELECT {pid} AS poly_id, count(*) AS n_points FROM customer
-            WHERE {_ranges_sql(polygon_to_ranges(poly, max_depth=6),
-                               _geoid_sql(_LAT_SQL, _LNG_SQL))}"""
+    # same CTE shape as geo_range_list_ops (OOM at 10× otherwise)
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT {_geoid_sql(_LAT_SQL, _LNG_SQL)} AS g FROM customer
+    )
+    """ + " UNION ALL ".join(
+        f"""SELECT {pid} AS poly_id, count(*) AS n_points FROM pts
+            WHERE {_ranges_sql(polygon_to_ranges(poly, max_depth=6), "g")}"""
         for pid, poly in ((1, _CONVEX_POLY), (2, _CONCAVE_POLY))),
 )
 def geo_polygon_join_range_list(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,14 +36,24 @@ def main() -> int:
     from cdh_integrate_carbondata2_3_spark.session import get_spark
 
     spark = get_spark("check", cpus=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        # driver testdata ships single files; Spark-written replicas
-        # (tools/make_scale.py) are part-file directories
-        pat = f"{p}/*.parquet" if Path(p).is_dir() else p
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+
+    def fresh_con():
+        """One connection per oracle: a bounded memory pool with disk
+        spill (big-sf oracles — the 8-bucket embedding blocking at 10×
+        — otherwise OOM the shared allocator and poison every later
+        tiny allocation), and per-query isolation so one blowup can't
+        fail the rest of the gate."""
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        c.execute("SET temp_directory='/tmp/duckspill'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            # driver testdata ships single files; Spark-written
+            # replicas (tools/make_scale.py) are part-file directories
+            pat = f"{p}/*.parquet" if Path(p).is_dir() else p
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+        return c
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -63,7 +73,9 @@ def main() -> int:
             n_pass += 1
             continue
         try:
+            con = fresh_con()
             odf = con.execute(oracles[name]).fetchdf()
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
