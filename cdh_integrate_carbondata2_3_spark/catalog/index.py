@@ -40,6 +40,7 @@ import base64
 import hashlib
 import json
 import os
+import re
 import shutil
 from typing import Any, Sequence
 
@@ -48,6 +49,32 @@ from pyspark.sql import functions as F
 from ..plans.pruning import Predicate
 
 _INDEXABLE_OPS = {"=", "in"}
+
+
+def _lev_le(a: str, b: str, k: int) -> bool:
+    """Levenshtein(a, b) <= k via the banded DP (O(len·k) per pair) —
+    the driver-side analogue of Lucene's Levenshtein automaton for
+    FuzzyQuery term expansion (LuceneFineGrainIndex.java fuzzy path).
+    Early-exits when the whole band exceeds k."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if a == b:
+        return True
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo, hi = max(1, i - k), min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if hi < len(b):
+            cur[hi + 1:] = [k + 1] * (len(b) - hi)
+        if min(cur[lo - 1:hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[len(b)] <= k
 
 
 def _meta_path(table_dir: str, name: str) -> str:
@@ -333,7 +360,11 @@ class IndexManager:
         phrase contains every token). A trailing ``*`` is a prefix
         wildcard; ``?`` terms are not prunable and act as
         match-anything (in "any" mode that makes the whole lookup
-        unprunable)."""
+        unprunable). A ``term~N`` token is FUZZY: it expands against
+        the distinct-token dictionary (Levenshtein <= N) and unions the
+        matched tokens' postings — Lucene FuzzyQuery's automaton walk,
+        done driver-side over the (small) dictionary."""
+        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
         idx_dir = _index_dir(self.table.table_dir, meta["name"])
@@ -345,6 +376,26 @@ class IndexManager:
                     for s in self.table.manifest.queryable_segments()
                     for f in s.files}
 
+        def _fuzzy_mask(base: str, edits: int):
+            """Lucene-FuzzyQuery-style term-dictionary expansion: mark
+            every distinct indexed token within ``edits`` Levenshtein
+            edits of ``base`` (length-band prefilter, then a bounded DP
+            driver-side — the dictionary is distinct tokens, orders of
+            magnitude smaller than the corpus). Returns a boolean mask
+            over ``t``, or None if the dictionary is too large to
+            expand cheaply (→ unprunable, scan refines exactly)."""
+            toks = t.column("tok")
+            lens = pc.utf8_length(toks)
+            band = pc.and_(pc.greater_equal(lens, len(base) - edits),
+                           pc.less_equal(lens, len(base) + edits))
+            cand = pc.unique(toks.filter(band)).to_pylist()
+            if len(cand) > 200_000:
+                return None
+            matched = [c for c in cand if _lev_le(base, c, edits)]
+            if not matched:
+                return pc.equal(toks, "\x00")   # matches nothing
+            return pc.is_in(toks, value_set=pa.array(matched))
+
         def _term_files(term: str) -> set[str] | None:
             """Files that may match one term (phrase-aware); None =
             unprunable, no constraint."""
@@ -352,7 +403,11 @@ class IndexManager:
             for tk in term.split():
                 if "?" in tk or (tk.count("*") - tk.endswith("*")) > 0:
                     continue            # wildcard token → no constraint
-                if tk.endswith("*"):
+                if fm := re.fullmatch(r"(.+)~(\d)", tk):
+                    mask = _fuzzy_mask(fm.group(1), int(fm.group(2)))
+                    if mask is None:
+                        continue        # dictionary too big → no constraint
+                elif tk.endswith("*"):
                     mask = pc.starts_with(t.column("tok"), tk[:-1])
                 else:
                     mask = pc.equal(t.column("tok"), tk)

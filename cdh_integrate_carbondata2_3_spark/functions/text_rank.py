@@ -1,0 +1,89 @@
+"""BM25 relevance ranking over whitespace-analyzed text — the scoring
+half of the reference's Lucene fine-grain index
+(index/lucene/src/main/java/org/apache/carbondata/index/lucene/
+LuceneFineGrainIndex.java:63-204 returns Lucene-scored hits;
+text_match in our engine prunes+filters but, through round 3, did not
+rank). This module adds ranking as a first-class DataFrame operator
+using Lucene's BM25Similarity formula (Robertson/Sparck Jones BM25 as
+shipped in Lucene 8+, k1=1.2, b=0.75):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score   = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Scale shape: one agg over the corpus produces a SINGLE row of global
+statistics (N, sum(dl), df per query term) which is broadcast back —
+the corpus itself never shuffles; per-document term frequencies are
+higher-order array functions in whole-stage codegen (no explode →
+groupBy of every token, no Python UDF). Two scans of the (pruned)
+text column total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["bm25_score", "bm25_topk"]
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def _toks(text: Column) -> Column:
+    """Whitespace analyzer: lowercase, split, drop empties (mirrors the
+    oracle's string_split_regex + list_filter)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t == F.lit(term.lower())))
+
+
+def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
+               k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> DataFrame:
+    """Append a ``bm25`` double column scoring ``text_col`` against the
+    bag of ``terms``. Rows matching no term score 0.0 (kept — filter
+    downstream if Lucene match-only semantics are wanted)."""
+    if not terms:
+        raise ValueError("bm25_score: need at least one query term")
+    toks = _toks(F.col(text_col))
+    tf_cols = [_tf(toks, t).alias(f"__tf{i}") for i, t in enumerate(terms)]
+    with_tf = df.select("*", F.size(toks).alias("__dl"), *tf_cols)
+    stats = with_tf.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").cast("double").alias("__sumdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+          for i in range(len(terms))])
+    joined = with_tf.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl") / n
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfreq = F.col(f"__df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfreq + 0.5) / (dfreq + 0.5))
+        part = idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl))
+        score = part if score is None else score + part
+    drop = (["__dl", "__n", "__sumdl"]
+            + [f"__tf{i}" for i in range(len(terms))]
+            + [f"__df{i}" for i in range(len(terms))])
+    return joined.withColumn("bm25", score).drop(*drop)
+
+
+def bm25_topk(df: DataFrame, terms: list[str], k: int,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+              round_to: int | None = 4) -> DataFrame:
+    """Top-k documents by BM25 (ties broken by ``id_col`` for a
+    deterministic cut), excluding zero-score rows — Lucene returns
+    only matching docs. ``round_to`` rounds the published score so
+    results hash identically across engines; the ORDER BY uses the
+    rounded value too, keeping the cut line engine-independent."""
+    scored = bm25_score(df, terms, text_col=text_col, k1=k1, b=b)
+    out = F.col("bm25")
+    if round_to is not None:
+        out = F.round(out, round_to).cast("double")
+    return (scored.filter(F.col("bm25") > 0)
+            .select(id_col, out.alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(k))

@@ -77,6 +77,102 @@ def table_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+@query("table_fts_fuzzy", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+          t -> t <> '' AND levenshtein(t, 'slom') <= 1)) > 0
+  AND regexp_matches(text, '(^|\s)filter($|\s)')
+GROUP BY source
+""")
+def table_fts_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy text_match('text:slom~1 AND text:filter') through the SQL
+    surface: the fuzzy term compiles to a JVM-side higher-order
+    levenshtein scan (sql.py _fuzzy_sql) and the Lucene-analogue index
+    prunes it by expanding 'slom'~1 against the distinct-token
+    dictionary — Lucene's FuzzyQuery term expansion
+    (LuceneFineGrainIndex.java:63-204; our delta: plain Levenshtein,
+    no transposition-as-one-edit, documented in sql.py)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_fz", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX ftz ON TABLE documents (text) AS 'lucene'")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:slom~1 AND text:filter') "
+        "GROUP BY source")
+
+
+@query("table_fts_sloppy_phrase", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE regexp_matches(text, '(^|\s)slow(\s+\S+){0,2}\s+filter($|\s)')
+GROUP BY source
+""")
+def table_fts_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy-phrase text_match('text:"slow filter"~2'): tokens in
+    order with up to 2 intervening tokens per gap (documented
+    simplification of Lucene slop — sql.py _phrase_regex). Postings
+    pruning still intersects the phrase's token file sets, sound
+    because any sloppy match contains every token."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_sl", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX fsl ON TABLE documents (text) AS 'lucene'")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:\"slow filter\"~2') "
+        "GROUP BY source")
+
+
+@query("text_bm25_rank", oracle=r"""
+WITH tf AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t <> '')) AS dl,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t = 'vector')) AS tf0,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t = 'slow')) AS tf1
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) AS sumdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+  FROM tf
+)
+SELECT doc_id,
+       CAST(ROUND(
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+           * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n)))
+         + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+           * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n))),
+         4) AS DOUBLE) AS bm25
+FROM tf, stats
+WHERE tf0 + tf1 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+""")
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k ranking ['vector','slow'] over documents — the
+    scoring half of the reference's Lucene index (Lucene
+    BM25Similarity, k1=1.2 b=0.75). Corpus stats come from ONE
+    single-row aggregate broadcast back; per-doc term frequencies are
+    higher-order array functions in codegen — the corpus never
+    shuffles (functions/text_rank.py)."""
+    from ..functions.text_rank import bm25_topk
+    from ..sources.registry import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, ["vector", "slow"], k=15)
+
+
 @query("udf_text_match_limit", oracle=r"""
 SELECT COUNT(*) AS n_matched
 FROM (SELECT * FROM documents

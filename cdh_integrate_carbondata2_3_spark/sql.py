@@ -204,9 +204,10 @@ def _strip_ni(text: str) -> str:
 
 def _stash_phrases(query: str) -> tuple[str, list[str]]:
     """Replace double-quoted phrases with \\x00N\\x00 placeholders so
-    AND/OR splitting can't cut inside a phrase. Unbalanced quotes and
-    proximity suffixes (~N — Lucene sloppy phrase, unsupported) raise
-    explicitly rather than silently mis-matching."""
+    AND/OR splitting can't cut inside a phrase. A trailing ~N on the
+    placeholder (sloppy phrase) is kept attached for the term parser.
+    Unbalanced quotes raise explicitly rather than silently
+    mis-matching."""
     if query.count('"') % 2:
         raise ValueError(f"text_match: unbalanced quotes in {query!r}")
     phrases: list[str] = []
@@ -216,22 +217,59 @@ def _stash_phrases(query: str) -> tuple[str, list[str]]:
         return f"\x00{len(phrases) - 1}\x00"
 
     stashed = re.sub(r'"([^"]*)"', _stash, query)
-    if m := re.search(r"\x00~\S*|\x00\d+\x00~\S*", stashed):
-        raise ValueError(
-            f"text_match: proximity phrases ('...'~N) are not supported "
-            f"(got {query!r}); the reference's Lucene slop semantics are "
-            "out of scope — use an exact phrase or AND of terms")
     return stashed, phrases
 
 
-def _phrase_regex(phrase: str) -> str:
+def _phrase_regex(phrase: str, slop: int = 0) -> str:
     """Whitespace-token phrase → regex: tokens in order, separated by
     runs of whitespace (wildcards are literal inside phrases, as in
-    Lucene)."""
+    Lucene). ``slop=N`` (sloppy phrase "a b"~N) allows up to N
+    intervening tokens between each consecutive pair — a documented
+    simplification of Lucene's edit-distance slop
+    (SloppyPhraseMatcher: total moves budget, out-of-order allowed);
+    ours is in-order with a per-gap bound, which agrees with Lucene on
+    in-order matches of 2-term phrases and is stricter otherwise."""
     toks = phrase.split()
     if not toks:
         raise ValueError("text_match: empty phrase")
-    return r"\\s+".join(re.escape(t) for t in toks)
+    sep = r"\\s+" if slop == 0 else r"(\\s+\\S+){0,%d}\\s+" % slop
+    return sep.join(re.escape(t) for t in toks)
+
+
+# Lucene FuzzyQuery caps edit distance at 2 (LevenshteinAutomata
+# maxEditDistance); bare `term~` defaults to 2.
+_FUZZY_MAX_EDITS = 2
+
+
+def _parse_fuzzy(pat: str) -> tuple[str, int] | None:
+    """``term~`` / ``term~N`` → (term, N) per Lucene FuzzyQuery; None
+    if not fuzzy syntax. Wildcards can't combine with fuzzy (same as
+    Lucene) and N>2 raises (Lucene hard cap)."""
+    m = re.fullmatch(r"([^~\s]+)~(\d*)", pat)
+    if not m:
+        return None
+    base, n = m.group(1), m.group(2)
+    edits = int(n) if n else _FUZZY_MAX_EDITS
+    if edits > _FUZZY_MAX_EDITS:
+        raise ValueError(
+            f"text_match: fuzzy distance {edits} exceeds the Lucene "
+            f"maximum of {_FUZZY_MAX_EDITS} (got {pat!r})")
+    if "*" in base or "?" in base:
+        raise ValueError(
+            f"text_match: wildcards cannot combine with fuzzy ~ "
+            f"(got {pat!r})")
+    return base, edits
+
+
+def _fuzzy_sql(field: str, term: str, edits: int) -> str:
+    """Token-level fuzzy match as a JVM-side higher-order function:
+    some whitespace token of ``field`` is within ``edits`` Levenshtein
+    edits of ``term`` (Lucene FuzzyQuery semantics on a whitespace
+    analyzer; reference lucene-index-guide.md fuzzy queries). Stays in
+    whole-stage codegen — no Python UDF."""
+    t = term.replace("'", "''")
+    return (f"(exists(split({field}, '\\\\s+'), "
+            f"__t -> __t != '' AND levenshtein(__t, '{t}') <= {edits}))")
 
 
 def _lucene_to_sql(query: str) -> str:
@@ -258,18 +296,21 @@ def _lucene_to_sql(query: str) -> str:
         if not m:
             raise ValueError(f"text_match: cannot parse term {tok!r}")
         field, pat = m.groups()
-        if pm := re.fullmatch(r"\x00(\d+)\x00", pat):
-            rx = _phrase_regex(phrases[int(pm.group(1))])
+        if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
+            slop = int(pm.group(2)) if pm.group(2) else 0
+            rx = _phrase_regex(phrases[int(pm.group(1))], slop=slop)
         elif "\x00" in pat:
             raise ValueError(
                 f"text_match: cannot parse term {tok!r} (quoted phrases "
                 "must span the whole term value: field:\"a b\")")
+        elif fz := _parse_fuzzy(pat) if "~" in pat else None:
+            out.append(_fuzzy_sql(field, *fz))
+            continue
+        elif "~" in pat:
+            raise ValueError(
+                f"text_match: cannot parse fuzzy term {tok!r} "
+                "(expected term~ or term~N, N <= 2)")
         else:
-            if "~" in pat:
-                raise ValueError(
-                    f"text_match: fuzzy terms (term~N) are not supported "
-                    f"(got {tok!r}); the reference's Lucene edit-distance "
-                    "semantics are out of scope — use * / ? wildcards")
             rx = re.escape(pat).replace(r"\*", r"\\S*").replace(r"\?", r"\\S")
         out.append(f"({field} RLIKE '(^|\\\\s){rx}($|\\\\s)')")
     return "(" + " ".join(out) + ")"
@@ -743,12 +784,25 @@ class Engine:
             if not m:
                 return []
             field, pat = m.groups()
-            if pm := re.fullmatch(r"\x00(\d+)\x00", pat):
-                pat = phrases[int(pm.group(1))]   # phrase → token string
+            if pm := re.fullmatch(r"\x00(\d+)\x00(?:~\d*)?", pat):
+                # phrase (sloppy or exact) → token string; pruning by
+                # token-postings intersection is sound for both: any
+                # row matching the phrase contains every token
+                pat = phrases[int(pm.group(1))]
                 if not pat.split():
                     return []
             elif "\x00" in pat:
                 return []
+            elif "~" in pat:
+                try:
+                    fz = _parse_fuzzy(pat)
+                except ValueError:
+                    return []           # parse error surfaces in rewrite
+                if fz is None:
+                    return []
+                # keep 'term~N' marker — _fts_lookup expands it against
+                # the term dictionary (Lucene FuzzyQuery expansion)
+                pat = f"{fz[0]}~{fz[1]}"
             by_field.setdefault(field, []).append(pat)
         if has_or:
             # union pruning is sound for any AND/OR mix without NOT

@@ -133,6 +133,24 @@ def test_fts_or_and_phrase_pruning(spark, docs_table):
     assert _nfiles(t, [("body", "text_match", ["alpha bravo"])]) == 0
 
 
+def test_fts_fuzzy_dictionary_expansion(spark, docs_table):
+    t = docs_table
+    t.indexes.create_fts_index("ft_body", ["body"])
+    total = _nfiles(t, None)
+    n_alpha = _nfiles(t, [("body", "text_match", ["alpha"])])
+    # 'alpba'~1 expands to 'alpha' via the token dictionary → same
+    # file set as the exact term
+    assert _nfiles(t, [("body", "text_match", ["alpba~1"])]) == n_alpha
+    # distance 2 reaches both 'alpha' and 'bravo'? no — but 'commot'~1
+    # reaches 'common' which spans all segments
+    assert _nfiles(t, [("body", "text_match", ["commot~1"])]) == total
+    # nothing within one edit of a far token → all files pruned
+    assert _nfiles(t, [("body", "text_match", ["zzzzzz~1"])]) == 0
+    # fuzzy AND exact intersect
+    n_both = _nfiles(t, [("body", "text_match", ["alpba~1", "w7"])])
+    assert 0 < n_both <= n_alpha
+
+
 def test_fts_stale_segment_soundness(spark, docs_table):
     t = docs_table
     t.indexes.create_fts_index("ft_body", ["body"])

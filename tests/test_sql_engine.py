@@ -257,12 +257,53 @@ def test_text_match_phrase_and_or(eng):
         "ORDER BY id").collect()
     assert [r["id"] for r in rows] == [1, 2, 4]
     # unsupported Lucene syntax raises explicitly, never mis-matches
-    with pytest.raises(ValueError, match="proximity"):
-        eng.sql("SELECT id FROM pdocs WHERE text_match('body:\"a b\"~2')")
-    with pytest.raises(ValueError, match="fuzzy"):
-        eng.sql("SELECT id FROM pdocs WHERE text_match('body:spark~1')")
     with pytest.raises(ValueError, match="unbalanced"):
         eng.sql("SELECT id FROM pdocs WHERE text_match('body:\"a b')")
+    with pytest.raises(ValueError, match="maximum"):
+        eng.sql("SELECT id FROM pdocs WHERE text_match('body:spark~5')")
+    with pytest.raises(ValueError, match="wildcard"):
+        eng.sql("SELECT id FROM pdocs WHERE text_match('body:spa*k~1')")
+
+
+def test_text_match_fuzzy(eng):
+    eng.sql("CREATE TABLE fdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO fdocs SELECT * FROM VALUES "
+            "(1,'spark scan fast'),(2,'spork fork'),(3,'walk quick'),"
+            "(4,'sparkle dust') t(id,body)")
+    # ~1: one substitution matches spork; sparkle is 2 inserts away
+    rows = eng.sql("SELECT id FROM fdocs WHERE text_match('body:spark~1') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    # bare ~ defaults to 2 edits (Lucene FuzzyQuery default)
+    rows = eng.sql("SELECT id FROM fdocs WHERE text_match('body:spark~') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 4]
+    # ~0 is exact token match
+    rows = eng.sql("SELECT id FROM fdocs WHERE "
+                   "text_match('body:spark~0')").collect()
+    assert [r["id"] for r in rows] == [1]
+    # fuzzy composes with AND
+    rows = eng.sql("SELECT id FROM fdocs WHERE "
+                   "text_match('body:spark~1 AND body:fork')").collect()
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_text_match_sloppy_phrase(eng):
+    eng.sql("CREATE TABLE sdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO sdocs SELECT * FROM VALUES "
+            "(1,'spark scan fast'),(2,'spark quite very fast'),"
+            "(3,'spark a b c fast'),(4,'fast spark') t(id,body)")
+    # slop 0 == exact phrase
+    rows = eng.sql("SELECT id FROM sdocs WHERE "
+                   "text_match('body:\"spark fast\"~0')").collect()
+    assert [r["id"] for r in rows] == []
+    # slop 2: up to two intervening tokens, in order only
+    rows = eng.sql("SELECT id FROM sdocs WHERE "
+                   "text_match('body:\"spark fast\"~2') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    rows = eng.sql("SELECT id FROM sdocs WHERE "
+                   "text_match('body:\"spark fast\"~3') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
 
 
 def test_fts_prune_predicate_shapes(eng):
@@ -280,6 +321,14 @@ def test_fts_prune_predicate_shapes(eng):
         [("b", "text_match", ["x y", "z"])]
     # NOT anywhere inside → no pruning
     assert f("SELECT * FROM t WHERE text_match('b:x AND NOT b:y')") == []
+    # fuzzy keeps a normalized term~N marker for dictionary expansion
+    assert f("SELECT * FROM t WHERE text_match('b:x~1 AND b:z')") == \
+        [("b", "text_match", ["x~1", "z"])]
+    assert f("SELECT * FROM t WHERE text_match('b:x~')") == \
+        [("b", "text_match", ["x~2"])]
+    # sloppy phrase prunes by its tokens (sound: every token appears)
+    assert f("SELECT * FROM t WHERE text_match('b:\"x y\"~2')") == \
+        [("b", "text_match", ["x y"])]
 
 
 def test_text_match_with_limit(eng):
