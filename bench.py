@@ -29,6 +29,8 @@ HEADLINE = (
     # round 3 additions
     "text_pii_redact", "events_gap_fill", "embedding_quantize_int8",
     "text_pack_sequences", "agg_exact_quantiles", "similarity_kmeans_refine",
+    # round 4 additions
+    "text_bm25_rank",
 )
 
 

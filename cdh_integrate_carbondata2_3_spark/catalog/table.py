@@ -692,8 +692,16 @@ class Table:
         allowed = self.indexes.candidate_files(predicates) if use_indexes else None
         target_bucket = self._bucket_target(predicates)
         by_fmt: dict[str, list[str]] = {}
-        for seg in self.manifest.queryable_segments(segments):
-            kept = prune_files(seg.files, predicates)
+        # vectorized path (manifest.stats='parquet'): prune runs as
+        # pyarrow compute over the stats sidecar; only survivors ever
+        # become Python objects, segment metadata stays O(segments)
+        pruned = self.manifest.pruned_filestats(predicates, segments)
+        segs = (self.manifest.queryable_segment_meta(segments)
+                if pruned is not None
+                else self.manifest.queryable_segments(segments))
+        for seg in segs:
+            kept = (pruned.get(seg.id, []) if pruned is not None
+                    else prune_files(seg.files, predicates))
             if allowed is not None:
                 kept = [f for f in kept if self._abs(f.path) in allowed]
             if target_bucket is not None:
@@ -727,7 +735,7 @@ class Table:
         (for the bucket-map join in ``operators.bucketed``); requires
         every queryable file to carry bucket info — a mixed pre/post
         bucketing history would silently drop rows otherwise."""
-        doc = self.manifest.load(as_of)
+        doc = self.manifest.load(as_of, _attach=False)
         defaults = doc.get("column_defaults", {})
         # SI/bloom indexes describe the CURRENT file set — using them to
         # prune a historical snapshot could drop rewritten-away files
@@ -751,8 +759,15 @@ class Table:
         # group surviving files by (format, evolution era): a segment's
         # era decides which added-column defaults fill it on read
         groups: dict[tuple, list[str]] = {}
-        for seg in self.manifest.queryable_segments(segments, version=as_of):
-            kept = prune_files(seg.files, predicates)
+        pruned = self.manifest.pruned_filestats(predicates, segments,
+                                                version=as_of)
+        segs = (self.manifest.queryable_segment_meta(segments, version=as_of)
+                if pruned is not None
+                else self.manifest.queryable_segments(segments,
+                                                      version=as_of))
+        for seg in segs:
+            kept = (pruned.get(seg.id, []) if pruned is not None
+                    else prune_files(seg.files, predicates))
             if allowed is not None:
                 kept = [f for f in kept if self._abs(f.path) in allowed]
             if target_bucket is not None:

@@ -104,6 +104,106 @@ def prune_files(files: Sequence[FileStat],
     return [f for f in files if file_may_match(f, predicates)]
 
 
+# ---------------------------------------------------------------- vectorized
+# Same skip test over a parquet stats sidecar (manifest.stats='parquet',
+# columns seg_id/path/rows/bytes + min#col/max#col/pt#col) — the prune
+# runs as pyarrow compute over ALL files at once instead of a Python
+# loop per file. This is the driver-metadata scale path: at 1e5+ files
+# the mask costs milliseconds and only SURVIVING files ever become
+# Python objects. Property-tested equivalent to file_may_match
+# (tests/test_property.py); any type surprise falls back to
+# "no constraint", which is sound.
+
+def _type_comparable(typ, v: Any) -> bool:
+    import pyarrow as pa
+    if isinstance(v, bool):
+        return pa.types.is_boolean(typ)
+    if isinstance(v, (int, float)):
+        return pa.types.is_integer(typ) or pa.types.is_floating(typ)
+    if isinstance(v, str):
+        return pa.types.is_string(typ) or pa.types.is_large_string(typ)
+    return False
+
+
+def _minmax_keep(mn, mx, op: str, value: Any):
+    """Boolean mask: may the file contain a match, judging only by
+    [mn, mx]? None = this predicate can't constrain (type mismatch /
+    unknown op). Nulls (absent stats) fill to True."""
+    import pyarrow.compute as pc
+    typ = mn.type
+    if op == "between":
+        lo, hi = _norm_value(value[0]), _norm_value(value[1])
+        if not (_type_comparable(typ, lo) and _type_comparable(typ, hi)):
+            return None
+        return pc.and_kleene(pc.greater_equal(hi, mn), pc.less_equal(lo, mx))
+    if op in ("in", "ranges"):
+        keep = None
+        for item in value:
+            lo, hi = (item if op == "ranges" else (item, item))
+            lo, hi = _norm_value(lo), _norm_value(hi)
+            if not (_type_comparable(typ, lo) and _type_comparable(typ, hi)):
+                return None
+            one = pc.and_kleene(pc.greater_equal(hi, mn),
+                                pc.less_equal(lo, mx))
+            keep = one if keep is None else pc.or_kleene(keep, one)
+        return keep
+    v = _norm_value(value)
+    if not _type_comparable(typ, v):
+        return None
+    if op == "=":
+        return pc.and_kleene(pc.greater_equal(v, mn), pc.less_equal(v, mx))
+    if op == "<":
+        return pc.less(mn, v)
+    if op == "<=":
+        return pc.less_equal(mn, v)
+    if op == ">":
+        return pc.greater(mx, v)
+    if op == ">=":
+        return pc.greater_equal(mx, v)
+    if op == "!=":
+        return pc.invert(pc.and_kleene(pc.equal(mn, v), pc.equal(mx, v)))
+    return None
+
+
+def arrow_prune_mask(stats, predicates: Sequence[Predicate] | None):
+    """Vectorized file_may_match over a stats sidecar table; returns a
+    null-free boolean pa.Array (True = file may match)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n = stats.num_rows
+    keep = pa.array([True] * n, type=pa.bool_())
+    names = set(stats.column_names)
+    for col, op, value in (predicates or []):
+        base = None
+        if f"min#{col}" in names:
+            try:
+                base = _minmax_keep(stats[f"min#{col}"].combine_chunks(),
+                                    stats[f"max#{col}"].combine_chunks(),
+                                    op, value)
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                base = None
+            if base is not None:
+                base = pc.fill_null(base, True)   # no stats → can't skip
+        if base is None:
+            base = keep                            # no constraint
+        if f"pt#{col}" in names:
+            ptv = stats[f"pt#{col}"]
+            if op == "=":
+                pt_keep = pc.equal(ptv, str(_norm_value(value)))
+            elif op == "in":
+                pt_keep = pc.is_in(ptv, value_set=pa.array(
+                    [str(_norm_value(x)) for x in value]))
+            else:
+                pt_keep = keep                     # partition: only =/in prune
+            # partition value present → partition test decides (exact);
+            # absent → fall back to the min/max verdict
+            base = pc.if_else(pc.is_valid(ptv),
+                              pc.fill_null(pt_keep, False), base)
+        keep = pc.and_(keep, base)
+    return keep.combine_chunks() if hasattr(keep, "combine_chunks") else keep
+
+
 _SIMPLE_CMP = re.compile(
     r"^\s*(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)\s*$")
 _SIMPLE_IN = re.compile(r"^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)

@@ -124,3 +124,103 @@ def test_parse_simple_condition_roundtrip(parts):
 ]))
 def test_parse_simple_condition_bails_on_complex(cond):
     assert parse_simple_condition(cond) is None
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (arrow) prune ≡ scalar prune — the parquet-stats sidecar
+# path (manifest.stats='parquet') must never keep/drop differently from
+# file_may_match, on any stats/predicate combination.
+
+_COLS = ("k", "s")
+
+
+@st.composite
+def _filestats(draw):
+    from cdh_integrate_carbondata2_3_spark.catalog.manifest import FileStat
+    files = []
+    n = draw(st.integers(min_value=0, max_value=12))
+    for i in range(n):
+        minmax = {}
+        if draw(st.booleans()):
+            a, b = sorted([draw(st.integers(-50, 50)),
+                           draw(st.integers(-50, 50))])
+            minmax["k"] = [a, b]
+        if draw(st.booleans()):
+            a, b = sorted([draw(st.text("abc", min_size=0, max_size=3)),
+                           draw(st.text("abc", min_size=0, max_size=3))])
+            minmax["s"] = [a, b]
+        partition = {}
+        if draw(st.booleans()):
+            partition["p"] = draw(st.sampled_from(["p_0", "p_1", "p_2"]))
+        files.append(FileStat(path=f"f{i}", rows=10, bytes=100,
+                              minmax=minmax, partition=partition))
+    return files
+
+
+@st.composite
+def _predicates(draw):
+    preds = []
+    for _ in range(draw(st.integers(0, 3))):
+        col = draw(st.sampled_from(["k", "s", "p", "missing"]))
+        op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">=",
+                                   "in", "between", "ranges"]))
+        if col == "s":
+            v = draw(st.text("abc", min_size=0, max_size=3))
+        elif col == "p":
+            v = draw(st.sampled_from(["p_0", "p_1", "p_9"]))
+        else:
+            v = draw(st.integers(-60, 60))
+        if op == "in":
+            value = [v] + [draw(st.integers(-60, 60)) if col == "k"
+                           else draw(st.text("abc", max_size=3))
+                           for _ in range(draw(st.integers(0, 2)))]
+            if not value:
+                continue
+        elif op == "between":
+            if isinstance(v, int):
+                value = tuple(sorted([v, draw(st.integers(-60, 60))]))
+            else:
+                value = tuple(sorted([v, draw(st.text("abc", max_size=3))]))
+        elif op == "ranges":
+            if not isinstance(v, int):
+                continue
+            value = [tuple(sorted([v, draw(st.integers(-60, 60))]))
+                     for _ in range(draw(st.integers(1, 2)))]
+        else:
+            value = v
+        preds.append((col, op, value))
+    return preds
+
+
+@settings(max_examples=200, deadline=None)
+@given(files=_filestats(), preds=_predicates())
+def test_arrow_prune_equals_scalar_prune(files, preds):
+    import pyarrow.compute as pc
+    from cdh_integrate_carbondata2_3_spark.catalog.manifest import Manifest
+    from cdh_integrate_carbondata2_3_spark.plans.pruning import (
+        arrow_prune_mask, prune_files)
+    # build the sidecar shape exactly the way _write_filestats does
+    doc = {"segments": [{"id": 0, "files": [f.to_json() for f in files]}]}
+    m = Manifest.__new__(Manifest)
+    m.meta_dir = "/tmp"
+    import pyarrow as pa
+
+    flat = [(0, f) for f in doc["segments"][0]["files"]]
+    mm_names = sorted({c for _, f in flat for c in f.get("minmax", {})})
+    pt_names = sorted({c for _, f in flat for c in f.get("partition", {})})
+    data = {"seg_id": [s for s, _ in flat],
+            "path": [f["path"] for _, f in flat],
+            "rows": [f["rows"] for _, f in flat],
+            "bytes": [f["bytes"] for _, f in flat]}
+    for c in mm_names:
+        pairs = [f.get("minmax", {}).get(c) for _, f in flat]
+        data[f"min#{c}"] = [p[0] if p else None for p in pairs]
+        data[f"max#{c}"] = [p[1] if p else None for p in pairs]
+    for c in pt_names:
+        data[f"pt#{c}"] = [f.get("partition", {}).get(c) for _, f in flat]
+    t = pa.table(data)
+
+    scalar_kept = {f.path for f in prune_files(files, preds)}
+    mask = arrow_prune_mask(t, preds)
+    arrow_kept = set(t.filter(mask)["path"].to_pylist()) if t.num_rows else set()
+    assert arrow_kept == scalar_kept, (preds, scalar_kept, arrow_kept)

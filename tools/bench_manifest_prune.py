@@ -38,9 +38,11 @@ PREDICATES = [("k", ">=", 50_000_000), ("k", "<", 55_000_000),
               ("p", "=", "p_3")]
 
 
-def synth_manifest(root: str, n_files: int) -> Manifest:
+def synth_manifest(root: str, n_files: int,
+                   stats_format: str = "json") -> Manifest:
     m = Manifest(root)
-    m.init("k bigint, v double, s string", {})
+    m.init("k bigint, v double, s string",
+           {"manifest.stats": stats_format})
     per_seg = n_files // N_SEGMENTS
     rows_per_file = 1_000_000
 
@@ -64,11 +66,11 @@ def synth_manifest(root: str, n_files: int) -> Manifest:
     return m
 
 
-def bench_one(n_files: int) -> dict:
+def bench_one(n_files: int, stats_format: str = "json") -> dict:
     root = tempfile.mkdtemp(prefix=f"mprune_{n_files}_")
     try:
         t0 = time.perf_counter()
-        m = synth_manifest(root, n_files)
+        m = synth_manifest(root, n_files, stats_format)
         t_synth = time.perf_counter() - t0
 
         m = Manifest(root)              # fresh instance: cold caches
@@ -102,21 +104,41 @@ def bench_one(n_files: int) -> dict:
         warm_kept = scan()
         t_scan_warm = time.perf_counter() - t0
 
+        # vectorized sidecar path (parquet mode only): pyarrow mask,
+        # survivors-only materialization — Table.scan_files fast path
+        t_vec_cold = t_vec_warm = None
+        if stats_format == "parquet":
+            m3 = Manifest(root)
+            t0 = time.perf_counter()
+            pf = m3.pruned_filestats(PREDICATES)
+            t_vec_cold = round(time.perf_counter() - t0, 4)
+            assert sum(len(v) for v in pf.values()) == len(kept)
+            t0 = time.perf_counter()
+            pf = m3.pruned_filestats(PREDICATES)
+            t_vec_warm = round(time.perf_counter() - t0, 4)
+            assert sum(len(v) for v in pf.values()) == len(kept)
+
         assert len(doc["segments"]) == N_SEGMENTS
         assert len(kept) == total_kept == warm_kept
-        return {"n_files": n_files, "manifest_mb": round(size_mb, 1),
+        if fr := doc.get("files_ref"):
+            size_mb += Path(m.meta_dir, fr).stat().st_size / 1e6
+        return {"n_files": n_files, "stats_format": stats_format,
+                "manifest_mb": round(size_mb, 1),
                 "synth_s": round(t_synth, 3),
                 "load_cold_s": round(t_load_cold, 3),
                 "prune_s": round(t_prune, 3),
                 "scan_cold_s": round(t_scan_cold, 3),
                 "scan_warm_s": round(t_scan_warm, 3),
+                "scan_vec_cold_s": t_vec_cold,
+                "scan_vec_warm_s": t_vec_warm,
                 "kept": total_kept}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
-    out = [bench_one(n) for n in (1_000, 10_000, 100_000)]
+    out = [bench_one(n, fmt) for n in (1_000, 10_000, 100_000)
+           for fmt in ("json", "parquet")]
     line = json.dumps({"metric": "manifest_prune", "results": out})
     print(line)
     if len(sys.argv) > 1:
