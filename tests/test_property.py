@@ -83,7 +83,11 @@ import cdh_integrate_carbondata2_3_spark.catalog  # noqa: E402,F401 (break impor
 from cdh_integrate_carbondata2_3_spark.plans.pruning import (  # noqa: E402
     parse_simple_condition)
 
-_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+# exclude SQL keywords: a column named 'or'/'not'/... makes the
+# parser's conservative keyword bail-out fire (sound: no pruning),
+# and such names would need quoting in real SQL anyway
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in ("or", "not", "and", "in", "between", "select"))
 _num = st.integers(min_value=-10**6, max_value=10**6)
 _strlit = st.from_regex(r"[a-zA-Z0-9_ ]{0,12}", fullmatch=True)
 

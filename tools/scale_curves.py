@@ -48,6 +48,8 @@ def main() -> None:
     spark = get_spark("scale_curves")
     qs = all_queries()
     names = tuple(HEADLINE) + EXTRA
+    skip = set(os.environ.get("SCALE_SKIP", "").split(","))
+    names = tuple(n for n in names if n not in skip)
     out: dict[str, dict] = {n: {"sec": []} for n in names}
     totals = []
     for d in dirs:
