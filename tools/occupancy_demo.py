@@ -26,6 +26,7 @@ Usage: python tools/occupancy_demo.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -49,13 +50,35 @@ def simhash_bands(spark, sf_dir: str) -> list[dict]:
     sigs = simhash_signatures(tokens, "doc_id", "tok", bits=64)
     sigs = sigs.localCheckpoint()       # time banding, not signatures
     n = sigs.count()
+    # OCC_SIZED_ONLY=1 (big corpora): the mis-sized variant's candidate
+    # count comes from occupancy algebra (sum of C(c,2) per bucket —
+    # what the banded join would enumerate) instead of materializing a
+    # quadratic join just to count it; the SIZED variant still runs the
+    # real join.
+    sized_only = os.environ.get("OCC_SIZED_ONLY") == "1"
     out = []
     for bands, width in ((8, 8), (4, 16)):
         t0 = time.time()
-        n_cand = simhash_band_pairs(sigs, "doc_id", 64, bands).count()
+        if sized_only and width == 8:
+            w = 64 // bands
+            banded = sigs.select(F.explode(F.array(*[
+                F.struct(
+                    F.lit(bi).alias("bi"),
+                    F.shiftrightunsigned(F.col("sim"), w * bi)
+                     .bitwiseAND(F.lit((1 << w) - 1)).alias("bv"))
+                for bi in range(bands)])).alias("band"))
+            n_cand = int(
+                (banded.groupBy("band")
+                 .agg(F.count(F.lit(1)).alias("c"))
+                 .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("p"))
+                 .first()["p"]) or 0)   # pre-dedup generations: upper bound
+            analytic = True
+        else:
+            n_cand = simhash_band_pairs(sigs, "doc_id", 64, bands).count()
+            analytic = False
         out.append({"bands": bands, "band_bits": width,
                     "buckets_per_band": 1 << width, "n_docs": n,
-                    "candidate_pairs": n_cand,
+                    "candidate_pairs": n_cand, "analytic": analytic,
                     "wall_s": round(time.time() - t0, 2)})
     return out
 
@@ -89,9 +112,26 @@ def embedding_near_override(spark, sf_dir: str) -> list[dict]:
                    .alias("e")).localCheckpoint()
     n = v.count()
     sized = planes_for(n, target_occupancy=256)
+    sized_only = os.environ.get("OCC_SIZED_ONLY") == "1"
     out = []
     for planes in (3, sized):
         t0 = time.time()
+        if sized_only and planes != sized:
+            # candidate-cosine count from bucket occupancy (the work
+            # the verify stage would do), not the quadratic join itself
+            from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+                axis_sign_signature)
+            occ = (v.select(axis_sign_signature("e", planes).alias("b"))
+                   .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+                   .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("p"))
+                   .first()["p"])
+            out.append({"planes": planes, "buckets": 1 << planes,
+                        "n_vectors": n,
+                        "candidate_cosines": int(occ or 0),
+                        "analytic": True,
+                        "wall_s": round(time.time() - t0, 2),
+                        "sized_by_planes_for": False})
+            continue
         n_pairs = cosine_near_dups(
             v, "vec_id", "e", threshold=0.94, planes=planes,
             axis_aligned=True).count()
