@@ -369,6 +369,25 @@ class Manifest:
             out[sid].append(FileStat.from_json(f))
         return out
 
+    def gc_stats_sidecars(self) -> int:
+        """Remove filestats sidecars referenced by NO manifest version
+        (crash leftovers from a commit that died between sidecar write
+        and JSON swap). History-referenced sidecars stay — time travel
+        reads them. Called from CLEAN FILES."""
+        refs = {self.load(_attach=False).get("files_ref")}
+        for v in self.versions():
+            try:
+                refs.add(self.load(v, _attach=False).get("files_ref"))
+            except FileNotFoundError:  # pragma: no cover
+                pass
+        n = 0
+        for f in os.listdir(self.meta_dir):
+            if (f.startswith("filestats.") and f.endswith(".parquet")
+                    and f not in refs):
+                os.unlink(os.path.join(self.meta_dir, f))
+                n += 1
+        return n
+
     def queryable_segment_meta(
             self, segment_ids: list[int] | None = None,
             version: int | None = None) -> list[Segment]:

@@ -927,6 +927,9 @@ class Table:
                     os.unlink(p)
                 cleaned["n_orphans"] = cleaned.get("n_orphans", 0) + 1
         self.manifest.update(mutate)
+        # crash-leftover stats sidecars (committed sidecar, uncommitted
+        # JSON) are unreferenced by every version — safe to drop
+        self.manifest.gc_stats_sidecars()
         return cleaned["n"]
 
     # ---------------------------------------------------------- compaction

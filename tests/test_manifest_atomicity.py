@@ -13,10 +13,10 @@ import pytest
 from cdh_integrate_carbondata2_3_spark.catalog.manifest import Manifest
 
 
-def _mk(tmp_path) -> Manifest:
+def _mk(tmp_path, props: dict | None = None) -> Manifest:
     m = Manifest(str(tmp_path / "t"))
     os.makedirs(str(tmp_path / "t"), exist_ok=True)
-    m.init("id bigint", {})
+    m.init("id bigint", props or {})
     return m
 
 
@@ -149,17 +149,22 @@ print("MERGED", n_merged)
 """
 
 
-def test_two_process_inserts_and_compaction_lose_nothing(tmp_path):
+@pytest.mark.parametrize("stats_format", ["json", "parquet"])
+def test_two_process_inserts_and_compaction_lose_nothing(tmp_path,
+                                                         stats_format):
     """TRUE cross-process contention (the reference's tablestatus lock
     guards separate JVMs — core/.../locks/): 4 writer PROCESSES insert
     segments while a compactor PROCESS concurrently marks pairs
     COMPACTED and appends merged segments. The O_CREAT|O_EXCL lockfile
     must serialize them: no inserted segment lost, every inserted file
-    visible in exactly one live (SUCCESS) segment, ids unique."""
+    visible in exactly one live (SUCCESS) segment, ids unique.
+    Runs in BOTH manifest stats formats — the parquet sidecar commit
+    (sidecar write + JSON swap) must be exactly as crash/race-safe as
+    the inline JSON doc."""
     import subprocess
     import sys
 
-    m = _mk(tmp_path)
+    m = _mk(tmp_path, {"manifest.stats": stats_format})
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {**os.environ, "PYTHONPATH": repo}
     n_writers, n_each = 4, 12

@@ -107,6 +107,24 @@ def test_property_flip_migrates_both_ways(spark, tmp_path):
     assert _file_stats(t) == before
 
 
+def test_sidecar_gc_removes_only_unreferenced(spark, tmp_path):
+    tp = _mk(spark, tmp_path / "t", {"manifest.stats": "parquet"})
+    meta = tp.manifest.meta_dir
+    # a crash between sidecar write and JSON swap leaves a stray
+    stray = os.path.join(meta, "filestats.v999.parquet")
+    open(stray, "wb").write(open(os.path.join(
+        meta, json.load(open(tp.manifest.status_path))["files_ref"]),
+        "rb").read())
+    before = {f for f in os.listdir(meta) if f.startswith("filestats.")}
+    assert tp.manifest.gc_stats_sidecars() == 1
+    after = {f for f in os.listdir(meta) if f.startswith("filestats.")}
+    assert before - after == {"filestats.v999.parquet"}
+    # every remaining version (incl. history/time travel) still loads
+    for v in tp.manifest.versions():
+        tp.manifest.load(v)
+    assert tp.manifest.row_count() == 200
+
+
 def test_parquet_stats_compaction_and_delete(spark, tmp_path):
     tp = _mk(spark, tmp_path / "t", {"manifest.stats": "parquet"})
     tp.compact("MINOR")
