@@ -196,6 +196,48 @@ def udf_text_match_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE text_match_with_limit('text:slow*', 25)")
 
 
+@query("table_fts_limit_ranked", oracle=r"""
+WITH tf AS (
+  SELECT doc_id, text, source,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t <> '')) AS dl,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t = 'vector')) AS tf0
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) AS sumdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+  FROM tf
+)
+SELECT doc_id FROM (
+  SELECT doc_id, text, source,
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+           * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n)))
+           AS score
+  FROM tf, stats
+  WHERE regexp_matches(text, '(^|\s)vector($|\s)')
+  ORDER BY score DESC, doc_id, text, source
+  LIMIT 12
+) t
+""")
+def table_fts_limit_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_match_with_limit returns the N highest-BM25 hits (Lucene
+    TopDocs semantics, LuceneFineGrainIndex.java:63-204) — the oracle
+    recomputes the same Lucene BM25Similarity score in SQL and must
+    select the SAME 12 documents. Tie-break = every table column, so
+    the surviving set is engine-deterministic."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_rk", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    return eng.sql(
+        "SELECT doc_id FROM documents "
+        "WHERE text_match_with_limit('text:vector', 12)")
+
+
 @query("udf_timeseries_rollup", oracle="""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
        (date_trunc('hour', ts) + INTERVAL ((minute(ts) // 15) * 15) MINUTE)

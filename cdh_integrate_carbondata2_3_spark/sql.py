@@ -20,6 +20,7 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog.table import Table
 from .mv.manager import AggSpec, MVManager, QuerySpec
@@ -692,7 +693,7 @@ class Engine:
         # MV rewrite fast path, then plain Spark SQL over views
         if (df := self._try_mv_rewrite(text)) is not None:
             return df
-        text, seg_scope, fts_preds = self._rewrite_udf_surface(text)
+        text, seg_scope, fts_preds, tm_limit = self._rewrite_udf_surface(text)
         # SET carbon.input.segments scopes (insegment() wins if both)
         for tname, segs in self._input_segments.items():
             seg_scope.setdefault(tname, segs)
@@ -710,7 +711,68 @@ class Engine:
                     t.read(predicates=fts_preds,
                            apply_predicates=False).createOrReplaceTempView(
                                ft.group(1))
+        if tm_limit:
+            self._build_tm_limited(*tm_limit)
         return self.spark.sql(text)
+
+    def _build_tm_limited(self, tbl: str, q: str, n: int) -> None:
+        """Materialize ``__tm_limited``: the top-``n`` rows of ``tbl``
+        matching Lucene-ish query ``q``, ordered by BM25 relevance —
+        TEXT_MATCH_WITH_LIMIT returns the N highest-SCORED hits in the
+        reference (Lucene TopDocs; lucene-index-guide.md). Scorable
+        terms = positive plain terms + phrase tokens (per field);
+        wildcard/fuzzy terms match but score 0 (Lucene's
+        constant-score rewrite, flattened). If nothing is scorable the
+        cut is an arbitrary N (previous behavior). Stats come from the
+        (possibly FTS-pruned) full view; the tiebreak orders by every
+        column so the surviving set is engine-deterministic."""
+        from .functions.text_rank import bm25_score
+        base = self.spark.table(tbl)
+        pred = F.expr(_lucene_to_sql(q))
+        by_field = self._scorable_terms(q)
+        if not by_field:
+            base.filter(pred).limit(n) \
+                .createOrReplaceTempView("__tm_limited")
+            return
+        scored, score_cols = base, []
+        for i, (field, terms) in enumerate(sorted(by_field.items())):
+            scored = bm25_score(scored, terms, text_col=field) \
+                .withColumnRenamed("bm25", f"__s{i}")
+            score_cols.append(f"__s{i}")
+        total = sum((F.col(c) for c in score_cols), F.lit(0.0))
+        (scored.filter(pred)
+               .withColumn("__score", total)
+               .orderBy(F.col("__score").desc(),
+                        *[F.col(c) for c in base.columns])
+               .limit(n)
+               .drop("__score", *score_cols)
+               .createOrReplaceTempView("__tm_limited"))
+
+    @staticmethod
+    def _scorable_terms(q: str) -> dict[str, list[str]]:
+        """field → BM25-scorable tokens of a text_match query: positive
+        (non-NOT) plain terms and quoted-phrase tokens; wildcard and
+        fuzzy terms contribute no score."""
+        try:
+            stashed, phrases = _stash_phrases(q.strip())
+        except ValueError:
+            return {}
+        out: dict[str, list[str]] = {}
+        for part in re.split(r"\s+(?:AND|OR)\s+", stashed,
+                             flags=re.IGNORECASE):
+            tok = part.strip()
+            if re.match(r"^NOT\s+", tok, flags=re.IGNORECASE):
+                continue
+            m = re.match(r"^([\w.]+):(\S+)$", tok)
+            if not m:
+                continue
+            field, pat = m.groups()
+            if pm := re.fullmatch(r"\x00(\d+)\x00(?:~\d*)?", pat):
+                out.setdefault(field, []).extend(
+                    phrases[int(pm.group(1))].split())
+            elif not any(c in pat for c in "*?~\x00"):
+                out.setdefault(field, []).append(pat)
+        return {f: ts for f, ts in out.items() if ts}
 
     def _rewrite_udf_surface(self, text: str) -> tuple[str, dict[str, list[int]]]:
         """Resolve the session-UDF surface textually before Spark parses:
@@ -721,6 +783,7 @@ class Engine:
         from .functions.timeseries import GRANULARITIES
         text = _strip_ni(text)
         fts_preds = self._fts_prune_predicates(text)
+        tm_limit: tuple[str, str, int] | None = None
         if "text_match_with_limit" in text.lower():
             m = _TEXT_MATCH_LIMIT_SOLE.search(text)
             if not m:
@@ -729,8 +792,13 @@ class Engine:
                     "(its limit-N cut is unsound combined with other "
                     "predicates)")
             tbl, q, n, tail = m.group(1), m.group(2), int(m.group(3)), m.group(4)
-            sub = (f"FROM (SELECT * FROM {tbl} WHERE {_lucene_to_sql(q)} "
-                   f"LIMIT {n}) {tbl} WHERE TRUE {tail or ''}")
+            # the limited set is built as a DataFrame AFTER views are
+            # (re)bound — sql() materializes __tm_limited ordered by
+            # BM25 relevance (Lucene returns the top-N SCORED hits,
+            # LuceneFineGrainIndex.java:63-204), falling back to an
+            # arbitrary-N cut when no term is scorable
+            tm_limit = (tbl, q, n)
+            sub = f"FROM __tm_limited {tbl} WHERE TRUE {tail or ''}"
             text = text[:m.start()] + sub + text[m.end():]
         text = _TEXT_MATCH_FN.sub(lambda m: _lucene_to_sql(m.group(1)), text)
 
@@ -752,7 +820,7 @@ class Engine:
                 seg_scope[ft.group(1)] = [
                     int(x) for x in m.group(1).replace(",", " ").split()]
                 text = _INSEGMENT_FN.sub("TRUE", text)
-        return text, seg_scope, fts_preds
+        return text, seg_scope, fts_preds, tm_limit
 
     def _fts_prune_predicates(self, text: str) -> list[tuple]:
         """If the query's single text_match() is a pure conjunction of

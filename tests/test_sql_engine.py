@@ -347,6 +347,27 @@ def test_text_match_with_limit(eng):
     n = eng.sql("SELECT COUNT(*) AS n FROM docs WHERE "
                 "text_match_with_limit('body:scan*', 2)").first()["n"]
     assert n == 2
+
+
+def test_text_match_with_limit_ranks_by_bm25(eng):
+    """The limit-N cut returns the N highest-BM25 hits (reference
+    Lucene TopDocs), not an arbitrary N."""
+    eng.sql("CREATE TABLE rdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO rdocs SELECT * FROM VALUES "
+            "(1,'scan scan scan'),"                 # tf=3, short
+            "(2,'scan walk walk walk walk walk'),"  # tf=1, long
+            "(3,'scan scan walk'),"                 # tf=2
+            "(4,'walk quick') t(id,body)")
+    rows = eng.sql("SELECT id FROM rdocs WHERE "
+                   "text_match_with_limit('body:scan', 2)").collect()
+    assert sorted(r["id"] for r in rows) == [1, 3]   # top-2 by score
+    rows = eng.sql("SELECT id FROM rdocs WHERE "
+                   "text_match_with_limit('body:scan', 1)").collect()
+    assert [r["id"] for r in rows] == [1]
+    # wildcard-only query: nothing scorable → plain N cut, count holds
+    rows = eng.sql("SELECT id FROM rdocs WHERE "
+                   "text_match_with_limit('body:sc*', 2)").collect()
+    assert len(rows) == 2
     # unsound composition must be rejected, not silently mis-limited
     with pytest.raises(ValueError, match="sole WHERE predicate"):
         eng.sql("SELECT id FROM docs WHERE "
