@@ -196,6 +196,34 @@ def udf_text_match_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE text_match_with_limit('text:slow*', 25)")
 
 
+@query("table_fts_boolean_group", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE ((regexp_matches(text, '(^|\s)slow($|\s)')
+        OR regexp_matches(text, '(^|\s)vector($|\s)'))
+       AND regexp_matches(text, '(^|\s)filter($|\s)'))
+   OR (regexp_matches(text, '(^|\s)batch($|\s)')
+       AND NOT regexp_matches(text, '(^|\s)fast($|\s)'))
+GROUP BY source
+""")
+def table_fts_boolean_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parenthesized boolean text_match — '(slow OR vector) AND filter
+    OR (batch AND NOT fast)' through the recursive group parser
+    (Lucene grouped BooleanQuery, LuceneFineGrainIndex.java:63-204;
+    sql.py _parse_group)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_bg", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('(text:slow OR text:vector) AND text:filter "
+        "OR (text:batch AND NOT text:fast)') "
+        "GROUP BY source")
+
+
 @query("table_fts_limit_ranked", oracle=r"""
 WITH tf AS (
   SELECT doc_id, text, source,

@@ -273,48 +273,135 @@ def _fuzzy_sql(field: str, term: str, edits: int) -> str:
             f"__t -> __t != '' AND levenshtein(__t, '{t}') <= {edits}))")
 
 
-def _lucene_to_sql(query: str) -> str:
-    """Translate a Lucene-ish text_match query ('field:term' terms with
-    * / ? wildcards, 'field:"exact phrase"' quoted phrases, joined by
-    AND/OR/NOT) into a whitespace-token RLIKE predicate — the documented
-    fallback for the reference's Lucene fine-grain index
-    (LuceneFineGrainIndex.java:204; scoring/fuzzy/slop out of scope,
-    SURVEY.md §2.11 — unsupported syntax raises, never silently
-    mis-parses). NOTE: AND binds tighter than OR in the emitted SQL
-    (Lucene's practical precedence for '+'-free queries)."""
-    stashed, phrases = _stash_phrases(query.strip())
-    parts = re.split(r"\s+(AND|OR)\s+", stashed, flags=re.IGNORECASE)
-    out: list[str] = []
-    for p in parts:
-        tok = p.strip()
-        if tok.upper() in ("AND", "OR"):
-            out.append(tok.upper())
-            continue
-        if neg := re.match(r"^NOT\s+", tok, flags=re.IGNORECASE):
-            out.append("NOT")
-            tok = tok[neg.end():]
-        m = re.match(r"^([\w.]+):(\S+)$", tok)
-        if not m:
-            raise ValueError(f"text_match: cannot parse term {tok!r}")
-        field, pat = m.groups()
-        if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
-            slop = int(pm.group(2)) if pm.group(2) else 0
-            rx = _phrase_regex(phrases[int(pm.group(1))], slop=slop)
-        elif "\x00" in pat:
-            raise ValueError(
-                f"text_match: cannot parse term {tok!r} (quoted phrases "
-                "must span the whole term value: field:\"a b\")")
-        elif fz := _parse_fuzzy(pat) if "~" in pat else None:
-            out.append(_fuzzy_sql(field, *fz))
-            continue
-        elif "~" in pat:
-            raise ValueError(
-                f"text_match: cannot parse fuzzy term {tok!r} "
-                "(expected term~ or term~N, N <= 2)")
+def _term_sql(tok: str, phrases: list[str]) -> str:
+    """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
+    phrases exact or sloppy; fuzzy via levenshtein HOF)."""
+    m = re.match(r"^([\w.]+):(\S+)$", tok)
+    if not m:
+        raise ValueError(f"text_match: cannot parse term {tok!r}")
+    field, pat = m.groups()
+    if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
+        slop = int(pm.group(2)) if pm.group(2) else 0
+        rx = _phrase_regex(phrases[int(pm.group(1))], slop=slop)
+    elif "\x00" in pat:
+        raise ValueError(
+            f"text_match: cannot parse term {tok!r} (quoted phrases "
+            "must span the whole term value: field:\"a b\")")
+    elif fz := _parse_fuzzy(pat) if "~" in pat else None:
+        return _fuzzy_sql(field, *fz)
+    elif "~" in pat:
+        raise ValueError(
+            f"text_match: cannot parse fuzzy term {tok!r} "
+            "(expected term~ or term~N, N <= 2)")
+    else:
+        rx = re.escape(pat).replace(r"\*", r"\\S*").replace(r"\?", r"\\S")
+    return f"({field} RLIKE '(^|\\\\s){rx}($|\\\\s)')"
+
+
+def _parse_group(toks: list[str], i: int, phrases: list[str]) -> tuple[str, int]:
+    """One parenthesis level: operands joined by AND/OR (explicit) or
+    adjacency (implicit OR — Lucene's default operator), with NOT as
+    strict boolean negation and +/- occur prefixes. When any +/- is
+    present the group combines as a Lucene BooleanQuery bag
+    (BooleanClause.Occur: all MUSTs AND no MUST_NOTs; SHOULDs only
+    required when no MUST exists); otherwise strict boolean with SQL's
+    native AND-over-OR precedence (round-3 behavior, unchanged)."""
+    items: list[tuple[str | None, str | None, str]] = []  # (conn, occur, sql)
+    while i < len(toks):
+        t = toks[i]
+        if t == ")":
+            break
+        conn = None
+        if t.upper() in ("AND", "OR"):
+            if not items:
+                raise ValueError(f"text_match: dangling {t.upper()}")
+            conn = t.upper()
+            i += 1
+            if i >= len(toks) or toks[i] == ")":
+                raise ValueError(f"text_match: dangling {conn}")
+            t = toks[i]
+        negated = False
+        occur = None
+        while True:
+            if t.upper() == "NOT":
+                negated = not negated
+            elif t in ("+", "-"):
+                occur = t
+            elif t.startswith("+") and len(t) > 1:
+                occur, t = "+", t[1:]
+                break
+            elif t.startswith("-") and len(t) > 1 and ":" in t:
+                occur, t = "-", t[1:]
+                break
+            else:
+                break
+            i += 1
+            if i >= len(toks) or toks[i] == ")":
+                raise ValueError("text_match: dangling NOT/+/-")
+            t = toks[i]
+        if t == "(":
+            sql, i = _parse_group(toks, i + 1, phrases)
+            if i >= len(toks) or toks[i] != ")":
+                raise ValueError("text_match: unbalanced parentheses")
+            i += 1
         else:
-            rx = re.escape(pat).replace(r"\*", r"\\S*").replace(r"\?", r"\\S")
-        out.append(f"({field} RLIKE '(^|\\\\s){rx}($|\\\\s)')")
-    return "(" + " ".join(out) + ")"
+            sql = _term_sql(t, phrases)
+            i += 1
+        if negated:
+            sql = f"NOT {sql}"
+        items.append((conn, occur, sql))
+    if not items:
+        raise ValueError("text_match: empty group")
+    if any(occ for _, occ, _ in items):
+        # BooleanQuery bag: explicit AND promotes both sides to MUST
+        must, must_not, should = [], [], []
+        for idx, (conn, occ, sql) in enumerate(items):
+            if occ == "-":
+                must_not.append(sql)
+            elif occ == "+" or conn == "AND" or (
+                    idx + 1 < len(items) and items[idx + 1][0] == "AND"
+                    and occ is None):
+                must.append(sql)
+            else:
+                should.append(sql)
+        if not must and not should:
+            raise ValueError(
+                "text_match: pure-negative query matches nothing (Lucene "
+                "BooleanQuery needs at least one positive clause)")
+        parts = []
+        if must:
+            parts.append(" AND ".join(must))
+        else:
+            parts.append("(" + " OR ".join(should) + ")")
+        parts.extend(f"NOT {s}" for s in must_not)
+        return "(" + " AND ".join(parts) + ")", i
+    out = []
+    for conn, _, sql in items:
+        if out:
+            out.append(conn or "OR")      # adjacency = Lucene default OR
+        out.append(sql)
+    return "(" + " ".join(out) + ")", i
+
+
+def _lucene_to_sql(query: str) -> str:
+    """Translate a Lucene-ish text_match query into a whitespace-token
+    RLIKE/levenshtein predicate — the exact-refine half of the
+    reference's Lucene fine-grain index (LuceneFineGrainIndex.java:
+    63-204). Supported: 'field:term' with * / ? wildcards, quoted
+    phrases (exact and '...'~N sloppy), fuzzy term~N, AND/OR/NOT,
+    parenthesized groups, implicit-OR adjacency, and +/- occur
+    prefixes (Lucene BooleanQuery bag semantics). Unsupported syntax
+    raises, never silently mis-parses. NOTE: with explicit operators,
+    AND binds tighter than OR in the emitted SQL (round-3 documented
+    precedence); transposition-as-one-edit (Damerau) is not applied
+    to fuzzy terms."""
+    stashed, phrases = _stash_phrases(query.strip())
+    toks = re.findall(r"\(|\)|[^\s()]+", stashed)
+    sql, i = _parse_group(toks, 0, phrases)
+    if i != len(toks):
+        raise ValueError(
+            f"text_match: unbalanced parentheses in {query!r}")
+    return sql
 
 
 def _parse_props(s: str | None) -> dict:

@@ -265,6 +265,42 @@ def test_text_match_phrase_and_or(eng):
         eng.sql("SELECT id FROM pdocs WHERE text_match('body:spa*k~1')")
 
 
+def test_text_match_grouping_and_occur(eng):
+    eng.sql("CREATE TABLE gdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO gdocs SELECT * FROM VALUES "
+            "(1,'spark scan fast'),(2,'fast walk'),(3,'spark walk'),"
+            "(4,'quick brown fox') t(id,body)")
+    # parenthesized grouping
+    rows = eng.sql("SELECT id FROM gdocs WHERE "
+                   "text_match('(body:scan OR body:walk) AND body:fast') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    # implicit adjacency = Lucene default OR
+    rows = eng.sql("SELECT id FROM gdocs WHERE "
+                   "text_match('body:scan body:quick') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 4]
+    # occur prefixes: +MUST, -MUST_NOT; plain terms optional when a
+    # MUST exists (Lucene BooleanQuery bag)
+    rows = eng.sql("SELECT id FROM gdocs WHERE "
+                   "text_match('+body:spark body:quick -body:scan') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [3]
+    # no MUST: at least one SHOULD must hit, minus the MUST_NOTs
+    rows = eng.sql("SELECT id FROM gdocs WHERE "
+                   "text_match('body:spark body:quick -body:scan') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [3, 4]
+    # NOT over a group
+    rows = eng.sql("SELECT id FROM gdocs WHERE "
+                   "text_match('NOT (body:spark OR body:quick)')").collect()
+    assert [r["id"] for r in rows] == [2]
+    # pure-negative raises (Lucene: matches nothing)
+    with pytest.raises(ValueError, match="pure-negative"):
+        eng.sql("SELECT id FROM gdocs WHERE text_match('-body:spark')")
+    with pytest.raises(ValueError, match="parenthes"):
+        eng.sql("SELECT id FROM gdocs WHERE text_match('(body:a OR body:b')")
+
+
 def test_text_match_fuzzy(eng):
     eng.sql("CREATE TABLE fdocs (id INT, body STRING)")
     eng.sql("INSERT INTO fdocs SELECT * FROM VALUES "
