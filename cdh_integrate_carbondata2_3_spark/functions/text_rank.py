@@ -39,12 +39,16 @@ def _tf(toks: Column, term: str) -> Column:
 
 
 def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
-               k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> DataFrame:
+               k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+               boosts: list[float] | None = None) -> DataFrame:
     """Append a ``bm25`` double column scoring ``text_col`` against the
     bag of ``terms``. Rows matching no term score 0.0 (kept — filter
-    downstream if Lucene match-only semantics are wanted)."""
+    downstream if Lucene match-only semantics are wanted). ``boosts``
+    scales each term's contribution (Lucene BoostQuery)."""
     if not terms:
         raise ValueError("bm25_score: need at least one query term")
+    if boosts is not None and len(boosts) != len(terms):
+        raise ValueError("bm25_score: boosts must pair 1:1 with terms")
     toks = _toks(F.col(text_col))
     tf_cols = [_tf(toks, t).alias(f"__tf{i}") for i, t in enumerate(terms)]
     with_tf = df.select("*", F.size(toks).alias("__dl"), *tf_cols)
@@ -63,6 +67,8 @@ def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
         idf = F.log(F.lit(1.0) + (n - dfreq + 0.5) / (dfreq + 0.5))
         part = idf * tf * (k1 + 1.0) / (
             tf + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl))
+        if boosts is not None and boosts[i] != 1.0:
+            part = part * F.lit(boosts[i])
         score = part if score is None else score + part
     drop = (["__dl", "__n", "__sumdl"]
             + [f"__tf{i}" for i in range(len(terms))]

@@ -273,13 +273,26 @@ def _fuzzy_sql(field: str, term: str, edits: int) -> str:
             f"__t -> __t != '' AND levenshtein(__t, '{t}') <= {edits}))")
 
 
+_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+
+def _strip_boost(pat: str) -> tuple[str, float]:
+    """Lucene boost suffix term^N: boosts scale BM25 scoring only —
+    matching is unaffected (BoostQuery wraps, never filters)."""
+    if m := _BOOST.search(pat):
+        return pat[:m.start()], float(m.group(1))
+    return pat, 1.0
+
+
 def _term_sql(tok: str, phrases: list[str]) -> str:
     """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
-    phrases exact or sloppy; fuzzy via levenshtein HOF)."""
+    phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
+    suffix is stripped — it only affects ranking)."""
     m = re.match(r"^([\w.]+):(\S+)$", tok)
     if not m:
         raise ValueError(f"text_match: cannot parse term {tok!r}")
     field, pat = m.groups()
+    pat, _ = _strip_boost(pat)
     if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
         slop = int(pm.group(2)) if pm.group(2) else 0
         rx = _phrase_regex(phrases[int(pm.group(1))], slop=slop)
@@ -823,7 +836,9 @@ class Engine:
             return
         scored, score_cols = base, []
         for i, (field, terms) in enumerate(sorted(by_field.items())):
-            scored = bm25_score(scored, terms, text_col=field) \
+            scored = bm25_score(scored, [t for t, _ in terms],
+                                boosts=[b for _, b in terms],
+                                text_col=field) \
                 .withColumnRenamed("bm25", f"__s{i}")
             score_cols.append(f"__s{i}")
         total = sum((F.col(c) for c in score_cols), F.lit(0.0))
@@ -836,29 +851,48 @@ class Engine:
                .createOrReplaceTempView("__tm_limited"))
 
     @staticmethod
-    def _scorable_terms(q: str) -> dict[str, list[str]]:
-        """field → BM25-scorable tokens of a text_match query: positive
-        (non-NOT) plain terms and quoted-phrase tokens; wildcard and
-        fuzzy terms contribute no score."""
+    def _scorable_terms(q: str) -> dict[str, list[tuple[str, float]]]:
+        """field → BM25-scorable (token, boost) pairs of a text_match
+        query: positive (non-NOT/-) plain terms and quoted-phrase
+        tokens, each with its Lucene ^boost (default 1.0); wildcard and
+        fuzzy terms contribute no score (constant-score rewrite,
+        flattened to 0)."""
         try:
             stashed, phrases = _stash_phrases(q.strip())
         except ValueError:
             return {}
-        out: dict[str, list[str]] = {}
-        for part in re.split(r"\s+(?:AND|OR)\s+", stashed,
-                             flags=re.IGNORECASE):
-            tok = part.strip()
-            if re.match(r"^NOT\s+", tok, flags=re.IGNORECASE):
+        toks = re.findall(r"\(|\)|[^\s()]+", stashed)
+        out: dict[str, list[tuple[str, float]]] = {}
+        i, skip_next = 0, False
+        while i < len(toks):
+            t = toks[i]
+            i += 1
+            if skip_next:
+                skip_next = False
+                if t == "(":            # NOT (group): skip whole group
+                    depth = 1
+                    while i < len(toks) and depth:
+                        depth += {"(": 1, ")": -1}.get(toks[i], 0)
+                        i += 1
                 continue
+            if t in ("(", ")") or t.upper() in ("AND", "OR") or t == "+":
+                continue
+            if t.upper() == "NOT" or t == "-":
+                skip_next = True
+                continue
+            if t.startswith("-") and len(t) > 1 and ":" in t:
+                continue                # MUST_NOT term: never scored
+            tok = t.lstrip("+")
             m = re.match(r"^([\w.]+):(\S+)$", tok)
             if not m:
                 continue
             field, pat = m.groups()
+            pat, boost = _strip_boost(pat)
             if pm := re.fullmatch(r"\x00(\d+)\x00(?:~\d*)?", pat):
                 out.setdefault(field, []).extend(
-                    phrases[int(pm.group(1))].split())
+                    (tk, boost) for tk in phrases[int(pm.group(1))].split())
             elif not any(c in pat for c in "*?~\x00"):
-                out.setdefault(field, []).append(pat)
+                out.setdefault(field, []).append((pat, boost))
         return {f: ts for f, ts in out.items() if ts}
 
     def _rewrite_udf_surface(self, text: str) -> tuple[str, dict[str, list[int]]]:

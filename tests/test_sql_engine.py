@@ -404,6 +404,15 @@ def test_text_match_with_limit_ranks_by_bm25(eng):
     rows = eng.sql("SELECT id FROM rdocs WHERE "
                    "text_match_with_limit('body:sc*', 2)").collect()
     assert len(rows) == 2
+    # ^boost flips the ranking (Lucene BoostQuery scales scoring only)
+    rows = eng.sql("SELECT id FROM rdocs WHERE "
+                   "text_match_with_limit('body:scan body:walk^10', 2)"
+                   ).collect()
+    assert sorted(r["id"] for r in rows) == [2, 4]   # walk-heavy docs win
+    # boost does not change the MATCH set
+    rows = eng.sql("SELECT id FROM rdocs WHERE "
+                   "text_match('body:scan^2') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
     # unsound composition must be rejected, not silently mis-limited
     with pytest.raises(ValueError, match="sole WHERE predicate"):
         eng.sql("SELECT id FROM docs WHERE "
