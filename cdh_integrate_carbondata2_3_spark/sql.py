@@ -973,6 +973,7 @@ class Engine:
             if not m:
                 return []
             field, pat = m.groups()
+            pat, _ = _strip_boost(pat)   # ^boost never affects matching
             if pm := re.fullmatch(r"\x00(\d+)\x00(?:~\d*)?", pat):
                 # phrase (sloppy or exact) → token string; pruning by
                 # token-postings intersection is sound for both: any

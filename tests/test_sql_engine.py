@@ -365,6 +365,14 @@ def test_fts_prune_predicate_shapes(eng):
     # sloppy phrase prunes by its tokens (sound: every token appears)
     assert f("SELECT * FROM t WHERE text_match('b:\"x y\"~2')") == \
         [("b", "text_match", ["x y"])]
+    # ^boost is stripped before the postings lookup (soundness: the
+    # caret is not part of the indexed token)
+    assert f("SELECT * FROM t WHERE text_match('b:x^2 AND b:z')") == \
+        [("b", "text_match", ["x", "z"])]
+    # parens / occur prefixes / adjacency → pruning declined (sound)
+    assert f("SELECT * FROM t WHERE text_match('(b:x OR b:y) AND b:z')") == []
+    assert f("SELECT * FROM t WHERE text_match('+b:x b:y')") == []
+    assert f("SELECT * FROM t WHERE text_match('b:x b:y')") == []
 
 
 def test_text_match_with_limit(eng):
