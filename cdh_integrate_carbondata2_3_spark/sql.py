@@ -965,10 +965,25 @@ class Engine:
             return []                   # parse error surfaces in rewrite
         if re.search(r"\bNOT\b", stashed, re.IGNORECASE):
             return []
-        has_or = bool(re.search(r"\bOR\b", stashed, re.IGNORECASE))
+        if "(" in stashed or ")" in stashed:
+            return []                   # grouped query: decline (sound)
+        # implicit adjacency is Lucene's default OR — union pruning is
+        # sound for ANY monotone formula of positive terms, so treat
+        # every non-AND connective (explicit OR or adjacency) as OR
+        raw_parts = [p for p in re.split(r"\s+", stashed) if p]
+        parts, conns, pending = [], [], None
+        for tok in raw_parts:
+            if tok.upper() in ("AND", "OR"):
+                pending = tok.upper()
+                continue
+            if tok.startswith(("+", "-")):
+                return []               # occur bag semantics: decline
+            conns.append(pending)
+            parts.append(tok)
+            pending = None
+        has_or = any(c != "AND" for c in conns[1:])
         by_field: dict[str, list[str]] = {}
-        for part in re.split(r"\s+(?:AND|OR)\s+", stashed,
-                             flags=re.IGNORECASE):
+        for part in parts:
             m = re.match(r"^([\w.]+):(\S+)$", part.strip())
             if not m:
                 return []

@@ -369,10 +369,16 @@ def test_fts_prune_predicate_shapes(eng):
     # caret is not part of the indexed token)
     assert f("SELECT * FROM t WHERE text_match('b:x^2 AND b:z')") == \
         [("b", "text_match", ["x", "z"])]
-    # parens / occur prefixes / adjacency → pruning declined (sound)
+    # parens / occur prefixes → pruning declined (sound)
     assert f("SELECT * FROM t WHERE text_match('(b:x OR b:y) AND b:z')") == []
     assert f("SELECT * FROM t WHERE text_match('+b:x b:y')") == []
-    assert f("SELECT * FROM t WHERE text_match('b:x b:y')") == []
+    # implicit adjacency = Lucene default OR → union pruning
+    assert f("SELECT * FROM t WHERE text_match('b:x b:y')") == \
+        [("b", "text_match_any", ["x", "y"])]
+    # adjacency mixed with AND is still a monotone positive formula —
+    # union over every term stays sound
+    assert f("SELECT * FROM t WHERE text_match('b:x AND b:y b:z')") == \
+        [("b", "text_match_any", ["x", "y", "z"])]
 
 
 def test_text_match_with_limit(eng):
