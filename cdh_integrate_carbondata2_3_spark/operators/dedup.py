@@ -134,6 +134,60 @@ def simhash_near_dups(tokens: DataFrame, id_col: str = "doc_id",
 
 # -------------------------------------------------- n-gram Jaccard
 
+def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *, n: int = 8,
+                     min_df: int = 2, key: str = "text") -> DataFrame:
+    """Per-document duplicated-span statistics — the distributed
+    adaptation of ExactSubstr deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": find
+    substrings repeated across documents and trim them; their suffix
+    array is single-machine, the Spark-idiomatic equivalent blocks on
+    word ``n``-gram shingles).
+
+    Returns (id, n_shingles, n_dup_shingles, dup_ratio): how many of a
+    document's overlapping n-token shingles also occur in at least
+    ``min_df - 1`` OTHER documents. ``dup_ratio`` ≈ the fraction of
+    the document inside cross-document duplicated spans — filter or
+    trim on it downstream.
+
+    ``key='hash'`` shuffles xxhash64(shingle) longs instead of shingle
+    strings (the 100 TB setting: 8 bytes/shingle on the wire instead
+    of ~50; collisions only ever OVER-count duplication, never drop
+    it). ``key='text'`` is exact and engine-portable (the oracle's
+    form). Shuffle shape: explode to (key, id) pairs, one groupBy for
+    document frequency, one broadcast-averse but narrow join back —
+    identical to the n-gram inverted index above, and the same df
+    math bounds the work."""
+    arr = F.split(F.trim(F.col(text_col)), " +")
+    # sequence(1, 0) would run DESCENDING in Spark — short docs (<n
+    # tokens) must produce an empty shingle list instead
+    idx = F.when(F.size(arr) >= n,
+                 F.sequence(F.lit(1), F.size(arr) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j)
+                                          for j in range(n)]))
+    per_doc = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    if key == "hash":
+        per_doc = per_doc.withColumn("g", F.xxhash64("g"))
+    # document frequency per shingle (distinct docs)
+    df_tbl = (per_doc.distinct()
+              .groupBy("g").agg(F.count(F.lit(1)).alias("df")))
+    dup = df_tbl.filter(F.col("df") >= min_df).select("g")
+    per_doc_stats = per_doc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    dup_stats = (per_doc.join(dup, "g")
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_dup_shingles")))
+    out = (per_doc_stats.join(dup_stats, id_col, "left")
+           .withColumn("n_dup_shingles",
+                       F.coalesce("n_dup_shingles", F.lit(0)))
+           .withColumn("dup_ratio",
+                       F.round(F.col("n_dup_shingles")
+                               / F.col("n_shingles"), 4).cast("double")))
+    return out
+
+
 def ngram_jaccard_near_dups(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", *, n: int = 2,
                             df_cap: int = 100,

@@ -360,3 +360,44 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign(corpus, centroids)
     return ivf_search(assigned, centroids, queries,
                       nprobe=_IVF_NPROBE, k=_IVF_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated spans (Lee et al. 2022): fraction of each
+# document inside cross-document repeated 8-token shingles.
+# ---------------------------------------------------------------------------
+
+@query("dedup_substring_spans", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS a FROM documents
+), shingles AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(a) - 7, 0) + 1),
+                i -> array_to_string(a[i:i+7], ' '))) AS g
+  FROM toks
+), dfreq AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS df FROM shingles GROUP BY g
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), dup AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup
+  FROM shingles s JOIN dfreq f ON s.g = f.g AND f.df >= 2
+  GROUP BY s.doc_id
+)
+SELECT p.doc_id,
+       p.n_shingles,
+       COALESCE(d.n_dup, 0) AS n_dup_shingles,
+       CAST(ROUND(COALESCE(d.n_dup, 0) * 1.0 / p.n_shingles, 4) AS DOUBLE)
+         AS dup_ratio
+FROM per_doc p LEFT JOIN dup d USING (doc_id)
+""")
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span stats via 8-token shingle blocking —
+    the distributed form of suffix-array ExactSubstr dedup (the paper's
+    single-machine suffix array becomes an explode + one df groupBy;
+    operators/dedup.duplicated_spans, key='hash' is the 100 TB wire
+    format, the gate runs key='text' so DuckDB reproduces it exactly)."""
+    from ..operators.dedup import duplicated_spans
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_spans(docs, "doc_id", "text", n=8, min_df=2,
+                            key="text")

@@ -198,3 +198,30 @@ def test_star_matches_label_propagation(spark):
            for r in connected_components(edges, algorithm="star").collect()}
     assert got == want == {(1, 1), (2, 1), (3, 1), (4, 1),
                            (5, 5), (6, 5), (7, 5), (9, 9)}
+
+
+def test_duplicated_spans(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+        duplicated_spans)
+    shared = "a b c d e f g h"                        # one shared 8-gram
+    docs = spark.createDataFrame(
+        [(1, shared + " x y z"),
+         (2, "p q r " + shared),
+         (3, "unique words only here nothing repeats at all"),
+         (4, "too short")],                           # < n tokens
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           duplicated_spans(docs, n=8, min_df=2).collect()}
+    # doc1: 4 shingles, 1 duplicated (the shared 8-gram)
+    assert got[1]["n_shingles"] == 4 and got[1]["n_dup_shingles"] == 1
+    assert got[2]["n_shingles"] == 4 and got[2]["n_dup_shingles"] == 1
+    assert got[3]["n_dup_shingles"] == 0 and got[3]["dup_ratio"] == 0.0
+    assert 4 not in got                               # short doc: no shingles
+    assert got[1]["dup_ratio"] == 0.25
+    # hash keying counts the same duplication (collision-free here)
+    goth = {r["doc_id"]: r for r in
+            duplicated_spans(docs, n=8, min_df=2, key="hash").collect()}
+    assert {k: (v["n_shingles"], v["n_dup_shingles"])
+            for k, v in got.items()} == \
+           {k: (v["n_shingles"], v["n_dup_shingles"])
+            for k, v in goth.items()}
