@@ -188,6 +188,50 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def trim_duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", *, n: int = 8,
+                          min_df: int = 2) -> DataFrame:
+    """Remove cross-document duplicated spans from each document — the
+    acting half of ExactSubstr dedup (Lee et al. 2022 trim the
+    repeated substring, keeping one context). A token is removed when
+    it falls inside ANY duplicated n-token shingle (a shingle whose
+    text occurs in ≥ ``min_df`` distinct documents).
+
+    Returns (id, n_tokens, n_removed, trimmed) with ``trimmed`` the
+    surviving tokens re-joined. Shuffle shape: the same (shingle, id)
+    explode + df groupBy as duplicated_spans, then ONE narrow join of
+    per-doc duplicated-position lists back to the documents; the
+    interval test runs as a nested higher-order function in codegen —
+    positions never explode back out."""
+    arr = F.split(F.trim(F.col(text_col)), " +")
+    idx = F.when(F.size(arr) >= n,
+                 F.sequence(F.lit(1), F.size(arr) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.struct(
+        i.alias("pos"),
+        F.concat_ws(" ", *[F.element_at(arr, i + j)
+                           for j in range(n)]).alias("g")))
+    ex = (docs.select(F.col(id_col), F.explode(sh).alias("s"))
+          .select(id_col, F.col("s.pos").alias("pos"),
+                  F.col("s.g").alias("g")))
+    dup_g = (ex.select(id_col, "g").distinct()
+             .groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") >= min_df).select("g"))
+    ps = (ex.join(dup_g, "g")
+          .groupBy(id_col).agg(F.collect_list("pos").alias("__ps")))
+    joined = (docs.join(ps, id_col, "left")
+              .withColumn("__ps", F.coalesce(
+                  "__ps", F.array().cast("array<int>"))))
+    covered = lambda i: F.exists(     # noqa: E731 — 1-based token index
+        F.col("__ps"), lambda p: (i >= p) & (i <= p + (n - 1)))
+    kept = F.filter(arr, lambda x, i0: ~covered(i0 + 1))
+    return (joined.select(
+        F.col(id_col),
+        F.size(arr).alias("n_tokens"),
+        (F.size(arr) - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("trimmed")))
+
+
 def ngram_jaccard_near_dups(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", *, n: int = 2,
                             df_cap: int = 100,

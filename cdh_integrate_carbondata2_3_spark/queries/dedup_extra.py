@@ -401,3 +401,45 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return duplicated_spans(docs, "doc_id", "text", n=8, min_df=2,
                             key="text")
+
+
+@query("dedup_substring_trim", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS a FROM documents
+), shingles AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(a) - 7, 0) + 1),
+                i -> {'pos': i, 'g': array_to_string(a[i:i+7], ' ')})) AS s
+  FROM toks
+), dupg AS (
+  SELECT g FROM (
+    SELECT s.g AS g, COUNT(DISTINCT doc_id) AS df FROM shingles GROUP BY 1
+  ) WHERE df >= 2
+), ps AS (
+  SELECT doc_id, list(s.pos) AS ps
+  FROM shingles WHERE s.g IN (SELECT g FROM dupg)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(a) AS n_tokens,
+       len(a) - len(kept) AS n_removed,
+       COALESCE(array_to_string(list_transform(kept, i -> a[i]), ' '), '')
+         AS trimmed
+FROM (
+  SELECT t.doc_id, t.a,
+         list_filter(range(1, len(t.a) + 1),
+                     i -> len(list_filter(COALESCE(p.ps, []),
+                                          q -> q <= i AND i <= q + 7)) = 0)
+           AS kept
+  FROM toks t LEFT JOIN ps p USING (doc_id)
+) t(doc_id, a, kept)
+""")
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr trimming: every token inside a cross-document
+    duplicated 8-token shingle is removed and the survivors re-joined
+    (Lee et al. 2022; operators/dedup.trim_duplicated_spans). The
+    oracle rebuilds the same interval cover with DuckDB nested list
+    lambdas and must produce byte-identical trimmed text."""
+    from ..operators.dedup import trim_duplicated_spans
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return trim_duplicated_spans(docs, "doc_id", "text", n=8, min_df=2)

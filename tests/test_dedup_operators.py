@@ -225,3 +225,24 @@ def test_duplicated_spans(spark):
             for k, v in got.items()} == \
            {k: (v["n_shingles"], v["n_dup_shingles"])
             for k, v in goth.items()}
+
+
+def test_trim_duplicated_spans(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+        trim_duplicated_spans)
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, "x y z " + shared + " q r"),
+         (2, shared + " different tail here"),
+         (3, "totally unique text with no repeats anywhere at all")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           trim_duplicated_spans(docs, n=8, min_df=2).collect()}
+    # doc1: tokens 4..11 covered → 'x y z q r' survives
+    assert got[1]["trimmed"] == "x y z q r"
+    assert got[1]["n_tokens"] == 13 and got[1]["n_removed"] == 8
+    # doc2: tokens 1..8 covered → tail survives
+    assert got[2]["trimmed"] == "different tail here"
+    # doc3 untouched
+    assert got[3]["n_removed"] == 0
+    assert got[3]["trimmed"] == docs.collect()[2]["text"]
