@@ -227,3 +227,68 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
                  F.sum("n_chars").cast("bigint").alias("sum_chars"),
                  F.min("doc_id").cast("bigint").alias("min_doc")))
+
+
+@query("sample_temperature_mix", oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), m AS (SELECT MIN(n_s) AS n_min FROM counts)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(MIN(d.doc_id) AS BIGINT) AS min_doc
+FROM documents d, counts c, m
+WHERE d.source = c.source
+  AND ({_W_U16_SQL}) * ({_W_U16_SQL}) * c.n_s < m.n_min * 4294967296
+GROUP BY d.source
+""")
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (mT5-style, alpha = 0.5):
+    p(keep | source s) = sqrt(n_min / n_s), so over-represented
+    sources are downsampled toward the rarest one. The sqrt never
+    materializes — the Bernoulli test is the integer comparison
+    u16^2 * n_s < n_min * 2^32, so both engines decide identically.
+    Shape at scale: one tiny per-source count agg broadcast back, then
+    a map-side filter — the corpus itself never shuffles."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    u16 = F.conv(F.substring(_id_hash(), 1, 4), 16, 10).cast("long")
+    return (d.join(F.broadcast(counts), "source")
+            .crossJoin(F.broadcast(n_min))
+            .filter(u16 * u16 * F.col("n_s")
+                    < F.col("n_min") * F.lit(4294967296))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+                 F.min("doc_id").cast("bigint").alias("min_doc")))
+
+
+_BUDGET_CHARS = 30_000
+
+
+@query("sample_token_budget", oracle=f"""
+SELECT doc_id, source, n_chars, cum_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(SUM(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS BIGINT)
+           AS cum_chars
+  FROM documents
+) t
+WHERE cum_chars <= {_BUDGET_CHARS}
+""")
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: per source, keep the longest
+    documents while the running character total stays within budget —
+    the 'fill each domain's token quota, best-first' step of a
+    training-mix builder (quality score would replace n_chars in
+    production; n_chars keeps the oracle exact). One shuffle by
+    source; integer cumulative sums, so the cut is engine-exact. A
+    skewed source partitions onto one task — mitigate with
+    operators/skew.py salting when a single domain dominates."""
+    d = _docs(spark, sf_dir)
+    w = (W.partitionBy("source")
+         .orderBy(F.desc("n_chars"), "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (d.select("doc_id", "source", "n_chars",
+                     F.sum("n_chars").over(w).alias("cum_chars"))
+            .filter(F.col("cum_chars") <= _BUDGET_CHARS))
