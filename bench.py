@@ -30,7 +30,7 @@ HEADLINE = (
     "text_pii_redact", "events_gap_fill", "embedding_quantize_int8",
     "text_pack_sequences", "agg_exact_quantiles", "similarity_kmeans_refine",
     # round 4 additions
-    "text_bm25_rank",
+    "text_bm25_rank", "dedup_substring_spans", "sample_temperature_mix",
 )
 
 
