@@ -275,3 +275,47 @@ def table_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_cust"),
                  F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
                   .cast("double").alias("sum_bal")))
+
+
+@query("table_parquet_stats_manifest", oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey < 3000
+GROUP BY o_orderpriority
+""")
+def table_parquet_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """manifest.stats='parquet' end-to-end: per-file stats live in the
+    columnar sidecar, the scan prunes through the VECTORIZED arrow
+    mask (Manifest.pruned_filestats — the distributed-index-server
+    answer, SCALE.md 'Driver metadata path'), and the pruned result
+    must equal plain SQL. Asserts the sidecar is really in charge:
+    raw tablestatus.json carries no per-file entries, and pruning
+    skips files."""
+    import json as _json
+    root = _scratch("pqstats", sf_dir)
+    t = Table.create(spark, os.path.join(root, "t"),
+                     "o_orderkey bigint, o_totalprice double, "
+                     "o_orderpriority string",
+                     {"sort_columns": ["o_orderkey"],
+                      "sort_scope": "global_sort",
+                      "global_sort_partitions": "8",
+                      "manifest.stats": "parquet"})
+    t.insert(spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .select("o_orderkey", F.col("o_totalprice").cast("double"),
+                     "o_orderpriority"))
+    raw = _json.load(open(t.manifest.status_path))
+    assert raw.get("files_ref", "").endswith(".parquet"), \
+        "stats sidecar not engaged"
+    assert all(s["files"] == [] for s in raw["segments"]), \
+        "per-file stats leaked into the JSON doc"
+    total = sum(len(v) for v in t.scan_files().values())
+    pruned = sum(len(v) for v in t.scan_files(
+        [("o_orderkey", "<", 3000)]).values())
+    assert pruned < total, "sidecar min/max produced no file skipping"
+    df = t.read([("o_orderkey", "<", 3000)])
+    return (df.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                  .cast("double").alias("sum_price")))
