@@ -282,7 +282,7 @@ SELECT o_orderpriority,
        COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
 FROM orders
-WHERE o_orderkey < 3000
+WHERE o_orderkey < (SELECT MAX(o_orderkey) // 5 FROM orders)
 GROUP BY o_orderpriority
 """)
 def table_parquet_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,11 +310,16 @@ def table_parquet_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stats sidecar not engaged"
     assert all(s["files"] == [] for s in raw["segments"]), \
         "per-file stats leaked into the JSON doc"
+    # sf-relative cutoff (sf0.001's key space never reaches a fixed
+    # 3000): bottom fifth of the key range — same integer expression
+    # as the oracle's subquery
+    cut = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .agg(F.max("o_orderkey")).first()[0]) // 5
     total = sum(len(v) for v in t.scan_files().values())
     pruned = sum(len(v) for v in t.scan_files(
-        [("o_orderkey", "<", 3000)]).values())
+        [("o_orderkey", "<", cut)]).values())
     assert pruned < total, "sidecar min/max produced no file skipping"
-    df = t.read([("o_orderkey", "<", 3000)])
+    df = t.read([("o_orderkey", "<", cut)])
     return (df.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
