@@ -158,7 +158,13 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
     document frequency, one broadcast-averse but narrow join back —
     identical to the n-gram inverted index above, and the same df
     math bounds the work."""
-    arr = F.split(F.trim(F.col(text_col)), " +")
+    # materialize the token array ONCE — element_at over an inline
+    # split() expression re-splits the whole text per access (8 splits
+    # per shingle), which measured ~30× slower at sf0.1
+    with_arr = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), " +").alias("__a"))
+    arr = F.col("__a")
     # sequence(1, 0) would run DESCENDING in Spark — short docs (<n
     # tokens) must produce an empty shingle list instead
     idx = F.when(F.size(arr) >= n,
@@ -167,7 +173,7 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j)
                                           for j in range(n)]))
-    per_doc = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    per_doc = with_arr.select(F.col(id_col), F.explode(grams).alias("g"))
     if key == "hash":
         per_doc = per_doc.withColumn("g", F.xxhash64("g"))
     # document frequency per shingle (distinct docs)
@@ -203,7 +209,12 @@ def trim_duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
     per-doc duplicated-position lists back to the documents; the
     interval test runs as a nested higher-order function in codegen —
     positions never explode back out."""
-    arr = F.split(F.trim(F.col(text_col)), " +")
+    # materialized token array (see duplicated_spans: inline split
+    # inside the lambda re-splits per element_at)
+    with_arr = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), " +").alias("__a"))
+    arr = F.col("__a")
     idx = F.when(F.size(arr) >= n,
                  F.sequence(F.lit(1), F.size(arr) - (n - 1))) \
         .otherwise(F.array().cast("array<int>"))
@@ -211,7 +222,7 @@ def trim_duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
         i.alias("pos"),
         F.concat_ws(" ", *[F.element_at(arr, i + j)
                            for j in range(n)]).alias("g")))
-    ex = (docs.select(F.col(id_col), F.explode(sh).alias("s"))
+    ex = (with_arr.select(F.col(id_col), F.explode(sh).alias("s"))
           .select(id_col, F.col("s.pos").alias("pos"),
                   F.col("s.g").alias("g")))
     dup_g = (ex.select(id_col, "g").distinct()
@@ -219,7 +230,7 @@ def trim_duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
              .filter(F.col("df") >= min_df).select("g"))
     ps = (ex.join(dup_g, "g")
           .groupBy(id_col).agg(F.collect_list("pos").alias("__ps")))
-    joined = (docs.join(ps, id_col, "left")
+    joined = (with_arr.join(ps, id_col, "left")
               .withColumn("__ps", F.coalesce(
                   "__ps", F.array().cast("array<int>"))))
     covered = lambda i: F.exists(     # noqa: E731 — 1-based token index
@@ -245,12 +256,18 @@ def ngram_jaccard_near_dups(docs: DataFrame, id_col: str = "doc_id",
     DISTINCT shingle arrays — one narrow join per side instead of
     re-joining the exploded shingle relation (two wide shuffles
     saved vs the relational formulation)."""
-    arr = F.split(F.trim(F.col(text_col)), " +")
+    with_arr = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), " +").alias("__a"))
+    arr = F.col("__a")
+    idx = F.when(F.size(arr) >= n,
+                 F.sequence(F.lit(1), F.size(arr) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
     grams_arr = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j)
-                                     for j in range(n)]))
-    per_doc = (docs.select(id_col, F.array_distinct(grams_arr).alias("gs"))
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j)
+                                          for j in range(n)]))
+    per_doc = (with_arr
+               .select(id_col, F.array_distinct(grams_arr).alias("gs"))
                .cache())
     grams = per_doc.select(id_col, F.explode("gs").alias("g"))
     rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
