@@ -139,11 +139,20 @@ class IndexManager:
             raise FileExistsError(f"index {name} exists")
         self._build_bloom(name, columns, m_bits, k)
 
-    def create_fts_index(self, name: str, columns: list[str]) -> None:
-        """CREATE INDEX name ON table (columns) AS 'lucene'."""
+    def create_fts_index(self, name: str, columns: list[str],
+                         analyzer: str = "whitespace") -> None:
+        """CREATE INDEX name ON table (columns) AS 'lucene'
+        [PROPERTIES('analyzer'='standard')]. ``whitespace`` =
+        case-sensitive whitespace tokens (round-3 behavior);
+        ``standard`` = lowercase + whitespace, the practical core of
+        Lucene's StandardAnalyzer (reference lucene-index-guide.md;
+        stemming/stop-words remain out of scope)."""
         if os.path.exists(_meta_path(self.table.table_dir, name)):
             raise FileExistsError(f"index {name} exists")
-        self._build_fts(name, columns)
+        if analyzer not in ("whitespace", "standard"):
+            raise ValueError(f"unsupported analyzer {analyzer!r} "
+                             "(whitespace | standard)")
+        self._build_fts(name, columns, analyzer)
 
     def refresh(self, name: str) -> None:
         """REFRESH INDEX — rebuild to cover all current segments."""
@@ -151,7 +160,8 @@ class IndexManager:
         if meta["type"] == "si":
             self._build_si(name, meta["columns"])
         elif meta["type"] == "fts":
-            self._build_fts(name, meta["columns"])
+            self._build_fts(name, meta["columns"],
+                            meta.get("analyzer", "whitespace"))
         else:
             self._build_bloom(name, meta["columns"], meta["m_bits"], meta["k"])
 
@@ -181,8 +191,11 @@ class IndexManager:
             if f.startswith("index_") and f.endswith(".json"):
                 with open(os.path.join(meta_dir, f)) as fh:
                     m = json.load(fh)
-                out.append({k: m[k] for k in ("name", "type", "columns",
-                                              "watermark_segment")})
+                row = {k: m[k] for k in ("name", "type", "columns",
+                                         "watermark_segment")}
+                if "analyzer" in m:
+                    row["analyzer"] = m["analyzer"]
+                out.append(row)
         return out
 
     # -------------------------------------------------------------- build
@@ -210,11 +223,13 @@ class IndexManager:
         self._save_meta({"name": name, "type": "si", "columns": columns,
                          "watermark_segment": wm})
 
-    def _build_fts(self, name: str, columns: list[str]) -> None:
+    def _build_fts(self, name: str, columns: list[str],
+                   analyzer: str = "whitespace") -> None:
         """Token→file inverted postings: whitespace tokens (the same
-        tokenization the text_match RLIKE refinement uses), distinct per
-        file, sorted by (col, tok) so the postings parquet itself prunes
-        by row-group min/max on lookup."""
+        tokenization the text_match RLIKE refinement uses; lowercased
+        first under the 'standard' analyzer), distinct per file, sorted
+        by (col, tok) so the postings parquet itself prunes by
+        row-group min/max on lookup."""
         wm = self._watermark()
         idx_dir = _index_dir(self.table.table_dir, name)
         shutil.rmtree(idx_dir, ignore_errors=True)
@@ -223,17 +238,19 @@ class IndexManager:
                 .withColumn("_file", F.expr("replace(_file, 'file://', '')")))
         posts = None
         for col in columns:
+            src = F.col(col).cast("string")
+            if analyzer == "standard":
+                src = F.lower(src)
             p = (base.select(
                     F.lit(col).alias("col"),
-                    F.explode(F.split(F.col(col).cast("string"),
-                                      r"\s+")).alias("tok"),
+                    F.explode(F.split(src, r"\s+")).alias("tok"),
                     "_file")
                  .filter(F.col("tok") != ""))
             posts = p if posts is None else posts.unionByName(p)
         (posts.distinct().sort("col", "tok")
          .coalesce(1).write.mode("overwrite").parquet(idx_dir))
         self._save_meta({"name": name, "type": "fts", "columns": columns,
-                         "watermark_segment": wm})
+                         "analyzer": analyzer, "watermark_segment": wm})
 
     def _build_bloom(self, name: str, columns: list[str],
                      m_bits: int, k: int) -> None:
@@ -370,6 +387,10 @@ class IndexManager:
         idx_dir = _index_dir(self.table.table_dir, meta["name"])
         t = pq.read_table(idx_dir, columns=["tok", "_file"],
                           filters=[("col", "=", col)])
+        if meta.get("analyzer") == "standard":
+            # postings are lowercased — normalize query terms the same
+            # way (wildcard/fuzzy markers are ASCII and survive lower())
+            terms = [tm.lower() for tm in terms]
 
         def _all_files() -> set[str]:
             return {os.path.abspath(self.table._abs(f.path))

@@ -224,6 +224,33 @@ def table_fts_boolean_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+@query("table_fts_standard_analyzer", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE regexp_matches(lower(text), '(^|\s)slow($|\s)')
+  AND regexp_matches(lower(text), '(^|\s)filter($|\s)')
+GROUP BY source
+""")
+def table_fts_standard_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'standard' analyzer (lowercase + whitespace — Lucene
+    StandardAnalyzer core): text_match('text:SLOW AND text:Filter')
+    matches case-insensitively because the index PROPERTIES select the
+    analyzer; postings store lowercased tokens, queries compile
+    against lower(text) (catalog/index.py, sql.py _term_sql)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_an", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX fan ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='standard')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:SLOW AND text:Filter') "
+        "GROUP BY source")
+
+
 @query("table_fts_limit_ranked", oracle=r"""
 WITH tf AS (
   SELECT doc_id, text, source,

@@ -262,12 +262,15 @@ def _parse_fuzzy(pat: str) -> tuple[str, int] | None:
     return base, edits
 
 
-def _fuzzy_sql(field: str, term: str, edits: int) -> str:
+def _fuzzy_sql(field: str, term: str, edits: int,
+               lowercase: bool = False) -> str:
     """Token-level fuzzy match as a JVM-side higher-order function:
     some whitespace token of ``field`` is within ``edits`` Levenshtein
     edits of ``term`` (Lucene FuzzyQuery semantics on a whitespace
     analyzer; reference lucene-index-guide.md fuzzy queries). Stays in
     whole-stage codegen — no Python UDF."""
+    if lowercase:
+        field, term = f"lower({field})", term.lower()
     t = term.replace("'", "''")
     return (f"(exists(split({field}, '\\\\s+'), "
             f"__t -> __t != '' AND levenshtein(__t, '{t}') <= {edits}))")
@@ -284,10 +287,13 @@ def _strip_boost(pat: str) -> tuple[str, float]:
     return pat, 1.0
 
 
-def _term_sql(tok: str, phrases: list[str]) -> str:
+def _term_sql(tok: str, phrases: list[str],
+              lowercase: bool = False) -> str:
     """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
     phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
-    suffix is stripped — it only affects ranking)."""
+    suffix is stripped — it only affects ranking). ``lowercase``
+    compiles against lower(field) with lowercased patterns — the
+    'standard' analyzer (catalog/index.py create_fts_index)."""
     m = re.match(r"^([\w.]+):(\S+)$", tok)
     if not m:
         raise ValueError(f"text_match: cannot parse term {tok!r}")
@@ -295,23 +301,32 @@ def _term_sql(tok: str, phrases: list[str]) -> str:
     pat, _ = _strip_boost(pat)
     if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
         slop = int(pm.group(2)) if pm.group(2) else 0
-        rx = _phrase_regex(phrases[int(pm.group(1))], slop=slop)
+        phrase = phrases[int(pm.group(1))]
+        # lowercase the TOKENS, never the built regex (that would
+        # corrupt \S escapes)
+        rx = _phrase_regex(phrase.lower() if lowercase else phrase,
+                           slop=slop)
     elif "\x00" in pat:
         raise ValueError(
             f"text_match: cannot parse term {tok!r} (quoted phrases "
             "must span the whole term value: field:\"a b\")")
     elif fz := _parse_fuzzy(pat) if "~" in pat else None:
-        return _fuzzy_sql(field, *fz)
+        return _fuzzy_sql(field, *fz, lowercase=lowercase)
     elif "~" in pat:
         raise ValueError(
             f"text_match: cannot parse fuzzy term {tok!r} "
             "(expected term~ or term~N, N <= 2)")
     else:
+        if lowercase:
+            pat = pat.lower()
         rx = re.escape(pat).replace(r"\*", r"\\S*").replace(r"\?", r"\\S")
+    if lowercase:
+        field = f"lower({field})"
     return f"({field} RLIKE '(^|\\\\s){rx}($|\\\\s)')"
 
 
-def _parse_group(toks: list[str], i: int, phrases: list[str]) -> tuple[str, int]:
+def _parse_group(toks: list[str], i: int, phrases: list[str],
+                 lowercase: bool = False) -> tuple[str, int]:
     """One parenthesis level: operands joined by AND/OR (explicit) or
     adjacency (implicit OR — Lucene's default operator), with NOT as
     strict boolean negation and +/- occur prefixes. When any +/- is
@@ -353,12 +368,12 @@ def _parse_group(toks: list[str], i: int, phrases: list[str]) -> tuple[str, int]
                 raise ValueError("text_match: dangling NOT/+/-")
             t = toks[i]
         if t == "(":
-            sql, i = _parse_group(toks, i + 1, phrases)
+            sql, i = _parse_group(toks, i + 1, phrases, lowercase)
             if i >= len(toks) or toks[i] != ")":
                 raise ValueError("text_match: unbalanced parentheses")
             i += 1
         else:
-            sql = _term_sql(t, phrases)
+            sql = _term_sql(t, phrases, lowercase)
             i += 1
         if negated:
             sql = f"NOT {sql}"
@@ -396,7 +411,7 @@ def _parse_group(toks: list[str], i: int, phrases: list[str]) -> tuple[str, int]
     return "(" + " ".join(out) + ")", i
 
 
-def _lucene_to_sql(query: str) -> str:
+def _lucene_to_sql(query: str, lowercase: bool = False) -> str:
     """Translate a Lucene-ish text_match query into a whitespace-token
     RLIKE/levenshtein predicate — the exact-refine half of the
     reference's Lucene fine-grain index (LuceneFineGrainIndex.java:
@@ -410,7 +425,7 @@ def _lucene_to_sql(query: str) -> str:
     to fuzzy terms."""
     stashed, phrases = _stash_phrases(query.strip())
     toks = re.findall(r"\(|\)|[^\s()]+", stashed)
-    sql, i = _parse_group(toks, 0, phrases)
+    sql, i = _parse_group(toks, 0, phrases, lowercase)
     if i != len(toks):
         raise ValueError(
             f"text_match: unbalanced parentheses in {query!r}")
@@ -663,7 +678,10 @@ class Engine:
             elif kind == "bloomfilter":
                 t.indexes.create_bloom_index(m.group(1), cols)
             elif kind == "lucene":
-                t.indexes.create_fts_index(m.group(1), cols)
+                props = _parse_props(m.group(5))
+                t.indexes.create_fts_index(
+                    m.group(1), cols,
+                    analyzer=props.get("analyzer", "whitespace"))
             elif kind == "ivf":
                 # CREATE INDEX v ON TABLE t (id_col, vec_col) AS 'ivf'
                 if len(cols) != 2:
@@ -815,7 +833,19 @@ class Engine:
             self._build_tm_limited(*tm_limit)
         return self.spark.sql(text)
 
-    def _build_tm_limited(self, tbl: str, q: str, n: int) -> None:
+    def _fts_analyzer_is_standard(self, text: str) -> bool:
+        ft = _FROM_TABLE.search(text)
+        if not (ft and ft.group(1) in self.tables()):
+            return False
+        try:
+            metas = self.table(ft.group(1)).indexes.show()
+        except FileNotFoundError:
+            return False
+        return any(m["type"] == "fts"
+                   and m.get("analyzer") == "standard" for m in metas)
+
+    def _build_tm_limited(self, tbl: str, q: str, n: int,
+                          lc: bool = False) -> None:
         """Materialize ``__tm_limited``: the top-``n`` rows of ``tbl``
         matching Lucene-ish query ``q``, ordered by BM25 relevance —
         TEXT_MATCH_WITH_LIMIT returns the N highest-SCORED hits in the
@@ -828,7 +858,7 @@ class Engine:
         column so the surviving set is engine-deterministic."""
         from .functions.text_rank import bm25_score
         base = self.spark.table(tbl)
-        pred = F.expr(_lucene_to_sql(q))
+        pred = F.expr(_lucene_to_sql(q, lowercase=lc))
         by_field = self._scorable_terms(q)
         if not by_field:
             base.filter(pred).limit(n) \
@@ -904,7 +934,12 @@ class Engine:
         from .functions.timeseries import GRANULARITIES
         text = _strip_ni(text)
         fts_preds = self._fts_prune_predicates(text)
-        tm_limit: tuple[str, str, int] | None = None
+        # 'standard' analyzer on the queried table's FTS index →
+        # text_match compiles case-insensitively (lowercased field and
+        # patterns), matching what the postings store
+        lc = ("text_match" in text.lower()
+              and self._fts_analyzer_is_standard(text))
+        tm_limit: tuple[str, str, int, bool] | None = None
         if "text_match_with_limit" in text.lower():
             m = _TEXT_MATCH_LIMIT_SOLE.search(text)
             if not m:
@@ -918,10 +953,11 @@ class Engine:
             # BM25 relevance (Lucene returns the top-N SCORED hits,
             # LuceneFineGrainIndex.java:63-204), falling back to an
             # arbitrary-N cut when no term is scorable
-            tm_limit = (tbl, q, n)
+            tm_limit = (tbl, q, n, lc)
             sub = f"FROM __tm_limited {tbl} WHERE TRUE {tail or ''}"
             text = text[:m.start()] + sub + text[m.end():]
-        text = _TEXT_MATCH_FN.sub(lambda m: _lucene_to_sql(m.group(1)), text)
+        text = _TEXT_MATCH_FN.sub(
+            lambda m: _lucene_to_sql(m.group(1), lowercase=lc), text)
 
         def _ts(m: re.Match) -> str:
             from .functions.timeseries import _MINUTE_BUCKETS

@@ -301,6 +301,41 @@ def test_text_match_grouping_and_occur(eng):
         eng.sql("SELECT id FROM gdocs WHERE text_match('(body:a OR body:b')")
 
 
+def test_text_match_standard_analyzer(eng):
+    """PROPERTIES('analyzer'='standard'): lowercase+whitespace analysis
+    — queries match case-insensitively and the postings store
+    lowercased tokens (Lucene StandardAnalyzer core behavior)."""
+    eng.sql("CREATE TABLE adocs (id INT, body STRING)")
+    eng.sql("INSERT INTO adocs SELECT * FROM VALUES "
+            "(1,'Spark SCAN Fast'),(2,'spark walk'),(3,'WALK quick'),"
+            "(4,'nothing here') t(id,body)")
+    eng.sql("CREATE INDEX aidx ON TABLE adocs (body) AS 'lucene' "
+            "PROPERTIES('analyzer'='standard')")
+    rows = eng.sql("SELECT id FROM adocs WHERE text_match('body:SPARK') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    # phrase, wildcard, fuzzy all case-insensitive
+    rows = eng.sql("SELECT id FROM adocs WHERE "
+                   "text_match('body:\"spark scan\"')").collect()
+    assert [r["id"] for r in rows] == [1]
+    rows = eng.sql("SELECT id FROM adocs WHERE text_match('body:Wal*') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [2, 3]
+    rows = eng.sql("SELECT id FROM adocs WHERE text_match('body:SPORK~1') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    # the postings prune still engages: absent term → zero files → 0 rows
+    rows = eng.sql("SELECT id FROM adocs WHERE "
+                   "text_match('body:zzznope')").collect()
+    assert rows == []
+    # without the property, matching stays case-sensitive
+    eng.sql("CREATE TABLE cdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO cdocs SELECT * FROM VALUES "
+            "(1,'Spark fast') t(id,body)")
+    assert eng.sql("SELECT id FROM cdocs WHERE "
+                   "text_match('body:spark')").collect() == []
+
+
 def test_text_match_fuzzy(eng):
     eng.sql("CREATE TABLE fdocs (id INT, body STRING)")
     eng.sql("INSERT INTO fdocs SELECT * FROM VALUES "
