@@ -925,12 +925,13 @@ class Engine:
                 out.setdefault(field, []).append((pat, boost))
         return {f: ts for f, ts in out.items() if ts}
 
-    def _rewrite_udf_surface(self, text: str) -> tuple[str, dict[str, list[int]]]:
+    def _rewrite_udf_surface(self, text: str):
         """Resolve the session-UDF surface textually before Spark parses:
         NI() unwrap, timeseries() -> date_trunc (MVFunctions.scala:28-32),
         text_match() -> RLIKE fallback, insegment() -> segment-scoped view
         (CarbonEnv.scala:100-103). All rewrites keep the expression
-        JVM-side — no Python UDF in the query plan."""
+        JVM-side — no Python UDF in the query plan. Returns
+        (text, segment_scope, fts_prune_predicates, tm_limit)."""
         from .functions.timeseries import GRANULARITIES
         text = _strip_ni(text)
         fts_preds = self._fts_prune_predicates(text)
