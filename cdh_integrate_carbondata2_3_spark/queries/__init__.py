@@ -36,12 +36,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-4 window plan: every query is stamped green somewhere in
-# CORRECTNESS_r01-r03, so the 50 driver slots go to keeping stamps
-# FRESH — brand-new queries first, then the queries with the OLDEST
-# stamp (r1-only, i.e. not re-verified since round 1), then
-# r2-stamped queries whose code paths changed this round (min_by
-# argmin, text_match parser, manifest cache), then other r2 rows.
+# Round-4 window plan: every prior query is stamped green somewhere
+# in CORRECTNESS_r01-r03, so the 50 driver slots go to (1) the
+# queries ADDED this round (never stamped — FTS fuzzy/sloppy/boolean/
+# analyzer/BM25/ranked-limit, ExactSubstr spans+trim, temperature/
+# token-budget sampling, parquet-stats manifest — they sort first
+# automatically because they appear in neither list below), then
+# (2) stamps kept FRESH — oldest first (r1-only), then r2 rows whose
+# code paths changed this round (min_by argmin, text_match parser,
+# manifest cache), then other r2 rows.
 _ROTATE_BACK_IN: tuple[str, ...] = (
     # oldest stamps: green in r1 only (24)
     "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",

@@ -224,6 +224,31 @@ def table_fts_boolean_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+@query("table_fts_range_term", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE len(list_filter(string_split_regex(trim(text), ' +'),
+          t -> t <> '' AND t >= 'slow' AND t < 'spark')) > 0
+GROUP BY source
+""")
+def table_fts_range_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene TermRangeQuery through the SQL surface:
+    text_match('text:[slow TO spark}') keeps documents with ANY token
+    lexicographically in [slow, spark) — classic string-ordered range
+    semantics (sql.py _range_sql; numeric point ranges out of scope,
+    pruning declines soundly on range terms)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_rg", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:[slow TO spark}') "
+        "GROUP BY source")
+
+
 @query("table_fts_standard_analyzer", oracle=r"""
 SELECT source, COUNT(*) AS n_docs
 FROM documents

@@ -221,6 +221,37 @@ def _stash_phrases(query: str) -> tuple[str, list[str]]:
     return stashed, phrases
 
 
+def _stash_ranges(stashed: str) -> tuple[str, list[tuple]]:
+    """Replace Lucene range terms [a TO b] / {a TO b} with \\x01N\\x01
+    placeholders (brackets/space would otherwise confuse the
+    whitespace tokenizer). Mixed brackets ([a TO b} etc.) follow
+    Lucene: each end's inclusivity is its own bracket."""
+    ranges: list[tuple] = []
+
+    def _stash(m: re.Match) -> str:
+        ranges.append((m.group(2), m.group(3),
+                       m.group(1) == "[", m.group(4) == "]"))
+        return f"\x01{len(ranges) - 1}\x01"
+
+    out = re.sub(r"([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])", _stash, stashed)
+    return out, ranges
+
+
+def _range_sql(field: str, lo: str, hi: str, lo_inc: bool, hi_inc: bool,
+               lowercase: bool = False) -> str:
+    """Token-level range term: some whitespace token of ``field`` is
+    lexicographically within [lo, hi] — classic Lucene TermRangeQuery
+    semantics (string ordering; numeric point ranges are out of
+    scope). Compiles to a JVM-side higher-order predicate."""
+    if lowercase:
+        field, lo, hi = f"lower({field})", lo.lower(), hi.lower()
+    lo, hi = lo.replace("'", "''"), hi.replace("'", "''")
+    lo_op, hi_op = (">=" if lo_inc else ">"), ("<=" if hi_inc else "<")
+    return (f"(exists(split({field}, '\\\\s+'), "
+            f"__t -> __t != '' AND __t {lo_op} '{lo}' "
+            f"AND __t {hi_op} '{hi}'))")
+
+
 def _phrase_regex(phrase: str, slop: int = 0) -> str:
     """Whitespace-token phrase → regex: tokens in order, separated by
     runs of whitespace (wildcards are literal inside phrases, as in
@@ -287,7 +318,7 @@ def _strip_boost(pat: str) -> tuple[str, float]:
     return pat, 1.0
 
 
-def _term_sql(tok: str, phrases: list[str],
+def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
               lowercase: bool = False) -> str:
     """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
     phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
@@ -299,6 +330,13 @@ def _term_sql(tok: str, phrases: list[str],
         raise ValueError(f"text_match: cannot parse term {tok!r}")
     field, pat = m.groups()
     pat, _ = _strip_boost(pat)
+    if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
+        return _range_sql(field, *ranges[int(rm.group(1))],
+                          lowercase=lowercase)
+    if "\x01" in pat:
+        raise ValueError(
+            f"text_match: cannot parse range term (expected "
+            f"field:[a TO b] or field:{{a TO b}})")
     if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
         slop = int(pm.group(2)) if pm.group(2) else 0
         phrase = phrases[int(pm.group(1))]
@@ -326,6 +364,7 @@ def _term_sql(tok: str, phrases: list[str],
 
 
 def _parse_group(toks: list[str], i: int, phrases: list[str],
+                 ranges: list[tuple] | None = None,
                  lowercase: bool = False) -> tuple[str, int]:
     """One parenthesis level: operands joined by AND/OR (explicit) or
     adjacency (implicit OR — Lucene's default operator), with NOT as
@@ -368,12 +407,12 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
                 raise ValueError("text_match: dangling NOT/+/-")
             t = toks[i]
         if t == "(":
-            sql, i = _parse_group(toks, i + 1, phrases, lowercase)
+            sql, i = _parse_group(toks, i + 1, phrases, ranges, lowercase)
             if i >= len(toks) or toks[i] != ")":
                 raise ValueError("text_match: unbalanced parentheses")
             i += 1
         else:
-            sql = _term_sql(t, phrases, lowercase)
+            sql = _term_sql(t, phrases, ranges or [], lowercase)
             i += 1
         if negated:
             sql = f"NOT {sql}"
@@ -424,8 +463,9 @@ def _lucene_to_sql(query: str, lowercase: bool = False) -> str:
     precedence); transposition-as-one-edit (Damerau) is not applied
     to fuzzy terms."""
     stashed, phrases = _stash_phrases(query.strip())
+    stashed, ranges = _stash_ranges(stashed)
     toks = re.findall(r"\(|\)|[^\s()]+", stashed)
-    sql, i = _parse_group(toks, 0, phrases, lowercase)
+    sql, i = _parse_group(toks, 0, phrases, ranges, lowercase)
     if i != len(toks):
         raise ValueError(
             f"text_match: unbalanced parentheses in {query!r}")
@@ -891,6 +931,7 @@ class Engine:
             stashed, phrases = _stash_phrases(q.strip())
         except ValueError:
             return {}
+        stashed, _ranges = _stash_ranges(stashed)
         toks = re.findall(r"\(|\)|[^\s()]+", stashed)
         out: dict[str, list[tuple[str, float]]] = {}
         i, skip_next = 0, False
@@ -921,7 +962,7 @@ class Engine:
             if pm := re.fullmatch(r"\x00(\d+)\x00(?:~\d*)?", pat):
                 out.setdefault(field, []).extend(
                     (tk, boost) for tk in phrases[int(pm.group(1))].split())
-            elif not any(c in pat for c in "*?~\x00"):
+            elif not any(c in pat for c in "*?~\x00\x01"):
                 out.setdefault(field, []).append((pat, boost))
         return {f: ts for f, ts in out.items() if ts}
 
@@ -1004,6 +1045,8 @@ class Engine:
             return []
         if "(" in stashed or ")" in stashed:
             return []                   # grouped query: decline (sound)
+        if re.search(r"[\[{]\S+\s+TO\s+\S+[\]}]", stashed):
+            return []                   # range term: decline (sound)
         # implicit adjacency is Lucene's default OR — union pruning is
         # sound for ANY monotone formula of positive terms, so treat
         # every non-AND connective (explicit OR or adjacency) as OR

@@ -301,6 +301,33 @@ def test_text_match_grouping_and_occur(eng):
         eng.sql("SELECT id FROM gdocs WHERE text_match('(body:a OR body:b')")
 
 
+def test_text_match_range_terms(eng):
+    """Lucene TermRangeQuery: field:[a TO b] inclusive, {a TO b}
+    exclusive, mixed brackets per end; lexicographic token order."""
+    eng.sql("CREATE TABLE rgdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO rgdocs SELECT * FROM VALUES "
+            "(1,'apple pie'),(2,'banana split'),(3,'cherry cake'),"
+            "(4,'zebra stripes') t(id,body)")
+    rows = eng.sql("SELECT id FROM rgdocs WHERE "
+                   "text_match('body:[banana TO cherry]') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [2, 3]
+    # exclusive both ends
+    rows = eng.sql("SELECT id FROM rgdocs WHERE "
+                   "text_match('body:{banana TO cherry}') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [3]    # 'cake' in (banana, cherry)
+    # mixed: include lo, exclude hi
+    rows = eng.sql("SELECT id FROM rgdocs WHERE "
+                   "text_match('body:[banana TO cherry}') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [2, 3]
+    # composes with other terms
+    rows = eng.sql("SELECT id FROM rgdocs WHERE "
+                   "text_match('body:[a TO b] AND body:pie')").collect()
+    assert [r["id"] for r in rows] == [1]
+
+
 def test_text_match_standard_analyzer(eng):
     """PROPERTIES('analyzer'='standard'): lowercase+whitespace analysis
     — queries match case-insensitively and the postings store
