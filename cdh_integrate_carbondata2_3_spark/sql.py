@@ -237,6 +237,34 @@ def _stash_ranges(stashed: str) -> tuple[str, list[tuple]]:
     return out, ranges
 
 
+def _stash_regexes(stashed: str) -> tuple[str, list[str]]:
+    """Replace Lucene regexp terms field:/re/ with \x02N\x02
+    placeholders BEFORE tokenizing (the pattern may contain parens or
+    operators). Only a '/' directly after the field colon opens a
+    regexp, so URL-ish terms (field:http://x) pass through."""
+    regexes: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        regexes.append(m.group(1))
+        return f"\x02{len(regexes) - 1}\x02"
+
+    out = re.sub(r"(?<=:)/((?:[^/\\]|\\.)+)/", _stash, stashed)
+    return out, regexes
+
+
+def _regex_sql(field: str, pattern: str, lowercase: bool = False) -> str:
+    """Lucene RegexpQuery analogue: some whitespace token matches the
+    regex WHOLLY (Lucene anchors regexps to the full term). The
+    dialect is Java regex (Spark RLIKE), a documented delta from
+    Lucene's own operators (~, interval syntax). Under the 'standard'
+    analyzer tokens are lowercased; the pattern is applied as given."""
+    if lowercase:
+        field = f"lower({field})"
+    pat = pattern.replace("\\", "\\\\").replace("'", "''")
+    return (f"(exists(split({field}, '\\\\s+'), "
+            f"__t -> __t != '' AND __t RLIKE '^(?:{pat})$'))")
+
+
 def _range_sql(field: str, lo: str, hi: str, lo_inc: bool, hi_inc: bool,
                lowercase: bool = False) -> str:
     """Token-level range term: some whitespace token of ``field`` is
@@ -319,7 +347,7 @@ def _strip_boost(pat: str) -> tuple[str, float]:
 
 
 def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
-              lowercase: bool = False) -> str:
+              regexes: list[str], lowercase: bool = False) -> str:
     """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
     phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
     suffix is stripped — it only affects ranking). ``lowercase``
@@ -333,6 +361,12 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
     if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
         return _range_sql(field, *ranges[int(rm.group(1))],
                           lowercase=lowercase)
+    if xm := re.fullmatch(r"\x02(\d+)\x02", pat):
+        return _regex_sql(field, regexes[int(xm.group(1))],
+                          lowercase=lowercase)
+    if "\x02" in pat:
+        raise ValueError(
+            "text_match: cannot parse regexp term (expected field:/re/)")
     if "\x01" in pat:
         raise ValueError(
             f"text_match: cannot parse range term (expected "
@@ -365,6 +399,7 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
 
 def _parse_group(toks: list[str], i: int, phrases: list[str],
                  ranges: list[tuple] | None = None,
+                 regexes: list[str] | None = None,
                  lowercase: bool = False) -> tuple[str, int]:
     """One parenthesis level: operands joined by AND/OR (explicit) or
     adjacency (implicit OR — Lucene's default operator), with NOT as
@@ -407,12 +442,14 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
                 raise ValueError("text_match: dangling NOT/+/-")
             t = toks[i]
         if t == "(":
-            sql, i = _parse_group(toks, i + 1, phrases, ranges, lowercase)
+            sql, i = _parse_group(toks, i + 1, phrases, ranges, regexes,
+                                  lowercase)
             if i >= len(toks) or toks[i] != ")":
                 raise ValueError("text_match: unbalanced parentheses")
             i += 1
         else:
-            sql = _term_sql(t, phrases, ranges or [], lowercase)
+            sql = _term_sql(t, phrases, ranges or [], regexes or [],
+                            lowercase)
             i += 1
         if negated:
             sql = f"NOT {sql}"
@@ -463,9 +500,10 @@ def _lucene_to_sql(query: str, lowercase: bool = False) -> str:
     precedence); transposition-as-one-edit (Damerau) is not applied
     to fuzzy terms."""
     stashed, phrases = _stash_phrases(query.strip())
+    stashed, regexes = _stash_regexes(stashed)
     stashed, ranges = _stash_ranges(stashed)
     toks = re.findall(r"\(|\)|[^\s()]+", stashed)
-    sql, i = _parse_group(toks, 0, phrases, ranges, lowercase)
+    sql, i = _parse_group(toks, 0, phrases, ranges, regexes, lowercase)
     if i != len(toks):
         raise ValueError(
             f"text_match: unbalanced parentheses in {query!r}")
@@ -931,6 +969,7 @@ class Engine:
             stashed, phrases = _stash_phrases(q.strip())
         except ValueError:
             return {}
+        stashed, _rx = _stash_regexes(stashed)
         stashed, _ranges = _stash_ranges(stashed)
         toks = re.findall(r"\(|\)|[^\s()]+", stashed)
         out: dict[str, list[tuple[str, float]]] = {}
@@ -962,7 +1001,7 @@ class Engine:
             if pm := re.fullmatch(r"\x00(\d+)\x00(?:~\d*)?", pat):
                 out.setdefault(field, []).extend(
                     (tk, boost) for tk in phrases[int(pm.group(1))].split())
-            elif not any(c in pat for c in "*?~\x00\x01"):
+            elif not any(c in pat for c in "*?~\x00\x01\x02"):
                 out.setdefault(field, []).append((pat, boost))
         return {f: ts for f, ts in out.items() if ts}
 
@@ -1047,6 +1086,8 @@ class Engine:
             return []                   # grouped query: decline (sound)
         if re.search(r"[\[{]\S+\s+TO\s+\S+[\]}]", stashed):
             return []                   # range term: decline (sound)
+        if re.search(r"(?<=:)/", stashed):
+            return []                   # regexp term: decline (sound)
         # implicit adjacency is Lucene's default OR — union pruning is
         # sound for ANY monotone formula of positive terms, so treat
         # every non-AND connective (explicit OR or adjacency) as OR

@@ -328,6 +328,25 @@ def test_text_match_range_terms(eng):
     assert [r["id"] for r in rows] == [1]
 
 
+def test_text_match_regexp_terms(eng):
+    """Lucene RegexpQuery: field:/re/ matches whole tokens against the
+    regex (Java dialect via RLIKE)."""
+    eng.sql("CREATE TABLE xdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO xdocs SELECT * FROM VALUES "
+            "(1,'slow scan'),(2,'slowed down'),(3,'sled ride'),"
+            "(4,'fast lane') t(id,body)")
+    rows = eng.sql("SELECT id FROM xdocs WHERE "
+                   "text_match('body:/sl(ow|ed)/') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 3]     # whole-token anchor
+    rows = eng.sql("SELECT id FROM xdocs WHERE "
+                   "text_match('body:/slow(ed)?/') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    # composes; a URL-ish term is NOT a regexp
+    rows = eng.sql("SELECT id FROM xdocs WHERE "
+                   "text_match('body:/sl.*/ AND body:ride')").collect()
+    assert [r["id"] for r in rows] == [3]
+
+
 def test_text_match_standard_analyzer(eng):
     """PROPERTIES('analyzer'='standard'): lowercase+whitespace analysis
     — queries match case-insensitively and the postings store
