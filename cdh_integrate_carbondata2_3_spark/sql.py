@@ -493,9 +493,12 @@ def _lucene_to_sql(query: str, lowercase: bool = False) -> str:
     reference's Lucene fine-grain index (LuceneFineGrainIndex.java:
     63-204). Supported: 'field:term' with * / ? wildcards, quoted
     phrases (exact and '...'~N sloppy), fuzzy term~N, AND/OR/NOT,
-    parenthesized groups, implicit-OR adjacency, and +/- occur
-    prefixes (Lucene BooleanQuery bag semantics). Unsupported syntax
-    raises, never silently mis-parses. NOTE: with explicit operators,
+    parenthesized groups, implicit-OR adjacency, +/- occur prefixes
+    (Lucene BooleanQuery bag semantics), ^boosts (ranking only),
+    [a TO b] / {a TO b} term ranges, and /re/ regexp terms. The
+    'standard' analyzer property compiles everything
+    case-insensitively. Unsupported syntax raises, never silently
+    mis-parses. NOTE: with explicit operators,
     AND binds tighter than OR in the emitted SQL (round-3 documented
     precedence); transposition-as-one-edit (Damerau) is not applied
     to fuzzy terms."""
