@@ -938,7 +938,13 @@ class Engine:
         (possibly FTS-pruned) full view; the tiebreak orders by every
         column so the surviving set is engine-deterministic."""
         from .functions.text_rank import bm25_score
-        base = self.spark.table(tbl)
+        # the FTS-pruned view rebind (sql()) drops files with no
+        # candidate docs — fine for matching, WRONG for corpus stats:
+        # Lucene's N/df/avgdl come from the whole index. Score and
+        # filter over the UNPRUNED table (ranked-limit queries trade
+        # file skipping for correct global statistics).
+        base = (self.table(tbl).read() if tbl in self.tables()
+                else self.spark.table(tbl))
         pred = F.expr(_lucene_to_sql(q, lowercase=lc))
         by_field = self._scorable_terms(q)
         if not by_field:

@@ -669,3 +669,23 @@ def test_rename_table(eng):
     eng.sql("ALTER TABLE src RENAME TO dst")
     assert "src" not in eng.tables() and "dst" in eng.tables()
     assert eng.sql("SELECT count(*) AS n FROM dst").collect()[0]["n"] == 4
+
+
+def test_tm_limit_stats_unaffected_by_fts_pruning(eng):
+    """Ranked text_match_with_limit must compute BM25 stats over the
+    WHOLE corpus even when an FTS index prunes the scan (Lucene
+    N/df/avgdl come from the full index)."""
+    eng.sql("CREATE TABLE ldocs (id INT, body STRING)")
+    eng.sql("INSERT INTO ldocs SELECT * FROM VALUES "
+            "(1,'scan scan scan'),(2,'scan walk walk walk walk walk') "
+            "t(id,body)")
+    eng.sql("INSERT INTO ldocs SELECT * FROM VALUES "
+            "(3,'scan scan walk'),(4,'walk quick') t(id,body)")
+    before = [r["id"] for r in eng.sql(
+        "SELECT id FROM ldocs WHERE "
+        "text_match_with_limit('body:scan', 2)").collect()]
+    eng.sql("CREATE INDEX lidx ON TABLE ldocs (body) AS 'lucene'")
+    after = [r["id"] for r in eng.sql(
+        "SELECT id FROM ldocs WHERE "
+        "text_match_with_limit('body:scan', 2)").collect()]
+    assert sorted(before) == sorted(after) == [1, 3]
