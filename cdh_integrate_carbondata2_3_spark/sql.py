@@ -539,6 +539,8 @@ class Engine:
         self.streams = StreamManager(spark)
         # SET carbon.input.segments scopes (table → segment ids)
         self._input_segments: dict[str, list[int]] = {}
+        # view-registration stat keys (skip re-register while unchanged)
+        self._view_keys: dict[str, tuple] = {}
 
     # --------------------------------------------------------------- catalog
 
@@ -555,8 +557,19 @@ class Engine:
                                            "tablestatus.json")))
 
     def _register_views(self) -> None:
+        """(Re)register one temp view per table — skipped while the
+        table's manifest is unchanged (stat key), so per-query driver
+        overhead doesn't scale with warehouse size × file count."""
         for name in self.tables():
-            self.table(name).read().createOrReplaceTempView(name)
+            t = self.table(name)
+            try:
+                key = t.manifest._stat_key()
+            except OSError:
+                key = None
+            if key is not None and self._view_keys.get(name) == key:
+                continue
+            t.read().createOrReplaceTempView(name)
+            self._view_keys[name] = key
 
     def _df(self, rows: list[tuple], schema: str) -> DataFrame:
         return self.spark.createDataFrame(rows, schema)
@@ -899,6 +912,7 @@ class Engine:
         self._register_views()
         for tname, segs in seg_scope.items():
             self.table(tname).read(segments=segs).createOrReplaceTempView(tname)
+            self._view_keys.pop(tname, None)   # scoped view: re-register next
         if fts_preds:
             # rebind the queried table through the FTS candidate file set
             # (files not containing every required token are skipped)
@@ -910,6 +924,7 @@ class Engine:
                     t.read(predicates=fts_preds,
                            apply_predicates=False).createOrReplaceTempView(
                                ft.group(1))
+                    self._view_keys.pop(ft.group(1), None)
         if tm_limit:
             self._build_tm_limited(*tm_limit)
         return self.spark.sql(text)
