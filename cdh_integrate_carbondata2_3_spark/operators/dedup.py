@@ -85,6 +85,29 @@ def simhash_signatures(tokens: DataFrame, id_col: str = "doc_id",
     return sums.select(id_col, pack.cast("bigint").alias("sim"))
 
 
+def simhash_signature_col(toks: Column, bits: int = 32) -> Column:
+    """Per-ROW SimHash over a token-array column — no explode, no
+    groupBy, so it is legal in a streaming query before a stateful
+    operator (aggregations would need a watermark there). Same bit
+    scheme as simhash_signatures (sign of summed ±1 md5-bit
+    contributions over the distinct token set); keep ``bits`` ≤ 32 —
+    the expression carries one array-aggregate per bit."""
+    if not 1 <= bits <= 32:
+        raise ValueError("bits must be in 1..32 for the per-row form")
+    d = F.array_distinct(toks)
+    sig = None
+    for j in range(bits):
+        s = F.aggregate(
+            d, F.lit(0),
+            lambda acc, t: acc + (
+                F.shiftright(
+                    F.conv(F.substring(F.md5(t), j // 4 + 1, 1), 16, 10)
+                    .cast("int"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1))
+        term = F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig.cast("bigint")
+
+
 def simhash_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
                        bits: int = 64, bands: int = 4) -> DataFrame:
     """Candidate pairs whose signatures agree on ≥1 of ``bands`` bands

@@ -83,3 +83,87 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
     return (events.groupBy("user_id")
             .applyInPandasWithState(fn, OUT_SCHEMA, STATE_SCHEMA, "append",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# ---------------------------------------------------------------- near-dup
+# Streaming near-duplicate candidate detection: banded SimHash LSH with
+# per-bucket state. The batch dedup family (operators/dedup.py) needs
+# the whole corpus; a streaming ingest pipeline wants candidates AS
+# DOCUMENTS ARRIVE, across micro-batch boundaries — per-(band, value)
+# state keeps the bucket's recent members, so a new document is
+# compared only against its own buckets (the same occupancy math as
+# batch: 2^(bits/bands) buckets per band bounds the verify fan-out).
+
+_ND_OUT = ("band int, id_a bigint, id_b bigint, hamming int")
+_ND_STATE = "ids string, sigs string"
+
+
+def near_dup_candidate_stream(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", *, bits: int = 32,
+                              bands: int = 4, max_kept: int = 256,
+                              idle_timeout_ms: int = 3_600_000) -> DataFrame:
+    """docs stream (id, text) → (band, id_a, id_b, hamming) candidate
+    pairs, emitted the moment the second member of a pair arrives —
+    including across micro-batches (bucket state persists in the
+    checkpoint). ``max_kept`` caps per-bucket state FIFO (the
+    occupancy knob: a hot bucket degrades to comparing against the
+    most recent members instead of blowing up state); idle buckets
+    expire after ``idle_timeout_ms``. The same pair may surface from
+    several bands — consumers dedup on (least, greatest) downstream,
+    exactly like the batch banded join's ``.distinct()``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import simhash_signature_col
+
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    w = bits // bands
+    toks = F.filter(F.split(F.trim(F.col(text_col)), " +"),
+                    lambda t: t != F.lit(""))
+    sig = simhash_signature_col(toks, bits)
+    banded = (docs
+              .select(F.col(id_col).alias("doc_id"), sig.alias("sim"))
+              .select("doc_id", "sim", F.explode(F.array(*[
+                  F.struct(
+                      F.lit(b).alias("band"),
+                      F.shiftrightunsigned(F.col("sim"), w * b)
+                       .bitwiseAND(F.lit((1 << w) - 1)).alias("bv"))
+                  for b in range(bands)])).alias("bk"))
+              .select("doc_id", "sim", F.col("bk.band").alias("band"),
+                      F.col("bk.bv").alias("bv")))
+
+    def fn(key, pdfs, state: GroupState):
+        band = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        sigs: list[int] = []
+        if state.exists:
+            s_ids, s_sigs = state.get
+            if s_ids:
+                ids = [int(x) for x in s_ids.split(",")]
+                sigs = [int(x) for x in s_sigs.split(",")]
+        out_rows = []
+        for pdf in pdfs:
+            for did, sim in zip(pdf["doc_id"], pdf["sim"]):
+                did, sim = int(did), int(sim)
+                for prev_id, prev_sig in zip(ids, sigs):
+                    if prev_id == did:
+                        continue
+                    out_rows.append((band, min(prev_id, did),
+                                     max(prev_id, did),
+                                     bin(prev_sig ^ sim).count("1")))
+                ids.append(did)
+                sigs.append(sim)
+        if len(ids) > max_kept:          # FIFO occupancy cap
+            ids, sigs = ids[-max_kept:], sigs[-max_kept:]
+        state.update((",".join(map(str, ids)), ",".join(map(str, sigs))))
+        state.setTimeoutDuration(idle_timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows,
+                               columns=["band", "id_a", "id_b", "hamming"])
+
+    return (banded.groupBy("band", "bv")
+            .applyInPandasWithState(fn, _ND_OUT, _ND_STATE, "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))

@@ -246,3 +246,23 @@ def test_trim_duplicated_spans(spark):
     # doc3 untouched
     assert got[3]["n_removed"] == 0
     assert got[3]["trimmed"] == docs.collect()[2]["text"]
+
+
+def test_simhash_signature_col_matches_grouped(spark):
+    """The per-row signature (streaming form) equals the groupBy
+    signature for the same bit width."""
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+        simhash_signature_col, simhash_signatures)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"),
+         (3, "alpha beta gamma")],
+        "doc_id bigint, text string")
+    toks = F.filter(F.split(F.trim("text"), " +"), lambda t: t != F.lit(""))
+    per_row = {r["doc_id"]: r["sig"] for r in docs.select(
+        "doc_id", simhash_signature_col(toks, 32).alias("sig")).collect()}
+    grouped = {r["doc_id"]: r["sim"] for r in simhash_signatures(
+        docs.select("doc_id", F.explode(toks).alias("tok")),
+        bits=32).collect()}
+    assert per_row == grouped
+    assert per_row[1] == per_row[3] != per_row[2]

@@ -82,3 +82,41 @@ def test_sessionize_multiple_users_and_sessions(spark, tmp_path):
         assert s["session_end"].isoformat() == "2024-01-01T00:00:30"
     finally:
         q.stop()
+
+
+def test_near_dup_candidate_stream(spark, tmp_path):
+    """Streaming banded-LSH near-dup: a duplicate pair is emitted the
+    moment its second member arrives — including when the two members
+    land in DIFFERENT micro-batches (bucket state persists)."""
+    from cdh_integrate_carbondata2_3_spark.streaming.stateful import (
+        near_dup_candidate_stream)
+    out_rows: list = []
+    src = tmp_path / "docs"
+    src.mkdir()
+    stream = (spark.readStream.format("json")
+              .schema("doc_id bigint, text string")
+              .load(str(src)))
+    q = (near_dup_candidate_stream(stream, idle_timeout_ms=600_000)
+         .writeStream.foreachBatch(
+             lambda df, _: out_rows.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        dup = "alpha beta gamma delta epsilon zeta"
+        (src / "b1.json").write_text("\n".join([
+            json.dumps({"doc_id": 1, "text": dup}),
+            json.dumps({"doc_id": 2, "text": "totally different words"}),
+        ]))
+        time.sleep(10)
+        assert out_rows == []             # nothing similar yet
+
+        # second batch: an exact copy of doc 1 → candidate across batches
+        (src / "b2.json").write_text(json.dumps(
+            {"doc_id": 3, "text": dup}) + "\n")
+        _wait_rows(out_rows, 1)
+        pairs = {(r["id_a"], r["id_b"]) for r in out_rows}
+        assert (1, 3) in pairs
+        assert all(r["hamming"] == 0 for r in out_rows
+                   if (r["id_a"], r["id_b"]) == (1, 3))
+        assert (1, 2) not in pairs and (2, 3) not in pairs
+    finally:
+        q.stop()
