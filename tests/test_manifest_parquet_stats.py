@@ -133,3 +133,22 @@ def test_parquet_stats_compaction_and_delete(spark, tmp_path):
     from cdh_integrate_carbondata2_3_spark.operators.dml import delete_rows
     delete_rows(tp, "id >= 150")
     assert tp.read().count() == 150
+
+
+def test_parquet_stats_with_schema_evolution(spark, tmp_path):
+    """Era defaults / rename lineage are orthogonal to stats storage —
+    they must keep working when per-file stats live in the sidecar."""
+    tp = _mk(spark, tmp_path / "t", {"manifest.stats": "parquet"})
+    tp.add_column("tag", "string", default="none")
+    tp.insert(spark.createDataFrame(
+        [(900, "x", 1.0, "real")], "id bigint, grp string, val double, "
+        "tag string"))
+    got = tp.read()
+    assert got.count() == 201
+    assert got.filter("tag = 'none'").count() == 200   # era default fills
+    tp.rename_column("tag", "label")
+    assert tp.read().filter("label = 'real'").count() == 1
+    # pruning still engages on the sidecar after evolution commits
+    kept = sum(len(v) for v in tp.scan_files([("id", "=", 900)]).values())
+    total = sum(len(v) for v in tp.scan_files(None).values())
+    assert 0 < kept < total
