@@ -373,20 +373,29 @@ class Manifest:
         """Remove filestats sidecars referenced by NO manifest version
         (crash leftovers from a commit that died between sidecar write
         and JSON swap). History-referenced sidecars stay — time travel
-        reads them. Called from CLEAN FILES."""
-        refs = {self.load(_attach=False).get("files_ref")}
-        for v in self.versions():
-            try:
-                refs.add(self.load(v, _attach=False).get("files_ref"))
-            except FileNotFoundError:  # pragma: no cover
-                pass
-        n = 0
-        for f in os.listdir(self.meta_dir):
-            if (f.startswith("filestats.") and f.endswith(".parquet")
-                    and f not in refs):
-                os.unlink(os.path.join(self.meta_dir, f))
-                n += 1
-        return n
+        reads them. Called from CLEAN FILES.
+
+        Runs UNDER the writer lock: a concurrent committer writes its
+        sidecar BEFORE swapping the JSON, so an unlocked gc could
+        snapshot refs, then delete the other writer's just-written
+        (about-to-be-referenced) sidecar — bricking that commit. The
+        lock serializes gc with _write, and refs are computed inside
+        it, so any sidecar we delete can never become referenced."""
+        with ManifestLock(self.meta_dir):
+            refs = {self.load(_attach=False,
+                              _use_cache=False).get("files_ref")}
+            for v in self.versions():
+                try:
+                    refs.add(self.load(v, _attach=False).get("files_ref"))
+                except FileNotFoundError:  # pragma: no cover
+                    pass
+            n = 0
+            for f in os.listdir(self.meta_dir):
+                if (f.startswith("filestats.") and f.endswith(".parquet")
+                        and f not in refs):
+                    os.unlink(os.path.join(self.meta_dir, f))
+                    n += 1
+            return n
 
     def queryable_segment_meta(
             self, segment_ids: list[int] | None = None,

@@ -28,19 +28,23 @@ K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
 
-def _toks(text: Column) -> Column:
-    """Whitespace analyzer: lowercase, split, drop empties (mirrors the
-    oracle's string_split_regex + list_filter)."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+def _toks(text: Column, casefold: bool = True) -> Column:
+    """Analyzer: split on whitespace, drop empties; ``casefold``
+    lowercases first (the 'standard' analyzer / the oracle's
+    lower+string_split_regex form)."""
+    src = F.lower(text) if casefold else text
+    return F.filter(F.split(src, r"\s+"), lambda t: t != F.lit(""))
 
 
-def _tf(toks: Column, term: str) -> Column:
-    return F.size(F.filter(toks, lambda t: t == F.lit(term.lower())))
+def _tf(toks: Column, term: str, casefold: bool = True) -> Column:
+    t0 = term.lower() if casefold else term
+    return F.size(F.filter(toks, lambda t: t == F.lit(t0)))
 
 
 def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
                k1: float = K1_DEFAULT, b: float = B_DEFAULT,
-               boosts: list[float] | None = None) -> DataFrame:
+               boosts: list[float] | None = None,
+               casefold: bool = True) -> DataFrame:
     """Append a ``bm25`` double column scoring ``text_col`` against the
     bag of ``terms``. Rows matching no term score 0.0 (kept — filter
     downstream if Lucene match-only semantics are wanted). ``boosts``
@@ -49,8 +53,9 @@ def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
         raise ValueError("bm25_score: need at least one query term")
     if boosts is not None and len(boosts) != len(terms):
         raise ValueError("bm25_score: boosts must pair 1:1 with terms")
-    toks = _toks(F.col(text_col))
-    tf_cols = [_tf(toks, t).alias(f"__tf{i}") for i, t in enumerate(terms)]
+    toks = _toks(F.col(text_col), casefold)
+    tf_cols = [_tf(toks, t, casefold).alias(f"__tf{i}")
+               for i, t in enumerate(terms)]
     with_tf = df.select("*", F.size(toks).alias("__dl"), *tf_cols)
     stats = with_tf.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -95,14 +95,17 @@ def simhash_signature_col(toks: Column, bits: int = 32) -> Column:
     if not 1 <= bits <= 32:
         raise ValueError("bits must be in 1..32 for the per-row form")
     d = F.array_distinct(toks)
+
+    def _contrib(j: int):
+        # closure, not a default arg: pyspark treats a 3-parameter
+        # lambda as the (acc, x, i) aggregate form
+        return lambda acc, t: acc + (
+            F.shiftright(_hexval(_md5(t), j // 4), j % 4)
+            .bitwiseAND(F.lit(1)) * 2 - 1)
+
     sig = None
     for j in range(bits):
-        s = F.aggregate(
-            d, F.lit(0),
-            lambda acc, t: acc + (
-                F.shiftright(
-                    F.conv(F.substring(F.md5(t), j // 4 + 1, 1), 16, 10)
-                    .cast("int"), j % 4).bitwiseAND(F.lit(1)) * 2 - 1))
+        s = F.aggregate(d, F.lit(0), _contrib(j))
         term = F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sig.cast("bigint")

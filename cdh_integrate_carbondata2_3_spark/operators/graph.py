@@ -84,7 +84,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             # (the old shape was eager-checkpoint + join+count = two
             # jobs and an extra shuffle per round)
             new_labels = new_labels.localCheckpoint(eager=False)
-        changed = new_labels.agg(F.sum("_chg")).first()[0]
+        # SUM over zero rows is NULL — an empty edge set must read as
+        # "nothing changed", not loop to the round cap
+        changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
         labels = new_labels.drop("_chg")
         if changed == 0:
             return labels

@@ -280,6 +280,14 @@ def _range_sql(field: str, lo: str, hi: str, lo_inc: bool, hi_inc: bool,
             f"AND __t {hi_op} '{hi}'))")
 
 
+def _sql_rx_escape(s: str) -> str:
+    """Regex-escape a literal token AND double the backslashes so they
+    survive Spark's SQL string-literal unescaping (re.escape alone
+    emits single backslashes, which the SQL literal consumes — 'foo.'
+    would reach the regex engine as 'foo.' and over-match)."""
+    return re.escape(s).replace("\\", "\\\\")
+
+
 def _phrase_regex(phrase: str, slop: int = 0) -> str:
     """Whitespace-token phrase → regex: tokens in order, separated by
     runs of whitespace (wildcards are literal inside phrases, as in
@@ -293,7 +301,7 @@ def _phrase_regex(phrase: str, slop: int = 0) -> str:
     if not toks:
         raise ValueError("text_match: empty phrase")
     sep = r"\\s+" if slop == 0 else r"(\\s+\\S+){0,%d}\\s+" % slop
-    return sep.join(re.escape(t) for t in toks)
+    return sep.join(_sql_rx_escape(t) for t in toks)
 
 
 # Lucene FuzzyQuery caps edit distance at 2 (LevenshteinAutomata
@@ -391,7 +399,12 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
     else:
         if lowercase:
             pat = pat.lower()
-        rx = re.escape(pat).replace(r"\*", r"\\S*").replace(r"\?", r"\\S")
+        # wildcards become regex operators, everything else is escaped
+        # for BOTH the regex engine and the SQL literal layer
+        rx = "".join(
+            r"\\S*" if part == "*" else (r"\\S" if part == "?"
+                                         else _sql_rx_escape(part))
+            for part in re.split(r"([*?])", pat) if part != "")
     if lowercase:
         field = f"lower({field})"
     return f"({field} RLIKE '(^|\\\\s){rx}($|\\\\s)')"
@@ -408,7 +421,8 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
     (BooleanClause.Occur: all MUSTs AND no MUST_NOTs; SHOULDs only
     required when no MUST exists); otherwise strict boolean with SQL's
     native AND-over-OR precedence (round-3 behavior, unchanged)."""
-    items: list[tuple[str | None, str | None, str]] = []  # (conn, occur, sql)
+    # (conn, occur, negated, base_sql) per operand
+    items: list[tuple[str | None, str | None, bool, str]] = []
     while i < len(toks):
         t = toks[i]
         if t == ")":
@@ -451,16 +465,16 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
             sql = _term_sql(t, phrases, ranges or [], regexes or [],
                             lowercase)
             i += 1
-        if negated:
-            sql = f"NOT {sql}"
-        items.append((conn, occur, sql))
+        items.append((conn, occur, negated, sql))
     if not items:
         raise ValueError("text_match: empty group")
-    if any(occ for _, occ, _ in items):
-        # BooleanQuery bag: explicit AND promotes both sides to MUST
+    if any(occ for _, occ, _, _ in items):
+        # BooleanQuery bag: explicit AND promotes both sides to MUST;
+        # a NOT-negated clause is a MUST_NOT (Lucene: NOT x ≡ -x) —
+        # it must never be silently dropped as an optional SHOULD
         must, must_not, should = [], [], []
-        for idx, (conn, occ, sql) in enumerate(items):
-            if occ == "-":
+        for idx, (conn, occ, neg, sql) in enumerate(items):
+            if occ == "-" or neg:
                 must_not.append(sql)
             elif occ == "+" or conn == "AND" or (
                     idx + 1 < len(items) and items[idx + 1][0] == "AND"
@@ -480,10 +494,10 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
         parts.extend(f"NOT {s}" for s in must_not)
         return "(" + " AND ".join(parts) + ")", i
     out = []
-    for conn, _, sql in items:
+    for conn, _, neg, sql in items:
         if out:
             out.append(conn or "OR")      # adjacency = Lucene default OR
-        out.append(sql)
+        out.append(f"NOT {sql}" if neg else sql)
     return "(" + " ".join(out) + ")", i
 
 
@@ -926,10 +940,17 @@ class Engine:
                                ft.group(1))
                     self._view_keys.pop(ft.group(1), None)
         if tm_limit:
-            self._build_tm_limited(*tm_limit)
+            self._build_tm_limited(*tm_limit,
+                                   segments=seg_scope.get(tm_limit[0]))
         return self.spark.sql(text)
 
     def _fts_analyzer_is_standard(self, text: str) -> bool:
+        """True only when EVERY fts index on the queried table uses
+        the 'standard' analyzer. With a mixed set, compiling the query
+        case-insensitively while a whitespace index prunes with
+        case-SENSITIVE postings would drop matching files — so mixed
+        tables stay case-sensitive (pruning through a standard index
+        then over-includes, which is sound)."""
         ft = _FROM_TABLE.search(text)
         if not (ft and ft.group(1) in self.tables()):
             return False
@@ -937,11 +958,13 @@ class Engine:
             metas = self.table(ft.group(1)).indexes.show()
         except FileNotFoundError:
             return False
-        return any(m["type"] == "fts"
-                   and m.get("analyzer") == "standard" for m in metas)
+        fts = [m for m in metas if m["type"] == "fts"]
+        return bool(fts) and all(m.get("analyzer") == "standard"
+                                 for m in fts)
 
     def _build_tm_limited(self, tbl: str, q: str, n: int,
-                          lc: bool = False) -> None:
+                          lc: bool = False,
+                          segments: list[int] | None = None) -> None:
         """Materialize ``__tm_limited``: the top-``n`` rows of ``tbl``
         matching Lucene-ish query ``q``, ordered by BM25 relevance —
         TEXT_MATCH_WITH_LIMIT returns the N highest-SCORED hits in the
@@ -958,8 +981,10 @@ class Engine:
         # Lucene's N/df/avgdl come from the whole index. Score and
         # filter over the UNPRUNED table (ranked-limit queries trade
         # file skipping for correct global statistics).
-        base = (self.table(tbl).read() if tbl in self.tables()
-                else self.spark.table(tbl))
+        # honor insegment()/SET carbon.input.segments scope — Lucene
+        # stats then come from the scoped corpus, the searchable index
+        base = (self.table(tbl).read(segments=segments)
+                if tbl in self.tables() else self.spark.table(tbl))
         pred = F.expr(_lucene_to_sql(q, lowercase=lc))
         by_field = self._scorable_terms(q)
         if not by_field:
@@ -968,16 +993,21 @@ class Engine:
             return
         scored, score_cols = base, []
         for i, (field, terms) in enumerate(sorted(by_field.items())):
+            # case folding follows the analyzer: a case-sensitive
+            # (whitespace) index must not rank by case-folded tf
             scored = bm25_score(scored, [t for t, _ in terms],
                                 boosts=[b for _, b in terms],
-                                text_col=field) \
+                                text_col=field, casefold=lc) \
                 .withColumnRenamed("bm25", f"__s{i}")
             score_cols.append(f"__s{i}")
         total = sum((F.col(c) for c in score_cols), F.lit(0.0))
+        # tiebreak on every ORDERABLE column (map types can't sort —
+        # a map column must not break ranked limits)
+        tiebreak = [F.col(f.name) for f in base.schema.fields
+                    if "map<" not in f.dataType.simpleString()]
         (scored.filter(pred)
                .withColumn("__score", total)
-               .orderBy(F.col("__score").desc(),
-                        *[F.col(c) for c in base.columns])
+               .orderBy(F.col("__score").desc(), *tiebreak)
                .limit(n)
                .drop("__score", *score_cols)
                .createOrReplaceTempView("__tm_limited"))

@@ -144,18 +144,23 @@ def near_dup_candidate_stream(docs: DataFrame, id_col: str = "doc_id",
             if s_ids:
                 ids = [int(x) for x in s_ids.split(",")]
                 sigs = [int(x) for x in s_sigs.split(",")]
+        seen = set(ids)
         out_rows = []
         for pdf in pdfs:
             for did, sim in zip(pdf["doc_id"], pdf["sim"]):
                 did, sim = int(did), int(sim)
+                if did in seen:
+                    # at-least-once replay: already a member of this
+                    # bucket — re-appending would double-emit its pairs
+                    # and FIFO-evict genuine members
+                    continue
                 for prev_id, prev_sig in zip(ids, sigs):
-                    if prev_id == did:
-                        continue
                     out_rows.append((band, min(prev_id, did),
                                      max(prev_id, did),
                                      bin(prev_sig ^ sim).count("1")))
                 ids.append(did)
                 sigs.append(sim)
+                seen.add(did)
         if len(ids) > max_kept:          # FIFO occupancy cap
             ids, sigs = ids[-max_kept:], sigs[-max_kept:]
         state.update((",".join(map(str, ids)), ",".join(map(str, sigs))))

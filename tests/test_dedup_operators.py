@@ -266,3 +266,12 @@ def test_simhash_signature_col_matches_grouped(spark):
         bits=32).collect()}
     assert per_row == grouped
     assert per_row[1] == per_row[3] != per_row[2]
+
+
+def test_connected_components_empty_edges(spark):
+    """Zero near-dup pairs must yield an empty labeling, not a
+    non-convergence error (SUM over zero rows is NULL)."""
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        connected_components)
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty, "id_a", "id_b").count() == 0

@@ -689,3 +689,49 @@ def test_tm_limit_stats_unaffected_by_fts_pruning(eng):
         "SELECT id FROM ldocs WHERE "
         "text_match_with_limit('body:scan', 2)").collect()]
     assert sorted(before) == sorted(after) == [1, 3]
+
+
+def test_text_match_special_chars_literal(eng):
+    """Regex metacharacters in terms/phrases match literally (the
+    escaping must survive BOTH the regex engine and the SQL string
+    literal layer)."""
+    eng.sql("CREATE TABLE mdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO mdocs SELECT * FROM VALUES "
+            "(1,'foo. bar'),(2,'food bar'),(3,'a+b c') t(id,body)")
+    rows = eng.sql("SELECT id FROM mdocs WHERE "
+                   "text_match('body:foo.')").collect()
+    assert [r["id"] for r in rows] == [1]          # dot is literal
+    rows = eng.sql("SELECT id FROM mdocs WHERE "
+                   "text_match('body:\"foo. bar\"')").collect()
+    assert [r["id"] for r in rows] == [1]
+    rows = eng.sql("SELECT id FROM mdocs WHERE "
+                   "text_match('body:a+b')").collect()
+    assert [r["id"] for r in rows] == [3]          # plus is literal
+
+
+def test_text_match_not_in_occur_bag(eng):
+    """A NOT clause alongside +/- occur flags is a MUST_NOT — never a
+    silently-dropped optional."""
+    eng.sql("CREATE TABLE ndocs (id INT, body STRING)")
+    eng.sql("INSERT INTO ndocs SELECT * FROM VALUES "
+            "(1,'x y'),(2,'x z'),(3,'x') t(id,body)")
+    rows = eng.sql("SELECT id FROM ndocs WHERE "
+                   "text_match('+body:x NOT body:y') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [2, 3]
+
+
+def test_tm_limit_respects_segment_scope(eng):
+    """text_match_with_limit must honor SET carbon.input.segments."""
+    eng.sql("CREATE TABLE sdocs2 (id INT, body STRING)")
+    eng.sql("INSERT INTO sdocs2 SELECT * FROM VALUES "
+            "(1,'scan a'),(2,'scan b') t(id,body)")          # segment 0
+    eng.sql("INSERT INTO sdocs2 SELECT * FROM VALUES "
+            "(3,'scan c'),(4,'scan d') t(id,body)")          # segment 1
+    eng.sql("SET carbon.input.segments.default.sdocs2 = 0")
+    rows = eng.sql("SELECT id FROM sdocs2 WHERE "
+                   "text_match_with_limit('body:scan', 10)").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    eng.sql("SET carbon.input.segments.default.sdocs2 = *")
+    rows = eng.sql("SELECT id FROM sdocs2 WHERE "
+                   "text_match_with_limit('body:scan', 10)").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
