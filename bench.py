@@ -31,6 +31,8 @@ HEADLINE = (
     "text_pack_sequences", "agg_exact_quantiles", "similarity_kmeans_refine",
     # round 4 additions
     "text_bm25_rank", "dedup_substring_spans", "sample_temperature_mix",
+    "dedup_semantic_clusters", "dedup_bloom_prefilter",
+    "agg_hll_mergeable_rollup",
 )
 
 

@@ -1,0 +1,135 @@
+"""Bloom-prefiltered semi/anti join — membership dedup against a
+reference corpus at 100 TB.
+
+The scale problem: "drop every candidate document whose fingerprint
+appears in a reference set" is a semi join, and a shuffled semi join
+moves the ENTIRE candidate side over the network even though almost
+none of it matches. Spark's own runtime bloom-filter join
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects the same
+trick below a selective build side; this operator is the explicit
+form for when the planner can't see the selectivity (reference
+analogue: the bloom index sidecars of `catalog/index.py`, applied to
+a join instead of a scan).
+
+Shape:
+ 1. the reference side computes k=2 bit positions per key JVM-side
+    (`xxhash64` with two seeds — whole-stage codegen, no Python);
+ 2. one `mapInPandas` pass ORs the positions into one m-bit numpy
+    bitset per PARTITION (the partition's whole batch stream folds
+    into a single `m/8`-byte row — unbuffered `np.bitwise_or.at`, no
+    Python loop over rows);
+ 3. the ≤`num_partitions` bitsets (metadata-scale: 1 MiB each at the
+    default m=2²³) collect to the driver, OR together, broadcast;
+ 4. the candidate side computes its positions JVM-side and a
+    pandas_udf tests both bits with numpy indexing — vectorized, no
+    per-row Python;
+ 5. bloom positives (the only rows that shuffle) go through an exact
+    semi join refine, so the RESULT is exactly the semi join — the
+    bloom only prunes shuffle volume. False-negative freedom is the
+    bloom guarantee (property-tested in tests/test_hardening.py).
+
+Cost model: candidate side scans once and ships only
+`fpr + true_match` fraction into the shuffle; reference side ships
+`num_partitions × m/8` bytes to the driver. With m=2²³ and 10⁹
+reference keys the fpr is ~2⁻³ per hash pair — size m ≈ 10×n_ref for
+~1% fpr (`m_for`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEED1 = 0x9E3779B9
+_SEED2 = 0x85EBCA6B
+
+
+def m_for(n_ref: int, fpr: float = 0.01) -> int:
+    """Bits for a k=2 bloom holding ``n_ref`` keys at ``fpr``:
+    fpr ≈ (1 - e^(-2n/m))² ⇒ m = -2n / ln(1 - sqrt(fpr)), rounded up
+    to a byte multiple (min 1 KiB so tiny refs don't degenerate)."""
+    m = int(-2.0 * max(n_ref, 1) / math.log(1.0 - math.sqrt(fpr)))
+    return max((m + 7) // 8 * 8, 8192)
+
+
+def _positions(key: Column, m_bits: int) -> tuple[Column, Column]:
+    # xxhash64 is JVM-side and seed-stable across executors/retries.
+    return (F.pmod(F.xxhash64(key, F.lit(_SEED1)), F.lit(m_bits)),
+            F.pmod(F.xxhash64(key, F.lit(_SEED2)), F.lit(m_bits)))
+
+
+def _build_bloom(ref: DataFrame, key: Column, m_bits: int) -> bytes:
+    """One bitset per partition via mapInPandas (the iterator spans the
+    whole partition → exactly one m/8-byte output row each), OR-folded
+    on the driver. Driver traffic is partitions × m/8 bytes — metadata
+    scale, independent of reference row count."""
+    p1, p2 = _positions(key, m_bits)
+    pos = ref.select(p1.alias("p1"), p2.alias("p2"))
+
+    def fold(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            p = np.concatenate([pdf["p1"].to_numpy(np.int64),
+                                pdf["p2"].to_numpy(np.int64)])
+            np.bitwise_or.at(bits, p >> 3,
+                             np.uint8(1) << (p & 7).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = pos.mapInPandas(fold, "bits binary").collect()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in parts:
+        merged |= np.frombuffer(row.bits, dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
+                    on: str, how: str = "semi",
+                    m_bits: int | None = None, n_ref_hint: int = 1 << 20,
+                    refine: bool = True) -> DataFrame:
+    """Semi ('keep matches') or anti ('keep non-matches') join of
+    ``candidates`` against ``reference`` on column ``on``, with a bloom
+    prefilter so only bloom-positive candidate rows reach the exact
+    join. Result is EXACTLY the semi/anti join (``refine=False`` skips
+    the exact pass and returns the bloom superset/complement — only for
+    callers that tolerate the fpr)."""
+    if how not in ("semi", "anti"):
+        raise ValueError(f"bloom_semi_join supports semi/anti, got {how!r}")
+    m_bits = m_bits or m_for(n_ref_hint)
+    if m_bits % 8:
+        raise ValueError("m_bits must be a multiple of 8")
+    bloom = _build_bloom(reference, F.col(on), m_bits)
+
+    # the bitset rides the udf closure — cloudpickled once per task,
+    # not per row/batch
+    @F.pandas_udf("boolean")
+    def may_contain(p1: pd.Series, p2: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bloom, dtype=np.uint8)
+        a1 = p1.to_numpy(np.int64)
+        a2 = p2.to_numpy(np.int64)
+        hit = (((bits[a1 >> 3] >> (a1 & 7).astype(np.uint8)) & 1)
+               & ((bits[a2 >> 3] >> (a2 & 7).astype(np.uint8)) & 1))
+        return pd.Series(hit.astype(bool))
+
+    p1, p2 = _positions(F.col(on), m_bits)
+    flagged = candidates.withColumn("__bloom_hit__", may_contain(p1, p2))
+    pos = flagged.filter(F.col("__bloom_hit__")).drop("__bloom_hit__")
+    neg = flagged.filter(~F.col("__bloom_hit__")).drop("__bloom_hit__")
+    if not refine:
+        return pos if how == "semi" else neg
+    ref_keys = reference.select(on)
+    if how == "semi":
+        # bloom negatives are guaranteed non-matches — only positives
+        # need the exact semi join
+        return pos.join(ref_keys, on, "left_semi")
+    # anti: negatives are guaranteed non-matches (keep them all);
+    # positives may be fpr — exact anti join only on those
+    return neg.unionByName(pos.join(ref_keys, on, "left_anti"))

@@ -222,3 +222,52 @@ def kmeans_refine(v: DataFrame, centroids: DataFrame, iters: int = 1,
             means.collect(), "cid bigint, ce array<double>")
     # assignment is w.r.t. the FINAL centroids (one more argmin pass)
     return assign_to(cent).select(id_col, "cluster"), cent
+
+
+def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
+                   threshold: float, id_col: str = "id",
+                   vec_col: str = "e") -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding space, then call two items semantic duplicates when they
+    land in the SAME cluster with cosine ≥ ``threshold``; keep the
+    min-id item of each duplicate pair chain as the survivor.
+
+    ``centroids`` is (cid, ce) and broadcast-small (k-means centroids
+    from ``kmeans_refine`` or pinned samples). The pairwise verify is
+    confined to cluster blocks — the O(N²) cross-cluster pair space is
+    never touched, which is the paper's point: k controls occupancy
+    (N/k per cluster, quadratic verify inside). For 10⁹ docs at
+    k=100 000 the blocks are ~10⁴ → 10⁸ in-block pairs per cluster
+    pair-scan partition, the same occupancy budget as
+    ``operators/dedup`` documents.
+
+    Output: one row per cluster — (cluster_id, n_members, n_dups,
+    n_survivors). Cosines are rounded to 6dp before the threshold
+    test so any engine comparing must agree bit-for-bit (both engines
+    accumulate the dot sequentially)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.select(F.col("id"), F.col("list_id"),
+                        F.col("e"), norm(F.col("e")).alias("n"))
+    left = a.select(F.col("id").alias("l_id"), F.col("list_id"),
+                    F.col("e").alias("qe"), F.col("n").alias("qn"))
+    right = a.select(F.col("id").alias("r_id"), F.col("list_id"),
+                     F.col("e").alias("ce"), F.col("n").alias("cn"))
+    pairs = (left.join(right, "list_id")
+             .filter(F.col("l_id") < F.col("r_id"))
+             .select("list_id", "l_id", "r_id",
+                     F.round(_cos_pre(), 6).alias("cs")))
+    # an item is a duplicate if ANY earlier-id cluster-mate is ≥ τ —
+    # the min-id chain head survives
+    dups = (pairs.filter(F.col("cs") >= threshold)
+            .select("list_id", F.col("r_id").alias("id")).distinct())
+    members = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    dup_counts = dups.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_dups"))
+    return (members.join(dup_counts, "list_id", "left")
+            .select(F.col("list_id").alias("cluster_id"), "n_members",
+                    F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+                    (F.col("n_members")
+                     - F.coalesce(F.col("n_dups"), F.lit(0)))
+                    .alias("n_survivors")))

@@ -132,7 +132,7 @@ def all_queries() -> dict[str, Query]:
     from . import multimodal_queries, lifecycle_queries, subqueries  # noqa: F401
     from . import streaming_queries, lifecycle_extra, tpch_rest  # noqa: F401
     from . import udf_surface, sampling, temporal_queries  # noqa: F401
-    from . import complex_types, llm_extra  # noqa: F401
+    from . import complex_types, llm_extra, hardening  # noqa: F401
     never = {n: q for n, q in REGISTRY.items()
              if n not in _STAMPED_PRIOR_ROUNDS
              and n not in _ROTATE_BACK_IN}

@@ -1,0 +1,98 @@
+"""Bloom-prefiltered semi/anti join (operators/bloomjoin.py) and
+SemDeDup semantic dedup (operators/similarity.semantic_dedup): the
+bloom result must EQUAL the exact join (false-negative freedom is the
+bloom guarantee; refine removes the false positives), and the
+semantic dedup must match a hand-computed clustering."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.operators.bloomjoin import (
+    bloom_semi_join, m_for)
+from cdh_integrate_carbondata2_3_spark.operators.similarity import (
+    semantic_dedup)
+
+
+def _sides(spark, n_cand=2000, n_ref=500):
+    # overlap: every 4th candidate key appears in the reference
+    cand = spark.range(n_cand).select(
+        F.concat(F.lit("k"), (F.col("id") % (n_cand // 2))).alias("fp"),
+        F.col("id").alias("payload"))
+    ref = spark.range(n_ref).select(
+        F.concat(F.lit("k"), (F.col("id") * 4)).alias("fp"))
+    return cand, ref
+
+
+def test_bloom_semi_equals_exact_semi(spark):
+    cand, ref = _sides(spark)
+    got = bloom_semi_join(cand, ref, on="fp", how="semi", m_bits=8192)
+    want = cand.join(ref.select("fp"), "fp", "left_semi")
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_bloom_anti_equals_exact_anti(spark):
+    cand, ref = _sides(spark)
+    got = bloom_semi_join(cand, ref, on="fp", how="anti", m_bits=8192)
+    want = cand.join(ref.select("fp"), "fp", "left_anti")
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_bloom_unrefined_semi_is_superset_without_false_negatives(spark):
+    # tiny bitset → high fpr, but NEVER a false negative: every true
+    # match must survive the prefilter even before the exact refine
+    cand, ref = _sides(spark, n_cand=500, n_ref=100)
+    got = set(r.fp for r in bloom_semi_join(
+        cand, ref, on="fp", how="semi", m_bits=1024,
+        refine=False).collect())
+    want = set(r.fp for r in
+               cand.join(ref.select("fp"), "fp", "left_semi").collect())
+    assert want <= got
+
+
+def test_bloom_rejects_bad_args(spark):
+    cand, ref = _sides(spark, n_cand=10, n_ref=5)
+    with pytest.raises(ValueError, match="semi/anti"):
+        bloom_semi_join(cand, ref, on="fp", how="inner")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        bloom_semi_join(cand, ref, on="fp", m_bits=1001)
+
+
+def test_m_for_sizes_to_fpr():
+    m = m_for(1_000_000, fpr=0.01)
+    # k=2 bloom: fpr = (1 - e^(-2n/m))^2 must land at ~1%
+    fpr = (1.0 - math.exp(-2.0 * 1_000_000 / m)) ** 2
+    assert 0.005 < fpr < 0.02
+    assert m_for(1) >= 8192          # floor for tiny references
+    assert m_for(1_000_000) % 8 == 0
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, e array<double>")
+
+
+def test_semantic_dedup_hand_case(spark):
+    # two obvious clusters on the axes; 10/11 are near-dups of 1
+    # (cos≈1), 20/21 cluster with 2 but are orthogonal-ish to it
+    corpus = _vec_df(spark, [
+        (1, [1.0, 0.0]), (10, [0.999, 0.01]), (11, [0.998, 0.02]),
+        (2, [0.0, 1.0]), (20, [0.5, 0.8]), (21, [-0.5, 0.8]),
+    ])
+    cents = (corpus.filter(F.col("id").isin([1, 2]))
+             .select(F.col("id").alias("cid"), F.col("e").alias("ce")))
+    out = {r.cluster_id: r for r in
+           semantic_dedup(corpus, cents, 0.99).collect()}
+    assert out[1].n_members == 3 and out[1].n_dups == 2
+    assert out[1].n_survivors == 1           # min-id survivor: 1
+    assert out[2].n_members == 3 and out[2].n_dups == 0
+
+
+def test_semantic_dedup_threshold_is_inclusive(spark):
+    corpus = _vec_df(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0])])
+    cents = _vec_df(spark, [(1, [1.0, 0.0])]).select(
+        F.col("id").alias("cid"), F.col("e").alias("ce"))
+    row = semantic_dedup(corpus, cents, 1.0).collect()[0]
+    assert row.n_dups == 1                   # cos == τ counts
