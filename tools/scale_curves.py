@@ -37,6 +37,9 @@ EXTRA = (
     "table_vector_index_search", "events_rolling_window",
     "events_gap_fill_locf", "table_bucket_map_join",
     "table_runtime_filter_join", "table_zorder_prune",
+    # round-4 hardening additions (the data-heavy ones)
+    "join_salted_skew", "agg_salted_twophase", "agg_approx_sketch_bounds",
+    "stream_cdc_apply", "table_si_index_prune",
 )
 
 
