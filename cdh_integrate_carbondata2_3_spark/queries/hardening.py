@@ -504,3 +504,146 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_returnflag", "n_exact",
                     (F.abs(F.col("hll_est") - F.col("n_exact"))
                      <= 0.05 * F.col("n_exact")).alias("hll_ok")))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 candidates re-ranked by embedding cosine
+# ---------------------------------------------------------------------------
+
+_HYBRID_K_CAND = 30
+_HYBRID_K = 10
+_HYBRID_QVEC = 7
+
+
+def _hybrid_oracle() -> str:
+    cos = _COS.format(a="v.e", b="q.qe")
+    return rf"""
+WITH tf AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t <> '')) AS dl,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t = 'vector')) AS tf0,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t = 'slow')) AS tf1
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) AS sumdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+  FROM tf
+), bm AS (
+  SELECT doc_id,
+         CAST(ROUND(
+           ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+             * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n)))
+           + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+             * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n))),
+           4) AS DOUBLE) AS bm25
+  FROM tf, stats
+  WHERE tf0 + tf1 > 0
+  ORDER BY bm25 DESC, doc_id
+  LIMIT {_HYBRID_K_CAND}
+), mx AS (
+  SELECT MAX(bm25) AS maxb FROM bm
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT e AS qe FROM v WHERE vec_id = {_HYBRID_QVEC}
+), hyb AS (
+  SELECT b.doc_id,
+         CAST(ROUND(0.5 * (b.bm25 / maxb)
+                    + 0.5 * ROUND({cos}, 6), 6) AS DOUBLE) AS hybrid
+  FROM bm b JOIN v ON v.vec_id = b.doc_id CROSS JOIN q CROSS JOIN mx
+)
+SELECT doc_id, hybrid,
+       ROW_NUMBER() OVER (ORDER BY hybrid DESC, doc_id) AS rk
+FROM hyb ORDER BY hybrid DESC, doc_id LIMIT {_HYBRID_K}
+"""
+
+
+@query("search_hybrid_rerank", oracle=_hybrid_oracle())
+def search_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-corpus shape: BM25 lexical candidates
+    (functions/text_rank.bm25_topk — corpus stats broadcast, corpus
+    never shuffles) re-ranked by cosine to a query embedding, blended
+    50/50 after max-normalizing BM25. Everything after candidate
+    selection touches only the k_cand rows — at 100 TB the lexical
+    stage prunes via the FTS postings index and the rerank is
+    candidates × one broadcast vector."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text_rank import bm25_topk
+    from ..operators.similarity import dot, norm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = bm25_topk(docs, ["vector", "slow"], k=_HYBRID_K_CAND)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        .alias("e"))
+    qv = (v.filter(F.col("vec_id") == _HYBRID_QVEC)
+          .select(F.col("e").alias("qe")))
+    mx = cand.agg(F.max("bm25").alias("maxb"))
+    cos = F.round(dot("e", "qe") / (norm(F.col("e")) * norm(F.col("qe"))),
+                  6)
+    hyb = (cand.join(v, cand["doc_id"] == v["vec_id"])
+           .crossJoin(F.broadcast(qv)).crossJoin(F.broadcast(mx))
+           .select("doc_id",
+                   F.round(0.5 * (F.col("bm25") / F.col("maxb"))
+                           + 0.5 * cos, 6).cast("double").alias("hybrid")))
+    top = hyb.orderBy(F.col("hybrid").desc(), "doc_id").limit(_HYBRID_K)
+    w = W.orderBy(F.col("hybrid").desc(), "doc_id")
+    return top.select("doc_id", "hybrid",
+                      F.row_number().over(w).alias("rk"))
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection per near-dup cluster
+# ---------------------------------------------------------------------------
+
+def _canonical_oracle() -> str:
+    from .llm_extra import _CC_ORACLE
+    final = """SELECT comp AS component_id, COUNT(*) AS n_members
+FROM lab GROUP BY comp"""
+    assert final in _CC_ORACLE, "CC oracle tail changed"
+    return _CC_ORACLE.replace(final, """, ranked AS (
+  SELECT l.comp, l.node, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.comp
+                            ORDER BY d.n_chars DESC, l.node) AS rn,
+         COUNT(*) OVER (PARTITION BY l.comp) AS n_members
+  FROM lab l JOIN documents d ON d.doc_id = l.node)
+SELECT comp AS component_id, n_members, node AS canonical_doc,
+       n_chars AS canonical_chars
+FROM ranked WHERE rn = 1""")
+
+
+@query("dedup_canonical_pick", oracle=_canonical_oracle())
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per near-dup cluster: the same bigram-Jaccard
+    components as dedup_components, then ONE min_by partial aggregate
+    picks the highest-quality member (longest text, ties to the lower
+    doc_id) as the cluster's canonical document — the keep-one step a
+    curation pipeline runs after clustering. No window over the corpus:
+    the argmax is a partial-aggregating groupBy (the min_by shape the
+    r3 verdict asked for over window-argmin)."""
+    from ..operators.dedup import ngram_jaccard_near_dups
+    from ..operators.graph import connected_components
+    from .pipeline import _docs
+
+    d = _docs(spark, sf_dir)
+    edges = ngram_jaccard_near_dups(d, "doc_id", "text",
+                                    n=2, df_cap=100, threshold=0.5)
+    comps = connected_components(edges, "id_a", "id_b")
+    j = comps.join(d.select("doc_id", "n_chars"),
+                   comps["node"] == F.col("doc_id"))
+    agg = j.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min_by(F.struct(F.col("node"), F.col("n_chars")),
+                 F.struct((-F.col("n_chars")).alias("negc"),
+                          F.col("node"))).alias("c"))
+    return agg.select(F.col("comp").alias("component_id"), "n_members",
+                      F.col("c.node").alias("canonical_doc"),
+                      F.col("c.n_chars").alias("canonical_chars"))
