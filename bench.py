@@ -32,7 +32,8 @@ HEADLINE = (
     # round 4 additions
     "text_bm25_rank", "dedup_substring_spans", "sample_temperature_mix",
     "dedup_semantic_clusters", "dedup_bloom_prefilter",
-    "agg_hll_mergeable_rollup",
+    "agg_hll_mergeable_rollup", "search_hybrid_rerank",
+    "dedup_canonical_pick",
 )
 
 

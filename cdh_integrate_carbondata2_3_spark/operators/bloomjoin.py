@@ -62,13 +62,20 @@ def _positions(key: Column, m_bits: int) -> tuple[Column, Column]:
             F.pmod(F.xxhash64(key, F.lit(_SEED2)), F.lit(m_bits)))
 
 
+_MAX_BUILD_PARTS = 32
+
+
 def _build_bloom(ref: DataFrame, key: Column, m_bits: int) -> bytes:
     """One bitset per partition via mapInPandas (the iterator spans the
     whole partition → exactly one m/8-byte output row each), OR-folded
-    on the driver. Driver traffic is partitions × m/8 bytes — metadata
-    scale, independent of reference row count."""
+    on the driver. The position stream is coalesced (narrow, no
+    shuffle) to ≤32 partitions first, so driver traffic is bounded at
+    32 × m/8 bytes no matter how many files the reference side scans —
+    at the default m=2²³ that is ≤32 MiB for a billion-key reference."""
     p1, p2 = _positions(key, m_bits)
     pos = ref.select(p1.alias("p1"), p2.alias("p2"))
+    if pos.rdd.getNumPartitions() > _MAX_BUILD_PARTS:
+        pos = pos.coalesce(_MAX_BUILD_PARTS)
 
     def fold(batches):
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
