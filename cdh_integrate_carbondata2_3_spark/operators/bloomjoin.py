@@ -28,11 +28,15 @@ Shape:
     bloom only prunes shuffle volume. False-negative freedom is the
     bloom guarantee (property-tested in tests/test_hardening.py).
 
-Cost model: candidate side scans once and ships only
-`fpr + true_match` fraction into the shuffle; reference side ships
-`num_partitions × m/8` bytes to the driver. With m=2²³ and 10⁹
-reference keys the fpr is ~2⁻³ per hash pair — size m ≈ 10×n_ref for
-~1% fpr (`m_for`).
+Cost model: only the `fpr + true_match` fraction of the candidate
+side ships into the shuffle; the reference side ships ≤32 × m/8
+bytes to the driver. Size the bitset with `m_for` — m ≈ 10×n_ref
+bits gives ~1% fpr for the k=2 scheme (10⁹ reference keys → ~1.2 GB,
+executor-memory scale). Scan counts: semi reads the candidate side
+once; anti reads it twice (the bloom-negative keeps and the
+bloom-positive refine are separate branches of the same narrow scan —
+at candidate sizes where a re-scan hurts more than materialization,
+persist the input before calling).
 """
 
 from __future__ import annotations
@@ -110,16 +114,28 @@ def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
     callers that tolerate the fpr)."""
     if how not in ("semi", "anti"):
         raise ValueError(f"bloom_semi_join supports semi/anti, got {how!r}")
+    ctype = candidates.schema[on].dataType
+    rtype = reference.schema[on].dataType
+    if ctype != rtype:
+        # a plain join would implicitly cast, but xxhash64 hashes each
+        # side's NATIVE encoding — e.g. bigint 3 and string '3' join
+        # equal yet hash differently, so the bloom would miss true
+        # matches and the 'exactly the semi/anti join' contract breaks
+        raise ValueError(
+            f"key type mismatch on {on!r}: candidates {ctype.simpleString()}"
+            f" vs reference {rtype.simpleString()} — cast one side first")
     m_bits = m_bits or m_for(n_ref_hint)
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")
     bloom = _build_bloom(reference, F.col(on), m_bits)
+    # ship the bitset as a broadcast variable — once per executor; a
+    # closure capture would ride the serialized task for every stage
+    # and hit the 2 GB task-binary ceiling at ~10⁹ reference keys
+    bc = candidates.sparkSession.sparkContext.broadcast(bloom)
 
-    # the bitset rides the udf closure — cloudpickled once per task,
-    # not per row/batch
     @F.pandas_udf("boolean")
     def may_contain(p1: pd.Series, p2: pd.Series) -> pd.Series:
-        bits = np.frombuffer(bloom, dtype=np.uint8)
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
         a1 = p1.to_numpy(np.int64)
         a2 = p2.to_numpy(np.int64)
         hit = (((bits[a1 >> 3] >> (a1 & 7).astype(np.uint8)) & 1)

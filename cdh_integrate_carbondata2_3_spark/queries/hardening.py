@@ -324,8 +324,8 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_CENTROID_IDS = (3, 37, 71, 105, 139, 173)
 _SEM_THRESHOLD = 0.35
 
-_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-        " * sqrt(list_dot_product({b}, {b})))")
+# one cosine template repo-wide so oracle semantics can't drift apart
+from .dedup_extra import _COS_SQL as _COS  # noqa: E402
 
 
 def _semantic_oracle() -> str:

@@ -96,3 +96,10 @@ def test_semantic_dedup_threshold_is_inclusive(spark):
         F.col("id").alias("cid"), F.col("e").alias("ce"))
     row = semantic_dedup(corpus, cents, 1.0).collect()[0]
     assert row.n_dups == 1                   # cos == τ counts
+
+
+def test_bloom_rejects_key_type_mismatch(spark):
+    cand = spark.range(10).select(F.col("id").alias("fp"))
+    ref = spark.range(5).select((F.col("id") * 2).cast("string").alias("fp"))
+    with pytest.raises(ValueError, match="key type mismatch"):
+        bloom_semi_join(cand, ref, on="fp", how="anti")
