@@ -647,3 +647,132 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.col("comp").alias("component_id"), "n_members",
                       F.col("c.node").alias("canonical_doc"),
                       F.col("c.n_chars").alias("canonical_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Remaining tests-only surfaces → driver-verified: TRUNCATE, CREATE
+# LIKE + INSERT SELECT DDL flow, the carbon Python DataSource, and the
+# no-Spark SDK reader.
+# ---------------------------------------------------------------------------
+
+@query("table_truncate_reload", oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_price
+FROM {_ORDERS_SUBSET_SQL} s
+WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+""")
+def table_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE then reload (reference
+    CarbonTruncateCommand): the truncate drops every segment from the
+    manifest (data files are garbage, not readable), and the next
+    insert starts a fresh segment line — the aggregate pins that ONLY
+    the post-truncate load is visible."""
+    sub = _orders_subset(spark, sf_dir)
+    t = Table.create_as_select(spark, _scratch("trunc", sf_dir),
+                               sub.filter(F.col("o_orderkey") < 1000))
+    t.truncate()
+    t.insert(sub.filter((F.col("o_orderkey") >= 1000)
+                        & (F.col("o_orderkey") < 2000)))
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double").alias("sum_price"))
+
+
+@query("table_create_like_insert", oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM {_ORDERS_SUBSET_SQL} s
+WHERE o_orderkey < 1500
+GROUP BY o_orderpriority
+""")
+def table_create_like_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL flow end-to-end through the SQL entry point (reference
+    CarbonCreateTableLikeCommand + insert-select): CREATE TABLE LIKE
+    clones the source's schema and properties into an empty table,
+    INSERT INTO ... SELECT populates it from the source table, and the
+    aggregate reads the clone."""
+    import os as _os
+
+    from ..sql import Engine
+
+    eng = Engine(spark, _scratch("ddl_like", sf_dir))
+    t = Table.create(spark, _os.path.join(eng.warehouse, "src"),
+                     "o_orderkey bigint, o_orderpriority string, "
+                     "o_totalprice double")
+    t.insert(_orders_subset(spark, sf_dir)
+             .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+    eng.sql("CREATE TABLE clone LIKE src")
+    eng.sql("INSERT INTO clone SELECT * FROM src WHERE o_orderkey < 1500")
+    return eng.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, "
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
+        "FROM clone GROUP BY o_orderpriority")
+
+
+@query("table_carbon_datasource_read", oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM {_ORDERS_SUBSET_SQL} s
+WHERE o_orderkey BETWEEN 500 AND 2500
+GROUP BY o_orderpriority
+""")
+def table_carbon_datasource_read(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """spark.read.format('carbon') over a managed table (reference
+    `USING carbondata` / CarbonDataSourceScan): the Python DataSource
+    serves the manifest schema, receives Catalyst's pushed filters for
+    manifest min/max pruning, and reads Arrow batches per surviving
+    file — three segments so the range predicate actually skips
+    files."""
+    from ..sources.carbon_datasource import register
+
+    register(spark)
+    t = _three_segment_table(spark, sf_dir, "carbon_ds")
+    df = spark.read.format("carbon").load(t.table_dir)
+    return (df.filter(F.col("o_orderkey").between(500, 2500))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+@query("sdk_reader_agg", oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM {_ORDERS_SUBSET_SQL} s
+GROUP BY o_orderpriority
+""")
+def sdk_reader_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-Spark SDK reader (reference CarbonReader /
+    ArrowCarbonReader, sdk/CarbonReader.java): reads the managed
+    table's queryable segments straight through pyarrow — no Spark job
+    — and the driver re-wraps the aggregate for the gate. Verifies the
+    SDK sees exactly the committed manifest state (counts and key
+    ranges are integer-exact, so no float-accumulation drift between
+    pandas and the oracle)."""
+    from ..sdk import SdkReader
+
+    t = _three_segment_table(spark, sf_dir, "sdk_read")
+    pdf = (SdkReader(t.table_dir,
+                     columns=["o_orderkey", "o_orderpriority"])
+           .to_arrow().to_pandas())
+    g = (pdf.groupby("o_orderpriority")["o_orderkey"]
+         .agg(["count", "min", "max"]).reset_index())
+    rows = [(r.o_orderpriority, int(ric), int(rmin), int(rmax))
+            for r, ric, rmin, rmax in zip(
+                g.itertuples(), g["count"], g["min"], g["max"])]
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_rows bigint, "
+              "min_key bigint, max_key bigint")
