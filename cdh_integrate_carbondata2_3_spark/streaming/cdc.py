@@ -39,14 +39,23 @@ def apply_cdc_batch(target: Table, batch: DataFrame, key: str,
                  .filter(F.col("_rn") == 1).drop("_rn"))
     else:
         batch = batch.dropDuplicates([key])
-    op = F.lower(F.col(ops_col))
-    payload_cols = [c for c in batch.columns if c not in (ops_col, order_col)]
-    ups = batch.filter(op.isin(*UPSERT_OPS)).select(*payload_cols)
-    dels = batch.filter(op.isin(*DELETE_OPS)).select(*payload_cols)
-    if ups.limit(1).count():
-        merge_ops.upsert(target, ups, key)
-    if dels.limit(1).count():
-        merge_ops.delete(target, dels, key)
+    # four actions read the deduped batch (two existence probes + up to
+    # two merges, and the merges scan it more than once for key-range
+    # pruning); cache it for the apply so the dedup window — and
+    # whatever source feeds the micro-batch — runs once, not per action
+    batch = batch.cache()
+    try:
+        op = F.lower(F.col(ops_col))
+        payload_cols = [c for c in batch.columns
+                        if c not in (ops_col, order_col)]
+        ups = batch.filter(op.isin(*UPSERT_OPS)).select(*payload_cols)
+        dels = batch.filter(op.isin(*DELETE_OPS)).select(*payload_cols)
+        if ups.limit(1).count():
+            merge_ops.upsert(target, ups, key)
+        if dels.limit(1).count():
+            merge_ops.delete(target, dels, key)
+    finally:
+        batch.unpersist()
 
 
 class CDCStreamer:
