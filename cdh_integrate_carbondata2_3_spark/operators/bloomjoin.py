@@ -66,6 +66,21 @@ def _positions(key: Column, m_bits: int) -> tuple[Column, Column]:
             F.pmod(F.xxhash64(key, F.lit(_SEED2)), F.lit(m_bits)))
 
 
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    """OR bit positions into a uint8 bitset in place (unbuffered, so
+    duplicate positions in one batch still all land)."""
+    np.bitwise_or.at(bits, pos >> 3,
+                     np.uint8(1) << (pos & 7).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, p1: np.ndarray,
+               p2: np.ndarray) -> np.ndarray:
+    """True where BOTH positions are set — the k=2 may-contain."""
+    return ((((bits[p1 >> 3] >> (p1 & 7).astype(np.uint8)) & 1)
+             & ((bits[p2 >> 3] >> (p2 & 7).astype(np.uint8)) & 1))
+            .astype(bool))
+
+
 _MAX_BUILD_PARTS = 32
 
 
@@ -90,8 +105,7 @@ def _build_bloom(ref: DataFrame, key: Column, m_bits: int) -> bytes:
             seen = True
             p = np.concatenate([pdf["p1"].to_numpy(np.int64),
                                 pdf["p2"].to_numpy(np.int64)])
-            np.bitwise_or.at(bits, p >> 3,
-                             np.uint8(1) << (p & 7).astype(np.uint8))
+            _set_bits(bits, p)
         if seen:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
@@ -136,11 +150,8 @@ def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
     @F.pandas_udf("boolean")
     def may_contain(p1: pd.Series, p2: pd.Series) -> pd.Series:
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        a1 = p1.to_numpy(np.int64)
-        a2 = p2.to_numpy(np.int64)
-        hit = (((bits[a1 >> 3] >> (a1 & 7).astype(np.uint8)) & 1)
-               & ((bits[a2 >> 3] >> (a2 & 7).astype(np.uint8)) & 1))
-        return pd.Series(hit.astype(bool))
+        return pd.Series(_test_bits(bits, p1.to_numpy(np.int64),
+                                    p2.to_numpy(np.int64)))
 
     p1, p2 = _positions(F.col(on), m_bits)
     flagged = candidates.withColumn("__bloom_hit__", may_contain(p1, p2))

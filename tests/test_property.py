@@ -228,3 +228,35 @@ def test_arrow_prune_equals_scalar_prune(files, preds):
     mask = arrow_prune_mask(t, preds)
     arrow_kept = set(t.filter(mask)["path"].to_pylist()) if t.num_rows else set()
     assert arrow_kept == scalar_kept, (preds, scalar_kept, arrow_kept)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data(),
+       m_bytes=st.integers(min_value=2, max_value=512))
+def test_bloomjoin_bitset_no_false_negatives(data, m_bytes):
+    """operators/bloomjoin numpy bit math: every inserted (p1, p2)
+    position pair must test positive afterward, across any split of
+    the inserts into batches and any duplicate positions — the same
+    false-negative-freedom the distributed build relies on."""
+    import numpy as np
+
+    from cdh_integrate_carbondata2_3_spark.operators.bloomjoin import (
+        _set_bits, _test_bits)
+
+    m_bits = m_bytes * 8
+    pos = st.integers(min_value=0, max_value=m_bits - 1)
+    pairs = data.draw(st.lists(st.tuples(pos, pos), max_size=80))
+    bits = np.zeros(m_bytes, dtype=np.uint8)
+    # insert in two arbitrary slices to mimic per-partition folds
+    cut = data.draw(st.integers(min_value=0, max_value=len(pairs)))
+    for chunk in (pairs[:cut], pairs[cut:]):
+        if chunk:
+            flat = np.array([p for pr in chunk for p in pr],
+                            dtype=np.int64)
+            part = np.zeros(m_bytes, dtype=np.uint8)
+            _set_bits(part, flat)
+            bits |= part                 # driver OR-fold
+    if pairs:
+        p1 = np.array([a for a, _ in pairs], dtype=np.int64)
+        p2 = np.array([b for _, b in pairs], dtype=np.int64)
+        assert _test_bits(bits, p1, p2).all()
