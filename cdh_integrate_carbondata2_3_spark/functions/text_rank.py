@@ -53,10 +53,18 @@ def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
         raise ValueError("bm25_score: need at least one query term")
     if boosts is not None and len(boosts) != len(terms):
         raise ValueError("bm25_score: boosts must pair 1:1 with terms")
-    toks = _toks(F.col(text_col), casefold)
+    # materialize the analyzed token array ONCE per row: inlining the
+    # split+filter tree into every tf column re-analyzes the text
+    # per term (same 4.6x lesson as the shingle spans in
+    # operators/dedup.duplicated_spans)
+    with_toks = df.select(
+        "*", _toks(F.col(text_col), casefold).alias("__toks"))
+    toks = F.col("__toks")
     tf_cols = [_tf(toks, t, casefold).alias(f"__tf{i}")
                for i, t in enumerate(terms)]
-    with_tf = df.select("*", F.size(toks).alias("__dl"), *tf_cols)
+    with_tf = (with_toks
+               .select("*", F.size(toks).alias("__dl"), *tf_cols)
+               .drop("__toks"))
     stats = with_tf.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__dl").cast("double").alias("__sumdl"),
