@@ -45,6 +45,12 @@ def main() -> None:
         fn()
         return time.time() - t0
 
+    # contract-check queries whose oracle deliberately does LESS work
+    # than the engine side (it pins exact values + TRUE flags while the
+    # engine also computes the sketches being checked) — an
+    # engine/plain ratio there measures the sketch, not engine overhead
+    not_comparable = {"agg_approx_sketch_bounds", "agg_hll_mergeable_rollup"}
+
     out = {}
     for name in HEADLINE:
         q = qs[name]
@@ -53,7 +59,7 @@ def main() -> None:
         engine_s = min(timed(lambda: q.fn(spark, sf_dir).count())
                        for _ in range(2))
         plain_s = None
-        if q.oracle:
+        if q.oracle and name not in not_comparable:
             try:
                 plain_s = min(timed(lambda: spark.sql(q.oracle).count())
                               for _ in range(2))
