@@ -776,3 +776,62 @@ def sdk_reader_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderpriority string, n_rows bigint, "
               "min_key bigint, max_key bigint")
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful near-dup == batch banded SimHash (full value-hash
+# parity with the DuckDB oracle — not a rows-only check)
+# ---------------------------------------------------------------------------
+
+@query("stream_near_dup_parity", oracle=None)  # set below after import
+def stream_near_dup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming near-dup detector
+    (streaming/stateful.near_dup_candidate_stream:
+    applyInPandasWithState, per-(band,bucket) member state) replayed
+    over the documents table with trigger=availableNow must emit
+    EXACTLY the batch banded-SimHash pair set — same signatures (the
+    per-row signature dedupes tokens like the batch DISTINCT), same
+    band keys, same hamming verify — so it shares dedup_simhash's
+    DuckDB oracle verbatim. max_kept is sized above the corpus so no
+    FIFO eviction makes the result arrival-order-dependent (the
+    occupancy cap is the production knob, disabled for the parity
+    gate)."""
+    from ..streaming.stateful import near_dup_candidate_stream
+
+    ckpt = _scratch("nd_parity_ckpt", sf_dir)
+    # the file-stream source wants a DIRECTORY: stage the documents
+    # parquet into scratch via symlink (testdata is read-only)
+    src_dir = _scratch("nd_parity_src", sf_dir)
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
+               os.path.join(src_dir, "documents.parquet"))
+    sch = ("doc_id bigint, text string, lang string, source string, "
+           "n_chars bigint")
+    stream = spark.readStream.schema(sch).parquet(src_dir)
+    cand = near_dup_candidate_stream(stream, "doc_id", "text",
+                                     bits=32, bands=4,
+                                     max_kept=1_000_000,
+                                     idle_timeout_ms=None)
+    name = "nd_parity_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_")
+    q = (cand.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    mem = spark.table(name)
+    return (mem.filter(F.col("hamming") <= 1)
+            .select(F.col("id_a").alias("doc_a"),
+                    F.col("id_b").alias("doc_b"),
+                    F.col("hamming").cast("int").alias("hamming"))
+            .distinct())
+
+
+def _attach_stream_parity_oracle() -> None:
+    from . import REGISTRY, Query
+    from .dedup_extra import _simhash_oracle
+    q = REGISTRY["stream_near_dup_parity"]
+    REGISTRY["stream_near_dup_parity"] = Query(q.name, q.fn,
+                                               _simhash_oracle())
+
+
+_attach_stream_parity_oracle()

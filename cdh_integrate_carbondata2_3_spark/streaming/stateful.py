@@ -101,7 +101,8 @@ _ND_STATE = "ids string, sigs string"
 def near_dup_candidate_stream(docs: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text", *, bits: int = 32,
                               bands: int = 4, max_kept: int = 256,
-                              idle_timeout_ms: int = 3_600_000) -> DataFrame:
+                              idle_timeout_ms: int | None = 3_600_000
+                              ) -> DataFrame:
     """docs stream (id, text) → (band, id_a, id_b, hamming) candidate
     pairs, emitted the moment the second member of a pair arrives —
     including across micro-batches (bucket state persists in the
@@ -110,7 +111,14 @@ def near_dup_candidate_stream(docs: DataFrame, id_col: str = "doc_id",
     most recent members instead of blowing up state); idle buckets
     expire after ``idle_timeout_ms``. The same pair may surface from
     several bands — consumers dedup on (least, greatest) downstream,
-    exactly like the batch banded join's ``.distinct()``."""
+    exactly like the batch banded join's ``.distinct()``.
+
+    ``idle_timeout_ms=None`` disables the TTL (GroupStateTimeout
+    NoTimeout). Use None for bounded replays (trigger=availableNow):
+    with ProcessingTimeTimeout, Spark keeps scheduling no-data batches
+    to evaluate timeouts and the drain never terminates (and pyspark's
+    state-apply worker aborts in those no-data batches) — the TTL is
+    for LONG-RUNNING streams, where those batches are the point."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import simhash_signature_col
@@ -164,11 +172,17 @@ def near_dup_candidate_stream(docs: DataFrame, id_col: str = "doc_id",
         if len(ids) > max_kept:          # FIFO occupancy cap
             ids, sigs = ids[-max_kept:], sigs[-max_kept:]
         state.update((",".join(map(str, ids)), ",".join(map(str, sigs))))
-        state.setTimeoutDuration(idle_timeout_ms)
-        if out_rows:
-            yield pd.DataFrame(out_rows,
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        # yield in bounded chunks — keeps any single Arrow batch in the
+        # state-apply protocol small even for a hot bucket's quadratic
+        # pair burst (~45k rows from one 300-member bucket)
+        for i in range(0, len(out_rows), 4096):
+            yield pd.DataFrame(out_rows[i:i + 4096],
                                columns=["band", "id_a", "id_b", "hamming"])
 
+    timeout_conf = (GroupStateTimeout.NoTimeout if idle_timeout_ms is None
+                    else GroupStateTimeout.ProcessingTimeTimeout)
     return (banded.groupBy("band", "bv")
             .applyInPandasWithState(fn, _ND_OUT, _ND_STATE, "append",
-                                    GroupStateTimeout.ProcessingTimeTimeout))
+                                    timeout_conf))
