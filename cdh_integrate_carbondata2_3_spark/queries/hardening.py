@@ -844,3 +844,59 @@ def _attach_stream_parity_oracle() -> None:
 
 
 _attach_stream_parity_oracle()
+
+
+@query("table_insert_stage", oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,
+       COUNT(DISTINCT n_regionkey) AS n_regions
+FROM nation
+""")
+def table_insert_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Flink-writer stage flow end-to-end (reference
+    CarbonInsertFromStageCommand.scala:71-183): an external no-Spark
+    writer (sdk.SdkStageWriter) drops data files + .stage markers into
+    <table>/stage/ — invisible to queries — then INSERT INTO t STAGE
+    commits every pending entry transactionally. Base load holds
+    nation keys <10; two stage commits carry the rest; a third write
+    is left UNcommitted (no .stage marker) and must stay invisible.
+    The aggregate equals the full nation table exactly when the
+    staged-but-uncommitted rows are excluded and both commits land."""
+    import os as _os
+
+    from ..sdk import SdkStageWriter
+    from ..sql import Engine
+
+    eng = Engine(spark, _scratch("stage_flow", sf_dir))
+    tdir = _os.path.join(eng.warehouse, "stg")
+    t = Table.create(spark, tdir, _NATION_SCHEMA)
+    nat = (pd.read_parquet(_os.path.join(sf_dir, "nation.parquet"))
+           .sort_values("n_nationkey"))
+    rows = nat.to_dict("records")
+    t.insert(spark.createDataFrame(
+        [r for r in rows if r["n_nationkey"] < 10], _NATION_SCHEMA))
+
+    w = SdkStageWriter(tdir)
+    for r in rows:
+        if 10 <= r["n_nationkey"] < 18:
+            w.write(r)
+    w.commit()
+    for r in rows:
+        if r["n_nationkey"] >= 18:
+            w.write(r)
+    w.commit()
+    # an ORPHAN data file with no .stage marker (a crashed external
+    # writer): INSERT STAGE must not commit it
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    _pq.write_table(
+        _pa.Table.from_pylist(
+            [{"n_nationkey": 999, "n_name": "GHOST", "n_regionkey": 9}],
+            schema=w.schema),
+        _os.path.join(tdir, "stage", "deadbeef-part-00000.parquet"))
+
+    eng.sql("INSERT INTO stg STAGE")
+    return eng.sql(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys, "
+        "COUNT(DISTINCT n_regionkey) AS n_regions FROM stg")
