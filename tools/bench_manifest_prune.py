@@ -139,6 +139,10 @@ def bench_one(n_files: int, stats_format: str = "json") -> dict:
 def main() -> None:
     out = [bench_one(n, fmt) for n in (1_000, 10_000, 100_000)
            for fmt in ("json", "parquet")]
+    # the 100-TB-class point (1e6 files ≈ 128 TB at 128 MB/file):
+    # parquet stats mode only — the single-JSON manifest is exactly
+    # what this path replaces at that scale
+    out.append(bench_one(1_000_000, "parquet"))
     line = json.dumps({"metric": "manifest_prune", "results": out})
     print(line)
     if len(sys.argv) > 1:
