@@ -699,12 +699,10 @@ def table_create_like_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones the source's schema and properties into an empty table,
     INSERT INTO ... SELECT populates it from the source table, and the
     aggregate reads the clone."""
-    import os as _os
-
     from ..sql import Engine
 
     eng = Engine(spark, _scratch("ddl_like", sf_dir))
-    t = Table.create(spark, _os.path.join(eng.warehouse, "src"),
+    t = Table.create(spark, os.path.join(eng.warehouse, "src"),
                      "o_orderkey bigint, o_orderpriority string, "
                      "o_totalprice double")
     t.insert(_orders_subset(spark, sf_dir)
@@ -768,11 +766,11 @@ def sdk_reader_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = (SdkReader(t.table_dir,
                      columns=["o_orderkey", "o_orderpriority"])
            .to_arrow().to_pandas())
-    g = (pdf.groupby("o_orderpriority")["o_orderkey"]
+    # dropna=False: the oracle's GROUP BY keeps a NULL-keyed group
+    g = (pdf.groupby("o_orderpriority", dropna=False)["o_orderkey"]
          .agg(["count", "min", "max"]).reset_index())
-    rows = [(r.o_orderpriority, int(ric), int(rmin), int(rmax))
-            for r, ric, rmin, rmax in zip(
-                g.itertuples(), g["count"], g["min"], g["max"])]
+    rows = [(p, int(c), int(lo), int(hi))
+            for p, c, lo, hi in g.itertuples(index=False, name=None)]
     return spark.createDataFrame(
         rows, "o_orderpriority string, n_rows bigint, "
               "min_key bigint, max_key bigint")
@@ -783,7 +781,25 @@ def sdk_reader_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parity with the DuckDB oracle — not a rows-only check)
 # ---------------------------------------------------------------------------
 
-@query("stream_near_dup_parity", oracle=None)  # set below after import
+from .dedup_extra import (_SIM_BANDS, _SIM_BITS,  # noqa: E402
+                          _SIM_MAX_HAMMING, _simhash_oracle)
+
+
+def _parity_oracle() -> str:
+    sql = _simhash_oracle()
+    if sql.count("FROM documents") != 1:
+        raise ValueError("simhash oracle shape changed")
+    # same bound as the stream side: first 1000 docs (sweep cost), and
+    # no empty/whitespace-only texts — the streaming analyzer drops
+    # empty tokens while the batch oracle's split keeps the lone ''
+    # token an empty text produces, so those docs would diverge
+    return sql.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents"
+        " WHERE doc_id < 1000 AND trim(text) <> '') documents")
+
+
+@query("stream_near_dup_parity", oracle=_parity_oracle())
 def stream_near_dup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stateful streaming near-dup detector
     (streaming/stateful.near_dup_candidate_stream:
@@ -812,9 +828,10 @@ def stream_near_dup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # off larger-sf sweeps (4x8-bit bands on this tiny-vocab corpus
     # hit ~9.5M band pairs at sf0.1; production uses 16-bit bands)
     stream = (spark.readStream.schema(sch).parquet(src_dir)
-              .filter(F.col("doc_id") < 1000))
+              .filter((F.col("doc_id") < 1000)
+                      & (F.trim(F.col("text")) != "")))
     cand = near_dup_candidate_stream(stream, "doc_id", "text",
-                                     bits=32, bands=4,
+                                     bits=_SIM_BITS, bands=_SIM_BANDS,
                                      max_kept=1_000_000,
                                      idle_timeout_ms=None)
     name = "nd_parity_" + os.path.basename(sf_dir.rstrip("/")).replace(
@@ -824,26 +841,11 @@ def stream_near_dup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt).start())
     q.awaitTermination()
     mem = spark.table(name)
-    return (mem.filter(F.col("hamming") <= 1)
+    return (mem.filter(F.col("hamming") <= _SIM_MAX_HAMMING)
             .select(F.col("id_a").alias("doc_a"),
                     F.col("id_b").alias("doc_b"),
                     F.col("hamming").cast("int").alias("hamming"))
             .distinct())
-
-
-def _attach_stream_parity_oracle() -> None:
-    from . import REGISTRY, Query
-    from .dedup_extra import _simhash_oracle
-    sql = _simhash_oracle()
-    assert sql.count("FROM documents") == 1
-    sql = sql.replace(
-        "FROM documents",
-        "FROM (SELECT * FROM documents WHERE doc_id < 1000) documents")
-    q = REGISTRY["stream_near_dup_parity"]
-    REGISTRY["stream_near_dup_parity"] = Query(q.name, q.fn, sql)
-
-
-_attach_stream_parity_oracle()
 
 
 @query("table_insert_stage", oracle="""
@@ -862,15 +864,13 @@ def table_insert_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     is left UNcommitted (no .stage marker) and must stay invisible.
     The aggregate equals the full nation table exactly when the
     staged-but-uncommitted rows are excluded and both commits land."""
-    import os as _os
-
     from ..sdk import SdkStageWriter
     from ..sql import Engine
 
     eng = Engine(spark, _scratch("stage_flow", sf_dir))
-    tdir = _os.path.join(eng.warehouse, "stg")
+    tdir = os.path.join(eng.warehouse, "stg")
     t = Table.create(spark, tdir, _NATION_SCHEMA)
-    nat = (pd.read_parquet(_os.path.join(sf_dir, "nation.parquet"))
+    nat = (pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
            .sort_values("n_nationkey"))
     rows = nat.to_dict("records")
     t.insert(spark.createDataFrame(
@@ -893,7 +893,7 @@ def table_insert_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pa.Table.from_pylist(
             [{"n_nationkey": 999, "n_name": "GHOST", "n_regionkey": 9}],
             schema=w.schema),
-        _os.path.join(tdir, "stage", "deadbeef-part-00000.parquet"))
+        os.path.join(tdir, "stage", "deadbeef-part-00000.parquet"))
 
     eng.sql("INSERT INTO stg STAGE")
     return eng.sql(

@@ -49,7 +49,7 @@ def main() -> None:
     # than the engine side (it pins exact values + TRUE flags while the
     # engine also computes the sketches being checked) — an
     # engine/plain ratio there measures the sketch, not engine overhead
-    not_comparable = {"agg_approx_sketch_bounds", "agg_hll_mergeable_rollup"}
+    not_comparable = {"agg_hll_mergeable_rollup"}
 
     out = {}
     for name in HEADLINE:
