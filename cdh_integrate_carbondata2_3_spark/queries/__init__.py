@@ -38,13 +38,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Round-4 window plan: every prior query is stamped green somewhere
 # in CORRECTNESS_r01-r03, so the 50 driver slots go to (1) the
-# queries ADDED this round (never stamped — FTS fuzzy/sloppy/boolean/
-# analyzer/BM25/ranked-limit, ExactSubstr spans+trim, temperature/
-# token-budget sampling, parquet-stats manifest — they sort first
-# automatically because they appear in neither list below), then
-# (2) stamps kept FRESH — oldest first (r1-only), then r2 rows whose
-# code paths changed this round (min_by argmin, text_match parser,
-# manifest cache), then other r2 rows.
+# queries ADDED this round (never stamped — they sort first
+# automatically because they appear in neither list below): the FTS
+# depth set (fuzzy/sloppy/boolean/analyzer/BM25/ranked-limit),
+# ExactSubstr spans+trim, temperature/token-budget sampling,
+# parquet-stats manifest, and the hardening set (SI/bloom-index
+# reads, bad-records LOAD, CDC apply, salted skew, SemDeDup, bloom
+# prefilter, sketch bounds, hybrid rerank, canonical pick, TRUNCATE/
+# CREATE-LIKE/datasource/SDK/INSERT-STAGE conversions, streaming
+# near-dup parity); then (2) stamps kept FRESH — oldest first
+# (r1-only), then r2 rows whose code paths changed this round.
 _ROTATE_BACK_IN: tuple[str, ...] = (
     # oldest stamps: green in r1 only (24)
     "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
