@@ -40,6 +40,8 @@ EXTRA = (
     # round-4 hardening additions (the data-heavy ones)
     "join_salted_skew", "agg_salted_twophase", "agg_approx_sketch_bounds",
     "stream_cdc_apply", "table_si_index_prune",
+    "search_hybrid_rerank", "dedup_canonical_pick",
+    "stream_near_dup_parity", "table_insert_stage",
 )
 
 
