@@ -103,3 +103,47 @@ def test_bloom_rejects_key_type_mismatch(spark):
     ref = spark.range(5).select((F.col("id") * 2).cast("string").alias("fp"))
     with pytest.raises(ValueError, match="key type mismatch"):
         bloom_semi_join(cand, ref, on="fp", how="anti")
+
+
+def test_bloom_join_null_keys_match_sql_semantics(spark):
+    """NULL join keys: SQL semi drops them (NULL = NULL is not true),
+    anti keeps them. xxhash64(NULL, seed) hashes consistently on both
+    sides so the prefilter stays sound, and the exact refine enforces
+    the NULL semantics."""
+    cand = spark.createDataFrame([("a", 1), (None, 2), ("b", 3)],
+                                 "fp string, v int")
+    ref = spark.createDataFrame([("a",), (None,)], "fp string")
+    for how in ("semi", "anti"):
+        got = bloom_semi_join(cand, ref, "fp", how=how, m_bits=1024)
+        want = cand.join(ref.select("fp"), "fp", f"left_{how}")
+        assert sorted(got.collect(), key=str) == \
+            sorted(want.collect(), key=str)
+
+
+def test_canonical_pick_plans_partial_aggregate(spark):
+    """The per-cluster argmax must plan as a partial-aggregating
+    min_by (map-side combine), not a window over the corpus."""
+    from cdh_integrate_carbondata2_3_spark.queries import all_queries
+
+    df = all_queries()["dedup_canonical_pick"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    tail = plan.split("min_by")[0] if "min_by" in plan else plan
+    # the argmax aggregation subtree contains no Window operator
+    assert "min_by" in plan
+    assert "Window" not in tail.split("HashAggregate")[-1]
+
+
+def test_sketch_bounds_plans_two_aggregations(spark):
+    """countDistinct stays in its OWN aggregation: mixed with the
+    sketch aggregates it forces the expand + sort-based-fallback plan
+    (38 s vs 2 s at sf0.1)."""
+    from cdh_integrate_carbondata2_3_spark.queries import all_queries
+
+    df = all_queries()["agg_approx_sketch_bounds"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the exact distinct and the sketches never share an Aggregate
+    assert not any(("approx_count_distinct" in chunk
+                    and "count(distinct" in chunk.lower())
+                   for chunk in plan.split("Aggregate")[1:])
