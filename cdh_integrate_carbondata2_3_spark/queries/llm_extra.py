@@ -358,7 +358,11 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = emb.select(F.col("vec_id").alias("id"), dv.alias("e"))
+    # cache the decoded corpus: Lloyd's scans it once per round for
+    # the assign, once for the means, once for the final assignment —
+    # without the cache each scan re-runs the interpreted element-cast
+    # transform (same lesson as similarity_ann_ivf's cache)
+    v = emb.select(F.col("vec_id").alias("id"), dv.alias("e")).cache()
     seeds = v.filter(F.col("id").isin(list(_KM_SEEDS))).select(
         F.col("id").alias("cid"), F.col("e").alias("ce"))
     assign, cent = kmeans_refine(v, seeds, iters=1)
