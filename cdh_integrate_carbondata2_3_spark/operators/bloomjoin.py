@@ -125,7 +125,22 @@ def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
     prefilter so only bloom-positive candidate rows reach the exact
     join. Result is EXACTLY the semi/anti join (``refine=False`` skips
     the exact pass and returns the bloom superset/complement — only for
-    callers that tolerate the fpr)."""
+    callers that tolerate the fpr).
+
+    DETERMINISM REQUIREMENT (anti only): the anti path evaluates the
+    ``candidates`` plan twice (the bloom-negative keep branch and the
+    bloom-positive refine branch). If that plan is non-deterministic —
+    sampling, an un-ordered ``limit``, ``rand()``/``now()`` — a row can
+    land in both or neither branch. Persist/checkpoint such inputs
+    before calling, or use ``how='semi'`` (single-scan). Deterministic
+    inputs (file scans + deterministic expressions) are safe.
+
+    Broadcast lifetime: the bitset ships as a SparkContext broadcast
+    that must outlive every action on the returned DataFrame. It is
+    exposed as ``result._bloom_broadcast``; long-lived sessions issuing
+    many bloom joins should ``.destroy()`` it after the result is
+    materialized (otherwise it is reclaimed only when the DataFrame
+    and its UDF closure are garbage-collected)."""
     if how not in ("semi", "anti"):
         raise ValueError(f"bloom_semi_join supports semi/anti, got {how!r}")
     ctype = candidates.schema[on].dataType
@@ -158,12 +173,15 @@ def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
     pos = flagged.filter(F.col("__bloom_hit__")).drop("__bloom_hit__")
     neg = flagged.filter(~F.col("__bloom_hit__")).drop("__bloom_hit__")
     if not refine:
-        return pos if how == "semi" else neg
-    ref_keys = reference.select(on)
-    if how == "semi":
+        out = pos if how == "semi" else neg
+    elif how == "semi":
         # bloom negatives are guaranteed non-matches — only positives
         # need the exact semi join
-        return pos.join(ref_keys, on, "left_semi")
-    # anti: negatives are guaranteed non-matches (keep them all);
-    # positives may be fpr — exact anti join only on those
-    return neg.unionByName(pos.join(ref_keys, on, "left_anti"))
+        out = pos.join(reference.select(on), on, "left_semi")
+    else:
+        # anti: negatives are guaranteed non-matches (keep them all);
+        # positives may be fpr — exact anti join only on those
+        out = neg.unionByName(
+            pos.join(reference.select(on), on, "left_anti"))
+    out._bloom_broadcast = bc  # caller-visible handle (see docstring)
+    return out

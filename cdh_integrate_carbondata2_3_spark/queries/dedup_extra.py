@@ -33,15 +33,29 @@ from . import query
 from .pipeline import _docs, _tokens
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup: 32-bit signature from md5-derived token bits,
-# 4 LSH bands of 8 bits, hamming-distance verify.
+# SimHash near-dup: banded LSH over md5-derived sign bits. The gate
+# constants are SIZED FROM the largest corpus any gate artifact runs
+# (the 30× replica, tools/make_scale.py), not pinned at demo scale —
+# the r4 lesson: a gate query is the artifact users copy, so its
+# blocking must survive the biggest measured run. Occupancy math:
+# operators/dedup.planes_for.
 # ---------------------------------------------------------------------------
 
-_SIM_BITS = 32
-_SIM_BANDS = 4                 # 8 bits per band
-# ham ≤ 1 of 32: this synthetic corpus has a tiny vocabulary, so token
-# SETS collide heavily and looser thresholds flag ~half the pair space
-_SIM_MAX_HAMMING = 1
+from ..operators.dedup import planes_for  # noqa: E402
+
+# largest corpus a gate artifact touches: 30× replica of sf0.1
+_GATE_MAX_DOCS = 150_000
+_GATE_MAX_VECS = 60_000
+
+_SIM_BANDS = 4
+# band width sized so per-band buckets hold ~5 docs at the 30× corpus
+# (hamming verify is cheap, so a small occupancy target is affordable):
+# planes_for(150k, 5) = 15-bit bands → 32 768 buckets per band
+_SIM_BITS = _SIM_BANDS * planes_for(_GATE_MAX_DOCS, 5)        # 60
+# ham ≤ 2 of 60 ≈ the old ham ≤ 1 of 32 selectivity: this synthetic
+# corpus has a tiny vocabulary, so token SETS collide heavily and
+# looser thresholds flag ~half the pair space
+_SIM_MAX_HAMMING = 2
 
 
 def _hexval_sql(h: str, p: int) -> str:
@@ -49,21 +63,31 @@ def _hexval_sql(h: str, p: int) -> str:
     return f"(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1)"
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(bits: int = _SIM_BITS, bands: int = _SIM_BANDS,
+                    max_hamming: int = _SIM_MAX_HAMMING) -> str:
+    """DuckDB mirror of simhash_near_dups(bits, bands, max_hamming) —
+    parameterized so the batch gate (60/4) and the streaming-parity
+    gate (32/4: the per-row streaming signature form caps at 32 bits)
+    generate from the same template. ``bits`` ≤ 62 (the packed CASE
+    literals must fit a signed BIGINT on both engines)."""
+    if not bits % bands == 0 or bits > 62:
+        raise ValueError("bits must divide into bands and stay ≤ 62")
+    w = bits // bands
+    mask = (1 << w) - 1
     # per-token ±1 contribution for each signature bit
     contribs = ", ".join(
         f"(((({_hexval_sql('h', j // 4)}) >> {j % 4}) & 1) * 2 - 1) AS c{j}"
-        for j in range(_SIM_BITS))
-    sums = ", ".join(f"SUM(c{j}) AS s{j}" for j in range(_SIM_BITS))
+        for j in range(bits))
+    sums = ", ".join(f"SUM(c{j}) AS s{j}" for j in range(bits))
     pack = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(_SIM_BITS))
-    bands = ", ".join(
-        f"((sim >> {8 * b}) & 255) AS band{b}" for b in range(_SIM_BANDS))
+        for j in range(bits))
+    bands_sql = ", ".join(
+        f"((sim >> {w * b}) & {mask}) AS band{b}" for b in range(bands))
     band_union = "\nUNION\n".join(
         f"""  SELECT a.doc_id AS doc_a, a.sim AS sim_a, b.doc_id AS doc_b, b.sim AS sim_b
   FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
-        for b in range(_SIM_BANDS))
+        for b in range(bands))
     return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
@@ -76,26 +100,26 @@ WITH toks AS (
 ), sigs AS (
   SELECT doc_id, CAST({pack} AS BIGINT) AS sim FROM sums
 ), banded AS (
-  SELECT doc_id, sim, {bands} FROM sigs
+  SELECT doc_id, sim, {bands_sql} FROM sigs
 ), cand AS (
 {band_union}
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(sim_a, sim_b)) <= {_SIM_MAX_HAMMING}
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
 
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit signature (sign of summed ±1 md5
-    bit contributions over the distinct token set), multi-band LSH
-    candidates, exact hamming verify.
+    """SimHash near-dup pairs: 60-bit signature (sign of summed ±1 md5
+    bit contributions over the distinct token set), 4×15-bit-band LSH
+    candidates (32 768 buckets per band — sized for the 30× replica
+    corpus via planes_for, NOT a demo constant), exact hamming verify.
 
     Delegates to the parameterized ``operators.dedup.simhash_near_dups``
     (production knobs: signature width ≤64, band count, hamming cap;
-    bucket-occupancy sizing math in that module's docstring) with the
-    demo constants this oracle is generated from."""
+    bucket-occupancy sizing math in that module's docstring)."""
     from ..operators.dedup import simhash_near_dups
 
     toks = _tokens(_docs(spark, sf_dir))
@@ -166,7 +190,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COS_THRESHOLD = 0.40
-_SIGN_DIMS = 3           # leading dims whose sign forms the blocking key
+# blocking planes sized for the largest gate corpus (30× replica,
+# 60k vectors) at ~256 occupancy: planes_for(60_000, 256) = 8 →
+# 256 sign buckets. The r4 curve measured the old demo constant
+# (3 planes, 8 buckets) at 22.4× wall for 10× data — quadratic per
+# bucket — and 18× recovery with the sized count (SCALE.md).
+_SIGN_DIMS = planes_for(_GATE_MAX_VECS, 256)                  # 8
 
 
 def _emb_near_oracle() -> str:

@@ -62,7 +62,14 @@ class _FilePartition(InputPartition):
         self.seg_id = seg_id
 
 
-class CarbonScanReader(DataSourceReader):
+class _CarbonReaderBase(DataSourceReader):
+    """Scan logic WITHOUT ``pushFilters`` — Spark refuses to initialize
+    a Python reader that overrides ``pushFilters`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default
+    on a plain session), so this base class is also the fallback
+    reader: same results, no manifest pruning (Spark evaluates every
+    filter exactly either way)."""
+
     def __init__(self, options: dict, schema: StructType):
         self._table_dir = options["path"]
         self._segments = ([int(x) for x in str(options["segments"]).split(",")]
@@ -74,17 +81,6 @@ class CarbonScanReader(DataSourceReader):
         doc = Manifest(self._table_dir).load(self._as_of)
         self._defaults: dict = doc.get("column_defaults", {})
         self._renames: list = doc.get("column_renames", [])
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        top = {f.name for f in self._schema.fields}
-        for f in filters:
-            op = _OPS.get(type(f))
-            attr = getattr(f, "attribute", None)
-            if op and attr and len(attr) == 1 and attr[0] in top:
-                value = list(f.value) if op == "in" else f.value
-                self._predicates.append((attr[0], op, value))
-        # Spark re-evaluates everything exactly; pruning is just a skip
-        return iter(filters)
 
     def partitions(self) -> list[_FilePartition]:
         import os
@@ -137,6 +133,24 @@ class CarbonScanReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
+class CarbonScanReader(_CarbonReaderBase):
+    """The pruning reader: receives Catalyst's pushable conjuncts and
+    maps them onto manifest min/max + partition pruning. Requires
+    ``spark.sql.python.filterPushdown.enabled`` (set by
+    :func:`register`)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        top = {f.name for f in self._schema.fields}
+        for f in filters:
+            op = _OPS.get(type(f))
+            attr = getattr(f, "attribute", None)
+            if op and attr and len(attr) == 1 and attr[0] in top:
+                value = list(f.value) if op == "in" else f.value
+                self._predicates.append((attr[0], op, value))
+        # Spark re-evaluates everything exactly; pruning is just a skip
+        return iter(filters)
+
+
 class CarbonStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("carbon")`` — tail the manifest for
     newly committed segments (the reference's "streaming source table":
@@ -150,7 +164,7 @@ class CarbonStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: StructType):
         self._table_dir = options["path"]
         self._schema = schema
-        self._reader = CarbonScanReader(dict(options), schema)
+        self._reader = _CarbonReaderBase(dict(options), schema)
 
     def _max_segment(self) -> int:
         m = Manifest(self._table_dir)
@@ -199,12 +213,33 @@ class CarbonDataSource(DataSource):
         # (which re-instantiate the DataSource) don't have
         return Manifest(self.options["path"]).load()["schema"]
 
-    def reader(self, schema: StructType) -> CarbonScanReader:
-        return CarbonScanReader(self.options, schema)
+    def reader(self, schema: StructType) -> _CarbonReaderBase:
+        # reader() runs driver-side: honor the session's pushdown conf.
+        # When it is off (and register() couldn't turn it on), fall
+        # back to the no-pushFilters reader — identical results, no
+        # manifest pruning — instead of failing reader init with
+        # DATA_SOURCE_PUSHDOWN_DISABLED.
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        enabled = "false"
+        if spark is not None:
+            enabled = str(spark.conf.get(
+                "spark.sql.python.filterPushdown.enabled", "false")).lower()
+        cls = CarbonScanReader if enabled == "true" else _CarbonReaderBase
+        return cls(self.options, schema)
 
     def streamReader(self, schema: StructType) -> CarbonStreamReader:
         return CarbonStreamReader(self.options, schema)
 
 
 def register(spark) -> None:
+    """Register the datasource AND enable Python filter pushdown —
+    the conf defaults to false and is runtime-settable; without it
+    Spark refuses to initialize any reader that overrides
+    ``pushFilters`` (the engine's own session builder sets it, but an
+    externally created session won't have)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # immutable-at-runtime on some builds → reader() falls back
     spark.dataSource.register(CarbonDataSource)
