@@ -142,16 +142,19 @@ class IndexManager:
     def create_fts_index(self, name: str, columns: list[str],
                          analyzer: str = "whitespace") -> None:
         """CREATE INDEX name ON table (columns) AS 'lucene'
-        [PROPERTIES('analyzer'='standard')]. ``whitespace`` =
-        case-sensitive whitespace tokens (round-3 behavior);
+        [PROPERTIES('analyzer'='standard'|'english')]. ``whitespace``
+        = case-sensitive whitespace tokens (round-3 behavior);
         ``standard`` = lowercase + whitespace, the practical core of
-        Lucene's StandardAnalyzer (reference lucene-index-guide.md;
-        stemming/stop-words remain out of scope)."""
+        Lucene's StandardAnalyzer; ``english`` = lowercase + the
+        classic 33-word stop set + minimal s-stemmer
+        (functions/analyzers.py — Lucene EnglishAnalyzer's pipeline
+        with the SQL-expressible stemmer; full Porter remains a
+        documented delta). Reference lucene-index-guide.md."""
         if os.path.exists(_meta_path(self.table.table_dir, name)):
             raise FileExistsError(f"index {name} exists")
-        if analyzer not in ("whitespace", "standard"):
+        if analyzer not in ("whitespace", "standard", "english"):
             raise ValueError(f"unsupported analyzer {analyzer!r} "
-                             "(whitespace | standard)")
+                             "(whitespace | standard | english)")
         self._build_fts(name, columns, analyzer)
 
     def refresh(self, name: str) -> None:
@@ -239,13 +242,21 @@ class IndexManager:
         posts = None
         for col in columns:
             src = F.col(col).cast("string")
-            if analyzer == "standard":
+            if analyzer in ("standard", "english"):
                 src = F.lower(src)
             p = (base.select(
                     F.lit(col).alias("col"),
                     F.explode(F.split(src, r"\s+")).alias("tok"),
                     "_file")
                  .filter(F.col("tok") != ""))
+            if analyzer == "english":
+                # stop-remove on the surface form, then stem — the
+                # same order the refine predicate and oracle use
+                # (functions/analyzers.py); stays JVM-side via expr
+                from ..functions.analyzers import (ENGLISH_STOPWORDS,
+                                                   stem_sql)
+                p = (p.filter(~F.col("tok").isin(*ENGLISH_STOPWORDS))
+                     .withColumn("tok", F.expr(stem_sql("tok"))))
             posts = p if posts is None else posts.unionByName(p)
         (posts.distinct().sort("col", "tok")
          .coalesce(1).write.mode("overwrite").parquet(idx_dir))
@@ -387,10 +398,30 @@ class IndexManager:
         idx_dir = _index_dir(self.table.table_dir, meta["name"])
         t = pq.read_table(idx_dir, columns=["tok", "_file"],
                           filters=[("col", "=", col)])
-        if meta.get("analyzer") == "standard":
+        analyzer = meta.get("analyzer")
+        if analyzer in ("standard", "english"):
             # postings are lowercased — normalize query terms the same
             # way (wildcard/fuzzy markers are ASCII and survive lower())
             terms = [tm.lower() for tm in terms]
+        if analyzer == "english":
+            # postings are stop-filtered + stemmed: stem each PLAIN
+            # token the same way (wildcard/fuzzy patterns are matched
+            # against the stemmed dictionary as-is — Lucene evaluates
+            # multi-term queries against index terms un-analyzed);
+            # a stopword token was DROPPED from the compiled query
+            # (sql.py _term_sql), so it must impose no constraint here
+            from ..functions.analyzers import analyze_term, is_stopword
+
+            def _norm(term: str) -> str:
+                out = []
+                for tk in term.split():
+                    if re.fullmatch(r"(.+)~(\d)", tk) or "*" in tk \
+                            or "?" in tk:
+                        out.append(tk)
+                    elif not is_stopword(tk):
+                        out.append(analyze_term(tk))
+                return " ".join(out)
+            terms = [t for t in (_norm(tm) for tm in terms) if t]
 
         def _all_files() -> set[str]:
             return {os.path.abspath(self.table._abs(f.path))

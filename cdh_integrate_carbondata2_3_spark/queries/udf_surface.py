@@ -276,6 +276,63 @@ def table_fts_standard_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+def _english_oracle() -> str:
+    """Generated from the SAME stemmer/stop-list definitions the
+    engine compiles with (functions/analyzers.py) — the two sides
+    cannot drift apart. The gate corpus pluralizes each document's
+    last token (trim(text) || 's') so CORPUS-side stemming is
+    exercised, not just query-term stemming."""
+    from ..functions.analyzers import stem_sql, stops_sql
+
+    def has(term: str) -> str:
+        return (f"len(list_filter(string_split_regex(lower(text), ' +'),"
+                f" t -> t <> '' AND t NOT IN ({stops_sql()})"
+                f" AND ({stem_sql('t')}) = '{term}')) > 0")
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, trim(text) || 's' AS text FROM documents
+)
+SELECT source, COUNT(*) AS n_docs
+FROM d
+WHERE {has('sort')}
+  AND {has('query')}
+GROUP BY source
+"""
+
+
+@query("table_fts_english_analyzer", oracle=_english_oracle())
+def table_fts_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'english' analyzer (lowercase + classic stop set + minimal
+    s-stemmer — Lucene EnglishAnalyzer's pipeline with the
+    SQL-expressible stemmer, functions/analyzers.py):
+    text_match('text:Sorts AND text:QUERIES AND text:The') matches
+    documents whose ANALYZED tokens contain 'sort' and 'query' —
+    'Sorts'→'sort' and 'QUERIES'→'query' by query-term stemming,
+    corpus plurals (the staged table pluralizes each doc's last
+    token) stem back the same way, and 'The' is a stopword whose
+    clause Lucene's parser DROPS from the conjunction. Postings are
+    stop-filtered + stemmed (catalog/index.py _build_fts), so index
+    pruning and the RLIKE-free exists() refine see the same terms.
+    Reference: LuceneFineGrainIndex.java:63-204 analyzer pipeline,
+    docs/index/lucene-index-guide.md."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_en", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.concat(F.trim(F.col("text")), F.lit("s"))
+                     .alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX fen ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:Sorts AND text:QUERIES AND text:The') "
+        "GROUP BY source")
+
+
 @query("table_fts_limit_ranked", oracle=r"""
 WITH tf AS (
   SELECT doc_id, text, source,

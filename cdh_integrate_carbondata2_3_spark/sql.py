@@ -354,18 +354,58 @@ def _strip_boost(pat: str) -> tuple[str, float]:
     return pat, 1.0
 
 
+def _english_term_sql(field: str, pat: str) -> str | None:
+    """Term/wildcard predicate under the 'english' analyzer: evaluate
+    against the ANALYZED token stream (lowercase → stop-remove → stem,
+    functions/analyzers.py) exactly as the postings were built, so
+    index pruning stays sound. A stopword term returns None — the
+    clause is DROPPED, Lucene QueryParser behavior (the analyzer
+    returns no token, so the clause vanishes from the BooleanQuery).
+    Wildcard patterns match the stemmed token dictionary as-is
+    (Lucene evaluates multi-term queries against index terms)."""
+    from .functions.analyzers import analyze_term, stem_sql, stops_sql
+    pat = pat.lower()
+    body = f"split(lower({field}), '\\\\s+')"
+    keep = f"__t != '' AND __t NOT IN ({stops_sql()})"
+    if "*" in pat or "?" in pat:
+        rx = "".join(
+            r"\\S*" if part == "*" else (r"\\S" if part == "?"
+                                         else _sql_rx_escape(part))
+            for part in re.split(r"([*?])", pat) if part != "")
+        cond = f"({stem_sql('__t')}) RLIKE '^(?:{rx})$'"
+    else:
+        q = analyze_term(pat)
+        if q is None:
+            return None
+        cond = f"({stem_sql('__t')}) = '{q.replace(chr(39), chr(39) * 2)}'"
+    return f"(exists({body}, __t -> {keep} AND {cond}))"
+
+
 def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
-              regexes: list[str], lowercase: bool = False) -> str:
+              regexes: list[str], lowercase: bool = False,
+              english: bool = False) -> str | None:
     """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
     phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
     suffix is stripped — it only affects ranking). ``lowercase``
     compiles against lower(field) with lowercased patterns — the
-    'standard' analyzer (catalog/index.py create_fts_index)."""
+    'standard' analyzer; ``english`` compiles term/wildcard queries
+    against the stemmed stop-filtered token stream and returns None
+    for analyzer-dropped (stopword) clauses. Phrase / fuzzy / range /
+    regexp terms under 'english' raise — a documented delta (their
+    Lucene forms analyze per-position with stop gaps, out of scope)."""
     m = re.match(r"^([\w.]+):(\S+)$", tok)
     if not m:
         raise ValueError(f"text_match: cannot parse term {tok!r}")
     field, pat = m.groups()
     pat, _ = _strip_boost(pat)
+    if english:
+        if re.search(r"[\x00\x01\x02]", pat) or "~" in pat:
+            raise ValueError(
+                "text_match: phrase/fuzzy/range/regexp terms are not "
+                "supported under the 'english' analyzer (term and "
+                "wildcard queries only — COVERAGE.md documents the "
+                f"delta); got {tok!r}")
+        return _english_term_sql(field, pat)
     if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
         return _range_sql(field, *ranges[int(rm.group(1))],
                           lowercase=lowercase)
@@ -413,7 +453,8 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
 def _parse_group(toks: list[str], i: int, phrases: list[str],
                  ranges: list[tuple] | None = None,
                  regexes: list[str] | None = None,
-                 lowercase: bool = False) -> tuple[str, int]:
+                 lowercase: bool = False,
+                 english: bool = False) -> tuple[str | None, int]:
     """One parenthesis level: operands joined by AND/OR (explicit) or
     adjacency (implicit OR — Lucene's default operator), with NOT as
     strict boolean negation and +/- occur prefixes. When any +/- is
@@ -457,17 +498,24 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
             t = toks[i]
         if t == "(":
             sql, i = _parse_group(toks, i + 1, phrases, ranges, regexes,
-                                  lowercase)
+                                  lowercase, english)
             if i >= len(toks) or toks[i] != ")":
                 raise ValueError("text_match: unbalanced parentheses")
             i += 1
         else:
             sql = _term_sql(t, phrases, ranges or [], regexes or [],
-                            lowercase)
+                            lowercase, english)
             i += 1
         items.append((conn, occur, negated, sql))
     if not items:
         raise ValueError("text_match: empty group")
+    # analyzer-dropped clauses (english stopwords, sql=None) vanish
+    # from the boolean — Lucene's StopFilter removes the token before
+    # the BooleanQuery is built, so the clause (and its connective,
+    # and any NOT/+/- on it) simply never existed
+    items = [it for it in items if it[3] is not None]
+    if not items:
+        return None, i          # whole group analyzed away
     if any(occ for _, occ, _, _ in items):
         # BooleanQuery bag: explicit AND promotes both sides to MUST;
         # a NOT-negated clause is a MUST_NOT (Lucene: NOT x ≡ -x) —
@@ -501,7 +549,8 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
     return "(" + " ".join(out) + ")", i
 
 
-def _lucene_to_sql(query: str, lowercase: bool = False) -> str:
+def _lucene_to_sql(query: str, lowercase: bool = False,
+                   english: bool = False) -> str:
     """Translate a Lucene-ish text_match query into a whitespace-token
     RLIKE/levenshtein predicate — the exact-refine half of the
     reference's Lucene fine-grain index (LuceneFineGrainIndex.java:
@@ -520,10 +569,18 @@ def _lucene_to_sql(query: str, lowercase: bool = False) -> str:
     stashed, regexes = _stash_regexes(stashed)
     stashed, ranges = _stash_ranges(stashed)
     toks = re.findall(r"\(|\)|[^\s()]+", stashed)
-    sql, i = _parse_group(toks, 0, phrases, ranges, regexes, lowercase)
+    sql, i = _parse_group(toks, 0, phrases, ranges, regexes, lowercase,
+                          english)
     if i != len(toks):
         raise ValueError(
             f"text_match: unbalanced parentheses in {query!r}")
+    if sql is None:
+        # every clause was analyzer-dropped (all-stopword query):
+        # Lucene's empty BooleanQuery matches nothing. NOT "(false)" —
+        # Spark's parser reads "FROM t WHERE (false)" as table alias
+        # WHERE with column list (false) and fails with an arity error;
+        # a comparison inside the parens is unambiguous.
+        return "(1 = 0)"
     return sql
 
 
@@ -944,26 +1001,27 @@ class Engine:
                                    segments=seg_scope.get(tm_limit[0]))
         return self.spark.sql(text)
 
-    def _fts_analyzer_is_standard(self, text: str) -> bool:
-        """True only when EVERY fts index on the queried table uses
-        the 'standard' analyzer. With a mixed set, compiling the query
-        case-insensitively while a whitespace index prunes with
-        case-SENSITIVE postings would drop matching files — so mixed
-        tables stay case-sensitive (pruning through a standard index
-        then over-includes, which is sound)."""
+    def _fts_common_analyzer(self, text: str) -> str:
+        """The analyzer shared by EVERY fts index on the queried table,
+        else 'whitespace'. With a mixed set, compiling the query
+        case-insensitively (or stemmed) while a whitespace index prunes
+        with case-SENSITIVE postings would drop matching files — so
+        mixed tables compile conservatively as whitespace (pruning
+        through the richer index then over-includes, which is
+        sound)."""
         ft = _FROM_TABLE.search(text)
         if not (ft and ft.group(1) in self.tables()):
-            return False
+            return "whitespace"
         try:
             metas = self.table(ft.group(1)).indexes.show()
         except FileNotFoundError:
-            return False
+            return "whitespace"
         fts = [m for m in metas if m["type"] == "fts"]
-        return bool(fts) and all(m.get("analyzer") == "standard"
-                                 for m in fts)
+        kinds = {m.get("analyzer", "whitespace") for m in fts}
+        return kinds.pop() if len(kinds) == 1 else "whitespace"
 
     def _build_tm_limited(self, tbl: str, q: str, n: int,
-                          lc: bool = False,
+                          lc: bool = False, eng: bool = False,
                           segments: list[int] | None = None) -> None:
         """Materialize ``__tm_limited``: the top-``n`` rows of ``tbl``
         matching Lucene-ish query ``q``, ordered by BM25 relevance —
@@ -985,7 +1043,10 @@ class Engine:
         # stats then come from the scoped corpus, the searchable index
         base = (self.table(tbl).read(segments=segments)
                 if tbl in self.tables() else self.spark.table(tbl))
-        pred = F.expr(_lucene_to_sql(q, lowercase=lc))
+        # under 'english', BM25 tf still counts SURFACE forms (a
+        # stemmed-tf ranking is a documented delta) — matching itself
+        # is analyzer-exact via the compiled predicate
+        pred = F.expr(_lucene_to_sql(q, lowercase=lc, english=eng))
         by_field = self._scorable_terms(q)
         if not by_field:
             base.filter(pred).limit(n) \
@@ -1069,12 +1130,14 @@ class Engine:
         from .functions.timeseries import GRANULARITIES
         text = _strip_ni(text)
         fts_preds = self._fts_prune_predicates(text)
-        # 'standard' analyzer on the queried table's FTS index →
-        # text_match compiles case-insensitively (lowercased field and
-        # patterns), matching what the postings store
-        lc = ("text_match" in text.lower()
-              and self._fts_analyzer_is_standard(text))
-        tm_limit: tuple[str, str, int, bool] | None = None
+        # the queried table's FTS analyzer steers query compilation:
+        # 'standard' → case-insensitive; 'english' → case-insensitive
+        # + stop-drop + stemmed term matching, matching the postings
+        an = (self._fts_common_analyzer(text)
+              if "text_match" in text.lower() else "whitespace")
+        lc = an == "standard"
+        eng = an == "english"
+        tm_limit: tuple[str, str, int, bool, bool] | None = None
         if "text_match_with_limit" in text.lower():
             m = _TEXT_MATCH_LIMIT_SOLE.search(text)
             if not m:
@@ -1088,11 +1151,12 @@ class Engine:
             # BM25 relevance (Lucene returns the top-N SCORED hits,
             # LuceneFineGrainIndex.java:63-204), falling back to an
             # arbitrary-N cut when no term is scorable
-            tm_limit = (tbl, q, n, lc)
+            tm_limit = (tbl, q, n, lc, eng)
             sub = f"FROM __tm_limited {tbl} WHERE TRUE {tail or ''}"
             text = text[:m.start()] + sub + text[m.end():]
         text = _TEXT_MATCH_FN.sub(
-            lambda m: _lucene_to_sql(m.group(1), lowercase=lc), text)
+            lambda m: _lucene_to_sql(m.group(1), lowercase=lc,
+                                     english=eng), text)
 
         def _ts(m: re.Match) -> str:
             from .functions.timeseries import _MINUTE_BUCKETS

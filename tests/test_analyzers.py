@@ -1,0 +1,134 @@
+"""'english' FTS analyzer: s-stemmer parity across Python / Spark SQL
+/ DuckDB, stopword clause dropping, and analyzer-aware index pruning
+(functions/analyzers.py, catalog/index.py, sql.py)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+from cdh_integrate_carbondata2_3_spark.functions.analyzers import (
+    ENGLISH_STOPWORDS, analyze_term, minimal_stem, stem_sql)
+from cdh_integrate_carbondata2_3_spark.sql import Engine, _lucene_to_sql
+
+# surface → expected stem (Harman s-stemmer rules)
+STEM_CASES = {
+    "dogs": "dog", "queries": "query", "ties": "ty", "makes": "make",
+    "goes": "goes", "sees": "sees", "dies": "dy", "bus": "bus",
+    "class": "class", "as": "as", "is": "is", "yes": "ye",
+    "sorts": "sort", "windows": "window", "thes": "the", "s": "s",
+    "joins": "join", "tables": "table", "its": "it", "houses": "house",
+    "aes": "aes", "axes": "axe", "": "", "run": "run",
+}
+
+
+def test_minimal_stem_rules():
+    for w, want in STEM_CASES.items():
+        assert minimal_stem(w) == want, w
+
+
+def test_stem_sql_matches_python_on_spark_and_duckdb(spark):
+    words = sorted(set(STEM_CASES) - {""}) + [
+        "values", "pass", "unless", "genius", "days", "keys", "tries"]
+    # Spark SQL evaluation of the shared fragment
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got_spark = dict(df.select(
+        "w", F.expr(stem_sql("w")).alias("s")).collect())
+    # DuckDB evaluation of the SAME fragment
+    con = duckdb.connect()
+    got_duck = dict(con.execute(
+        f"SELECT w, {stem_sql('w')} AS s FROM (SELECT unnest(?) AS w)",
+        [words]).fetchall())
+    con.close()
+    for w in words:
+        want = minimal_stem(w)
+        assert got_spark[w] == want, f"spark {w}"
+        assert got_duck[w] == want, f"duckdb {w}"
+
+
+def test_analyze_term_drops_stopwords():
+    assert analyze_term("The") is None
+    assert analyze_term("WILL") is None
+    assert analyze_term("Queries") == "query"
+    for w in ENGLISH_STOPWORDS:
+        assert analyze_term(w) is None
+
+
+def test_lucene_to_sql_english_drops_stopword_clauses():
+    sql = _lucene_to_sql("text:Sorts AND text:the", english=True)
+    assert "sort" in sql and "the'" not in sql.split("NOT IN")[0]
+    # all-stopword query = Lucene empty BooleanQuery: matches nothing
+    assert _lucene_to_sql("text:the text:a", english=True) == "(1 = 0)"
+    # phrase under english is a documented delta
+    with pytest.raises(ValueError, match="english"):
+        _lucene_to_sql('text:"slow filter"', english=True)
+    with pytest.raises(ValueError, match="english"):
+        _lucene_to_sql("text:slow~1", english=True)
+
+
+@pytest.fixture()
+def eng_table(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    t = Table.create(spark, os.path.join(eng.warehouse, "docs"),
+                     "doc_id bigint, text string")
+    t.insert(spark.createDataFrame(
+        [(1, "the quick queries run fast"),
+         (2, "slow sorts and big JOINS"),
+         (3, "a window function"),
+         (4, "QUERY sort join")], "doc_id bigint, text string"))
+    eng.sql("CREATE INDEX fen ON TABLE docs (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+    return eng, t
+
+
+def test_english_matching_and_stopwords(eng_table):
+    eng, _ = eng_table
+    # query-term stem: Queries→query matches docs 1 (queries) and 4
+    got = {r.doc_id for r in eng.sql(
+        "SELECT doc_id FROM docs WHERE text_match('text:Queries')"
+    ).collect()}
+    assert got == {1, 4}
+    # corpus stem: sorts (doc 2) matched by singular query term
+    got = {r.doc_id for r in eng.sql(
+        "SELECT doc_id FROM docs WHERE text_match('text:sort')"
+    ).collect()}
+    assert got == {2, 4}
+    # stopword clause dropped from the conjunction
+    got = {r.doc_id for r in eng.sql(
+        "SELECT doc_id FROM docs WHERE "
+        "text_match('text:JOINS AND text:the')").collect()}
+    assert got == {2, 4}
+    # all-stopword query matches nothing
+    assert eng.sql("SELECT doc_id FROM docs WHERE "
+                   "text_match('text:the')").count() == 0
+
+
+def test_english_wildcard_over_stemmed_terms(eng_table):
+    eng, _ = eng_table
+    # wildcard evaluated against stemmed dictionary: quer* hits the
+    # stemmed 'query' tokens of docs 1 and 4
+    got = {r.doc_id for r in eng.sql(
+        "SELECT doc_id FROM docs WHERE text_match('text:quer*')"
+    ).collect()}
+    assert got == {1, 4}
+
+
+def test_english_index_prunes_files(eng_table):
+    eng, t = eng_table
+    # postings hold stemmed tokens: 'Queries' must resolve via the
+    # index (consulted) to a narrowed file set
+    im = t.indexes
+    preds = [("text", "text_match", ["Queries"])]
+    files = im.candidate_files(preds)
+    assert files is not None
+    assert im.last_consulted == ["fen"]
+    all_files = {t._abs(f.path)
+                 for s in t.manifest.queryable_segments() for f in s.files}
+    assert files and files <= all_files
+    # a stopword term imposes NO pruning constraint (dropped clause)
+    files_stop = im.candidate_files([("text", "text_match", ["the"])])
+    assert files_stop == all_files
