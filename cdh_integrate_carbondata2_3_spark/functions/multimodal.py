@@ -20,7 +20,7 @@ Patterns demonstrated:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -73,14 +73,23 @@ def fake_decode(content: bytes) -> dict:
     }
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame,
+                     decode: Callable[[bytes], dict] = fake_decode,
+                     schema: str = FEATURE_SCHEMA) -> DataFrame:
     """Per-blob feature extraction via mapInPandas (1 row in → 1 row
     out). At scale: Arrow batches keep blobs off the Python heap until
-    their batch is processed; repartition upstream for balance."""
+    their batch is processed; repartition upstream for balance.
+
+    ``decode`` is the injection seam for a real media decoder: pass a
+    callable ``bytes -> dict`` (e.g. pillow/librosa-backed) whose keys
+    match ``schema`` (minus the leading doc_id). The callable is
+    serialized into the Arrow worker with the closure, so it must be
+    importable/picklable; the default stays the deterministic fake so
+    oracle hashes are stable without media libraries."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [fake_decode(bytes(c)) for c in pdf["content"]]
+            feats = [decode(bytes(c)) for c in pdf["content"]]
             # mean_byte stays unrounded: int-sum / int-len is the same
             # IEEE double in any engine, while ROUND ties (x.xxxx5)
             # split between half-even and half-away semantics
@@ -88,28 +97,40 @@ def extract_features(df: DataFrame) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return df.mapInPandas(batches, FEATURE_SCHEMA)
+    return df.mapInPandas(batches, schema)
+
+
+def _digest_frame(frame: bytes) -> dict:
+    return {"frame_digest": hashlib.md5(frame).hexdigest()}
 
 
 def sample_frames(df: DataFrame, stride: int = FRAME_STRIDE,
-                  frame_len: int = FRAME_LEN) -> DataFrame:
+                  frame_len: int = FRAME_LEN,
+                  frame_features: Callable[[bytes], dict] = _digest_frame,
+                  schema: str = FRAME_SCHEMA) -> DataFrame:
     """Frame sampling via mapInPandas (1 row in → N rows out): fixed
-    stride over the byte stream, one digest per frame — the batch
-    shape of real video frame extraction."""
+    stride over the byte stream, one feature row per frame — the batch
+    shape of real video frame extraction.
+
+    ``frame_features`` is the per-frame injection seam (e.g. an
+    av/ffmpeg keyframe decoder emitting pixels or embeddings); its
+    keys must match ``schema`` minus the leading doc_id/frame_no. The
+    default digests the raw frame bytes so the gate oracle can replay
+    the output without media libraries."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, nos, digests = [], [], []
+            rows: list[dict] = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 raw = bytes(content)
                 k = 0
                 while k * stride + frame_len <= len(raw):
                     frame = raw[k * stride:k * stride + frame_len]
-                    ids.append(doc_id)
-                    nos.append(k)
-                    digests.append(hashlib.md5(frame).hexdigest())
+                    rows.append({"doc_id": doc_id, "frame_no": k,
+                                 **frame_features(frame)})
                     k += 1
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_no": nos, "frame_digest": digests})
+                rows, columns=[f.split()[0].strip()
+                               for f in schema.split(",")])
 
-    return df.mapInPandas(batches, FRAME_SCHEMA)
+    return df.mapInPandas(batches, schema)

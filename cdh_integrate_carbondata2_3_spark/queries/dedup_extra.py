@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
-from . import query
+from . import cache_tracked, query
 from .pipeline import _docs, _tokens
 
 # ---------------------------------------------------------------------------
@@ -381,7 +381,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the decoded vectors: the interpreted element-cast transform
     # would otherwise re-run for every sub-job (centroid collect,
     # assignment, probe selection, rerank)
-    v = emb.select(F.col("vec_id").alias("id"), dv.alias("e")).cache()
+    v = cache_tracked(emb.select(F.col("vec_id").alias("id"), dv.alias("e")))
     centroids = (v.filter(F.col("id").isin(list(_IVF_CENTROID_IDS)))
                  .select(F.col("id").alias("cid"), F.col("e").alias("ce")))
     corpus = v.filter(F.col("id") >= _IVF_QUERY_VECS)

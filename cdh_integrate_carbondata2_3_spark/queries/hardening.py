@@ -35,7 +35,7 @@ from ..operators.similarity import semantic_dedup
 from ..operators.skew import salted_agg, salted_join
 from ..sources.registry import load_table
 from ..streaming.cdc import apply_cdc_batch
-from . import query
+from . import cache_tracked, query
 from .lifecycle_queries import _scratch
 
 # ---------------------------------------------------------------------------
@@ -378,10 +378,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks (operators/similarity.semantic_dedup: occupancy = N/k,
     k is the scale knob)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    v = cache_tracked(emb.select(
         F.col("vec_id").alias("id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        .alias("e")).cache()
+        .alias("e")))
     cents = (v.filter(F.col("id").isin(list(_SEM_CENTROID_IDS)))
              .select(F.col("id").alias("cid"), F.col("e").alias("ce")))
     return semantic_dedup(v, cents, _SEM_THRESHOLD)

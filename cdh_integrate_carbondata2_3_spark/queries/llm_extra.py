@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from . import query
+from . import cache_tracked, query
 from .pipeline import _docs
 
 _EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.com"
@@ -362,7 +362,7 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the assign, once for the means, once for the final assignment —
     # without the cache each scan re-runs the interpreted element-cast
     # transform (same lesson as similarity_ann_ivf's cache)
-    v = emb.select(F.col("vec_id").alias("id"), dv.alias("e")).cache()
+    v = cache_tracked(emb.select(F.col("vec_id").alias("id"), dv.alias("e")))
     seeds = v.filter(F.col("id").isin(list(_KM_SEEDS))).select(
         F.col("id").alias("cid"), F.col("e").alias("ce"))
     assign, cent = kmeans_refine(v, seeds, iters=1)
@@ -555,7 +555,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.size(F.split(F.trim(F.col("text")), " +")).alias("n_tokens"),
         F.md5(F.col("text")).alias("digest"))
-    kept = scored.filter(F.col("n_tokens") >= 15).cache()
+    kept = cache_tracked(scored.filter(F.col("n_tokens") >= 15))
     winners = (kept.groupBy("digest")
                .agg(F.min("doc_id").alias("doc_id"))
                .select("doc_id"))

@@ -52,6 +52,54 @@ def test_extract_features_batch_shape(spark):
     assert by_id[2]["mean_byte"] == float(ord("x"))
 
 
+def test_extract_features_custom_decoder_injection(spark):
+    def struct_decode(content: bytes) -> dict:
+        # Tiny pure-Python "decoder" standing in for pillow/librosa:
+        # struct-unpacks the first 4 bytes as a big-endian word and
+        # reports a byte histogram peak — proves the injection seam
+        # carries an arbitrary callable into the Arrow worker (local
+        # def → cloudpickle serializes it by value, exactly how a
+        # user-supplied closure ships to executors).
+        import struct
+        padded = (content + b"\x00" * 4)[:4]
+        (word,) = struct.unpack(">I", padded)
+        peak = max(set(content), key=content.count) if content else -1
+        return {"lead_word": word, "peak_byte": peak}
+
+    df = mm.attach_binary(spark.createDataFrame(
+        [(1, "abba"), (2, "zzzy")], "doc_id bigint, text string"))
+    out = mm.extract_features(
+        df.select("doc_id", "content"), decode=struct_decode,
+        schema="doc_id bigint, lead_word bigint, peak_byte int").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["lead_word"] == int.from_bytes(b"abba", "big")
+    assert by_id[1]["peak_byte"] == ord("a")
+    assert by_id[2]["lead_word"] == int.from_bytes(b"zzzy", "big")
+    assert by_id[2]["peak_byte"] == ord("z")
+
+
+def test_sample_frames_custom_frame_features(spark):
+    df = mm.attach_binary(spark.createDataFrame(
+        [(3, "ab" * 50)], "doc_id bigint, text string"))
+    out = mm.sample_frames(
+        df.select("doc_id", "content"),
+        frame_features=lambda fr: {"n_a": fr.count(b"a"),
+                                   "first": fr[:1].decode()},
+        schema="doc_id bigint, frame_no int, n_a int, first string").collect()
+    assert len(out) == 3  # frames at 0,32,64 of the 100-byte stream
+    for r in out:
+        assert r["n_a"] == 8 and r["first"] == "a"
+
+
+def test_sample_frames_empty_batch_keeps_schema(spark):
+    # no blob long enough for a single frame → empty DF, stable schema
+    df = mm.attach_binary(spark.createDataFrame(
+        [(9, "short")], "doc_id bigint, text string"))
+    out = mm.sample_frames(df.select("doc_id", "content"))
+    assert out.columns == ["doc_id", "frame_no", "frame_digest"]
+    assert out.count() == 0
+
+
 def test_sample_frames_multi_row(spark):
     text = "a" * 100  # frames at 0,32,64 (len 16 each)
     df = mm.attach_binary(spark.createDataFrame(
@@ -70,10 +118,13 @@ def test_plane_weights_deterministic_and_nontrivial():
 
 
 def test_simhash_pairs_ordered(spark):
+    from cdh_integrate_carbondata2_3_spark.queries.dedup_extra import (
+        _SIM_MAX_HAMMING,
+    )
     rows = dedup_simhash(spark, SF).limit(50).collect()
     assert rows
     for r in rows:
-        assert r["doc_a"] < r["doc_b"] and r["hamming"] <= 1
+        assert r["doc_a"] < r["doc_b"] and r["hamming"] <= _SIM_MAX_HAMMING
 
 
 def test_embedding_near_threshold(spark):

@@ -165,6 +165,43 @@ def test_ivf_argmin_is_partial_aggregate_not_window(spark):
     assert "partial_min_by" in plan or "partial_min" in plan
 
 
+def test_bm25_corpus_never_hash_shuffles(spark):
+    """bm25_score's only aggregation is the single-row corpus stats
+    (N, Σdl, per-term df), which broadcasts back onto the scored rows:
+    the corpus itself must never cross a hash exchange — at 100 TB the
+    whole rank is a scan + one tiny global agg, not a shuffle."""
+    from cdh_integrate_carbondata2_3_spark.functions.text_rank import bm25_score
+    docs = spark.range(50).selectExpr(
+        "id as doc_id",
+        "concat('word', cast(id % 5 as string), ' filler text') as text")
+    plan = plan_of(bm25_score(docs, ["word1", "filler"]))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan  # stats row re-attach
+    assert "Window" not in plan
+
+
+def test_kmeans_assign_no_window_no_corpus_shuffle(spark):
+    """kmeans_refine's assignment must plan as broadcast-crossjoin +
+    partial min_by argmin — no Window (which would shuffle all N×k
+    scored rows) and no sort-merge/shuffled-hash join (which would
+    shuffle the corpus against the k-row centroid side)."""
+    from cdh_integrate_carbondata2_3_spark.operators.similarity import (
+        kmeans_refine)
+    v = spark.range(40).selectExpr(
+        "id", "array(cast(id as double), cast(id % 7 as double)) as e")
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [10.0, 3.0])], "cid bigint, ce array<double>")
+    assign, _cent = kmeans_refine(v, seeds, iters=1)
+    plan = plan_of(assign)
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the one legitimate exchange is the per-id argmin combine; the
+    # partial phase collapses N×k to N rows before it
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
 def test_bpe_tokens_plan_is_single_scan_no_udf(spark, sf_dir):
     plan = plan_of(QUERIES["text_bpe_tokens"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan
