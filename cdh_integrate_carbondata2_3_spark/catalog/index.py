@@ -51,30 +51,48 @@ from ..plans.pruning import Predicate
 _INDEXABLE_OPS = {"=", "in"}
 
 
-def _lev_le(a: str, b: str, k: int) -> bool:
-    """Levenshtein(a, b) <= k via the banded DP (O(len·k) per pair) —
-    the driver-side analogue of Lucene's Levenshtein automaton for
-    FuzzyQuery term expansion (LuceneFineGrainIndex.java fuzzy path).
-    Early-exits when the whole band exceeds k."""
+def _dam_le(a: str, b: str, k: int) -> bool:
+    """damerau_levenshtein(a, b) <= k (unrestricted Damerau — an
+    adjacent transposition costs one edit and transposed characters
+    may be edited again). Used by the FuzzyQuery term-dictionary
+    expansion: the refine predicate counts transpositions as one edit
+    (sql.py _dam_pred_sql, Lucene transpositions=true default), so the
+    pruning mask must too — and because damerau <= levenshtein, this
+    mask is also a sound superset for 'fuzzy_transpositions'='false'
+    tables. Full DP with the last-occurrence table (O(len_a·len_b));
+    the dictionary is distinct tokens, so the quadratic cost is per
+    dictionary entry, not per corpus row."""
     if abs(len(a) - len(b)) > k:
         return False
     if a == b:
         return True
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i] + [0] * len(b)
-        lo, hi = max(1, i - k), min(len(b), i + k)
-        if lo > 1:
-            cur[lo - 1] = k + 1
-        for j in range(lo, hi + 1):
-            cost = 0 if ca == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-        if hi < len(b):
-            cur[hi + 1:] = [k + 1] * (len(b) - hi)
-        if min(cur[lo - 1:hi + 1]) > k:
-            return False
-        prev = cur
-    return prev[len(b)] <= k
+    inf = len(a) + len(b)
+    da: dict[str, int] = {}
+    d = [[inf] * (len(b) + 2) for _ in range(len(a) + 2)]
+    d[0][0] = inf
+    for i in range(len(a) + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = inf
+    for j in range(len(b) + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = inf
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,                       # substitute
+                d[i + 1][j] + 1,                      # insert
+                d[i][j + 1] + 1,                      # delete
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1))  # transpose
+        da[a[i - 1]] = i
+    return d[len(a) + 1][len(b) + 1] <= k
 
 
 def _meta_path(table_dir: str, name: str) -> str:
@@ -140,22 +158,28 @@ class IndexManager:
         self._build_bloom(name, columns, m_bits, k)
 
     def create_fts_index(self, name: str, columns: list[str],
-                         analyzer: str = "whitespace") -> None:
+                         analyzer: str = "whitespace",
+                         fuzzy_transpositions: bool = True) -> None:
         """CREATE INDEX name ON table (columns) AS 'lucene'
-        [PROPERTIES('analyzer'='standard'|'english')]. ``whitespace``
+        [PROPERTIES('analyzer'='standard'|'english',
+        'fuzzy_transpositions'='false')]. ``whitespace``
         = case-sensitive whitespace tokens (round-3 behavior);
         ``standard`` = lowercase + whitespace, the practical core of
         Lucene's StandardAnalyzer; ``english`` = lowercase + the
         classic 33-word stop set + minimal s-stemmer
         (functions/analyzers.py — Lucene EnglishAnalyzer's pipeline
         with the SQL-expressible stemmer; full Porter remains a
-        documented delta). Reference lucene-index-guide.md."""
+        documented delta). ``fuzzy_transpositions=False`` compiles
+        term~N queries on this table with plain Levenshtein instead of
+        the Damerau default (Lucene FuzzyQuery transpositions=true).
+        Reference lucene-index-guide.md."""
         if os.path.exists(_meta_path(self.table.table_dir, name)):
             raise FileExistsError(f"index {name} exists")
         if analyzer not in ("whitespace", "standard", "english"):
             raise ValueError(f"unsupported analyzer {analyzer!r} "
                              "(whitespace | standard | english)")
-        self._build_fts(name, columns, analyzer)
+        self._build_fts(name, columns, analyzer,
+                        fuzzy_transpositions=fuzzy_transpositions)
 
     def refresh(self, name: str) -> None:
         """REFRESH INDEX — rebuild to cover all current segments."""
@@ -164,7 +188,9 @@ class IndexManager:
             self._build_si(name, meta["columns"])
         elif meta["type"] == "fts":
             self._build_fts(name, meta["columns"],
-                            meta.get("analyzer", "whitespace"))
+                            meta.get("analyzer", "whitespace"),
+                            fuzzy_transpositions=meta.get(
+                                "fuzzy_transpositions", True))
         else:
             self._build_bloom(name, meta["columns"], meta["m_bits"], meta["k"])
 
@@ -198,6 +224,8 @@ class IndexManager:
                                          "watermark_segment")}
                 if "analyzer" in m:
                     row["analyzer"] = m["analyzer"]
+                if "fuzzy_transpositions" in m:
+                    row["fuzzy_transpositions"] = m["fuzzy_transpositions"]
                 out.append(row)
         return out
 
@@ -227,7 +255,8 @@ class IndexManager:
                          "watermark_segment": wm})
 
     def _build_fts(self, name: str, columns: list[str],
-                   analyzer: str = "whitespace") -> None:
+                   analyzer: str = "whitespace",
+                   fuzzy_transpositions: bool = True) -> None:
         """Token→file inverted postings: whitespace tokens (the same
         tokenization the text_match RLIKE refinement uses; lowercased
         first under the 'standard' analyzer), distinct per file, sorted
@@ -260,8 +289,11 @@ class IndexManager:
             posts = p if posts is None else posts.unionByName(p)
         (posts.distinct().sort("col", "tok")
          .coalesce(1).write.mode("overwrite").parquet(idx_dir))
-        self._save_meta({"name": name, "type": "fts", "columns": columns,
-                         "analyzer": analyzer, "watermark_segment": wm})
+        meta = {"name": name, "type": "fts", "columns": columns,
+                "analyzer": analyzer, "watermark_segment": wm}
+        if not fuzzy_transpositions:
+            meta["fuzzy_transpositions"] = False
+        self._save_meta(meta)
 
     def _build_bloom(self, name: str, columns: list[str],
                      m_bits: int, k: int) -> None:
@@ -389,7 +421,7 @@ class IndexManager:
         wildcard; ``?`` terms are not prunable and act as
         match-anything (in "any" mode that makes the whole lookup
         unprunable). A ``term~N`` token is FUZZY: it expands against
-        the distinct-token dictionary (Levenshtein <= N) and unions the
+        the distinct-token dictionary (Damerau <= N) and unions the
         matched tokens' postings — Lucene FuzzyQuery's automaton walk,
         done driver-side over the (small) dictionary."""
         import pyarrow as pa
@@ -430,7 +462,7 @@ class IndexManager:
 
         def _fuzzy_mask(base: str, edits: int):
             """Lucene-FuzzyQuery-style term-dictionary expansion: mark
-            every distinct indexed token within ``edits`` Levenshtein
+            every distinct indexed token within ``edits`` Damerau
             edits of ``base`` (length-band prefilter, then a bounded DP
             driver-side — the dictionary is distinct tokens, orders of
             magnitude smaller than the corpus). Returns a boolean mask
@@ -443,7 +475,7 @@ class IndexManager:
             cand = pc.unique(toks.filter(band)).to_pylist()
             if len(cand) > 200_000:
                 return None
-            matched = [c for c in cand if _lev_le(base, c, edits)]
+            matched = [c for c in cand if _dam_le(base, c, edits)]
             if not matched:
                 return pc.equal(toks, "\x00")   # matches nothing
             return pc.is_in(toks, value_set=pa.array(matched))

@@ -81,18 +81,20 @@ def table_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source, COUNT(*) AS n_docs
 FROM documents
 WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
-          t -> t <> '' AND levenshtein(t, 'slom') <= 1)) > 0
+          t -> t <> '' AND damerau_levenshtein(t, 'slom') <= 1)) > 0
   AND regexp_matches(text, '(^|\s)filter($|\s)')
 GROUP BY source
 """)
 def table_fts_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy text_match('text:slom~1 AND text:filter') through the SQL
-    surface: the fuzzy term compiles to a JVM-side higher-order
-    levenshtein scan (sql.py _fuzzy_sql) and the Lucene-analogue index
-    prunes it by expanding 'slom'~1 against the distinct-token
+    surface: the fuzzy term compiles to a JVM-side Damerau predicate
+    (sql.py _dam_pred_sql — transposition costs ONE edit, Lucene
+    FuzzyQuery's transpositions=true default) and the Lucene-analogue
+    index prunes it by expanding 'slom'~1 against the distinct-token
     dictionary — Lucene's FuzzyQuery term expansion
-    (LuceneFineGrainIndex.java:63-204; our delta: plain Levenshtein,
-    no transposition-as-one-edit, documented in sql.py)."""
+    (LuceneFineGrainIndex.java:63-204). The oracle checks with
+    DuckDB's native damerau_levenshtein, an independent
+    implementation of the same distance."""
     from ..sources.registry import load_table
     eng = _engine(spark, "fts_fz", sf_dir)
     t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
@@ -103,6 +105,40 @@ def table_fts_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT source, COUNT(*) AS n_docs FROM documents "
         "WHERE text_match('text:slom~1 AND text:filter') "
+        "GROUP BY source")
+
+
+@query("table_fts_fuzzy_transpose", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+          t -> t <> '' AND damerau_levenshtein(t, 'lsow') <= 1)) > 0
+  AND len(list_filter(string_split_regex(lower(text), '\s+'),
+          t -> t <> '' AND damerau_levenshtein(t, 'fitler') <= 2)) > 0
+GROUP BY source
+""")
+def table_fts_fuzzy_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transposition-as-one-edit fuzzy: 'lsow~1' matches 'slow' (one
+    adjacent swap; plain Levenshtein needs 2 edits and would miss it
+    at ~1) and 'fitler~2' reaches 'filter'-family tokens through a
+    swap plus one more edit. Compiled by sql.py _dam_pred_sql — the
+    engine-portable decomposition (term-side disjoint-swap expansion +
+    token-side one-swap scan + plain levenshtein) that equals the
+    unrestricted Damerau distance for edits <= 2; the oracle replays
+    it with DuckDB's native damerau_levenshtein. Reference: Lucene
+    FuzzyQuery transpositions=true (LuceneFineGrainIndex.java fuzzy
+    path); index pruning expands the term dictionary with the same
+    distance (catalog/index.py _dam_le)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_tz", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX ftt ON TABLE documents (text) AS 'lucene'")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:lsow~1 AND text:fitler~2') "
         "GROUP BY source")
 
 

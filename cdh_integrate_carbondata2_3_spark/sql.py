@@ -329,18 +329,87 @@ def _parse_fuzzy(pat: str) -> tuple[str, int] | None:
     return base, edits
 
 
+def _swap_variants(term: str, max_swaps: int) -> list[tuple[str, int]]:
+    """Distinct variants of ``term`` under 1..``max_swaps`` DISJOINT
+    adjacent-character swaps, with their swap count; the term itself
+    is excluded. Disjointness mirrors a transposition consuming both
+    characters (no re-editing a transposed pair)."""
+    out: dict[str, int] = {}
+    n = len(term)
+    singles = [i for i in range(n - 1) if term[i] != term[i + 1]]
+    for i in singles:
+        s = term[:i] + term[i + 1] + term[i] + term[i + 2:]
+        out.setdefault(s, 1)
+    if max_swaps >= 2:
+        for ai, i in enumerate(singles):
+            for j in singles[ai + 1:]:
+                if j - i < 2:
+                    continue
+                s = list(term)
+                s[i], s[i + 1] = s[i + 1], s[i]
+                s[j], s[j + 1] = s[j + 1], s[j]
+                out.setdefault("".join(s), 2)
+    return [(v, c) for v, c in out.items() if v != term]
+
+
+def _dam_pred_sql(tvar: str, term: str, edits: int) -> str:
+    """SQL predicate for damerau_levenshtein(tvar, term) <= edits
+    (edits <= 2), built from engine-portable primitives: plain
+    ``levenshtein`` plus a precomputed disjoint-swap expansion of the
+    (fixed) query term and a one-swap scan of the (variable) token.
+    For edits <= 2 the decomposition equals the unrestricted Damerau
+    distance threshold (property-tested against DuckDB's
+    damerau_levenshtein in tests/test_analyzers.py) — transpositions
+    cost one edit, Lucene FuzzyQuery's default transpositions=true."""
+    t = term.replace("'", "''")
+    parts = [f"levenshtein({tvar}, '{t}') <= {edits}"]
+    variants = _swap_variants(term, edits)
+    singles = [v.replace("'", "''") for v, c in variants if c == 1]
+    doubles = [v.replace("'", "''") for v, c in variants if c == 2]
+    if edits == 1:
+        if singles:
+            vs = ", ".join(f"'{v}'" for v in singles)
+            parts.append(f"{tvar} IN ({vs})")
+    elif edits >= 2:
+        if singles:
+            vs = ", ".join(f"'{v}'" for v in singles)
+            parts.append(f"exists(array({vs}), "
+                         f"__v -> levenshtein({tvar}, __v) <= 1)")
+        if doubles:
+            vs = ", ".join(f"'{v}'" for v in doubles)
+            parts.append(f"{tvar} IN ({vs})")
+        # token-side transposition (one swap of the token, one lev
+        # edit left): swap positions i,i+1 of the token and compare
+        parts.append(
+            f"(length({tvar}) >= 2 AND exists("
+            f"sequence(1, length({tvar}) - 1), __i -> "
+            f"levenshtein(concat(substring({tvar}, 1, __i - 1), "
+            f"substring({tvar}, __i + 1, 1), substring({tvar}, __i, 1), "
+            f"substring({tvar}, __i + 2, length({tvar}))), "
+            f"'{t}') <= 1))")
+    return "(" + " OR ".join(parts) + ")"
+
+
 def _fuzzy_sql(field: str, term: str, edits: int,
-               lowercase: bool = False) -> str:
+               lowercase: bool = False,
+               transpositions: bool = True) -> str:
     """Token-level fuzzy match as a JVM-side higher-order function:
-    some whitespace token of ``field`` is within ``edits`` Levenshtein
-    edits of ``term`` (Lucene FuzzyQuery semantics on a whitespace
-    analyzer; reference lucene-index-guide.md fuzzy queries). Stays in
-    whole-stage codegen — no Python UDF."""
+    some whitespace token of ``field`` is within ``edits`` edits of
+    ``term`` (Lucene FuzzyQuery on a whitespace analyzer; reference
+    lucene-index-guide.md fuzzy queries). ``transpositions`` counts an
+    adjacent swap as ONE edit (Damerau; Lucene's default) via
+    :func:`_dam_pred_sql`; False falls back to plain Levenshtein (the
+    index property 'fuzzy_transpositions'='false'). Stays JVM-side —
+    no Python UDF."""
     if lowercase:
         field, term = f"lower({field})", term.lower()
-    t = term.replace("'", "''")
+    if transpositions:
+        pred = _dam_pred_sql("__t", term, edits)
+    else:
+        t = term.replace("'", "''")
+        pred = f"levenshtein(__t, '{t}') <= {edits}"
     return (f"(exists(split({field}, '\\\\s+'), "
-            f"__t -> __t != '' AND levenshtein(__t, '{t}') <= {edits}))")
+            f"__t -> __t != '' AND {pred}))")
 
 
 _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
@@ -383,7 +452,8 @@ def _english_term_sql(field: str, pat: str) -> str | None:
 
 def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
               regexes: list[str], lowercase: bool = False,
-              english: bool = False) -> str | None:
+              english: bool = False,
+              transpositions: bool = True) -> str | None:
     """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
     phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
     suffix is stripped — it only affects ranking). ``lowercase``
@@ -431,7 +501,8 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
             f"text_match: cannot parse term {tok!r} (quoted phrases "
             "must span the whole term value: field:\"a b\")")
     elif fz := _parse_fuzzy(pat) if "~" in pat else None:
-        return _fuzzy_sql(field, *fz, lowercase=lowercase)
+        return _fuzzy_sql(field, *fz, lowercase=lowercase,
+                          transpositions=transpositions)
     elif "~" in pat:
         raise ValueError(
             f"text_match: cannot parse fuzzy term {tok!r} "
@@ -454,7 +525,8 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
                  ranges: list[tuple] | None = None,
                  regexes: list[str] | None = None,
                  lowercase: bool = False,
-                 english: bool = False) -> tuple[str | None, int]:
+                 english: bool = False,
+                 transpositions: bool = True) -> tuple[str | None, int]:
     """One parenthesis level: operands joined by AND/OR (explicit) or
     adjacency (implicit OR — Lucene's default operator), with NOT as
     strict boolean negation and +/- occur prefixes. When any +/- is
@@ -498,13 +570,13 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
             t = toks[i]
         if t == "(":
             sql, i = _parse_group(toks, i + 1, phrases, ranges, regexes,
-                                  lowercase, english)
+                                  lowercase, english, transpositions)
             if i >= len(toks) or toks[i] != ")":
                 raise ValueError("text_match: unbalanced parentheses")
             i += 1
         else:
             sql = _term_sql(t, phrases, ranges or [], regexes or [],
-                            lowercase, english)
+                            lowercase, english, transpositions)
             i += 1
         items.append((conn, occur, negated, sql))
     if not items:
@@ -550,7 +622,8 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
 
 
 def _lucene_to_sql(query: str, lowercase: bool = False,
-                   english: bool = False) -> str:
+                   english: bool = False,
+                   transpositions: bool = True) -> str:
     """Translate a Lucene-ish text_match query into a whitespace-token
     RLIKE/levenshtein predicate — the exact-refine half of the
     reference's Lucene fine-grain index (LuceneFineGrainIndex.java:
@@ -563,14 +636,16 @@ def _lucene_to_sql(query: str, lowercase: bool = False,
     case-insensitively. Unsupported syntax raises, never silently
     mis-parses. NOTE: with explicit operators,
     AND binds tighter than OR in the emitted SQL (round-3 documented
-    precedence); transposition-as-one-edit (Damerau) is not applied
-    to fuzzy terms."""
+    precedence). Fuzzy terms count an adjacent transposition as ONE
+    edit (Damerau, Lucene FuzzyQuery's transpositions=true default);
+    ``transpositions=False`` (index property
+    'fuzzy_transpositions'='false') restores plain Levenshtein."""
     stashed, phrases = _stash_phrases(query.strip())
     stashed, regexes = _stash_regexes(stashed)
     stashed, ranges = _stash_ranges(stashed)
     toks = re.findall(r"\(|\)|[^\s()]+", stashed)
     sql, i = _parse_group(toks, 0, phrases, ranges, regexes, lowercase,
-                          english)
+                          english, transpositions)
     if i != len(toks):
         raise ValueError(
             f"text_match: unbalanced parentheses in {query!r}")
@@ -846,7 +921,9 @@ class Engine:
                 props = _parse_props(m.group(5))
                 t.indexes.create_fts_index(
                     m.group(1), cols,
-                    analyzer=props.get("analyzer", "whitespace"))
+                    analyzer=props.get("analyzer", "whitespace"),
+                    fuzzy_transpositions=props.get(
+                        "fuzzy_transpositions", "true").lower() != "false")
             elif kind == "ivf":
                 # CREATE INDEX v ON TABLE t (id_col, vec_col) AS 'ivf'
                 if len(cols) != 2:
@@ -1020,8 +1097,25 @@ class Engine:
         kinds = {m.get("analyzer", "whitespace") for m in fts}
         return kinds.pop() if len(kinds) == 1 else "whitespace"
 
+    def _fts_fuzzy_transpositions(self, text: str) -> bool:
+        """False only when EVERY fts index on the queried table sets
+        'fuzzy_transpositions'='false' (else the richer Damerau
+        default applies; pruning always expands with Damerau, a sound
+        superset of the Levenshtein match set)."""
+        ft = _FROM_TABLE.search(text)
+        if not (ft and ft.group(1) in self.tables()):
+            return True
+        try:
+            metas = self.table(ft.group(1)).indexes.show()
+        except FileNotFoundError:
+            return True
+        fts = [m for m in metas if m["type"] == "fts"]
+        return not (fts and all(m.get("fuzzy_transpositions", True) is False
+                                for m in fts))
+
     def _build_tm_limited(self, tbl: str, q: str, n: int,
                           lc: bool = False, eng: bool = False,
+                          trans: bool = True,
                           segments: list[int] | None = None) -> None:
         """Materialize ``__tm_limited``: the top-``n`` rows of ``tbl``
         matching Lucene-ish query ``q``, ordered by BM25 relevance —
@@ -1046,7 +1140,8 @@ class Engine:
         # under 'english', BM25 tf still counts SURFACE forms (a
         # stemmed-tf ranking is a documented delta) — matching itself
         # is analyzer-exact via the compiled predicate
-        pred = F.expr(_lucene_to_sql(q, lowercase=lc, english=eng))
+        pred = F.expr(_lucene_to_sql(q, lowercase=lc, english=eng,
+                                     transpositions=trans))
         by_field = self._scorable_terms(q)
         if not by_field:
             base.filter(pred).limit(n) \
@@ -1137,7 +1232,9 @@ class Engine:
               if "text_match" in text.lower() else "whitespace")
         lc = an == "standard"
         eng = an == "english"
-        tm_limit: tuple[str, str, int, bool, bool] | None = None
+        trans = (self._fts_fuzzy_transpositions(text)
+                 if "text_match" in text.lower() else True)
+        tm_limit: tuple[str, str, int, bool, bool, bool] | None = None
         if "text_match_with_limit" in text.lower():
             m = _TEXT_MATCH_LIMIT_SOLE.search(text)
             if not m:
@@ -1151,12 +1248,13 @@ class Engine:
             # BM25 relevance (Lucene returns the top-N SCORED hits,
             # LuceneFineGrainIndex.java:63-204), falling back to an
             # arbitrary-N cut when no term is scorable
-            tm_limit = (tbl, q, n, lc, eng)
+            tm_limit = (tbl, q, n, lc, eng, trans)
             sub = f"FROM __tm_limited {tbl} WHERE TRUE {tail or ''}"
             text = text[:m.start()] + sub + text[m.end():]
         text = _TEXT_MATCH_FN.sub(
             lambda m: _lucene_to_sql(m.group(1), lowercase=lc,
-                                     english=eng), text)
+                                     english=eng, transpositions=trans),
+            text)
 
         def _ts(m: re.Match) -> str:
             from .functions.timeseries import _MINUTE_BUCKETS

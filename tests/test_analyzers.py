@@ -132,3 +132,77 @@ def test_english_index_prunes_files(eng_table):
     # a stopword term imposes NO pruning constraint (dropped clause)
     files_stop = im.candidate_files([("text", "text_match", ["the"])])
     assert files_stop == all_files
+
+
+# ---------------------------------------------------------------- fuzzy/damerau
+
+def test_dam_le_matches_duckdb_damerau():
+    """catalog/index._dam_le (FuzzyQuery dictionary expansion) equals
+    DuckDB's damerau_levenshtein at every threshold 0..3 on a dense
+    small-alphabet sample (transposition-heavy by construction)."""
+    import random
+
+    from cdh_integrate_carbondata2_3_spark.catalog.index import _dam_le
+    con = duckdb.connect()
+    rng = random.Random(5)
+    for _ in range(5000):
+        a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+        k = rng.randint(0, 3)
+        want = con.execute("SELECT damerau_levenshtein(?, ?)",
+                           [a, b]).fetchone()[0] <= k
+        assert _dam_le(a, b, k) == want, (a, b, k)
+    con.close()
+
+
+def test_dam_pred_sql_matches_duckdb_on_spark(spark):
+    """The engine-portable decomposition (sql.py _dam_pred_sql:
+    term-side disjoint-swap expansion + token-side one-swap scan +
+    plain levenshtein) equals the unrestricted Damerau threshold for
+    edits <= 2 — verified by running the emitted SQL in Spark against
+    DuckDB's native damerau_levenshtein on the same tokens."""
+    import random
+
+    from cdh_integrate_carbondata2_3_spark.sql import _dam_pred_sql
+    rng = random.Random(13)
+    toks = ["".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+            for _ in range(1500)]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    con = duckdb.connect()
+    for term, k in (("abca", 1), ("abca", 2), ("ba", 2), ("cabb", 2)):
+        got = sorted(r["t"] for r in
+                     df.filter(_dam_pred_sql("t", term, k)).collect())
+        want = sorted(
+            t for t in toks
+            if con.execute("SELECT damerau_levenshtein(?, ?)",
+                           [t, term]).fetchone()[0] <= k)
+        assert got == want, (term, k)
+    con.close()
+
+
+def test_fuzzy_transpositions_default_and_optout(spark, tmp_path):
+    """Damerau is the compile default (Lucene FuzzyQuery
+    transpositions=true): 'lsow~1' matches 'slow'. The index property
+    'fuzzy_transpositions'='false' restores plain Levenshtein for the
+    table, and fuzzy index pruning stays sound either way (the
+    dictionary expands with Damerau, a superset)."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    for tbl, prop in (("d1", ""), ("d2", ", 'fuzzy_transpositions'='false'")):
+        eng.sql(f"CREATE TABLE {tbl} (id INT, body STRING)")
+        eng.sql(f"INSERT INTO {tbl} SELECT * FROM VALUES "
+                "(1,'slow scan'),(2,'salw walk'),(3,'other') t(id,b)")
+        eng.sql(f"CREATE INDEX fz_{tbl} ON TABLE {tbl} (body) AS 'lucene' "
+                f"PROPERTIES('analyzer'='standard'{prop})")
+    # default: transposition is one edit → lsow~1 matches slow;
+    # salw~? 'salw' vs 'lsow': not within 1
+    got = {r["id"] for r in eng.sql(
+        "SELECT id FROM d1 WHERE text_match('body:lsow~1')").collect()}
+    assert got == {1}
+    # opt-out: plain Levenshtein → lev(slow, lsow)=2 > 1, no match
+    got = {r["id"] for r in eng.sql(
+        "SELECT id FROM d2 WHERE text_match('body:lsow~1')").collect()}
+    assert got == set()
+    # but ~2 still reaches it under plain Levenshtein
+    got = {r["id"] for r in eng.sql(
+        "SELECT id FROM d2 WHERE text_match('body:lsow~2')").collect()}
+    assert got == {1}
