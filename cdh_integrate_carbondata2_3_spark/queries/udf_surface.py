@@ -369,6 +369,46 @@ def table_fts_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+@query("table_fts_regexp_dialect", oracle=r"""
+SELECT source, COUNT(*) AS n_docs
+FROM (SELECT doc_id, text || ' ' || CAST(doc_id % 200 AS VARCHAR) AS text,
+             source
+      FROM documents)
+WHERE len(list_filter(string_split_regex(text, '\s+'),
+          t -> t <> '' AND regexp_matches(t, '^(?:filter)$'))) > 0
+  AND len(list_filter(string_split_regex(text, '\s+'),
+          t -> t <> '' AND regexp_matches(t,
+            '^(?:0*(?:[5-9]|[1-9][0-9]|1(?:[0-4][0-9]|50)))$'))) > 0
+GROUP BY source
+""")
+def table_fts_regexp_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene regexp dialect (sql.py _lucene_regex_to_java — the
+    brics RegExp syntax Lucene's RegexpQuery parses):
+    text_match('text:/\\filter/ AND text:/<5-150>/') — ``\\f`` is the
+    LITERAL f (Java regex would read the form-feed escape and match
+    nothing, so a pass proves the dialect translation runs), and
+    ``<5-150>`` is the brics numeric interval (leading zeros accepted
+    when operand lengths differ) over the staged numeric tokens
+    (text || ' ' || doc_id % 200). The oracle replays both with
+    hand-written equivalent RE2 regexes in DuckDB. Reference: Lucene
+    RegExp.java via RegexpQuery, docs/index/lucene-index-guide.md."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_rx", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.concat(F.col("text"), F.lit(" "),
+                              (F.col("doc_id") % 200).cast("string"))
+                     .alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX frx ON TABLE documents (text) AS 'lucene'")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:/\\filter/ AND text:/<5-150>/') "
+        "GROUP BY source")
+
+
 @query("table_fts_limit_ranked", oracle=r"""
 WITH tf AS (
   SELECT doc_id, text, source,

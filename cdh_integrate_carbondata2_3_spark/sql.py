@@ -252,15 +252,246 @@ def _stash_regexes(stashed: str) -> tuple[str, list[str]]:
     return out, regexes
 
 
+def _num_range_regex(lo: int, hi: int, width: int) -> str:
+    """Regex matching the decimal strings of lo..hi zero-padded to
+    ``width`` digits (classic digit-split recursion)."""
+    slo, shi = str(lo).zfill(width), str(hi).zfill(width)
+    if width == 0:
+        return ""
+    if slo == shi:
+        return re.escape(slo)
+    if slo[0] == shi[0]:
+        return slo[0] + _num_range_regex(
+            int(slo[1:] or 0), int(shi[1:] or 0), width - 1)
+    rest = width - 1
+    nines = int("9" * rest or 0)
+    parts = []
+    # partial low block: lo's first digit, suffixes lo[1:]..99..9
+    if int(slo[1:] or 0) == 0:
+        mid_lo = int(slo[0])        # lo block is full → fold into middle
+    else:
+        parts.append(slo[0] + _num_range_regex(int(slo[1:]), nines, rest))
+        mid_lo = int(slo[0]) + 1
+    # partial high block: hi's first digit, suffixes 00..0..hi[1:]
+    if int(shi[1:] or 0) == nines:
+        mid_hi = int(shi[0])        # hi block is full → fold into middle
+        hi_part = None
+    else:
+        mid_hi = int(shi[0]) - 1
+        hi_part = shi[0] + _num_range_regex(0, int(shi[1:]), rest)
+    if mid_lo <= mid_hi:
+        d = (f"[{mid_lo}-{mid_hi}]" if mid_lo != mid_hi else str(mid_lo))
+        suffix = ("" if rest == 0 else
+                  ("[0-9]" if rest == 1 else f"[0-9]{{{rest}}}"))
+        parts.append(d + suffix)
+    if hi_part is not None:
+        parts.append(hi_part)
+    return "(?:" + "|".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def _interval_regex(smin: str, smax: str) -> str:
+    """Lucene/brics ``<n-m>`` numeric interval → regex. Equal-length
+    operands fix the width (zero-padded forms only); different
+    lengths accept any number of leading zeros (brics
+    RegExp.parseInterval → Automaton.makeInterval semantics)."""
+    lo, hi = int(smin), int(smax)
+    if lo > hi:
+        lo, hi = hi, lo
+        smin, smax = smax, smin
+    if len(smin) == len(smax):
+        return _num_range_regex(lo, hi, len(smin))
+    by_len = []
+    for width in range(len(str(lo)), len(str(hi)) + 1):
+        wlo = max(lo, 10 ** (width - 1) if width > 1 else 0)
+        whi = min(hi, 10 ** width - 1)
+        if wlo <= whi:
+            by_len.append(_num_range_regex(wlo, whi, width))
+    return "0*(?:" + "|".join(by_len) + ")"
+
+
+class _LuceneRegexTranslator:
+    """Lucene RegexpQuery dialect → Java regex (RegexpQuery wraps
+    org.apache.lucene.util.automaton.RegExp, the brics dialect —
+    reference docs/index/lucene-index-guide.md, Lucene RegExp.java).
+    Dialect differences handled: ``\\x`` always escapes to the
+    LITERAL x (Java's ``\\d``/``\\w`` classes do not exist — Lucene
+    users expect ``\\d`` = letter d); ``@`` matches any string; ``#``
+    matches nothing; ``"..."`` is a literal string; ``<n-m>`` is a
+    numeric interval; ``&`` is intersection (supported at the
+    pattern's top level via lookahead — nested intersection raises);
+    ``~`` (complement) is deprecated in Lucene and unsupported here;
+    ``^``/``$`` are literal characters (matching is whole-token
+    anchored already)."""
+
+    def __init__(self, s: str):
+        self.s, self.i = s, 0
+
+    def _peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def _take(self) -> str:
+        c = self._peek()
+        self.i += 1
+        return c
+
+    def translate(self) -> str:
+        out = self._union(spanning=True)
+        if self.i != len(self.s):
+            raise ValueError(
+                f"text_match: trailing {self.s[self.i:]!r} in regexp "
+                f"/{self.s}/")
+        return out
+
+    def _union(self, spanning: bool) -> str:
+        parts = [self._inter(spanning)]
+        while self._peek() == "|":
+            self._take()
+            parts.append(self._inter(spanning))
+        return parts[0] if len(parts) == 1 else \
+            "(?:" + "|".join(parts) + ")"
+
+    def _inter(self, spanning: bool) -> str:
+        first = self._concat()
+        if self._peek() != "&":
+            return first
+        if not spanning:
+            raise ValueError(
+                "text_match: regexp intersection '&' is only supported "
+                "at the top level of the pattern (nested intersection "
+                "has no regex translation)")
+        parts = [first]
+        while self._peek() == "&":
+            self._take()
+            parts.append(self._concat())
+        return ("".join(f"(?=(?:{p})$)" for p in parts[:-1])
+                + f"(?:{parts[-1]})")
+
+    def _concat(self) -> str:
+        parts = []
+        while self._peek() not in ("", "|", "&", ")"):
+            parts.append(self._repeat())
+        return "".join(parts)
+
+    def _repeat(self) -> str:
+        base = self._atom()
+        while True:
+            c = self._peek()
+            if c and c in "?*+":
+                self._take()
+                base = f"(?:{base}){c}"
+            elif c == "{":
+                m = re.match(r"\{(\d+)(,(\d*)?)?\}",
+                             self.s[self.i:])
+                if not m:
+                    raise ValueError(
+                        f"text_match: bad repetition at ...{self.s[self.i:]!r}")
+                self.i += m.end()
+                base = f"(?:{base}){m.group(0)}"
+            else:
+                return base
+
+    def _atom(self) -> str:
+        c = self._take()
+        if c == "(":
+            if self._peek() == ")":
+                self._take()
+                return "(?:)"
+            inner = self._union(spanning=False)
+            if self._take() != ")":
+                raise ValueError(
+                    f"text_match: unbalanced parens in regexp /{self.s}/")
+            return f"(?:{inner})"
+        if c == "[":
+            return self._char_class()
+        if c == ".":
+            return "."
+        if c == "@":
+            return "(?:.*)"
+        if c == "#":
+            return "(?!)"
+        if c == '"':
+            j = self.s.find('"', self.i)
+            if j < 0:
+                raise ValueError(
+                    f"text_match: unterminated \" in regexp /{self.s}/")
+            lit = self.s[self.i:j]
+            self.i = j + 1
+            return re.escape(lit)
+        if c == "<":
+            m = re.match(r"(\d+)-(\d+)>", self.s[self.i:])
+            if not m:
+                raise ValueError(
+                    f"text_match: bad interval at ...<{self.s[self.i:]!r} "
+                    "(expected <n-m>)")
+            self.i += m.end()
+            return "(?:" + _interval_regex(m.group(1), m.group(2)) + ")"
+        if c == "~":
+            raise ValueError(
+                "text_match: regexp complement '~' is deprecated in "
+                "Lucene and unsupported")
+        if c == "\\":
+            nxt = self._take()
+            if nxt == "":
+                raise ValueError(
+                    f"text_match: trailing backslash in regexp /{self.s}/")
+            return re.escape(nxt)
+        return re.escape(c)
+
+    def _char_class(self) -> str:
+        """Rebuild [...] so every member is a literal or range — never
+        a Java class construct (&& intersection, \\d, [:posix:])."""
+        out = "["
+        if self._peek() == "^":
+            out += self._take()
+        first = True
+        while True:
+            c = self._take()
+            if c == "":
+                raise ValueError(
+                    f"text_match: unterminated [ in regexp /{self.s}/")
+            if c == "]" and not first:
+                return out + "]"
+            first = False
+            if c == "\\":
+                c = self._take()
+                if c == "":
+                    raise ValueError(
+                        f"text_match: trailing backslash in regexp "
+                        f"/{self.s}/")
+            lo = c
+            if self._peek() == "-" and self.s[self.i + 1:self.i + 2] not in ("", "]"):
+                self._take()
+                hi = self._take()
+                if hi == "\\":
+                    hi = self._take()
+                out += f"{_class_escape(lo)}-{_class_escape(hi)}"
+            else:
+                out += _class_escape(lo)
+
+
+def _class_escape(c: str) -> str:
+    return "\\" + c if c in r"\^]-[&" else c
+
+
+def _lucene_regex_to_java(pattern: str) -> str:
+    """Translate a Lucene RegexpQuery pattern to the equivalent Java
+    regex (see :class:`_LuceneRegexTranslator`)."""
+    return _LuceneRegexTranslator(pattern).translate()
+
+
 def _regex_sql(field: str, pattern: str, lowercase: bool = False) -> str:
     """Lucene RegexpQuery analogue: some whitespace token matches the
     regex WHOLLY (Lucene anchors regexps to the full term). The
-    dialect is Java regex (Spark RLIKE), a documented delta from
-    Lucene's own operators (~, interval syntax). Under the 'standard'
-    analyzer tokens are lowercased; the pattern is applied as given."""
+    pattern is the LUCENE regexp dialect (brics): ``\\x`` escapes to a
+    literal, ``@``/``#``/``"..."``/``<n-m>`` and top-level ``&`` are
+    supported, translated to Java regex by _lucene_regex_to_java
+    (remaining delta: nested ``&``, deprecated ``~``). Under the
+    'standard' analyzer tokens are lowercased; the pattern is applied
+    as given."""
     if lowercase:
         field = f"lower({field})"
-    pat = pattern.replace("\\", "\\\\").replace("'", "''")
+    pat = (_lucene_regex_to_java(pattern)
+           .replace("\\", "\\\\").replace("'", "''"))
     return (f"(exists(split({field}, '\\\\s+'), "
             f"__t -> __t != '' AND __t RLIKE '^(?:{pat})$'))")
 

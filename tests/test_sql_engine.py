@@ -330,7 +330,7 @@ def test_text_match_range_terms(eng):
 
 def test_text_match_regexp_terms(eng):
     """Lucene RegexpQuery: field:/re/ matches whole tokens against the
-    regex (Java dialect via RLIKE)."""
+    regex (Lucene/brics dialect, translated to RLIKE)."""
     eng.sql("CREATE TABLE xdocs (id INT, body STRING)")
     eng.sql("INSERT INTO xdocs SELECT * FROM VALUES "
             "(1,'slow scan'),(2,'slowed down'),(3,'sled ride'),"
@@ -735,3 +735,53 @@ def test_tm_limit_respects_segment_scope(eng):
     rows = eng.sql("SELECT id FROM sdocs2 WHERE "
                    "text_match_with_limit('body:scan', 10)").collect()
     assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_lucene_regex_dialect_translation():
+    """_lucene_regex_to_java implements the brics RegExp dialect
+    (what Lucene RegexpQuery parses): escapes are always literal,
+    @/#/"..."/<n-m> and top-level & are operators, ~ and nested &
+    raise. Semantics verified with Python's re (same core dialect as
+    Java for the emitted constructs)."""
+    import re as _re
+
+    from cdh_integrate_carbondata2_3_spark.sql import _lucene_regex_to_java
+
+    def matches(pat, s):
+        return bool(_re.match("^(?:%s)$" % _lucene_regex_to_java(pat), s))
+
+    # \x is the LITERAL x — never a Java class (\d = letter d)
+    assert matches(r"\d", "d") and not matches(r"\d", "5")
+    # quoted literal: operators inert inside "..."
+    assert matches('"a.c"', "a.c") and not matches('"a.c"', "abc")
+    # @ = any string; # = match nothing
+    assert matches("a@", "aXYZ") and matches("@", "")
+    assert not matches("x#y", "xy")
+    # numeric interval: differing operand lengths accept leading 0s
+    assert matches("<1-100>", "042") and not matches("<1-100>", "101")
+    # equal operand lengths pin the width (brics makeInterval)
+    assert matches("<01-10>", "05") and not matches("<01-10>", "5")
+    # top-level intersection via lookahead
+    assert matches("[a-z]+&.*lt.*", "filter")
+    assert not matches("[a-z]+&.*lt.*", "fixer")
+    # char classes are sanitized (& literal inside a class)
+    assert matches("[a&b]", "&")
+    # core operators unchanged
+    assert matches("sl(ow|ed)", "sled") and matches("a{2,3}", "aaa")
+    # unsupported syntax raises, never silently mis-parses
+    import pytest as _pytest
+    for bad in ("a~b", "(a&b)c", "<1-x>", '"unterminated', "[abc", "a\\"):
+        with _pytest.raises(ValueError):
+            _lucene_regex_to_java(bad)
+
+
+def test_text_match_regexp_lucene_dialect(eng):
+    """Engine-level: the regexp term uses the LUCENE dialect — \\f is
+    the literal f, intervals match staged numeric tokens."""
+    eng.sql("CREATE TABLE rdocs (id INT, body STRING)")
+    eng.sql("INSERT INTO rdocs SELECT * FROM VALUES "
+            "(1,'filter 7'),(2,'filter 151'),(3,'fast 9') t(id,body)")
+    rows = eng.sql("SELECT id FROM rdocs WHERE "
+                   "text_match('body:/\\filter/ AND body:/<5-150>/') "
+                   "ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1]
