@@ -422,15 +422,34 @@ def in_polygon_join(points: DataFrame, polygons: DataFrame,
     """IN_POLYGON_JOIN analogue: broadcast the polygon side and keep
     (point, polygon) pairs where the point falls inside
     (reference BroadCastPolygonFilterPushJoin, DMLStrategy.scala:77-170).
-    ``polygon_col`` holds 'lat lng, lat lng, ...' strings."""
+    ``polygon_col`` holds 'lat lng, lat lng, ...' strings.
+
+    Each Arrow batch factorizes the polygon strings, parses every
+    DISTINCT polygon once, and ray-casts its whole point group
+    vectorized — for the many-points × few-polygons shape the
+    per-row parse (and per-row Python ray cast) would dominate."""
 
     @F.pandas_udf("boolean")
     def _pip(lat: pd.Series, lng: pd.Series, poly: pd.Series) -> pd.Series:
-        out = []
-        for la, ln, ps in zip(lat, lng, poly):
+        import numpy as np
+        la_all, ln_all = lat.to_numpy(float), lng.to_numpy(float)
+        out = np.zeros(len(la_all), dtype=bool)
+        codes, uniques = pd.factorize(poly)
+        for k, ps in enumerate(uniques):
             pts = [(float(a), float(b)) for a, b in
                    (pair.split() for pair in ps.split(","))]
-            out.append(point_in_polygon(la, ln, pts))
+            mask = codes == k
+            la, ln = la_all[mask], ln_all[mask]
+            inside = np.zeros(len(la), dtype=bool)
+            n = len(pts)
+            for i in range(n):
+                la1, ln1 = pts[i]
+                la2, ln2 = pts[(i + 1) % n]
+                denom = (la2 - la1) or 1e-300
+                crosses = (la1 > la) != (la2 > la)
+                x = ln1 + (la - la1) / denom * (ln2 - ln1)
+                inside ^= crosses & (ln < x)
+            out[mask] = inside
         return pd.Series(out)
 
     joined = points.crossJoin(F.broadcast(polygons))
