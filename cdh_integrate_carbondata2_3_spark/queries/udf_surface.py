@@ -369,6 +369,64 @@ def table_fts_english_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+def _english_phrase_oracle() -> str:
+    """Generated from the same analyzer definitions as the engine
+    (functions/analyzers.py). The staged corpus rewrites every
+    'slow filter' bigram to 'slow a filters' — a stopword GAP plus a
+    corpus-side plural — and the oracle replays Lucene's gapped
+    PhraseQuery: analyzed position p holds the stem (NULL for a
+    stopword, which still occupies its position), and the phrase
+    '"Slow the Filters"' analyzes to slow@0 / filter@2."""
+    from ..functions.analyzers import stem_sql, stops_sql
+
+    arr = (f"list_transform(list_filter(string_split_regex(lower(text),"
+           f" ' +'), x -> x <> ''), t -> CASE WHEN t IN ({stops_sql()})"
+           f" THEN NULL ELSE {stem_sql('t')} END)")
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         replace(text, 'slow filter', 'slow a filters') AS text
+  FROM documents
+), analyzed AS (
+  SELECT doc_id, source, {arr} AS a FROM staged
+)
+SELECT source, COUNT(*) AS n_docs
+FROM analyzed
+WHERE len(a) > 2 AND len(list_filter(generate_series(1, len(a) - 2),
+      p -> a[p] = 'slow' AND a[p + 2] = 'filter')) > 0
+GROUP BY source
+"""
+
+
+@query("table_fts_english_phrase", oracle=_english_phrase_oracle())
+def table_fts_english_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase under the 'english' analyzer with Lucene's
+    StopFilter position gaps (sql.py _english_phrase_sql):
+    text_match('text:"Slow the Filters"') analyzes to slow@0 /
+    filter@2 — 'the' is removed but holds its position — and the
+    staged corpus ('slow filter' → 'slow a filters') matches because
+    its own stopword 'a' gaps the same position and 'filters' stems
+    back to 'filter'. A gap-less implementation (plain adjacency) or
+    a stopword-collapsing one both return different sets. Reference:
+    LuceneFineGrainIndex.java:63-204 analyzer pipeline +
+    PhraseQuery's position-gapped matching."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_ep", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.regexp_replace(F.col("text"), "slow filter",
+                                      "slow a filters").alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX fep ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:\"Slow the Filters\"') "
+        "GROUP BY source")
+
+
 @query("table_fts_regexp_dialect", oracle=r"""
 SELECT source, COUNT(*) AS n_docs
 FROM (SELECT doc_id, text || ' ' || CAST(doc_id % 200 AS VARCHAR) AS text,

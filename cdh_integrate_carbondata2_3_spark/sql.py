@@ -681,6 +681,49 @@ def _english_term_sql(field: str, pat: str) -> str | None:
     return f"(exists({body}, __t -> {keep} AND {cond}))"
 
 
+def _english_phrase_sql(field: str, phrase: str) -> str | None:
+    """Exact phrase under the 'english' analyzer, with Lucene's
+    StopFilter POSITION GAPS (enablePositionIncrements=true): the
+    analyzed doc stream maps every token to its stem but a stopword
+    occupies its position emitting nothing (NULL), and the query
+    phrase's surviving terms keep their relative offsets — so
+    '"quick the foxes"' requires stem 'fox' exactly TWO positions
+    after 'quick' (any single token may sit between, matching
+    PhraseQuery over the gapped positions), while '"quick foxes"'
+    requires adjacency. An all-stopword phrase analyzes to nothing →
+    clause dropped (None). Pure JVM-side HOFs: the one-element
+    array(...) exists() binds the analyzed array once, the inner
+    sequence() scan probes each start position; the size guard
+    short-circuits so ANSI element_at can't see an out-of-range
+    index. Reference: LuceneFineGrainIndex.java:63-204 analyzer
+    pipeline + PhraseQuery positions."""
+    from .functions.analyzers import (analyze_term, is_stopword, stem_sql,
+                                      stops_sql)
+    toks = phrase.lower().split()
+    if not toks:
+        raise ValueError("text_match: empty phrase")
+    terms = [(i, analyze_term(t)) for i, t in enumerate(toks)
+             if not is_stopword(t)]
+    if not terms:
+        return None
+    first = terms[0][0]
+    offs = [(i - first, q) for i, q in terms]
+    maxoff = offs[-1][0]
+    arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
+           f"__x -> __x != ''), __t -> "
+           f"CASE WHEN __t IN ({stops_sql()}) THEN NULL "
+           f"ELSE {stem_sql('__t')} END)")
+    conds = " AND ".join(
+        f"element_at(__arr, __p + {o}) = "
+        f"'{q.replace(chr(39), chr(39) * 2)}'" if o else
+        f"element_at(__arr, __p) = '{q.replace(chr(39), chr(39) * 2)}'"
+        for o, q in offs)
+    return (f"(exists(array({arr}), __arr -> "
+            f"size(__arr) > {maxoff} AND "
+            f"exists(sequence(1, size(__arr) - {maxoff}), "
+            f"__p -> {conds})))")
+
+
 def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
               regexes: list[str], lowercase: bool = False,
               english: bool = False,
@@ -700,12 +743,19 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
     field, pat = m.groups()
     pat, _ = _strip_boost(pat)
     if english:
+        if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
+            if pm.group(2):
+                raise ValueError(
+                    "text_match: sloppy phrases are not supported under "
+                    "the 'english' analyzer (exact phrases are — "
+                    f"COVERAGE.md documents the delta); got {tok!r}")
+            return _english_phrase_sql(field, phrases[int(pm.group(1))])
         if re.search(r"[\x00\x01\x02]", pat) or "~" in pat:
             raise ValueError(
-                "text_match: phrase/fuzzy/range/regexp terms are not "
-                "supported under the 'english' analyzer (term and "
-                "wildcard queries only — COVERAGE.md documents the "
-                f"delta); got {tok!r}")
+                "text_match: sloppy-phrase/fuzzy/range/regexp terms are "
+                "not supported under the 'english' analyzer (term, "
+                "wildcard and exact-phrase queries only — COVERAGE.md "
+                f"documents the delta); got {tok!r}")
         return _english_term_sql(field, pat)
     if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
         return _range_sql(field, *ranges[int(rm.group(1))],

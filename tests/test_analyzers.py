@@ -63,9 +63,12 @@ def test_lucene_to_sql_english_drops_stopword_clauses():
     assert "sort" in sql and "the'" not in sql.split("NOT IN")[0]
     # all-stopword query = Lucene empty BooleanQuery: matches nothing
     assert _lucene_to_sql("text:the text:a", english=True) == "(1 = 0)"
-    # phrase under english is a documented delta
-    with pytest.raises(ValueError, match="english"):
-        _lucene_to_sql('text:"slow filter"', english=True)
+    # exact phrase under english compiles (position-gapped); sloppy
+    # and fuzzy remain documented deltas
+    assert "element_at" in _lucene_to_sql('text:"slow filter"',
+                                          english=True)
+    with pytest.raises(ValueError, match="sloppy"):
+        _lucene_to_sql('text:"slow filter"~2', english=True)
     with pytest.raises(ValueError, match="english"):
         _lucene_to_sql("text:slow~1", english=True)
 
@@ -206,3 +209,38 @@ def test_fuzzy_transpositions_default_and_optout(spark, tmp_path):
     got = {r["id"] for r in eng.sql(
         "SELECT id FROM d2 WHERE text_match('body:lsow~2')").collect()}
     assert got == {1}
+
+
+# -------------------------------------------------------------- english phrase
+
+def test_english_phrase_position_gaps(spark, tmp_path):
+    """Exact phrases under 'english' follow Lucene's StopFilter
+    position gaps: a removed stopword still occupies its position, so
+    '"quick the foxes"' needs stem 'fox' exactly two positions after
+    'quick' (any one token between), while '"quick foxes"' needs
+    adjacency; leading stopwords shift nothing (relative offsets);
+    an all-stopword phrase matches nothing."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE pd (id INT, body STRING)")
+    eng.sql("INSERT INTO pd SELECT * FROM VALUES "
+            "(1,'the quick foxes run'),"
+            "(2,'quick brown foxes'),"
+            "(3,'quick foxes jump'),"
+            "(4,'foxes quick'),"
+            "(5,'quick and the foxes'),"
+            "(6,'the and a to') t(id,b)")
+    eng.sql("CREATE INDEX pen ON TABLE pd (body) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+
+    def ids(q):
+        return sorted(r["id"] for r in eng.sql(
+            f"SELECT id FROM pd WHERE text_match('{q}')").collect())
+
+    assert ids('body:"quick foxes"') == [1, 3]
+    assert ids('body:"quick the foxes"') == [2]
+    assert ids('body:"the quick foxes"') == [1, 3]
+    assert ids('body:"the and"') == []
+    # sloppy phrase stays a documented delta under english
+    with pytest.raises(ValueError, match="sloppy"):
+        eng.sql("SELECT id FROM pd WHERE "
+                "text_match('body:\"quick foxes\"~2')").collect()
