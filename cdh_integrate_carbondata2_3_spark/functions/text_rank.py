@@ -41,24 +41,55 @@ def _tf(toks: Column, term: str, casefold: bool = True) -> Column:
     return F.size(F.filter(toks, lambda t: t == F.lit(t0)))
 
 
+def _toks_english(text_col: str) -> Column:
+    """Analyzed token array under the 'english' analyzer: lowercase →
+    stop-remove → stem (functions/analyzers.py — the same pipeline the
+    postings build and the refine predicate use). ``text_col`` must be
+    a plain column name (it is spliced into a SQL expression)."""
+    from .analyzers import stem_sql, stops_sql
+    return F.expr(
+        f"transform(filter(split(lower({text_col}), '\\\\s+'), "
+        f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
+        f"__t -> {stem_sql('__t')})")
+
+
 def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
                k1: float = K1_DEFAULT, b: float = B_DEFAULT,
                boosts: list[float] | None = None,
-               casefold: bool = True) -> DataFrame:
+               casefold: bool = True,
+               english: bool = False) -> DataFrame:
     """Append a ``bm25`` double column scoring ``text_col`` against the
     bag of ``terms``. Rows matching no term score 0.0 (kept — filter
     downstream if Lucene match-only semantics are wanted). ``boosts``
-    scales each term's contribution (Lucene BoostQuery)."""
+    scales each term's contribution (Lucene BoostQuery). ``english``
+    scores ANALYZED terms against the analyzed token stream — tf of
+    the stem, dl = emitted (post-stop) token count, stopword terms
+    contribute nothing — Lucene's behavior when the field analyzer is
+    EnglishAnalyzer."""
     if not terms:
         raise ValueError("bm25_score: need at least one query term")
     if boosts is not None and len(boosts) != len(terms):
         raise ValueError("bm25_score: boosts must pair 1:1 with terms")
+    if english:
+        from .analyzers import analyze_term
+        pairs = [(analyze_term(t),
+                  boosts[i] if boosts is not None else 1.0)
+                 for i, t in enumerate(terms)]
+        pairs = [(t, bo) for t, bo in pairs if t is not None]
+        if not pairs:
+            # every term was a stopword: nothing scorable (Lucene's
+            # analyzer emits no token → empty query side)
+            return df.withColumn("bm25", F.lit(0.0))
+        terms = [t for t, _ in pairs]
+        boosts = [bo for _, bo in pairs]
+        casefold = False            # terms are pre-analyzed
     # materialize the analyzed token array ONCE per row: inlining the
     # split+filter tree into every tf column re-analyzes the text
     # per term (same 4.6x lesson as the shingle spans in
     # operators/dedup.duplicated_spans)
-    with_toks = df.select(
-        "*", _toks(F.col(text_col), casefold).alias("__toks"))
+    toks_expr = (_toks_english(text_col) if english
+                 else _toks(F.col(text_col), casefold))
+    with_toks = df.select("*", toks_expr.alias("__toks"))
     toks = F.col("__toks")
     tf_cols = [_tf(toks, t, casefold).alias(f"__tf{i}")
                for i, t in enumerate(terms)]

@@ -509,6 +509,65 @@ def table_fts_limit_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE text_match_with_limit('text:vector', 12)")
 
 
+def _english_ranked_oracle() -> str:
+    """BM25 over the ANALYZED stream (stemmed tf, post-stop dl) —
+    generated from the shared analyzer fragments so both engines
+    compute identical ints and therefore identical float scores."""
+    from ..functions.analyzers import stem_sql, stops_sql
+    return f"""
+WITH an AS (
+  SELECT doc_id, text, source,
+         list_transform(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '' AND x NOT IN ({stops_sql()})),
+             t -> {stem_sql('t')}) AS a
+  FROM documents
+), tf AS (
+  SELECT doc_id, text, source, len(a) AS dl,
+         len(list_filter(a, t -> t = 'vector')) AS tf0
+  FROM an
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) AS sumdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+  FROM tf
+)
+SELECT doc_id FROM (
+  SELECT doc_id, text, source,
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+           * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n)))
+           AS score
+  FROM tf, stats
+  WHERE tf0 > 0
+  ORDER BY score DESC, doc_id, text, source
+  LIMIT 10
+) t
+"""
+
+
+@query("table_fts_limit_ranked_english", oracle=_english_ranked_oracle())
+def table_fts_limit_ranked_english(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """text_match_with_limit under the 'english' analyzer scores
+    ANALYZED terms against the analyzed token stream — the query term
+    'Vectors' stems to 'vector', tf counts stems, and dl is the
+    post-stop emitted token count (functions/text_rank.bm25_score
+    english=True; Lucene's BM25 when the field analyzer is
+    EnglishAnalyzer). A surface-form ranking (tf of literal 'Vectors',
+    whitespace dl) selects a different top-10. Oracle: the same
+    formula over the shared analyzer SQL fragments."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_re", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX fre ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+    return eng.sql(
+        "SELECT doc_id FROM documents "
+        "WHERE text_match_with_limit('text:Vectors', 10)")
+
+
 @query("udf_timeseries_rollup", oracle="""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
        (date_trunc('hour', ts) + INTERVAL ((minute(ts) // 15) * 15) MINUTE)

@@ -1418,9 +1418,9 @@ class Engine:
         # stats then come from the scoped corpus, the searchable index
         base = (self.table(tbl).read(segments=segments)
                 if tbl in self.tables() else self.spark.table(tbl))
-        # under 'english', BM25 tf still counts SURFACE forms (a
-        # stemmed-tf ranking is a documented delta) — matching itself
-        # is analyzer-exact via the compiled predicate
+        # under 'english', BM25 scores ANALYZED terms against the
+        # analyzed token stream (stemmed tf, post-stop dl) — Lucene's
+        # behavior when the field analyzer is EnglishAnalyzer
         pred = F.expr(_lucene_to_sql(q, lowercase=lc, english=eng,
                                      transpositions=trans))
         by_field = self._scorable_terms(q)
@@ -1434,7 +1434,8 @@ class Engine:
             # (whitespace) index must not rank by case-folded tf
             scored = bm25_score(scored, [t for t, _ in terms],
                                 boosts=[b for _, b in terms],
-                                text_col=field, casefold=lc) \
+                                text_col=field, casefold=lc,
+                                english=eng) \
                 .withColumnRenamed("bm25", f"__s{i}")
             score_cols.append(f"__s{i}")
         total = sum((F.col(c) for c in score_cols), F.lit(0.0))
