@@ -44,6 +44,7 @@ import re
 import shutil
 from typing import Any, Sequence
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ..plans.pruning import Predicate
@@ -161,23 +162,28 @@ class IndexManager:
                          analyzer: str = "whitespace",
                          fuzzy_transpositions: bool = True) -> None:
         """CREATE INDEX name ON table (columns) AS 'lucene'
-        [PROPERTIES('analyzer'='standard'|'english',
+        [PROPERTIES('analyzer'='standard'|'english'|'porter',
         'fuzzy_transpositions'='false')]. ``whitespace``
         = case-sensitive whitespace tokens (round-3 behavior);
         ``standard`` = lowercase + whitespace, the practical core of
         Lucene's StandardAnalyzer; ``english`` = lowercase + the
         classic 33-word stop set + minimal s-stemmer
         (functions/analyzers.py — Lucene EnglishAnalyzer's pipeline
-        with the SQL-expressible stemmer; full Porter remains a
-        documented delta). ``fuzzy_transpositions=False`` compiles
+        with the SQL-expressible stemmer, full oracle parity);
+        ``porter`` = lowercase + stop set + the full Porter stemmer
+        (functions/porter.py — Lucene PorterStemFilter; refine runs
+        through an Arrow-batched UDF since Porter's measure conditions
+        have no SQL form, and term queries only).
+        ``fuzzy_transpositions=False`` compiles
         term~N queries on this table with plain Levenshtein instead of
         the Damerau default (Lucene FuzzyQuery transpositions=true).
         Reference lucene-index-guide.md."""
         if os.path.exists(_meta_path(self.table.table_dir, name)):
             raise FileExistsError(f"index {name} exists")
-        if analyzer not in ("whitespace", "standard", "english"):
+        if analyzer not in ("whitespace", "standard", "english",
+                            "porter"):
             raise ValueError(f"unsupported analyzer {analyzer!r} "
-                             "(whitespace | standard | english)")
+                             "(whitespace | standard | english | porter)")
         self._build_fts(name, columns, analyzer,
                         fuzzy_transpositions=fuzzy_transpositions)
 
@@ -271,7 +277,7 @@ class IndexManager:
         posts = None
         for col in columns:
             src = F.col(col).cast("string")
-            if analyzer in ("standard", "english"):
+            if analyzer in ("standard", "english", "porter"):
                 src = F.lower(src)
             p = (base.select(
                     F.lit(col).alias("col"),
@@ -286,6 +292,21 @@ class IndexManager:
                                                    stem_sql)
                 p = (p.filter(~F.col("tok").isin(*ENGLISH_STOPWORDS))
                      .withColumn("tok", F.expr(stem_sql("tok"))))
+            elif analyzer == "porter":
+                # full Porter has no SQL form (measure conditions) —
+                # Arrow-batched pandas UDF over the exploded tokens;
+                # the build is a one-time cost per REINDEX, and the
+                # dictionary the postings store is what the refine
+                # UDF recomputes per row (functions/porter.py)
+                from ..functions.analyzers import ENGLISH_STOPWORDS
+                from ..functions.porter import porter_stem
+
+                @F.pandas_udf("string")
+                def _pstem(toks: pd.Series) -> pd.Series:
+                    return toks.map(porter_stem)
+
+                p = (p.filter(~F.col("tok").isin(*ENGLISH_STOPWORDS))
+                     .withColumn("tok", _pstem("tok")))
             posts = p if posts is None else posts.unionByName(p)
         (posts.distinct().sort("col", "tok")
          .coalesce(1).write.mode("overwrite").parquet(idx_dir))
@@ -431,18 +452,22 @@ class IndexManager:
         t = pq.read_table(idx_dir, columns=["tok", "_file"],
                           filters=[("col", "=", col)])
         analyzer = meta.get("analyzer")
-        if analyzer in ("standard", "english"):
+        if analyzer in ("standard", "english", "porter"):
             # postings are lowercased — normalize query terms the same
             # way (wildcard/fuzzy markers are ASCII and survive lower())
             terms = [tm.lower() for tm in terms]
-        if analyzer == "english":
+        if analyzer in ("english", "porter"):
             # postings are stop-filtered + stemmed: stem each PLAIN
             # token the same way (wildcard/fuzzy patterns are matched
             # against the stemmed dictionary as-is — Lucene evaluates
             # multi-term queries against index terms un-analyzed);
             # a stopword token was DROPPED from the compiled query
             # (sql.py _term_sql), so it must impose no constraint here
-            from ..functions.analyzers import analyze_term, is_stopword
+            from ..functions.analyzers import is_stopword
+            if analyzer == "porter":
+                from ..functions.porter import porter_analyze as analyze_term
+            else:
+                from ..functions.analyzers import analyze_term
 
             def _norm(term: str) -> str:
                 out = []

@@ -509,6 +509,40 @@ def table_fts_limit_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE text_match_with_limit('text:vector', 12)")
 
 
+@query("table_fts_porter_analyzer", oracle=None)
+def table_fts_porter_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'porter' analyzer (lowercase + classic stop set + FULL Porter
+    stemmer — Lucene EnglishAnalyzer's actual PorterStemFilter,
+    functions/porter.py): text_match('text:Merges AND text:Sorting')
+    matches documents whose analyzed tokens contain stems 'merg' and
+    'sort' — 'Merges'→'merg' (1a s-drop + 5a e-drop) and
+    'Sorting'→'sort' (1b ing-drop) exercise rules beyond the
+    s-stemmer's reach; the staged corpus suffixes '-ing' forms so
+    corpus-side stemming is exercised too. Porter's measure
+    conditions have no SQL form, so the refine predicate runs through
+    the Arrow-batched __carbon_porter_match UDF and this query takes
+    the driver's rows-only check — the stemmer itself is verified
+    against the algorithm's published vocabulary in
+    tests/test_porter.py, and engine-level matching in
+    tests/test_analyzers.py. Reference: LuceneFineGrainIndex.java:
+    63-204 analyzer pipeline (PorterStemFilter)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_po", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.concat(F.trim(F.col("text")), F.lit("ing"))
+                     .alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX fpo ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:Merges AND text:Sorting') "
+        "GROUP BY source")
+
+
 def _english_ranked_oracle() -> str:
     """BM25 over the ANALYZED stream (stemmed tf, post-stop dl) —
     generated from the shared analyzer fragments so both engines

@@ -19,6 +19,7 @@ import os
 import re
 import shutil
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -724,10 +725,31 @@ def _english_phrase_sql(field: str, phrase: str) -> str | None:
             f"__p -> {conds})))")
 
 
+def _porter_term_sql(field: str, pat: str) -> str | None:
+    """Plain-term predicate under the 'porter' analyzer: delegates to
+    the session-registered __carbon_porter_match UDF (Arrow-batched;
+    Porter's measure conditions have no SQL form). A stopword term
+    drops its clause, as under 'english'. Only plain terms are
+    supported — wildcard/phrase/fuzzy/range/regexp under porter raise
+    (COVERAGE.md documents the delta)."""
+    from .functions.porter import porter_analyze
+    if re.search(r"[*?\x00\x01\x02~]", pat):
+        raise ValueError(
+            "text_match: only plain terms are supported under the "
+            "'porter' analyzer (wildcard/phrase/fuzzy/range/regexp "
+            f"raise — COVERAGE.md documents the delta); got {pat!r}")
+    q = porter_analyze(pat)
+    if q is None:
+        return None
+    return (f"(__carbon_porter_match({field}, "
+            f"'{q.replace(chr(39), chr(39) * 2)}'))")
+
+
 def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
               regexes: list[str], lowercase: bool = False,
               english: bool = False,
-              transpositions: bool = True) -> str | None:
+              transpositions: bool = True,
+              porter: bool = False) -> str | None:
     """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
     phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
     suffix is stripped — it only affects ranking). ``lowercase``
@@ -742,6 +764,8 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
         raise ValueError(f"text_match: cannot parse term {tok!r}")
     field, pat = m.groups()
     pat, _ = _strip_boost(pat)
+    if porter:
+        return _porter_term_sql(field, pat)
     if english:
         if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
             if pm.group(2):
@@ -807,7 +831,8 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
                  regexes: list[str] | None = None,
                  lowercase: bool = False,
                  english: bool = False,
-                 transpositions: bool = True) -> tuple[str | None, int]:
+                 transpositions: bool = True,
+                 porter: bool = False) -> tuple[str | None, int]:
     """One parenthesis level: operands joined by AND/OR (explicit) or
     adjacency (implicit OR — Lucene's default operator), with NOT as
     strict boolean negation and +/- occur prefixes. When any +/- is
@@ -851,13 +876,14 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
             t = toks[i]
         if t == "(":
             sql, i = _parse_group(toks, i + 1, phrases, ranges, regexes,
-                                  lowercase, english, transpositions)
+                                  lowercase, english, transpositions,
+                                  porter)
             if i >= len(toks) or toks[i] != ")":
                 raise ValueError("text_match: unbalanced parentheses")
             i += 1
         else:
             sql = _term_sql(t, phrases, ranges or [], regexes or [],
-                            lowercase, english, transpositions)
+                            lowercase, english, transpositions, porter)
             i += 1
         items.append((conn, occur, negated, sql))
     if not items:
@@ -904,7 +930,8 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
 
 def _lucene_to_sql(query: str, lowercase: bool = False,
                    english: bool = False,
-                   transpositions: bool = True) -> str:
+                   transpositions: bool = True,
+                   porter: bool = False) -> str:
     """Translate a Lucene-ish text_match query into a whitespace-token
     RLIKE/levenshtein predicate — the exact-refine half of the
     reference's Lucene fine-grain index (LuceneFineGrainIndex.java:
@@ -926,7 +953,7 @@ def _lucene_to_sql(query: str, lowercase: bool = False,
     stashed, ranges = _stash_ranges(stashed)
     toks = re.findall(r"\(|\)|[^\s()]+", stashed)
     sql, i = _parse_group(toks, 0, phrases, ranges, regexes, lowercase,
-                          english, transpositions)
+                          english, transpositions, porter)
     if i != len(toks):
         raise ValueError(
             f"text_match: unbalanced parentheses in {query!r}")
@@ -938,6 +965,33 @@ def _lucene_to_sql(query: str, lowercase: bool = False,
         # a comparison inside the parens is unambiguous.
         return "(1 = 0)"
     return sql
+
+
+def _ensure_porter_udf(spark) -> None:
+    """Register the Arrow-batched Porter refine UDF once per session.
+    Porter's measure conditions (functions/porter.py) have no SQL
+    form, so 'porter'-analyzer term predicates call this UDF — the
+    one deliberate Python hot path in the text_match surface, opted
+    into by the index property."""
+    if "__carbon_porter_match" in [f.name for f in
+                                   spark.catalog.listFunctions()
+                                   if f.name.startswith("__carbon")]:
+        return
+    from .functions.porter import porter_analyze
+
+    @F.pandas_udf("boolean")
+    def _match(text: pd.Series, stem: pd.Series) -> pd.Series:
+        out = []
+        for tx, st in zip(text, stem):
+            if tx is None:
+                out.append(False)
+                continue
+            out.append(any(a == st for a in
+                           (porter_analyze(t) for t in tx.split())
+                           if a is not None))
+        return pd.Series(out)
+
+    spark.udf.register("__carbon_porter_match", _match)
 
 
 def _parse_props(s: str | None) -> dict:
@@ -1396,7 +1450,7 @@ class Engine:
 
     def _build_tm_limited(self, tbl: str, q: str, n: int,
                           lc: bool = False, eng: bool = False,
-                          trans: bool = True,
+                          trans: bool = True, por: bool = False,
                           segments: list[int] | None = None) -> None:
         """Materialize ``__tm_limited``: the top-``n`` rows of ``tbl``
         matching Lucene-ish query ``q``, ordered by BM25 relevance —
@@ -1422,7 +1476,10 @@ class Engine:
         # analyzed token stream (stemmed tf, post-stop dl) — Lucene's
         # behavior when the field analyzer is EnglishAnalyzer
         pred = F.expr(_lucene_to_sql(q, lowercase=lc, english=eng,
-                                     transpositions=trans))
+                                     transpositions=trans, porter=por))
+        # under 'porter' BM25 ranks surface-form tf (stemmed-tf
+        # scoring needs the UDF in the agg path — documented delta);
+        # matching itself is analyzer-exact via the compiled predicate
         by_field = self._scorable_terms(q)
         if not by_field:
             base.filter(pred).limit(n) \
@@ -1514,9 +1571,12 @@ class Engine:
               if "text_match" in text.lower() else "whitespace")
         lc = an == "standard"
         eng = an == "english"
+        por = an == "porter"
+        if por:
+            _ensure_porter_udf(self.spark)
         trans = (self._fts_fuzzy_transpositions(text)
                  if "text_match" in text.lower() else True)
-        tm_limit: tuple[str, str, int, bool, bool, bool] | None = None
+        tm_limit: tuple[str, str, int, bool, bool, bool, bool] | None = None
         if "text_match_with_limit" in text.lower():
             m = _TEXT_MATCH_LIMIT_SOLE.search(text)
             if not m:
@@ -1530,13 +1590,13 @@ class Engine:
             # BM25 relevance (Lucene returns the top-N SCORED hits,
             # LuceneFineGrainIndex.java:63-204), falling back to an
             # arbitrary-N cut when no term is scorable
-            tm_limit = (tbl, q, n, lc, eng, trans)
+            tm_limit = (tbl, q, n, lc, eng, trans, por)
             sub = f"FROM __tm_limited {tbl} WHERE TRUE {tail or ''}"
             text = text[:m.start()] + sub + text[m.end():]
         text = _TEXT_MATCH_FN.sub(
             lambda m: _lucene_to_sql(m.group(1), lowercase=lc,
-                                     english=eng, transpositions=trans),
-            text)
+                                     english=eng, transpositions=trans,
+                                     porter=por), text)
 
         def _ts(m: re.Match) -> str:
             from .functions.timeseries import _MINUTE_BUCKETS

@@ -244,3 +244,37 @@ def test_english_phrase_position_gaps(spark, tmp_path):
     with pytest.raises(ValueError, match="sloppy"):
         eng.sql("SELECT id FROM pd WHERE "
                 "text_match('body:\"quick foxes\"~2')").collect()
+
+
+# ------------------------------------------------------------------ porter
+
+def test_porter_analyzer_end_to_end(spark, tmp_path):
+    """'porter' analyzer: full Porter stems on both sides (corpus
+    postings + query terms), stopword clause dropping, UDF refine,
+    and index pruning against the stemmed dictionary."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE pr (id INT, body STRING)")
+    eng.sql("INSERT INTO pr SELECT * FROM VALUES "
+            "(1,'the motoring caresses'),(2,'motor cares'),"
+            "(3,'relational databases'),(4,'relate to nothing') t(id,b)")
+    eng.sql("CREATE INDEX ppt ON TABLE pr (body) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter')")
+
+    def ids(q):
+        return sorted(r["id"] for r in eng.sql(
+            f"SELECT id FROM pr WHERE text_match('{q}')").collect())
+
+    # motoring/motor both stem to 'motor'; relational/relate → 'relat'
+    assert ids('body:Motoring') == [1, 2]
+    assert ids('body:relational') == [3, 4]
+    # stopword query term: clause dropped → all-stop query matches none
+    assert ids('body:the') == []
+    # conjunction with stemmed terms
+    assert ids('body:caresses AND body:motors') == [1]
+    # wildcard/phrase under porter raise (documented delta)
+    with pytest.raises(ValueError, match="porter"):
+        eng.sql("SELECT id FROM pr WHERE text_match('body:motor*')").collect()
+    # postings hold Porter stems → pruning consults the index
+    im = eng.table("pr").indexes
+    files = im.candidate_files([("body", "text_match", ["Motoring"])])
+    assert files is not None and im.last_consulted == ["ppt"]
