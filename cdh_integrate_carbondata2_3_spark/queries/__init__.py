@@ -74,11 +74,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-5 window plan: 6 slots go to the never-stamped queries (the
-# round-5 FTS additions — english analyzer/phrase, Damerau-transpose
-# fuzzy, regexp dialect, english ranked limit — plus the re-fixed
-# table_carbon_datasource_read; they sort first automatically). The
-# remaining 44 go to (1) the oldest stamps (r1-only, 6), then (2)
+# Round-5 window plan: 8 slots go to the never-stamped queries (the
+# round-5 FTS additions — english analyzer/phrase/fuzzy/ranked-limit,
+# Damerau-transpose fuzzy, regexp dialect, porter analyzer — plus the
+# re-fixed table_carbon_datasource_read; they sort first
+# automatically). The remaining 42 go to (1) the oldest stamps
+# (r1-only, 6), then (2)
 # every query whose CODE or ORACLE changed since its last stamp —
 # the Damerau fuzzy default + regex dialect touched the whole
 # text_match compile path (so the r4 FTS stamps are stale, most
@@ -92,10 +93,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # untouched-since-r2 TPC-H/table-lifecycle rows spill to round 6
 # (they run green in every local full-gate check meanwhile).
 _ROTATE_BACK_IN: tuple[str, ...] = (
-    # (1) oldest stamps: green in r1 only (6)
+    # (1) oldest stamps: green in r1 only
     "text_fingerprint", "text_lang_heuristic", "text_quality_score",
     "text_repetition_filters", "text_token_stats", "topk_per_group",
-    # (2) changed since last stamp (30)
+    # (2) changed since last stamp
     "table_fts_fuzzy", "table_fts_phrase", "table_fts_sloppy_phrase",
     "table_fts_boolean_group", "table_fts_standard_analyzer",
     "table_fts_range_term", "table_fts_limit_ranked",
@@ -110,11 +111,11 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "stream_near_dup_parity", "table_vector_index_search",
     "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
     "dedup_components",
-    # (3) oldest-first r2 fill (7; window = 7 never-stamped + 36
-    # changed/oldest + these = 50)
+    # (3) oldest-first r2 fill (window = 8 never-stamped + the
+    # 36 above + these 6 = 50)
     "complex_array_functions", "geo_polygon_join_range_list",
     "geo_range_list_ops", "geo_spatial_index_prune", "geo_zorder_geoid",
-    "multimodal_meta_stats", "q11_important_stock",
+    "multimodal_meta_stats",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's

@@ -509,6 +509,52 @@ def table_fts_limit_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE text_match_with_limit('text:vector', 12)")
 
 
+def _english_fuzzy_oracle() -> str:
+    """Fuzzy under english — Lucene FuzzyQuery normalizes the query
+    term (lowercase, NOT stemmed) and expands it against the stemmed
+    index terms; DuckDB replays with the shared stem fragment plus its
+    native damerau_levenshtein."""
+    from ..functions.analyzers import stem_sql, stops_sql
+    return f"""
+WITH an AS (
+  SELECT doc_id, source,
+         list_transform(list_filter(string_split_regex(lower(text), ' +'),
+             x -> x <> '' AND x NOT IN ({stops_sql()})),
+             t -> {stem_sql('t')}) AS a
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs
+FROM an
+WHERE len(list_filter(a, s -> damerau_levenshtein(s, 'sost') <= 1)) > 0
+GROUP BY source
+"""
+
+
+@query("table_fts_english_fuzzy", oracle=_english_fuzzy_oracle())
+def table_fts_english_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term under the 'english' analyzer
+    (sql.py _english_fuzzy_sql): text_match('text:Sost~1') lowercases
+    the query term WITHOUT stemming it (Lucene's normalize() for
+    multi-term queries) and matches analyzed corpus tokens — the
+    corpus's 'sorts' stems to 'sort', one Damerau edit from 'sost',
+    while the surface form 'sorts' is two away, so an implementation
+    matching surface tokens (or stemming the query term) returns a
+    different set. Oracle: the shared stem fragment + DuckDB's native
+    damerau_levenshtein."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_ef", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX fef ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:Sost~1') "
+        "GROUP BY source")
+
+
 @query("table_fts_porter_analyzer", oracle=None)
 def table_fts_porter_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'porter' analyzer (lowercase + classic stop set + FULL Porter

@@ -682,6 +682,27 @@ def _english_term_sql(field: str, pat: str) -> str | None:
     return f"(exists({body}, __t -> {keep} AND {cond}))"
 
 
+def _english_fuzzy_sql(field: str, term: str, edits: int,
+                       transpositions: bool = True) -> str:
+    """Fuzzy term under the 'english' analyzer — Lucene semantics:
+    FuzzyQuery NORMALIZES the query term (lowercase; normalize() does
+    not stem or stop-filter) and expands it against the INDEX terms,
+    which are stemmed — so 'motoring~1' compares 'motoring' to stems
+    like 'motor' (distance 3: no match). The refine evaluates the
+    same thing: some analyzed (stop-removed, stemmed) token of the
+    field within ``edits`` Damerau edits of the lowercased term."""
+    from .functions.analyzers import stem_sql, stops_sql
+    t = term.lower()
+    if transpositions:
+        pred = _dam_pred_sql("__s", t, edits)
+    else:
+        pred = f"levenshtein(__s, '{t.replace(chr(39), chr(39) * 2)}') <= {edits}"
+    arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
+           f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
+           f"__t -> {stem_sql('__t')})")
+    return f"(exists({arr}, __s -> {pred}))"
+
+
 def _english_phrase_sql(field: str, phrase: str) -> str | None:
     """Exact phrase under the 'english' analyzer, with Lucene's
     StopFilter POSITION GAPS (enablePositionIncrements=true): the
@@ -774,12 +795,15 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
                     "the 'english' analyzer (exact phrases are — "
                     f"COVERAGE.md documents the delta); got {tok!r}")
             return _english_phrase_sql(field, phrases[int(pm.group(1))])
+        if (fz := _parse_fuzzy(pat) if "~" in pat else None):
+            return _english_fuzzy_sql(field, *fz,
+                                      transpositions=transpositions)
         if re.search(r"[\x00\x01\x02]", pat) or "~" in pat:
             raise ValueError(
-                "text_match: sloppy-phrase/fuzzy/range/regexp terms are "
+                "text_match: sloppy-phrase/range/regexp terms are "
                 "not supported under the 'english' analyzer (term, "
-                "wildcard and exact-phrase queries only — COVERAGE.md "
-                f"documents the delta); got {tok!r}")
+                "wildcard, exact-phrase and fuzzy queries only — "
+                f"COVERAGE.md documents the delta); got {tok!r}")
         return _english_term_sql(field, pat)
     if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
         return _range_sql(field, *ranges[int(rm.group(1))],

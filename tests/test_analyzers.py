@@ -64,13 +64,15 @@ def test_lucene_to_sql_english_drops_stopword_clauses():
     # all-stopword query = Lucene empty BooleanQuery: matches nothing
     assert _lucene_to_sql("text:the text:a", english=True) == "(1 = 0)"
     # exact phrase under english compiles (position-gapped); sloppy
-    # and fuzzy remain documented deltas
+    # phrases and range/regexp remain documented deltas
     assert "element_at" in _lucene_to_sql('text:"slow filter"',
                                           english=True)
     with pytest.raises(ValueError, match="sloppy"):
         _lucene_to_sql('text:"slow filter"~2', english=True)
+    # fuzzy under english compiles against the analyzed stream
+    assert "levenshtein" in _lucene_to_sql("text:slow~1", english=True)
     with pytest.raises(ValueError, match="english"):
-        _lucene_to_sql("text:slow~1", english=True)
+        _lucene_to_sql("text:[a TO b]", english=True)
 
 
 @pytest.fixture()
