@@ -509,6 +509,51 @@ def table_fts_limit_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE text_match_with_limit('text:vector', 12)")
 
 
+def _english_range_oracle() -> str:
+    from ..functions.analyzers import stem_sql, stops_sql
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source, trim(text) || 's' AS text FROM documents
+), an AS (
+  SELECT doc_id, source,
+         list_transform(list_filter(string_split_regex(lower(text), ' +'),
+             x -> x <> '' AND x NOT IN ({stops_sql()})),
+             t -> {stem_sql('t')}) AS a
+  FROM staged
+)
+SELECT source, COUNT(*) AS n_docs
+FROM an
+WHERE len(list_filter(a, s -> s >= 'sora' AND s <= 'sortr')) > 0
+GROUP BY source
+"""
+
+
+@query("table_fts_english_range", oracle=_english_range_oracle())
+def table_fts_english_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermRangeQuery under the 'english' analyzer: the bounds are
+    normalized (lowercase, NOT stemmed — Lucene's normalize()) and
+    compared against the analyzed tokens, which are stems —
+    '[SORA TO sortr]' brackets stem 'sort' while the surface plural
+    'sorts' (the staged corpus pluralizes each doc's last token)
+    sorts above 'sortr', so a surface-token range returns a
+    different, smaller set (sql.py _range_sql english branch)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_er", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.concat(F.trim(F.col("text")), F.lit("s"))
+                     .alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX fer ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:[SORA TO sortr]') "
+        "GROUP BY source")
+
+
 def _english_fuzzy_oracle() -> str:
     """Fuzzy under english — Lucene FuzzyQuery normalizes the query
     term (lowercase, NOT stemmed) and expands it against the stemmed

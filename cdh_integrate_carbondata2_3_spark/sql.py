@@ -498,15 +498,28 @@ def _regex_sql(field: str, pattern: str, lowercase: bool = False) -> str:
 
 
 def _range_sql(field: str, lo: str, hi: str, lo_inc: bool, hi_inc: bool,
-               lowercase: bool = False) -> str:
+               lowercase: bool = False, english: bool = False) -> str:
     """Token-level range term: some whitespace token of ``field`` is
     lexicographically within [lo, hi] — classic Lucene TermRangeQuery
     semantics (string ordering; numeric point ranges are out of
-    scope). Compiles to a JVM-side higher-order predicate."""
+    scope). Under ``english`` the bounds are NORMALIZED (lowercase —
+    Lucene's normalize() applies no stemming) and compared against
+    the ANALYZED tokens, which are the stems: '[sora TO sorz]'
+    brackets stem 'sort', not surface 'sorts'. Compiles to a
+    JVM-side higher-order predicate."""
+    lo_op, hi_op = (">=" if lo_inc else ">"), ("<=" if hi_inc else "<")
+    if english:
+        from .functions.analyzers import stem_sql, stops_sql
+        lo = lo.lower().replace("'", "''")
+        hi = hi.lower().replace("'", "''")
+        arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
+               f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
+               f"__t -> {stem_sql('__t')})")
+        return (f"(exists({arr}, __s -> __s {lo_op} '{lo}' "
+                f"AND __s {hi_op} '{hi}'))")
     if lowercase:
         field, lo, hi = f"lower({field})", lo.lower(), hi.lower()
     lo, hi = lo.replace("'", "''"), hi.replace("'", "''")
-    lo_op, hi_op = (">=" if lo_inc else ">"), ("<=" if hi_inc else "<")
     return (f"(exists(split({field}, '\\\\s+'), "
             f"__t -> __t != '' AND __t {lo_op} '{lo}' "
             f"AND __t {hi_op} '{hi}'))")
@@ -798,12 +811,15 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
         if (fz := _parse_fuzzy(pat) if "~" in pat else None):
             return _english_fuzzy_sql(field, *fz,
                                       transpositions=transpositions)
+        if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
+            return _range_sql(field, *ranges[int(rm.group(1))],
+                              english=True)
         if re.search(r"[\x00\x01\x02]", pat) or "~" in pat:
             raise ValueError(
-                "text_match: sloppy-phrase/range/regexp terms are "
+                "text_match: sloppy-phrase/regexp terms are "
                 "not supported under the 'english' analyzer (term, "
-                "wildcard, exact-phrase and fuzzy queries only — "
-                f"COVERAGE.md documents the delta); got {tok!r}")
+                "wildcard, exact-phrase, fuzzy and range queries only "
+                f"— COVERAGE.md documents the delta); got {tok!r}")
         return _english_term_sql(field, pat)
     if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
         return _range_sql(field, *ranges[int(rm.group(1))],

@@ -69,10 +69,12 @@ def test_lucene_to_sql_english_drops_stopword_clauses():
                                           english=True)
     with pytest.raises(ValueError, match="sloppy"):
         _lucene_to_sql('text:"slow filter"~2', english=True)
-    # fuzzy under english compiles against the analyzed stream
+    # fuzzy and range under english compile against the analyzed
+    # stream (Lucene normalize(): lowercase, no stem, on the bounds)
     assert "levenshtein" in _lucene_to_sql("text:slow~1", english=True)
+    assert "__s >= 'a'" in _lucene_to_sql("text:[a TO b]", english=True)
     with pytest.raises(ValueError, match="english"):
-        _lucene_to_sql("text:[a TO b]", english=True)
+        _lucene_to_sql("text:/sl.*/", english=True)
 
 
 @pytest.fixture()
