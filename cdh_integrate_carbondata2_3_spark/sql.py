@@ -1013,9 +1013,7 @@ def _ensure_porter_udf(spark) -> None:
     form, so 'porter'-analyzer term predicates call this UDF — the
     one deliberate Python hot path in the text_match surface, opted
     into by the index property."""
-    if "__carbon_porter_match" in [f.name for f in
-                                   spark.catalog.listFunctions()
-                                   if f.name.startswith("__carbon")]:
+    if getattr(spark, "_carbon_porter_udf_registered", False):
         return
     from .functions.porter import porter_analyze
 
@@ -1032,6 +1030,7 @@ def _ensure_porter_udf(spark) -> None:
         return pd.Series(out)
 
     spark.udf.register("__carbon_porter_match", _match)
+    spark._carbon_porter_udf_registered = True
 
 
 def _parse_props(s: str | None) -> dict:
