@@ -760,18 +760,26 @@ def _english_phrase_sql(field: str, phrase: str) -> str | None:
 
 
 def _porter_term_sql(field: str, pat: str) -> str | None:
-    """Plain-term predicate under the 'porter' analyzer: delegates to
-    the session-registered __carbon_porter_match UDF (Arrow-batched;
-    Porter's measure conditions have no SQL form). A stopword term
-    drops its clause, as under 'english'. Only plain terms are
-    supported — wildcard/phrase/fuzzy/range/regexp under porter raise
-    (COVERAGE.md documents the delta)."""
+    """Term/wildcard predicate under the 'porter' analyzer: delegates
+    to the session-registered __carbon_porter_match/_wild UDFs
+    (Arrow-batched; Porter's measure conditions have no SQL form).
+    A stopword term drops its clause, as under 'english'; wildcards
+    match the stemmed dictionary with the pattern un-analyzed (Lucene
+    multi-term behavior). Phrase/fuzzy/range/regexp under porter
+    raise (COVERAGE.md documents the delta)."""
     from .functions.porter import porter_analyze
-    if re.search(r"[*?\x00\x01\x02~]", pat):
+    if re.search(r"[\x00\x01\x02~]", pat):
         raise ValueError(
-            "text_match: only plain terms are supported under the "
-            "'porter' analyzer (wildcard/phrase/fuzzy/range/regexp "
+            "text_match: only plain terms and wildcards are supported "
+            "under the 'porter' analyzer (phrase/fuzzy/range/regexp "
             f"raise — COVERAGE.md documents the delta); got {pat!r}")
+    if "*" in pat or "?" in pat:
+        rx = "".join(
+            ".*" if part == "*" else ("." if part == "?"
+                                      else re.escape(part))
+            for part in re.split(r"([*?])", pat.lower()) if part != "")
+        return (f"(__carbon_porter_wild({field}, "
+                f"'{rx.replace(chr(92), chr(92) * 2).replace(chr(39), chr(39) * 2)}'))")
     q = porter_analyze(pat)
     if q is None:
         return None
@@ -1029,7 +1037,27 @@ def _ensure_porter_udf(spark) -> None:
                            if a is not None))
         return pd.Series(out)
 
+    @F.pandas_udf("boolean")
+    def _wild(text: pd.Series, rx: pd.Series) -> pd.Series:
+        # wildcard over the ANALYZED tokens — Lucene evaluates
+        # multi-term queries against index terms (the stems), with the
+        # pattern applied un-analyzed
+        out = []
+        compiled: dict[str, "re.Pattern"] = {}
+        for tx, pattern in zip(text, rx):
+            if tx is None:
+                out.append(False)
+                continue
+            cre = compiled.get(pattern)
+            if cre is None:
+                cre = compiled.setdefault(pattern, re.compile(pattern))
+            out.append(any(cre.fullmatch(a) for a in
+                           (porter_analyze(t) for t in tx.split())
+                           if a is not None))
+        return pd.Series(out)
+
     spark.udf.register("__carbon_porter_match", _match)
+    spark.udf.register("__carbon_porter_wild", _wild)
     spark._carbon_porter_udf_registered = True
 
 

@@ -275,9 +275,14 @@ def test_porter_analyzer_end_to_end(spark, tmp_path):
     assert ids('body:the') == []
     # conjunction with stemmed terms
     assert ids('body:caresses AND body:motors') == [1]
-    # wildcard/phrase under porter raise (documented delta)
+    # wildcard matches the stemmed dictionary (motor-): docs 1, 2
+    assert ids('body:motor*') == [1, 2]
+    # doc 3 'databases' stems to 'databas' → datab?s misses 'database'
+    assert ids('body:datab*') == [3]
+    # phrase under porter raises (documented delta)
     with pytest.raises(ValueError, match="porter"):
-        eng.sql("SELECT id FROM pr WHERE text_match('body:motor*')").collect()
+        eng.sql("SELECT id FROM pr WHERE "
+                "text_match('body:\"motor cares\"')").collect()
     # postings hold Porter stems → pruning consults the index
     im = eng.table("pr").indexes
     files = im.candidate_files([("body", "text_match", ["Motoring"])])

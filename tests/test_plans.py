@@ -248,3 +248,19 @@ def test_runtime_filter_join_caps_and_falls_back(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_english_fts_predicates_stay_jvm_side(spark):
+    """The english-analyzer phrase/fuzzy/range predicates compile to
+    higher-order functions over the analyzed token array — no Python
+    UDF may appear in the plan (the 'porter' analyzer is the one
+    deliberate UDF opt-in)."""
+    from cdh_integrate_carbondata2_3_spark.sql import _lucene_to_sql
+    docs = spark.range(30).selectExpr(
+        "id as doc_id", "concat('the slow filters run ', id) as text")
+    for q in ('text:"slow filters"', "text:solw~1", "text:[sora TO sorz]",
+              "text:Filters AND NOT text:the"):
+        pred = _lucene_to_sql(q, english=True)
+        plan = plan_of(docs.filter(pred))
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
