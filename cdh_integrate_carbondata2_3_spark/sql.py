@@ -716,6 +716,48 @@ def _english_fuzzy_sql(field: str, term: str, edits: int,
     return f"(exists({arr}, __s -> {pred}))"
 
 
+def _english_sloppy_sql(field: str, phrase: str, slop: int) -> str | None:
+    """Sloppy phrase under 'english': same per-gap simplification as
+    the whitespace analyzer's _phrase_regex (each inter-term gap may
+    stretch by 0..slop extra POSITIONS, in order — Lucene's shared
+    slop budget with reordering is a documented delta), evaluated
+    over the analyzed stream with stop-gap positions. Nested
+    higher-order exists(): one start-position scan, then one bounded
+    gap scan per inter-term hop — all JVM-side."""
+    from .functions.analyzers import (analyze_term, is_stopword, stem_sql,
+                                      stops_sql)
+    toks = phrase.lower().split()
+    if not toks:
+        raise ValueError("text_match: empty phrase")
+    terms = [(i, analyze_term(t)) for i, t in enumerate(toks)
+             if not is_stopword(t)]
+    if not terms:
+        return None
+    first = terms[0][0]
+    offs = [(i - first, q.replace("'", "''")) for i, q in terms]
+    arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
+           f"__x -> __x != ''), __t -> "
+           f"CASE WHEN __t IN ({stops_sql()}) THEN NULL "
+           f"ELSE {stem_sql('__t')} END)")
+
+    def hop(h: int, pos: str) -> str:
+        if h == len(offs):
+            return ""
+        d = offs[h][0] - offs[h - 1][0]
+        land = f"({pos} + {d} + __g{h})"
+        inner = hop(h + 1, land)
+        cond = (f"try_element_at(__arr, {land}) = '{offs[h][1]}'"
+                + (f" AND {inner}" if inner else ""))
+        return f"exists(sequence(0, {slop}), __g{h} -> {cond})"
+
+    body = hop(1, "__p0")
+    return (f"(exists(array({arr}), __arr -> "
+            f"size(__arr) >= 1 AND "
+            f"exists(sequence(1, size(__arr)), __p0 -> "
+            f"element_at(__arr, __p0) = '{offs[0][1]}'"
+            + (f" AND {body}" if body else "") + ")))")
+
+
 def _english_phrase_sql(field: str, phrase: str) -> str | None:
     """Exact phrase under the 'english' analyzer, with Lucene's
     StopFilter POSITION GAPS (enablePositionIncrements=true): the
@@ -811,10 +853,9 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
     if english:
         if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
             if pm.group(2):
-                raise ValueError(
-                    "text_match: sloppy phrases are not supported under "
-                    "the 'english' analyzer (exact phrases are — "
-                    f"COVERAGE.md documents the delta); got {tok!r}")
+                return _english_sloppy_sql(field,
+                                           phrases[int(pm.group(1))],
+                                           int(pm.group(2)))
             return _english_phrase_sql(field, phrases[int(pm.group(1))])
         if (fz := _parse_fuzzy(pat) if "~" in pat else None):
             return _english_fuzzy_sql(field, *fz,
@@ -824,10 +865,10 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
                               english=True)
         if re.search(r"[\x00\x01\x02]", pat) or "~" in pat:
             raise ValueError(
-                "text_match: sloppy-phrase/regexp terms are "
-                "not supported under the 'english' analyzer (term, "
-                "wildcard, exact-phrase, fuzzy and range queries only "
-                f"— COVERAGE.md documents the delta); got {tok!r}")
+                "text_match: regexp terms are not supported under the "
+                "'english' analyzer (term, wildcard, phrase, sloppy "
+                "phrase, fuzzy and range queries are — COVERAGE.md "
+                f"documents the delta); got {tok!r}")
         return _english_term_sql(field, pat)
     if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
         return _range_sql(field, *ranges[int(rm.group(1))],

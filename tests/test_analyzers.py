@@ -67,8 +67,10 @@ def test_lucene_to_sql_english_drops_stopword_clauses():
     # phrases and range/regexp remain documented deltas
     assert "element_at" in _lucene_to_sql('text:"slow filter"',
                                           english=True)
-    with pytest.raises(ValueError, match="sloppy"):
-        _lucene_to_sql('text:"slow filter"~2', english=True)
+    # sloppy phrase under english: per-gap stretch over analyzed
+    # positions (same simplification as whitespace slop)
+    assert "try_element_at" in _lucene_to_sql('text:"slow filter"~2',
+                                              english=True)
     # fuzzy and range under english compile against the analyzed
     # stream (Lucene normalize(): lowercase, no stem, on the bounds)
     assert "levenshtein" in _lucene_to_sql("text:slow~1", english=True)
@@ -244,10 +246,11 @@ def test_english_phrase_position_gaps(spark, tmp_path):
     assert ids('body:"quick the foxes"') == [2]
     assert ids('body:"the quick foxes"') == [1, 3]
     assert ids('body:"the and"') == []
-    # sloppy phrase stays a documented delta under english
-    with pytest.raises(ValueError, match="sloppy"):
-        eng.sql("SELECT id FROM pd WHERE "
-                "text_match('body:\"quick foxes\"~2')").collect()
+    # sloppy phrase: one extra analyzed position reaches doc 2
+    got = sorted(r["id"] for r in eng.sql(
+        "SELECT id FROM pd WHERE "
+        "text_match('body:\"quick foxes\"~1')").collect())
+    assert got == [1, 2, 3]
 
 
 # ------------------------------------------------------------------ porter
@@ -287,3 +290,27 @@ def test_porter_analyzer_end_to_end(spark, tmp_path):
     im = eng.table("pr").indexes
     files = im.candidate_files([("body", "text_match", ["Motoring"])])
     assert files is not None and im.last_consulted == ["ppt"]
+
+
+def test_english_sloppy_phrase_per_gap(spark, tmp_path):
+    """Sloppy phrase under english: each inter-term gap may stretch by
+    0..slop analyzed POSITIONS (stopword positions count, as in the
+    exact-phrase gap semantics)."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE sp (id INT, body STRING)")
+    eng.sql("INSERT INTO sp SELECT * FROM VALUES "
+            "(1,'quick foxes jump'),(2,'quick brown foxes'),"
+            "(3,'quick very brown foxes'),(4,'quick a b c foxes'),"
+            "(5,'foxes quick') t(id,b)")
+    eng.sql("CREATE INDEX fsp ON TABLE sp (body) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+
+    def ids(q):
+        return sorted(r["id"] for r in eng.sql(
+            f"SELECT id FROM sp WHERE text_match('{q}')").collect())
+
+    assert ids('body:"quick foxes"') == [1]
+    assert ids('body:"quick foxes"~1') == [1, 2]
+    assert ids('body:"quick foxes"~2') == [1, 2, 3]
+    assert ids('body:"quick foxes"~3') == [1, 2, 3, 4]  # stop positions count
+    assert 5 not in ids('body:"quick foxes"~3')         # order required
