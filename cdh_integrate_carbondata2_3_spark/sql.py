@@ -480,19 +480,28 @@ def _lucene_regex_to_java(pattern: str) -> str:
     return _LuceneRegexTranslator(pattern).translate()
 
 
-def _regex_sql(field: str, pattern: str, lowercase: bool = False) -> str:
+def _regex_sql(field: str, pattern: str, lowercase: bool = False,
+               english: bool = False) -> str:
     """Lucene RegexpQuery analogue: some whitespace token matches the
     regex WHOLLY (Lucene anchors regexps to the full term). The
     pattern is the LUCENE regexp dialect (brics): ``\\x`` escapes to a
     literal, ``@``/``#``/``"..."``/``<n-m>`` and top-level ``&`` are
     supported, translated to Java regex by _lucene_regex_to_java
     (remaining delta: nested ``&``, deprecated ``~``). Under the
-    'standard' analyzer tokens are lowercased; the pattern is applied
-    as given."""
-    if lowercase:
-        field = f"lower({field})"
+    'standard' analyzer tokens are lowercased; under ``english`` the
+    pattern applies UN-ANALYZED to the analyzed tokens — the stems —
+    exactly as Lucene runs the automaton over index terms. The
+    pattern itself is never rewritten."""
     pat = (_lucene_regex_to_java(pattern)
            .replace("\\", "\\\\").replace("'", "''"))
+    if english:
+        from .functions.analyzers import stem_sql, stops_sql
+        arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
+               f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
+               f"__t -> {stem_sql('__t')})")
+        return f"(exists({arr}, __s -> __s RLIKE '^(?:{pat})$'))"
+    if lowercase:
+        field = f"lower({field})"
     return (f"(exists(split({field}, '\\\\s+'), "
             f"__t -> __t != '' AND __t RLIKE '^(?:{pat})$'))")
 
@@ -863,12 +872,13 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
         if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
             return _range_sql(field, *ranges[int(rm.group(1))],
                               english=True)
+        if xm := re.fullmatch(r"\x02(\d+)\x02", pat):
+            return _regex_sql(field, regexes[int(xm.group(1))],
+                              english=True)
         if re.search(r"[\x00\x01\x02]", pat) or "~" in pat:
             raise ValueError(
-                "text_match: regexp terms are not supported under the "
-                "'english' analyzer (term, wildcard, phrase, sloppy "
-                "phrase, fuzzy and range queries are — COVERAGE.md "
-                f"documents the delta); got {tok!r}")
+                f"text_match: cannot parse term {tok!r} under the "
+                "'english' analyzer")
         return _english_term_sql(field, pat)
     if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
         return _range_sql(field, *ranges[int(rm.group(1))],

@@ -75,8 +75,9 @@ def test_lucene_to_sql_english_drops_stopword_clauses():
     # stream (Lucene normalize(): lowercase, no stem, on the bounds)
     assert "levenshtein" in _lucene_to_sql("text:slow~1", english=True)
     assert "__s >= 'a'" in _lucene_to_sql("text:[a TO b]", english=True)
-    with pytest.raises(ValueError, match="english"):
-        _lucene_to_sql("text:/sl.*/", english=True)
+    # regexp under english runs the (Lucene-dialect) pattern over the
+    # stems, un-analyzed — full term-type coverage under english
+    assert "RLIKE" in _lucene_to_sql("text:/sor./", english=True)
 
 
 @pytest.fixture()
