@@ -1,0 +1,134 @@
+"""Skyline (Pareto-optimal set) operator — multi-criteria row
+selection: keep rows not DOMINATED by any other (q dominates p if q
+is >= p in every criterion and strictly > in at least one).
+
+Pipeline use: Pareto-optimal document selection over competing
+quality signals (length vs lexical diversity vs dedup distance) —
+pick the frontier instead of a weighted-sum cutoff whose weights
+nobody can justify. Published Spark integration: "Integration of
+Skyline Queries into Spark SQL" (EDBT 2023); the distributed shape
+below is the classic two-phase scheme from that line of work.
+
+Scale design:
+- 2 criteria: fully declarative window fast path — sort distinct
+  pairs by (c1 DESC, c2 DESC), a point survives iff its c2 beats the
+  running max of every earlier row (exact on distinct pairs; exact
+  duplicates are re-attached by semi-join since equal points never
+  dominate each other). One shuffle for the window sort, codegen'd.
+- d criteria: two-phase mapInPandas — each Arrow batch reduces to
+  its LOCAL skyline (sound superset of the global one: a globally
+  non-dominated point is non-dominated in its batch), candidates
+  coalesce to one partition for the exact global pass. The frontier
+  is typically tiny relative to the corpus, so phase 2's single
+  partition holds |local skylines|, not N. A frontier that ISN'T
+  tiny (near-duplicate criteria, anti-correlated dims at extreme
+  cardinality) degrades phase 2 — cap with max_candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _directed(df: DataFrame, cols: Sequence[str],
+              directions: Sequence[str] | None) -> tuple[DataFrame, list[str]]:
+    """Normalize to all-maximize by negating 'min' criteria into
+    __sk{i} working columns."""
+    directions = directions or ["max"] * len(cols)
+    if len(directions) != len(cols):
+        raise ValueError("skyline: directions must pair 1:1 with cols")
+    work = []
+    for i, (c, d) in enumerate(zip(cols, directions)):
+        if d not in ("max", "min"):
+            raise ValueError(f"skyline: direction {d!r} (max|min)")
+        w = f"__sk{i}"
+        df = df.withColumn(w, F.col(c) if d == "max" else -F.col(c))
+        work.append(w)
+    return df, work
+
+
+def skyline(df: DataFrame, cols: Sequence[str],
+            directions: Sequence[str] | None = None,
+            max_candidates: int = 1_000_000) -> DataFrame:
+    """Rows of ``df`` not dominated on ``cols`` (each 'max' or 'min',
+    default all-max). Exact duplicates on the criteria all survive
+    together (equal points never dominate each other)."""
+    if len(cols) < 2:
+        raise ValueError("skyline needs >= 2 criteria")
+    if len(cols) == 2:
+        return _skyline_2d(df, cols, directions)
+    return _skyline_nd(df, cols, directions, max_candidates)
+
+
+def _skyline_2d(df: DataFrame, cols: Sequence[str],
+                directions: Sequence[str] | None) -> DataFrame:
+    work, wc = _directed(df, cols, directions)
+    a, b = wc
+    pts = work.select(a, b).distinct()
+    # running max of b over all STRICTLY earlier rows in (a DESC,
+    # b DESC) order: earlier = higher a, or equal a with higher b —
+    # exactly the candidate dominators. On distinct pairs, survival
+    # iff b > that max (b == max means a strict-a dominator exists;
+    # an equal-a equal-b row is this row itself, excluded by the
+    # 1-PRECEDING frame end).
+    win = (W.orderBy(F.desc(a), F.desc(b))
+           .rowsBetween(W.unboundedPreceding, -1))
+    sky = (pts.withColumn("__m", F.max(F.col(b)).over(win))
+           .filter(F.col("__m").isNull() | (F.col(b) > F.col("__m")))
+           .select(a, b))
+    return (work.join(sky, on=[a, b], how="left_semi")
+            .drop(*wc))
+
+
+def _pareto_front(pdf: pd.DataFrame, wc: Sequence[str]) -> pd.DataFrame:
+    """Exact skyline of one pandas frame: scan in coordinate-sum
+    descending order (a point is only ever dominated by one with a
+    strictly larger sum, so each point need only check the frontier
+    accumulated so far)."""
+    m = pdf[wc].to_numpy(float)
+    order = (-m.sum(axis=1)).argsort(kind="stable")
+    kept_rows: list[int] = []
+    for ridx in order:
+        v = m[ridx]
+        if kept_rows:
+            km = m[kept_rows]
+            if ((km >= v).all(axis=1) & (km > v).any(axis=1)).any():
+                continue
+        kept_rows.append(int(ridx))
+    return pdf.iloc[sorted(kept_rows)]
+
+
+def _skyline_nd(df: DataFrame, cols: Sequence[str],
+                directions: Sequence[str] | None,
+                max_candidates: int) -> DataFrame:
+    work, wc = _directed(df, cols, directions)
+
+    def local_sky(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-batch skyline: sound superset of the partition's (a
+        # globally non-dominated point is non-dominated in its batch)
+        for pdf in it:
+            if not pdf.empty:
+                yield _pareto_front(pdf, wc)
+
+    def global_sky(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE partition: concatenate its batches so the pass is exact
+        pdfs = [p for p in it if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if len(pdf) > max_candidates:
+            raise ValueError(
+                f"skyline: {len(pdf)} local-skyline candidates exceed "
+                f"max_candidates={max_candidates} — the frontier is "
+                "not small relative to the corpus (near-duplicate or "
+                "extreme anti-correlated criteria); raise the cap or "
+                "reduce criteria cardinality")
+        yield _pareto_front(pdf, wc)
+
+    local = work.mapInPandas(local_sky, work.schema)
+    out = local.coalesce(1).mapInPandas(global_sky, work.schema)
+    return out.drop(*wc)

@@ -111,10 +111,10 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "stream_near_dup_parity", "table_vector_index_search",
     "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
     "dedup_components",
-    # (3) oldest-first r2 fill (window = 9 never-stamped + the
-    # 36 above + these 5 = 50)
+    # (3) oldest-first r2 fill (window = 11 never-stamped + the
+    # 36 above + these 3 = 50)
     "complex_array_functions", "geo_polygon_join_range_list",
-    "geo_range_list_ops", "geo_spatial_index_prune", "geo_zorder_geoid",
+    "geo_range_list_ops",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's

@@ -292,3 +292,86 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id", "source", "n_chars",
                      F.sum("n_chars").over(w).alias("cum_chars"))
             .filter(F.col("cum_chars") <= _BUDGET_CHARS))
+
+
+_PARETO_DOMINATES_2D = """q.n_tokens >= p.n_tokens AND q.n_uniq >= p.n_uniq
+      AND (q.n_tokens > p.n_tokens OR q.n_uniq > p.n_uniq)"""
+
+
+@query("select_pareto_skyline", oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), ' +'),
+             t -> t <> '')) AS n_tokens,
+         len(list_distinct(list_filter(string_split_regex(trim(text), ' +'),
+             t -> t <> ''))) AS n_uniq
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_uniq
+FROM m p
+WHERE NOT EXISTS (
+  SELECT 1 FROM m q WHERE {_PARETO_DOMINATES_2D})
+""")
+def select_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal (skyline) document selection on two competing
+    quality signals — token count and lexical diversity (distinct
+    tokens), both maximized: keep documents no other document beats
+    on BOTH axes. The frontier replaces a weighted-sum quality cutoff
+    whose weights are arbitrary. 2-criteria fast path
+    (operators/skyline.py): one window over DISTINCT criterion pairs
+    (sorted (c1 DESC, c2 DESC), survive iff c2 beats the running max
+    of strictly-earlier rows) + a semi-join back — fully declarative,
+    one sort shuffle of the distinct pairs, no O(n²) dominance scan.
+    The oracle IS the O(n²) NOT-EXISTS dominance definition, so a
+    wrong frontier cannot hash-match. Published Spark integration:
+    'Integration of Skyline Queries into Spark SQL' (EDBT 2023)."""
+    from ..operators.skyline import skyline
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.trim(F.col("text")), " +"),
+                    lambda t: t != F.lit(""))
+    m = d.select("doc_id",
+                 F.size(toks).alias("n_tokens"),
+                 F.size(F.array_distinct(toks)).alias("n_uniq"))
+    return skyline(m, ["n_tokens", "n_uniq"])
+
+
+@query("select_pareto_multid", oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), ' +'),
+             t -> t <> '')) AS n_tokens,
+         len(list_distinct(list_filter(string_split_regex(trim(text), ' +'),
+             t -> t <> ''))) AS n_uniq,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_uniq, n_chars
+FROM m p
+WHERE NOT EXISTS (
+  SELECT 1 FROM m q
+  WHERE q.n_tokens >= p.n_tokens AND q.n_uniq >= p.n_uniq
+    AND q.n_chars <= p.n_chars
+    AND (q.n_tokens > p.n_tokens OR q.n_uniq > p.n_uniq
+         OR q.n_chars < p.n_chars))
+""")
+def select_pareto_multid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-criteria skyline with mixed directions — maximize tokens and
+    lexical diversity, MINIMIZE total characters (prefer dense docs):
+    the general-d two-phase path (operators/skyline.py _skyline_nd):
+    per-Arrow-batch local frontiers (each a sound superset member
+    filter), then one exact pass over the tiny candidate union.
+    At 100 TB the corpus never concentrates — only the local
+    frontiers do, with an explicit max_candidates guard instead of a
+    silent OOM. Oracle: the O(n²) dominance definition with the
+    direction flips inline."""
+    from ..operators.skyline import skyline
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.trim(F.col("text")), " +"),
+                    lambda t: t != F.lit(""))
+    m = d.select("doc_id",
+                 F.size(toks).alias("n_tokens"),
+                 F.size(F.array_distinct(toks)).alias("n_uniq"),
+                 F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+                 .alias("n_chars"))
+    return skyline(m, ["n_tokens", "n_uniq", "n_chars"],
+                   ["max", "max", "min"])

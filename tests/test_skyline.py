@@ -1,0 +1,67 @@
+"""Skyline operator (operators/skyline.py): both execution paths
+against the O(n²) dominance definition, duplicate handling, direction
+flips, and the candidate-cap guard."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from cdh_integrate_carbondata2_3_spark.operators.skyline import skyline
+
+
+def _brute(rows, dirs):
+    def key(r, i):
+        return r[i] if dirs[i] == "max" else -r[i]
+
+    out = []
+    for p in rows:
+        if not any(
+                all(key(q, i) >= key(p, i) for i in range(len(dirs)))
+                and any(key(q, i) > key(p, i) for i in range(len(dirs)))
+                for q in rows):
+            out.append(p)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_skyline_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    d = rng.choice([2, 3, 4])
+    n = rng.randint(1, 150)
+    rows = [tuple(rng.randint(0, 8) for _ in range(d)) for _ in range(n)]
+    dirs = [rng.choice(["max", "min"]) for _ in range(d)]
+    cols = [f"c{i}" for i in range(d)]
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{c} int" for c in cols)).repartition(5)
+    got = sorted(tuple(r[c] for c in cols)
+                 for r in skyline(df, cols, dirs).collect())
+    assert got == _brute(rows, dirs)
+
+
+def test_skyline_2d_keeps_exact_duplicates(spark):
+    # equal points never dominate each other: both copies survive
+    rows = [(5, 5), (5, 5), (4, 6), (1, 1)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = sorted((r["a"], r["b"]) for r in skyline(df, ["a", "b"]).collect())
+    assert got == [(4, 6), (5, 5), (5, 5)]
+
+
+def test_skyline_nd_candidate_cap_raises(spark):
+    # an anti-diagonal: EVERY point is on the frontier → candidates
+    # exceed the cap and the guard raises instead of a silent OOM
+    rows = [(i, 100 - i, 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "a int, b int, c int").repartition(4)
+    with pytest.raises(Exception, match="max_candidates"):
+        skyline(df, ["a", "b", "c"], max_candidates=10).collect()
+
+
+def test_skyline_validates_inputs(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match=">= 2"):
+        skyline(df, ["a"])
+    with pytest.raises(ValueError, match="max|min"):
+        skyline(df, ["a", "b"], ["max", "up"])
+    with pytest.raises(ValueError, match="pair"):
+        skyline(df, ["a", "b"], ["max"])
