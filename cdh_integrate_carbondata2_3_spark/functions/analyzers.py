@@ -95,6 +95,60 @@ def stops_sql() -> str:
     return ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein distance (insert/delete/substitute) — the
+    Python twin of SQL ``levenshtein`` for the porter-analyzer fuzzy
+    refine with 'fuzzy_transpositions'='false'."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau–Levenshtein distance (adjacent
+    transposition costs ONE edit and the transposed pair may be
+    re-edited) — the same distance DuckDB's ``damerau_levenshtein``
+    computes and the one sql.py's _dam_pred_sql decomposition is
+    property-tested against, so the porter-analyzer fuzzy refine
+    (which runs in Python, no SQL form for the stemmer) agrees with
+    the english/whitespace SQL paths. Classic DP with the last-seen
+    character table (Lowrance & Wagner 1975)."""
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return la or lb
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,             # substitute / match
+                d[i + 1][j] + 1,            # insert
+                d[i][j + 1] + 1,            # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def analyze_term(term: str) -> str | None:
     """Analyze ONE query term the way the index analyzed the corpus:
     lowercase → None if stopword (Lucene's QueryParser drops the

@@ -178,3 +178,37 @@ def porter_analyze(token: str) -> str | None:
     if is_stopword(t):
         return None
     return porter_stem(t)
+
+
+def porter_stream(text: str) -> list[str | None]:
+    """Analyze a whole text the 'porter' analyzer way, keeping
+    Lucene's StopFilter POSITION GAPS (enablePositionIncrements=true):
+    each whitespace token maps to its stem, but a stopword occupies
+    its position emitting nothing (None) — the same gapped stream
+    sql.py's _english_phrase_sql builds in SQL for the s-stemmer.
+    Phrase/positional porter predicates match against this."""
+    from .analyzers import is_stopword
+    return [None if is_stopword(t) else porter_stem(t)
+            for t in text.lower().split()]
+
+
+def stem_case_sql(var: str, words) -> str:
+    """The Porter stem of a FIXED vocabulary as a closed SQL CASE over
+    expression ``var`` — how a DuckDB gate oracle replays Porter
+    matching without a stemmer UDF. Porter's measure conditions have
+    no general SQL form, but over a finite known vocabulary the
+    function IS its value table. The dictionary is generated from
+    :func:`porter_stem` (verified against Porter's published example
+    vocabulary in tests/test_porter.py), so the oracle independently
+    checks everything EXCEPT the stemmer: tokenization, stop gaps,
+    position logic, edit distances, BM25 arithmetic. Callers must
+    cover the corpus vocabulary (tests/test_analyzers.py pins the
+    testdata vocab against the gate's word list so drift fails loudly
+    instead of silently falling through to the ELSE-identity arm)."""
+    pairs = sorted({w.lower() for w in words})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{porter_stem(w)}'"
+        for w in pairs if porter_stem(w) != w and "'" not in w)
+    if not whens:
+        return var
+    return f"(CASE {var} {whens} ELSE {var} END)"

@@ -20,6 +20,7 @@ text column total.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["bm25_score", "bm25_topk"]
@@ -53,11 +54,27 @@ def _toks_english(text_col: str) -> Column:
         f"__t -> {stem_sql('__t')})")
 
 
+def _toks_porter(text_col: str):
+    """Analyzed token array under the 'porter' analyzer (lowercase →
+    stop-remove → full Porter stem) as an Arrow-batched pandas UDF —
+    Porter's measure conditions have no SQL form, so this is the one
+    Python step; tf/dl over the returned array stay JVM-side HOFs."""
+    from .porter import porter_analyze
+
+    @F.pandas_udf("array<string>")
+    def _p(s: pd.Series) -> pd.Series:
+        return s.map(lambda tx: [] if tx is None else
+                     [a for a in (porter_analyze(t) for t in tx.split())
+                      if a is not None])
+    return _p(F.col(text_col))
+
+
 def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
                k1: float = K1_DEFAULT, b: float = B_DEFAULT,
                boosts: list[float] | None = None,
                casefold: bool = True,
-               english: bool = False) -> DataFrame:
+               english: bool = False,
+               porter: bool = False) -> DataFrame:
     """Append a ``bm25`` double column scoring ``text_col`` against the
     bag of ``terms``. Rows matching no term score 0.0 (kept — filter
     downstream if Lucene match-only semantics are wanted). ``boosts``
@@ -65,15 +82,21 @@ def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
     scores ANALYZED terms against the analyzed token stream — tf of
     the stem, dl = emitted (post-stop) token count, stopword terms
     contribute nothing — Lucene's behavior when the field analyzer is
-    EnglishAnalyzer."""
+    EnglishAnalyzer. ``porter`` is the same with the full Porter
+    stemmer (tokenization through one Arrow-batched UDF, stats and
+    scoring JVM-side)."""
     if not terms:
         raise ValueError("bm25_score: need at least one query term")
     if boosts is not None and len(boosts) != len(terms):
         raise ValueError("bm25_score: boosts must pair 1:1 with terms")
-    if english:
-        from .analyzers import analyze_term
-        pairs = [(analyze_term(t),
-                  boosts[i] if boosts is not None else 1.0)
+    if english and porter:
+        raise ValueError("bm25_score: english and porter are exclusive")
+    if english or porter:
+        if porter:
+            from .porter import porter_analyze as _an
+        else:
+            from .analyzers import analyze_term as _an
+        pairs = [(_an(t), boosts[i] if boosts is not None else 1.0)
                  for i, t in enumerate(terms)]
         pairs = [(t, bo) for t, bo in pairs if t is not None]
         if not pairs:
@@ -87,7 +110,8 @@ def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
     # split+filter tree into every tf column re-analyzes the text
     # per term (same 4.6x lesson as the shingle spans in
     # operators/dedup.duplicated_spans)
-    toks_expr = (_toks_english(text_col) if english
+    toks_expr = (_toks_porter(text_col) if porter
+                 else _toks_english(text_col) if english
                  else _toks(F.col(text_col), casefold))
     with_toks = df.select("*", toks_expr.alias("__toks"))
     toks = F.col("__toks")

@@ -600,7 +600,61 @@ def table_fts_english_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
-@query("table_fts_porter_analyzer", oracle=None)
+# The synthetic documents corpus draws every token from this fixed
+# 31-word vocabulary (TESTDATA.md generator — stable across sf0.001/
+# 0.01/0.1; pinned by tests/test_analyzers.py so drift fails a test
+# loudly instead of silently degrading a gate oracle). The porter
+# gate oracles replay Porter stemming as a closed CASE dictionary
+# over it: the oracle then independently checks tokenization, stop
+# gaps, positions, edit distance and BM25 arithmetic, while the
+# stemmer itself is verified against Porter's published example
+# vocabulary in tests/test_porter.py (functions/porter.stem_case_sql).
+_DOC_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+
+def _porter_arr_sql(extra: tuple[str, ...] = ()) -> str:
+    """Analyzed (stop-REMOVED) porter token array for a DuckDB oracle,
+    stemming via the vocabulary CASE dictionary."""
+    from ..functions.analyzers import stops_sql
+    from ..functions.porter import stem_case_sql
+    case = stem_case_sql("t", _DOC_VOCAB + tuple(extra))
+    return (f"list_transform(list_filter(string_split_regex(lower(text),"
+            f" '\\s+'), x -> x <> '' AND x NOT IN ({stops_sql()})), "
+            f"t -> {case})")
+
+
+def _porter_gap_sql(extra: tuple[str, ...] = ()) -> str:
+    """Analyzed porter stream with Lucene stop-GAP positions (NULL
+    holds a removed stopword's slot) for phrase oracles."""
+    from ..functions.analyzers import stops_sql
+    from ..functions.porter import stem_case_sql
+    case = stem_case_sql("t", _DOC_VOCAB + tuple(extra))
+    return (f"list_transform(list_filter(string_split_regex(lower(text),"
+            f" '\\s+'), x -> x <> ''), t -> CASE WHEN t IN "
+            f"({stops_sql()}) THEN NULL ELSE {case} END)")
+
+
+def _porter_analyzer_oracle() -> str:
+    extra = tuple(w + "ing" for w in _DOC_VOCAB)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source, trim(text) || 'ing' AS text FROM documents
+), an AS (
+  SELECT doc_id, source, {_porter_arr_sql(extra)} AS a FROM staged
+)
+SELECT source, COUNT(*) AS n_docs
+FROM an
+WHERE len(list_filter(a, s -> s = 'merg')) > 0
+  AND len(list_filter(a, s -> s = 'sort')) > 0
+GROUP BY source
+"""
+
+
+@query("table_fts_porter_analyzer", oracle=_porter_analyzer_oracle())
 def table_fts_porter_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'porter' analyzer (lowercase + classic stop set + FULL Porter
     stemmer — Lucene EnglishAnalyzer's actual PorterStemFilter,
@@ -611,11 +665,9 @@ def table_fts_porter_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     s-stemmer's reach; the staged corpus suffixes '-ing' forms so
     corpus-side stemming is exercised too. Porter's measure
     conditions have no SQL form, so the refine predicate runs through
-    the Arrow-batched __carbon_porter_match UDF and this query takes
-    the driver's rows-only check — the stemmer itself is verified
-    against the algorithm's published vocabulary in
-    tests/test_porter.py, and engine-level matching in
-    tests/test_analyzers.py. Reference: LuceneFineGrainIndex.java:
+    the Arrow-batched __carbon_porter_match UDF; the oracle replays
+    stemming as a closed CASE dictionary over the fixed corpus
+    vocabulary (see _DOC_VOCAB). Reference: LuceneFineGrainIndex.java:
     63-204 analyzer pipeline (PorterStemFilter)."""
     from ..sources.registry import load_table
     eng = _engine(spark, "fts_po", sf_dir)
@@ -632,6 +684,202 @@ def table_fts_porter_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT source, COUNT(*) AS n_docs FROM documents "
         "WHERE text_match('text:Merges AND text:Sorting') "
         "GROUP BY source")
+
+
+def _porter_phrase_oracle() -> str:
+    arr = _porter_gap_sql(("slowed", "filtering"))
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         replace(text, 'slow filter', 'slowed a filtering') AS text
+  FROM documents
+), an AS (
+  SELECT doc_id, source, {arr} AS a FROM staged
+)
+SELECT source, COUNT(*) AS n_docs
+FROM an
+WHERE len(a) > 2 AND len(list_filter(generate_series(1, len(a) - 2),
+      p -> a[p] = 'slow' AND a[p + 2] = 'filter')) > 0
+GROUP BY source
+"""
+
+
+@query("table_fts_porter_phrase", oracle=_porter_phrase_oracle())
+def table_fts_porter_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase under the 'porter' analyzer with Lucene's
+    StopFilter position gaps (sql.py __carbon_porter_phrase):
+    '"Slowing the Filters"' analyzes to slow@0 / filter@2 — Porter
+    strips -ing and the plural while 'the' holds its position — and
+    the staged corpus ('slow filter' → 'slowed a filtering') matches
+    only through THREE Porter rules the s-stemmer lacks (-ed, -ing on
+    both sides). The oracle replays the gapped positions with the
+    vocabulary stem dictionary."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_pp", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.regexp_replace(F.col("text"), "slow filter",
+                                      "slowed a filtering").alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX fpp ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:\"Slowing the Filters\"') "
+        "GROUP BY source")
+
+
+def _porter_fuzzy_range_oracle() -> str:
+    arr = _porter_arr_sql(("sorting",))
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source, regexp_replace(text, 'sort', 'sorting', 'g')
+           AS text
+  FROM documents
+), an AS (
+  SELECT doc_id, source, {arr} AS a FROM staged
+)
+SELECT source, COUNT(*) AS n_docs
+FROM an
+WHERE len(list_filter(a, s -> damerau_levenshtein(s, 'sost') <= 1)) > 0
+  AND len(list_filter(a, s -> s >= 'sora' AND s <= 'sortb')) > 0
+GROUP BY source
+"""
+
+
+@query("table_fts_porter_fuzzy_range", oracle=_porter_fuzzy_range_oracle())
+def table_fts_porter_fuzzy_range(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Fuzzy + range terms under the 'porter' analyzer (sql.py
+    __carbon_porter_fuzzy/_range): the staged corpus rewrites every
+    'sort' to 'sorting', whose PORTER stem is 'sort' again — so
+    'Sost~1' (normalized lowercase, NOT stemmed — Lucene FuzzyQuery)
+    is one Damerau edit from the stem but four from the surface form,
+    and '[sora TO sortb]' brackets the stem while the surface
+    'sorting' sorts above 'sortb'. An s-stemmer or surface-form
+    implementation returns a different set for BOTH conjuncts. Oracle:
+    DuckDB's native damerau_levenshtein + lexicographic bounds over
+    the dictionary-stemmed array."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_pf", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.regexp_replace(F.col("text"), "sort", "sorting")
+                     .alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX fpf ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:Sost~1 AND text:[sora TO sortb]') "
+        "GROUP BY source")
+
+
+def _porter_regexp_oracle() -> str:
+    arr = _porter_arr_sql(("merges",))
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source, regexp_replace(text, 'merge', 'merges', 'g')
+           AS text
+  FROM documents
+), an AS (
+  SELECT doc_id, source, {arr} AS a FROM staged
+)
+SELECT source, COUNT(*) AS n_docs
+FROM an
+WHERE len(list_filter(a, s -> regexp_matches(s, '^(?:m(?:er)g)$'))) > 0
+GROUP BY source
+"""
+
+
+@query("table_fts_porter_regexp", oracle=_porter_regexp_oracle())
+def table_fts_porter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term under the 'porter' analyzer (sql.py
+    __carbon_porter_regexp): /m"er"g/ uses the brics quoted-literal
+    syntax and runs UN-analyzed over the index terms — the stems — so
+    it matches 'merg', the Porter stem of the staged 'merges'
+    (1a s-drop + 5a e-drop), which neither the surface form nor the
+    s-stem ('merge') equals. Oracle: the translated regex over the
+    dictionary-stemmed array."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_pr", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.regexp_replace(F.col("text"), "merge", "merges")
+                     .alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX fprx ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter')")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:/m\"er\"g/') "
+        "GROUP BY source")
+
+
+def _porter_ranked_oracle() -> str:
+    arr = _porter_arr_sql(("sorting",))
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source, regexp_replace(text, 'sort', 'sorting', 'g')
+           AS text
+  FROM documents
+), an AS (
+  SELECT doc_id, text, source, {arr} AS a FROM staged
+), tf AS (
+  SELECT doc_id, text, source, len(a) AS dl,
+         len(list_filter(a, t -> t = 'sort')) AS tf0
+  FROM an
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) AS sumdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+  FROM tf
+)
+SELECT doc_id FROM (
+  SELECT doc_id, text, source,
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+           * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n)))
+           AS score
+  FROM tf, stats
+  WHERE tf0 > 0
+  ORDER BY score DESC, doc_id, text, source
+  LIMIT 10
+) t
+"""
+
+
+@query("table_fts_limit_ranked_porter", oracle=_porter_ranked_oracle())
+def table_fts_limit_ranked_porter(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """text_match_with_limit under the 'porter' analyzer scores
+    STEMMED tf (functions/text_rank.bm25_score porter=True — the
+    token stream through one Arrow-batched UDF, stats and scoring
+    JVM-side): the query term 'Sorts' stems to 'sort' and tf counts
+    the staged 'sorting' tokens, which a surface-form ranking scores
+    0 everywhere (nothing scorable → a different arbitrary-N set).
+    The staged text here is the ONLY 'sort'-bearing form, so the
+    top-10 is porter-determined. Oracle: same BM25 formula over the
+    dictionary-stemmed array."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_rp", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.regexp_replace(F.col("text"), "sort", "sorting")
+                     .alias("text"),
+                     "source"))
+    eng.sql("CREATE INDEX frp ON TABLE documents (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter')")
+    return eng.sql(
+        "SELECT doc_id FROM documents "
+        "WHERE text_match_with_limit('text:Sorts', 10)")
 
 
 def _english_ranked_oracle() -> str:

@@ -14,6 +14,7 @@ views, after the MV-rewrite and metadata-count(*) fast paths
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -204,21 +205,41 @@ def _strip_ni(text: str) -> str:
     return text
 
 
-def _stash_phrases(query: str) -> tuple[str, list[str]]:
-    """Replace double-quoted phrases with \\x00N\\x00 placeholders so
-    AND/OR splitting can't cut inside a phrase. A trailing ~N on the
-    placeholder (sloppy phrase) is kept attached for the term parser.
-    Unbalanced quotes raise explicitly rather than silently
-    mis-matching."""
-    if query.count('"') % 2:
-        raise ValueError(f"text_match: unbalanced quotes in {query!r}")
+def _stash_phrases_and_regexes(
+        query: str) -> tuple[str, list[str], list[str]]:
+    """Replace double-quoted phrases AND field:/re/ regexp terms in
+    ONE left-to-right lexer pass (the way Lucene's QueryParser lexes
+    both as single tokens — earliest token wins): a brics quoted
+    literal inside a regexp (``/m"er"g/``) must not be stolen as a
+    phrase, and a slash inside a quoted phrase must not open a
+    regexp. Phrases become \\x00N\\x00 placeholders (a trailing ~N —
+    sloppy phrase — stays attached for the term parser); regexp terms
+    become \\x02N\\x02. Stray quotes left after the pass raise
+    explicitly rather than silently mis-matching. Only a '/' directly
+    after the field colon opens a regexp, so URL-ish terms
+    (field:http://x) pass through."""
     phrases: list[str] = []
+    regexes: list[str] = []
 
     def _stash(m: re.Match) -> str:
-        phrases.append(m.group(1))
-        return f"\x00{len(phrases) - 1}\x00"
+        if m.group(1) is not None:
+            phrases.append(m.group(1))
+            return f"\x00{len(phrases) - 1}\x00"
+        regexes.append(m.group(2))
+        return f"\x02{len(regexes) - 1}\x02"
 
-    stashed = re.sub(r'"([^"]*)"', _stash, query)
+    stashed = re.sub(
+        r'"([^"]*)"|(?<=:)/((?:[^/\\"]|\\.|"[^"]*")+)/', _stash, query)
+    if '"' in stashed:
+        raise ValueError(f"text_match: unbalanced quotes in {query!r}")
+    return stashed, phrases, regexes
+
+
+def _stash_phrases(query: str) -> tuple[str, list[str]]:
+    """Back-compat shim over :func:`_stash_phrases_and_regexes` for
+    callers that only need phrases (regexp markers still land in the
+    stashed text)."""
+    stashed, phrases, _ = _stash_phrases_and_regexes(query)
     return stashed, phrases
 
 
@@ -236,21 +257,6 @@ def _stash_ranges(stashed: str) -> tuple[str, list[tuple]]:
 
     out = re.sub(r"([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])", _stash, stashed)
     return out, ranges
-
-
-def _stash_regexes(stashed: str) -> tuple[str, list[str]]:
-    """Replace Lucene regexp terms field:/re/ with \x02N\x02
-    placeholders BEFORE tokenizing (the pattern may contain parens or
-    operators). Only a '/' directly after the field colon opens a
-    regexp, so URL-ish terms (field:http://x) pass through."""
-    regexes: list[str] = []
-
-    def _stash(m: re.Match) -> str:
-        regexes.append(m.group(1))
-        return f"\x02{len(regexes) - 1}\x02"
-
-    out = re.sub(r"(?<=:)/((?:[^/\\]|\\.)+)/", _stash, stashed)
-    return out, regexes
 
 
 def _num_range_regex(lo: int, hi: int, width: int) -> str:
@@ -810,20 +816,100 @@ def _english_phrase_sql(field: str, phrase: str) -> str | None:
             f"__p -> {conds})))")
 
 
-def _porter_term_sql(field: str, pat: str) -> str | None:
-    """Term/wildcard predicate under the 'porter' analyzer: delegates
-    to the session-registered __carbon_porter_match/_wild UDFs
-    (Arrow-batched; Porter's measure conditions have no SQL form).
-    A stopword term drops its clause, as under 'english'; wildcards
-    match the stemmed dictionary with the pattern un-analyzed (Lucene
-    multi-term behavior). Phrase/fuzzy/range/regexp under porter
-    raise (COVERAGE.md documents the delta)."""
+def _porter_spec_call(fn: str, field: str, spec: dict) -> str:
+    """Compile a porter-analyzer predicate as a call to a registered
+    Arrow-batched UDF, the spec carried as base64(JSON) — a SQL string
+    literal that needs no escaping regardless of what the user's
+    pattern contains (quotes, backslashes, control markers)."""
+    b = base64.b64encode(
+        json.dumps(spec, sort_keys=True).encode()).decode()
+    return f"({fn}({field}, '{b}'))"
+
+
+def _porter_phrase_match(arr: list, offs: list, slop: int) -> bool:
+    """Positional phrase match over a porter-analyzed stream with
+    stop-gap positions (None = removed stopword holding its slot) —
+    the Python twin of _english_phrase_sql/_english_sloppy_sql:
+    exact requires each surviving query term at its relative offset;
+    sloppy lets every inter-term hop stretch by 0..slop extra
+    positions, in order (the same per-gap simplification of Lucene's
+    shared slop budget the other analyzers use)."""
+    n = len(arr)
+    first = offs[0][1]
+    if slop == 0:
+        maxoff = offs[-1][0]
+        return any(
+            arr[p] == first and all(arr[p + o] == s for o, s in offs)
+            for p in range(n - maxoff))
+
+    def hop(h: int, pos: int) -> bool:
+        if h == len(offs):
+            return True
+        d = offs[h][0] - offs[h - 1][0]
+        for g in range(slop + 1):
+            q = pos + d + g
+            if q >= n:
+                return False
+            if arr[q] == offs[h][1] and hop(h + 1, q):
+                return True
+        return False
+
+    return any(arr[p] == first and hop(1, p) for p in range(n))
+
+
+def _porter_term_sql(field: str, pat: str, phrases: list[str],
+                     ranges: list[tuple], regexes: list[str],
+                     transpositions: bool = True) -> str | None:
+    """Predicate compiler for the 'porter' analyzer — every term type.
+    Porter's measure conditions have no SQL form, so each compiles to
+    a session-registered Arrow-batched UDF (_ensure_porter_udf), the
+    one deliberate Python hot path in the text_match surface. The
+    semantics mirror the 'english' analyzer exactly, stemmer swapped:
+
+    - term: analyzed (stop-drop → stem) vs the analyzed stream; a
+      stopword term drops its clause (Lucene QueryParser);
+    - wildcard: pattern UN-analyzed vs the stemmed dictionary (Lucene
+      multi-term queries run over index terms);
+    - phrase (exact + sloppy): stop-gap positions, per-gap slop;
+    - fuzzy: query term normalized (lowercase, NOT stemmed — Lucene
+      FuzzyQuery.normalize()) vs the stems, Damerau by default;
+    - range: bounds normalized (lowercase only) vs the stems;
+    - regexp: the Lucene/brics dialect translated then applied
+      un-analyzed to the stems."""
     from .functions.porter import porter_analyze
+    if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
+        phrase = phrases[int(pm.group(1))]
+        slop = int(pm.group(2)) if pm.group(2) else 0
+        toks = phrase.lower().split()
+        if not toks:
+            raise ValueError("text_match: empty phrase")
+        terms = [(i, porter_analyze(t)) for i, t in enumerate(toks)]
+        terms = [(i, q) for i, q in terms if q is not None]
+        if not terms:
+            return None
+        first = terms[0][0]
+        return _porter_spec_call(
+            "__carbon_porter_phrase", field,
+            {"slop": slop, "offs": [[i - first, q] for i, q in terms]})
+    if fz := (_parse_fuzzy(pat) if "~" in pat else None):
+        term, edits = fz
+        return _porter_spec_call(
+            "__carbon_porter_fuzzy", field,
+            {"t": term.lower(), "e": edits, "tr": bool(transpositions)})
+    if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
+        lo, hi, lo_inc, hi_inc = ranges[int(rm.group(1))]
+        return _porter_spec_call(
+            "__carbon_porter_range", field,
+            {"lo": lo.lower(), "hi": hi.lower(),
+             "li": bool(lo_inc), "hi_inc": bool(hi_inc)})
+    if xm := re.fullmatch(r"\x02(\d+)\x02", pat):
+        return _porter_spec_call(
+            "__carbon_porter_regexp", field,
+            {"rx": _lucene_regex_to_java(regexes[int(xm.group(1))])})
     if re.search(r"[\x00\x01\x02~]", pat):
         raise ValueError(
-            "text_match: only plain terms and wildcards are supported "
-            "under the 'porter' analyzer (phrase/fuzzy/range/regexp "
-            f"raise — COVERAGE.md documents the delta); got {pat!r}")
+            f"text_match: cannot parse term under the 'porter' "
+            f"analyzer: {pat!r}")
     if "*" in pat or "?" in pat:
         rx = "".join(
             ".*" if part == "*" else ("." if part == "?"
@@ -847,18 +933,20 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
     phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
     suffix is stripped — it only affects ranking). ``lowercase``
     compiles against lower(field) with lowercased patterns — the
-    'standard' analyzer; ``english`` compiles term/wildcard queries
-    against the stemmed stop-filtered token stream and returns None
-    for analyzer-dropped (stopword) clauses. Phrase / fuzzy / range /
-    regexp terms under 'english' raise — a documented delta (their
-    Lucene forms analyze per-position with stop gaps, out of scope)."""
+    'standard' analyzer; ``english`` compiles every term type against
+    the stemmed stop-filtered token stream (stop-gap positions for
+    phrases) and returns None for analyzer-dropped (stopword)
+    clauses; ``porter`` does the same through Arrow-batched UDFs
+    (_porter_term_sql — Porter's measure conditions have no SQL
+    form)."""
     m = re.match(r"^([\w.]+):(\S+)$", tok)
     if not m:
         raise ValueError(f"text_match: cannot parse term {tok!r}")
     field, pat = m.groups()
     pat, _ = _strip_boost(pat)
     if porter:
-        return _porter_term_sql(field, pat)
+        return _porter_term_sql(field, pat, phrases, ranges, regexes,
+                                transpositions)
     if english:
         if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
             if pm.group(2):
@@ -1047,8 +1135,7 @@ def _lucene_to_sql(query: str, lowercase: bool = False,
     edit (Damerau, Lucene FuzzyQuery's transpositions=true default);
     ``transpositions=False`` (index property
     'fuzzy_transpositions'='false') restores plain Levenshtein."""
-    stashed, phrases = _stash_phrases(query.strip())
-    stashed, regexes = _stash_regexes(stashed)
+    stashed, phrases, regexes = _stash_phrases_and_regexes(query.strip())
     stashed, ranges = _stash_ranges(stashed)
     toks = re.findall(r"\(|\)|[^\s()]+", stashed)
     sql, i = _parse_group(toks, 0, phrases, ranges, regexes, lowercase,
@@ -1107,8 +1194,86 @@ def _ensure_porter_udf(spark) -> None:
                            if a is not None))
         return pd.Series(out)
 
+    from .functions.analyzers import damerau_levenshtein, levenshtein
+    from .functions.porter import porter_stream
+
+    def _decode(cache: dict, b64: str):
+        v = cache.get(b64)
+        if v is None:
+            v = cache.setdefault(
+                b64, json.loads(base64.b64decode(b64)))
+        return v
+
+    @F.pandas_udf("boolean")
+    def _phrase(text: pd.Series, spec: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for tx, sp in zip(text, spec):
+            if tx is None:
+                out.append(False)
+                continue
+            d = _decode(cache, sp)
+            offs = [(int(o), s) for o, s in d["offs"]]
+            out.append(_porter_phrase_match(porter_stream(tx), offs,
+                                            int(d["slop"])))
+        return pd.Series(out)
+
+    @F.pandas_udf("boolean")
+    def _fuzzy(text: pd.Series, spec: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for tx, sp in zip(text, spec):
+            if tx is None:
+                out.append(False)
+                continue
+            d = _decode(cache, sp)
+            dist = damerau_levenshtein if d["tr"] else levenshtein
+            term, edits = d["t"], int(d["e"])
+            out.append(any(s is not None and dist(s, term) <= edits
+                           for s in porter_stream(tx)))
+        return pd.Series(out)
+
+    @F.pandas_udf("boolean")
+    def _rng(text: pd.Series, spec: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for tx, sp in zip(text, spec):
+            if tx is None:
+                out.append(False)
+                continue
+            d = _decode(cache, sp)
+            lo, hi = d["lo"], d["hi"]
+            ok_lo = ((lambda s: s >= lo) if d["li"]
+                     else (lambda s: s > lo))
+            ok_hi = ((lambda s: s <= hi) if d["hi_inc"]
+                     else (lambda s: s < hi))
+            out.append(any(s is not None and ok_lo(s) and ok_hi(s)
+                           for s in porter_stream(tx)))
+        return pd.Series(out)
+
+    @F.pandas_udf("boolean")
+    def _rgx(text: pd.Series, spec: pd.Series) -> pd.Series:
+        cache: dict = {}
+        compiled: dict = {}
+        out = []
+        for tx, sp in zip(text, spec):
+            if tx is None:
+                out.append(False)
+                continue
+            cre = compiled.get(sp)
+            if cre is None:
+                cre = compiled.setdefault(
+                    sp, re.compile(_decode(cache, sp)["rx"]))
+            out.append(any(s is not None and cre.fullmatch(s)
+                           for s in porter_stream(tx)))
+        return pd.Series(out)
+
     spark.udf.register("__carbon_porter_match", _match)
     spark.udf.register("__carbon_porter_wild", _wild)
+    spark.udf.register("__carbon_porter_phrase", _phrase)
+    spark.udf.register("__carbon_porter_fuzzy", _fuzzy)
+    spark.udf.register("__carbon_porter_range", _rng)
+    spark.udf.register("__carbon_porter_regexp", _rgx)
     spark._carbon_porter_udf_registered = True
 
 
@@ -1595,9 +1760,6 @@ class Engine:
         # behavior when the field analyzer is EnglishAnalyzer
         pred = F.expr(_lucene_to_sql(q, lowercase=lc, english=eng,
                                      transpositions=trans, porter=por))
-        # under 'porter' BM25 ranks surface-form tf (stemmed-tf
-        # scoring needs the UDF in the agg path — documented delta);
-        # matching itself is analyzer-exact via the compiled predicate
         by_field = self._scorable_terms(q)
         if not by_field:
             base.filter(pred).limit(n) \
@@ -1610,7 +1772,7 @@ class Engine:
             scored = bm25_score(scored, [t for t, _ in terms],
                                 boosts=[b for _, b in terms],
                                 text_col=field, casefold=lc,
-                                english=eng) \
+                                english=eng, porter=por) \
                 .withColumnRenamed("bm25", f"__s{i}")
             score_cols.append(f"__s{i}")
         total = sum((F.col(c) for c in score_cols), F.lit(0.0))
@@ -1633,10 +1795,9 @@ class Engine:
         fuzzy terms contribute no score (constant-score rewrite,
         flattened to 0)."""
         try:
-            stashed, phrases = _stash_phrases(q.strip())
+            stashed, phrases, _rx = _stash_phrases_and_regexes(q.strip())
         except ValueError:
             return {}
-        stashed, _rx = _stash_regexes(stashed)
         stashed, _ranges = _stash_ranges(stashed)
         toks = re.findall(r"\(|\)|[^\s()]+", stashed)
         out: dict[str, list[tuple[str, float]]] = {}
@@ -1762,7 +1923,7 @@ class Engine:
             return []                   # grouped query: decline (sound)
         if re.search(r"[\[{]\S+\s+TO\s+\S+[\]}]", stashed):
             return []                   # range term: decline (sound)
-        if re.search(r"(?<=:)/", stashed):
+        if "\x02" in stashed or re.search(r"(?<=:)/", stashed):
             return []                   # regexp term: decline (sound)
         # implicit adjacency is Lucene's default OR — union pruning is
         # sound for ANY monotone formula of positive terms, so treat

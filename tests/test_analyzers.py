@@ -283,14 +283,57 @@ def test_porter_analyzer_end_to_end(spark, tmp_path):
     assert ids('body:motor*') == [1, 2]
     # doc 3 'databases' stems to 'databas' → datab?s misses 'database'
     assert ids('body:datab*') == [3]
-    # phrase under porter raises (documented delta)
-    with pytest.raises(ValueError, match="porter"):
-        eng.sql("SELECT id FROM pr WHERE "
-                "text_match('body:\"motor cares\"')").collect()
+    # exact phrase: stems at adjacent positions — doc 2 only
+    # ('motor cares' → motor@0, care@1; doc 1 has 'motoring caresses'
+    # → motor@1, caress@2, so stem 'care' never follows 'motor')
+    assert ids('body:"motoring cares"') == [2]
+    # fuzzy: query normalized (lowercase, NOT stemmed) vs stems —
+    # 'motoq' is one edit from stem 'motor', four from the surface
+    # form 'motoring'
+    assert ids('body:motoq~1') == [1, 2]
+    # range over the stemmed dictionary: [cara TO carf] brackets
+    # stems 'care' (cares) and 'caress' (caresses < 'carf')
+    assert ids('body:[cara TO carf]') == [1, 2]
+    # regexp over the stems, un-analyzed: /relat/ matches the stem
+    # exactly (surface 'relational'/'relate' both miss)
+    assert ids('body:/relat/') == [3, 4]
+    # brics quoted literal inside the regexp survives the phrase lexer
+    assert ids('body:/re"lat"/') == [3, 4]
     # postings hold Porter stems → pruning consults the index
     im = eng.table("pr").indexes
     files = im.candidate_files([("body", "text_match", ["Motoring"])])
     assert files is not None and im.last_consulted == ["ppt"]
+
+
+def test_porter_phrase_stop_gaps(spark, tmp_path):
+    """Phrase matching under 'porter' keeps Lucene's StopFilter
+    position gaps: a removed stopword still occupies its position on
+    BOTH the query and corpus side, and sloppy phrases stretch each
+    inter-term hop by 0..slop positions."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE pg (id INT, body STRING)")
+    eng.sql("INSERT INTO pg SELECT * FROM VALUES "
+            "(1,'relational databases'),(2,'relate to databases'),"
+            "(3,'relate from databases'),(4,'databases relate') t(id,b)")
+    eng.sql("CREATE INDEX pgx ON TABLE pg (body) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter')")
+
+    def ids(q):
+        return sorted(r["id"] for r in eng.sql(
+            f"SELECT id FROM pg WHERE text_match('{q}')").collect())
+
+    # adjacent stems: doc 1 only (docs 2/3 have a token between —
+    # stopword or not — and doc 4 is reversed)
+    assert ids('body:"relate databases"') == [1]
+    # query-side stopword gap: relat@0, stop@1, databas@2 — matches
+    # the corpus stopword gap (doc 2) AND any single token in that
+    # slot (doc 3: 'from' is not a stopword but fills the position,
+    # exactly Lucene's PhraseQuery over gapped positions)
+    assert ids('body:"relate to databases"') == [2, 3]
+    # sloppy: each hop stretches by one position
+    assert ids('body:"relate databases"~1') == [1, 2, 3]
+    # reversed order never matches the in-order per-gap semantics
+    assert ids('body:"databases relate"') == [4]
 
 
 def test_english_sloppy_phrase_per_gap(spark, tmp_path):
@@ -315,3 +358,45 @@ def test_english_sloppy_phrase_per_gap(spark, tmp_path):
     assert ids('body:"quick foxes"~2') == [1, 2, 3]
     assert ids('body:"quick foxes"~3') == [1, 2, 3, 4]  # stop positions count
     assert 5 not in ids('body:"quick foxes"~3')         # order required
+
+
+def test_gate_vocab_covers_corpus():
+    """The porter gate oracles replay Porter stemming as a closed CASE
+    dictionary over queries/udf_surface._DOC_VOCAB — this pins the
+    synthetic documents corpus to that word list, so a testdata
+    regeneration with new vocabulary fails HERE instead of silently
+    degrading a gate oracle to its ELSE-identity arm."""
+    import duckdb
+
+    from cdh_integrate_carbondata2_3_spark.queries.udf_surface import (
+        _DOC_VOCAB)
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        toks = {r[0] for r in con.execute(
+            "SELECT DISTINCT t FROM (SELECT unnest(string_split_regex("
+            "lower(text), '\\s+')) AS t FROM read_parquet("
+            f"'/root/testdata/sf{sf}/documents.parquet')) WHERE t <> ''"
+        ).fetchall()}
+        assert toks <= set(_DOC_VOCAB), sorted(toks - set(_DOC_VOCAB))
+
+
+def test_python_damerau_matches_duckdb():
+    """functions/analyzers.damerau_levenshtein (the porter fuzzy
+    refine's distance) equals DuckDB's native damerau_levenshtein —
+    the same cross-check the SQL decomposition (_dam_pred_sql) gets,
+    so all three fuzzy paths agree."""
+    import itertools
+    import duckdb
+
+    from cdh_integrate_carbondata2_3_spark.functions.analyzers import (
+        damerau_levenshtein, levenshtein)
+    con = duckdb.connect()
+    words = ["", "a", "ab", "ba", "abc", "acb", "ca", "cadb", "sort",
+             "sost", "sorts", "tros", "motor", "motoq", "abab", "baba",
+             "aabb", "bbaa", "care", "caer", "cear"]
+    for a, b in itertools.product(words, repeat=2):
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?), levenshtein(?, ?)",
+            [a, b, a, b]).fetchone()
+        assert damerau_levenshtein(a, b) == want[0], (a, b)
+        assert levenshtein(a, b) == want[1], (a, b)
