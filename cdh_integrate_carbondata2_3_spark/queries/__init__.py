@@ -74,29 +74,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-5 window plan: 8 slots go to the never-stamped queries (the
-# round-5 FTS additions — english analyzer/phrase/fuzzy/ranked-limit,
-# Damerau-transpose fuzzy, regexp dialect, porter analyzer — plus the
-# re-fixed table_carbon_datasource_read; they sort first
-# automatically). The remaining 42 go to (1) the oldest stamps
-# (r1-only, 6), then (2)
+# Round-5 window plan: 15 slots go to the never-stamped queries (the
+# round-5 FTS additions — english + porter analyzers across every
+# term type, Damerau-transpose fuzzy, regexp dialect, both stemmed
+# ranked-limits — plus the skyline operator and the re-fixed
+# table_carbon_datasource_read; they sort first automatically). The
+# remaining 35 go to (1) the oldest stamps (r1-only, 6), then (2)
 # every query whose CODE or ORACLE changed since its last stamp —
-# the Damerau fuzzy default + regex dialect touched the whole
-# text_match compile path (so the r4 FTS stamps are stale, most
-# critically table_fts_fuzzy whose oracle switched to
-# damerau_levenshtein), bm25's signature changed, 12569f3 resized
-# dedup_simhash/dedup_embedding_near/dedup_semantic_clusters and
-# fixed dedup_bloom_prefilter NULL fingerprints AFTER the r4 stamp,
+# the Damerau fuzzy default + regex dialect + the single-pass
+# phrase/regexp lexer touched the whole text_match compile path (so
+# the r4 FTS stamps are stale, most critically table_fts_fuzzy whose
+# oracle switched to damerau_levenshtein), bm25's signature changed
+# twice (english=, porter=), 12569f3 resized dedup_simhash/
+# dedup_embedding_near/dedup_semantic_clusters and fixed
+# dedup_bloom_prefilter NULL fingerprints AFTER the r4 stamp,
 # cache_tracked touched the ann/kmeans/curation queries, the r5
 # vectorization touched geo_polygon_join, and the decode seam
-# touched multimodal — then (3) oldest-first r2 fill. The ~25
-# untouched-since-r2 TPC-H/table-lifecycle rows spill to round 6
-# (they run green in every local full-gate check meanwhile).
+# touched multimodal. dedup_components and the r2-stamped
+# complex_array/geo_range trio spill to round 6 (they run green in
+# every local full-gate check meanwhile), as do the ~25
+# untouched-since-r2 TPC-H/table-lifecycle rows.
 _ROTATE_BACK_IN: tuple[str, ...] = (
     # (1) oldest stamps: green in r1 only
     "text_fingerprint", "text_lang_heuristic", "text_quality_score",
     "text_repetition_filters", "text_token_stats", "topk_per_group",
-    # (2) changed since last stamp
+    # (2) changed since last stamp (window = 15 never-stamped + the
+    # 35 below = 50)
     "table_fts_fuzzy", "table_fts_phrase", "table_fts_sloppy_phrase",
     "table_fts_boolean_group", "table_fts_standard_analyzer",
     "table_fts_range_term", "table_fts_limit_ranked",
@@ -110,11 +113,6 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "multimodal_feature_extract", "multimodal_frame_sample",
     "stream_near_dup_parity", "table_vector_index_search",
     "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
-    "dedup_components",
-    # (3) oldest-first r2 fill (window = 11 never-stamped + the
-    # 36 above + these 3 = 50)
-    "complex_array_functions", "geo_polygon_join_range_list",
-    "geo_range_list_ops",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
