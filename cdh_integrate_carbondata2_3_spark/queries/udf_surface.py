@@ -143,17 +143,34 @@ def table_fts_fuzzy_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("table_fts_sloppy_phrase", oracle=r"""
+WITH an AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS a
+  FROM documents
+), pos AS (
+  SELECT doc_id, source,
+         list_filter(generate_series(1, len(a)), p -> a[p] = 'slow')
+           AS a0,
+         list_transform(list_filter(generate_series(1, len(a)),
+             p -> a[p] = 'filter'), p -> p - 1) AS a1
+  FROM an WHERE len(a) >= 2
+)
 SELECT source, COUNT(*) AS n_docs
-FROM documents
-WHERE regexp_matches(text, '(^|\s)slow(\s+\S+){0,2}\s+filter($|\s)')
+FROM pos
+WHERE len(list_filter(list_concat(a0, a1), w ->
+          len(list_filter(a0, x -> x >= w AND x <= w + 2)) > 0
+      AND len(list_filter(a1, x -> x >= w AND x <= w + 2)) > 0)) > 0
 GROUP BY source
 """)
 def table_fts_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sloppy-phrase text_match('text:"slow filter"~2'): tokens in
-    order with up to 2 intervening tokens per gap (documented
-    simplification of Lucene slop — sql.py _phrase_regex). Postings
-    pruning still intersects the phrase's token file sets, sound
-    because any sloppy match contains every token."""
+    """Sloppy-phrase text_match('text:"slow filter"~2') with Lucene's
+    SHARED slop budget and reordering (sql.py _slop_window_sql —
+    SloppyPhraseMatcher's matchLength over offset-adjusted positions:
+    'filter slow' adjacent counts 2 moves and matches at ~2, which a
+    per-gap in-order implementation misses). The oracle replays the
+    same window check over 1-based token positions. Postings pruning
+    still intersects the phrase's token file sets, sound because any
+    sloppy match contains every token."""
     from ..sources.registry import load_table
     eng = _engine(spark, "fts_sl", sf_dir)
     t = Table.create(spark, os.path.join(eng.warehouse, "documents"),

@@ -551,12 +551,11 @@ def _sql_rx_escape(s: str) -> str:
 def _phrase_regex(phrase: str, slop: int = 0) -> str:
     """Whitespace-token phrase → regex: tokens in order, separated by
     runs of whitespace (wildcards are literal inside phrases, as in
-    Lucene). ``slop=N`` (sloppy phrase "a b"~N) allows up to N
-    intervening tokens between each consecutive pair — a documented
-    simplification of Lucene's edit-distance slop
-    (SloppyPhraseMatcher: total moves budget, out-of-order allowed);
-    ours is in-order with a per-gap bound, which agrees with Lucene on
-    in-order matches of 2-term phrases and is stricter otherwise."""
+    Lucene). ``slop=N`` allows up to N intervening tokens between
+    each consecutive pair — since the shared-budget reordering slop
+    landed (_slop_window_sql), this per-gap path is only reached for
+    slop=0 (exact) and for REPEATED-term sloppy phrases, where
+    Lucene's repeat handling is a documented delta."""
     toks = phrase.split()
     if not toks:
         raise ValueError("text_match: empty phrase")
@@ -731,14 +730,44 @@ def _english_fuzzy_sql(field: str, term: str, edits: int,
     return f"(exists({arr}, __s -> {pred}))"
 
 
+def _slop_window_sql(arr: str, offs: list[tuple[int, str]],
+                     slop: int) -> str:
+    """Sloppy phrase with Lucene's SHARED slop budget and reordering
+    — SloppyPhraseMatcher semantics: an injective assignment of query
+    terms (offset ``o_i``) to token positions ``p_i`` matches when
+    max(p_i - o_i) - min(p_i - o_i) <= slop (Lucene's matchLength
+    over offset-adjusted positions; two adjacent terms reversed cost
+    2, the documented "switch the order of two words requires two
+    moves"). Compiled as pure JVM-side HOFs: bind the analyzed array
+    once, build each term's offset-adjusted position list A_i, then
+    match iff some candidate window start a (an element of any A_i —
+    the optimal window starts at its own minimum) has every A_i
+    represented in [a, a+slop]. Distinctness of p_i is free for
+    non-repeating terms (one token per position); phrases with
+    REPEATED analyzed terms take the per-gap fallback (Lucene's
+    repeat handling is out of scope — callers check). ``offs`` terms
+    must be SQL-literal-escaped by the caller; a term with no
+    occurrence yields an empty A_i and the forall fails, so absence
+    short-circuits to no-match."""
+    lists = ", ".join(
+        f"transform(filter(sequence(1, size(__arr)), "
+        f"__p -> element_at(__arr, __p) = '{q}'), __q -> __q - {o})"
+        for o, q in offs)
+    return (f"(exists(array({arr}), __arr -> "
+            f"size(__arr) >= 1 AND "
+            f"exists(array(array({lists})), __as -> "
+            f"exists(flatten(__as), __a -> "
+            f"forall(__as, __l -> exists(__l, "
+            f"__x -> __x >= __a AND __x <= __a + {slop}))))))")
+
+
 def _english_sloppy_sql(field: str, phrase: str, slop: int) -> str | None:
-    """Sloppy phrase under 'english': same per-gap simplification as
-    the whitespace analyzer's _phrase_regex (each inter-term gap may
-    stretch by 0..slop extra POSITIONS, in order — Lucene's shared
-    slop budget with reordering is a documented delta), evaluated
-    over the analyzed stream with stop-gap positions. Nested
-    higher-order exists(): one start-position scan, then one bounded
-    gap scan per inter-term hop — all JVM-side."""
+    """Sloppy phrase under 'english', evaluated over the analyzed
+    stream with stop-gap positions. Non-repeating phrases use
+    Lucene's shared slop budget with reordering (_slop_window_sql);
+    phrases with repeated analyzed terms keep the per-gap in-order
+    path (each hop stretches 0..slop positions — Lucene's repeat
+    handling is a documented delta)."""
     from .functions.analyzers import (analyze_term, is_stopword, stem_sql,
                                       stops_sql)
     toks = phrase.lower().split()
@@ -754,6 +783,8 @@ def _english_sloppy_sql(field: str, phrase: str, slop: int) -> str | None:
            f"__x -> __x != ''), __t -> "
            f"CASE WHEN __t IN ({stops_sql()}) THEN NULL "
            f"ELSE {stem_sql('__t')} END)")
+    if len({q for _, q in offs}) == len(offs):
+        return _slop_window_sql(arr, offs, slop)
 
     def hop(h: int, pos: str) -> str:
         if h == len(offs):
@@ -829,11 +860,12 @@ def _porter_spec_call(fn: str, field: str, spec: dict) -> str:
 def _porter_phrase_match(arr: list, offs: list, slop: int) -> bool:
     """Positional phrase match over a porter-analyzed stream with
     stop-gap positions (None = removed stopword holding its slot) —
-    the Python twin of _english_phrase_sql/_english_sloppy_sql:
-    exact requires each surviving query term at its relative offset;
-    sloppy lets every inter-term hop stretch by 0..slop extra
-    positions, in order (the same per-gap simplification of Lucene's
-    shared slop budget the other analyzers use)."""
+    the Python twin of _english_phrase_sql/_slop_window_sql: exact
+    requires each surviving query term at its relative offset; sloppy
+    uses Lucene's SHARED slop budget with reordering (an assignment
+    matches when max(p_i - o_i) - min(p_i - o_i) <= slop), with the
+    per-gap in-order fallback for repeated-term phrases, matching the
+    SQL analyzers' behavior exactly."""
     n = len(arr)
     first = offs[0][1]
     if slop == 0:
@@ -841,6 +873,16 @@ def _porter_phrase_match(arr: list, offs: list, slop: int) -> bool:
         return any(
             arr[p] == first and all(arr[p + o] == s for o, s in offs)
             for p in range(n - maxoff))
+    if len({s for _, s in offs}) == len(offs):
+        lists = []
+        for o, s in offs:
+            a = [p - o for p, v in enumerate(arr) if v == s]
+            if not a:
+                return False
+            lists.append(a)
+        return any(
+            all(any(a <= x <= a + slop for x in al) for al in lists)
+            for bl in lists for a in bl)
 
     def hop(h: int, pos: int) -> bool:
         if h == len(offs):
@@ -984,6 +1026,16 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
     if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
         slop = int(pm.group(2)) if pm.group(2) else 0
         phrase = phrases[int(pm.group(1))]
+        toks = (phrase.lower() if lowercase else phrase).split()
+        if slop > 0 and toks and len(set(toks)) == len(toks):
+            # shared slop budget with reordering (Lucene
+            # SloppyPhraseMatcher) over whitespace token positions;
+            # repeated-term phrases keep the per-gap regex fallback
+            src = f"lower({field})" if lowercase else field
+            arr = f"filter(split({src}, '\\\\s+'), __x -> __x != '')"
+            offs = [(o, t.replace("\\", "\\\\").replace("'", "''"))
+                    for o, t in enumerate(toks)]
+            return _slop_window_sql(arr, offs, slop)
         # lowercase the TOKENS, never the built regex (that would
         # corrupt \S escapes)
         rx = _phrase_regex(phrase.lower() if lowercase else phrase,

@@ -63,13 +63,15 @@ def test_lucene_to_sql_english_drops_stopword_clauses():
     assert "sort" in sql and "the'" not in sql.split("NOT IN")[0]
     # all-stopword query = Lucene empty BooleanQuery: matches nothing
     assert _lucene_to_sql("text:the text:a", english=True) == "(1 = 0)"
-    # exact phrase under english compiles (position-gapped); sloppy
-    # phrases and range/regexp remain documented deltas
+    # exact phrase under english compiles (position-gapped)
     assert "element_at" in _lucene_to_sql('text:"slow filter"',
                                           english=True)
-    # sloppy phrase under english: per-gap stretch over analyzed
-    # positions (same simplification as whitespace slop)
-    assert "try_element_at" in _lucene_to_sql('text:"slow filter"~2',
+    # sloppy phrase under english: shared-budget window over
+    # offset-adjusted positions (Lucene SloppyPhraseMatcher)
+    assert "flatten" in _lucene_to_sql('text:"slow filter"~2',
+                                       english=True)
+    # repeated-term sloppy phrase keeps the per-gap fallback
+    assert "try_element_at" in _lucene_to_sql('text:"slow slow"~2',
                                               english=True)
     # fuzzy and range under english compile against the analyzed
     # stream (Lucene normalize(): lowercase, no stem, on the bounds)
@@ -330,16 +332,19 @@ def test_porter_phrase_stop_gaps(spark, tmp_path):
     # slot (doc 3: 'from' is not a stopword but fills the position,
     # exactly Lucene's PhraseQuery over gapped positions)
     assert ids('body:"relate to databases"') == [2, 3]
-    # sloppy: each hop stretches by one position
+    # sloppy: shared budget — one move bridges the gapped docs
     assert ids('body:"relate databases"~1') == [1, 2, 3]
-    # reversed order never matches the in-order per-gap semantics
+    # reordering costs 2 (Lucene: switching two words = two moves)
+    assert ids('body:"relate databases"~2') == [1, 2, 3, 4]
+    # exact reversed order matches only the reversed doc
     assert ids('body:"databases relate"') == [4]
 
 
-def test_english_sloppy_phrase_per_gap(spark, tmp_path):
-    """Sloppy phrase under english: each inter-term gap may stretch by
-    0..slop analyzed POSITIONS (stopword positions count, as in the
-    exact-phrase gap semantics)."""
+def test_english_sloppy_phrase_shared_budget(spark, tmp_path):
+    """Sloppy phrase under english follows Lucene's SHARED slop
+    budget with reordering (SloppyPhraseMatcher): matchLength =
+    max(pos-offset) - min(pos-offset) over the analyzed stream with
+    stop-gap positions — two adjacent terms reversed cost 2."""
     eng = Engine(spark, str(tmp_path / "wh"))
     eng.sql("CREATE TABLE sp (id INT, body STRING)")
     eng.sql("INSERT INTO sp SELECT * FROM VALUES "
@@ -355,9 +360,10 @@ def test_english_sloppy_phrase_per_gap(spark, tmp_path):
 
     assert ids('body:"quick foxes"') == [1]
     assert ids('body:"quick foxes"~1') == [1, 2]
-    assert ids('body:"quick foxes"~2') == [1, 2, 3]
-    assert ids('body:"quick foxes"~3') == [1, 2, 3, 4]  # stop positions count
-    assert 5 not in ids('body:"quick foxes"~3')         # order required
+    # reversed adjacent pair (doc 5) costs exactly 2 moves
+    assert ids('body:"quick foxes"~2') == [1, 2, 3, 5]
+    # doc 4: stopword 'a' holds its position → distance 3
+    assert ids('body:"quick foxes"~3') == [1, 2, 3, 4, 5]
 
 
 def test_gate_vocab_covers_corpus():
@@ -400,3 +406,45 @@ def test_python_damerau_matches_duckdb():
             [a, b, a, b]).fetchone()
         assert damerau_levenshtein(a, b) == want[0], (a, b)
         assert levenshtein(a, b) == want[1], (a, b)
+
+
+def test_sloppy_window_matches_bruteforce(spark):
+    """The shared-budget slop compiler (_slop_window_sql, whitespace
+    analyzer) against a brute-force reference: enumerate every
+    assignment of query terms to token positions and accept when
+    max(pos-off) - min(pos-off) <= slop — on random small docs over a
+    tiny alphabet, all slops 1..3, 2- and 3-term phrases."""
+    import itertools
+    import random
+
+    from cdh_integrate_carbondata2_3_spark.sql import _lucene_to_sql
+
+    rng = random.Random(17)
+    docs = [" ".join(rng.choice("abcd") for _ in range(rng.randint(0, 7)))
+            for _ in range(300)]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "id int, body string")
+    df.createOrReplaceTempView("bf")
+
+    def brute(doc, terms, slop):
+        toks = doc.split()
+        pools = [[p for p, t in enumerate(toks) if t == q] for q in terms]
+        if any(not p for p in pools):
+            return False
+        for pick in itertools.product(*pools):
+            if len(set(pick)) != len(pick):
+                continue
+            adj = [p - o for o, p in enumerate(pick)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    for phrase in ("a b", "b a", "a b c", "c a d"):
+        terms = phrase.split()
+        for slop in (1, 2, 3):
+            sql = _lucene_to_sql(f'body:"{phrase}"~{slop}')
+            got = {r.id for r in spark.sql(
+                f"SELECT id FROM bf WHERE {sql}").collect()}
+            want = {i for i, d in enumerate(docs)
+                    if brute(d, terms, slop)}
+            assert got == want, (phrase, slop, sorted(got ^ want))
