@@ -839,6 +839,54 @@ def table_fts_porter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+def _brics_automaton_oracle() -> str:
+    """Matching vocabulary tokens precomputed through the engine's
+    brics span matcher (functions/brics.py — itself cross-checked
+    against the Java-regex translator on translatable patterns and
+    hand cases in tests/test_analyzers.py), embedded as an IN-list —
+    so the oracle independently verifies tokenization and matching
+    with the automaton evaluation held common, the same decomposition
+    the porter stem dictionary uses."""
+    from ..functions.brics import brics_match
+    hits = sorted(w for w in _DOC_VOCAB
+                  if brics_match("s@&~(scan|sort|stream)", w))
+    in_list = ", ".join(f"'{w}'" for w in hits)
+    return f"""
+SELECT source, COUNT(*) AS n_docs
+FROM (SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS a
+      FROM documents)
+WHERE len(list_filter(a, t -> t IN ({in_list}))) > 0
+GROUP BY source
+"""
+
+
+@query("table_fts_regexp_automaton", oracle=_brics_automaton_oracle())
+def table_fts_regexp_automaton(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Regexp terms with NESTED intersection and COMPLEMENT —
+    /s@&~(scan|sort|stream)/ selects tokens starting with 's' that
+    are not scan/sort/stream. Regular languages are closed under both
+    operators but regexes are not, so the translator falls back to
+    the Arrow-batched brics span matcher (sql.py _regex_sql →
+    functions/brics.py), paid only by queries that use them. Lucene
+    parses the same brics RegExp dialect into an automaton
+    (RegexpQuery); the oracle embeds the matching vocabulary tokens
+    as a precomputed IN-list."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_ba", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX fba ON TABLE documents (text) AS 'lucene'")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:/(s@&~(scan|sort|stream))/') "
+        "GROUP BY source")
+
+
 def _porter_ranked_oracle() -> str:
     arr = _porter_arr_sql(("sorting",))
     return f"""

@@ -316,6 +316,14 @@ def _interval_regex(smin: str, smax: str) -> str:
     return "0*(?:" + "|".join(by_len) + ")"
 
 
+class _RegexNeedsAutomaton(ValueError):
+    """A brics regexp feature a Java/RE2 regex CANNOT express —
+    nested intersection ``&`` or complement ``~`` (regular languages
+    are closed under both, regexes are not). Callers catch this and
+    compile the term to the brics span-matcher UDF
+    (functions/brics.py) instead of RLIKE."""
+
+
 class _LuceneRegexTranslator:
     """Lucene RegexpQuery dialect → Java regex (RegexpQuery wraps
     org.apache.lucene.util.automaton.RegExp, the brics dialect —
@@ -362,10 +370,10 @@ class _LuceneRegexTranslator:
         if self._peek() != "&":
             return first
         if not spanning:
-            raise ValueError(
-                "text_match: regexp intersection '&' is only supported "
-                "at the top level of the pattern (nested intersection "
-                "has no regex translation)")
+            raise _RegexNeedsAutomaton(
+                "text_match: nested regexp intersection '&' has no "
+                "regex translation (evaluated by the brics span "
+                "matcher instead)")
         parts = [first]
         while self._peek() == "&":
             self._take()
@@ -433,9 +441,10 @@ class _LuceneRegexTranslator:
             self.i += m.end()
             return "(?:" + _interval_regex(m.group(1), m.group(2)) + ")"
         if c == "~":
-            raise ValueError(
-                "text_match: regexp complement '~' is deprecated in "
-                "Lucene and unsupported")
+            raise _RegexNeedsAutomaton(
+                "text_match: regexp complement '~' has no regex "
+                "translation (evaluated by the brics span matcher "
+                "instead)")
         if c == "\\":
             nxt = self._take()
             if nxt == "":
@@ -490,16 +499,25 @@ def _regex_sql(field: str, pattern: str, lowercase: bool = False,
                english: bool = False) -> str:
     """Lucene RegexpQuery analogue: some whitespace token matches the
     regex WHOLLY (Lucene anchors regexps to the full term). The
-    pattern is the LUCENE regexp dialect (brics): ``\\x`` escapes to a
-    literal, ``@``/``#``/``"..."``/``<n-m>`` and top-level ``&`` are
-    supported, translated to Java regex by _lucene_regex_to_java
-    (remaining delta: nested ``&``, deprecated ``~``). Under the
-    'standard' analyzer tokens are lowercased; under ``english`` the
-    pattern applies UN-ANALYZED to the analyzed tokens — the stems —
-    exactly as Lucene runs the automaton over index terms. The
-    pattern itself is never rewritten."""
-    pat = (_lucene_regex_to_java(pattern)
-           .replace("\\", "\\\\").replace("'", "''"))
+    pattern is the LUCENE regexp dialect (brics): the common path
+    translates to a Java regex (_lucene_regex_to_java) evaluated as
+    RLIKE inside whole-stage codegen; nested intersection ``&`` and
+    complement ``~`` have no regex translation and fall back to the
+    Arrow-batched brics span-matcher UDF — the Python cost is paid
+    only by queries using those operators. Under the 'standard'
+    analyzer tokens are lowercased; under ``english`` the pattern
+    applies UN-ANALYZED to the analyzed tokens — the stems — exactly
+    as Lucene runs the automaton over index terms. The pattern itself
+    is never rewritten."""
+    try:
+        java = _lucene_regex_to_java(pattern)
+    except _RegexNeedsAutomaton:
+        from .functions.brics import brics_compile
+        brics_compile(pattern)      # syntax errors surface at compile
+        mode = "eng" if english else ("std" if lowercase else "ws")
+        return _spec_udf_call("__carbon_brics_regexp", field,
+                                 {"rx": pattern, "mode": mode})
+    pat = java.replace("\\", "\\\\").replace("'", "''")
     if english:
         from .functions.analyzers import stem_sql, stops_sql
         arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
@@ -847,11 +865,12 @@ def _english_phrase_sql(field: str, phrase: str) -> str | None:
             f"__p -> {conds})))")
 
 
-def _porter_spec_call(fn: str, field: str, spec: dict) -> str:
-    """Compile a porter-analyzer predicate as a call to a registered
-    Arrow-batched UDF, the spec carried as base64(JSON) — a SQL string
-    literal that needs no escaping regardless of what the user's
-    pattern contains (quotes, backslashes, control markers)."""
+def _spec_udf_call(fn: str, field: str, spec: dict) -> str:
+    """Compile a predicate as a call to a registered Arrow-batched
+    UDF, the spec carried as base64(JSON) — a SQL string literal that
+    needs no escaping regardless of what the user's pattern contains
+    (quotes, backslashes, control markers). Used by every
+    porter-analyzer term type and the brics regexp fallback."""
     b = base64.b64encode(
         json.dumps(spec, sort_keys=True).encode()).decode()
     return f"({fn}({field}, '{b}'))"
@@ -930,24 +949,29 @@ def _porter_term_sql(field: str, pat: str, phrases: list[str],
         if not terms:
             return None
         first = terms[0][0]
-        return _porter_spec_call(
+        return _spec_udf_call(
             "__carbon_porter_phrase", field,
             {"slop": slop, "offs": [[i - first, q] for i, q in terms]})
     if fz := (_parse_fuzzy(pat) if "~" in pat else None):
         term, edits = fz
-        return _porter_spec_call(
+        return _spec_udf_call(
             "__carbon_porter_fuzzy", field,
             {"t": term.lower(), "e": edits, "tr": bool(transpositions)})
     if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
         lo, hi, lo_inc, hi_inc = ranges[int(rm.group(1))]
-        return _porter_spec_call(
+        return _spec_udf_call(
             "__carbon_porter_range", field,
             {"lo": lo.lower(), "hi": hi.lower(),
              "li": bool(lo_inc), "hi_inc": bool(hi_inc)})
     if xm := re.fullmatch(r"\x02(\d+)\x02", pat):
-        return _porter_spec_call(
-            "__carbon_porter_regexp", field,
-            {"rx": _lucene_regex_to_java(regexes[int(xm.group(1))])})
+        raw = regexes[int(xm.group(1))]
+        try:
+            spec = {"rx": _lucene_regex_to_java(raw)}
+        except _RegexNeedsAutomaton:
+            from .functions.brics import brics_compile
+            brics_compile(raw)      # syntax errors surface at compile
+            spec = {"brics": raw}
+        return _spec_udf_call("__carbon_porter_regexp", field, spec)
     if re.search(r"[\x00\x01\x02~]", pat):
         raise ValueError(
             f"text_match: cannot parse term under the 'porter' "
@@ -1305,6 +1329,7 @@ def _ensure_porter_udf(spark) -> None:
 
     @F.pandas_udf("boolean")
     def _rgx(text: pd.Series, spec: pd.Series) -> pd.Series:
+        from .functions.brics import brics_match
         cache: dict = {}
         compiled: dict = {}
         out = []
@@ -1312,11 +1337,18 @@ def _ensure_porter_udf(spark) -> None:
             if tx is None:
                 out.append(False)
                 continue
-            cre = compiled.get(sp)
-            if cre is None:
-                cre = compiled.setdefault(
-                    sp, re.compile(_decode(cache, sp)["rx"]))
-            out.append(any(s is not None and cre.fullmatch(s)
+            test = compiled.get(sp)
+            if test is None:
+                d = _decode(cache, sp)
+                if "brics" in d:    # nested &/~: span matcher
+                    pat = d["brics"]
+                    test = compiled.setdefault(
+                        sp, lambda s, _p=pat: brics_match(_p, s))
+                else:
+                    cre = re.compile(d["rx"])
+                    test = compiled.setdefault(
+                        sp, lambda s, _c=cre: _c.fullmatch(s))
+            out.append(any(s is not None and test(s)
                            for s in porter_stream(tx)))
         return pd.Series(out)
 
@@ -1327,6 +1359,45 @@ def _ensure_porter_udf(spark) -> None:
     spark.udf.register("__carbon_porter_range", _rng)
     spark.udf.register("__carbon_porter_regexp", _rgx)
     spark._carbon_porter_udf_registered = True
+
+
+def _ensure_brics_udf(spark) -> None:
+    """Register the Arrow-batched brics regexp UDF once per session —
+    the slow-path evaluator for regexp terms using nested ``&`` or
+    complement ``~``, which regular-language automata express but
+    regexes cannot (functions/brics.py). The whitespace/standard/
+    english analyzers reach it through _regex_sql's fallback; porter
+    reuses its own _rgx UDF with a brics spec."""
+    if getattr(spark, "_carbon_brics_udf_registered", False):
+        return
+    from .functions.analyzers import is_stopword, minimal_stem
+    from .functions.brics import brics_match
+
+    @F.pandas_udf("boolean")
+    def _brx(text: pd.Series, spec: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for tx, sp in zip(text, spec):
+            if tx is None:
+                out.append(False)
+                continue
+            d = cache.get(sp)
+            if d is None:
+                d = cache.setdefault(
+                    sp, json.loads(base64.b64decode(sp)))
+            rx, mode = d["rx"], d["mode"]
+            toks = tx.split()
+            if mode == "std":
+                toks = [t.lower() for t in toks]
+            elif mode == "eng":
+                toks = [minimal_stem(t)
+                        for t in (t.lower() for t in toks)
+                        if not is_stopword(t)]
+            out.append(any(brics_match(rx, t) for t in toks))
+        return pd.Series(out)
+
+    spark.udf.register("__carbon_brics_regexp", _brx)
+    spark._carbon_brics_udf_registered = True
 
 
 def _parse_props(s: str | None) -> dict:
@@ -1905,6 +1976,10 @@ class Engine:
         por = an == "porter"
         if por:
             _ensure_porter_udf(self.spark)
+        if "text_match" in text.lower() and ":/" in text:
+            # a regexp term MAY need the brics span matcher (nested
+            # &/~ fallback) — registration is a cheap one-time no-op
+            _ensure_brics_udf(self.spark)
         trans = (self._fts_fuzzy_transpositions(text)
                  if "text_match" in text.lower() else True)
         tm_limit: tuple[str, str, int, bool, bool, bool, bool] | None = None

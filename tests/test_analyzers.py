@@ -448,3 +448,81 @@ def test_sloppy_window_matches_bruteforce(spark):
             want = {i for i, d in enumerate(docs)
                     if brute(d, terms, slop)}
             assert got == want, (phrase, slop, sorted(got ^ want))
+
+
+# ---------------------------------------------------------------- brics
+
+def test_brics_matches_translator_on_translatable_patterns():
+    """functions/brics.brics_match equals re.fullmatch of the
+    translator's Java regex on every translatable pattern shape —
+    the two parsers implement one grammar."""
+    import re as _re
+
+    from cdh_integrate_carbondata2_3_spark.functions.brics import (
+        brics_match)
+    from cdh_integrate_carbondata2_3_spark.sql import (
+        _lucene_regex_to_java)
+    patterns = [
+        "abc", "a|bc", "a*b+c?", "a{2,3}", "a{2}", "[a-c]x", "[^ab]",
+        ".", "..", "@", "a@b", '"li t"', "<5-150>", "<10-20>",
+        r"\#a", "(a|b)c", "(ab)+", "a(bc|d)*e", "ab&a.", "a&b",
+    ]
+    tokens = ["", "a", "b", "ab", "abc", "ac", "abcc", "aa", "aaa",
+              "aaaa", "li t", "007", "15", "150", "151", "4", "#a",
+              "bc", "abcde", "adde", "x", "cx", "bx", "anything"]
+    for pat in patterns:
+        cre = _re.compile(f"^(?:{_lucene_regex_to_java(pat)})$")
+        for tok in tokens:
+            assert brics_match(pat, tok) == bool(cre.match(tok)), \
+                (pat, tok)
+
+
+def test_brics_intersection_and_complement():
+    """The operators regexes cannot express: nested '&' requires both
+    operands over the SAME span; '~' matches exactly the non-matches
+    (including the empty string)."""
+    from cdh_integrate_carbondata2_3_spark.functions.brics import (
+        brics_match)
+    assert brics_match("f(ab&a.)c", "fabc")
+    assert not brics_match("f(ab&a.)c", "facc")
+    assert brics_match("(a.&.b)*", "abab")
+    assert brics_match("(a.&.b)*", "")
+    assert not brics_match("(a.&.b)*", "aba")
+    assert brics_match("~(abc)", "abd")
+    assert brics_match("~(abc)", "")
+    assert not brics_match("~(abc)", "abc")
+    assert brics_match("a~(b)c", "ac")          # empty middle != "b"
+    assert brics_match("a~(b)c", "axyc")
+    assert not brics_match("a~(b)c", "abc")
+    assert brics_match("<1-30>&.5", "15")
+    assert not brics_match("<1-30>&.5", "35")
+    assert brics_match("s@&~(scan|sort)", "slow")
+    assert not brics_match("s@&~(scan|sort)", "sort")
+
+
+def test_brics_fallback_end_to_end(spark, tmp_path):
+    """text_match regexp terms with nested &/~ run through the brics
+    UDF fallback on whitespace AND english analyzers (translatable
+    regexps keep the RLIKE fast path — plan stays UDF-free)."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE bx (id INT, body STRING)")
+    eng.sql("INSERT INTO bx SELECT * FROM VALUES "
+            "(1,'merge filter 15'),(2,'Merge scan 35'),"
+            "(3,'table sort 5'),(4,'merges relate') t(id,b)")
+
+    def ids(q):
+        return sorted(r["id"] for r in eng.sql(
+            f"SELECT id FROM bx WHERE text_match('{q}')").collect())
+
+    # whitespace (case-sensitive): token starts m AND ends e
+    assert ids('body:/(m.*&.*e)/') == [1]
+    assert ids('body:/(<1-30>&.5)/') == [1]
+    assert ids('body:/~(merge)/') == [1, 2, 3, 4]  # some token != merge
+    # translatable pattern still compiles to RLIKE (no UDF in plan)
+    plan = eng.sql("SELECT id FROM bx WHERE text_match('body:/m.*e/')")
+    assert "pythonUDF" not in plan._jdf.queryExecution().executedPlan() \
+        .toString().lower().replace(" ", "")
+    # english: stems (merges→merge) — nested & over analyzed tokens
+    eng.sql("CREATE INDEX bxe ON TABLE bx (body) AS 'lucene' "
+            "PROPERTIES('analyzer'='english')")
+    assert ids('body:/(merg.*&.*e)/') == [1, 2, 4]
