@@ -1,0 +1,104 @@
+"""Edit-distance string similarity join — fuzzy matching of keys,
+names, or titles across two tables, a standard entity-resolution step
+in large-scale data-curation pipelines (the reference's fuzzy surface
+is FuzzyQuery inside the Lucene index,
+index/lucene/.../LuceneFineGrainIndex.java:63-204 — this operator is
+the JOIN-shaped generalization: both sides are tables, not one query
+term against an index).
+
+Scale design — deletion-neighborhood blocking (the SymSpell
+derivation of Damerau/Levenshtein candidate generation; public
+algorithm, widely reimplemented):
+
+1. EXPAND each side's string into its deletion neighborhood up to
+   ``max_edits`` deletions (a string of length L has L single-deletion
+   variants; the neighborhood is exact, not probabilistic:
+   ed(u, v) <= e  ⟹  delₖ(u) ∩ delₘ(v) ≠ ∅ for some k+m <= 2e with
+   k, m <= e — every edit script can be factored through shared
+   deletions).
+2. SHUFFLE on the variant string: candidate pairs are co-located per
+   block, so the cross product is per-variant-bucket, never global.
+   Expansion factor is L+1 at e=1 (L²/2 at e=2 — documented cost; use
+   e=2 only on short keys).
+3. VERIFY exactly with the built-in ``levenshtein`` (JVM-side,
+   whole-stage codegen) and dedup pairs — false candidates from the
+   blocking (e.g. 'ab'/'ba' share deletion 'a' but are 2 edits apart)
+   are eliminated, so the result is EXACTLY the edit-distance join.
+
+No driver-side materialization, no cross join, no Python in the hot
+path. Skewed variants (a deletion shared by many strings) inflate one
+bucket quadratically — same failure mode as any equality join on a
+skewed key; AQE skew-join handles moderate cases and ``uniq_cap``
+documents the guard: a variant appearing more than ``uniq_cap`` times
+across both sides is an explicit error (the caller should pre-dedup
+the join column — joining on a near-constant column is quadratic by
+problem statement, not by plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["editdist_join"]
+
+
+def editdist_join(left: DataFrame, right: DataFrame,
+                  left_on: str, right_on: str,
+                  max_edits: int = 1,
+                  uniq_cap: int = 100_000) -> DataFrame:
+    """Pairs of rows whose join strings are within ``max_edits``
+    Levenshtein edits — exactly (blocking generates a candidate
+    superset; the levenshtein verify refines). Returns the distinct
+    (left_on, right_on) string pairs as columns ``l`` and ``r`` with
+    the edit distance ``dist``; join back on those strings for full
+    rows (string-level output keeps the shuffle payload minimal — the
+    classic similarity-join shape).
+
+    ``max_edits`` <= 2 (the Lucene FuzzyQuery cap; the e=2 deletion
+    neighborhood is O(L²) variants per string — short keys only).
+    ``uniq_cap`` bounds per-variant bucket size; exceeding it raises
+    rather than silently running a quadratic block.
+    """
+    if not 1 <= max_edits <= 2:
+        raise ValueError("editdist_join: max_edits must be 1 or 2 "
+                         f"(Lucene FuzzyQuery cap); got {max_edits}")
+
+    def side(df: DataFrame, col: str, out: str) -> DataFrame:
+        s = (df.select(F.col(col).cast("string").alias(out))
+             .where(F.col(out).isNotNull())
+             .distinct())
+        # CUMULATIVE deletion neighborhood {s} ∪ del¹ ∪ ... ∪ delᵉ as
+        # a SQL expression: each round appends one-more-deletion
+        # variants of the previous frontier (a zero-length string has
+        # no deletions; length-1 deletes to '')
+        expr = f"array({out})"
+        for _ in range(max_edits):
+            dels = (
+                f"flatten(transform({expr}, __s -> "
+                f"CASE WHEN length(__s) = 0 THEN array(__s) "
+                f"ELSE transform(sequence(1, length(__s)), __i -> "
+                f"concat(substring(__s, 1, __i - 1), "
+                f"substring(__s, __i + 1, length(__s)))) END))")
+            expr = f"array_distinct(concat({expr}, {dels}))"
+        return s.select(out, F.explode(F.expr(expr)).alias("__v"))
+
+    lv = side(left, left_on, "l")
+    rv = side(right, right_on, "r")
+    # bucket-size guard: a variant carried by more rows than uniq_cap
+    # on either side means a near-constant join column — quadratic by
+    # problem statement; fail loudly instead of running it
+    counts = (lv.groupBy("__v").count()
+              .unionByName(rv.groupBy("__v").count())
+              .agg(F.max("count").alias("mx")))
+    mx = counts.collect()[0]["mx"]
+    if mx is not None and mx > uniq_cap:
+        raise ValueError(
+            f"editdist_join: a deletion variant is shared by {mx} "
+            f"strings (> uniq_cap={uniq_cap}); pre-dedup the join "
+            "column or raise uniq_cap knowingly")
+    dist = F.expr("levenshtein(l, r)")
+    return (lv.join(rv, "__v")
+            .select("l", "r")
+            .distinct()
+            .withColumn("dist", dist)
+            .where(F.col("dist") <= max_edits))

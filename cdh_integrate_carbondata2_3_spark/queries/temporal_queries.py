@@ -107,3 +107,34 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_views"),
                  F.sum(F.col("value").cast("decimal(18,4)"))
                  .cast("double").alias("view_value")))
+
+
+@query("join_fuzzy_editdist", oracle="""
+WITH L AS (SELECT DISTINCT c_name AS l FROM customer),
+R AS (SELECT DISTINCT CASE WHEN c_custkey % 3 = 0
+        THEN substr(c_name, 1, length(c_name) - 1)
+        ELSE c_name END AS r
+      FROM customer)
+SELECT l, r, levenshtein(l, r) AS dist
+FROM L, R
+WHERE levenshtein(l, r) <= 1
+""")
+def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string similarity join (operators/fuzzyjoin):
+    customer names against a perturbed copy (every third name loses
+    its final character), pairs within ONE Levenshtein edit — which
+    also catches full-name pairs differing in a single digit, so the
+    result is dominated by genuine cross-matches, not the staged
+    truncations. Spark blocks on the deletion neighborhood (SymSpell
+    derivation — no cross join anywhere in the plan) then verifies
+    with the built-in levenshtein; the oracle brute-forces the small
+    gate corpus with a nested-loop join, so the blocking's
+    COMPLETENESS is what's being checked."""
+    from ..operators.fuzzyjoin import editdist_join
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select("c_name")
+    right = cust.select(
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.expr("substring(c_name, 1, length(c_name) - 1)"))
+        .otherwise(F.col("c_name")).alias("pname"))
+    return editdist_join(left, right, "c_name", "pname", max_edits=1)
