@@ -74,12 +74,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-5 window plan: 17 slots go to the never-stamped queries (the
+# Round-5 window plan: 18 slots go to the never-stamped queries (the
 # round-5 FTS additions — english + porter analyzers across every
 # term type, Damerau-transpose fuzzy, regexp dialect, both stemmed
 # ranked-limits — plus the skyline operator and the re-fixed
 # table_carbon_datasource_read; they sort first automatically). The
-# remaining 35 go to (1) the oldest stamps (r1-only, 6), then (2)
+# remaining 32 go to (1) the oldest stamps (r1-only, 6), then (2)
 # every query whose CODE or ORACLE changed since its last stamp —
 # the Damerau fuzzy default + regex dialect + the single-pass
 # phrase/regexp lexer touched the whole text_match compile path (so
@@ -98,9 +98,10 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     # (1) oldest stamps: green in r1 only
     "text_fingerprint", "text_lang_heuristic", "text_quality_score",
     "text_repetition_filters", "text_token_stats", "topk_per_group",
-    # (2) changed since last stamp (window = 17 never-stamped + the
-    # 33 below = 50; dedup_minhash_lsh and dedup_exact_survivors
-    # yield their slots — stamps fresh from r4, code unchanged since)
+    # (2) changed since last stamp (window = 18 never-stamped + the
+    # 32 below = 50; dedup_minhash_lsh and dedup_exact_groups/
+    # _survivors yield their slots — stamps fresh from r4, code
+    # unchanged since)
     "table_fts_fuzzy", "table_fts_phrase", "table_fts_sloppy_phrase",
     "table_fts_boolean_group", "table_fts_standard_analyzer",
     "table_fts_range_term", "table_fts_limit_ranked",
@@ -113,7 +114,6 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "table_fts_text_match", "udf_text_match", "udf_text_match_limit",
     "multimodal_feature_extract", "multimodal_frame_sample",
     "stream_near_dup_parity", "table_vector_index_search",
-    "dedup_exact_groups",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's

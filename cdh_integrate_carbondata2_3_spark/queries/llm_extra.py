@@ -127,7 +127,10 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count_distinct("g").alias("n_shared")))
 
 
-_CC_ORACLE = """
+# shared recursive-closure body: grams → Jaccard edges → transitive
+# closure → (node, comp) labels; composed by the components gates and
+# the leakage-free split gate below
+_CC_BODY = """
 WITH RECURSIVE grams AS (
   SELECT DISTINCT doc_id, unnest(list_transform(
       generate_series(1, len(string_split_regex(trim(text), ' +')) - 1),
@@ -162,7 +165,9 @@ WITH RECURSIVE grams AS (
   SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
 ), lab AS (
   SELECT u AS node, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
-)
+)"""
+
+_CC_ORACLE = _CC_BODY + """
 SELECT comp AS component_id, COUNT(*) AS n_members
 FROM lab GROUP BY comp
 """
@@ -200,6 +205,56 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(edges, "id_a", "id_b", algorithm="star")
     return (comps.groupBy(F.col("comp").alias("component_id"))
             .agg(F.count(F.lit(1)).alias("n_members")))
+
+
+@query("sample_split_leakage_free", oracle=_CC_BODY + """
+, comp_map AS (
+  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+), assigned AS (
+  SELECT doc_id, comp,
+         CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+              WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM comp_map
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_clusters
+FROM assigned GROUP BY split
+""")
+def sample_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the split key is the
+    near-dup COMPONENT id (bigram-Jaccard edges → connected
+    components; a doc outside every component is its own singleton
+    cluster), so near-duplicates can never straddle splits — the
+    standard guard against eval contamination when duplicated
+    documents would otherwise land in both train and test. Assignment
+    is the engine's deterministic md5-of-decimal-string idiom
+    (~80/10/10 by hex prefix), identical in both engines, and
+    cluster-atomic BY CONSTRUCTION — which the oracle checks by
+    recomputing components with a recursive closure and counting
+    docs + distinct clusters per split."""
+    from ..operators.dedup import ngram_jaccard_near_dups
+    from ..operators.graph import connected_components
+
+    d = _docs(spark, sf_dir)
+    edges = ngram_jaccard_near_dups(d, "doc_id", "text",
+                                    n=2, df_cap=100, threshold=0.5)
+    comps = connected_components(edges, "id_a", "id_b") \
+        .withColumnRenamed("node", "doc_id")
+    m = (d.select("doc_id").join(comps, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp")))
+    h = F.substring(
+        F.md5(F.col("comp").cast("string").cast("binary")), 1, 2)
+    return (m.withColumn("split",
+                         F.when(h < "cc", "train")
+                         .when(h < "e6", "val")
+                         .otherwise("test"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("comp").alias("n_clusters")))
 
 
 @query("text_pack_sequences", oracle=f"""

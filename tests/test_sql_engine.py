@@ -414,13 +414,18 @@ def test_text_match_sloppy_phrase(eng):
     rows = eng.sql("SELECT id FROM sdocs WHERE "
                    "text_match('body:\"spark fast\"~0')").collect()
     assert [r["id"] for r in rows] == []
-    # slop 2: up to two intervening tokens, in order only
+    # shared slop budget (Lucene SloppyPhraseMatcher): slop 2 covers
+    # two intervening tokens in order AND the reversed adjacent pair
+    # (doc 4 — switching two words costs two moves)
+    rows = eng.sql("SELECT id FROM sdocs WHERE "
+                   "text_match('body:\"spark fast\"~1') ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1]
     rows = eng.sql("SELECT id FROM sdocs WHERE "
                    "text_match('body:\"spark fast\"~2') ORDER BY id").collect()
-    assert [r["id"] for r in rows] == [1, 2]
+    assert [r["id"] for r in rows] == [1, 2, 4]
     rows = eng.sql("SELECT id FROM sdocs WHERE "
                    "text_match('body:\"spark fast\"~3') ORDER BY id").collect()
-    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert [r["id"] for r in rows] == [1, 2, 3, 4]
 
 
 def test_fts_prune_predicate_shapes(eng):
