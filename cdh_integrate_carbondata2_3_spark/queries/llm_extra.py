@@ -680,3 +680,53 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("is_gap"),
                     F.last("avg_v", ignorenulls=True).over(w)
                     .cast("double").alias("carried_v")))
+
+
+@query("text_lm_oov_filter", oracle="""
+WITH chars AS (
+  SELECT doc_id, lower(trim(text)) AS s FROM documents
+), tris AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, length(s) - 2), i -> substr(s, i, 3))) AS tri
+  FROM chars WHERE length(s) >= 3
+), model AS (
+  SELECT tri, COUNT(*) AS cnt FROM tris GROUP BY tri
+), scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tris,
+         SUM(CASE WHEN m.cnt < 5 THEN 1 ELSE 0 END) AS n_rare
+  FROM tris t JOIN model m ON t.tri = m.tri
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tris AS BIGINT) AS n_tris,
+       CAST(n_rare AS BIGINT) AS n_rare,
+       (n_rare * 20 > n_tris) AS low_quality
+FROM scored
+""")
+def text_lm_oov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter — the CCNet/KenLM shape (Wenzek et
+    al. 2020 filter web text by LM score) with the statistics drawn
+    from the corpus itself: build a character-trigram frequency model
+    (one groupBy over the exploded trigram stream — at 100 TB the
+    model is alphabet³, KBs, broadcast back), then flag documents
+    whose rare-trigram rate exceeds 5%. Outputs are INTEGERS
+    (n_tris, n_rare) and an integer-comparison flag, so both engines
+    hash identically — no float log-sum whose last-ulp could differ
+    between libm implementations (the reason this gate scores OOV
+    rate, not perplexity; the perplexity variant is the same plan
+    with a log-sum on top)."""
+    d = _docs(spark, sf_dir)
+    s = F.lower(F.trim(F.col("text")))
+    tris = (d.select("doc_id", s.alias("s"))
+            .filter(F.length("s") >= 3)
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(1, length(s) - 2), "
+                "i -> substring(s, i, 3))")).alias("tri")))
+    model = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    return (tris.join(F.broadcast(model), "tri")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tris"),
+                 F.sum((F.col("cnt") < 5).cast("bigint")).alias("n_rare"))
+            .select("doc_id", "n_tris", "n_rare",
+                    (F.col("n_rare") * 20 > F.col("n_tris"))
+                    .alias("low_quality")))
