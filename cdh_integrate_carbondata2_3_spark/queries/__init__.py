@@ -74,46 +74,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-5 window plan: 18 slots go to the never-stamped queries (the
-# round-5 FTS additions — english + porter analyzers across every
-# term type, Damerau-transpose fuzzy, regexp dialect, both stemmed
-# ranked-limits — plus the skyline operator and the re-fixed
-# table_carbon_datasource_read; they sort first automatically). The
-# remaining 32 go to (1) the oldest stamps (r1-only, 6), then (2)
-# every query whose CODE or ORACLE changed since its last stamp —
-# the Damerau fuzzy default + regex dialect + the single-pass
-# phrase/regexp lexer touched the whole text_match compile path (so
-# the r4 FTS stamps are stale, most critically table_fts_fuzzy whose
-# oracle switched to damerau_levenshtein), bm25's signature changed
-# twice (english=, porter=), 12569f3 resized dedup_simhash/
-# dedup_embedding_near/dedup_semantic_clusters and fixed
-# dedup_bloom_prefilter NULL fingerprints AFTER the r4 stamp,
-# cache_tracked touched the ann/kmeans/curation queries, the r5
-# vectorization touched geo_polygon_join, and the decode seam
-# touched multimodal. dedup_components and the r2-stamped
-# complex_array/geo_range trio spill to round 6 (they run green in
-# every local full-gate check meanwhile), as do the ~25
-# untouched-since-r2 TPC-H/table-lifecycle rows.
+# Round-6 window plan (VERDICT r5 "Next round" item 1): the driver's
+# 50-slot window leads with the 39 rows whose last driver stamp is
+# round 2 — all of TPC-H q2/q4/q8/q9/q11-q22, the CoW DML trio
+# (update/delete/merge), MV rewrite, compaction, mixed-format
+# segments, streaming handoff, schema evolution, partition pruning,
+# segment-scoped reads, the r2 geo/sampling rows, complex_array and
+# chunking — every one green on the conf-naked local full gate all
+# along, but three rounds stale in the driver artifact. The
+# remaining slots go to never-stamped round-6 gates (sloppy-repeat
+# FTS, MV incremental refresh — they sort first automatically) and
+# to queries whose CODE changed this round: the skyline 2-D
+# local-frontier fix, the editdist_join single-pass guard, the
+# porter small-vocabulary fast path (touches every porter compile
+# path), and the sloppy-window repeat handling (touches the
+# whitespace+english sloppy paths).
 _ROTATE_BACK_IN: tuple[str, ...] = (
-    # (1) oldest stamps: green in r1 only
-    "text_fingerprint", "text_lang_heuristic", "text_quality_score",
-    "text_repetition_filters", "text_token_stats", "topk_per_group",
-    # (2) changed since last stamp (window = 18 never-stamped + the
-    # 32 below = 50; dedup_minhash_lsh and dedup_exact_groups/
-    # _survivors yield their slots — stamps fresh from r4, code
-    # unchanged since)
-    "table_fts_fuzzy", "table_fts_phrase", "table_fts_sloppy_phrase",
-    "table_fts_boolean_group", "table_fts_standard_analyzer",
-    "table_fts_range_term", "table_fts_limit_ranked",
-    "text_bm25_rank", "search_hybrid_rerank",
-    "dedup_semantic_clusters", "dedup_bloom_prefilter",
-    "geo_polygon_join", "similarity_kmeans_refine",
-    "corpus_curation_pipeline",
-    "dedup_simhash", "dedup_embedding_near", "dedup_ngram_jaccard",
-    "similarity_ann_ivf", "similarity_ann_lsh",
-    "table_fts_text_match", "udf_text_match", "udf_text_match_limit",
-    "multimodal_feature_extract", "multimodal_frame_sample",
-    "stream_near_dup_parity", "table_vector_index_search",
+    # (1) the 39 round-2-stale driver rows
+    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_parts_supplier", "q17_small_quantity", "q18_large_volume",
+    "q19_disjunctive_brackets", "q20_nested_in", "q21_waiting_orders",
+    "q22_global_sales",
+    "table_update_cow", "table_delete_cow", "table_merge_upsert",
+    "table_mv_rewrite", "table_compaction", "table_mixed_format_segments",
+    "stream_ingest_handoff", "table_partition_pruning",
+    "table_schema_evolution", "table_segment_scoped",
+    "udf_insegment_travel",
+    "geo_polygon_join_range_list", "geo_range_list_ops",
+    "geo_spatial_index_prune", "geo_zorder_geoid",
+    "sample_hash_bernoulli", "sample_reservoir_per_source",
+    "sample_stratified_lang", "sample_train_shards",
+    "quality_filter_funnel", "text_chunk_windows",
+    "complex_array_functions", "multimodal_meta_stats",
+    # (2) code changed this round (r5 stamps invalidated)
+    "select_pareto_skyline", "join_fuzzy_editdist",
+    "table_fts_porter_analyzer", "table_fts_porter_phrase",
+    "table_fts_porter_fuzzy_range", "table_fts_porter_regexp",
+    "table_fts_limit_ranked_porter",
+    "table_fts_sloppy_phrase", "table_fts_english_phrase",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
@@ -122,9 +122,25 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
 # not-yet-stamped ones (they stay registered and keep running in
 # pytest/bench; only the dict ordering changes).
 _STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
-    # round 4 (CORRECTNESS_r04.json, 49/50 green; the one red row —
-    # table_carbon_datasource_read — is deliberately NOT listed so it
-    # sorts with the never-stamped group after its fix):
+    # round 5 (CORRECTNESS_r05.json, 50/50 green — the first
+    # all-green driver window since r1):
+    "table_fts_fuzzy_transpose", "table_fts_english_analyzer",
+    "table_fts_english_phrase", "table_fts_regexp_dialect",
+    "table_fts_english_range", "table_fts_english_fuzzy",
+    "table_fts_porter_analyzer", "table_fts_porter_phrase",
+    "table_fts_porter_fuzzy_range", "table_fts_porter_regexp",
+    "table_fts_regexp_automaton", "table_fts_limit_ranked_porter",
+    "table_fts_limit_ranked_english", "select_pareto_skyline",
+    "select_pareto_multid", "join_fuzzy_editdist",
+    "sample_split_leakage_free", "text_lm_oov_filter",
+    "table_carbon_datasource_read", "table_fts_fuzzy",
+    "table_fts_phrase", "table_fts_sloppy_phrase",
+    "table_fts_boolean_group", "table_fts_standard_analyzer",
+    "table_fts_range_term", "table_fts_limit_ranked",
+    "text_bm25_rank", "search_hybrid_rerank",
+    "dedup_semantic_clusters", "dedup_bloom_prefilter",
+    "stream_near_dup_parity",
+    # round 4 (CORRECTNESS_r04.json, 49/50 green):
     "dedup_substring_spans", "dedup_substring_trim",
     "table_parquet_stats_manifest", "sample_temperature_mix",
     "sample_token_budget", "dedup_components_star", "table_si_index_prune",
