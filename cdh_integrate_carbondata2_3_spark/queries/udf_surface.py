@@ -184,6 +184,54 @@ def table_fts_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
+@query("table_fts_sloppy_repeat", oracle=r"""
+WITH an AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS a
+  FROM documents
+), pos AS (
+  SELECT doc_id, source,
+         list_filter(generate_series(1, len(a)), p -> a[p] = 'slow') AS ps,
+         list_filter(generate_series(1, len(a)), p -> a[p] = 'filter') AS pf
+  FROM an
+)
+SELECT source, COUNT(*) AS n_docs
+FROM pos
+WHERE len(list_filter(
+        list_concat(list_concat(ps, list_transform(ps, p -> p - 2)),
+                    list_transform(pf, p -> p - 1)), w ->
+          len(list_filter(ps, x -> x >= w AND x <= w + 3)) > 0
+      AND len(list_filter(ps, x -> x >= w + 2 AND x <= w + 5)) > 0
+      AND len(list_filter(ps, x -> x >= w AND x <= w + 5)) >= 2
+      AND len(list_filter(pf, x -> x >= w + 1 AND x <= w + 4)) > 0)) > 0
+GROUP BY source
+""")
+def table_fts_sloppy_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED-term sloppy phrase text_match('text:"slow filter
+    slow"~3') — Lucene SloppyPhraseMatcher repeat handling: the two
+    'slow' query terms must map to DISTINCT token positions (an
+    injective assignment with matchLength <= slop), which sql.py
+    _slop_window_sql decides exactly via Hall's condition on
+    consecutive same-term offset runs. At sf0.01 the injective answer
+    (14 docs) differs sharply from the non-injective one (86 docs)
+    and from the old per-gap in-order fallback, so this gate pins the
+    repeat semantics. The oracle replays the identical Hall window
+    check in DuckDB list lambdas over 1-based token positions.
+    Reference: LuceneFineGrainIndex.java:63-204 (PhraseQuery surface;
+    Lucene-core SloppyPhraseMatcher repeat groups)."""
+    from ..sources.registry import load_table
+    eng = _engine(spark, "fts_sr", sf_dir)
+    t = Table.create(spark, os.path.join(eng.warehouse, "documents"),
+                     "doc_id bigint, text string, source string")
+    t.insert(load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text", "source"))
+    eng.sql("CREATE INDEX fsr ON TABLE documents (text) AS 'lucene'")
+    return eng.sql(
+        "SELECT source, COUNT(*) AS n_docs FROM documents "
+        "WHERE text_match('text:\"slow filter slow\"~3') "
+        "GROUP BY source")
+
+
 @query("text_bm25_rank", oracle=r"""
 WITH tf AS (
   SELECT doc_id,

@@ -543,8 +543,8 @@ def _range_sql(field: str, lo: str, hi: str, lo_inc: bool, hi_inc: bool,
     lo_op, hi_op = (">=" if lo_inc else ">"), ("<=" if hi_inc else "<")
     if english:
         from .functions.analyzers import stem_sql, stops_sql
-        lo = lo.lower().replace("'", "''")
-        hi = hi.lower().replace("'", "''")
+        lo = _sql_lit(lo.lower())
+        hi = _sql_lit(hi.lower())
         arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
                f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
                f"__t -> {stem_sql('__t')})")
@@ -552,7 +552,7 @@ def _range_sql(field: str, lo: str, hi: str, lo_inc: bool, hi_inc: bool,
                 f"AND __s {hi_op} '{hi}'))")
     if lowercase:
         field, lo, hi = f"lower({field})", lo.lower(), hi.lower()
-    lo, hi = lo.replace("'", "''"), hi.replace("'", "''")
+    lo, hi = _sql_lit(lo), _sql_lit(hi)
     return (f"(exists(split({field}, '\\\\s+'), "
             f"__t -> __t != '' AND __t {lo_op} '{lo}' "
             f"AND __t {hi_op} '{hi}'))")
@@ -566,14 +566,21 @@ def _sql_rx_escape(s: str) -> str:
     return re.escape(s).replace("\\", "\\\\")
 
 
+def _sql_lit(s: str) -> str:
+    """Escape a plain string for embedding in a Spark SQL string
+    literal: backslashes FIRST (Spark's literal layer processes
+    escape sequences), then single quotes. Using only the quote
+    replacement silently corrupts tokens containing backslashes."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
 def _phrase_regex(phrase: str, slop: int = 0) -> str:
     """Whitespace-token phrase → regex: tokens in order, separated by
     runs of whitespace (wildcards are literal inside phrases, as in
     Lucene). ``slop=N`` allows up to N intervening tokens between
     each consecutive pair — since the shared-budget reordering slop
-    landed (_slop_window_sql), this per-gap path is only reached for
-    slop=0 (exact) and for REPEATED-term sloppy phrases, where
-    Lucene's repeat handling is a documented delta."""
+    with repeat handling landed (_slop_window_sql), text_match only
+    reaches this path at slop=0 (exact phrases)."""
     toks = phrase.split()
     if not toks:
         raise ValueError("text_match: empty phrase")
@@ -638,11 +645,11 @@ def _dam_pred_sql(tvar: str, term: str, edits: int) -> str:
     distance threshold (property-tested against DuckDB's
     damerau_levenshtein in tests/test_analyzers.py) — transpositions
     cost one edit, Lucene FuzzyQuery's default transpositions=true."""
-    t = term.replace("'", "''")
+    t = _sql_lit(term)
     parts = [f"levenshtein({tvar}, '{t}') <= {edits}"]
     variants = _swap_variants(term, edits)
-    singles = [v.replace("'", "''") for v, c in variants if c == 1]
-    doubles = [v.replace("'", "''") for v, c in variants if c == 2]
+    singles = [_sql_lit(v) for v, c in variants if c == 1]
+    doubles = [_sql_lit(v) for v, c in variants if c == 2]
     if edits == 1:
         if singles:
             vs = ", ".join(f"'{v}'" for v in singles)
@@ -683,7 +690,7 @@ def _fuzzy_sql(field: str, term: str, edits: int,
     if transpositions:
         pred = _dam_pred_sql("__t", term, edits)
     else:
-        t = term.replace("'", "''")
+        t = _sql_lit(term)
         pred = f"levenshtein(__t, '{t}') <= {edits}"
     return (f"(exists(split({field}, '\\\\s+'), "
             f"__t -> __t != '' AND {pred}))")
@@ -723,7 +730,7 @@ def _english_term_sql(field: str, pat: str) -> str | None:
         q = analyze_term(pat)
         if q is None:
             return None
-        cond = f"({stem_sql('__t')}) = '{q.replace(chr(39), chr(39) * 2)}'"
+        cond = f"({stem_sql('__t')}) = '{_sql_lit(q)}'"
     return f"(exists({body}, __t -> {keep} AND {cond}))"
 
 
@@ -741,7 +748,7 @@ def _english_fuzzy_sql(field: str, term: str, edits: int,
     if transpositions:
         pred = _dam_pred_sql("__s", t, edits)
     else:
-        pred = f"levenshtein(__s, '{t.replace(chr(39), chr(39) * 2)}') <= {edits}"
+        pred = f"levenshtein(__s, '{_sql_lit(t)}') <= {edits}"
     arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
            f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
            f"__t -> {stem_sql('__t')})")
@@ -750,42 +757,68 @@ def _english_fuzzy_sql(field: str, term: str, edits: int,
 
 def _slop_window_sql(arr: str, offs: list[tuple[int, str]],
                      slop: int) -> str:
-    """Sloppy phrase with Lucene's SHARED slop budget and reordering
-    — SloppyPhraseMatcher semantics: an injective assignment of query
-    terms (offset ``o_i``) to token positions ``p_i`` matches when
-    max(p_i - o_i) - min(p_i - o_i) <= slop (Lucene's matchLength
-    over offset-adjusted positions; two adjacent terms reversed cost
-    2, the documented "switch the order of two words requires two
+    """Sloppy phrase with Lucene's SHARED slop budget, reordering, and
+    REPEAT handling — SloppyPhraseMatcher semantics: an INJECTIVE
+    assignment of query terms (offset ``o_i``) to token positions
+    ``p_i`` (repeated query terms may not reuse a token position —
+    Lucene's PhrasePositions repeat groups) matches when
+    max(p_i - o_i) - min(p_i - o_i) <= slop (matchLength over
+    offset-adjusted positions; two adjacent terms reversed cost 2,
+    the documented "switch the order of two words requires two
     moves"). Compiled as pure JVM-side HOFs: bind the analyzed array
-    once, build each term's offset-adjusted position list A_i, then
-    match iff some candidate window start a (an element of any A_i —
-    the optimal window starts at its own minimum) has every A_i
-    represented in [a, a+slop]. Distinctness of p_i is free for
-    non-repeating terms (one token per position); phrases with
-    REPEATED analyzed terms take the per-gap fallback (Lucene's
-    repeat handling is out of scope — callers check). ``offs`` terms
-    must be SQL-literal-escaped by the caller; a term with no
-    occurrence yields an empty A_i and the forall fails, so absence
-    short-circuits to no-match."""
-    lists = ", ".join(
-        f"transform(filter(sequence(1, size(__arr)), "
-        f"__p -> element_at(__arr, __p) = '{q}'), __q -> __q - {o})"
-        for o, q in offs)
+    once, build one position list per DISTINCT term, and match iff
+    some candidate window start ``a`` (an offset-adjusted position —
+    the optimal window starts at its own minimum) admits an injective
+    assignment into [a, a+slop]. Injectivity is decided exactly by
+    Hall's condition on consecutive offset runs: for a term repeated
+    at offsets o_i <= … <= o_j, at least j-i+1 of its positions must
+    fall inside SOME occurrence window [a+o_k, a+o_k+slop] (k=i..j) —
+    sufficient as well as necessary because the occurrence windows
+    are same-length and sorted, so greedy smallest-position
+    assignment is optimal. Distinct terms occupy disjoint position
+    sets, so their matchings compose freely. ``offs`` terms must be
+    SQL-literal-escaped by the caller; a term with no occurrence
+    fails its own i=j Hall clause, so absence short-circuits to
+    no-match."""
+    groups: dict[str, list[int]] = {}
+    for o, q in offs:
+        groups.setdefault(q, []).append(o)
+    terms = [(q, sorted(os_)) for q, os_ in groups.items()]
+    plists = ", ".join(
+        f"filter(sequence(1, size(__arr)), "
+        f"__p -> element_at(__arr, __p) = '{q}')"
+        for q, _ in terms)
+    starts = ", ".join(
+        f"transform(element_at(__ps, {si + 1}), __q -> __q - {o})"
+        for si, (_, os_) in enumerate(terms) for o in os_)
+    conds = []
+    for si, (_, os_) in enumerate(terms):
+        for i in range(len(os_)):
+            for j in range(i, len(os_)):
+                need = j - i + 1
+                member = " OR ".join(
+                    f"(__x >= __a + {os_[k]} AND "
+                    f"__x <= __a + {os_[k] + slop})"
+                    for k in range(i, j + 1))
+                if need == 1:
+                    conds.append(f"exists(element_at(__ps, {si + 1}), "
+                                 f"__x -> {member})")
+                else:
+                    conds.append(
+                        f"size(filter(element_at(__ps, {si + 1}), "
+                        f"__x -> {member})) >= {need}")
+    cond = " AND ".join(conds)
     return (f"(exists(array({arr}), __arr -> "
             f"size(__arr) >= 1 AND "
-            f"exists(array(array({lists})), __as -> "
-            f"exists(flatten(__as), __a -> "
-            f"forall(__as, __l -> exists(__l, "
-            f"__x -> __x >= __a AND __x <= __a + {slop}))))))")
+            f"exists(array(array({plists})), __ps -> "
+            f"exists(flatten(array({starts})), __a -> {cond}))))")
 
 
 def _english_sloppy_sql(field: str, phrase: str, slop: int) -> str | None:
     """Sloppy phrase under 'english', evaluated over the analyzed
-    stream with stop-gap positions. Non-repeating phrases use
-    Lucene's shared slop budget with reordering (_slop_window_sql);
-    phrases with repeated analyzed terms keep the per-gap in-order
-    path (each hop stretches 0..slop positions — Lucene's repeat
-    handling is a documented delta)."""
+    stream with stop-gap positions, via Lucene's shared slop budget
+    with reordering and repeat handling (_slop_window_sql — repeated
+    analyzed terms included since round 6)."""
     from .functions.analyzers import (analyze_term, is_stopword, stem_sql,
                                       stops_sql)
     toks = phrase.lower().split()
@@ -796,30 +829,12 @@ def _english_sloppy_sql(field: str, phrase: str, slop: int) -> str | None:
     if not terms:
         return None
     first = terms[0][0]
-    offs = [(i - first, q.replace("'", "''")) for i, q in terms]
+    offs = [(i - first, _sql_lit(q)) for i, q in terms]
     arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
            f"__x -> __x != ''), __t -> "
            f"CASE WHEN __t IN ({stops_sql()}) THEN NULL "
            f"ELSE {stem_sql('__t')} END)")
-    if len({q for _, q in offs}) == len(offs):
-        return _slop_window_sql(arr, offs, slop)
-
-    def hop(h: int, pos: str) -> str:
-        if h == len(offs):
-            return ""
-        d = offs[h][0] - offs[h - 1][0]
-        land = f"({pos} + {d} + __g{h})"
-        inner = hop(h + 1, land)
-        cond = (f"try_element_at(__arr, {land}) = '{offs[h][1]}'"
-                + (f" AND {inner}" if inner else ""))
-        return f"exists(sequence(0, {slop}), __g{h} -> {cond})"
-
-    body = hop(1, "__p0")
-    return (f"(exists(array({arr}), __arr -> "
-            f"size(__arr) >= 1 AND "
-            f"exists(sequence(1, size(__arr)), __p0 -> "
-            f"element_at(__arr, __p0) = '{offs[0][1]}'"
-            + (f" AND {body}" if body else "") + ")))")
+    return _slop_window_sql(arr, offs, slop)
 
 
 def _english_phrase_sql(field: str, phrase: str) -> str | None:
@@ -855,9 +870,8 @@ def _english_phrase_sql(field: str, phrase: str) -> str | None:
            f"CASE WHEN __t IN ({stops_sql()}) THEN NULL "
            f"ELSE {stem_sql('__t')} END)")
     conds = " AND ".join(
-        f"element_at(__arr, __p + {o}) = "
-        f"'{q.replace(chr(39), chr(39) * 2)}'" if o else
-        f"element_at(__arr, __p) = '{q.replace(chr(39), chr(39) * 2)}'"
+        f"element_at(__arr, __p + {o}) = '{_sql_lit(q)}'" if o else
+        f"element_at(__arr, __p) = '{_sql_lit(q)}'"
         for o, q in offs)
     return (f"(exists(array({arr}), __arr -> "
             f"size(__arr) > {maxoff} AND "
@@ -881,10 +895,11 @@ def _porter_phrase_match(arr: list, offs: list, slop: int) -> bool:
     stop-gap positions (None = removed stopword holding its slot) —
     the Python twin of _english_phrase_sql/_slop_window_sql: exact
     requires each surviving query term at its relative offset; sloppy
-    uses Lucene's SHARED slop budget with reordering (an assignment
-    matches when max(p_i - o_i) - min(p_i - o_i) <= slop), with the
-    per-gap in-order fallback for repeated-term phrases, matching the
-    SQL analyzers' behavior exactly."""
+    uses Lucene's SHARED slop budget with reordering and repeat
+    handling (an INJECTIVE assignment matches when
+    max(p_i - o_i) - min(p_i - o_i) <= slop; injectivity decided by
+    Hall's condition on consecutive same-term offset runs), matching
+    the SQL analyzers' behavior exactly."""
     n = len(arr)
     first = offs[0][1]
     if slop == 0:
@@ -892,30 +907,34 @@ def _porter_phrase_match(arr: list, offs: list, slop: int) -> bool:
         return any(
             arr[p] == first and all(arr[p + o] == s for o, s in offs)
             for p in range(n - maxoff))
-    if len({s for _, s in offs}) == len(offs):
-        lists = []
-        for o, s in offs:
-            a = [p - o for p, v in enumerate(arr) if v == s]
-            if not a:
-                return False
-            lists.append(a)
-        return any(
-            all(any(a <= x <= a + slop for x in al) for al in lists)
-            for bl in lists for a in bl)
-
-    def hop(h: int, pos: int) -> bool:
-        if h == len(offs):
-            return True
-        d = offs[h][0] - offs[h - 1][0]
-        for g in range(slop + 1):
-            q = pos + d + g
-            if q >= n:
-                return False
-            if arr[q] == offs[h][1] and hop(h + 1, q):
-                return True
+    groups: dict = {}
+    for o, s in offs:
+        groups.setdefault(s, []).append(o)
+    pos = {s: [p for p, v in enumerate(arr) if v == s] for s in groups}
+    if any(not pos[s] for s in groups):
         return False
-
-    return any(arr[p] == first and hop(1, p) for p in range(n))
+    starts = [p - o for s, os_ in groups.items()
+              for o in os_ for p in pos[s]]
+    for a in starts:
+        ok = True
+        for s, os_ in groups.items():
+            os_s = sorted(os_)
+            for i in range(len(os_s)):
+                for j in range(i, len(os_s)):
+                    cnt = sum(
+                        1 for x in pos[s]
+                        if any(a + os_s[k] <= x <= a + os_s[k] + slop
+                               for k in range(i, j + 1)))
+                    if cnt < j - i + 1:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if not ok:
+                break
+        if ok:
+            return True
+    return False
 
 
 def _porter_term_sql(field: str, pat: str, phrases: list[str],
@@ -986,8 +1005,7 @@ def _porter_term_sql(field: str, pat: str, phrases: list[str],
     q = porter_analyze(pat)
     if q is None:
         return None
-    return (f"(__carbon_porter_match({field}, "
-            f"'{q.replace(chr(39), chr(39) * 2)}'))")
+    return f"(__carbon_porter_match({field}, '{_sql_lit(q)}'))"
 
 
 def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
@@ -1051,14 +1069,13 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
         slop = int(pm.group(2)) if pm.group(2) else 0
         phrase = phrases[int(pm.group(1))]
         toks = (phrase.lower() if lowercase else phrase).split()
-        if slop > 0 and toks and len(set(toks)) == len(toks):
-            # shared slop budget with reordering (Lucene
-            # SloppyPhraseMatcher) over whitespace token positions;
-            # repeated-term phrases keep the per-gap regex fallback
+        if slop > 0 and toks:
+            # shared slop budget with reordering and repeat handling
+            # (Lucene SloppyPhraseMatcher) over whitespace token
+            # positions
             src = f"lower({field})" if lowercase else field
             arr = f"filter(split({src}, '\\\\s+'), __x -> __x != '')"
-            offs = [(o, t.replace("\\", "\\\\").replace("'", "''"))
-                    for o, t in enumerate(toks)]
+            offs = [(o, _sql_lit(t)) for o, t in enumerate(toks)]
             return _slop_window_sql(arr, offs, slop)
         # lowercase the TOKENS, never the built regex (that would
         # corrupt \S escapes)

@@ -70,9 +70,10 @@ def test_lucene_to_sql_english_drops_stopword_clauses():
     # offset-adjusted positions (Lucene SloppyPhraseMatcher)
     assert "flatten" in _lucene_to_sql('text:"slow filter"~2',
                                        english=True)
-    # repeated-term sloppy phrase keeps the per-gap fallback
-    assert "try_element_at" in _lucene_to_sql('text:"slow slow"~2',
-                                              english=True)
+    # repeated-term sloppy phrase: same shared-budget window path
+    # with Hall-condition injectivity (no per-gap fallback since r6)
+    rep = _lucene_to_sql('text:"slow slow"~2', english=True)
+    assert "try_element_at" not in rep and ">= 2" in rep
     # fuzzy and range under english compile against the analyzed
     # stream (Lucene normalize(): lowercase, no stem, on the bounds)
     assert "levenshtein" in _lucene_to_sql("text:slow~1", english=True)
@@ -411,9 +412,11 @@ def test_python_damerau_matches_duckdb():
 def test_sloppy_window_matches_bruteforce(spark):
     """The shared-budget slop compiler (_slop_window_sql, whitespace
     analyzer) against a brute-force reference: enumerate every
-    assignment of query terms to token positions and accept when
-    max(pos-off) - min(pos-off) <= slop — on random small docs over a
-    tiny alphabet, all slops 1..3, 2- and 3-term phrases."""
+    INJECTIVE assignment of query terms to token positions (repeated
+    query terms may not reuse a position — Lucene SloppyPhraseMatcher
+    repeat handling) and accept when max(pos-off) - min(pos-off) <=
+    slop — on random small docs over a tiny alphabet, all slops 1..3,
+    2- to 4-term phrases including repeated-term ones."""
     import itertools
     import random
 
@@ -439,7 +442,8 @@ def test_sloppy_window_matches_bruteforce(spark):
                 return True
         return False
 
-    for phrase in ("a b", "b a", "a b c", "c a d"):
+    for phrase in ("a b", "b a", "a b c", "c a d",
+                   "a a", "a b a", "a a b", "b a b a", "a a a"):
         terms = phrase.split()
         for slop in (1, 2, 3):
             sql = _lucene_to_sql(f'body:"{phrase}"~{slop}')
@@ -448,6 +452,42 @@ def test_sloppy_window_matches_bruteforce(spark):
             want = {i for i, d in enumerate(docs)
                     if brute(d, terms, slop)}
             assert got == want, (phrase, slop, sorted(got ^ want))
+
+
+def test_porter_phrase_match_bruteforce():
+    """_porter_phrase_match (the Python twin the porter analyzer's
+    Arrow UDF runs) against the same injective brute force, including
+    repeated-term phrases and stop-gap (None) positions."""
+    import itertools
+    import random
+
+    from cdh_integrate_carbondata2_3_spark.sql import _porter_phrase_match
+
+    rng = random.Random(23)
+
+    def brute(arr, offs, slop):
+        pools = [[p for p, t in enumerate(arr) if t == s]
+                 for _, s in offs]
+        if any(not p for p in pools):
+            return False
+        for pick in itertools.product(*pools):
+            if len(set(pick)) != len(pick):
+                continue
+            adj = [p - o for (o, _), p in zip(offs, pick)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    for phrase in ("a b", "a a", "a b a", "a a b", "b a b a"):
+        toks = phrase.split()
+        offs = [(o, t) for o, t in enumerate(toks)]
+        for slop in (1, 2, 3):
+            for _ in range(200):
+                arr = [rng.choice(["a", "b", "c", None])
+                       for _ in range(rng.randint(0, 8))]
+                got = _porter_phrase_match(arr, offs, slop)
+                want = brute(arr, offs, slop)
+                assert got == want, (phrase, slop, arr)
 
 
 # ---------------------------------------------------------------- brics
