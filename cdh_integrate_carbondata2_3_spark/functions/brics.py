@@ -128,6 +128,13 @@ class _Parser:
                     node = ("cat", ("rep", node, lo, lo),
                             ("star", node))
                 else:
+                    if lo > hi:
+                        # Lucene's brics RegExp rejects {n,m} with
+                        # n > m; the RLIKE translator path fails at
+                        # Java-regex compile — reject identically here
+                        raise BricsSyntaxError(
+                            f"brics: bad interval {{{lo},{hi}}} "
+                            f"(min > max) in /{self.s}/")
                     node = ("rep", node, lo, hi)
             else:
                 return node

@@ -888,16 +888,16 @@ def table_fts_porter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _brics_automaton_oracle() -> str:
-    """Matching vocabulary tokens precomputed through the engine's
-    brics span matcher (functions/brics.py — itself cross-checked
-    against the Java-regex translator on translatable patterns and
-    hand cases in tests/test_analyzers.py), embedded as an IN-list —
-    so the oracle independently verifies tokenization and matching
-    with the automaton evaluation held common, the same decomposition
-    the porter stem dictionary uses."""
-    from ..functions.brics import brics_match
-    hits = sorted(w for w in _DOC_VOCAB
-                  if brics_match("s@&~(scan|sort|stream)", w))
+    """Expected hits of /s@&~(scan|sort|stream)/ over the fixed
+    31-word corpus vocabulary, HAND-PINNED as a literal (the s-words
+    are scan, slow, small, sort, spark, stream; minus the complement
+    leaves slow/small/spark) so the gate is fully independent of
+    functions/brics.py — an automaton-evaluation bug now fails the
+    gate instead of propagating into the oracle. The pin is guarded
+    by tests/test_analyzers.py::test_brics_automaton_gate_pin — a
+    vocabulary drift or brics_match disagreement fails the suite,
+    kept out of this builder so it can't poison the oracle dict."""
+    hits = ["slow", "small", "spark"]
     in_list = ", ".join(f"'{w}'" for w in hits)
     return f"""
 SELECT source, COUNT(*) AS n_docs

@@ -492,6 +492,37 @@ def test_porter_phrase_match_bruteforce():
 
 # ---------------------------------------------------------------- brics
 
+def test_brics_automaton_gate_pin():
+    """The hand-pinned hit list in the table_fts_regexp_automaton
+    oracle (slow/small/spark) still matches what the engine's brics
+    evaluator computes over the fixed corpus vocabulary — the pin
+    keeps the GATE independent of functions/brics.py; this test keeps
+    the pin honest."""
+    from cdh_integrate_carbondata2_3_spark.functions.brics import (
+        brics_match)
+    from cdh_integrate_carbondata2_3_spark.queries.udf_surface import (
+        _DOC_VOCAB)
+    assert sorted(
+        w for w in _DOC_VOCAB
+        if brics_match("s@&~(scan|sort|stream)", w)
+    ) == ["slow", "small", "spark"]
+
+
+def test_brics_rejects_inverted_interval():
+    """{n,m} with n > m raises at compile on BOTH evaluator paths —
+    Lucene's brics RegExp rejects it; the RLIKE translator path fails
+    at Java-regex compile, and the span matcher must match that
+    error surface instead of silently behaving as exactly-{n}."""
+    import pytest as _pytest
+
+    from cdh_integrate_carbondata2_3_spark.functions.brics import (
+        BricsSyntaxError, brics_compile)
+    with _pytest.raises(BricsSyntaxError):
+        brics_compile("a{3,2}")
+    # the well-ordered form still compiles
+    brics_compile("a{2,3}")
+
+
 def test_brics_matches_translator_on_translatable_patterns():
     """functions/brics.brics_match equals re.fullmatch of the
     translator's Java regex on every translatable pattern shape —
