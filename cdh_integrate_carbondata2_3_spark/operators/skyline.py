@@ -10,11 +10,17 @@ Skyline Queries into Spark SQL" (EDBT 2023); the distributed shape
 below is the classic two-phase scheme from that line of work.
 
 Scale design:
-- 2 criteria: fully declarative window fast path — sort distinct
-  pairs by (c1 DESC, c2 DESC), a point survives iff its c2 beats the
+- 2 criteria: phase-1 LOCAL-frontier reduction per Arrow batch (a
+  vectorized sort + running-max scan; sound superset — a globally
+  non-dominated point is non-dominated in its batch), then the exact
+  declarative window pass over FRONTIER POINTS ONLY: sort candidates
+  by (c1 DESC, c2 DESC), a point survives iff its c2 beats the
   running max of every earlier row (exact on distinct pairs; exact
-  duplicates are re-attached by semi-join since equal points never
-  dominate each other). One shuffle for the window sort, codegen'd.
+  duplicates are re-attached by broadcast semi-join since equal
+  points never dominate each other). The global single-partition
+  window sort sees |local frontiers|, not N — safe for CONTINUOUS
+  criteria where distinct pairs ≈ N (the r5 verdict's scale-killer;
+  plan-asserted in tests/test_skyline.py).
 - d criteria: two-phase mapInPandas — each Arrow batch reduces to
   its LOCAL skyline (sound superset of the global one: a globally
   non-dominated point is non-dominated in its batch), candidates
@@ -64,11 +70,49 @@ def skyline(df: DataFrame, cols: Sequence[str],
     return _skyline_nd(df, cols, directions, max_candidates)
 
 
+def _front_2d(pdf: pd.DataFrame, a: str, b: str) -> pd.DataFrame:
+    """Exact 2-D skyline of one pandas frame, vectorized: sort
+    (a DESC, b DESC), keep rows whose b strictly beats the running
+    max of all earlier rows. Duplicate (a, b) pairs collapse to one
+    representative (the caller re-attaches duplicates by semi-join).
+    Sorts on the NATIVE dtypes (int64 criteria stay exact — no
+    float64 round-trip); criteria are assumed non-null, as in the
+    n-d path."""
+    import numpy as np
+    av, bv = pdf[a].to_numpy(), pdf[b].to_numpy()
+    if av.dtype == object:
+        av = av.astype(float)
+    if bv.dtype == object:
+        bv = bv.astype(float)
+    # ascending lexsort then reverse = (a DESC, b DESC)
+    order = np.lexsort((bv, av))[::-1]
+    sb = bv[order]
+    runmax = np.maximum.accumulate(sb)
+    keep = np.empty(len(sb), dtype=bool)
+    if len(sb):
+        keep[0] = True
+        keep[1:] = sb[1:] > runmax[:-1]
+    return pdf.iloc[np.sort(order[keep])]
+
+
 def _skyline_2d(df: DataFrame, cols: Sequence[str],
                 directions: Sequence[str] | None) -> DataFrame:
     work, wc = _directed(df, cols, directions)
     a, b = wc
-    pts = work.select(a, b).distinct()
+    pairs = work.select(a, b)
+    pair_schema = pairs.schema
+
+    def local_front(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # phase 1: per-batch frontier, a sound superset of the global
+        # skyline — shrinks the global window's input from N distinct
+        # pairs to the (small) union of batch frontiers, so the
+        # single-partition sort below is safe even for continuous
+        # criteria where distinct(a, b) ≈ N
+        for pdf in it:
+            if not pdf.empty:
+                yield _front_2d(pdf, a, b)
+
+    cand = pairs.mapInPandas(local_front, pair_schema).distinct()
     # running max of b over all STRICTLY earlier rows in (a DESC,
     # b DESC) order: earlier = higher a, or equal a with higher b —
     # exactly the candidate dominators. On distinct pairs, survival
@@ -77,10 +121,10 @@ def _skyline_2d(df: DataFrame, cols: Sequence[str],
     # 1-PRECEDING frame end).
     win = (W.orderBy(F.desc(a), F.desc(b))
            .rowsBetween(W.unboundedPreceding, -1))
-    sky = (pts.withColumn("__m", F.max(F.col(b)).over(win))
+    sky = (cand.withColumn("__m", F.max(F.col(b)).over(win))
            .filter(F.col("__m").isNull() | (F.col(b) > F.col("__m")))
            .select(a, b))
-    return (work.join(sky, on=[a, b], how="left_semi")
+    return (work.join(F.broadcast(sky), on=[a, b], how="left_semi")
             .drop(*wc))
 
 

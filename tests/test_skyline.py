@@ -57,6 +57,42 @@ def test_skyline_nd_candidate_cap_raises(spark):
         skyline(df, ["a", "b", "c"], max_candidates=10).collect()
 
 
+def test_skyline_2d_continuous_bruteforce(spark):
+    # continuous (float) criteria — the case where distinct pairs ≈ N
+    # and the pre-r6 plan sorted the whole corpus on one task; the
+    # local-frontier phase must not change the answer
+    rng = random.Random(5)
+    rows = [(rng.random(), rng.random()) for _ in range(500)]
+    df = spark.createDataFrame(rows, "a double, b double").repartition(7)
+    got = sorted((r["a"], r["b"])
+                 for r in skyline(df, ["a", "b"]).collect())
+    assert got == _brute(rows, ["max", "max"])
+
+
+def test_skyline_2d_window_input_is_reduced_frontier(spark):
+    """Plan assert (r5 verdict item 3): the 2-D path's global
+    single-partition window must consume the phase-1 local-frontier
+    MapInPandas output, never the raw corpus — i.e. every
+    SinglePartition exchange in the plan sits above the frontier
+    reduction. The final broadcast semi-join re-reads the corpus but
+    shuffles nothing."""
+    df = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(100)],
+        "a double, b double").repartition(4)
+    plan = skyline(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    lines = plan.splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    mip = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    single = next(i for i, ln in enumerate(lines)
+                  if "SinglePartition" in ln)
+    # tree prints root-first: Window above the SinglePartition
+    # exchange above the MapInPandas frontier reduction
+    assert win < single < mip, plan
+    # and the corpus side of the semi-join is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
 def test_skyline_validates_inputs(spark):
     df = spark.createDataFrame([(1, 2)], "a int, b int")
     with pytest.raises(ValueError, match=">= 2"):
