@@ -30,14 +30,17 @@ path. Skewed variants (a deletion shared by many strings) inflate one
 bucket quadratically — same failure mode as any equality join on a
 skewed key; AQE skew-join handles moderate cases and ``uniq_cap``
 documents the guard: a variant appearing more than ``uniq_cap`` times
-across both sides is an explicit error (the caller should pre-dedup
-the join column — joining on a near-constant column is quadratic by
-problem statement, not by plan).
+on either side is an explicit execution-time error (the caller should
+pre-dedup the join column — joining on a near-constant column is
+quadratic by problem statement, not by plan). The guard is part of
+the lazy plan: a per-variant window count sharing the join's own
+shuffle, checked by assert_true — the expansion is never computed
+twice.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["editdist_join"]
 
@@ -57,7 +60,8 @@ def editdist_join(left: DataFrame, right: DataFrame,
     ``max_edits`` <= 2 (the Lucene FuzzyQuery cap; the e=2 deletion
     neighborhood is O(L²) variants per string — short keys only).
     ``uniq_cap`` bounds per-variant bucket size; exceeding it raises
-    rather than silently running a quadratic block.
+    AT EXECUTION (a SparkRuntimeException from assert_true, lazily
+    planned) rather than silently running a quadratic block.
     """
     if not 1 <= max_edits <= 2:
         raise ValueError("editdist_join: max_edits must be 1 or 2 "
@@ -84,20 +88,28 @@ def editdist_join(left: DataFrame, right: DataFrame,
 
     lv = side(left, left_on, "l")
     rv = side(right, right_on, "r")
-    # bucket-size guard: a variant carried by more rows than uniq_cap
-    # on either side means a near-constant join column — quadratic by
-    # problem statement; fail loudly instead of running it
-    counts = (lv.groupBy("__v").count()
-              .unionByName(rv.groupBy("__v").count())
-              .agg(F.max("count").alias("mx")))
-    mx = counts.collect()[0]["mx"]
-    if mx is not None and mx > uniq_cap:
-        raise ValueError(
-            f"editdist_join: a deletion variant is shared by {mx} "
-            f"strings (> uniq_cap={uniq_cap}); pre-dedup the join "
-            "column or raise uniq_cap knowingly")
+    # bucket-size guard, folded INTO the one pipeline: each side's
+    # per-variant count is a window partitioned by __v, which rides
+    # the exact hash-shuffle + sort the sort-merge join needs anyway
+    # (the exchange is reused — no extra pass), and assert_true
+    # raises while an oversized bucket's rows are being read, before
+    # its cross product is emitted. The deletion-neighborhood
+    # expansion therefore runs exactly ONCE per side and the API
+    # stays lazy (the previous guard ran an eager collect() at call
+    # time and recomputed both expansions for the join — r5 ADVICE /
+    # verdict item 4).
+    w = Window.partitionBy("__v")
+    msg = (f"editdist_join: a deletion variant is shared by more "
+           f"strings than uniq_cap={uniq_cap}; pre-dedup the join "
+           "column or raise uniq_cap knowingly")
+
+    def guard(df: DataFrame) -> DataFrame:
+        ok = F.assert_true(
+            F.count(F.lit(1)).over(w) <= F.lit(uniq_cap), F.lit(msg))
+        return df.withColumn("__ok", ok).where(F.col("__ok").isNull())
+
     dist = F.expr("levenshtein(l, r)")
-    return (lv.join(rv, "__v")
+    return (guard(lv).join(guard(rv), "__v")
             .select("l", "r")
             .distinct()
             .withColumn("dist", dist)

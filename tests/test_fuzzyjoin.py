@@ -51,13 +51,40 @@ def test_editdist_join_no_cross_join(spark):
 
 
 def test_editdist_join_uniq_cap_guards_quadratic_blocks(spark):
-    # 60 strings sharing deletion variant 'xx' → a quadratic block;
-    # the guard must raise rather than run it
+    # 52 strings sharing deletion variant 'xx' → a quadratic block;
+    # the guard must raise rather than run it. Since r6 the guard is
+    # part of the lazy plan (assert_true riding the join's own
+    # shuffle), so construction is job-free and the error surfaces at
+    # execution
     rows = [(f"x{c}x",) for c in "abcdefghijklmnopqrstuvwxyz"] \
         + [(f"{c}xx",) for c in "abcdefghijklmnopqrstuvwxyz"]
     L = spark.createDataFrame(rows, "s string")
-    with pytest.raises(ValueError, match="uniq_cap"):
-        editdist_join(L, L, "s", "s", max_edits=1, uniq_cap=10)
+    j = editdist_join(L, L, "s", "s", max_edits=1, uniq_cap=10)
+    with pytest.raises(Exception, match="uniq_cap"):
+        j.collect()
+
+
+def test_editdist_join_single_expansion_and_lazy(spark):
+    """The deletion-neighborhood expansion appears exactly once per
+    side in the physical plan (the guard's window count reuses the
+    join's shuffle instead of running a separate counting pass), and
+    constructing the join triggers no Spark job."""
+    L = spark.createDataFrame([("cat",), ("dog",)], "s string")
+    R = spark.createDataFrame([("cta",), ("dogs",)], "t string")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    j = editdist_join(L, R, "s", "t", max_edits=1)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "editdist_join construction ran a job"
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # one Generate (explode of the neighborhood) per side, not two
+    assert plan.count("Generate explode") == 2, plan
+    # the guard's window shares the join's exchange: exactly ONE
+    # hash-shuffle of each EXPANDED side on __v (window + SMJ reuse
+    # it; a separate counting pass would add two more)
+    assert plan.count("Exchange hashpartitioning(__v") == 2, plan
+    # total: 2 pre-expansion distincts + 2 on __v + 1 final distinct
+    assert plan.count("Exchange hashpartitioning") == 5, plan
 
 
 def test_editdist_join_rejects_bad_edits(spark):
