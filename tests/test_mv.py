@@ -102,6 +102,40 @@ def test_stale_mv_not_used_until_refresh(spark, sales):
     assert {r["flag"]: r["n"] for r in df2.collect()} == n_before
 
 
+def test_incremental_refresh_reads_only_new_segments(spark, sales):
+    """refresh(incremental=True) must aggregate ONLY the segments
+    loaded since the watermark (reference MVRefresher.scala:61-200),
+    and the merged MV must equal a full rebuild — including AVG,
+    whose correctness rests on the SUM/COUNT decomposition
+    (MVRefresher.scala:194): per-group sizes differ across segments,
+    so avg-of-avgs would be wrong here."""
+    mgr = MVManager(sales)
+    mgr.create("mv_inc", ["flag"], [AggSpec("avg", "qty")])
+    sales.insert(spark.range(1000, 1100).select(
+        "id", F.lit("A").alias("flag"), F.lit(99.0).alias("qty"),
+        F.lit(2.0).alias("price"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp_ntz").alias("ts")))
+    seen: list = []
+    orig = mgr._aggregate_source
+
+    def spy(meta, segments):
+        seen.append(segments)
+        return orig(meta, segments)
+
+    mgr._aggregate_source = spy
+    mgr.refresh("mv_inc", incremental=True)
+    assert seen == [[1]], f"refresh read segments {seen}, not the delta"
+    q = QuerySpec(group_cols=["flag"],
+                  aggs={"a": AggSpec("avg", "qty"),
+                        "n": AggSpec("count", "*")})
+    df, used = mgr.answer(q)
+    assert used == "mv_inc"
+    direct = mgr._direct(q)
+    got = {r["flag"]: (round(r["a"], 9), r["n"]) for r in df.collect()}
+    want = {r["flag"]: (round(r["a"], 9), r["n"]) for r in direct.collect()}
+    assert got == want
+
+
 def test_timeseries_rollup(spark, sales):
     mgr = MVManager(sales)
     mgr.create("mv6", ["flag"], [AggSpec("sum", "qty"), AggSpec("count", "*")],
