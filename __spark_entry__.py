@@ -24,9 +24,48 @@ from cdh_integrate_carbondata2_3_spark.queries import all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
-    from cdh_integrate_carbondata2_3_spark.queries.relational import q1_pricing_summary
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship: the engine's signature path end-to-end on sf0.001 —
+    a managed segmented table (manifest + min/max stats), a porter
+    Lucene-style FTS index (postings file-pruning + the dictionary
+    fast path), a stemmed text_match through the SQL surface, SimHash
+    near-dup clustering over the hits, and a per-language rollup of
+    clusters vs raw matches. Exercises the custom machinery the
+    driver smoke should cover, not just delegated Spark."""
+    from pyspark.sql import functions as F
+
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+        simhash_near_dups)
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        connected_components)
+    from cdh_integrate_carbondata2_3_spark.queries.lifecycle_queries import (
+        _scratch)
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+
+    sf = "/root/testdata/sf0.001"
+    eng = Engine(spark, _scratch("flagship", sf))
+    spark.read.parquet(f"{sf}/documents.parquet") \
+        .createOrReplaceTempView("__flagship_docs")
+    eng.sql("CREATE TABLE flagdoc (doc_id BIGINT, text STRING, "
+            "lang STRING, n_chars BIGINT)")
+    for par in (0, 1):          # two segments → real manifest pruning
+        eng.sql("INSERT INTO flagdoc SELECT doc_id, text, lang, n_chars "
+                f"FROM __flagship_docs WHERE doc_id % 2 = {par}")
+    eng.sql("CREATE INDEX flagfts ON TABLE flagdoc (text) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter')")
+    # porter stems both sides: vectors→vector, hashing→hash
+    hits = eng.sql("SELECT doc_id, text, lang FROM flagdoc "
+                   "WHERE text_match('text:vectors OR text:hashing')") \
+        .cache()
+    toks = hits.select("doc_id",
+                       F.explode(F.split(F.trim("text"), " +")).alias("tok"))
+    pairs = simhash_near_dups(toks, bits=32, bands=4, max_hamming=3)
+    comp = connected_components(pairs)
+    clustered = (hits.join(comp, hits.doc_id == comp.node, "left")
+                 .select("lang", F.coalesce("comp", "doc_id").alias("comp")))
+    return (clustered.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.countDistinct("comp").alias("n_clusters"))
+            .orderBy("lang"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

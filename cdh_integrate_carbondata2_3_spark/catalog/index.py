@@ -160,7 +160,9 @@ class IndexManager:
 
     def create_fts_index(self, name: str, columns: list[str],
                          analyzer: str = "whitespace",
-                         fuzzy_transpositions: bool = True) -> None:
+                         fuzzy_transpositions: bool = True,
+                         dict_fastpath: bool = True,
+                         dict_fastpath_max: int = 2000) -> None:
         """CREATE INDEX name ON table (columns) AS 'lucene'
         [PROPERTIES('analyzer'='standard'|'english'|'porter',
         'fuzzy_transpositions'='false')]. ``whitespace``
@@ -185,7 +187,9 @@ class IndexManager:
             raise ValueError(f"unsupported analyzer {analyzer!r} "
                              "(whitespace | standard | english | porter)")
         self._build_fts(name, columns, analyzer,
-                        fuzzy_transpositions=fuzzy_transpositions)
+                        fuzzy_transpositions=fuzzy_transpositions,
+                        dict_fastpath=dict_fastpath,
+                        dict_fastpath_max=dict_fastpath_max)
 
     def refresh(self, name: str) -> None:
         """REFRESH INDEX — rebuild to cover all current segments."""
@@ -196,7 +200,10 @@ class IndexManager:
             self._build_fts(name, meta["columns"],
                             meta.get("analyzer", "whitespace"),
                             fuzzy_transpositions=meta.get(
-                                "fuzzy_transpositions", True))
+                                "fuzzy_transpositions", True),
+                            dict_fastpath=meta.get("dict_fastpath", True),
+                            dict_fastpath_max=meta.get(
+                                "dict_fastpath_max", 2000))
         else:
             self._build_bloom(name, meta["columns"], meta["m_bits"], meta["k"])
 
@@ -217,7 +224,9 @@ class IndexManager:
         p = _meta_path(self.table.table_dir, name)
         if os.path.exists(p):
             os.unlink(p)
-        shutil.rmtree(_index_dir(self.table.table_dir, name), ignore_errors=True)
+        idx_dir = _index_dir(self.table.table_dir, name)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(idx_dir + "__dict", ignore_errors=True)
 
     def show(self) -> list[dict]:
         out = []
@@ -228,12 +237,44 @@ class IndexManager:
                     m = json.load(fh)
                 row = {k: m[k] for k in ("name", "type", "columns",
                                          "watermark_segment")}
-                if "analyzer" in m:
-                    row["analyzer"] = m["analyzer"]
-                if "fuzzy_transpositions" in m:
-                    row["fuzzy_transpositions"] = m["fuzzy_transpositions"]
+                for k in ("analyzer", "fuzzy_transpositions",
+                          "dict_fastpath", "dict_fastpath_max"):
+                    if k in m:
+                        row[k] = m[k]
                 out.append(row)
         return out
+
+    # ------------------------------------------------- porter fast path
+
+    def porter_dict(self, meta: dict) -> tuple[frozenset, dict] | None:
+        """(covered columns, surface→stem mapping) for a FRESH porter
+        index whose vocabulary fits dict_fastpath_max, else None. The
+        freshness test (watermark == newest segment) is the same
+        envelope candidate_files uses: new data always lands in a
+        higher segment id, so an equal watermark means every surface
+        token in the table is in the dictionary and the JVM-side map
+        lookup is exactly the Porter stemmer on this corpus."""
+        if meta.get("analyzer") != "porter":
+            return None
+        if meta.get("dict_fastpath", True) is False:
+            return None
+        if meta["watermark_segment"] != self._watermark():
+            return None
+        ddir = _index_dir(self.table.table_dir, meta["name"]) + "__dict"
+        if not os.path.isdir(ddir):
+            return None
+        import pyarrow.parquet as pq
+        parts = [os.path.join(ddir, f) for f in os.listdir(ddir)
+                 if f.endswith(".parquet")]
+        if not parts:
+            return None
+        cap = int(meta.get("dict_fastpath_max", 2000))
+        if sum(pq.read_metadata(p).num_rows for p in parts) > cap:
+            return None
+        t = pq.read_table(ddir, columns=["surf", "stem"])
+        mapping = dict(zip(t.column("surf").to_pylist(),
+                           t.column("stem").to_pylist()))
+        return frozenset(meta["columns"]), mapping
 
     # -------------------------------------------------------------- build
 
@@ -262,19 +303,32 @@ class IndexManager:
 
     def _build_fts(self, name: str, columns: list[str],
                    analyzer: str = "whitespace",
-                   fuzzy_transpositions: bool = True) -> None:
+                   fuzzy_transpositions: bool = True,
+                   dict_fastpath: bool = True,
+                   dict_fastpath_max: int = 2000) -> None:
         """Token→file inverted postings: whitespace tokens (the same
         tokenization the text_match RLIKE refinement uses; lowercased
         first under the 'standard' analyzer), distinct per file, sorted
         by (col, tok) so the postings parquet itself prunes by
-        row-group min/max on lookup."""
+        row-group min/max on lookup.
+
+        Under 'porter' a SURFACE→STEM dictionary sidecar
+        (``<idx>__dict``) is also written: the distinct (col, surface
+        token, stem) triples the stem UDF computed anyway during the
+        build. When the vocabulary is small (<= dict_fastpath_max)
+        and the index covers every segment, text_match compiles
+        porter predicates as a JVM-side map lookup over this
+        dictionary instead of the Arrow UDF (sql.py _porter_fast) —
+        the same dictionary-expansion trick fuzzy terms already use
+        for pruning."""
         wm = self._watermark()
         idx_dir = _index_dir(self.table.table_dir, name)
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(idx_dir + "__dict", ignore_errors=True)
         base = (self.table.read()
                 .withColumn("_file", F.input_file_name())
                 .withColumn("_file", F.expr("replace(_file, 'file://', '')")))
-        posts = None
+        posts, dicts, cached = None, None, []
         for col in columns:
             src = F.col(col).cast("string")
             if analyzer in ("standard", "english", "porter"):
@@ -295,9 +349,9 @@ class IndexManager:
             elif analyzer == "porter":
                 # full Porter has no SQL form (measure conditions) —
                 # Arrow-batched pandas UDF over the exploded tokens;
-                # the build is a one-time cost per REINDEX, and the
-                # dictionary the postings store is what the refine
-                # UDF recomputes per row (functions/porter.py)
+                # the build is a one-time cost per REINDEX. The
+                # distinct (surface, stem) pairs are cached so the
+                # dict sidecar rides the same UDF pass as the postings
                 from ..functions.analyzers import ENGLISH_STOPWORDS
                 from ..functions.porter import porter_stem
 
@@ -306,14 +360,29 @@ class IndexManager:
                     return toks.map(porter_stem)
 
                 p = (p.filter(~F.col("tok").isin(*ENGLISH_STOPWORDS))
-                     .withColumn("tok", _pstem("tok")))
+                     .withColumn("stem", _pstem("tok"))
+                     .select("col", F.col("tok").alias("surf"),
+                             "stem", "_file")
+                     .distinct().cache())
+                cached.append(p)
+                d = p.select("col", "surf", "stem").distinct()
+                dicts = d if dicts is None else dicts.unionByName(d)
+                p = p.select("col", F.col("stem").alias("tok"), "_file")
             posts = p if posts is None else posts.unionByName(p)
         (posts.distinct().sort("col", "tok")
          .coalesce(1).write.mode("overwrite").parquet(idx_dir))
+        if dicts is not None:
+            (dicts.sort("col", "surf")
+             .coalesce(1).write.mode("overwrite").parquet(idx_dir + "__dict"))
+        for c in cached:
+            c.unpersist()
         meta = {"name": name, "type": "fts", "columns": columns,
                 "analyzer": analyzer, "watermark_segment": wm}
         if not fuzzy_transpositions:
             meta["fuzzy_transpositions"] = False
+        if analyzer == "porter":
+            meta["dict_fastpath"] = bool(dict_fastpath)
+            meta["dict_fastpath_max"] = int(dict_fastpath_max)
         self._save_meta(meta)
 
     def _build_bloom(self, name: str, columns: list[str],

@@ -496,7 +496,7 @@ def _lucene_regex_to_java(pattern: str) -> str:
 
 
 def _regex_sql(field: str, pattern: str, lowercase: bool = False,
-               english: bool = False) -> str:
+               english: bool = False, stem=None) -> str:
     """Lucene RegexpQuery analogue: some whitespace token matches the
     regex WHOLLY (Lucene anchors regexps to the full term). The
     pattern is the LUCENE regexp dialect (brics): the common path
@@ -520,9 +520,10 @@ def _regex_sql(field: str, pattern: str, lowercase: bool = False,
     pat = java.replace("\\", "\\\\").replace("'", "''")
     if english:
         from .functions.analyzers import stem_sql, stops_sql
+        stem = stem or stem_sql
         arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
                f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
-               f"__t -> {stem_sql('__t')})")
+               f"__t -> {stem('__t')})")
         return f"(exists({arr}, __s -> __s RLIKE '^(?:{pat})$'))"
     if lowercase:
         field = f"lower({field})"
@@ -531,7 +532,8 @@ def _regex_sql(field: str, pattern: str, lowercase: bool = False,
 
 
 def _range_sql(field: str, lo: str, hi: str, lo_inc: bool, hi_inc: bool,
-               lowercase: bool = False, english: bool = False) -> str:
+               lowercase: bool = False, english: bool = False,
+               stem=None) -> str:
     """Token-level range term: some whitespace token of ``field`` is
     lexicographically within [lo, hi] — classic Lucene TermRangeQuery
     semantics (string ordering; numeric point ranges are out of
@@ -543,11 +545,12 @@ def _range_sql(field: str, lo: str, hi: str, lo_inc: bool, hi_inc: bool,
     lo_op, hi_op = (">=" if lo_inc else ">"), ("<=" if hi_inc else "<")
     if english:
         from .functions.analyzers import stem_sql, stops_sql
+        stem = stem or stem_sql
         lo = _sql_lit(lo.lower())
         hi = _sql_lit(hi.lower())
         arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
                f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
-               f"__t -> {stem_sql('__t')})")
+               f"__t -> {stem('__t')})")
         return (f"(exists({arr}, __s -> __s {lo_op} '{lo}' "
                 f"AND __s {hi_op} '{hi}'))")
     if lowercase:
@@ -707,7 +710,8 @@ def _strip_boost(pat: str) -> tuple[str, float]:
     return pat, 1.0
 
 
-def _english_term_sql(field: str, pat: str) -> str | None:
+def _english_term_sql(field: str, pat: str,
+                      stem=None, analyze=None) -> str | None:
     """Term/wildcard predicate under the 'english' analyzer: evaluate
     against the ANALYZED token stream (lowercase → stop-remove → stem,
     functions/analyzers.py) exactly as the postings were built, so
@@ -715,8 +719,12 @@ def _english_term_sql(field: str, pat: str) -> str | None:
     clause is DROPPED, Lucene QueryParser behavior (the analyzer
     returns no token, so the clause vanishes from the BooleanQuery).
     Wildcard patterns match the stemmed token dictionary as-is
-    (Lucene evaluates multi-term queries against index terms)."""
+    (Lucene evaluates multi-term queries against index terms).
+    ``stem``/``analyze`` swap the stemmer (the porter dictionary fast
+    path passes a JVM-side map lookup + porter_analyze)."""
     from .functions.analyzers import analyze_term, stem_sql, stops_sql
+    stem = stem or stem_sql
+    analyze = analyze or analyze_term
     pat = pat.lower()
     body = f"split(lower({field}), '\\\\s+')"
     keep = f"__t != '' AND __t NOT IN ({stops_sql()})"
@@ -725,17 +733,17 @@ def _english_term_sql(field: str, pat: str) -> str | None:
             r"\\S*" if part == "*" else (r"\\S" if part == "?"
                                          else _sql_rx_escape(part))
             for part in re.split(r"([*?])", pat) if part != "")
-        cond = f"({stem_sql('__t')}) RLIKE '^(?:{rx})$'"
+        cond = f"({stem('__t')}) RLIKE '^(?:{rx})$'"
     else:
-        q = analyze_term(pat)
+        q = analyze(pat)
         if q is None:
             return None
-        cond = f"({stem_sql('__t')}) = '{_sql_lit(q)}'"
+        cond = f"({stem('__t')}) = '{_sql_lit(q)}'"
     return f"(exists({body}, __t -> {keep} AND {cond}))"
 
 
 def _english_fuzzy_sql(field: str, term: str, edits: int,
-                       transpositions: bool = True) -> str:
+                       transpositions: bool = True, stem=None) -> str:
     """Fuzzy term under the 'english' analyzer — Lucene semantics:
     FuzzyQuery NORMALIZES the query term (lowercase; normalize() does
     not stem or stop-filter) and expands it against the INDEX terms,
@@ -744,6 +752,7 @@ def _english_fuzzy_sql(field: str, term: str, edits: int,
     same thing: some analyzed (stop-removed, stemmed) token of the
     field within ``edits`` Damerau edits of the lowercased term."""
     from .functions.analyzers import stem_sql, stops_sql
+    stem = stem or stem_sql
     t = term.lower()
     if transpositions:
         pred = _dam_pred_sql("__s", t, edits)
@@ -751,7 +760,7 @@ def _english_fuzzy_sql(field: str, term: str, edits: int,
         pred = f"levenshtein(__s, '{_sql_lit(t)}') <= {edits}"
     arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
            f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
-           f"__t -> {stem_sql('__t')})")
+           f"__t -> {stem('__t')})")
     return f"(exists({arr}, __s -> {pred}))"
 
 
@@ -814,17 +823,20 @@ def _slop_window_sql(arr: str, offs: list[tuple[int, str]],
             f"exists(flatten(array({starts})), __a -> {cond}))))")
 
 
-def _english_sloppy_sql(field: str, phrase: str, slop: int) -> str | None:
+def _english_sloppy_sql(field: str, phrase: str, slop: int,
+                        stem=None, analyze=None) -> str | None:
     """Sloppy phrase under 'english', evaluated over the analyzed
     stream with stop-gap positions, via Lucene's shared slop budget
     with reordering and repeat handling (_slop_window_sql — repeated
     analyzed terms included since round 6)."""
     from .functions.analyzers import (analyze_term, is_stopword, stem_sql,
                                       stops_sql)
+    stem = stem or stem_sql
+    analyze = analyze or analyze_term
     toks = phrase.lower().split()
     if not toks:
         raise ValueError("text_match: empty phrase")
-    terms = [(i, analyze_term(t)) for i, t in enumerate(toks)
+    terms = [(i, analyze(t)) for i, t in enumerate(toks)
              if not is_stopword(t)]
     if not terms:
         return None
@@ -833,11 +845,12 @@ def _english_sloppy_sql(field: str, phrase: str, slop: int) -> str | None:
     arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
            f"__x -> __x != ''), __t -> "
            f"CASE WHEN __t IN ({stops_sql()}) THEN NULL "
-           f"ELSE {stem_sql('__t')} END)")
+           f"ELSE {stem('__t')} END)")
     return _slop_window_sql(arr, offs, slop)
 
 
-def _english_phrase_sql(field: str, phrase: str) -> str | None:
+def _english_phrase_sql(field: str, phrase: str,
+                        stem=None, analyze=None) -> str | None:
     """Exact phrase under the 'english' analyzer, with Lucene's
     StopFilter POSITION GAPS (enablePositionIncrements=true): the
     analyzed doc stream maps every token to its stem but a stopword
@@ -855,10 +868,12 @@ def _english_phrase_sql(field: str, phrase: str) -> str | None:
     pipeline + PhraseQuery positions."""
     from .functions.analyzers import (analyze_term, is_stopword, stem_sql,
                                       stops_sql)
+    stem = stem or stem_sql
+    analyze = analyze or analyze_term
     toks = phrase.lower().split()
     if not toks:
         raise ValueError("text_match: empty phrase")
-    terms = [(i, analyze_term(t)) for i, t in enumerate(toks)
+    terms = [(i, analyze(t)) for i, t in enumerate(toks)
              if not is_stopword(t)]
     if not terms:
         return None
@@ -868,7 +883,7 @@ def _english_phrase_sql(field: str, phrase: str) -> str | None:
     arr = (f"transform(filter(split(lower({field}), '\\\\s+'), "
            f"__x -> __x != ''), __t -> "
            f"CASE WHEN __t IN ({stops_sql()}) THEN NULL "
-           f"ELSE {stem_sql('__t')} END)")
+           f"ELSE {stem('__t')} END)")
     conds = " AND ".join(
         f"element_at(__arr, __p + {o}) = '{_sql_lit(q)}'" if o else
         f"element_at(__arr, __p) = '{_sql_lit(q)}'"
@@ -937,14 +952,42 @@ def _porter_phrase_match(arr: list, offs: list, slop: int) -> bool:
     return False
 
 
+def _porter_stem_map(mapping: dict[str, str]):
+    """surface→stem as a JVM-side map-literal lookup, the ``stem``
+    callable the english compile paths accept: tokens absent from the
+    dictionary (none exist while the index is fresh — sql.Engine only
+    builds the mapping then) pass through unstemmed via coalesce.
+    Identity entries are elided — the coalesce default covers them."""
+    items = ", ".join(
+        f"'{_sql_lit(k)}', '{_sql_lit(v)}'"
+        for k, v in sorted(mapping.items()) if k != v)
+    if not items:
+        return lambda var: var
+    m = f"map({items})"
+    return lambda var: f"coalesce(element_at({m}, {var}), {var})"
+
+
 def _porter_term_sql(field: str, pat: str, phrases: list[str],
                      ranges: list[tuple], regexes: list[str],
-                     transpositions: bool = True) -> str | None:
+                     transpositions: bool = True,
+                     fast: tuple | None = None) -> str | None:
     """Predicate compiler for the 'porter' analyzer — every term type.
-    Porter's measure conditions have no SQL form, so each compiles to
-    a session-registered Arrow-batched UDF (_ensure_porter_udf), the
-    one deliberate Python hot path in the text_match surface. The
-    semantics mirror the 'english' analyzer exactly, stemmer swapped:
+
+    FAST PATH (``fast`` = (covered columns, stem callable), built by
+    Engine._porter_fast from the index's surface→stem dictionary
+    sidecar when the vocabulary is small and the index fresh): the
+    predicate compiles through the SAME pure-SQL shapes the 'english'
+    analyzer uses, with the stemmer swapped for a JVM-side map
+    lookup — no Python in the plan (plan-asserted in
+    tests/test_analyzers.py). Automaton-only regexps (nested &/~)
+    keep the UDF fallback, as under 'english'.
+
+    UDF PATH (large vocabulary, stale index, or opted out via
+    'dict_fastpath'='false'): Porter's measure conditions have no
+    general SQL form, so each term compiles to a session-registered
+    Arrow-batched UDF (_ensure_porter_udf) — the deliberate Python
+    hot path, worker-parallel at cluster scale. The semantics mirror
+    the 'english' analyzer exactly, stemmer swapped:
 
     - term: analyzed (stop-drop → stem) vs the analyzed stream; a
       stopword term drops its clause (Lucene QueryParser);
@@ -957,6 +1000,35 @@ def _porter_term_sql(field: str, pat: str, phrases: list[str],
     - regexp: the Lucene/brics dialect translated then applied
       un-analyzed to the stems."""
     from .functions.porter import porter_analyze
+    if fast and field in fast[0]:
+        stem = fast[1]
+        if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
+            phrase = phrases[int(pm.group(1))]
+            if pm.group(2):
+                return _english_sloppy_sql(field, phrase,
+                                           int(pm.group(2)),
+                                           stem=stem,
+                                           analyze=porter_analyze)
+            return _english_phrase_sql(field, phrase, stem=stem,
+                                       analyze=porter_analyze)
+        if fz := (_parse_fuzzy(pat) if "~" in pat else None):
+            return _english_fuzzy_sql(field, *fz,
+                                      transpositions=transpositions,
+                                      stem=stem)
+        if rm := re.fullmatch(r"\x01(\d+)\x01", pat):
+            return _range_sql(field, *ranges[int(rm.group(1))],
+                              english=True, stem=stem)
+        if xm := re.fullmatch(r"\x02(\d+)\x02", pat):
+            raw = regexes[int(xm.group(1))]
+            try:
+                _lucene_regex_to_java(raw)
+            except _RegexNeedsAutomaton:
+                pass      # automaton-only: the brics UDF path below
+            else:
+                return _regex_sql(field, raw, english=True, stem=stem)
+        elif not re.search(r"[\x00\x01\x02~]", pat):
+            return _english_term_sql(field, pat, stem=stem,
+                                     analyze=porter_analyze)
     if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
         phrase = phrases[int(pm.group(1))]
         slop = int(pm.group(2)) if pm.group(2) else 0
@@ -1012,7 +1084,8 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
               regexes: list[str], lowercase: bool = False,
               english: bool = False,
               transpositions: bool = True,
-              porter: bool = False) -> str | None:
+              porter: bool = False,
+              porter_fast: tuple | None = None) -> str | None:
     """One 'field:pattern' term → SQL predicate (token-boundary RLIKE;
     phrases exact or sloppy; fuzzy via levenshtein HOF; a ^boost
     suffix is stripped — it only affects ranking). ``lowercase``
@@ -1030,7 +1103,7 @@ def _term_sql(tok: str, phrases: list[str], ranges: list[tuple],
     pat, _ = _strip_boost(pat)
     if porter:
         return _porter_term_sql(field, pat, phrases, ranges, regexes,
-                                transpositions)
+                                transpositions, fast=porter_fast)
     if english:
         if pm := re.fullmatch(r"\x00(\d+)\x00(?:~(\d*))?", pat):
             if pm.group(2):
@@ -1112,7 +1185,8 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
                  lowercase: bool = False,
                  english: bool = False,
                  transpositions: bool = True,
-                 porter: bool = False) -> tuple[str | None, int]:
+                 porter: bool = False,
+                 porter_fast: tuple | None = None) -> tuple[str | None, int]:
     """One parenthesis level: operands joined by AND/OR (explicit) or
     adjacency (implicit OR — Lucene's default operator), with NOT as
     strict boolean negation and +/- occur prefixes. When any +/- is
@@ -1157,13 +1231,14 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
         if t == "(":
             sql, i = _parse_group(toks, i + 1, phrases, ranges, regexes,
                                   lowercase, english, transpositions,
-                                  porter)
+                                  porter, porter_fast)
             if i >= len(toks) or toks[i] != ")":
                 raise ValueError("text_match: unbalanced parentheses")
             i += 1
         else:
             sql = _term_sql(t, phrases, ranges or [], regexes or [],
-                            lowercase, english, transpositions, porter)
+                            lowercase, english, transpositions, porter,
+                            porter_fast)
             i += 1
         items.append((conn, occur, negated, sql))
     if not items:
@@ -1211,7 +1286,8 @@ def _parse_group(toks: list[str], i: int, phrases: list[str],
 def _lucene_to_sql(query: str, lowercase: bool = False,
                    english: bool = False,
                    transpositions: bool = True,
-                   porter: bool = False) -> str:
+                   porter: bool = False,
+                   porter_fast: tuple | None = None) -> str:
     """Translate a Lucene-ish text_match query into a whitespace-token
     RLIKE/levenshtein predicate — the exact-refine half of the
     reference's Lucene fine-grain index (LuceneFineGrainIndex.java:
@@ -1232,7 +1308,7 @@ def _lucene_to_sql(query: str, lowercase: bool = False,
     stashed, ranges = _stash_ranges(stashed)
     toks = re.findall(r"\(|\)|[^\s()]+", stashed)
     sql, i = _parse_group(toks, 0, phrases, ranges, regexes, lowercase,
-                          english, transpositions, porter)
+                          english, transpositions, porter, porter_fast)
     if i != len(toks):
         raise ValueError(
             f"text_match: unbalanced parentheses in {query!r}")
@@ -1681,7 +1757,11 @@ class Engine:
                     m.group(1), cols,
                     analyzer=props.get("analyzer", "whitespace"),
                     fuzzy_transpositions=props.get(
-                        "fuzzy_transpositions", "true").lower() != "false")
+                        "fuzzy_transpositions", "true").lower() != "false",
+                    dict_fastpath=props.get(
+                        "dict_fastpath", "true").lower() != "false",
+                    dict_fastpath_max=int(props.get(
+                        "dict_fastpath_max", "2000")))
             elif kind == "ivf":
                 # CREATE INDEX v ON TABLE t (id_col, vec_col) AS 'ivf'
                 if len(cols) != 2:
@@ -1855,6 +1935,37 @@ class Engine:
         kinds = {m.get("analyzer", "whitespace") for m in fts}
         return kinds.pop() if len(kinds) == 1 else "whitespace"
 
+    def _porter_fast(self, text: str) -> tuple | None:
+        """(covered fields, stem callable) for the porter dictionary
+        fast path, or None. Eligible when the queried table's porter
+        FTS index is FRESH (covers every segment — same envelope the
+        file pruning uses) and its surface→stem dictionary sidecar
+        fits 'dict_fastpath_max': porter predicates then compile to
+        the english-analyzer SQL shapes with a JVM-side map lookup as
+        the stemmer, keeping the Arrow UDF out of the plan entirely
+        (the same dictionary-expansion idea fuzzy pruning uses).
+        Multiple porter indexes merge (one stemmer → no conflicts)."""
+        ft = _FROM_TABLE.search(text)
+        if not (ft and ft.group(1) in self.tables()):
+            return None
+        t = self.table(ft.group(1))
+        try:
+            metas = t.indexes.show()
+        except FileNotFoundError:
+            return None
+        cols: set[str] = set()
+        mapping: dict[str, str] = {}
+        for m in metas:
+            if m["type"] != "fts":
+                continue
+            d = t.indexes.porter_dict(m)
+            if d is not None:
+                cols.update(d[0])
+                mapping.update(d[1])
+        if not cols:
+            return None
+        return frozenset(cols), _porter_stem_map(mapping)
+
     def _fts_fuzzy_transpositions(self, text: str) -> bool:
         """False only when EVERY fts index on the queried table sets
         'fuzzy_transpositions'='false' (else the richer Damerau
@@ -1874,6 +1985,7 @@ class Engine:
     def _build_tm_limited(self, tbl: str, q: str, n: int,
                           lc: bool = False, eng: bool = False,
                           trans: bool = True, por: bool = False,
+                          pfast: tuple | None = None,
                           segments: list[int] | None = None) -> None:
         """Materialize ``__tm_limited``: the top-``n`` rows of ``tbl``
         matching Lucene-ish query ``q``, ordered by BM25 relevance —
@@ -1899,7 +2011,8 @@ class Engine:
         # analyzed token stream (stemmed tf, post-stop dl) — Lucene's
         # behavior when the field analyzer is EnglishAnalyzer
         pred = F.expr(_lucene_to_sql(q, lowercase=lc, english=eng,
-                                     transpositions=trans, porter=por))
+                                     transpositions=trans, porter=por,
+                                     porter_fast=pfast))
         by_field = self._scorable_terms(q)
         if not by_field:
             base.filter(pred).limit(n) \
@@ -1991,7 +2104,10 @@ class Engine:
         lc = an == "standard"
         eng = an == "english"
         por = an == "porter"
+        pfast = self._porter_fast(text) if por else None
         if por:
+            # registration is a cheap no-op and stays available for
+            # the automaton-only regexp fallback even on the fast path
             _ensure_porter_udf(self.spark)
         if "text_match" in text.lower() and ":/" in text:
             # a regexp term MAY need the brics span matcher (nested
@@ -1999,7 +2115,7 @@ class Engine:
             _ensure_brics_udf(self.spark)
         trans = (self._fts_fuzzy_transpositions(text)
                  if "text_match" in text.lower() else True)
-        tm_limit: tuple[str, str, int, bool, bool, bool, bool] | None = None
+        tm_limit: tuple | None = None  # (tbl, q, n, lc, eng, trans, por, pfast)
         if "text_match_with_limit" in text.lower():
             m = _TEXT_MATCH_LIMIT_SOLE.search(text)
             if not m:
@@ -2013,13 +2129,13 @@ class Engine:
             # BM25 relevance (Lucene returns the top-N SCORED hits,
             # LuceneFineGrainIndex.java:63-204), falling back to an
             # arbitrary-N cut when no term is scorable
-            tm_limit = (tbl, q, n, lc, eng, trans, por)
+            tm_limit = (tbl, q, n, lc, eng, trans, por, pfast)
             sub = f"FROM __tm_limited {tbl} WHERE TRUE {tail or ''}"
             text = text[:m.start()] + sub + text[m.end():]
         text = _TEXT_MATCH_FN.sub(
             lambda m: _lucene_to_sql(m.group(1), lowercase=lc,
                                      english=eng, transpositions=trans,
-                                     porter=por), text)
+                                     porter=por, porter_fast=pfast), text)
 
         def _ts(m: re.Match) -> str:
             from .functions.timeseries import _MINUTE_BUCKETS

@@ -597,3 +597,70 @@ def test_brics_fallback_end_to_end(spark, tmp_path):
     eng.sql("CREATE INDEX bxe ON TABLE bx (body) AS 'lucene' "
             "PROPERTIES('analyzer'='english')")
     assert ids('body:/(merg.*&.*e)/') == [1, 2, 4]
+
+
+# ------------------------------------------- porter dictionary fast path
+
+def test_porter_dict_fastpath_plan_and_parity(spark, tmp_path):
+    """Porter dictionary fast path (sql.Engine._porter_fast): with a
+    FRESH porter index whose surface→stem dictionary sidecar fits
+    'dict_fastpath_max', every SQL-expressible term type compiles to
+    pure Spark SQL — NO Python UDF in the executed plan — and returns
+    exactly what the Arrow-UDF path ('dict_fastpath'='false') returns.
+    Automaton-only regexps keep the UDF fallback; a stale index
+    (segment loaded after the build) disables the fast path until
+    REINDEX."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    for t, prop in (("pf", "'analyzer'='porter'"),
+                    ("pu", "'analyzer'='porter',"
+                           "'dict_fastpath'='false'")):
+        eng.sql(f"CREATE TABLE {t} (id INT, body STRING)")
+        eng.sql(f"INSERT INTO {t} SELECT * FROM VALUES "
+                "(1,'the motoring caresses'),(2,'motor cares'),"
+                "(3,'relational databases'),(4,'relate to nothing') "
+                "t(id,b)")
+        eng.sql(f"CREATE INDEX {t}x ON TABLE {t} (body) AS 'lucene' "
+                f"PROPERTIES({prop})")
+
+    def run(t, q):
+        df = eng.sql(f"SELECT id FROM {t} WHERE text_match('{q}')")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sorted(r["id"] for r in df.collect()), plan
+
+    for q in ('body:Motoring', 'body:caresses AND body:motors',
+              'body:motor*', 'body:"motoring cares"',
+              'body:"relate databases"~2', 'body:motoq~1',
+              'body:[cara TO carf]', 'body:/relat/'):
+        fast_ids, fast_plan = run("pf", q)
+        udf_ids, udf_plan = run("pu", q)
+        assert fast_ids == udf_ids, q
+        assert "EvalPython" not in fast_plan, f"UDF leaked into {q}"
+        assert "EvalPython" in udf_plan, f"opt-out ignored for {q}"
+    # nested &: automaton-only — the brics/porter UDF fallback stays
+    ids_, plan = run("pf", 'body:/(rel.*&.*t)/')
+    assert ids_ == [3, 4] and "EvalPython" in plan
+    # staleness: a segment loaded AFTER the build leaves the fast
+    # path (its tokens are not in the dictionary) until REINDEX
+    eng.sql("INSERT INTO pf SELECT * FROM VALUES "
+            "(5,'motorized units') t(i,b)")
+    ids_, plan = run("pf", 'body:units')
+    assert ids_ == [5] and "EvalPython" in plan
+    eng.sql("REINDEX ON pf")
+    ids_, plan = run("pf", 'body:units')
+    assert ids_ == [5] and "EvalPython" not in plan
+
+
+def test_porter_dict_fastpath_cap(spark, tmp_path):
+    """'dict_fastpath_max' below the vocabulary size keeps the UDF
+    path — the cap is the caller's scale lever (a 100 TB corpus
+    vocabulary would never fit a map literal)."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE pc (id INT, body STRING)")
+    eng.sql("INSERT INTO pc SELECT * FROM VALUES "
+            "(1,'motoring caresses'),(2,'motor cares') t(id,b)")
+    eng.sql("CREATE INDEX pcx ON TABLE pc (body) AS 'lucene' "
+            "PROPERTIES('analyzer'='porter','dict_fastpath_max'='2')")
+    df = eng.sql("SELECT id FROM pc WHERE text_match('body:motoring')")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    assert "EvalPython" in plan  # 4 distinct surfaces > cap of 2
