@@ -188,19 +188,23 @@ class Table:
         self._set_schema(StructType(fields))
 
     def _align_to_schema(self, df: DataFrame,
-                         era_fills: dict | None = None) -> DataFrame:
+                         era_fills: dict | None = None,
+                         passthrough: Sequence[str] = ()) -> DataFrame:
         """Project any file-era schema onto the current table schema:
         apply the rename chain, fill era-applicable defaults, drop
         extras, cast to declared types in declared order. ``era_fills``
         maps column → default for columns added AFTER every file in
-        this df was written (so an unconditional fill is exact)."""
+        this df was written (so an unconditional fill is exact).
+        ``passthrough`` columns (row-identity metadata for the
+        merge-on-read IUD path) survive the projection unchanged."""
         doc = self.manifest.load()
         struct = self._schema_struct()
         declared = struct.fieldNames()
         renames = doc.get("column_renames", [])
         era_fills = era_fills or {}
         same_shape = [(f.name, f.dataType.simpleString()) for f in struct.fields] \
-            == [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            == [(f.name, f.dataType.simpleString())
+                for f in df.schema.fields if f.name not in set(passthrough)]
         if not renames and not era_fills and same_shape:
             return df
         have = set(df.columns)
@@ -228,6 +232,7 @@ class Table:
             else:
                 cols.append(F.lit(era_fills.get(f.name))
                             .cast(f.dataType).alias(f.name))
+        cols.extend(F.col(c) for c in passthrough if c in df.columns)
         return df.select(*cols)
 
     # ----------------------------------------------------------------- load
@@ -644,6 +649,10 @@ class Table:
                 if s["status"] in (SegmentStatus.SUCCESS, SegmentStatus.STREAMING,
                                    SegmentStatus.STREAMING_FINISH):
                     s["status"] = SegmentStatus.MARKED_FOR_DELETE
+            # merge-on-read delete deltas reference the truncated
+            # files; the sidecars become unreferenced (CLEAN FILES
+            # sweeps them physically)
+            doc.pop("delete_deltas", None)
         self.manifest.update(mutate)
 
     # ----------------------------------------------------------------- read
@@ -717,12 +726,49 @@ class Table:
         """Available manifest versions for time travel."""
         return self.manifest.versions()
 
+    # broadcast the delete-delta side of the merge-on-read anti-join
+    # while it comfortably fits executor memory ((path, pos) rows,
+    # ~64 B each → ~256 MB); beyond that Spark's planner picks a
+    # shuffled anti-join on (file, pos) — both sides scale out
+    _DELTA_BROADCAST_ROWS = 4_000_000
+
+    def _delete_delta_df(self, doc: dict) -> DataFrame | None:
+        """Union of the table's delete-delta sidecars as a
+        (__dd_f, __dd_p) DataFrame for the read-path anti-join, or
+        None when the table has no deltas (the common case costs
+        nothing — no plan change at all). Merge-on-read analogue of
+        the reference's per-block delete-delta bitmaps
+        (core/.../mutate/CarbonUpdateUtil.java, DeleteDeltaBlockDetails)."""
+        deltas = doc.get("delete_deltas") or []
+        if not deltas:
+            return None
+        dd = (self.spark.read.parquet(
+                  *[self._abs(d["path"]) for d in deltas])
+              .select(F.col("file").alias("__dd_f"),
+                      F.col("pos").alias("__dd_p")))
+        if sum(d["rows"] for d in deltas) <= self._DELTA_BROADCAST_ROWS:
+            dd = F.broadcast(dd)
+        return dd
+
+    def _rowpos_cols(self, df: DataFrame) -> DataFrame:
+        """Attach (__dd_f, __dd_p): table-relative file path + stable
+        in-file row position from the parquet reader's _metadata
+        hidden column — the engine's tuple identity for merge-on-read
+        (reference tupleId, CarbonUpdateUtil.getSegmentWithBlockFromTID)."""
+        prefix = os.path.abspath(self.table_dir) + os.sep
+        norm = F.regexp_replace(F.col("_metadata.file_path"),
+                                "^file:/+", "/")
+        return df.withColumns({
+            "__dd_f": F.substring(norm, len(prefix) + 1, (1 << 31) - 1),
+            "__dd_p": F.col("_metadata.row_index")})
+
     def read(self, predicates: Sequence[Predicate] | None = None,
              segments: list[int] | None = None,
              apply_predicates: bool = True,
              use_indexes: bool = True,
              as_of: int | None = None,
-             bucket_id: int | None = None) -> DataFrame:
+             bucket_id: int | None = None,
+             with_rowpos: bool = False) -> DataFrame:
         """Scan with driver-side pruning; mixed-format segments are
         unioned by name (reference MixedFormatHandler.scala:55-230).
         Spark re-evaluates predicates exactly — pruning is only a skip.
@@ -734,8 +780,19 @@ class Table:
         ``bucket_id=b`` restricts the scan to files of hash bucket b
         (for the bucket-map join in ``operators.bucketed``); requires
         every queryable file to carry bucket info — a mixed pre/post
-        bucketing history would silently drop rows otherwise."""
+        bucketing history would silently drop rows otherwise.
+
+        ``with_rowpos=True`` keeps the (__dd_f, __dd_p) row-identity
+        columns on the result (parquet segments only) — the
+        merge-on-read IUD path's tuple id.
+
+        Merge-on-read delete deltas (``'iud.mode'='mor'`` tables) are
+        applied here, so every consumer — query, index build, FTS
+        refine, MV refresh, compaction rewrite — sees post-delete
+        rows. Deltas live in the manifest doc, so ``as_of`` reads
+        apply exactly the deltas known at that version."""
         doc = self.manifest.load(as_of, _attach=False)
+        dd_df = self._delete_delta_df(doc)
         defaults = doc.get("column_defaults", {})
         # SI/bloom indexes describe the CURRENT file set — using them to
         # prune a historical snapshot could drop rewritten-away files
@@ -813,10 +870,24 @@ class Table:
                 part = self.spark.read.json(files)
             else:
                 raise ValueError(f"unsupported segment format {fmt}")
+            keep_pos = ()
+            if fmt == "parquet" and (dd_df is not None or with_rowpos):
+                part = self._rowpos_cols(part)
+                keep_pos = ("__dd_f", "__dd_p")
+                if dd_df is not None:
+                    part = part.join(dd_df, ["__dd_f", "__dd_p"],
+                                     "left_anti")
+                if not with_rowpos:
+                    part = part.drop("__dd_f", "__dd_p")
+                    keep_pos = ()
+            elif with_rowpos:
+                raise ValueError(
+                    "with_rowpos/merge-on-read IUD requires parquet "
+                    f"segments; found format {fmt!r}")
             for c, v in ext_spec:
                 part = part.withColumn(c, F.lit(v))
             dfs.append(self._align_to_schema(
-                part, {c: v for c, _, v in fills}))
+                part, {c: v for c, _, v in fills}, passthrough=keep_pos))
         if not dfs:
             # fully-pruned scan: build the empty relation JVM-side —
             # createDataFrame([], ddl) is RDD-backed (Scan ExistingRDD
@@ -825,9 +896,12 @@ class Table:
             # LocalRelation, so "index pruned everything" costs ~nothing
             from pyspark.sql.types import _parse_datatype_string
             st = _parse_datatype_string(self.schema_ddl())
-            return self.spark.range(0).select(
-                *[F.lit(None).cast(f.dataType).alias(f.name)
-                  for f in st.fields])
+            cols = [F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in st.fields]
+            if with_rowpos:
+                cols += [F.lit(None).cast("string").alias("__dd_f"),
+                         F.lit(None).cast("bigint").alias("__dd_p")]
+            return self.spark.range(0).select(*cols)
         df = dfs[0]
         for other in dfs[1:]:
             df = df.unionByName(other, allowMissingColumns=True)
@@ -864,11 +938,21 @@ class Table:
 
     def count(self, segments: list[int] | None = None) -> int:
         """Metadata-only count(*) (CarbonCountStar analogue). Falls back
-        to a scan for formats without footer counts."""
+        to a scan for formats without footer counts. Merge-on-read
+        delete deltas subtract exactly: every delta row references a
+        file of a currently-queryable segment (any file-dropping op —
+        compaction, MERGE rewrite, DELETE SEGMENT — re-trims the
+        consolidated delta, operators/mor.py), so total = footer rows
+        − delta rows. Segment-scoped counts under deltas scan (the
+        delta's per-segment attribution isn't in the manifest)."""
+        deltas = self.manifest.load().get("delete_deltas") or []
+        if deltas and segments is not None:
+            return self.read(segments=segments).count()
         segs = self.manifest.queryable_segments(segments)
         if any(f.rows < 0 for s in segs for f in s.files):
             return self.read(segments=segments).count()
-        return sum(f.rows for s in segs for f in s.files)
+        return sum(f.rows for s in segs for f in s.files) \
+            - sum(d["rows"] for d in deltas)
 
     # ------------------------------------------------------- segment mgmt
 
@@ -899,6 +983,7 @@ class Table:
                 if s["id"] in wanted and s["status"] == SegmentStatus.SUCCESS:
                     s["status"] = SegmentStatus.MARKED_FOR_DELETE
         self.manifest.update(mutate)
+        self._trim_deltas()
 
     def delete_segment_by_date(self, before_ts: float) -> None:
         def mutate(doc: dict) -> None:
@@ -906,6 +991,15 @@ class Table:
                 if s["status"] == SegmentStatus.SUCCESS and s["load_time"] < before_ts:
                     s["status"] = SegmentStatus.MARKED_FOR_DELETE
         self.manifest.update(mutate)
+        self._trim_deltas()
+
+    def _trim_deltas(self) -> None:
+        """Re-consolidate merge-on-read delete deltas after an op that
+        dropped files from the queryable set, preserving the count()
+        invariant (every delta row references a live file)."""
+        if self.manifest.load().get("delete_deltas"):
+            from ..operators.mor import horizontal_compact
+            horizontal_compact(self, force=True)
 
     def clean_files(self) -> int:
         """Physically delete data of MARKED_FOR_DELETE / COMPACTED
@@ -932,6 +1026,19 @@ class Table:
                 if os.path.exists(p):
                     os.unlink(p)
                 cleaned["n_orphans"] = cleaned.get("n_orphans", 0) + 1
+            # merge-on-read delta sidecars not referenced by the
+            # CURRENT doc (superseded by horizontal compaction, or
+            # crash-orphaned before their manifest commit): time
+            # travel is documented as valid only until CLEAN FILES
+            live = {os.path.basename(d["path"])
+                    for d in doc.get("delete_deltas", [])}
+            dd_root = os.path.join(self.table_dir, "deletedelta")
+            if os.path.isdir(dd_root):
+                for name in os.listdir(dd_root):
+                    if name not in live:
+                        shutil.rmtree(os.path.join(dd_root, name),
+                                      ignore_errors=True)
+                        cleaned["n_orphans"] = cleaned.get("n_orphans", 0) + 1
         self.manifest.update(mutate)
         # crash-leftover stats sidecars (committed sidecar, uncommitted
         # JSON) are unreferenced by every version — safe to drop
@@ -945,8 +1052,15 @@ class Table:
         """Compaction (reference CompactionType.java:26-37,
         CarbonTableCompactor.scala). MINOR merges ≥ threshold adjacent
         loads, MAJOR merges all SUCCESS segments below the size cap,
-        CUSTOM merges the given ids. Returns new segment id or None."""
+        CUSTOM merges the given ids, HORIZONTAL consolidates
+        merge-on-read delete deltas without touching data files
+        (reference HorizontalCompaction.scala). Returns new segment
+        id or None."""
         kind = kind.lower()
+        if kind == "horizontal":
+            from ..operators.mor import horizontal_compact
+            horizontal_compact(self, force=True)
+            return None
         segs = [s for s in self.manifest.segments({SegmentStatus.SUCCESS})
                 if s.format == "parquet" and not s.external_path]
         if kind == "custom":
@@ -998,4 +1112,9 @@ class Table:
 
         self.manifest.update(mutate)
         shutil.rmtree(tmp, ignore_errors=True)
+        # the merged segment read through read() already excludes
+        # merge-on-read deleted rows; delta rows referencing the
+        # now-COMPACTED sources are stale — re-trim so count() math
+        # and the read-path anti-join stay minimal
+        self._trim_deltas()
         return new_id["id"]

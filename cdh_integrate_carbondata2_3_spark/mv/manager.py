@@ -154,6 +154,21 @@ class MVManager:
 
     # -------------------------------------------------------------- refresh
 
+    def invalidate_all(self) -> None:
+        """IUD on the source table invalidates every MV's incremental
+        state: watermark drops to -1, so ``show()`` reports stale (the
+        rewrite path skips it) and the next refresh is forced FULL.
+        Reference behavior: IUD disables/marks-stale dependent MVs
+        until refresh."""
+        if not os.path.isdir(self.mv_root):
+            return
+        for f in os.listdir(self.mv_root):
+            if f.endswith(".json"):
+                meta = self._load(f[:-5])
+                if meta.watermark >= 0:
+                    meta.watermark = -1
+                    self._save(meta)
+
     def refresh(self, name: str, incremental: bool = True) -> None:
         """REFRESH MATERIALIZED VIEW. Incremental: aggregate only
         source segments loaded since the last watermark and merge by

@@ -41,21 +41,55 @@ def _norm_file(uri: str) -> str:
     return unquote(p.path) if p.scheme else uri
 
 
+def _scan_touched(table: Table, touched: list[str]) -> DataFrame:
+    """Raw rescan of touched files for a CoW rewrite, minus any
+    merge-on-read deleted rows — a rewrite on a table carrying delete
+    deltas (MERGE on a mor table, or a mode switch with live deltas)
+    must not resurrect them."""
+    scan = table.spark.read.parquet(*touched)
+    dd = table._delete_delta_df(table.manifest.load())
+    if dd is not None:
+        scan = (table._rowpos_cols(scan)
+                .join(dd, ["__dd_f", "__dd_p"], "left_anti")
+                .drop("__dd_f", "__dd_p"))
+    return scan
+
+
+def read_with_file(table: Table, predicates=None) -> DataFrame:
+    """``table.read()`` plus a ``_file`` column holding each row's
+    absolute source file path. Plain scans use ``input_file_name()``
+    (captured at scan time); a table carrying merge-on-read delete
+    deltas has a join in its read plan — where Spark rejects
+    input_file_name() — so the path is rebuilt from the rowpos
+    metadata column instead."""
+    if table.manifest.load().get("delete_deltas"):
+        df = table.read(predicates=predicates, with_rowpos=True)
+        prefix = os.path.abspath(table.table_dir) + os.sep
+        return (df.withColumn("_file", F.concat(F.lit(prefix),
+                                                F.col("__dd_f")))
+                .drop("__dd_f", "__dd_p"))
+    return table.read(predicates=predicates).withColumn(
+        "_file", F.input_file_name())
+
+
 def find_touched_files(table: Table, condition: str,
                        predicates=None) -> list[str]:
     """Files that contain at least one row matching ``condition``.
     Driver collects only file *names* (bounded by file count)."""
-    df = table.read(predicates=predicates).withColumn("_file", F.input_file_name())
-    rows = (df.filter(F.expr(condition))
+    rows = (read_with_file(table, predicates).filter(F.expr(condition))
             .select("_file").distinct().collect())
     return [_norm_file(r["_file"]) for r in rows]
 
 
 def _replace_files(table: Table, touched_abs: list[str],
-                   rewritten: DataFrame | None, source: str) -> None:
+                   rewritten: DataFrame | None, source: str,
+                   extra_mutate=None) -> None:
     """Commit protocol shared by UPDATE/DELETE/MERGE: write rewritten
     rows (if any) as a new segment dir, then in ONE manifest swap drop
-    the touched file entries and append the new segment."""
+    the touched file entries and append the new segment.
+    ``extra_mutate(doc)`` rides the same swap (the merge-on-read
+    UPDATE path commits its delete-delta entry atomically with the
+    updated-rows segment)."""
     touched = set(touched_abs)
 
     new_files_info: list = []
@@ -99,26 +133,53 @@ def _replace_files(table: Table, touched_abs: list[str],
             doc["segments"].append(Segment(
                 id=seg_id, status=SegmentStatus.SUCCESS, format="parquet",
                 files=stats, load_time=_time.time(), source=source).to_json())
+        if extra_mutate is not None:
+            extra_mutate(doc)
 
     table.manifest.update(mutate)
     if tmp is not None:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
+    if touched_abs and table.manifest.load().get("delete_deltas"):
+        # a rewrite dropped files a merge-on-read delta may reference
+        # (MERGE on a mor table) — re-trim to keep count() exact
+        table._trim_deltas()
+
+
+def _is_mor(table: Table) -> bool:
+    return str(table.manifest.properties().get(
+        "iud.mode", "cow")).lower() == "mor"
+
+
+def _invalidate_mvs(table: Table) -> None:
+    """IUD changes data without necessarily adding a segment, so the
+    MV segment-watermark staleness test alone can miss it — force
+    every MV stale (reference: IUD sets the MV disabled/stale,
+    MVManager status handling) so rewrite falls back to the source
+    until the next (full) refresh."""
+    from ..mv.manager import MVManager
+    MVManager(table).invalidate_all()
 
 
 def delete_rows(table: Table, condition: str, predicates=None) -> int:
     """DELETE FROM t WHERE condition. Returns deleted row count.
     (reference: parser CarbonSpark2SqlParser.scala:239-257,
-    DeleteExecution.scala)."""
+    DeleteExecution.scala). Tables with ``'iud.mode'='mor'`` take the
+    merge-on-read delta path (operators/mor.py) instead of
+    copy-on-write."""
+    if _is_mor(table):
+        from .mor import delete_rows_mor
+        return delete_rows_mor(table, condition, predicates)
     _check_mutable(table)
     touched = find_touched_files(table, condition, predicates)
     if not touched:
         return 0
-    scan = table.spark.read.parquet(*touched)
+    scan = _scan_touched(table, touched)
     n_before = scan.count()
     keep = scan.filter(~F.expr(condition))
     n_kept = keep.count()
     _replace_files(table, touched, keep if n_kept else None, "delete")
+    _invalidate_mvs(table)
     return n_before - n_kept
 
 
@@ -126,12 +187,16 @@ def update_rows(table: Table, set_exprs: dict[str, str],
                 condition: str = "true", predicates=None) -> int:
     """UPDATE t SET col = expr, ... WHERE condition. Returns updated
     row count. (reference: parser CarbonSpark2SqlParser.scala:259-300,
-    CarbonProjectForUpdateCommand)."""
+    CarbonProjectForUpdateCommand). ``'iud.mode'='mor'`` tables take
+    the merge-on-read path."""
+    if _is_mor(table):
+        from .mor import update_rows_mor
+        return update_rows_mor(table, set_exprs, condition, predicates)
     _check_mutable(table)
     touched = find_touched_files(table, condition, predicates)
     if not touched:
         return 0
-    scan = table.spark.read.parquet(*touched)
+    scan = _scan_touched(table, touched)
     cond = F.expr(condition)
     n_updated = scan.filter(cond).count()
     cols = []
@@ -142,4 +207,5 @@ def update_rows(table: Table, set_exprs: dict[str, str],
         else:
             cols.append(F.col(name))
     _replace_files(table, touched, scan.select(*cols), "update")
+    _invalidate_mvs(table)
     return n_updated

@@ -146,11 +146,13 @@ class MergeBuilder:
         need_match_scan = bool(self.matched) or bool(self.not_matched_by_source)
         touched: list[str] = []
         if need_match_scan:
+            from .dml import read_with_file
             if self.not_matched_by_source:
                 # clauses keyed on target-only rows can touch any file
                 touched = sorted({
-                    _norm_file(r["f"]) for r in
-                    tgt_all.select(F.input_file_name().alias("f")).distinct().collect()})
+                    _norm_file(r["_file"]) for r in
+                    read_with_file(self.target)
+                    .select("_file").distinct().collect()})
             else:
                 # capture file name at scan time — input_file_name() is
                 # empty when evaluated above a join
@@ -162,8 +164,7 @@ class MergeBuilder:
                     if mm["lo"] is not None:
                         preds = [(self.key_hint, "between",
                                   (mm["lo"], mm["hi"]))]
-                tgt_f = self.target.read(predicates=preds).withColumn(
-                    "_file", F.input_file_name()).alias("tgt")
+                tgt_f = read_with_file(self.target, preds).alias("tgt")
                 touched = sorted({
                     _norm_file(r["_file"]) for r in
                     (tgt_f.join(src, self.condition, "left_semi")
@@ -171,7 +172,8 @@ class MergeBuilder:
 
         rewritten = None
         if touched:
-            scan = spark.read.parquet(*touched).alias("tgt")
+            from .dml import _scan_touched
+            scan = _scan_touched(self.target, touched).alias("tgt")
             joined = scan.join(src, self.condition, "left").cache()
 
             is_matched = F.col("src._src_exists").isNotNull()
@@ -266,6 +268,10 @@ class MergeBuilder:
             if inserts is not None:
                 new_data = inserts if new_data is None else new_data.unionByName(inserts)
             _replace_files(self.target, touched, new_data, "merge")
+            if touched:
+                # data changed in place — incremental MV state is void
+                from .dml import _invalidate_mvs
+                _invalidate_mvs(self.target)
         return stats
 
 

@@ -1,0 +1,176 @@
+"""Merge-on-read UPDATE / DELETE via delete-delta sidecars.
+
+The reference's native IUD design: DELETE writes per-block
+delete-delta bitmaps and the query path subtracts them at read time;
+accumulated deltas are merged by horizontal compaction
+(reference: core/src/main/java/org/apache/carbondata/core/mutate/
+CarbonUpdateUtil.java, DeleteDeltaBlockDetails;
+integration/spark/.../mutation/HorizontalCompaction.scala;
+DeleteExecution.scala:60-144 block/tupleId grouping).
+
+Spark-first re-expression — tables with ``'iud.mode'='mor'``:
+
+- **Tuple identity** is (table-relative file path, parquet
+  ``_metadata.row_index``) — the columnar reader's stable in-file
+  position, the exact analogue of the reference tupleId without any
+  generated column materialized in the data.
+- **DELETE** scans only what the manifest/min-max/index pruning
+  leaves (deltas applied, so re-deleting is idempotent), and writes
+  the matching (file, pos) pairs as a parquet sidecar under
+  ``deletedelta/`` — O(deleted rows) bytes, versus copy-on-write's
+  O(touched files) rewrite. The manifest swap is the commit point.
+- **UPDATE** = delete delta for the old versions + a fresh segment
+  with the updated rows, committed in ONE manifest swap.
+- **Read** applies deltas centrally in ``Table.read`` as a
+  broadcast anti-join on (file, pos) while the delta side is small
+  (manifest row counts decide driver-side — no extra job), falling
+  back to a shuffled anti-join for pathological delete volumes.
+- **Horizontal compaction** consolidates the delta list to one
+  sidecar (auto-triggered past ``horizontal_compaction_threshold``,
+  default 4) and trims rows whose file left the queryable set —
+  keeping the read-path join input minimal and the metadata-only
+  count() subtraction exact.
+
+At 100 TB the cost profile: a DELETE of k rows costs one pruned scan
++ k delta rows; every subsequent read pays one anti-join whose build
+side is the live delta (usually broadcast); MAJOR compaction applies
+deltas physically because its rewrite reads through ``Table.read``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..catalog.table import Table
+
+DELTA_DIR = "deletedelta"
+
+
+def _check_mor(table: Table) -> None:
+    from .dml import _check_mutable
+    _check_mutable(table)
+    bad = {s.format for s in table.manifest.queryable_segments()} - {"parquet"}
+    if bad:
+        raise ValueError(
+            "merge-on-read IUD needs parquet segments (row positions "
+            f"come from the parquet reader); table has {sorted(bad)} — "
+            "use 'iud.mode'='cow'")
+
+
+def _write_delta(table: Table, hits) -> tuple[str, int] | None:
+    """Write (file, pos) pairs as a delta sidecar; returns
+    (relative path, row count) or None when nothing matched. The row
+    count comes from the written parquet footers (no second scan);
+    sorting by (file, pos) gives the sidecar min/max locality."""
+    rel = os.path.join(DELTA_DIR, f"dd_{uuid.uuid4().hex}")
+    out = os.path.join(table.table_dir, rel)
+    (hits.select(F.col("__dd_f").alias("file"),
+                 F.col("__dd_p").cast("bigint").alias("pos"))
+     .sort("file", "pos").write.mode("overwrite").parquet(out))
+    import pyarrow.parquet as pq
+    n = sum(pq.read_metadata(os.path.join(out, f)).num_rows
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    if n == 0:
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        return None
+    return rel, n
+
+
+def _append_delta(doc: dict, rel: str, rows: int) -> None:
+    doc.setdefault("delete_deltas", []).append(
+        {"path": rel, "rows": int(rows)})
+
+
+def _threshold(table: Table) -> int:
+    return int(table.manifest.properties().get(
+        "horizontal_compaction_threshold", 4))
+
+
+def delete_rows_mor(table: Table, condition: str, predicates=None) -> int:
+    """DELETE FROM t WHERE condition, merge-on-read. Returns deleted
+    row count. No data file is read beyond the pruned matching set
+    and none is rewritten."""
+    _check_mor(table)
+    scan = table.read(predicates=predicates, with_rowpos=True)
+    delta = _write_delta(table, scan.filter(F.expr(condition)))
+    if delta is None:
+        return 0
+    rel, n = delta
+
+    def mutate(doc: dict) -> None:
+        _append_delta(doc, rel, n)
+
+    table.manifest.update(mutate)
+    _invalidate_mvs(table)
+    if len(table.manifest.load().get("delete_deltas", [])) > _threshold(table):
+        horizontal_compact(table, force=True)
+    return n
+
+
+def update_rows_mor(table: Table, set_exprs: dict[str, str],
+                    condition: str = "true", predicates=None) -> int:
+    """UPDATE t SET col = expr, ... WHERE condition, merge-on-read:
+    old row versions join the delete delta, updated rows land in a
+    fresh segment — one atomic manifest swap commits both."""
+    _check_mor(table)
+    scan = table.read(predicates=predicates, with_rowpos=True)
+    hits = scan.filter(F.expr(condition)).cache()
+    try:
+        delta = _write_delta(table, hits)
+        if delta is None:
+            return 0
+        rel, n = delta
+        fields = table._schema_struct().fields
+        updated = hits.select(*[
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs else F.col(f.name) for f in fields])
+        from .dml import _replace_files
+        _replace_files(table, [], updated, "update",
+                       extra_mutate=lambda doc: _append_delta(doc, rel, n))
+    finally:
+        hits.unpersist()
+    _invalidate_mvs(table)
+    if len(table.manifest.load().get("delete_deltas", [])) > _threshold(table):
+        horizontal_compact(table, force=True)
+    return n
+
+
+def horizontal_compact(table: Table, force: bool = False) -> None:
+    """Consolidate all delete-delta sidecars into one, dropping rows
+    whose file is no longer in a queryable segment (post data
+    compaction / DELETE SEGMENT / MERGE rewrite) and duplicates.
+    Reference HorizontalCompaction.scala — auto-run after IUD past a
+    threshold; ours also restores the count() invariant after any
+    file-dropping operation (Table._trim_deltas)."""
+    doc = table.manifest.load()
+    deltas = doc.get("delete_deltas") or []
+    if not deltas or (len(deltas) < 2 and not force):
+        return
+    live = [f.path for s in table.manifest.queryable_segments()
+            for f in s.files]
+    dd = (table.spark.read.parquet(*[table._abs(d["path"]) for d in deltas])
+          .distinct())
+    live_df = table.spark.createDataFrame(
+        [(p,) for p in live], "file string")
+    dd = dd.join(F.broadcast(live_df), "file", "left_semi") \
+        .withColumnRenamed("file", "__dd_f").withColumnRenamed("pos", "__dd_p")
+    merged = _write_delta(table, dd)
+
+    def mutate(d: dict) -> None:
+        d["delete_deltas"] = (
+            [{"path": merged[0], "rows": merged[1]}] if merged else [])
+        if not d["delete_deltas"]:
+            d.pop("delete_deltas", None)
+
+    table.manifest.update(mutate)
+    # superseded sidecars stay on disk for time travel until CLEAN FILES
+
+
+def _invalidate_mvs(table: Table) -> None:
+    from ..mv.manager import MVManager
+    MVManager(table).invalidate_all()

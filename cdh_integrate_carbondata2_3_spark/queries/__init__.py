@@ -88,7 +88,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # local-frontier fix, the editdist_join single-pass guard, the
 # porter small-vocabulary fast path (touches every porter compile
 # path), and the sloppy-window repeat handling (touches the
-# whitespace+english sloppy paths).
+# whitespace+english sloppy paths). The never-stamped merge-on-read
+# gates (table_delete_mor / table_update_mor) sort ahead of this
+# list automatically; the 50-slot cap then drops the final two
+# entries (both r5-stamped, lowest re-stamp value) to the next
+# round.
 _ROTATE_BACK_IN: tuple[str, ...] = (
     # (1) the 39 round-2-stale driver rows
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",

@@ -87,6 +87,66 @@ def table_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("qty").cast("double").alias("sum_qty")))
 
 
+@query("table_delete_mor", oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(qty) AS DOUBLE) AS sum_qty
+FROM {_SUBSET_SQL} s
+WHERE NOT (qty < 10) AND NOT (l_linenumber = 7)
+GROUP BY l_returnflag
+""")
+def table_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (reference delete-delta bitmaps +
+    HorizontalCompaction.scala; operators/mor.py): two DELETEs on an
+    'iud.mode'='mor' table write (file, row_index) delta sidecars —
+    no data file is rewritten — and the second crosses the
+    horizontal-compaction threshold, so the aggregate below reads
+    through the consolidated delta anti-join. The count also checks
+    the metadata-only count(*) subtraction."""
+    from ..sql import Engine
+    eng = Engine(spark, _scratch("delmor", sf_dir))
+    _lineitem_subset(spark, sf_dir).createOrReplaceTempView("__mor_src")
+    eng.sql("CREATE TABLE dm (l_orderkey BIGINT, l_linenumber INT, "
+            "l_returnflag STRING, qty DOUBLE) "
+            "TBLPROPERTIES('iud.mode'='mor',"
+            "'horizontal_compaction_threshold'='1')")
+    eng.sql("INSERT INTO dm SELECT * FROM __mor_src")
+    eng.sql("DELETE FROM dm WHERE qty < 10")
+    eng.sql("DELETE FROM dm WHERE l_linenumber = 7")
+    t = eng.table("dm")
+    assert len(t.manifest.load().get("delete_deltas", [])) == 1, \
+        "horizontal compaction should have consolidated the deltas"
+    return (t.read().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("qty").cast("double").alias("sum_qty")))
+
+
+@query("table_update_mor", oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_linenumber = 2 THEN qty * 3 ELSE qty END)
+            AS DOUBLE) AS sum_qty
+FROM {_SUBSET_SQL} s
+GROUP BY l_returnflag
+""")
+def table_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (operators/mor.py): old row versions join
+    a delete delta, updated rows land in a fresh segment — one atomic
+    manifest swap — and the read path reassembles the current state
+    via the (file, row_index) anti-join."""
+    from ..sql import Engine
+    eng = Engine(spark, _scratch("updmor", sf_dir))
+    _lineitem_subset(spark, sf_dir).createOrReplaceTempView("__morU_src")
+    eng.sql("CREATE TABLE um (l_orderkey BIGINT, l_linenumber INT, "
+            "l_returnflag STRING, qty DOUBLE) "
+            "TBLPROPERTIES('iud.mode'='mor')")
+    eng.sql("INSERT INTO um SELECT * FROM __morU_src")
+    eng.sql("UPDATE um SET qty = qty * 3 WHERE l_linenumber = 2")
+    return (eng.table("um").read().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("qty").cast("double").alias("sum_qty")))
+
+
 @query("table_merge_upsert", oracle="""
 WITH t AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,2)) AS p
            FROM orders WHERE o_orderkey < 500),

@@ -1,0 +1,232 @@
+"""Merge-on-read IUD: delete-delta sidecars, read-path anti-join,
+horizontal compaction, and the interactions (metadata count, time
+travel, compaction trim, MV invalidation, CoW-merge resurrection).
+
+Reference analogue: delete-delta bitmaps + HorizontalCompaction
+(core/.../mutate/CarbonUpdateUtil.java, integration/spark/.../mutation/
+HorizontalCompaction.scala); ours keys deltas on (file, parquet
+_metadata.row_index) — operators/mor.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+from cdh_integrate_carbondata2_3_spark.operators import dml, merge as merge_ops
+from cdh_integrate_carbondata2_3_spark.operators.mor import horizontal_compact
+
+
+def _mk(spark, tmp_path, name="m", rows=100, props=None):
+    df = spark.range(rows).select(
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 10).cast("int").alias("grp"),
+        (F.col("id") * 1.5).alias("v"))
+    p = dict(props or {})
+    p.setdefault("iud.mode", "mor")
+    return Table.create_as_select(spark, str(tmp_path / name), df,
+                                  properties=p)
+
+
+def _files(t):
+    return sorted(f.path for s in t.manifest.queryable_segments()
+                  for f in s.files)
+
+
+def test_mor_delete_no_rewrite(spark, tmp_path):
+    """DELETE leaves every data file in place; only a delta sidecar
+    appears, reads and metadata count() both subtract exactly."""
+    t = _mk(spark, tmp_path)
+    before = _files(t)
+    n = dml.delete_rows(t, "grp = 3")
+    assert n == 10
+    assert _files(t) == before                       # no rewrite
+    deltas = t.manifest.load()["delete_deltas"]
+    assert len(deltas) == 1 and deltas[0]["rows"] == 10
+    assert os.path.isdir(os.path.join(t.table_dir, deltas[0]["path"]))
+    assert t.read().count() == 90
+    assert t.read().filter("grp = 3").count() == 0
+    assert t.count() == 90                           # metadata-only math
+    # idempotent: re-deleting the same predicate matches nothing
+    assert dml.delete_rows(t, "grp = 3") == 0
+    assert t.count() == 90
+
+
+def test_mor_delete_is_lazy_plan_shape(spark, tmp_path):
+    """No deltas → the scan plan is untouched (no join). With deltas
+    → a broadcast anti-join on (file, pos)."""
+    t = _mk(spark, tmp_path)
+    plan0 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan0
+    dml.delete_rows(t, "id = 1")
+    plan1 = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan1 and "Broadcast" in plan1
+
+
+def test_mor_update(spark, tmp_path):
+    """UPDATE = delta + fresh segment, one swap: old versions gone,
+    new versions present, untouched rows intact, files unrewritten."""
+    t = _mk(spark, tmp_path)
+    before = _files(t)
+    n = dml.update_rows(t, {"v": "v + 1000"}, "grp = 7")
+    assert n == 10
+    assert set(before) <= set(_files(t))             # originals kept
+    assert t.read().count() == 100
+    got = (t.read().filter("grp = 7").select(F.min("v").alias("lo"))
+           .first()["lo"])
+    assert got >= 1000.0
+    assert t.read().filter("v >= 1000").count() == 10
+    assert t.count() == 100
+
+
+def test_mor_update_expression_and_condition(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=50)
+    dml.update_rows(t, {"v": "v * 2", "grp": "grp + 100"}, "id < 5")
+    rows = {r["id"]: (r["grp"], r["v"])
+            for r in t.read().filter("id < 6").collect()}
+    assert rows[0] == (100, 0.0)
+    assert rows[4] == (104, 12.0)
+    assert rows[5] == (5, 7.5)                       # untouched
+
+
+def test_horizontal_compaction_auto_trigger(spark, tmp_path):
+    """Past the threshold the delta list collapses to one sidecar;
+    results unchanged."""
+    t = _mk(spark, tmp_path, props={"horizontal_compaction_threshold": "3"})
+    for i in range(5):
+        dml.delete_rows(t, f"id = {i}")
+    deltas = t.manifest.load()["delete_deltas"]
+    # the 4th delete crossed the threshold (4 > 3 → one merged
+    # sidecar), the 5th appended on top
+    assert len(deltas) == 2
+    assert sum(d["rows"] for d in deltas) == 5
+    horizontal_compact(t, force=True)
+    deltas = t.manifest.load()["delete_deltas"]
+    assert len(deltas) == 1 and deltas[0]["rows"] == 5
+    assert t.read().count() == 95 and t.count() == 95
+
+
+def test_data_compaction_applies_deltas_and_trims(spark, tmp_path):
+    """MAJOR compaction reads through read() → merged files exclude
+    deleted rows; stale delta entries are trimmed away so count()
+    stays exact."""
+    t = _mk(spark, tmp_path, rows=40)
+    t.insert(spark.range(40, 80).select(
+        F.col("id"), (F.col("id") % 10).cast("int").alias("grp"),
+        (F.col("id") * 1.5).alias("v")))
+    dml.delete_rows(t, "grp = 2")                    # 8 rows
+    assert t.count() == 72
+    t.compact("custom", segment_ids=[0, 1])
+    doc = t.manifest.load()
+    assert not doc.get("delete_deltas")              # fully trimmed
+    assert t.read().count() == 72 and t.count() == 72
+    assert t.read().filter("grp = 2").count() == 0
+
+
+def test_time_travel_sees_pre_delete_state(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.manifest.load()["version"]
+    dml.delete_rows(t, "grp < 5")
+    assert t.read().count() == 50
+    assert t.read(as_of=v0).count() == 100           # deltas versioned
+    v1 = t.manifest.load()["version"]
+    dml.delete_rows(t, "grp = 7")
+    assert t.read(as_of=v1).count() == 50
+    assert t.read().count() == 40
+
+
+def test_clean_files_sweeps_superseded_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path, props={"horizontal_compaction_threshold": "100"})
+    for i in range(3):
+        dml.delete_rows(t, f"id = {i}")
+    horizontal_compact(t, force=True)
+    dd_root = os.path.join(t.table_dir, "deletedelta")
+    assert len(os.listdir(dd_root)) == 4             # 3 old + 1 merged
+    t.clean_files()
+    live = {os.path.basename(d["path"])
+            for d in t.manifest.load()["delete_deltas"]}
+    assert set(os.listdir(dd_root)) == live
+    assert t.read().count() == 97
+
+
+def test_merge_on_mor_table_does_not_resurrect(spark, tmp_path):
+    """CoW MERGE on a mor table: the touched-file rescan applies
+    deltas, so previously deleted rows stay dead; trim keeps count()
+    exact afterwards."""
+    t = _mk(spark, tmp_path, rows=20)
+    dml.delete_rows(t, "id >= 15")                   # 5 dead rows
+    src = spark.range(10, 18).select(
+        F.col("id"), F.lit(50).cast("int").alias("grp"),
+        F.lit(-1.0).alias("v"))
+    (merge_ops.merge(t, src, "tgt.id = src.id")
+     .when_matched().update_all()
+     .when_not_matched().insert_all().execute())
+    # ids 15..17 were DELETED → not matched → re-inserted as new rows;
+    # ids 10..14 updated in place; 18,19 stay dead
+    assert t.read().count() == 18
+    assert t.read().filter("id >= 18").count() == 0
+    assert t.read().filter("grp = 50").count() == 8
+    assert t.count() == 18
+
+
+def test_mor_blocks_non_parquet_and_streaming(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="s",
+            props={"iud.mode": "mor", "streaming": True})
+    with pytest.raises(ValueError, match="streaming"):
+        dml.delete_rows(t, "id = 1")
+    t2 = _mk(spark, tmp_path, name="csv")
+    csv_dir = str(tmp_path / "ext_csv")
+    spark.range(5).selectExpr("id", "cast(id as int) grp",
+                              "id * 1.0 v").coalesce(1) \
+        .write.option("header", True).csv(csv_dir)
+    t2.add_segment(csv_dir, fmt="csv")
+    with pytest.raises(ValueError, match="parquet"):
+        dml.delete_rows(t2, "id = 1")
+
+
+def test_mor_delete_all_then_insert(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=10)
+    assert dml.delete_rows(t, "true") == 10
+    assert t.read().count() == 0 and t.count() == 0
+    t.insert(spark.range(3).select(
+        F.col("id"), F.lit(0).cast("int").alias("grp"),
+        F.lit(9.0).alias("v")))
+    assert t.read().count() == 3 and t.count() == 3
+
+
+def test_iud_invalidates_mv(spark, tmp_path):
+    """DML (either mode) forces dependent MVs stale so the rewrite
+    path falls back to the source until refresh — reference behavior
+    (IUD disables MVs)."""
+    from cdh_integrate_carbondata2_3_spark.mv.manager import (
+        AggSpec, MVManager, QuerySpec)
+    t = _mk(spark, tmp_path)
+    mgr = MVManager(t)
+    mgr.create("mv1", ["grp"], [AggSpec("sum", "v")])
+    assert not mgr.show()[0]["stale"]
+    dml.delete_rows(t, "grp = 0")
+    assert mgr.show()[0]["stale"]
+    q = QuerySpec(group_cols=["grp"], aggs={"s": AggSpec("sum", "v")},
+                  filter=None)
+    df, used = mgr.answer(q)
+    assert used is None                              # fell back to source
+    assert df.count() == 9                           # grp 0 gone
+    mgr.refresh("mv1")                               # forced FULL
+    assert not mgr.show()[0]["stale"]
+    df2, used2 = mgr.answer(q)
+    assert used2 == "mv1" and df2.count() == 9
+
+
+def test_segment_scoped_count_and_truncate(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=30)
+    t.insert(spark.range(30, 60).select(
+        F.col("id"), (F.col("id") % 10).cast("int").alias("grp"),
+        (F.col("id") * 1.5).alias("v")))
+    dml.delete_rows(t, "id < 5")
+    assert t.count(segments=[0]) == 25               # scan fallback
+    assert t.count(segments=[1]) == 30
+    t.truncate()
+    assert "delete_deltas" not in t.manifest.load()
+    assert t.read().count() == 0
