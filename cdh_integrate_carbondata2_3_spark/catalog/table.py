@@ -40,6 +40,10 @@ from .stats import harvest_file, partition_values_from_relpath
 
 SORT_SCOPES = ("no_sort", "local_sort", "global_sort", "range_sort")
 
+# (session id, table dir) → the parquet reader's raw file-path prefix
+# (see Table._raw_path_prefix); stable for a filesystem+session
+_RAW_PREFIX_CACHE: dict[tuple, str] = {}
+
 
 class Table:
     def __init__(self, spark: SparkSession, table_dir: str):
@@ -732,35 +736,82 @@ class Table:
     # shuffled anti-join on (file, pos) — both sides scale out
     _DELTA_BROADCAST_ROWS = 4_000_000
 
+    def _raw_path_prefix(self) -> str | None:
+        """The parquet reader's ``_metadata.file_path`` rendering of
+        this table's directory prefix (e.g. ``file:/abs/dir/``),
+        probed once with a one-row job and cached per (session,
+        table dir). The delete-delta anti-join keys on the RAW
+        reader string so the big scan side does zero per-row path
+        surgery — the small delta side rebuilds raw = prefix + rel."""
+        key = (id(self.spark), os.path.abspath(self.table_dir))
+        if key in _RAW_PREFIX_CACHE:
+            return _RAW_PREFIX_CACHE[key]
+        rel = next((f.path for s in self.manifest.queryable_segments()
+                    for f in s.files
+                    if s.format == "parquet" and f.rows != 0), None)
+        if rel is None:
+            return None
+        row = (self.spark.read.parquet(self._abs(rel))
+               .select(F.col("_metadata.file_path").alias("p"))
+               .limit(1).first())
+        if row is None or not row["p"].endswith(rel):
+            return None                 # unexpected rendering — the
+        prefix = row["p"][:-len(rel)]   # caller falls back to per-row
+        # normalization (always sound)
+        _RAW_PREFIX_CACHE[key] = prefix
+        return prefix
+
     def _delete_delta_df(self, doc: dict) -> DataFrame | None:
         """Union of the table's delete-delta sidecars as a
-        (__dd_f, __dd_p) DataFrame for the read-path anti-join, or
+        (__dd_fp, __dd_p) DataFrame for the read-path anti-join, or
         None when the table has no deltas (the common case costs
-        nothing — no plan change at all). Merge-on-read analogue of
-        the reference's per-block delete-delta bitmaps
+        nothing — no plan change at all). ``__dd_fp`` is the RAW
+        reader path (prefix + stored relative path) so the scan side
+        joins directly on ``_metadata.file_path``. Merge-on-read
+        analogue of the reference's per-block delete-delta bitmaps
         (core/.../mutate/CarbonUpdateUtil.java, DeleteDeltaBlockDetails)."""
         deltas = doc.get("delete_deltas") or []
         if not deltas:
             return None
-        dd = (self.spark.read.parquet(
-                  *[self._abs(d["path"]) for d in deltas])
-              .select(F.col("file").alias("__dd_f"),
-                      F.col("pos").alias("__dd_p")))
+        prefix = self._raw_path_prefix()
+        dd = self.spark.read.parquet(
+            *[self._abs(d["path"]) for d in deltas])
+        if prefix is not None:
+            fp = F.concat(F.lit(prefix), F.col("file"))
+        else:                           # probe failed: normalize later
+            fp = F.col("file")          # (scan side normalizes too)
+        dd = dd.select(fp.alias("__dd_fp"), F.col("pos").alias("__dd_p"))
         if sum(d["rows"] for d in deltas) <= self._DELTA_BROADCAST_ROWS:
             dd = F.broadcast(dd)
         return dd
 
-    def _rowpos_cols(self, df: DataFrame) -> DataFrame:
-        """Attach (__dd_f, __dd_p): table-relative file path + stable
-        in-file row position from the parquet reader's _metadata
-        hidden column — the engine's tuple identity for merge-on-read
-        (reference tupleId, CarbonUpdateUtil.getSegmentWithBlockFromTID)."""
+    def _rel_path_col(self) -> F.Column:
+        """Table-relative path from the raw ``_metadata.file_path`` —
+        the canonical, relocation-safe form stored in delta sidecars.
+        Per-row string surgery, so only rowpos consumers (IUD hit
+        sets, already filtered small) evaluate it."""
         prefix = os.path.abspath(self.table_dir) + os.sep
         norm = F.regexp_replace(F.col("_metadata.file_path"),
                                 "^file:/+", "/")
-        return df.withColumns({
-            "__dd_f": F.substring(norm, len(prefix) + 1, (1 << 31) - 1),
-            "__dd_p": F.col("_metadata.row_index")})
+        return F.substring(norm, len(prefix) + 1, (1 << 31) - 1)
+
+    def _apply_deltas(self, df: DataFrame, dd_df: DataFrame) -> DataFrame:
+        """Anti-join a parquet scan against the delete deltas on
+        (file key, row position). The file key is the RAW
+        ``_metadata.file_path`` — already materialized by the reader,
+        zero per-row string work — unless the prefix probe failed
+        (then both sides normalize to relative paths, always sound)."""
+        raw = self._raw_path_prefix() is not None
+        fp = (F.col("_metadata.file_path") if raw
+              else self._rel_path_col())
+        had_pos = "__dd_p" in df.columns   # rowpos caller keeps it
+        cols = {"__dd_fp": fp}
+        if not had_pos:
+            cols["__dd_p"] = F.col("_metadata.row_index")
+        df = (df.withColumns(cols)
+              .join(dd_df, ["__dd_fp", "__dd_p"], "left_anti")
+              .drop("__dd_fp"))
+        return df if had_pos else df.drop("__dd_p")
 
     def read(self, predicates: Sequence[Predicate] | None = None,
              segments: list[int] | None = None,
@@ -793,6 +844,15 @@ class Table:
         apply exactly the deltas known at that version."""
         doc = self.manifest.load(as_of, _attach=False)
         dd_df = self._delete_delta_df(doc)
+        # files actually carrying deltas (per-entry lists, reference's
+        # per-block delta attribution) — clean files skip the
+        # anti-join entirely; None = every file joins (a huge delete
+        # dropped its list)
+        dd_files: set | None = None
+        if dd_df is not None:
+            lists = [d.get("files") for d in doc["delete_deltas"]]
+            if all(li is not None for li in lists):
+                dd_files = set().union(*lists)
         defaults = doc.get("column_defaults", {})
         # SI/bloom indexes describe the CURRENT file set — using them to
         # prune a historical snapshot could drop rewritten-away files
@@ -845,11 +905,17 @@ class Table:
                 pcols = self.manifest.properties().get("partition_by") or []
                 ext_spec = tuple((c, kept[0].partition[c])
                                  for c in pcols if c in kept[0].partition)
-            groups.setdefault((seg.format, fills, ext_spec), []).extend(
-                self._abs(f.path) for f in kept)
+            for f in kept:
+                # split parquet scans into delta-carrying vs clean
+                # files — clean files never pay the anti-join
+                needs_dd = (dd_df is not None and seg.format == "parquet"
+                            and (dd_files is None or f.path in dd_files))
+                groups.setdefault(
+                    (seg.format, fills, ext_spec, needs_dd), []).append(
+                    self._abs(f.path))
 
         dfs: list[DataFrame] = []
-        for (fmt, fills, ext_spec), files in groups.items():
+        for (fmt, fills, ext_spec, needs_dd), files in groups.items():
             if fmt == "parquet":
                 reader = self.spark.read
                 if partitioned and not ext_spec:
@@ -871,15 +937,17 @@ class Table:
             else:
                 raise ValueError(f"unsupported segment format {fmt}")
             keep_pos = ()
-            if fmt == "parquet" and (dd_df is not None or with_rowpos):
-                part = self._rowpos_cols(part)
-                keep_pos = ("__dd_f", "__dd_p")
-                if dd_df is not None:
-                    part = part.join(dd_df, ["__dd_f", "__dd_p"],
-                                     "left_anti")
-                if not with_rowpos:
-                    part = part.drop("__dd_f", "__dd_p")
-                    keep_pos = ()
+            if fmt == "parquet" and (needs_dd or with_rowpos):
+                if with_rowpos:
+                    # relative-path surgery rides below the join so
+                    # _metadata stays resolvable; Catalyst prunes it
+                    # when the caller doesn't use it
+                    part = part.withColumns({
+                        "__dd_f": self._rel_path_col(),
+                        "__dd_p": F.col("_metadata.row_index")})
+                    keep_pos = ("__dd_f", "__dd_p")
+                if needs_dd:
+                    part = self._apply_deltas(part, dd_df)
             elif with_rowpos:
                 raise ValueError(
                     "with_rowpos/merge-on-read IUD requires parquet "

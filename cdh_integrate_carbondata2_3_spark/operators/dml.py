@@ -49,9 +49,7 @@ def _scan_touched(table: Table, touched: list[str]) -> DataFrame:
     scan = table.spark.read.parquet(*touched)
     dd = table._delete_delta_df(table.manifest.load())
     if dd is not None:
-        scan = (table._rowpos_cols(scan)
-                .join(dd, ["__dd_f", "__dd_p"], "left_anti")
-                .drop("__dd_f", "__dd_p"))
+        scan = table._apply_deltas(scan, dd)
     return scan
 
 

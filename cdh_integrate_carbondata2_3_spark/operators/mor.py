@@ -60,30 +60,53 @@ def _check_mor(table: Table) -> None:
             "use 'iud.mode'='cow'")
 
 
-def _write_delta(table: Table, hits) -> tuple[str, int] | None:
+# past this many distinct touched files the per-delta file list is
+# dropped from the manifest (entry covers "any file") — keeps the
+# driver-side JSON bounded for pathological corpus-wide deletes
+MAX_DELTA_FILE_LIST = 20_000
+
+
+def _write_delta(table: Table, hits) -> tuple[str, int, list | None] | None:
     """Write (file, pos) pairs as a delta sidecar; returns
-    (relative path, row count) or None when nothing matched. The row
-    count comes from the written parquet footers (no second scan);
-    sorting by (file, pos) gives the sidecar min/max locality."""
+    (relative path, row count, touched-file list | None) or None when
+    nothing matched. Count and file list come from the written
+    parquet (no second scan); sorting by (file, pos) gives the
+    sidecar min/max locality and makes the file column
+    dictionary-cheap to read back."""
     rel = os.path.join(DELTA_DIR, f"dd_{uuid.uuid4().hex}")
     out = os.path.join(table.table_dir, rel)
     (hits.select(F.col("__dd_f").alias("file"),
                  F.col("__dd_p").cast("bigint").alias("pos"))
      .sort("file", "pos").write.mode("overwrite").parquet(out))
     import pyarrow.parquet as pq
-    n = sum(pq.read_metadata(os.path.join(out, f)).num_rows
-            for f in os.listdir(out)
-            if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    parts = [os.path.join(out, f) for f in os.listdir(out)
+             if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    n = sum(pq.read_metadata(p).num_rows for p in parts)
     if n == 0:
         import shutil
         shutil.rmtree(out, ignore_errors=True)
         return None
-    return rel, n
+    # the touched-file list lets the read path anti-join ONLY the
+    # files that actually carry deltas (reference: per-block delta
+    # attribution) — targeted deletes then cost the clean files
+    # nothing at all
+    files: list | None = None
+    if n <= 10_000_000:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq2
+        u = pc.unique(pq2.read_table(out, columns=["file"])
+                      .column("file"))
+        if len(u) <= MAX_DELTA_FILE_LIST:
+            files = sorted(u.to_pylist())
+    return rel, n, files
 
 
-def _append_delta(doc: dict, rel: str, rows: int) -> None:
-    doc.setdefault("delete_deltas", []).append(
-        {"path": rel, "rows": int(rows)})
+def _append_delta(doc: dict, rel: str, rows: int,
+                  files: list | None) -> None:
+    entry: dict = {"path": rel, "rows": int(rows)}
+    if files is not None:
+        entry["files"] = files
+    doc.setdefault("delete_deltas", []).append(entry)
 
 
 def _threshold(table: Table) -> int:
@@ -100,10 +123,10 @@ def delete_rows_mor(table: Table, condition: str, predicates=None) -> int:
     delta = _write_delta(table, scan.filter(F.expr(condition)))
     if delta is None:
         return 0
-    rel, n = delta
+    rel, n, files = delta
 
     def mutate(doc: dict) -> None:
-        _append_delta(doc, rel, n)
+        _append_delta(doc, rel, n, files)
 
     table.manifest.update(mutate)
     _invalidate_mvs(table)
@@ -124,14 +147,15 @@ def update_rows_mor(table: Table, set_exprs: dict[str, str],
         delta = _write_delta(table, hits)
         if delta is None:
             return 0
-        rel, n = delta
+        rel, n, files = delta
         fields = table._schema_struct().fields
         updated = hits.select(*[
             F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
             if f.name in set_exprs else F.col(f.name) for f in fields])
         from .dml import _replace_files
         _replace_files(table, [], updated, "update",
-                       extra_mutate=lambda doc: _append_delta(doc, rel, n))
+                       extra_mutate=lambda doc: _append_delta(
+                           doc, rel, n, files))
     finally:
         hits.unpersist()
     _invalidate_mvs(table)
@@ -162,9 +186,12 @@ def horizontal_compact(table: Table, force: bool = False) -> None:
     merged = _write_delta(table, dd)
 
     def mutate(d: dict) -> None:
-        d["delete_deltas"] = (
-            [{"path": merged[0], "rows": merged[1]}] if merged else [])
-        if not d["delete_deltas"]:
+        if merged:
+            entry = {"path": merged[0], "rows": merged[1]}
+            if merged[2] is not None:
+                entry["files"] = merged[2]
+            d["delete_deltas"] = [entry]
+        else:
             d.pop("delete_deltas", None)
 
     table.manifest.update(mutate)
