@@ -74,19 +74,24 @@ class MVMeta:
     timeseries: list | None
     watermark: int
     deferred: bool = False
+    # merge-on-read delete-delta sidecar paths already reflected in
+    # the MV (incremental-view-maintenance state); a mismatch with
+    # the source's current delta list marks the MV stale
+    deltas: list | None = None
 
     def to_json(self) -> dict:
         return {"name": self.name, "group_cols": self.group_cols,
                 "aggs": [[a.fn, a.col] for a in self.aggs],
                 "filter": self.filter, "timeseries": self.timeseries,
-                "watermark": self.watermark, "deferred": self.deferred}
+                "watermark": self.watermark, "deferred": self.deferred,
+                "deltas": self.deltas}
 
     @staticmethod
     def from_json(d: dict) -> "MVMeta":
         return MVMeta(d["name"], d["group_cols"],
                       [AggSpec(f, c) for f, c in d["aggs"]],
                       d["filter"], d.get("timeseries"), d["watermark"],
-                      d.get("deferred", False))
+                      d.get("deferred", False), d.get("deltas"))
 
 
 def _canon_filter(f: str | None) -> str | None:
@@ -143,14 +148,24 @@ class MVManager:
         out = []
         if not os.path.isdir(self.mv_root):
             return out
+        src_wm = self._source_watermark()
+        src_deltas = self._source_delta_paths()
         for f in sorted(os.listdir(self.mv_root)):
             if not f.endswith(".json") or f.endswith(".json.tmp"):
                 continue
             with open(os.path.join(self.mv_root, f)) as fh:
                 m = json.load(fh)
-            m["stale"] = m["watermark"] < self._source_watermark()
+            # stale when segments advanced OR the source's
+            # merge-on-read delete-delta set differs from what this
+            # MV has applied (incremental-view-maintenance state)
+            m["stale"] = (m["watermark"] < src_wm
+                          or set(m.get("deltas") or []) != src_deltas)
             out.append(m)
         return out
+
+    def _source_delta_paths(self) -> set[str]:
+        return {d["path"] for d in
+                self.source.manifest.load().get("delete_deltas", [])}
 
     # -------------------------------------------------------------- refresh
 
@@ -170,34 +185,135 @@ class MVManager:
                     self._save(meta)
 
     def refresh(self, name: str, incremental: bool = True) -> None:
-        """REFRESH MATERIALIZED VIEW. Incremental: aggregate only
-        source segments loaded since the last watermark and merge by
-        re-aggregation (valid because storage aggs are decomposed)."""
+        """REFRESH MATERIALIZED VIEW. Incremental maintenance:
+
+        - segments loaded since the watermark are aggregated and
+          merged by re-aggregation (valid because storage aggs are
+          decomposed);
+        - merge-on-read DELETEs are applied ALGEBRAICALLY: the delta
+          sidecars not yet reflected identify exactly the deleted
+          rows, whose (filtered, bucketed) negative partial
+          aggregates merge the same way — classic incremental view
+          maintenance (Gupta & Mumick; counting algorithm), possible
+          precisely because sum/count are self-inverse and count(*)
+          is always stored (zero-count groups drop after the merge).
+
+        Falls back to a FULL rebuild when: the MV stores min/max
+        (deletion not subtractable), the source schema evolved
+        (resurrected delta rows read raw file eras), horizontal
+        compaction rewrote delta history (applied paths no longer
+        present), or the watermark was invalidated by a CoW rewrite."""
         meta = self._load(name)
         src_wm = self._source_watermark()
+        src_doc = self.source.manifest.load()
+        cur_deltas = {d["path"]: d for d in src_doc.get("delete_deltas", [])}
+        applied = set(meta.deltas or [])
+        new_delta_paths = [p for p in cur_deltas if p not in applied]
         mv_dir = os.path.join(self.mv_root, name)
         mv_exists = os.path.exists(os.path.join(mv_dir, "_meta", "tablestatus.json"))
 
-        if not incremental or not mv_exists or meta.watermark < 0:
+        full = (not incremental or not mv_exists or meta.watermark < 0
+                # delta history rewritten (horizontal compaction /
+                # trim) — per-row attribution of the merged sidecar
+                # to "already applied" vs "new" is lost
+                or bool(applied - set(cur_deltas))
+                or (new_delta_paths and (
+                    any(a.fn in ("min", "max") for a in meta.aggs)
+                    or src_doc.get("schema_evolved")
+                    or src_doc.get("column_renames"))))
+        if full:
             df = self._aggregate_source(meta, segments=None)
             shutil.rmtree(mv_dir, ignore_errors=True)
             Table.create_as_select(self.source.spark, mv_dir, df)
         else:
             new_segs = [s.id for s in self.source.manifest.queryable_segments()
                         if s.id > meta.watermark]
+            parts = []
             if new_segs:
-                delta = self._aggregate_source(meta, segments=new_segs)
+                # read() applies ALL deltas, so rows of new segments
+                # already deleted again never enter — the delta
+                # subtraction below therefore scopes to files of
+                # segments <= watermark (whose contributions the MV
+                # still carries)
+                parts.append(self._aggregate_source(meta, segments=new_segs))
+            if new_delta_paths:
+                neg = self._aggregate_deleted(
+                    meta, [cur_deltas[p] for p in new_delta_paths])
+                if neg is not None:
+                    parts.append(neg)
+            if parts:
                 mv_t = Table.open(self.source.spark, mv_dir)
+                un = mv_t.read()
+                for p in parts:
+                    un = un.unionByName(p)
                 merged = self._reaggregate(
-                    mv_t.read().unionByName(delta), meta, meta.group_cols,
-                    keep_storage_names=True)
+                    un, meta, meta.group_cols, keep_storage_names=True)
+                # a group whose every row was deleted vanishes, as it
+                # would in the recomputed aggregate
+                merged = merged.filter(
+                    F.col(AggSpec("count", "*").key()) > 0)
                 tmp_dir = mv_dir + ".new"
                 shutil.rmtree(tmp_dir, ignore_errors=True)
                 Table.create_as_select(self.source.spark, tmp_dir, merged)
                 shutil.rmtree(mv_dir)
                 os.rename(tmp_dir, mv_dir)
         meta.watermark = src_wm
+        meta.deltas = sorted(cur_deltas)
         self._save(meta)
+
+    def _aggregate_deleted(self, meta: MVMeta,
+                           entries: list[dict]) -> DataFrame | None:
+        """NEGATIVE partial aggregates of the rows the given delete-
+        delta entries removed from segments the MV already reflects.
+        The deltas identify the rows exactly by (file, position); the
+        raw files are re-read (the normal read path would hide the
+        deleted rows) and semi-joined against the sidecars."""
+        src = self.source
+        seg_of = {f.path: s.id for s in src.manifest.queryable_segments()
+                  for f in s.files}
+        scope: set[str] | None = set()
+        for e in entries:
+            fl = e.get("files")
+            if fl is None:
+                scope = None        # unbounded delta — scan all old files
+                break
+            scope.update(fl)
+        old_files = [p for p, sid in seg_of.items()
+                     if sid <= meta.watermark
+                     and (scope is None or p in scope)]
+        if not old_files:
+            return None
+        spark = src.spark
+        prefix = src._raw_path_prefix()
+        dd = spark.read.parquet(*[src._abs(e["path"]) for e in entries])
+        fp = (F.concat(F.lit(prefix), F.col("file")) if prefix is not None
+              else F.col("file"))
+        dd = F.broadcast(dd.select(fp.alias("__dd_fp"),
+                                   F.col("pos").alias("__dd_p")))
+        scan = spark.read.parquet(*[src._abs(p) for p in old_files])
+        key = (F.col("_metadata.file_path") if prefix is not None
+               else src._rel_path_col())
+        deleted = (scan.withColumns({
+                       "__dd_fp": key,
+                       "__dd_p": F.col("_metadata.row_index")})
+                   .join(dd, ["__dd_fp", "__dd_p"], "left_semi")
+                   .drop("__dd_fp", "__dd_p"))
+        if meta.filter:
+            deleted = deleted.filter(F.expr(meta.filter))
+        keys: list[Column] = [F.col(c) for c in meta.group_cols]
+        if meta.timeseries:
+            col, gran = meta.timeseries
+            keys.append(timeseries_bucket(F.col(col), gran).alias("ts_bucket"))
+        exprs = []
+        for a in meta.aggs:
+            if a.fn == "count":
+                e = F.count(F.lit(1)) if a.col == "*" else F.count(a.col)
+            elif a.fn == "sum":
+                e = F.sum(a.col)
+            else:       # min/max guarded to the full-rebuild path
+                raise AssertionError(f"non-subtractable agg {a.fn}")
+            exprs.append((-e).alias(a.key()))
+        return deleted.groupBy(*keys).agg(*exprs)
 
     def _aggregate_source(self, meta: MVMeta,
                           segments: list[int] | None) -> DataFrame:

@@ -129,7 +129,9 @@ def delete_rows_mor(table: Table, condition: str, predicates=None) -> int:
         _append_delta(doc, rel, n, files)
 
     table.manifest.update(mutate)
-    _invalidate_mvs(table)
+    # NO MV invalidation here: dependent MVs detect the new delta
+    # path (MVManager.show staleness) and the next refresh applies
+    # the deletion ALGEBRAICALLY (mv/manager._aggregate_deleted)
     if len(table.manifest.load().get("delete_deltas", [])) > _threshold(table):
         horizontal_compact(table, force=True)
     return n
@@ -158,7 +160,8 @@ def update_rows_mor(table: Table, set_exprs: dict[str, str],
                            doc, rel, n, files))
     finally:
         hits.unpersist()
-    _invalidate_mvs(table)
+    # MVs: the delta path + new segment both feed the incremental
+    # refresh; no invalidation needed (see delete_rows_mor)
     if len(table.manifest.load().get("delete_deltas", [])) > _threshold(table):
         horizontal_compact(table, force=True)
     return n
@@ -197,7 +200,3 @@ def horizontal_compact(table: Table, force: bool = False) -> None:
     table.manifest.update(mutate)
     # superseded sidecars stay on disk for time travel until CLEAN FILES
 
-
-def _invalidate_mvs(table: Table) -> None:
-    from ..mv.manager import MVManager
-    MVManager(table).invalidate_all()

@@ -294,6 +294,61 @@ def table_mv_incremental_refresh(spark: SparkSession,
                      "n_rows")
 
 
+@query("table_mv_ivm_delete", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4) AS DOUBLE)
+         AS avg_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE NOT (l_orderkey % 5 = 1)
+GROUP BY l_returnflag, l_linestatus
+""")
+def table_mv_ivm_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under merge-on-read DELETE
+    (mv/manager._aggregate_deleted — the counting algorithm of Gupta
+    & Mumick): after an 'iud.mode'='mor' DELETE plus a new segment
+    load, REFRESH applies the deleted rows' NEGATIVE partial
+    aggregates and the new segment's positives in one merge — no
+    full rebuild (asserted by wrapping _aggregate_source). The
+    oracle recomputes the post-delete aggregate from scratch in
+    DuckDB, so a green hash proves subtract-and-merge ≡ rebuild —
+    including AVG through its SUM/COUNT decomposition, where a
+    stale count would skew the quotient."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_returnflag", "l_linestatus",
+                  F.col("l_quantity").cast("double").alias("qty")))
+    t = Table.create_as_select(
+        spark, _scratch("mv_ivm", sf_dir),
+        li.where("l_orderkey % 3 != 0"),
+        properties={"iud.mode": "mor"})
+    mgr = MVManager(t)
+    mgr.create("mvd", ["l_returnflag", "l_linestatus"],
+               [AggSpec("avg", "qty")])
+    t.insert(li.where("l_orderkey % 3 = 0"))         # new segment
+    dml.delete_rows(t, "l_orderkey % 5 = 1")         # mor delta
+    assert any(m["name"] == "mvd" and m["stale"] for m in mgr.show())
+
+    full_calls = []
+    orig = MVManager._aggregate_source
+    MVManager._aggregate_source = (
+        lambda self, meta, segments: full_calls.append(segments)
+        or orig(self, meta, segments))
+    try:
+        mgr.refresh("mvd", incremental=True)
+    finally:
+        MVManager._aggregate_source = orig
+    assert None not in full_calls, "IVM fell back to a full rebuild"
+    df, mv_used = mgr.answer(QuerySpec(
+        ["l_returnflag", "l_linestatus"],
+        {"avg_qty": AggSpec("avg", "qty"),
+         "n_rows": AggSpec("count", "*")}))
+    assert mv_used == "mvd", "query was not answered from the MV"
+    return df.select("l_returnflag", "l_linestatus",
+                     F.round(F.col("avg_qty"), 4).cast("double")
+                     .alias("avg_qty"),
+                     "n_rows")
+
+
 @query("table_mv_rewrite", oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty,

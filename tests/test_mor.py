@@ -219,6 +219,88 @@ def test_iud_invalidates_mv(spark, tmp_path):
     assert used2 == "mv1" and df2.count() == 9
 
 
+def test_mv_incremental_maintenance_under_mor_delete(spark, tmp_path,
+                                                     monkeypatch):
+    """Incremental view maintenance (Gupta & Mumick counting
+    algorithm): MOR deletes + a new segment refresh the MV WITHOUT a
+    full rebuild — deleted rows' negative partial aggregates merge
+    algebraically, zero-count groups drop, AVG stays exact through
+    its SUM/COUNT decomposition."""
+    from cdh_integrate_carbondata2_3_spark.mv import manager as M
+    from cdh_integrate_carbondata2_3_spark.mv.manager import (
+        AggSpec, MVManager, QuerySpec)
+    t = _mk(spark, tmp_path)
+    mgr = MVManager(t)
+    mgr.create("mv", ["grp"], [AggSpec("sum", "v"), AggSpec("avg", "v")])
+    dml.delete_rows(t, "grp = 4")                    # whole group dies
+    dml.delete_rows(t, "id % 7 = 0 AND grp != 4")
+    t.insert(spark.range(100, 130)
+             .filter(F.col("id") % 10 != 4)           # grp 4 stays dead
+             .select(F.col("id"),
+                     (F.col("id") % 10).cast("int").alias("grp"),
+                     (F.col("id") * 2.0).alias("v")))
+    assert mgr.show()[0]["stale"]
+
+    orig = M.MVManager._aggregate_source
+    def no_full(self, meta, segments):
+        assert segments is not None, "full rebuild taken, not IVM"
+        return orig(self, meta, segments)
+    monkeypatch.setattr(M.MVManager, "_aggregate_source", no_full)
+    mgr.refresh("mv")
+    monkeypatch.undo()
+    assert not mgr.show()[0]["stale"]
+
+    q = QuerySpec(group_cols=["grp"],
+                  aggs={"s": AggSpec("sum", "v"),
+                        "a": AggSpec("avg", "v"),
+                        "n": AggSpec("count", "*")})
+    df, used = mgr.answer(q)
+    assert used == "mv"
+    got = {r["grp"]: (round(r["s"], 6), round(r["a"], 6), r["n"])
+           for r in df.collect()}
+    exp = {r["grp"]: (round(r["s"], 6), round(r["a"], 6), r["n"])
+           for r in (t.read().groupBy("grp")
+                     .agg(F.sum("v").alias("s"), F.avg("v").alias("a"),
+                          F.count(F.lit(1)).alias("n"))).collect()}
+    assert got == exp
+    assert 4 not in got                              # group dropped
+
+
+def test_mv_minmax_or_rewritten_history_forces_full(spark, tmp_path,
+                                                    monkeypatch):
+    """Two documented IVM fallbacks: MIN/MAX aggregates (deletion not
+    subtractable) and horizontal compaction rewriting the applied
+    delta history both force a FULL rebuild — and the rebuild is
+    correct."""
+    from cdh_integrate_carbondata2_3_spark.mv import manager as M
+    from cdh_integrate_carbondata2_3_spark.mv.manager import (
+        AggSpec, MVManager)
+    t = _mk(spark, tmp_path)
+    mgr = MVManager(t)
+    mgr.create("mx", ["grp"], [AggSpec("max", "v")])
+    dml.delete_rows(t, "id >= 90")                   # kills some maxima
+    calls = []
+    orig = M.MVManager._aggregate_source
+    monkeypatch.setattr(
+        M.MVManager, "_aggregate_source",
+        lambda self, meta, segments: calls.append(segments)
+        or orig(self, meta, segments))
+    mgr.refresh("mx")
+    assert calls == [None]                           # full, once
+    top = {r["grp"]: r["max_v"] for r in
+           Table.open(spark, t.table_dir + "/_meta/mvs/mx").read().collect()}
+    assert top[9] == (89 * 1.5)
+
+    # applied-history rewrite: sum-MV applies dd1, then more deletes
+    # get horizontally compacted together with dd1 → full fallback
+    mgr.create("sm", ["grp"], [AggSpec("sum", "v")])  # applies dd1
+    dml.delete_rows(t, "id < 5")
+    horizontal_compact(t, force=True)
+    calls.clear()
+    mgr.refresh("sm")
+    assert calls == [None]
+
+
 def test_segment_scoped_count_and_truncate(spark, tmp_path):
     t = _mk(spark, tmp_path, rows=30)
     t.insert(spark.range(30, 60).select(
