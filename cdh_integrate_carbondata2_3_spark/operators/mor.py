@@ -52,12 +52,20 @@ DELTA_DIR = "deletedelta"
 def _check_mor(table: Table) -> None:
     from .dml import _check_mutable
     _check_mutable(table)
-    bad = {s.format for s in table.manifest.queryable_segments()} - {"parquet"}
+    segs = table.manifest.queryable_segments()
+    bad = {s.format for s in segs} - {"parquet"}
     if bad:
         raise ValueError(
             "merge-on-read IUD needs parquet segments (row positions "
             f"come from the parquet reader); table has {sorted(bad)} — "
             "use 'iud.mode'='cow'")
+    if any(s.external_path for s in segs):
+        # delta keys are table-relative paths; an external file's
+        # path never re-derives from the reader's raw path, so its
+        # deltas would silently miss at read time — reject instead
+        raise ValueError(
+            "merge-on-read IUD does not cover external (ADD SEGMENT) "
+            "segments — compact them in or use 'iud.mode'='cow'")
 
 
 # past this many distinct touched files the per-delta file list is

@@ -175,8 +175,23 @@ class SdkReader:
         self.manifest = Manifest(self.table_dir)
         self.columns = columns
         self.filter_expr = filter_expr
+        self._deltas = None     # lazy {rel path → deleted positions}
 
-    def _files(self) -> list[tuple[str, int]]:
+    def _delete_pos(self) -> dict:
+        """Merge-on-read delete positions (catalog/deltas.py) — the
+        SDK applies the same sidecars the Spark read path anti-joins,
+        so a no-Spark reader never resurrects deleted rows."""
+        if self._deltas is None:
+            from .catalog.deltas import delete_positions
+            self._deltas = delete_positions(self.table_dir,
+                                            self.manifest.load())
+        return self._deltas
+
+    def _files(self) -> list[tuple[str, str, int]]:
+        """(abs path, manifest-relative path, LIVE row count) per
+        file — footer counts minus this file's deleted positions, so
+        pagination offsets address surviving rows only."""
+        dd = self._delete_pos()
         out = []
         for seg in self.manifest.queryable_segments():
             if seg.format != "parquet":
@@ -184,13 +199,21 @@ class SdkReader:
             for f in seg.files:
                 p = f.path if os.path.isabs(f.path) \
                     else os.path.join(self.table_dir, f.path)
-                out.append((p, f.rows))
+                out.append((p, f.path, f.rows - len(dd.get(f.path, ()))))
         return out
+
+    def _read_live(self, abs_path: str, rel: str) -> pa.Table:
+        t = pq.read_table(abs_path, columns=self.columns)
+        pos = self._delete_pos().get(rel)
+        if pos is not None and len(pos):
+            from .catalog.deltas import filter_batch
+            t = filter_batch(t, pos, 0)
+        return t
 
     def to_arrow(self) -> pa.Table:
         parts = []
-        for p, _ in self._files():
-            t = pq.read_table(p, columns=self.columns)
+        for p, rel, _ in self._files():
+            t = self._read_live(p, rel)
             if self.filter_expr is not None:
                 t = t.filter(self.filter_expr)
             parts.append(t)
@@ -202,29 +225,30 @@ class SdkReader:
         return self.to_arrow().to_pandas()
 
     def __iter__(self) -> Iterator[dict]:
-        for p, _ in self._files():
-            t = pq.read_table(p, columns=self.columns)
+        for p, rel, _ in self._files():
+            t = self._read_live(p, rel)
             if self.filter_expr is not None:
                 t = t.filter(self.filter_expr)
             yield from t.to_pylist()
 
     def total_rows(self) -> int:
-        return sum(r for _, r in self._files())
+        return sum(r for _, _, r in self._files())
 
     def read_page(self, offset: int, limit: int) -> pa.Table:
-        """Rows [offset, offset+limit) in manifest order, touching only
-        the files that intersect the range."""
+        """LIVE rows [offset, offset+limit) in manifest order,
+        touching only the files whose surviving-row range intersects
+        the page."""
         parts = []
         pos = 0
         need_lo, need_hi = offset, offset + limit
-        for p, rows in self._files():
+        for p, rel, rows in self._files():
             lo, hi = pos, pos + rows
             pos = hi
             if hi <= need_lo:
                 continue
             if lo >= need_hi:
                 break
-            t = pq.read_table(p, columns=self.columns)
+            t = self._read_live(p, rel)
             start = max(need_lo - lo, 0)
             length = min(need_hi, hi) - (lo + start)
             parts.append(t.slice(start, length))

@@ -56,10 +56,15 @@ _OPS = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, fmt: str, seg_id: int):
+    def __init__(self, path: str, fmt: str, seg_id: int,
+                 del_pos=None):
         self.path = path
         self.fmt = fmt
         self.seg_id = seg_id
+        # this file's merge-on-read deleted positions (ascending
+        # int64, catalog/deltas.py) — sliced per partition on the
+        # driver so each task ships only its own file's mask
+        self.del_pos = del_pos
 
 
 class _CarbonReaderBase(DataSourceReader):
@@ -84,13 +89,17 @@ class _CarbonReaderBase(DataSourceReader):
 
     def partitions(self) -> list[_FilePartition]:
         import os
+
+        from ..catalog.deltas import delete_positions
         m = Manifest(self._table_dir)
+        dd = delete_positions(self._table_dir, m.load(self._as_of))
         parts: list[_FilePartition] = []
         for seg in m.queryable_segments(self._segments, version=self._as_of):
             for f in prune_files(seg.files, self._predicates):
                 p = f.path if os.path.isabs(f.path) \
                     else os.path.join(self._table_dir, f.path)
-                parts.append(_FilePartition(p, seg.format, seg.id))
+                parts.append(_FilePartition(p, seg.format, seg.id,
+                                            dd.get(f.path)))
         return parts
 
     def _historical_names(self, name: str) -> list[str]:
@@ -113,7 +122,13 @@ class _CarbonReaderBase(DataSourceReader):
                 f"carbon datasource reads parquet segments; {partition.fmt!r} "
                 "segments are served by the engine's native read path")
         target = to_arrow_schema(self._schema)
+        row_start = 0
         for batch in pq.ParquetFile(partition.path).iter_batches():
+            n_in = batch.num_rows
+            if partition.del_pos is not None and len(partition.del_pos):
+                from ..catalog.deltas import filter_batch
+                batch = filter_batch(batch, partition.del_pos, row_start)
+            row_start += n_in
             cols = []
             for field in target:
                 src = next((n for n in self._historical_names(field.name)
@@ -181,14 +196,21 @@ class CarbonStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         import os
+
+        from ..catalog.deltas import delete_positions
         m = Manifest(self._table_dir)
+        # deltas known NOW apply to the replayed segments too — a
+        # segment-tailing stream over a mor table must not replay
+        # rows already deleted at batch-planning time
+        dd = delete_positions(self._table_dir, m.load())
         parts = []
         for seg in m.queryable_segments():
             if start["segment"] < seg.id <= end["segment"]:
                 for f in seg.files:
                     p = f.path if os.path.isabs(f.path) \
                         else os.path.join(self._table_dir, f.path)
-                    parts.append(_FilePartition(p, seg.format, seg.id))
+                    parts.append(_FilePartition(p, seg.format, seg.id,
+                                                dd.get(f.path)))
         return parts
 
     def read(self, partition: _FilePartition):

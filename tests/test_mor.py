@@ -301,6 +301,52 @@ def test_mv_minmax_or_rewritten_history_forces_full(spark, tmp_path,
     assert calls == [None]
 
 
+def test_sdk_reader_applies_deltas(spark, tmp_path):
+    """The no-Spark SDK reader applies the same delete sidecars the
+    Spark path anti-joins: counts, scans, iteration, and LIVE-row
+    pagination all agree post-delete."""
+    from cdh_integrate_carbondata2_3_spark.sdk import SdkReader
+    t = _mk(spark, tmp_path, rows=60)
+    dml.delete_rows(t, "id % 3 = 0")                 # 20 dead rows
+    r = SdkReader(t.table_dir)
+    assert r.total_rows() == 40
+    tbl = r.to_arrow()
+    ids = sorted(tbl.column("id").to_pylist())
+    assert len(ids) == 40 and all(i % 3 != 0 for i in ids)
+    assert sorted(row["id"] for row in r) == ids
+    # pagination addresses surviving rows only, no overlap, no gap
+    pages = [r.read_page(off, 15) for off in (0, 15, 30)]
+    paged = [i for p in pages for i in p.column("id").to_pylist()]
+    assert sorted(paged) == ids and len(paged) == 40
+
+
+def test_carbon_datasource_applies_deltas(spark, tmp_path):
+    """spark.read.format('carbon') on a mor table masks deleted
+    positions per file partition (sources/carbon_datasource.py)."""
+    from cdh_integrate_carbondata2_3_spark.sources.carbon_datasource import (
+        register)
+    t = _mk(spark, tmp_path, rows=50)
+    dml.delete_rows(t, "grp >= 8")                   # 10 dead rows
+    register(spark)
+    df = (spark.read.format("carbon")
+          .option("path", t.table_dir)
+          .schema("id bigint, grp int, v double").load())
+    assert df.count() == 40
+    assert df.filter("grp >= 8").count() == 0
+    assert df.groupBy().sum("v").first()[0] == \
+        t.read().groupBy().sum("v").first()[0]
+
+
+def test_mor_rejects_external_segments(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=10)
+    ext = str(tmp_path / "ext")
+    spark.range(5).selectExpr("id", "cast(id as int) grp",
+                              "id * 1.0 v").write.parquet(ext)
+    t.add_segment(ext, fmt="parquet")
+    with pytest.raises(ValueError, match="external"):
+        dml.delete_rows(t, "id = 1")
+
+
 def test_segment_scoped_count_and_truncate(spark, tmp_path):
     t = _mk(spark, tmp_path, rows=30)
     t.insert(spark.range(30, 60).select(
