@@ -1,0 +1,139 @@
+"""Distributed BPE tokenizer training.
+
+Byte-pair encoding as a Spark pipeline (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units";
+the word-frequency formulation every practical trainer uses):
+
+1. The corpus collapses to a WORD-COUNT table with one hash
+   aggregation — map-side partial counts make this the only pass
+   over the full data. At 100 TB the corpus is petabyte-scale but
+   the distinct-word vocabulary is millions of rows: that table is
+   the training state, and it's what every subsequent round touches.
+2. Each merge round: explode adjacent symbol pairs weighted by word
+   count (skipping the end-of-word sentinel), aggregate, take the
+   argmax pair (driver sees ONE row), then rewrite the symbol arrays
+   of the words containing that pair with a pure-SQL left-to-right
+   greedy fold — no Python in the loop, the vocabulary never leaves
+   the executors.
+3. Lineage is truncated with localCheckpoint every few rounds so N
+   merges cost N short jobs, not an N-deep plan.
+
+The trained artifact is the ranked merge list (+ final subword
+vocabulary); ``bpe_encode`` applies it to new text with the same
+fold, so encoding is a column expression usable in any query.
+
+This has no reference analogue (the reference feeds training via
+pycarbon readers; tokenizer training sits upstream) — it's part of
+the LLM-pipeline surface this engine adds on top. Deterministic:
+pair-count ties break lexicographically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EOW = "</w>"            # end-of-word sentinel (classic BPE)
+
+
+def _merge_fold_sql(col: str, a: str, b: str) -> str:
+    """Greedy left-to-right merge of adjacent (a, b) into 'ab' over a
+    symbol array — a pure-SQL fold. A freshly merged token can't
+    chain-merge (its string differs from ``a``), which is exactly
+    BPE's single-pass-per-rank semantics."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    qab = (a + b).replace("'", "''")
+    return (f"aggregate({col}, cast(array() as array<string>), "
+            f"(acc, s) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{qa}' AND s = '{qb}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qab}')) "
+            f"ELSE concat(acc, array(s)) END)")
+
+
+def word_counts(df: DataFrame, text_col: str,
+                lowercase: bool = True) -> DataFrame:
+    """(word, n) over whitespace tokens — the single full-corpus pass."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    return (df.select(F.explode(F.split(F.trim(t), r"\s+")).alias("word"))
+            .filter("word != ''")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+def train_bpe(df: DataFrame, text_col: str, num_merges: int,
+              lowercase: bool = True,
+              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from ``df[text_col]``.
+    Returns the ranked merge list [(left, right), ...]."""
+    vocab = word_counts(df, text_col, lowercase).select(
+        F.concat(F.split(F.col("word"), ""),
+                 F.array(F.lit(EOW))).alias("syms"),
+        "n").localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    pair_expr = ("zip_with(slice(syms, 1, size(syms) - 1), "
+                 "slice(syms, 2, size(syms) - 1), "
+                 "(x, y) -> struct(x AS a, y AS b))")
+    for r in range(num_merges):
+        pairs = (vocab
+                 .select(F.explode(F.expr(pair_expr)).alias("p"), "n")
+                 .select("p.a", "p.b", "n")
+                 .groupBy("a", "b").agg(F.sum("n").alias("cnt"))
+                 # the sentinel may END a pair but never start one
+                 .filter(F.col("a") != EOW))
+        top = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect())
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        has = (f"exists(zip_with(slice(syms, 1, size(syms) - 1), "
+               f"slice(syms, 2, size(syms) - 1), (x, y) -> "
+               f"x = '{a.replace(chr(39), chr(39)*2)}' AND "
+               f"y = '{b.replace(chr(39), chr(39)*2)}'), z -> z)")
+        vocab = vocab.withColumn(
+            "syms", F.when(F.expr(has),
+                           F.expr(_merge_fold_sql("syms", a, b)))
+            .otherwise(F.col("syms")))
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def subword_vocab(df: DataFrame, text_col: str,
+                  merges: list[tuple[str, str]],
+                  lowercase: bool = True) -> DataFrame:
+    """(subword, n_occurrences) after applying ``merges`` — the
+    tokenizer's vocabulary with corpus frequencies."""
+    enc = bpe_encode(df, text_col, merges, lowercase=lowercase,
+                     out_col="toks")
+    return (enc.select(F.explode("toks").alias("subword"))
+            .groupBy("subword").agg(F.count(F.lit(1)).alias("n")))
+
+
+def bpe_encode(df: DataFrame, text_col: str,
+               merges: list[tuple[str, str]],
+               lowercase: bool = True,
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply a trained merge list to ``text_col`` → ``out_col``
+    (array of subword tokens, end-of-word sentinels stripped into
+    word boundaries). Pure column expressions: the same greedy fold
+    per rank, so encoding matches training exactly and runs
+    JVM-side in any downstream query.
+
+    One pass per rank (not best-first iteration) is exact for any
+    merge list BPE training can produce: a merge's two input tokens
+    are created only by strictly earlier-ranked merges, so by the
+    time rank r's fold runs, everything it could consume already
+    exists, and nothing a later rank creates can feed an earlier
+    rank. (An inconsistent hand-written list — e.g. ('ab','c')
+    ranked before ('a','b') — would diverge, but training cannot
+    emit one.)"""
+    src = f"lower({text_col})" if lowercase else text_col
+    words = f"split(trim({src}), '\\\\s+')"
+    # per word: chars + sentinel, then fold each merge in rank order
+    sym = "concat(split(w, ''), array('" + EOW + "'))"
+    for a, b in merges:
+        sym = _merge_fold_sql(sym, a, b)
+    toks = F.expr(
+        f"flatten(transform(filter({words}, w -> w != ''), "
+        f"w -> transform({sym}, s -> replace(s, '{EOW}', ''))))")
+    return df.withColumn(out_col, F.filter(toks, lambda s: s != ""))

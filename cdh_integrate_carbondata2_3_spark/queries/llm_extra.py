@@ -730,3 +730,26 @@ def text_lm_oov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tris", "n_rare",
                     (F.col("n_rare") * 20 > F.col("n_tris"))
                     .alias("low_quality")))
+
+
+_BPE_MERGES = 24            # bounded demo rank count
+_BPE_MOD = 10               # doc_id % MOD == 0 → training subset
+
+
+@query("text_bpe_train")    # iterative — rows-only driver check; the
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py, Sennrich
+    et al. 2016): the corpus collapses to a word-count table in ONE
+    pass, then each of the 24 merge rounds runs entirely JVM-side
+    over that vocabulary state (pair explode → weighted count →
+    argmax; greedy fold rewrite). Deterministic — ties break
+    lexicographically — so the returned ranked merge table is stable
+    across runs and machines; exactness is pinned against the
+    canonical worked example in tests/test_bpe.py (no SQL oracle: the
+    training loop is inherently iterative)."""
+    from ..operators.bpe import train_bpe
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % _BPE_MOD == 0)
+    merges = train_bpe(d, "text", _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string").orderBy("rank")

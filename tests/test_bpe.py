@@ -1,0 +1,71 @@
+"""Distributed BPE trainer (operators/bpe.py) — pinned against the
+canonical Sennrich et al. 2016 worked example, plus encode
+generalization to unseen words and the no-Python-in-plan guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.operators.bpe import (
+    bpe_encode, subword_vocab, train_bpe, word_counts)
+
+
+def _corpus(spark):
+    # the classic vocabulary {low:5, lower:2, newest:6, widest:3}
+    rows = [("low " * 5 + "lower " * 2,), ("newest " * 6 + "widest " * 3,)]
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_canonical_merges(spark):
+    df = _corpus(spark)
+    m = train_bpe(df, "text", 6)
+    assert m == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                 ("l", "o"), ("lo", "w"), ("e", "w")]
+
+
+def test_encode_matches_training_and_generalizes(spark):
+    df = _corpus(spark)
+    m = train_bpe(df, "text", 5)
+    enc = bpe_encode(df, "text", m)
+    toks = enc.select("bpe_tokens").collect()
+    assert toks[0][0] == ["low"] * 5 + ["low", "e", "r"] * 2
+    # unseen word: 'lowest' must decompose through the learned ranks
+    unseen = spark.createDataFrame([("Lowest",)], "text string")
+    got = bpe_encode(unseen, "text", m).select("bpe_tokens").first()[0]
+    assert got == ["low", "est"]
+    # reconstruction: concatenated subwords spell the source words
+    joined = (bpe_encode(df, "text", m)
+              .select(F.concat_ws("", "bpe_tokens").alias("j"),
+                      F.regexp_replace(F.lower("text"), r"\s+", "")
+                      .alias("raw")))
+    assert all(r["j"] == r["raw"].strip() for r in joined.collect())
+
+
+def test_subword_vocab_counts(spark):
+    df = _corpus(spark)
+    m = train_bpe(df, "text", 6)
+    v = {r["subword"]: r["n"] for r in
+         subword_vocab(df, "text", m).collect()}
+    assert v["est"] == 9 and v["low"] == 7 and v["ew"] == 6
+
+
+def test_word_counts_single_pass(spark):
+    df = _corpus(spark)
+    wc = {r["word"]: r["n"] for r in word_counts(df, "text").collect()}
+    assert wc == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_training_loop_is_jvm_side(spark):
+    """The per-round pair count and the merge application are pure
+    SQL — no EvalPython anywhere in either plan."""
+    df = _corpus(spark)
+    m = train_bpe(df, "text", 3)
+    enc = bpe_encode(df, "text", m)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_stops_when_no_pair_repeats(spark):
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    m = train_bpe(df, "text", 50)
+    assert len(m) < 50                   # converged, didn't loop 50×
