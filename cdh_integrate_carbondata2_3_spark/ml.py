@@ -54,21 +54,22 @@ class TrainReader:
 
     # ------------------------------------------------------------- internals
 
-    def _shard_files(self) -> list[str]:
-        files = [p for p, _ in self._reader._files()]
-        return [p for i, p in enumerate(files)
+    def _shard_files(self) -> list[tuple[str, str]]:
+        files = [(p, rel) for p, rel, _ in self._reader._files()]
+        return [f for i, f in enumerate(files)
                 if i % self.num_shards == self.shard_index]
 
     def _epoch_tables(self, epoch: int) -> Iterator[pa.Table]:
-        import pyarrow.parquet as pq
         files = self._shard_files()
         # arithmetic seed mixing (not hash()) — deterministic across
         # processes/restarts regardless of PYTHONHASHSEED
         base = self.seed * 1_000_003 + epoch
         if self.shuffle:
             random.Random(base).shuffle(files)
-        for fi, path in enumerate(files):
-            t = pq.read_table(path, columns=self.columns)
+        for fi, (path, rel) in enumerate(files):
+            # _read_live applies merge-on-read delete deltas — the
+            # training loop must not feed deleted rows either
+            t = self._reader._read_live(path, rel)
             if self._reader.filter_expr is not None:
                 t = t.filter(self._reader.filter_expr)
             if self.shuffle and t.num_rows > 1:

@@ -377,6 +377,17 @@ def test_carbon_datasource_applies_deltas(spark, tmp_path):
         t.read().groupBy().sum("v").first()[0]
 
 
+def test_train_reader_applies_deltas(spark, tmp_path):
+    """The pycarbon-style training reader (ml.make_reader) must not
+    feed deleted rows into a training loop."""
+    from cdh_integrate_carbondata2_3_spark.ml import make_reader
+    t = _mk(spark, tmp_path, rows=30)
+    dml.delete_rows(t, "id % 5 = 0")                 # 6 dead rows
+    with make_reader(t.table_dir, num_epochs=1, shuffle=False) as r:
+        ids = sorted(row["id"] for row in r)
+    assert len(ids) == 24 and all(i % 5 != 0 for i in ids)
+
+
 def test_mor_rejects_external_segments(spark, tmp_path):
     t = _mk(spark, tmp_path, rows=10)
     ext = str(tmp_path / "ext")
