@@ -48,7 +48,7 @@ def summary(table_dir: str) -> dict:
                 else:
                     cur[0] = min(cur[0], mn)
                     cur[1] = max(cur[1], mx)
-    return {
+    out = {
         "table_dir": table_dir,
         "schema": doc["schema"],
         "properties": doc.get("properties", {}),
@@ -58,6 +58,15 @@ def summary(table_dir: str) -> dict:
         "total_bytes": total_bytes,
         "column_minmax": col_minmax,
     }
+    deltas = doc.get("delete_deltas") or []
+    if deltas:
+        # merge-on-read: footer counts include soft-deleted rows —
+        # report both so the summary matches what queries return
+        deleted = sum(d["rows"] for d in deltas)
+        out["delete_deltas"] = len(deltas)
+        out["deleted_rows"] = deleted
+        out["live_rows"] = total_rows - deleted
+    return out
 
 
 def bench(table_dir: str) -> dict:

@@ -377,6 +377,54 @@ def test_carbon_datasource_applies_deltas(spark, tmp_path):
         t.read().groupBy().sum("v").first()[0]
 
 
+def test_cdc_stream_into_mor_target(spark, tmp_path):
+    """Live CDC stream (foreachBatch keyed MERGE) into a mor target:
+    the apply takes the delta path — original files never rewritten
+    across batches — and converges to the change log's final state."""
+    import json as _json
+    import time as _time
+
+    from cdh_integrate_carbondata2_3_spark.streaming.cdc import CDCStreamer
+    t = Table.create(spark, str(tmp_path / "cdcm"), "id bigint, v string",
+                     {"iud.mode": "mor"})
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                   "id bigint, v string"))
+    before = set(_files(t))
+    drop = tmp_path / "chg"
+    drop.mkdir()
+    q = CDCStreamer(spark, t, "id", order_col="seq").start_file_source(
+        str(drop), "id bigint, v string, op_type string, seq int")
+    try:
+        (drop / "c1.json").write_text("\n".join([
+            _json.dumps({"id": 2, "v": "", "op_type": "delete", "seq": 1}),
+            _json.dumps({"id": 3, "v": "c2", "op_type": "update", "seq": 2}),
+            _json.dumps({"id": 9, "v": "i", "op_type": "insert", "seq": 3}),
+        ]))
+        deadline = _time.time() + 60
+        want = {(1, "a"), (3, "c2"), (9, "i")}
+        got = None
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            got = {(r["id"], r["v"]) for r in t.read().collect()}
+            if got == want:
+                break
+        assert got == want
+    finally:
+        q.stop()
+    assert before <= set(_files(t))                  # delta path used
+    assert t.manifest.load().get("delete_deltas")
+    assert t.count() == 3
+
+
+def test_cli_summary_reports_live_rows(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.cli import summary
+    t = _mk(spark, tmp_path, rows=40)
+    dml.delete_rows(t, "id < 8")
+    s = summary(t.table_dir)
+    assert s["total_rows"] == 40 and s["deleted_rows"] == 8
+    assert s["live_rows"] == 32 == t.count()
+
+
 def test_train_reader_applies_deltas(spark, tmp_path):
     """The pycarbon-style training reader (ml.make_reader) must not
     feed deleted rows into a training loop."""
