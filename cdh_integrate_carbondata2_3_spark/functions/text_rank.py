@@ -54,6 +54,18 @@ def _toks_english(text_col: str) -> Column:
         f"__t -> {stem_sql('__t')})")
 
 
+def _toks_porter_sql(text_col: str, stem) -> "F.Column":
+    """Analyzed token array under 'porter' via the dictionary fast
+    path: the same lowercase → stop-remove pipeline with the
+    surface→stem map lookup as the stemmer (sql._porter_stem_map) —
+    pure JVM HOFs, no Python anywhere in the scoring plan."""
+    from .analyzers import stops_sql
+    return F.expr(
+        f"transform(filter(split(lower({text_col}), '\\\\s+'), "
+        f"__x -> __x != '' AND __x NOT IN ({stops_sql()})), "
+        f"__t -> {stem('__t')})")
+
+
 def _toks_porter(text_col: str):
     """Analyzed token array under the 'porter' analyzer (lowercase →
     stop-remove → full Porter stem) as an Arrow-batched pandas UDF —
@@ -74,7 +86,8 @@ def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
                boosts: list[float] | None = None,
                casefold: bool = True,
                english: bool = False,
-               porter: bool = False) -> DataFrame:
+               porter: bool = False,
+               porter_stem_sql=None) -> DataFrame:
     """Append a ``bm25`` double column scoring ``text_col`` against the
     bag of ``terms``. Rows matching no term score 0.0 (kept — filter
     downstream if Lucene match-only semantics are wanted). ``boosts``
@@ -84,7 +97,8 @@ def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
     contribute nothing — Lucene's behavior when the field analyzer is
     EnglishAnalyzer. ``porter`` is the same with the full Porter
     stemmer (tokenization through one Arrow-batched UDF, stats and
-    scoring JVM-side)."""
+    scoring JVM-side; with ``porter_stem_sql`` — the dictionary fast
+    path's map-lookup stemmer — even tokenization is pure SQL)."""
     if not terms:
         raise ValueError("bm25_score: need at least one query term")
     if boosts is not None and len(boosts) != len(terms):
@@ -110,7 +124,9 @@ def bm25_score(df: DataFrame, terms: list[str], text_col: str = "text",
     # split+filter tree into every tf column re-analyzes the text
     # per term (same 4.6x lesson as the shingle spans in
     # operators/dedup.duplicated_spans)
-    toks_expr = (_toks_porter(text_col) if porter
+    toks_expr = (_toks_porter_sql(text_col, porter_stem_sql)
+                 if porter and porter_stem_sql is not None
+                 else _toks_porter(text_col) if porter
                  else _toks_english(text_col) if english
                  else _toks(F.col(text_col), casefold))
     with_toks = df.select("*", toks_expr.alias("__toks"))

@@ -2022,10 +2022,13 @@ class Engine:
         for i, (field, terms) in enumerate(sorted(by_field.items())):
             # case folding follows the analyzer: a case-sensitive
             # (whitespace) index must not rank by case-folded tf
+            pstem = (pfast[1] if por and pfast and field in pfast[0]
+                     else None)
             scored = bm25_score(scored, [t for t, _ in terms],
                                 boosts=[b for _, b in terms],
                                 text_col=field, casefold=lc,
-                                english=eng, porter=por) \
+                                english=eng, porter=por,
+                                porter_stem_sql=pstem) \
                 .withColumnRenamed("bm25", f"__s{i}")
             score_cols.append(f"__s{i}")
         total = sum((F.col(c) for c in score_cols), F.lit(0.0))

@@ -636,6 +636,17 @@ def test_porter_dict_fastpath_plan_and_parity(spark, tmp_path):
         assert fast_ids == udf_ids, q
         assert "EvalPython" not in fast_plan, f"UDF leaked into {q}"
         assert "EvalPython" in udf_plan, f"opt-out ignored for {q}"
+    # BM25-ranked limit: scoring tokenization also takes the
+    # dictionary fast path (functions/text_rank._toks_porter_sql)
+    def run_lim(t):
+        df = eng.sql(f"SELECT id FROM {t} WHERE "
+                     "text_match_with_limit('body:motoring', 3)")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sorted(r["id"] for r in df.collect()), plan
+    fast_ids, fast_plan = run_lim("pf")
+    udf_ids, _ = run_lim("pu")
+    assert fast_ids == udf_ids == [1, 2]
+    assert "EvalPython" not in fast_plan, "UDF leaked into ranked limit"
     # nested &: automaton-only — the brics/porter UDF fallback stays
     ids_, plan = run("pf", 'body:/(rel.*&.*t)/')
     assert ids_ == [3, 4] and "EvalPython" in plan
