@@ -446,6 +446,68 @@ def test_mor_rejects_external_segments(spark, tmp_path):
         dml.delete_rows(t, "id = 1")
 
 
+def test_randomized_iud_sequence_matches_model(spark, tmp_path):
+    """Seeded randomized op sequences (insert / mor delete / mor
+    update / compaction / horizontal compaction) against an
+    in-memory dict model: after every op the table's full contents,
+    metadata count, and filtered reads must equal the model exactly.
+    Catches cross-op interactions no single-shot test hits (delta ∘
+    compaction ∘ delta, update-of-updated-row, delete-all-then-
+    insert...)."""
+    import random as _random
+    for seed in (11, 23):
+        rng = _random.Random(seed)
+        d = str(tmp_path / f"rnd{seed}")
+        t = Table.create(spark, d, "id bigint, grp int, v double",
+                         {"iud.mode": "mor",
+                          "horizontal_compaction_threshold": "2"})
+        model: dict[int, tuple[int, float]] = {}
+        next_id = 0
+
+        def check():
+            got = {r["id"]: (r["grp"], r["v"]) for r in t.read().collect()}
+            assert got == model, f"seed={seed} mismatch"
+            assert t.count() == len(model)
+
+        for step in range(10):
+            op = rng.choice(["insert", "delete", "update", "compact",
+                             "horizontal"])
+            if op == "insert" or not model:
+                k = rng.randint(3, 12)
+                rows = [(next_id + i, rng.randint(0, 4),
+                         float(rng.randint(0, 99))) for i in range(k)]
+                next_id += k
+                t.insert(spark.createDataFrame(
+                    rows, "id bigint, grp int, v double"))
+                model.update({i: (g, v) for i, g, v in rows})
+            elif op == "delete":
+                g = rng.randint(0, 4)
+                n = dml.delete_rows(t, f"grp = {g}")
+                dead = [i for i, (gg, _) in model.items() if gg == g]
+                assert n == len(dead)
+                for i in dead:
+                    del model[i]
+            elif op == "update":
+                g = rng.randint(0, 4)
+                n = dml.update_rows(t, {"v": "v + 1000"}, f"grp = {g}")
+                hit = [i for i, (gg, _) in model.items() if gg == g]
+                assert n == len(hit)
+                for i in hit:
+                    gg, vv = model[i]
+                    model[i] = (gg, vv + 1000)
+            elif op == "compact":
+                t.compact("custom", segment_ids=[
+                    s.id for s in t.manifest.queryable_segments()][:2])
+            else:
+                horizontal_compact(t, force=True)
+            check()
+        # end of sequence: a filtered read and a re-open agree too
+        t2 = Table.open(spark, d)
+        exp = sorted(i for i, (g, _) in model.items() if g == 2)
+        assert sorted(r["id"] for r in
+                      t2.read().filter("grp = 2").collect()) == exp
+
+
 def test_segment_scoped_count_and_truncate(spark, tmp_path):
     t = _mk(spark, tmp_path, rows=30)
     t.insert(spark.range(30, 60).select(
