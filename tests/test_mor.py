@@ -446,6 +446,54 @@ def test_mor_rejects_external_segments(spark, tmp_path):
         dml.delete_rows(t, "id = 1")
 
 
+def test_mor_on_partitioned_table(spark, tmp_path):
+    """Hive-partitioned mor table: delta keys carry the partition
+    subdirectories, partition pruning composes with the anti-join."""
+    df = spark.range(60).select(
+        "id", (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 1.0).alias("v"))
+    t = Table.create_as_select(spark, str(tmp_path / "part"), df,
+                               properties={"iud.mode": "mor",
+                                           "partition_by": ["p"]})
+    n = dml.delete_rows(t, "id % 4 = 0 AND p = 1")
+    dead = [i for i in range(60) if i % 4 == 0 and i % 3 == 1]
+    assert n == len(dead)
+    assert t.read().count() == 60 - n and t.count() == 60 - n
+    # partition-scoped read still applies the delta
+    got = sorted(r["id"] for r in t.read(
+        predicates=[("p", "=", 1)]).collect())
+    assert got == sorted(set(range(1, 60, 3)) - set(dead))
+    deltas = t.manifest.load()["delete_deltas"]
+    assert all("p=1" in f for d in deltas for f in d["files"])
+
+
+def test_mor_after_schema_evolution(spark, tmp_path):
+    """ADD COLUMN then mor DELETE: era-default fills and the delta
+    anti-join compose (the join runs on the raw per-era scan, before
+    alignment)."""
+    t = _mk(spark, tmp_path, rows=20)
+    t.add_column("tag", "string", default="old")
+    t.insert(spark.range(20, 30).select(
+        "id", (F.col("id") % 10).cast("int").alias("grp"),
+        (F.col("id") * 1.5).alias("v"), F.lit("new").alias("tag")))
+    dml.delete_rows(t, "id % 2 = 0")
+    assert t.read().count() == 15 and t.count() == 15
+    tags = {r["tag"] for r in t.read().collect()}
+    assert tags == {"old", "new"}
+    assert t.read().filter("tag = 'old'").count() == 10
+
+
+def test_mor_with_bloom_index_pruning(spark, tmp_path):
+    """Bloom-index candidate pruning composes with the delta
+    anti-join: a point lookup for a deleted key returns nothing, a
+    live key still resolves."""
+    t = _mk(spark, tmp_path, rows=50)
+    t.indexes.create_bloom_index("bx", ["id"])
+    dml.delete_rows(t, "id = 17")
+    assert t.read(predicates=[("id", "=", 17)]).count() == 0
+    assert t.read(predicates=[("id", "=", 18)]).count() == 1
+
+
 def test_randomized_iud_sequence_matches_model(spark, tmp_path):
     """Seeded randomized op sequences (insert / mor delete / mor
     update / compaction / horizontal compaction) against an
