@@ -446,6 +446,44 @@ def test_mor_rejects_external_segments(spark, tmp_path):
         dml.delete_rows(t, "id = 1")
 
 
+def test_vector_index_search_excludes_deleted(spark, tmp_path):
+    """IVF sidecar lists may still reference deleted ids, but search
+    refines through table.read() — deleted vectors never surface."""
+    import math
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vid bigint, emb array<double>")
+    t = Table.create_as_select(spark, str(tmp_path / "vx"), df,
+                               properties={"iud.mode": "mor"})
+    t.vector_indexes.create("ix", "vid", "emb", k=4, iters=2)
+    q = spark.createDataFrame([(999, rows[5][1])],
+                              "q_id bigint, qe array<double>")
+    res, stale = t.vector_indexes.search("ix", q, nprobe=4, topk=3)
+    hits = {r["c_id"] for r in res.collect()}
+    assert not stale and 5 in hits
+    dml.delete_rows(t, "vid = 5")
+    res2, _ = t.vector_indexes.search("ix", q, nprobe=4, topk=3)
+    hits2 = {r["c_id"] for r in res2.collect()}
+    assert 5 not in hits2 and len(hits2) == 3
+
+
+def test_shuffled_delta_join_fallback(spark, tmp_path, monkeypatch):
+    """Past _DELTA_BROADCAST_ROWS the anti-join must plan without a
+    broadcast (both sides scale out) and stay correct."""
+    t = _mk(spark, tmp_path, rows=100)
+    dml.delete_rows(t, "grp = 1")
+    monkeypatch.setattr(Table, "_DELTA_BROADCAST_ROWS", 0)
+    # our forced hint is gone (the planner/AQE decides freely — on a
+    # tiny delta it may still choose broadcast on its own)...
+    analyzed = t.read()._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # ...and results stay exact either way
+    assert t.read().count() == 90
+    assert t.read().filter("grp = 1").count() == 0
+    monkeypatch.undo()
+    assert "ResolvedHint" in \
+        t.read()._jdf.queryExecution().analyzed().toString()
+
+
 def test_mor_on_partitioned_table(spark, tmp_path):
     """Hive-partitioned mor table: delta keys carry the partition
     subdirectories, partition pruning composes with the anti-join."""
