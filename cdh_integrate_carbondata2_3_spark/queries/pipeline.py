@@ -458,3 +458,27 @@ def embeddings_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(F.col("embedding")[0].cast("double")), 5)
                  .cast("double").alias("avg_first_dim"),
                  F.round(F.avg(sq_norm), 4).cast("double").alias("avg_sq_norm")))
+
+
+@query("agg_heavy_hitters", oracle="""
+SELECT w AS key, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents) t
+WHERE w != ''
+GROUP BY w
+ORDER BY cnt DESC, w
+LIMIT 10
+""")
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-10 most frequent words WITHOUT shuffling the key
+    space (operators/heavyhitters.py): per-partition Misra–Gries
+    summaries (bounded memory, streaming over Arrow batches), a
+    pigeonhole-sound candidate union, then one candidate-only exact
+    aggregation. The function RAISES unless exactness is certified
+    (k-th count > N/m or full mass coverage), so a green hash here
+    proves summary → refine ≡ the oracle's full groupBy."""
+    from ..operators.heavyhitters import heavy_hitters
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("w")).filter("w != ''")
+    return heavy_hitters(words, "w", k=10, m=256)
