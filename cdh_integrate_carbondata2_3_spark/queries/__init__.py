@@ -88,13 +88,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # local-frontier fix, the editdist_join single-pass guard, the
 # porter small-vocabulary fast path (touches every porter compile
 # path), and the sloppy-window repeat handling (touches the
-# whitespace+english sloppy paths). The seven never-stamped round-6
-# gates (merge-on-read delete/update/upsert, MV incremental refresh
-# + IVM-under-delete, sloppy-repeat FTS, BPE training) sort ahead of
-# this list automatically; the 50-slot cap then drops the final five
-# entries — all r5-stamped FTS gates whose round-6 code change (the
-# porter fast path's stem= plumbing) is plan-asserted and locally
-# hash-green — to the round-7 window.
+# whitespace+english sloppy paths). The never-stamped round-6 gates
+# (merge-on-read delete/update/upsert, MV incremental refresh +
+# IVM-under-delete, sloppy-repeat FTS, BPE training, heavy hitters)
+# sort ahead of this list automatically; the 50-slot cap then drops
+# the trailing entries — all r5-stamped FTS gates whose round-6 code
+# change (the porter fast path's stem= plumbing) is plan-asserted
+# and locally hash-green — to the round-7 window.
 _ROTATE_BACK_IN: tuple[str, ...] = (
     # (1) the 39 round-2-stale driver rows
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
