@@ -1,0 +1,123 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin family).
+
+The LSH operators (MinHash / SimHash / n-gram Jaccard in
+operators/dedup.py) trade recall for scale. This is their EXACT
+counterpart — every pair with Jaccard ≥ τ, no false negatives —
+using the prefix-filtering principle (Chaudhuri et al. 2006 SSJoin;
+Xiao et al. 2008 PPJoin):
+
+1. **Global token ordering**: one aggregation ranks tokens by
+   (frequency asc, token) — rarest first. Canonicalizing every set
+   in this order makes the prefix maximally selective.
+2. **Prefix emission**: a set s with Jaccard-τ matches must share at
+   least one token with any match inside its first
+   ``|s| - ceil(τ·|s|) + 1`` canonical tokens. Only those prefix
+   tokens become join keys — and they are by construction the RAREST
+   tokens of each set, so candidate buckets stay small exactly where
+   a naive token-join explodes (stopword buckets never join).
+3. **Length filter** at the candidate stage: τ·|a| ≤ |b| (with
+   |a| ≤ |b| by pairing order) — cheap, provably safe.
+4. **Exact verification**: array_intersect over the two canonical
+   arrays → |∩| / (|a| + |b| − |∩|) ≥ τ. Pure JVM HOFs.
+
+Everything is joins + aggregations + higher-order functions — no
+Python, no cross join (plan-asserted in tests), shuffles keyed by
+prefix token then by pair id. At 100 TB the scale lever is τ: the
+prefix length (1−τ)·|s|+1 bounds the fan-out per set; the token
+ordering bounds the bucket sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def canonicalize(df: DataFrame, id_col: str, tokens_col: str
+                 ) -> DataFrame:
+    """(id, toks) with tokens DEDUPLICATED and sorted rarest-first by
+    corpus frequency (ties lexicographic) — the canonical order
+    prefix filtering requires. One explode + count + re-group."""
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(tokens_col)).alias("tok")))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (ex.join(freq, "tok")
+            .groupBy("id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"]).alias("toks")))
+
+
+def jaccard_join(df: DataFrame, id_col: str, tokens_col: str,
+                 threshold: float,
+                 bucket_cap: int = 100_000) -> DataFrame:
+    """All pairs (id_l < id_r, jacc) with Jaccard(tokens_l, tokens_r)
+    ≥ ``threshold`` — exact, no sampling, no hashing. ``tokens_col``
+    is an array column; duplicates within a set are ignored (set
+    semantics).
+
+    ``bucket_cap`` is the quadratic-death guard (same contract as
+    editdist_join's uniq_cap, lazily enforced with assert_true inside
+    the plan): a prefix token shared by more than ``bucket_cap`` sets
+    means the corpus has a large family of sets built ENTIRELY from
+    frequent tokens — candidate generation is then quadratic by
+    problem statement, and the right tool is the MinHash/SimHash LSH
+    operators, not an exact join. Raising is explicit, never a
+    silent runaway stage."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+    sets = canonicalize(df, id_col, tokens_col)
+    sz = F.size("toks")
+    # prefix = |s| - ceil(t*|s|) + 1 rarest tokens, with their
+    # position (the PPJoin positional filter needs it)
+    plen = sz - F.ceil(sz * F.lit(t)).cast("int") + 1
+    pref = (sets.select("id", "toks", sz.alias("n"),
+                        F.posexplode(F.slice("toks", 1, plen))
+                        .alias("pos", "tok")))
+    wb = W.partitionBy("tok")
+    cap_msg = (f"jaccard_join: a prefix token is shared by more than "
+               f"bucket_cap={bucket_cap} sets — candidate generation "
+               "is quadratic on this corpus; use the LSH near-dup "
+               "operators or raise bucket_cap knowingly")
+    guarded = pref.withColumn("__ok", F.assert_true(
+        F.count(F.lit(1)).over(wb) <= F.lit(bucket_cap),
+        F.lit(cap_msg))).where(F.col("__ok").isNull()).drop("__ok")
+    l = guarded.select(F.col("id").alias("id_l"),
+                       F.col("toks").alias("toks_l"),
+                       F.col("n").alias("n_l"),
+                       F.col("pos").alias("p_l"), "tok")
+    r = guarded.select(F.col("id").alias("id_r"),
+                       F.col("toks").alias("toks_r"),
+                       F.col("n").alias("n_r"),
+                       F.col("pos").alias("p_r"), "tok")
+    # Positional filter (PPJoin idea, per-emission-sound form): a
+    # shared token at 0-based canonical positions (p_l, p_r) splits
+    # both arrays; because the order is GLOBAL, shared tokens ranked
+    # below it sit before it in BOTH arrays (≤ min(p_l, p_r) of
+    # them), shared tokens above it sit after it in both. So
+    # overlap ≤ min(p_l,p_r) + 1 + min(n_l-p_l-1, n_r-p_r-1), while
+    # Jaccard ≥ t needs overlap ≥ ceil(t/(1+t) · (n_l + n_r)). A
+    # pair survives if ANY of its shared prefix emissions passes —
+    # dedup happens after the filter, so that is exactly what the
+    # join computes.
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n_l") + F.col("n_r")))
+    upper = (F.least("p_l", "p_r") + F.lit(1)
+             + F.least(F.col("n_l") - F.col("p_l") - 1,
+                       F.col("n_r") - F.col("p_r") - 1))
+    cand = (l.join(r, "tok")
+            .filter(F.col("id_l") < F.col("id_r"))
+            # length filter: with n_l ≤ n_r needed t*n_r ≤ n_l, and
+            # symmetrically — jointly: t*greatest ≤ least
+            .filter(F.least("n_l", "n_r")
+                    >= F.greatest("n_l", "n_r") * F.lit(t))
+            .filter(upper >= alpha)
+            .select("id_l", "id_r", "toks_l", "toks_r", "n_l", "n_r")
+            .dropDuplicates(["id_l", "id_r"]))
+    inter = F.size(F.array_intersect("toks_l", "toks_r"))
+    jacc = inter / (F.col("n_l") + F.col("n_r") - inter)
+    # threshold on the UNROUNDED value (rounding must not flip
+    # membership); round only the reported score
+    return (cand.select("id_l", "id_r", jacc.alias("__j"))
+            .filter(F.col("__j") >= t)
+            .select("id_l", "id_r",
+                    F.round("__j", 6).alias("jacc")))

@@ -472,3 +472,42 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import trim_duplicated_spans
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return trim_duplicated_spans(docs, "doc_id", "text", n=8, min_df=2)
+
+
+_SSJ_T = 0.8                # exact-join threshold
+_SSJ_MOD = 5                # doc_id % MOD == 0 subset (oracle pairs
+                            # the subset quadratically; ours never does)
+
+
+@query("join_jaccard_exact", oracle=f"""
+WITH s AS (
+  SELECT doc_id AS id, list(DISTINCT w) AS toks
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE doc_id % {_SSJ_MOD} = 0) t
+  WHERE w != ''
+  GROUP BY doc_id
+)
+SELECT a.id AS id_l, b.id AS id_r,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))), 6) AS jacc
+FROM s a JOIN s b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks)
+         - len(list_intersect(a.toks, b.toks))) >= {_SSJ_T}
+""")
+def join_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering
+    (operators/ssjoin.py — SSJoin/PPJoin): rarest-first canonical
+    order, prefix-token candidate join, length filter, HOF
+    verification. The oracle verifies by QUADRATIC pairing of the
+    same subset, so a green hash proves the prefix filter loses no
+    pair and admits no extra — exact where the MinHash/SimHash
+    operators are probabilistic."""
+    from ..operators.ssjoin import jaccard_join
+    d = (_docs(spark, sf_dir)
+         .filter(F.col("doc_id") % _SSJ_MOD == 0)
+         .select("doc_id",
+                 F.filter(F.split(F.trim("text"), r"\s+"),
+                          lambda w: w != "").alias("toks")))
+    return jaccard_join(d, "doc_id", "toks", _SSJ_T)
