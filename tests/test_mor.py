@@ -306,6 +306,40 @@ def test_mv_incremental_maintenance_under_mor_delete(spark, tmp_path,
     assert 4 not in got                              # group dropped
 
 
+def test_mv_incremental_under_mor_update(spark, tmp_path, monkeypatch):
+    """mor UPDATE = delta (old versions) + fresh segment (new
+    versions): one incremental refresh subtracts and adds in the same
+    merge — sums shift by exactly the update amount, counts don't."""
+    from cdh_integrate_carbondata2_3_spark.mv import manager as M
+    from cdh_integrate_carbondata2_3_spark.mv.manager import (
+        AggSpec, MVManager, QuerySpec)
+    t = _mk(spark, tmp_path)
+    mgr = MVManager(t)
+    mgr.create("mu", ["grp"], [AggSpec("sum", "v"), AggSpec("count", "*")])
+    dml.update_rows(t, {"v": "v + 50"}, "grp = 3")   # 10 rows shift
+    assert mgr.show()[0]["stale"]
+    orig = M.MVManager._aggregate_source
+    monkeypatch.setattr(
+        M.MVManager, "_aggregate_source",
+        lambda self, meta, segments:
+        (_ for _ in ()).throw(AssertionError("full rebuild"))
+        if segments is None else orig(self, meta, segments))
+    mgr.refresh("mu")
+    monkeypatch.undo()
+    q = QuerySpec(group_cols=["grp"],
+                  aggs={"s": AggSpec("sum", "v"),
+                        "n": AggSpec("count", "*")})
+    df, used = mgr.answer(q)
+    assert used == "mu"
+    got = {r["grp"]: (r["s"], r["n"]) for r in df.collect()}
+    exp = {r["grp"]: (r["s"], r["n"]) for r in
+           t.read().groupBy("grp").agg(
+               F.sum("v").alias("s"),
+               F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp
+    assert got[3][1] == 10                           # count unchanged
+
+
 def test_mv_minmax_or_rewritten_history_forces_full(spark, tmp_path,
                                                     monkeypatch):
     """Two documented IVM fallbacks: MIN/MAX aggregates (deletion not
