@@ -46,10 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
     spark.read.parquet(f"{sf}/documents.parquet") \
         .createOrReplaceTempView("__flagship_docs")
     eng.sql("CREATE TABLE flagdoc (doc_id BIGINT, text STRING, "
-            "lang STRING, n_chars BIGINT)")
+            "lang STRING, n_chars BIGINT) "
+            "TBLPROPERTIES('iud.mode'='mor')")
     for par in (0, 1):          # two segments → real manifest pruning
         eng.sql("INSERT INTO flagdoc SELECT doc_id, text, lang, n_chars "
                 f"FROM __flagship_docs WHERE doc_id % 2 = {par}")
+    # merge-on-read DELETE: a delta sidecar, no file rewrite — every
+    # downstream step (index build, text_match, dedup) sees only
+    # surviving rows through the central read path
+    eng.sql("DELETE FROM flagdoc WHERE doc_id % 17 = 3")
     eng.sql("CREATE INDEX flagfts ON TABLE flagdoc (text) AS 'lucene' "
             "PROPERTIES('analyzer'='porter')")
     # porter stems both sides: vectors→vector, hashing→hash

@@ -290,8 +290,8 @@ class IndexManager:
         wm = self._watermark()
         idx_dir = _index_dir(self.table.table_dir, name)
         shutil.rmtree(idx_dir, ignore_errors=True)
-        df = (self.table.read()
-              .withColumn("_file", F.input_file_name())
+        from ..operators.dml import read_with_file
+        df = (read_with_file(self.table)
               .select(*columns, "_file").distinct()
               .withColumn("_file", F.expr(
                   "replace(_file, 'file://', '')")))
@@ -325,9 +325,9 @@ class IndexManager:
         idx_dir = _index_dir(self.table.table_dir, name)
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(idx_dir + "__dict", ignore_errors=True)
-        base = (self.table.read()
-                .withColumn("_file", F.input_file_name())
-                .withColumn("_file", F.expr("replace(_file, 'file://', '')")))
+        from ..operators.dml import read_with_file
+        base = read_with_file(self.table).withColumn(
+            "_file", F.expr("replace(_file, 'file://', '')"))
         posts, dicts, cached = None, None, []
         for col in columns:
             src = F.col(col).cast("string")
@@ -408,8 +408,8 @@ class IndexManager:
                 out.append((fname, col, b.b64()))
             return pd.DataFrame(out, columns=["file", "col", "bloom"])
 
-        (self.table.read()
-         .withColumn("_file", F.input_file_name())
+        from ..operators.dml import read_with_file
+        (read_with_file(self.table)
          .select(*columns, "_file")
          .groupBy("_file")
          .applyInPandas(build, "file string, col string, bloom string")

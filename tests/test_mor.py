@@ -480,6 +480,29 @@ def test_mor_rejects_external_segments(spark, tmp_path):
         dml.delete_rows(t, "id = 1")
 
 
+def test_index_builds_on_table_with_live_deltas(spark, tmp_path):
+    """SI / bloom / FTS index builds must work (and exclude deleted
+    rows) on a table that ALREADY carries delete deltas — the builds
+    capture per-row file provenance through read_with_file, since
+    input_file_name() rejects the delta join's multi-source plan."""
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE mx (id INT, body STRING) "
+            "TBLPROPERTIES('iud.mode'='mor')")
+    eng.sql("INSERT INTO mx SELECT * FROM VALUES "
+            "(1,'alpha beta'),(2,'beta gamma'),(3,'gamma delta'),"
+            "(4,'delta alpha') t(i,b)")
+    eng.sql("DELETE FROM mx WHERE id = 2")
+    eng.sql("CREATE INDEX mxf ON TABLE mx (body) AS 'lucene'")
+    eng.sql("CREATE INDEX mxs ON TABLE mx (id) AS 'carbondata'")
+    eng.sql("CREATE INDEX mxb ON TABLE mx (id) AS 'bloomfilter'")
+    got = sorted(r["id"] for r in eng.sql(
+        "SELECT id FROM mx WHERE text_match('body:beta')").collect())
+    assert got == [1]                                # 2 is dead
+    assert eng.sql("SELECT id FROM mx WHERE id = 2").count() == 0
+    assert eng.sql("SELECT id FROM mx WHERE id = 3").count() == 1
+
+
 def test_vector_index_search_excludes_deleted(spark, tmp_path):
     """IVF sidecar lists may still reference deleted ids, but search
     refines through table.read() — deleted vectors never surface."""
