@@ -819,7 +819,8 @@ class Table:
              use_indexes: bool = True,
              as_of: int | None = None,
              bucket_id: int | None = None,
-             with_rowpos: bool = False) -> DataFrame:
+             with_rowpos: bool = False,
+             only_files: set | None = None) -> DataFrame:
         """Scan with driver-side pruning; mixed-format segments are
         unioned by name (reference MixedFormatHandler.scala:55-230).
         Spark re-evaluates predicates exactly — pruning is only a skip.
@@ -836,6 +837,12 @@ class Table:
         ``with_rowpos=True`` keeps the (__dd_f, __dd_p) row-identity
         columns on the result (parquet segments only) — the
         merge-on-read IUD path's tuple id.
+
+        ``only_files`` (absolute paths) restricts the scan to those
+        files while keeping EVERY read-path semantic — era-default
+        fills, rename alignment, delete-delta anti-join — which is
+        what a rewrite must read through (a raw parquet rescan would
+        silently materialize NULLs where era defaults apply).
 
         Merge-on-read delete deltas (``'iud.mode'='mor'`` tables) are
         applied here, so every consumer — query, index build, FTS
@@ -892,6 +899,8 @@ class Table:
                 kept = [f for f in kept
                         if f.partition.get("__bucket__", target_bucket)
                         == target_bucket]
+            if only_files is not None:
+                kept = [f for f in kept if self._abs(f.path) in only_files]
             if not kept:
                 continue
             fills = tuple(sorted(

@@ -42,15 +42,13 @@ def _norm_file(uri: str) -> str:
 
 
 def _scan_touched(table: Table, touched: list[str]) -> DataFrame:
-    """Raw rescan of touched files for a CoW rewrite, minus any
-    merge-on-read deleted rows — a rewrite on a table carrying delete
-    deltas (MERGE on a mor table, or a mode switch with live deltas)
-    must not resurrect them."""
-    scan = table.spark.read.parquet(*touched)
-    dd = table._delete_delta_df(table.manifest.load())
-    if dd is not None:
-        scan = table._apply_deltas(scan, dd)
-    return scan
+    """Rescan of the touched files for a CoW rewrite — through the
+    FULL read path (``read(only_files=...)``), so the rewrite sees
+    era-default fills and rename alignment (a raw parquet rescan
+    silently materialized NULL where a pre-evolution file's era
+    default applied) and never resurrects merge-on-read deleted
+    rows."""
+    return table.read(only_files=set(touched))
 
 
 def read_with_file(table: Table, predicates=None) -> DataFrame:

@@ -175,6 +175,51 @@ def update_rows_mor(table: Table, set_exprs: dict[str, str],
     return n
 
 
+def apply_deltas(table: Table, min_fraction: float = 0.3) -> int:
+    """Targeted delta application — the policy real merge-on-read
+    systems run between horizontal and major compaction: rewrite ONLY
+    the files whose deleted-row fraction reached ``min_fraction``
+    (their anti-join work is mostly waste by then), drop their delta
+    rows, and leave lightly-deleted files alone. Bounds the read
+    path's standing delete debt at O(min_fraction) per file without
+    ever paying a full MAJOR compaction. Returns the number of files
+    rewritten.
+
+    Driver cost: one pyarrow pass over the delta sidecars for
+    per-file deleted counts (the same order as the sidecars
+    themselves); executor cost: one CoW rewrite of just the chosen
+    files through the delta-aware rescan."""
+    doc = table.manifest.load()
+    entries = doc.get("delete_deltas") or []
+    if not entries:
+        return 0
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    per_file: dict[str, int] = {}
+    for e in entries:
+        t = pq.read_table(os.path.join(table.table_dir, e["path"]),
+                          columns=["file"])
+        vc = pc.value_counts(t.column("file"))
+        for item in vc.to_pylist():
+            per_file[item["values"]] = (per_file.get(item["values"], 0)
+                                        + item["counts"])
+    rows_of = {f.path: f.rows for s in table.manifest.queryable_segments()
+               for f in s.files}
+    chosen = [p for p, dead in per_file.items()
+              if p in rows_of and rows_of[p] > 0
+              and dead / rows_of[p] >= min_fraction]
+    if not chosen:
+        return 0
+    from .dml import _replace_files, _scan_touched
+    n_survivors = sum(rows_of[p] - per_file[p] for p in chosen)
+    surviving = (_scan_touched(table, [table._abs(p) for p in chosen])
+                 if n_survivors else None)
+    _replace_files(table, [table._abs(p) for p in chosen],
+                   surviving, "delta_apply")
+    # _replace_files already re-trimmed the deltas (files dropped)
+    return len(chosen)
+
+
 def horizontal_compact(table: Table, force: bool = False) -> None:
     """Consolidate all delete-delta sidecars into one, dropping rows
     whose file is no longer in a queryable segment (post data

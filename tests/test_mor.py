@@ -562,6 +562,51 @@ def test_mor_on_partitioned_table(spark, tmp_path):
     assert all("p=1" in f for d in deltas for f in d["files"])
 
 
+def test_cow_rewrite_preserves_era_defaults(spark, tmp_path):
+    """Regression: CoW DELETE/UPDATE/MERGE rewrites of pre-evolution
+    files must materialize era defaults and renames (the raw parquet
+    rescan used to turn 'tag'='old' into NULL for every surviving
+    row of a touched file)."""
+    t = Table.create_as_select(
+        spark, str(tmp_path / "era"),
+        spark.range(10).selectExpr("id", "id * 1.0 AS v"))
+    t.add_column("tag", "string", default="old")
+    t.rename_column("v", "val")
+    dml.delete_rows(t, "id = 3")
+    assert t.read().filter("tag = 'old'").count() == 9
+    assert t.read().filter("tag IS NULL").count() == 0
+    dml.update_rows(t, {"val": "val + 1"}, "id = 5")
+    assert t.read().filter("tag = 'old'").count() == 9
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[5] == 6.0 and got[4] == 4.0
+
+
+def test_apply_deltas_rewrites_only_heavy_files(spark, tmp_path):
+    """Targeted delta application (operators/mor.apply_deltas): files
+    past the deleted-fraction threshold are rewritten clean, light
+    files keep their deltas, counts stay exact throughout."""
+    from cdh_integrate_carbondata2_3_spark.operators.mor import apply_deltas
+    t = _mk(spark, tmp_path, rows=40)                # seg 0
+    t.insert(spark.range(40, 80).select(
+        "id", (F.col("id") % 10).cast("int").alias("grp"),
+        (F.col("id") * 1.5).alias("v")))             # seg 1
+    dml.delete_rows(t, "id < 25")                    # 62% of seg 0
+    dml.delete_rows(t, "id = 41")                    # 2.5% of seg 1
+    assert t.count() == 54
+    n = apply_deltas(t, min_fraction=0.5)
+    assert n >= 1                                    # seg-0 file(s)
+    doc = t.manifest.load()
+    assert t.read().count() == 54 and t.count() == 54
+    # the light file's delta survives; the heavy ones are gone
+    assert sum(d["rows"] for d in doc["delete_deltas"]) == 1
+    assert t.read().filter("id < 25").count() == 0
+    assert t.read().filter("id = 41").count() == 0
+    # all-deleted case: wipe the remainder of seg 0 entirely
+    dml.delete_rows(t, "id < 40")
+    assert apply_deltas(t, min_fraction=0.99) >= 1
+    assert t.read().count() == 39 and t.count() == 39
+
+
 def test_mor_after_schema_evolution(spark, tmp_path):
     """ADD COLUMN then mor DELETE: era-default fills and the delta
     anti-join compose (the join runs on the raw per-era scan, before
