@@ -35,6 +35,15 @@ At 100 TB the cost profile: a DELETE of k rows costs one pruned scan
 + k delta rows; every subsequent read pays one anti-join whose build
 side is the live delta (usually broadcast); MAJOR compaction applies
 deltas physically because its rewrite reads through ``Table.read``.
+
+Writer model: like the CoW path (and the reference's table-status
+lock), IUD assumes ONE writer per table at a time — the manifest
+swap serializes commits, but two overlapping DELETEs that both
+scanned the pre-delete state would record the same (file, pos) twice
+(reads stay correct; the metadata count() over-subtracts until the
+next horizontal compaction's distinct()). Serialize IUD externally,
+as with every table format whose conflict resolution is the
+commit lock.
 """
 
 from __future__ import annotations
