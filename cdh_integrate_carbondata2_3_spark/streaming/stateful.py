@@ -186,3 +186,62 @@ def near_dup_candidate_stream(docs: DataFrame, id_col: str = "doc_id",
     return (banded.groupBy("band", "bv")
             .applyInPandasWithState(fn, _ND_OUT, _ND_STATE, "append",
                                     timeout_conf))
+
+
+# ----------------------------------------------------------- heavy hitters
+# Streaming frequent-items: the batch operator
+# (operators/heavyhitters.py) summarizes per PARTITION; the streaming
+# form summarizes per HASH BUCKET with the summary living in the
+# state store, so the candidate set stays current as rows arrive —
+# across micro-batches and restarts (checkpointed state). Same
+# soundness: per bucket b, a key absent from the summary has
+# count_b ≤ N_b/(m+1), so the union of survivors is a superset of
+# every key with global count > N/(m+1) (pigeonhole over buckets).
+# Exact top-k still comes from a downstream refine over the emitted
+# candidates, exactly like the batch phase 3.
+
+_HH_OUT = "bucket int, key string, lb bigint"
+_HH_STATE = "keys string, counts string"
+_HH_SEP = "\x1f"            # unit separator — safe for arbitrary keys
+
+
+def heavy_hitter_stream(rows: DataFrame, col: str, *, m: int = 256,
+                        buckets: int = 64) -> DataFrame:
+    """Streaming Misra–Gries: ``rows[col]`` (string) hashes into
+    ``buckets`` state groups, each keeping an ``m``-counter summary
+    (mergeable merge-and-prune form). After every micro-batch each
+    touched bucket re-emits its surviving (key, lower-bound count)
+    rows — downstream keeps the latest per key (or just the distinct
+    candidate keys) and refines exactly against the table. State is
+    O(buckets × m) total, independent of rows or distinct keys."""
+    from pyspark.sql import functions as F
+
+    keyed = rows.select(
+        F.col(col).cast("string").alias("key")).where(
+        F.col("key").isNotNull()).select(
+        "key", F.pmod(F.xxhash64("key"), F.lit(buckets))
+        .cast("int").alias("bucket"))
+
+    def fn(key, pdfs, state: GroupState):
+        bucket = int(key[0])
+        counts: dict = {}
+        if state.exists:
+            ks, cs = state.get
+            if ks:
+                counts = dict(zip(ks.split(_HH_SEP),
+                                  map(int, cs.split(_HH_SEP))))
+        for pdf in pdfs:
+            for k, c in pdf["key"].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+            if len(counts) > m:
+                s = sorted(counts.values(), reverse=True)[m]
+                counts = {k2: v - s for k2, v in counts.items() if v > s}
+        state.update((_HH_SEP.join(counts),
+                      _HH_SEP.join(str(v) for v in counts.values())))
+        yield pd.DataFrame({"bucket": bucket,
+                            "key": list(counts),
+                            "lb": list(counts.values())})
+
+    return (keyed.groupBy("bucket")
+            .applyInPandasWithState(fn, _HH_OUT, _HH_STATE, "append",
+                                    GroupStateTimeout.NoTimeout))
