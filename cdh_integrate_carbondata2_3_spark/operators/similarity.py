@@ -224,6 +224,137 @@ def kmeans_refine(v: DataFrame, centroids: DataFrame, iters: int = 1,
     return assign_to(cent).select(id_col, "cluster"), cent
 
 
+def _subvec(vec, sub: int, dsub: int) -> Column:
+    """1-based slice of subspace ``sub`` (0-based) from an
+    array<double> column."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.slice(vec, sub * dsub + 1, dsub)
+
+
+def pq_encode(corpus: DataFrame, codebooks: DataFrame, m: int, dsub: int,
+              id_col: str = "id", vec_col: str = "e") -> DataFrame:
+    """Product-quantization encode: split each vector into ``m``
+    subspaces of ``dsub`` dims and store, per subspace, the id of the
+    nearest codebook centroid (squared-L2, ties to the lower code).
+    Output: (id, codes array<int>) — at K≤256 codes per subspace this
+    is m bytes of payload per vector instead of m×dsub×8, the 32–64×
+    memory/IO reduction that makes billion-vector rerank feasible
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — the FAISS IVF-PQ layout).
+
+    ``codebooks`` is (sub, code, cvec array<double>) and
+    broadcast-small (m×K rows). Scale shape: the corpus expands to
+    N×m×K scored rows map-side, but BOTH aggregates below have
+    partial phases — per (id, sub) min_by collapses each task's slice
+    to one row per (id, sub) before the first shuffle (≤N×m rows,
+    like ``ivf_assign``), and the final per-id collect carries N rows.
+    Encode is a write-time cost, amortized over every search."""
+    cb = codebooks.select(F.col("sub"), F.col("code"), F.col("cvec"))
+    scored = (corpus.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("e"))
+              .crossJoin(F.broadcast(cb))
+              .select("id", "sub", "code",
+                      sq_dist(F.slice(F.col("e"),
+                                      F.col("sub") * dsub + F.lit(1),
+                                      F.lit(dsub)),
+                              F.col("cvec")).alias("d2")))
+    best = (scored.groupBy("id", "sub")
+            .agg(F.min_by(F.col("code"),
+                          F.struct(F.col("d2"), F.col("code")))
+                 .alias("code")))
+    return (best.groupBy("id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"]).alias("codes")))
+
+
+def pq_search_adc(codes: DataFrame, codebooks: DataFrame,
+                  queries: DataFrame, m: int, dsub: int, k: int,
+                  id_col: str = "id", vec_col: str = "e") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes a lookup table LUT[sub][code] = squared-L2 between its
+    subvector and that codebook centroid (m×K doubles, broadcast with
+    the query), and a candidate's approximate distance is the
+    sequential sum of m table lookups — the corpus side never touches
+    raw floats, only the m-byte code arrays. Output:
+    (q_id, c_id, adc_dist, rk) with adc_dist rounded to 6dp before
+    ranking (ties asc c_id) so an oracle replaying the same fold
+    hashes identically.
+
+    Scale shape: the LUT build is |queries|×m×K (tiny, broadcast);
+    the scan is one narrow pass over the code table per query batch
+    with no shuffle of the corpus — rank is the only exchange, and
+    it moves candidate (q_id, c_id, dist) triples, not vectors."""
+    cb = codebooks.select("sub", "code", "cvec")
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("qe"))
+    lut_rows = (q.crossJoin(F.broadcast(cb))
+                .select("q_id", "sub", "code",
+                        sq_dist(F.slice(F.col("qe"),
+                                        F.col("sub") * dsub + F.lit(1),
+                                        F.lit(dsub)),
+                                F.col("cvec")).alias("d2")))
+    # nested LUT ordered by (sub, code): outer index = subspace,
+    # inner index = code id
+    n_codes = F.size(F.col("flat")) / m
+    luts = (lut_rows.groupBy("q_id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("sub", "code", "d2"))).alias("flat"))
+            .select("q_id",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda s: F.transform(
+                            F.slice(F.col("flat"),
+                                    s * n_codes.cast("int") + F.lit(1),
+                                    n_codes.cast("int")),
+                            lambda x: x["d2"])).alias("lut")))
+    cand = (codes.select(F.col("id").alias("c_id"), "codes")
+            .crossJoin(F.broadcast(luts)))
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"),
+                   lambda c, row: F.element_at(row, c.cast("int") + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = cand.select("q_id", "c_id",
+                         F.round(adc, 6).cast("double").alias("adc_dist"))
+    wk = W.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (scored.select("q_id", "c_id", "adc_dist",
+                          F.row_number().over(wk).alias("rk"))
+            .filter(F.col("rk") <= k))
+
+
+def pq_train(vectors: DataFrame, m: int, dsub: int, n_codes: int,
+             iters: int = 2, id_col: str = "id", vec_col: str = "e",
+             seed_ids: list[int] | None = None) -> DataFrame:
+    """Train PQ codebooks: independent Lloyd's k-means per subspace
+    (the PQ paper's training — subspaces are decorrelated by
+    construction, so the m problems are separable). Seeds are data
+    subvectors (the ``seed_ids`` rows, or the n_codes smallest ids)
+    so training is deterministic. Returns (sub, code, cvec) ready for
+    :func:`pq_encode` / :func:`pq_search_adc`.
+
+    Each subspace reuses :func:`kmeans_refine` — corpus never
+    shuffles, only the K×dsub mean matrix returns to the driver per
+    round. The m trainings share the cached subvector projections."""
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    if seed_ids is None:
+        seed_ids = [r[0] for r in v.select("id").orderBy("id")
+                    .limit(n_codes).collect()]
+    out = None
+    for sub in range(m):
+        sv = v.select("id", _subvec("e", sub, dsub).alias("e"))
+        seeds = (sv.filter(F.col("id").isin(seed_ids))
+                 .select(F.col("id").alias("cid"), F.col("e").alias("ce")))
+        _, cent = kmeans_refine(sv, seeds, iters=iters)
+        # re-key centroid ids to dense 0..K-1 codes (ordered by cid)
+        rows = sorted(cent.collect(), key=lambda r: r["cid"])
+        cb = spark.createDataFrame(
+            [(sub, i, list(r["ce"])) for i, r in enumerate(rows)],
+            "sub int, code int, cvec array<double>")
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
 def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
                    threshold: float, id_col: str = "id",
                    vec_col: str = "e") -> DataFrame:

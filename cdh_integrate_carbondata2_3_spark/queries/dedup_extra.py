@@ -511,3 +511,115 @@ def join_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.filter(F.split(F.trim("text"), r"\s+"),
                           lambda w: w != "").alias("toks")))
     return jaccard_join(d, "doc_id", "toks", _SSJ_T)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization (PQ) compressed ANN: m-byte codes instead of
+# m×dsub×8-byte floats — the memory/IO reduction (here 64 doubles →
+# 4 codes, 128×) that makes billion-vector search feasible (Jégou et
+# al. TPAMI 2011; the FAISS IVF-PQ layout). Codebook entries are
+# pinned data subvectors so the oracle can replay encode + ADC
+# bit-for-bit; pq_train (per-subspace Lloyd's) is the production
+# trainer, exactness-pinned in tests/test_pq.py.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_DSUB = 16
+_PQ_CODE_IDS = (15, 60, 110, 170, 230, 290, 350, 410)   # K = 8
+_PQ_QUERY_VECS = 10
+_PQ_TOP_K = 5
+
+_PQ_D2 = ("list_sum(list_transform(generate_series(1, {n}), "
+          "__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i])))")
+
+
+def _pq_oracle() -> str:
+    ids = ", ".join(str(i) for i in _PQ_CODE_IDS)
+    codes = ", ".join(f"({c}, {vid})"
+                      for c, vid in enumerate(_PQ_CODE_IDS))
+    sub_slice = ("list_slice({v}, sub * {d} + 1, sub * {d} + {d})"
+                 .format(v="{v}", d=_PQ_DSUB))
+    d2_enc = _PQ_D2.format(n=_PQ_DSUB,
+                           a=sub_slice.format(v="c.e"), b="cb.cvec")
+    d2_lut = _PQ_D2.format(n=_PQ_DSUB,
+                           a=sub_slice.format(v="q.qe"), b="cb.cvec")
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+), cbsrc AS (
+  SELECT c.code, v.e FROM (VALUES {codes}) AS c(code, vid)
+  JOIN v ON v.id = c.vid
+), cb AS (
+  SELECT s.sub, cbsrc.code,
+         list_slice(cbsrc.e, s.sub * {_PQ_DSUB} + 1,
+                    s.sub * {_PQ_DSUB} + {_PQ_DSUB}) AS cvec
+  FROM (SELECT unnest(range({_PQ_M})) AS sub) s CROSS JOIN cbsrc
+), corpus AS (
+  SELECT id, e FROM v WHERE id >= {_PQ_QUERY_VECS}
+), enc AS (
+  SELECT c.id, cb.sub, cb.code, {d2_enc} AS d2
+  FROM corpus c CROSS JOIN cb
+), codes AS (
+  SELECT id, list(code ORDER BY sub) AS codes FROM (
+    SELECT id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY id, sub
+                              ORDER BY d2, code) AS rn
+    FROM enc) WHERE rn = 1 GROUP BY id
+), q AS (
+  SELECT id AS q_id, e AS qe FROM v WHERE id < {_PQ_QUERY_VECS}
+), lutrows AS (
+  SELECT q.q_id, cb.sub, cb.code, {d2_lut} AS d2
+  FROM q CROSS JOIN cb
+), lut AS (
+  SELECT q_id, list(row ORDER BY sub) AS lut FROM (
+    SELECT q_id, sub, list(d2 ORDER BY code) AS row
+    FROM lutrows GROUP BY q_id, sub) GROUP BY q_id
+), scored AS (
+  SELECT lut.q_id, codes.id AS c_id,
+         CAST(ROUND(list_sum(list_transform(
+             generate_series(1, {_PQ_M}),
+             __s -> lut.lut[__s][codes.codes[__s] + 1])), 6)
+           AS DOUBLE) AS adc_dist
+  FROM codes CROSS JOIN lut
+), ranked AS (
+  SELECT q_id, c_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, c_id) AS rk
+  FROM scored)
+SELECT q_id, c_id, adc_dist, rk FROM ranked WHERE rk <= {_PQ_TOP_K}
+"""
+
+
+@query("similarity_ann_pq", oracle=_pq_oracle())
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate nearest neighbor: vectors are
+    product-quantized to m per-subspace codebook ids at WRITE time
+    (operators/similarity.pq_encode — broadcast codebook, partial-agg
+    argmin, no corpus shuffle), and each query scans the m-byte code
+    table with a precomputed asymmetric-distance lookup table
+    (pq_search_adc). The corpus's raw floats are never read at search
+    time — the 128× payload reduction IS the scale story: at 10⁹×768d
+    the code table is ~100 GB where the floats are ~3 TB. Codebooks
+    here are pinned data subvectors so the DuckDB oracle replays
+    encode + ADC exactly; the trained path (per-subspace Lloyd's,
+    pq_train) is exactness-pinned in tests/test_pq.py."""
+    from ..operators.similarity import pq_encode, pq_search_adc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = cache_tracked(emb.select(F.col("vec_id").alias("id"), dv.alias("e")))
+    ids = list(_PQ_CODE_IDS)
+    code_of = (F.array_position(
+        F.array(*[F.lit(i) for i in ids]), F.col("id")) - 1).cast("int")
+    cb = (v.filter(F.col("id").isin(ids))
+          .select(code_of.alias("code"), "e")
+          .crossJoin(spark.range(_PQ_M)
+                     .select(F.col("id").cast("int").alias("sub")))
+          .select("sub", "code",
+                  F.slice(F.col("e"), F.col("sub") * _PQ_DSUB + F.lit(1),
+                          F.lit(_PQ_DSUB)).alias("cvec")))
+    corpus = v.filter(F.col("id") >= _PQ_QUERY_VECS)
+    queries = v.filter(F.col("id") < _PQ_QUERY_VECS)
+    codes = pq_encode(corpus, cb, m=_PQ_M, dsub=_PQ_DSUB)
+    return pq_search_adc(codes, cb, queries, m=_PQ_M, dsub=_PQ_DSUB,
+                         k=_PQ_TOP_K)
