@@ -392,6 +392,62 @@ def table_mv_ivm_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_rows")
 
 
+@query("table_mv_ivm_update", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CASE WHEN l_orderkey % 5 = 1
+                           THEN CAST(l_quantity AS DOUBLE) + 5
+                           ELSE CAST(l_quantity AS DOUBLE) END), 4)
+         AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def table_mv_ivm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under merge-on-read UPDATE: a mor
+    UPDATE writes the OLD row versions as a delete delta and the NEW
+    versions as a fresh segment, so one incremental refresh subtracts
+    the deltas' negative partial aggregates and adds the new
+    segment's positives in the same merge (mv/manager.refresh) —
+    counts are invariant, sums shift by exactly the update amount,
+    and no full rebuild runs (asserted by wrapping
+    _aggregate_source). The oracle recomputes the post-update
+    aggregate from scratch in DuckDB, so a green hash proves
+    subtract-and-add ≡ rebuild. Reference: MVRefresher.scala:61-200
+    incremental refresh; mutation/update + the counting algorithm of
+    Gupta & Mumick for the IVM itself."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_returnflag", "l_linestatus",
+                  F.col("l_quantity").cast("double").alias("qty")))
+    t = Table.create_as_select(
+        spark, _scratch("mv_ivm_upd", sf_dir), li,
+        properties={"iud.mode": "mor"})
+    mgr = MVManager(t)
+    mgr.create("mvu", ["l_returnflag", "l_linestatus"],
+               [AggSpec("sum", "qty")])
+    dml.update_rows(t, {"qty": "qty + 5"}, "l_orderkey % 5 = 1")
+    assert any(m["name"] == "mvu" and m["stale"] for m in mgr.show())
+
+    full_calls = []
+    orig = MVManager._aggregate_source
+    MVManager._aggregate_source = (
+        lambda self, meta, segments: full_calls.append(segments)
+        or orig(self, meta, segments))
+    try:
+        mgr.refresh("mvu", incremental=True)
+    finally:
+        MVManager._aggregate_source = orig
+    assert None not in full_calls, "IVM fell back to a full rebuild"
+    df, mv_used = mgr.answer(QuerySpec(
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": AggSpec("sum", "qty"),
+         "n_rows": AggSpec("count", "*")}))
+    assert mv_used == "mvu", "query was not answered from the MV"
+    return df.select("l_returnflag", "l_linestatus",
+                     F.round(F.col("sum_qty"), 4).cast("double")
+                     .alias("sum_qty"),
+                     "n_rows")
+
+
 @query("table_mv_rewrite", oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty,
@@ -416,3 +472,57 @@ def table_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("l_returnflag", "l_linestatus",
                      F.col("sum_qty").cast("double").alias("sum_qty"),
                      "n_rows")
+
+
+@query("table_timetravel_diff", oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey < 20000
+), diff AS (
+  SELECT 'insert' AS change, o_orderkey, o_orderstatus, price
+  FROM o WHERE o_orderkey % 4 = 0 AND o_orderkey % 10 != 7
+  UNION ALL
+  SELECT 'delete', o_orderkey, o_orderstatus, price
+  FROM o WHERE o_orderkey % 4 != 0 AND o_orderkey % 10 = 7)
+SELECT change, o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS DOUBLE) AS sum_price
+FROM diff GROUP BY change, o_orderstatus
+""")
+def table_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff via manifest time travel: the table's state at a
+    pinned manifest version is read back with ``read(as_of=...)`` and
+    multiset-diffed (exceptAll both ways) against the current state —
+    the change-data-capture primitive the reference exposes through
+    segment history + 'carbon.input.segments' time travel
+    (management/CarbonShowSegmentsCommand + docs segment-management;
+    our catalog/manifest.py versioned tablestatus). A mor DELETE sits
+    between the snapshots, so the diff must see through delete
+    deltas on the NEW side while the as_of read reconstructs the old
+    delta-free state. The oracle recomputes both snapshots from the
+    raw parquet and diffs them in SQL. exceptAll (not except) keeps
+    duplicate multiplicity — the diff is exact CDC, not set-ish."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderkey") < 20000)
+         .select("o_orderkey", "o_orderstatus",
+                 F.col("o_totalprice").cast("double").alias("price")))
+    t = Table.create_as_select(
+        spark, _scratch("ttdiff", sf_dir),
+        o.filter("o_orderkey % 4 != 0"),
+        properties={"iud.mode": "mor"})
+    v0 = t.manifest.load()["version"]
+    t.insert(o.filter("o_orderkey % 4 = 0"))
+    dml.delete_rows(t, "o_orderkey % 10 = 7")
+    old = t.read(as_of=v0)
+    new = t.read()
+    diff = (new.exceptAll(old).withColumn("change", F.lit("insert"))
+            .unionByName(
+                old.exceptAll(new).withColumn("change", F.lit("delete"))))
+    return (diff.groupBy("change", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+                 F.sum(F.col("price").cast("decimal(18,2)"))
+                 .cast("decimal(18,2)").cast("double").alias("sum_price")))
