@@ -39,20 +39,30 @@ class VectorIndexManager:
         self.table = table
 
     def create(self, name: str, id_col: str, vec_col: str, *,
-               k: int = 16, iters: int = 2) -> None:
+               k: int = 16, iters: int = 2,
+               pq_m: int | None = None, pq_codes: int = 16) -> None:
         """CREATE VECTOR INDEX: learn k centroids, persist per-row
-        list assignments as a parquet sidecar."""
+        list assignments as a parquet sidecar. With ``pq_m`` set the
+        sidecar additionally stores each row's product-quantization
+        codes (``pq_m`` subspaces × ``pq_codes``-entry codebooks,
+        trained per-subspace with Lloyd's — operators/similarity
+        pq_train), making the index an IVF-PQ: ADC search never reads
+        the raw vectors, only the m-byte code column (the FAISS
+        IVFPQ layout over raw vectors; the residual-quantization
+        variant would subtract the list centroid before encoding)."""
         if os.path.exists(_meta_path(self.table.table_dir, name)):
             raise FileExistsError(f"index {name} exists")
-        self._build(name, id_col, vec_col, k, iters)
+        self._build(name, id_col, vec_col, k, iters, pq_m, pq_codes)
 
     def refresh(self, name: str) -> None:
         meta = self._meta(name)
         self._build(name, meta["id_col"], meta["vec_col"],
-                    meta["k"], meta["iters"])
+                    meta["k"], meta["iters"],
+                    meta.get("pq_m"), meta.get("pq_codes", 16))
 
-    def _build(self, name, id_col, vec_col, k, iters) -> None:
-        from ..operators.similarity import kmeans_refine
+    def _build(self, name, id_col, vec_col, k, iters,
+               pq_m=None, pq_codes=16) -> None:
+        from ..operators.similarity import kmeans_refine, pq_encode, pq_train
 
         segs = self.table.manifest.queryable_segments()
         wm = max((s.id for s in segs), default=-1)
@@ -65,18 +75,33 @@ class VectorIndexManager:
                  .filter(F.col("rn") <= k)
                  .select(F.col("id").alias("cid"), F.col("e").alias("ce")))
         assign, cent = kmeans_refine(v, seeds, iters=iters)
+        sidecar = assign.select("id", F.col("cluster").alias("list_id"))
+        codebooks = None
+        if pq_m is not None:
+            dim = len(v.select("e").head()["e"])
+            if dim % pq_m:
+                raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
+            dsub = dim // pq_m
+            cb = pq_train(v, m=pq_m, dsub=dsub, n_codes=pq_codes,
+                          iters=iters)
+            codes = pq_encode(v, cb, m=pq_m, dsub=dsub)
+            sidecar = sidecar.join(codes, "id")
+            codebooks = [(r["sub"], r["code"], list(r["cvec"]))
+                         for r in cb.collect()]
         idx_dir = _index_dir(self.table.table_dir, name)
         shutil.rmtree(idx_dir, ignore_errors=True)
-        (assign.select("id", F.col("cluster").alias("list_id"))
-         .repartition(max(1, k // 4), "list_id")
+        (sidecar.repartition(max(1, k // 4), "list_id")
          .write.mode("overwrite").parquet(idx_dir))
         centroids = [(r["cid"], list(r["ce"])) for r in cent.collect()]
         # "columns" keeps the shared index listing/pruning machinery
         # happy (IndexManager.show / candidate_files iterate ALL metas)
-        self._save_meta({"name": name, "type": "ivf",
+        self._save_meta({"name": name,
+                         "type": "ivfpq" if pq_m is not None else "ivf",
                          "columns": [id_col, vec_col],
                          "id_col": id_col, "vec_col": vec_col,
                          "k": k, "iters": iters, "centroids": centroids,
+                         "pq_m": pq_m, "pq_codes": pq_codes,
+                         "codebooks": codebooks,
                          "watermark_segment": wm})
 
     def search(self, name: str, queries: DataFrame, *,
@@ -107,6 +132,9 @@ class VectorIndexManager:
                   .select("q_id", "qe", F.col("cid").alias("list_id")))
         sidecar = spark.read.parquet(
             _index_dir(self.table.table_dir, name))
+        if meta.get("pq_m"):
+            out = self._adc_search(meta, sidecar, probes, queries, topk)
+            return out, stale
         cand_ids = (sidecar.join(
             F.broadcast(probes.select("list_id").distinct()), "list_id"))
         rows = (self.table.read()
@@ -124,6 +152,35 @@ class VectorIndexManager:
         out = (scored.withColumn("rk", F.row_number().over(wr))
                .filter(F.col("rk") <= topk))
         return out, stale
+
+    def _adc_search(self, meta, sidecar, probes, queries,
+                    topk: int) -> DataFrame:
+        """IVF-PQ search: candidates from the probed lists are ranked
+        by ADC distance computed FROM THE SIDECAR CODES ONLY — the
+        table's raw vectors are never scanned (the scan feeding the
+        rank reads k-pruned lists × m bytes per row). Output:
+        (q_id, c_id, adc_dist, rk), adc rounded to 6dp, ties asc id."""
+        from ..operators.similarity import pq_adc_expr, pq_luts
+
+        spark = self.table.spark
+        m = meta["pq_m"]
+        cb = spark.createDataFrame(
+            [(s, c, v) for s, c, v in meta["codebooks"]],
+            "sub int, code int, cvec array<double>")
+        dim = len(meta["codebooks"][0][2]) * m
+        luts = pq_luts(queries.select(F.col("q_id").alias("id"),
+                                      F.col("qe").alias("e")),
+                       cb, m, dim // m)
+        cand = (sidecar.join(
+            F.broadcast(probes.select("q_id", "list_id")), "list_id")
+            .join(F.broadcast(luts), "q_id")
+            .filter(F.col("id") != F.col("q_id")))
+        scored = cand.select(
+            "q_id", F.col("id").alias("c_id"),
+            F.round(pq_adc_expr(), 6).cast("double").alias("adc_dist"))
+        wr = W.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+        return (scored.withColumn("rk", F.row_number().over(wr))
+                .filter(F.col("rk") <= topk))
 
     def _save_meta(self, meta: dict) -> None:
         p = _meta_path(self.table.table_dir, meta["name"])

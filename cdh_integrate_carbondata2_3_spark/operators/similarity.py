@@ -285,6 +285,23 @@ def pq_search_adc(codes: DataFrame, codebooks: DataFrame,
     the scan is one narrow pass over the code table per query batch
     with no shuffle of the corpus — rank is the only exchange, and
     it moves candidate (q_id, c_id, dist) triples, not vectors."""
+    luts = pq_luts(queries, codebooks, m, dsub, id_col, vec_col)
+    cand = (codes.select(F.col("id").alias("c_id"), "codes")
+            .crossJoin(F.broadcast(luts)))
+    scored = cand.select("q_id", "c_id",
+                         F.round(pq_adc_expr(), 6).cast("double")
+                         .alias("adc_dist"))
+    wk = W.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (scored.select("q_id", "c_id", "adc_dist",
+                          F.row_number().over(wk).alias("rk"))
+            .filter(F.col("rk") <= k))
+
+
+def pq_luts(queries: DataFrame, codebooks: DataFrame, m: int, dsub: int,
+            id_col: str = "id", vec_col: str = "e") -> DataFrame:
+    """Per-query ADC lookup table: (q_id, lut array<array<double>>),
+    outer index = subspace, inner index = code id. Tiny
+    (|queries|×m×K) — broadcast it against the code table."""
     cb = codebooks.select("sub", "code", "cvec")
     q = queries.select(F.col(id_col).alias("q_id"),
                        F.col(vec_col).alias("qe"))
@@ -294,10 +311,8 @@ def pq_search_adc(codes: DataFrame, codebooks: DataFrame,
                                         F.col("sub") * dsub + F.lit(1),
                                         F.lit(dsub)),
                                 F.col("cvec")).alias("d2")))
-    # nested LUT ordered by (sub, code): outer index = subspace,
-    # inner index = code id
     n_codes = F.size(F.col("flat")) / m
-    luts = (lut_rows.groupBy("q_id")
+    return (lut_rows.groupBy("q_id")
             .agg(F.array_sort(F.collect_list(
                 F.struct("sub", "code", "d2"))).alias("flat"))
             .select("q_id",
@@ -308,18 +323,15 @@ def pq_search_adc(codes: DataFrame, codebooks: DataFrame,
                                     s * n_codes.cast("int") + F.lit(1),
                                     n_codes.cast("int")),
                             lambda x: x["d2"])).alias("lut")))
-    cand = (codes.select(F.col("id").alias("c_id"), "codes")
-            .crossJoin(F.broadcast(luts)))
-    adc = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("lut"),
+
+
+def pq_adc_expr(codes: str = "codes", lut: str = "lut") -> Column:
+    """Sequential ADC distance: sum over subspaces of
+    lut[sub][codes[sub]] — the m-lookup fold, no raw floats."""
+    return F.aggregate(
+        F.zip_with(F.col(codes), F.col(lut),
                    lambda c, row: F.element_at(row, c.cast("int") + 1)),
         F.lit(0.0), lambda acc, x: acc + x)
-    scored = cand.select("q_id", "c_id",
-                         F.round(adc, 6).cast("double").alias("adc_dist"))
-    wk = W.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
-    return (scored.select("q_id", "c_id", "adc_dist",
-                          F.row_number().over(wk).alias("rk"))
-            .filter(F.col("rk") <= k))
 
 
 def pq_train(vectors: DataFrame, m: int, dsub: int, n_codes: int,

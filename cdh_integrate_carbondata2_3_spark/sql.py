@@ -1764,9 +1764,19 @@ class Engine:
                         "dict_fastpath_max", "2000")))
             elif kind == "ivf":
                 # CREATE INDEX v ON TABLE t (id_col, vec_col) AS 'ivf'
+                # [PROPERTIES('k'='16','iters'='2','pq_m'='4',
+                #  'pq_codes'='16')] — pq_m upgrades the sidecar to
+                # IVF-PQ (per-row codes, ADC search never reads the
+                # raw vectors)
                 if len(cols) != 2:
                     raise ValueError("ivf index needs (id_col, vector_col)")
-                t.vector_indexes.create(m.group(1), cols[0], cols[1])
+                props = _parse_props(m.group(5))
+                t.vector_indexes.create(
+                    m.group(1), cols[0], cols[1],
+                    k=int(props.get("k", "16")),
+                    iters=int(props.get("iters", "2")),
+                    pq_m=(int(props["pq_m"]) if "pq_m" in props else None),
+                    pq_codes=int(props.get("pq_codes", "16")))
             else:
                 raise ValueError(f"unsupported index kind {kind!r}")
             return self._ok(f"index {m.group(1)}")
