@@ -36,8 +36,9 @@ HEADLINE = (
     "dedup_canonical_pick",
     # round 6 additions (NOT in the r5 37-query total — compare
     # like-for-like on the shared prefix): merge-on-read DELETE and
-    # incremental view maintenance, both end-to-end lifecycle ops
-    "table_delete_mor", "table_mv_ivm_delete",
+    # incremental view maintenance (end-to-end lifecycle ops), and
+    # PQ-compressed ANN (the memory-bound scale path)
+    "table_delete_mor", "table_mv_ivm_delete", "similarity_ann_pq",
 )
 
 

@@ -421,3 +421,96 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame,
     return (scored.select("q_id", "c_id", "cos_sim",
                           F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= k))
+
+
+# --------------------------------------------- incremental MinHash LSH
+
+def minhash_signatures(docsets: DataFrame,
+                       coeffs: tuple[tuple[int, int], ...],
+                       id_col: str = "doc_id", set_col: str = "shs",
+                       prime: int = 2147483647) -> DataFrame:
+    """Per-document MinHash signature row: (id, n_tok, h0..h{k-1}).
+    One md5 per set element; the k hashes are linear transforms of
+    its first 60 bits (integer codegen, map-side partial mins — the
+    shuffle carries one row per document). This is the artifact an
+    incremental pipeline PERSISTS between runs: signatures of an
+    already-deduped corpus never need recomputing."""
+    toks = docsets.select(F.col(id_col).alias("doc_id"),
+                          F.explode(set_col).alias("sh"))
+    x = (F.conv(F.substring(_md5(F.col("sh")), 1, 15), 16, 10)
+         .cast("long") % prime)
+    return toks.select("doc_id", x.alias("x")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.min((F.lit(a) * F.col("x") + F.lit(b)) % prime).alias(f"h{i}")
+          for i, (a, b) in enumerate(coeffs)])
+
+
+def _band_keys(sigs: DataFrame,
+               bands: tuple[tuple[int, ...], ...]) -> DataFrame:
+    return sigs.select(
+        "doc_id", "n_tok",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("bi"),
+                     _md5(F.concat_ws("|", *[F.col(f"h{i}").cast("string")
+                                             for i in band])).alias("bk"))
+            for bi, band in enumerate(bands)])).alias("b")
+        ).select("doc_id", "n_tok", "b.bi", "b.bk")
+
+
+def incremental_minhash_pairs(
+        docsets: DataFrame, old_sigs: DataFrame | None,
+        coeffs: tuple[tuple[int, int], ...],
+        bands: tuple[tuple[int, ...], ...],
+        threshold: float, id_col: str = "doc_id", set_col: str = "shs",
+        prime: int = 2147483647) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection — the daily-crawl production
+    shape: an increment arrives on top of an already-deduped corpus
+    whose MinHash signatures were PERSISTED by the previous run
+    (``old_sigs``), so this run (a) computes signatures only for the
+    new documents (those absent from old_sigs — anti-join), and
+    (b) band-joins the NEW side against old∪new, never old×old: the
+    wide work is O(new × collisions), not O(total²) and not even
+    O(total × collisions). Returns ``(pairs, all_sigs)`` — persist
+    ``all_sigs`` as the next run's old_sigs.
+
+    ``docsets`` is (id, shs) for ALL current documents; old rows are
+    touched only to verify candidate pairs exactly (the shingle-set
+    projection evaluates after the candidate join, so at scale only
+    collision partners are re-shingled — the same candidate-only
+    rerank discipline as IVF/PQ search). Exact Jaccard ≥ threshold,
+    pairs keyed (min_id, max_id), ≥1 new side by construction.
+    First run: pass ``old_sigs=None`` — everything is new and this
+    degrades to the batch LSH."""
+    d = docsets.select(F.col(id_col).alias("doc_id"),
+                       F.col(set_col).alias("shs"))
+    if old_sigs is not None:
+        new_sets = d.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
+    else:
+        new_sets = d
+    new_sigs = minhash_signatures(new_sets, coeffs, "doc_id", "shs", prime)
+    all_sigs = (old_sigs.unionByName(new_sigs)
+                if old_sigs is not None else new_sigs)
+    new_keys = _band_keys(new_sigs, bands).select(
+        F.col("doc_id").alias("doc_n"), F.col("n_tok").alias("nn"),
+        "bi", "bk")
+    all_keys = _band_keys(all_sigs, bands).select(
+        F.col("doc_id").alias("doc_o"), F.col("n_tok").alias("no"),
+        "bi", "bk")
+    cand = (new_keys.join(all_keys, ["bi", "bk"])
+            .filter(F.col("doc_n") != F.col("doc_o"))
+            .select(F.least("doc_n", "doc_o").alias("doc_a"),
+                    F.greatest("doc_n", "doc_o").alias("doc_b"))
+            .distinct())
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"),
+                  F.size("shs").alias("na"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"),
+                  F.size("shs").alias("nb"))
+    inter = (cand.join(sa, "doc_a").join(sb, "doc_b")
+             .select("doc_a", "doc_b", "na", "nb",
+                     F.size(F.array_intersect("sa", "sb")).alias("n_common")))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_common")))
+    pairs = (inter.filter(jac >= threshold)
+             .select("doc_a", "doc_b",
+                     F.round(jac, 4).cast("double").alias("jaccard")))
+    return pairs, all_sigs

@@ -125,6 +125,9 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
 # should say so. They sort right after the r6 window via
 # _DEFER_TO_NEXT so the 50-slot cap excludes exactly them.
 _DEFER_TO_NEXT: tuple[str, ...] = (
+    # never-stamped gates added mid-round-6 AFTER the window filled
+    # (locally hash-green at sf0.001/0.01/0.1) — first in line for r7
+    "dedup_incremental_minhash",
     "complex_array_functions",
     "select_pareto_skyline", "join_fuzzy_editdist",
     "table_fts_porter_analyzer", "table_fts_porter_phrase",

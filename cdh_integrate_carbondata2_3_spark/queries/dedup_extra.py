@@ -623,3 +623,66 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(corpus, cb, m=_PQ_M, dsub=_PQ_DSUB)
     return pq_search_adc(codes, cb, queries, m=_PQ_M, dsub=_PQ_DSUB,
                          k=_PQ_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup: the daily-crawl shape — a new increment
+# is deduped against an already-deduped corpus whose MinHash
+# signatures were persisted by the previous run. Old×old pairs are
+# never considered; old signatures are never recomputed.
+# ---------------------------------------------------------------------------
+
+_INC_NEW_MOD = 5        # doc_id % 5 == 0 → arrives in the increment
+
+
+def _incremental_oracle() -> str:
+    from .pipeline import _minhash_sql_oracle
+    return f"""
+SELECT * FROM ({_minhash_sql_oracle()})
+WHERE doc_a % {_INC_NEW_MOD} = 0 OR doc_b % {_INC_NEW_MOD} = 0
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_incremental_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash LSH (operators/dedup.
+    incremental_minhash_pairs): the previous run's signatures are
+    persisted to parquet (simulated here by running the signature
+    pass over the old split and writing the sidecar), the increment
+    anti-joins to find genuinely-new docs, computes ONLY their
+    signatures, and band-joins new vs old∪new — old×old never enters
+    the pair space. The oracle recomputes the FULL batch LSH in
+    DuckDB and keeps pairs with ≥1 new side, so a green hash proves
+    increment ≡ full-rerun on exactly the pairs the increment is
+    responsible for. Scale: the wide work is O(new × collisions);
+    the old corpus contributes band keys from its (tiny) persisted
+    signature table and candidate-only shingle verification."""
+    import os
+
+    from ..operators.dedup import incremental_minhash_pairs
+    from .pipeline import _BANDS, _JACCARD_THRESHOLD, _MH_COEFFS
+
+    arr = F.col("arr")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)))
+    docsets = cache_tracked(
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim(F.col("text")), " +").alias("arr"))
+        .select("doc_id", F.array_distinct(tri).alias("shs")))
+    old = docsets.filter(F.col("doc_id") % _INC_NEW_MOD != 0)
+
+    # previous run: signatures of the deduped corpus, persisted
+    _, old_sigs = incremental_minhash_pairs(
+        old, None, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
+    sig_dir = os.path.join("/tmp", "spark_graft_inc_sigs",
+                           os.path.basename(sf_dir.rstrip("/")))
+    old_sigs.write.mode("overwrite").parquet(sig_dir)
+
+    # this run: the increment against the persisted sidecar
+    pairs, _ = incremental_minhash_pairs(
+        docsets, spark.read.parquet(sig_dir),
+        _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
+    return pairs

@@ -275,3 +275,77 @@ def test_connected_components_empty_edges(spark):
         connected_components)
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert connected_components(empty, "id_a", "id_b").count() == 0
+
+
+def test_incremental_minhash_matches_batch(spark):
+    """Increment ≡ batch on the ≥1-new pair subset; first run (no
+    persisted sigs) ≡ batch exactly."""
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+        incremental_minhash_pairs)
+    from cdh_integrate_carbondata2_3_spark.queries.pipeline import (
+        _BANDS, _JACCARD_THRESHOLD, _MH_COEFFS)
+
+    docs = [(i, f"alpha beta gamma delta epsilon zeta copy{i % 4} "
+                f"eta theta iota kappa") for i in range(40)]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    arr = F.split(F.trim(F.col("text")), " +")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)))
+    docsets = d.select("doc_id", F.array_distinct(tri).alias("shs")).cache()
+
+    batch, _ = incremental_minhash_pairs(
+        docsets, None, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
+    batch_pairs = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                   for r in batch.collect()}
+    assert batch_pairs, "fixture must produce near-dups"
+
+    old = docsets.filter(F.col("doc_id") < 30)
+    _, old_sigs = incremental_minhash_pairs(
+        old, None, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
+    inc, all_sigs = incremental_minhash_pairs(
+        docsets, old_sigs, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
+    inc_pairs = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                 for r in inc.collect()}
+    want = {(a, b, j) for a, b, j in batch_pairs if a >= 30 or b >= 30}
+    assert inc_pairs == want
+    assert all_sigs.count() == 40
+
+
+def test_incremental_minhash_trusts_persisted_sigs(spark):
+    """Old signatures are NEVER recomputed: poisoning a persisted
+    signature row changes the old doc's band keys (the operator must
+    use the stored values, not re-derive them from the text)."""
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_signatures)
+    from cdh_integrate_carbondata2_3_spark.queries.pipeline import (
+        _BANDS, _JACCARD_THRESHOLD, _MH_COEFFS)
+
+    # doc 0 (old) and doc 1 (new) are identical → a certain pair
+    docs = [(0, "w1 w2 w3 w4 w5 w6 w7 w8"), (1, "w1 w2 w3 w4 w5 w6 w7 w8")]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    arr = F.split(F.trim(F.col("text")), " +")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)))
+    docsets = d.select("doc_id", F.array_distinct(tri).alias("shs"))
+    old_sigs = minhash_signatures(
+        docsets.filter("doc_id = 0"), _MH_COEFFS)
+
+    pairs, _ = incremental_minhash_pairs(
+        docsets, old_sigs, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs.collect()} == {(0, 1)}
+
+    # poison every stored hash → band keys no longer collide → the
+    # pair disappears, proving the stored sidecar is authoritative
+    poisoned = old_sigs.select(
+        "doc_id", "n_tok",
+        *[(F.col(f"h{i}") + 12345).alias(f"h{i}")
+          for i in range(len(_MH_COEFFS))])
+    pairs2, _ = incremental_minhash_pairs(
+        docsets, poisoned, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
+    assert pairs2.count() == 0
