@@ -416,6 +416,59 @@ class Manifest:
             # inline; strip-shaped docs have files==[] already
         ]
 
+    def minmax_metadata(self, cols: list[str],
+                        segment_ids: list[int] | None = None
+                        ) -> dict[str, tuple] | None:
+        """Exact table-level MIN/MAX per column from manifest stats —
+        no data scan (the blocklet-min/max analogue of row_count's
+        CarbonCountStar path; Iceberg answers the same aggregates from
+        its manifests). Returns {col: (min, max)} or None when the
+        metadata CANNOT answer exactly:
+
+        - merge-on-read delete deltas pending (a deleted row may have
+          held the extremum),
+        - a queryable non-parquet segment (no harvested stats),
+        - a non-empty file lacking stats for the column (all-null
+          file, unharvestable logical type, schema-evolution era
+          where the column didn't exist, or a partition column — its
+          values live in the path, not the footer),
+        - non-numeric stats (parquet string min/max may be truncated
+          by writers — a sound BOUND for pruning, not an exact
+          answer).
+
+        An empty table answers {col: (None, None)} — SQL MIN/MAX over
+        zero rows is NULL. None means "fall back to a scan"."""
+        doc = self.load(_attach=False)
+        if doc.get("delete_deltas"):
+            return None
+        wanted = None if segment_ids is None else set(segment_ids)
+        segs = [s for s in doc["segments"] if s["status"] in QUERYABLE
+                and (wanted is None or s["id"] in wanted)]
+        if any(s["format"] != "parquet" for s in segs):
+            return None
+        doc = self._attach_files(doc) if doc.get("files_ref") else doc
+        by_id = {s["id"]: s for s in doc["segments"]}
+        out: dict[str, list] = {}
+        for s in segs:
+            for f in by_id[s["id"]]["files"]:
+                if f["rows"] == 0:
+                    continue
+                for c in cols:
+                    mm = f.get("minmax", {}).get(c)
+                    if (not mm
+                            or not all(isinstance(v, (int, float))
+                                       and not isinstance(v, bool)
+                                       for v in mm)):
+                        return None
+                    if c not in out:
+                        out[c] = [mm[0], mm[1]]
+                    else:
+                        cur = out[c]
+                        cur[0] = min(cur[0], mm[0])
+                        cur[1] = max(cur[1], mm[1])
+        return {c: tuple(out[c]) if c in out else (None, None)
+                for c in cols}
+
     def update(self, mutate) -> dict:
         """Read-modify-write under the writer lock; ``mutate(doc)`` edits
         the manifest dict in place."""

@@ -526,3 +526,42 @@ def table_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
                  F.sum(F.col("price").cast("decimal(18,2)"))
                  .cast("decimal(18,2)").cast("double").alias("sum_price")))
+
+
+@query("agg_minmax_metadata", oracle="""
+SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+       CAST(MIN(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS min_qty,
+       CAST(MAX(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS max_qty
+FROM lineitem
+""")
+def agg_minmax_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX: the engine answers bare MIN/MAX
+    aggregates from the manifest's per-file min/max stats — zero data
+    scan, the blocklet-min/max analogue of the CarbonCountStar
+    driver-side count (reference CarbonCountStar.scala:44-108 +
+    BlockletMinMaxIndex thrift). Two segments force a real fold over
+    file stats; the in-gate plan assert pins that the result is a
+    LocalTableScan (no file read). Guards fall back to a scan: mor
+    deltas, non-parquet segments, missing/non-numeric stats
+    (Manifest.minmax_metadata, tests/test_catalog.py)."""
+    from ..sql import Engine
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey",
+                  F.col("l_quantity").cast("double").alias("qty")))
+    eng = Engine(spark, _scratch("mmx", sf_dir))
+    li.createOrReplaceTempView("__mmx_src")
+    eng.sql("CREATE TABLE mmx (l_orderkey BIGINT, qty DOUBLE)")
+    for par in (0, 1):
+        eng.sql("INSERT INTO mmx SELECT * FROM __mmx_src "
+                f"WHERE l_orderkey % 2 = {par}")
+    df = eng.sql("SELECT MIN(l_orderkey) AS min_key, "
+                 "MAX(l_orderkey) AS max_key, "
+                 "MIN(qty) AS min_qty, MAX(qty) AS max_qty FROM mmx")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ("LocalTableScan" in plan or "LocalRelation" in plan
+            or "ExistingRDD" in plan), \
+        "minmax did not take the metadata path"
+    assert "FileScan" not in plan, "metadata minmax must not scan data"
+    return df

@@ -168,6 +168,14 @@ _CARBONCLI = _ci(
 _DESCRIBE = _ci(r"^\s*DESC(?:RIBE)?\s+(FORMATTED\s+)?(\w+)\s*$")
 _COUNT_STAR = _ci(r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(\w+)\s*)?"
                   r"FROM\s+(\w+)\s*$")
+# metadata-only MIN/MAX aggregates (blocklet min/max answer — the
+# CarbonCountStar idea applied to extremes; falls back to a scan
+# whenever Manifest.minmax_metadata can't answer exactly)
+_MINMAX_AGG = _ci(
+    r"^\s*SELECT\s+((?:MIN|MAX)\s*\(\s*\w+\s*\)(?:\s+AS\s+\w+)?"
+    r"(?:\s*,\s*(?:MIN|MAX)\s*\(\s*\w+\s*\)(?:\s+AS\s+\w+)?)*)"
+    r"\s+FROM\s+(\w+)\s*$")
+_MINMAX_ITEM = _ci(r"(MIN|MAX)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?")
 # SPJG shape for the MV-rewrite fast path
 _SPJG = _ci(r"^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s*"
             r"(?:WHERE\s+(.*?))?\s*GROUP\s+BY\s+(.*?)\s*$")
@@ -1898,6 +1906,23 @@ class Engine:
                     [(self.table(name).count(
                         segments=self._input_segments.get(name)),)],
                     f"`{alias}` bigint")
+        if m := _MINMAX_AGG.match(text):
+            name = m.group(2)
+            if name in self.tables():
+                items = [(f.upper(), c, a or f"{f.lower()}({c})")
+                         for f, c, a in _MINMAX_ITEM.findall(m.group(1))]
+                mm = self.table(name).manifest.minmax_metadata(
+                    sorted({c for _, c, _ in items}),
+                    segment_ids=self._input_segments.get(name))
+                if mm is not None:
+                    vals, fields = [], []
+                    for f, c, a in items:
+                        v = mm[c][0 if f == "MIN" else 1]
+                        vals.append(v)
+                        t = "double" if isinstance(v, float) else "bigint"
+                        fields.append(f"`{a}` {t}")
+                    return self._df([tuple(vals)], ", ".join(fields))
+                # metadata can't answer exactly → scan path below
         # MV rewrite fast path, then plain Spark SQL over views
         if (df := self._try_mv_rewrite(text)) is not None:
             return df

@@ -790,3 +790,59 @@ def test_text_match_regexp_lucene_dialect(eng):
                    "text_match('body:/\\filter/ AND body:/<5-150>/') "
                    "ORDER BY id").collect()
     assert [r["id"] for r in rows] == [1]
+
+
+def test_minmax_metadata_path_and_guards(eng):
+    """Bare MIN/MAX answers from manifest stats (no FileScan); every
+    exactness guard falls back to a scan with the same answer."""
+    df = eng.sql("SELECT MIN(id) AS a, MAX(id) AS b, MIN(amt) AS c, "
+                 "MAX(amt) AS d FROM src")
+    assert df.first() == (1, 4, 10.0, 40.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan
+
+    # string column → stats non-numeric (possible writer truncation)
+    # → scan fallback, still correct
+    df2 = eng.sql("SELECT MIN(grp) AS g FROM src")
+    assert df2.first()["g"] == "a"
+    assert eng.table("src").manifest.minmax_metadata(["grp"]) is None
+
+    # segment scoping applies to the metadata answer
+    eng.sql("INSERT INTO src SELECT * FROM VALUES (99,'z',5.0) t(id,grp,amt)")
+    eng.sql("SET carbon.input.segments.default.src = 1")
+    assert eng.sql("SELECT MAX(id) AS m FROM src").first()["m"] == 99
+    assert eng.sql("SELECT MIN(amt) AS m FROM src").first()["m"] == 5.0
+    eng.sql("SET carbon.input.segments.default.src = *")
+    assert eng.sql("SELECT MAX(id) AS m FROM src").first()["m"] == 99
+
+    # schema evolution: new column absent from old files → fallback
+    eng.sql("ALTER TABLE src ADD COLUMNS (bonus DOUBLE)")
+    assert eng.table("src").manifest.minmax_metadata(["bonus"]) is None
+    assert eng.sql("SELECT MAX(bonus) AS m FROM src").first()["m"] is None
+
+
+def test_minmax_metadata_mor_delta_guard(spark, tmp_path):
+    """A pending merge-on-read delete delta poisons the stats (the
+    extremum may be deleted) → metadata path refuses, scan answers."""
+    e = Engine(spark, str(tmp_path / "whm"))
+    e.sql("CREATE TABLE m (id BIGINT, v DOUBLE) "
+          "TBLPROPERTIES('iud.mode'='mor')")
+    e.sql("INSERT INTO m SELECT * FROM VALUES "
+          "(1, 1.0),(2, 2.0),(3, 99.0) t(id, v)")
+    e.sql("DELETE FROM m WHERE v = 99.0")
+    assert e.table("m").manifest.minmax_metadata(["v"]) is None
+    assert e.sql("SELECT MAX(v) AS m FROM m").first()["m"] == 2.0
+    # once targeted delta application rewrites the touched files, the
+    # deltas are gone and the metadata path is valid again
+    from cdh_integrate_carbondata2_3_spark.operators.mor import apply_deltas
+    assert apply_deltas(e.table("m"), min_fraction=0.0) > 0
+    mm = e.table("m").manifest.minmax_metadata(["v"])
+    assert mm == {"v": (1.0, 2.0)}
+
+
+def test_minmax_metadata_empty_table(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "whe"))
+    e.sql("CREATE TABLE et (id BIGINT, v DOUBLE)")
+    assert e.table("et").manifest.minmax_metadata(["v"]) == {
+        "v": (None, None)}
+    assert e.sql("SELECT MIN(v) AS m FROM et").first()["m"] is None
