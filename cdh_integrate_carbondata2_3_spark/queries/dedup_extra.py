@@ -663,8 +663,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import _BANDS, _JACCARD_THRESHOLD, _MH_COEFFS
 
     arr = F.col("arr")
+    # same short-doc guard as dedup_minhash_lsh: sequence(1, n-2)
+    # descends when n < 3 → ANSI element_at error
     tri = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 2),
+        F.when(F.size(arr) >= 3, F.sequence(F.lit(1), F.size(arr) - 2))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.concat_ws(" ", F.element_at(arr, i),
                               F.element_at(arr, i + 1),
                               F.element_at(arr, i + 2)))

@@ -111,7 +111,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     arr = F.split(F.trim(F.col("text")), " +")
     grams_arr = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - (_DECON_N - 1)),
+        # sequence(1, n-(N-1)) descends when n < N → slice(arr, 0|-k)
+        # is an ANSI error / wrong gram — short docs get no grams
+        F.when(F.size(arr) >= _DECON_N,
+               F.sequence(F.lit(1), F.size(arr) - (_DECON_N - 1)))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.concat_ws(" ", F.slice(arr, i, _DECON_N)))
     # explode each side from its own filtered scan: the benchmark set
     # only pays the gram explode for its ~1/MOD of the corpus (a full

@@ -153,8 +153,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     token relation. The O(n²) pair space is never materialized.
     """
     arr = F.col("arr")
+    # sequence(1, n-2) runs DESCENDING when n < 3 and element_at then
+    # hits an ANSI out-of-bounds — short docs get an empty shingle set
     tri = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 2),
+        F.when(F.size(arr) >= 3, F.sequence(F.lit(1), F.size(arr) - 2))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.concat_ws(" ", F.element_at(arr, i),
                               F.element_at(arr, i + 1),
                               F.element_at(arr, i + 2)))

@@ -205,3 +205,33 @@ def test_max_run_count_edges(spark):
     # 'p q p q p' → word 3×'p'; bigrams 'p q'×2,'q p'×2 → 2
     assert (out[2]["topw"], out[2]["topg"]) == (3, 2)
     assert out[3]["topw"] == 1                          # '' → ['']
+
+
+def test_shingle_queries_survive_short_docs(spark, tmp_path):
+    """Docs with < n tokens (or NULL/empty text) must not crash the
+    trigram/5-gram shingle paths: Spark's sequence(1, n-k) runs
+    DESCENDING when n < k+1 and ANSI element_at/slice then throws.
+    Short docs contribute an empty shingle set instead."""
+    import os
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+        incremental_minhash_pairs)
+    from cdh_integrate_carbondata2_3_spark.queries.pipeline import (
+        _BANDS, _JACCARD_THRESHOLD, _MH_COEFFS)
+
+    docs = [(0, "only two"), (1, None), (2, ""), (3, "one"),
+            (4, "a b c d e f g h i j"), (5, "a b c d e f g h i j")]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sf = str(tmp_path / "shortsf")
+    os.makedirs(sf, exist_ok=True)
+    d.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    from cdh_integrate_carbondata2_3_spark.queries import all_queries
+    qs = all_queries()
+    pairs = qs["dedup_minhash_lsh"].fn(spark, sf).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(4, 5)}
+    inc = qs["dedup_incremental_minhash"].fn(spark, sf).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in inc} == {(4, 5)}
+
+    # text_decontaminate (5-gram slice path) — just must not throw
+    qs["text_decontaminate"].fn(spark, sf).collect()
