@@ -349,3 +349,39 @@ def test_incremental_minhash_trusts_persisted_sigs(spark):
     pairs2, _ = incremental_minhash_pairs(
         docsets, poisoned, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
     assert pairs2.count() == 0
+
+
+def test_operators_tolerate_null_and_empty_inputs(spark):
+    """Degenerate-input contract across the operator family: NULL /
+    empty strings, empty token sets, and empty corpora must not
+    throw (ANSI mode makes silent index bugs loud — the shingle
+    descending-sequence crash was exactly this class)."""
+    from cdh_integrate_carbondata2_3_spark.operators.bpe import train_bpe
+    from cdh_integrate_carbondata2_3_spark.operators.fuzzyjoin import (
+        editdist_join)
+    from cdh_integrate_carbondata2_3_spark.operators.skyline import skyline
+    from cdh_integrate_carbondata2_3_spark.operators.ssjoin import (
+        jaccard_join)
+
+    l = spark.createDataFrame([(0, "kitten"), (1, None), (2, "")],
+                              "id bigint, s string")
+    r = spark.createDataFrame([(10, "sitten"), (11, None), (12, "")],
+                              "id bigint, s string")
+    got = {(x["l_id"] if "l_id" in x.__fields__ else x[0])
+           for x in editdist_join(l, r, "s", "s", max_edits=1).collect()}
+    assert got                                     # pairs, no throw
+
+    sd = spark.createDataFrame(
+        [(1, 1.0, None), (2, 2.0, 3.0), (3, None, None), (4, 1.0, 4.0)],
+        "id bigint, a double, b double")
+    # rows with NULL criteria are not comparable → excluded, not a crash
+    assert sorted(x["id"] for x in
+                  skyline(sd, ["a", "b"], ["max", "max"]).collect()) == [2, 4]
+
+    j = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, []), (2, None), (3, ["a", "b"])],
+        "id bigint, toks array<string>")
+    assert jaccard_join(j, "id", "toks", 0.5).count() == 1
+
+    e = spark.createDataFrame([("",), (None,)], "text string")
+    assert train_bpe(e, "text", num_merges=3) == []
