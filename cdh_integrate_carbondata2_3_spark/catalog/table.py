@@ -1151,12 +1151,15 @@ class Table:
             return None
         # read through the aligned path so schema-evolution defaults /
         # renames are MATERIALIZED into the compacted files (the merged
-        # segment gets a fresh id, i.e. a post-evolution era)
-        df = self.read(segments=[s.id for s in chosen])
+        # segment gets a fresh id, i.e. a post-evolution era), and
+        # re-apply the table's FULL load layout — hash bucketing keeps
+        # the bucket-map join shuffle-free across compactions, z-order
+        # keeps multi-column min/max pruning tight, global/range sort
+        # keeps the file ordering (reference compaction preserves the
+        # load sort scope, CarbonTableCompactor + sort-scope docs)
+        df = self._apply_load_sort(self.read(segments=[s.id for s in chosen]))
         props = self.manifest.properties()
-        sort_cols = props.get("sort_columns", [])
-        if sort_cols:
-            df = df.sortWithinPartitions(*sort_cols)
+        bucketed = bool(props.get("bucket_columns"))
         tmp = self._write_segment_files(df)
         chosen_ids = {s.id for s in chosen}
 
@@ -1177,8 +1180,12 @@ class Table:
                 dst = os.path.join(self.table_dir, dst_rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(os.path.join(tmp, rel), dst)
-                stats.append(harvest_file(dst, dst_rel,
-                                          partition_values_from_relpath(rel)))
+                parts = partition_values_from_relpath(rel)
+                if bucketed:
+                    b = self._bucket_from_filename(rel)
+                    if b is not None:
+                        parts["__bucket__"] = b
+                stats.append(harvest_file(dst, dst_rel, parts))
             for s in doc["segments"]:
                 if s["id"] in chosen_ids:
                     s["status"] = SegmentStatus.COMPACTED

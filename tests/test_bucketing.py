@@ -114,3 +114,65 @@ def test_bucket_join_fallback_when_not_cobucketed(spark, tmp_path):
         [(i, f"r{i}") for i in range(150, 250)], "id bigint, rv string"))
     df = bucketed_join(l, plain, ["id"], "inner")
     assert df.count() == 50
+
+
+def test_compaction_preserves_bucketing(spark, tmp_path):
+    """Compaction re-applies the table's load layout: the merged
+    segment's files carry __bucket__ again, bucket-scoped reads stay
+    valid (no ValueError → no silent fallback to a shuffling join),
+    and the bucket-map join still matches a plain join."""
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.operators.bucketed import (
+        bucketed_join)
+
+    props = {"bucket_columns": ["id"], "bucket_number": "4"}
+    l = Table.create(spark, str(tmp_path / "lc"), "id bigint, v string",
+                     dict(props))
+    r = Table.create(spark, str(tmp_path / "rc"), "id bigint, w string",
+                     dict(props))
+    for lo in (0, 100, 200, 300):        # 4 segments → minor compaction
+        l.insert(spark.range(lo, lo + 100).select(
+            F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")))
+        r.insert(spark.range(lo, lo + 100).select(
+            F.col("id"), F.concat(F.lit("w"), F.col("id")).alias("w")))
+    assert l.compact("minor") is not None
+    segs = l.manifest.queryable_segments()
+    assert all("__bucket__" in f.partition for s in segs for f in s.files), \
+        "compacted files lost their bucket identity"
+    # bucket-scoped read must not raise
+    assert l.read(bucket_id=2).count() > 0
+    df = bucketed_join(l, r, ["id"], "inner")
+    assert "Exchange hashpartitioning" not in \
+        df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 400
+    got = {(x["id"], x["v"], x["w"]) for x in df.collect()}
+    want = {(i, f"v{i}", f"w{i}") for i in range(400)}
+    assert got == want
+
+
+def test_compaction_preserves_zorder_pruning(spark, tmp_path):
+    """A z-ordered table keeps multi-column min/max pruning after
+    compaction (the rewrite re-applies sort_scope='zorder', not just
+    a local sort on the raw columns)."""
+    from pyspark.sql import functions as F
+
+    t = Table.create(
+        spark, str(tmp_path / "z"), "x bigint, y bigint, v string",
+        {"sort_columns": ["x", "y"], "sort_scope": "zorder",
+         "global_sort_partitions": "8"})
+    for lo in (0, 1, 2, 3):              # 4 loads → minor compaction
+        t.insert(spark.range(4000).select(
+            ((F.col("id") * 7 + lo) % 200).alias("x"),
+            ((F.col("id") * 13 + lo) % 200).alias("y"),
+            F.lit("p").alias("v")))
+    assert t.compact("minor") is not None
+    all_files = sum(len(v) for v in t.scan_files().values())
+    px = sum(len(v) for v in t.scan_files(
+        [("x", "between", (10, 20))]).values())
+    py = sum(len(v) for v in t.scan_files(
+        [("y", "between", (10, 20))]).values())
+    assert all_files > 1
+    # BOTH z-columns must prune on the compacted layout
+    assert px < all_files and py < all_files, (px, py, all_files)
+    n = t.read(predicates=[("x", "between", (10, 20))]).count()
+    assert n == t.read().filter("x between 10 and 20").count()
