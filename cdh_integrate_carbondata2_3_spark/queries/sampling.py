@@ -375,3 +375,102 @@ def select_pareto_multid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_chars"))
     return skyline(m, ["n_tokens", "n_uniq", "n_chars"],
                    ["max", "max", "min"])
+
+
+_ALLOC_BUDGET = 200
+
+
+@query("sample_exact_allocation", oracle=f"""
+WITH sizes AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (SELECT SUM(n) AS t FROM sizes),
+q AS (
+  SELECT lang, n,
+         CAST(FLOOR({_ALLOC_BUDGET}.0 * n / t) AS BIGINT) AS fq,
+         ({_ALLOC_BUDGET}.0 * n / t)
+           - FLOOR({_ALLOC_BUDGET}.0 * n / t) AS rem
+  FROM sizes, tot
+), lo AS (SELECT {_ALLOC_BUDGET} - SUM(fq) AS leftover FROM q),
+quota AS (
+  SELECT lang, fq + CASE WHEN
+           ROW_NUMBER() OVER (ORDER BY rem DESC, lang) <= leftover
+         THEN 1 ELSE 0 END AS quota
+  FROM q, lo
+), picked AS (
+  SELECT d.doc_id, d.lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rn
+    FROM documents) d JOIN quota ON quota.lang = d.lang
+  WHERE d.rn <= quota.quota)
+SELECT doc_id, lang FROM picked
+""")
+def sample_exact_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget stratified selection via the largest-remainder
+    method: a total budget of {B} rows is split across strata
+    proportionally (floor quotas, then the leftover goes to the
+    largest fractional remainders — the apportionment rule that
+    guarantees ΣQuota == B exactly, unlike per-stratum Bernoulli
+    whose total is only correct in expectation), and each stratum
+    contributes its deterministic md5-ranked top-quota docs. The
+    eval-set builder's contract: byte-stable across runs AND exactly
+    B rows. Scale: sizes are one tiny groupBy; selection is one
+    per-stratum window rank (shuffles by stratum, no global sort)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = sizes.agg(F.sum("n").alias("t"))
+    exact = (F.lit(float(_ALLOC_BUDGET)) * F.col("n") / F.col("t"))
+    q = (sizes.crossJoin(F.broadcast(tot))
+         .select("lang", "n", F.floor(exact).cast("bigint").alias("fq"),
+                 (exact - F.floor(exact)).alias("rem")))
+    lo = q.agg((F.lit(_ALLOC_BUDGET) - F.sum("fq")).alias("leftover"))
+    wq = W.orderBy(F.desc("rem"), F.asc("lang"))
+    quota = (q.crossJoin(F.broadcast(lo))
+             .select("lang",
+                     (F.col("fq")
+                      + F.when(F.row_number().over(wq)
+                               <= F.col("leftover"), 1).otherwise(0))
+                     .alias("quota")))
+    wr = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
+    return (d.select("doc_id", "lang", F.row_number().over(wr).alias("rn"))
+            .join(F.broadcast(quota), "lang")
+            .filter(F.col("rn") <= F.col("quota"))
+            .select("doc_id", "lang"))
+
+
+_HIST_BUCKETS = 8
+
+
+@query("stats_equidepth_histogram", oracle=f"""
+SELECT b AS bucket, COUNT(*) AS n_rows,
+       CAST(MIN(p) AS DOUBLE) AS lo,
+       CAST(MAX(p) AS DOUBLE) AS hi
+FROM (SELECT CAST(o_totalprice AS DOUBLE) AS p,
+             NTILE({_HIST_BUCKETS}) OVER (ORDER BY CAST(o_totalprice AS DOUBLE),
+                                          o_orderkey) AS b
+      FROM orders)
+GROUP BY b
+""")
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram — the profiling primitive
+    behind optimizer selectivity estimates and skew detection: k
+    buckets of equal row count with their [lo, hi] value bounds. The
+    tie-break column (o_orderkey) makes NTILE's assignment a total
+    order, so both engines produce identical buckets bit-for-bit —
+    without it, rows with equal values straddle bucket boundaries
+    nondeterministically. Scale note: a global NTILE sorts one
+    column; for 100 TB use approxQuantile bounds instead (the
+    z-order writer's sketch path) — this operator is the EXACT
+    variant for when bucket counts must be exact."""
+    from ..sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("p"), "o_orderkey")
+    wb = W.orderBy(F.asc("p"), F.asc("o_orderkey"))
+    return (o.select("p", F.ntile(_HIST_BUCKETS).over(wb).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("p").cast("double").alias("lo"),
+                 F.max("p").cast("double").alias("hi")))

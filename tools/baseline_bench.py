@@ -48,8 +48,13 @@ def main() -> None:
     # contract-check queries whose oracle deliberately does LESS work
     # than the engine side (it pins exact values + TRUE flags while the
     # engine also computes the sketches being checked) — an
-    # engine/plain ratio there measures the sketch, not engine overhead
-    not_comparable = {"agg_hll_mergeable_rollup"}
+    # engine/plain ratio there measures the sketch, not engine overhead.
+    # Lifecycle gates are excluded for the same reason: the engine side
+    # CREATEs a table, writes segments, runs DML/MV refresh end-to-end
+    # while the oracle is one SELECT over raw parquet — the ratio would
+    # measure the lifecycle, not query overhead.
+    not_comparable = {"agg_hll_mergeable_rollup",
+                      "table_delete_mor", "table_mv_ivm_delete"}
 
     out = {}
     for name in HEADLINE:
