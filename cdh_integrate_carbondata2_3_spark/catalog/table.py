@@ -659,6 +659,42 @@ class Table:
             doc.pop("delete_deltas", None)
         self.manifest.update(mutate)
 
+    def restore(self, version: int) -> None:
+        """RESTORE the table to a historical manifest version (the
+        lakehouse RESTORE/rollback primitive; composes with the same
+        versioned-tablestatus history that powers ``read(as_of=)``).
+        The restore is itself a NEW manifest version whose content
+        replays version N — history is append-only, so a restore can
+        be restored away again, and concurrent readers pinned to
+        other versions are unaffected. Fails fast if any data file of
+        the target version has been physically removed (CLEAN FILES
+        after the fact makes old versions unrestorable — same
+        contract as Delta RESTORE after VACUUM)."""
+        target = self.manifest.load(version, _attach=False)
+        target = (self.manifest._attach_files(dict(target))
+                  if target.get("files_ref") else target)
+        missing = [f["path"] for s in target["segments"]
+                   if s["status"] in (SegmentStatus.SUCCESS,
+                                      SegmentStatus.STREAMING,
+                                      SegmentStatus.STREAMING_FINISH)
+                   for f in s["files"]
+                   if not os.path.exists(self._abs(f["path"]))]
+        missing += [d["path"] for d in target.get("delete_deltas", [])
+                    if not os.path.exists(self._abs(d["path"]))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: "
+                f"{len(missing)} data file(s) physically removed "
+                f"(e.g. {missing[0]!r}) — CLEAN FILES already swept them")
+
+        def mutate(doc: dict) -> None:
+            keep_version = doc["version"]
+            doc.clear()
+            doc.update({k: v for k, v in target.items()
+                        if k not in ("version", "files_ref")})
+            doc["version"] = keep_version
+        self.manifest.update(mutate)
+
     # ----------------------------------------------------------------- read
 
     def _abs(self, f_path: str) -> str:
@@ -674,26 +710,50 @@ class Table:
         from .vector_index import VectorIndexManager
         return VectorIndexManager(self)
 
-    def _bucket_target(self, predicates: Sequence[Predicate] | None) -> str | None:
-        """Bucket id implied by equality predicates on ALL bucket
-        columns, else None (reference CarbonDataSourceScan bucket
-        HashPartitioning; repartition task i == pmod(murmur3, n))."""
+    _BUCKET_IN_CAP = 64     # max key combinations hashed for IN pruning
+
+    def _bucket_targets(
+            self, predicates: Sequence[Predicate] | None) -> set[str] | None:
+        """Bucket ids implied by `=` / `IN` predicates covering ALL
+        bucket columns, else None (reference CarbonDataSourceScan
+        bucket HashPartitioning; repartition task i == pmod(murmur3,
+        n)). An IN-list yields the union of its values' buckets; the
+        combination count is capped — past the cap a full scan is
+        cheaper than hashing thousands of key tuples anyway."""
         props = self.manifest.properties()
         bucket_cols = props.get("bucket_columns", [])
         n = int(props.get("bucket_number", 0) or 0)
         if not bucket_cols or n <= 0 or not predicates:
             return None
-        eqs = {c: v for c, op, v in predicates if op == "="}
-        if not all(c in eqs for c in bucket_cols):
+        cands: dict[str, list] = {}
+        for c, op, v in predicates:
+            if c not in bucket_cols:
+                continue
+            if op == "=":
+                cands.setdefault(c, []).append(v)
+            elif op == "in":
+                cands.setdefault(c, []).extend(v)
+        if not all(c in cands for c in bucket_cols):
+            return None
+        combos = 1
+        for c in bucket_cols:
+            combos *= len(cands[c])
+        if combos > self._BUCKET_IN_CAP:
             return None
         # literals must hash with the COLUMN's type: murmur3(42: int)
         # != murmur3(42: bigint), and HashPartitioning used the column
         types = {f.name: f.dataType for f in self._schema_struct().fields}
-        lits = [F.lit(eqs[c]).cast(types[c]) if c in types else F.lit(eqs[c])
-                for c in bucket_cols]
-        row = (self.spark.range(1).select(
-            F.pmod(F.hash(*lits), F.lit(n)).alias("b")).first())
-        return str(int(row["b"]))
+
+        def lit(c, v):
+            return F.lit(v).cast(types[c]) if c in types else F.lit(v)
+
+        import itertools
+        exprs = [F.pmod(F.hash(*[lit(c, v) for c, v in zip(bucket_cols, tup)]),
+                        F.lit(n))
+                 for tup in itertools.product(*[cands[c] for c in bucket_cols])]
+        row = (self.spark.range(1)
+               .select(F.array(*exprs).alias("bs")).first())
+        return {str(int(b)) for b in row["bs"]}
 
     def scan_files(self, predicates: Sequence[Predicate] | None = None,
                    segments: list[int] | None = None,
@@ -703,7 +763,7 @@ class Table:
         (``use_indexes=False`` is the NI() escape hatch —
         reference CarbonEnv.scala:86-95)."""
         allowed = self.indexes.candidate_files(predicates) if use_indexes else None
-        target_bucket = self._bucket_target(predicates)
+        target_buckets = self._bucket_targets(predicates)
         by_fmt: dict[str, list[str]] = {}
         # vectorized path (manifest.stats='parquet'): prune runs as
         # pyarrow compute over the stats sidecar; only survivors ever
@@ -717,10 +777,10 @@ class Table:
                     else prune_files(seg.files, predicates))
             if allowed is not None:
                 kept = [f for f in kept if self._abs(f.path) in allowed]
-            if target_bucket is not None:
+            if target_buckets is not None:
                 kept = [f for f in kept
-                        if f.partition.get("__bucket__", target_bucket)
-                        == target_bucket]
+                        if f.partition.get("__bucket__") is None
+                        or f.partition["__bucket__"] in target_buckets]
             if kept:
                 by_fmt.setdefault(seg.format, []).extend(
                     self._abs(f.path) for f in kept)
@@ -867,12 +927,12 @@ class Table:
                    if use_indexes and as_of is None else None)
         partitioned = bool(self.manifest.properties().get("partition_by"))
 
-        target_bucket = self._bucket_target(predicates)
+        target_buckets = self._bucket_targets(predicates)
         if bucket_id is not None:
-            if target_bucket is not None and target_bucket != str(bucket_id):
-                # predicate-implied bucket disagrees → empty scan
+            if target_buckets is not None and str(bucket_id) not in target_buckets:
+                # predicate-implied buckets disagree → empty scan
                 return self.read(segments=[-1])
-            target_bucket = str(bucket_id)
+            target_buckets = {str(bucket_id)}
             for seg in self.manifest.queryable_segments(segments, version=as_of):
                 for f in seg.files:
                     if "__bucket__" not in f.partition:
@@ -894,11 +954,11 @@ class Table:
                     else prune_files(seg.files, predicates))
             if allowed is not None:
                 kept = [f for f in kept if self._abs(f.path) in allowed]
-            if target_bucket is not None:
+            if target_buckets is not None:
                 # files without bucket info (pre-bucketing loads) stay
                 kept = [f for f in kept
-                        if f.partition.get("__bucket__", target_bucket)
-                        == target_bucket]
+                        if f.partition.get("__bucket__") is None
+                        or f.partition["__bucket__"] in target_buckets]
             if only_files is not None:
                 kept = [f for f in kept if self._abs(f.path) in only_files]
             if not kept:

@@ -565,3 +565,38 @@ def agg_minmax_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minmax did not take the metadata path"
     assert "FileScan" not in plan, "metadata minmax must not scan data"
     return df
+
+
+@query("table_restore_version", oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+FROM orders
+WHERE o_orderkey < 8000 AND o_orderkey % 3 = 0
+GROUP BY o_orderstatus
+""")
+def table_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to a historical manifest version (lakehouse rollback;
+    composes the versioned-tablestatus history behind read(as_of=)):
+    after a second load AND a delete mutate the table, restore rolls
+    content back to the first snapshot — as a NEW version, so the
+    mutated state stays reachable (asserted in-gate). The oracle
+    recomputes the FIRST snapshot from raw parquet, so a green hash
+    proves restore ≡ the historical state byte-for-byte."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderkey") < 8000)
+         .select("o_orderkey", "o_orderstatus"))
+    t = Table.create_as_select(
+        spark, _scratch("restore", sf_dir),
+        o.filter("o_orderkey % 3 = 0"))
+    v1 = t.manifest.load()["version"]
+    t.insert(o.filter("o_orderkey % 3 = 1"))
+    dml.delete_rows(t, "o_orderkey % 10 = 0")
+    mutated = t.read().count()
+    t.restore(v1)
+    assert t.manifest.load()["version"] > v1, "history must append"
+    # the pre-restore state remains reachable through time travel
+    assert t.read(as_of=t.manifest.load()["version"] - 1).count() == mutated
+    return (t.read().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").cast("bigint").alias("sum_keys")))

@@ -176,3 +176,19 @@ def test_compaction_preserves_zorder_pruning(spark, tmp_path):
     assert px < all_files and py < all_files, (px, py, all_files)
     n = t.read(predicates=[("x", "between", (10, 20))]).count()
     assert n == t.read().filter("x between 10 and 20").count()
+
+
+def test_in_list_prunes_to_bucket_union(spark, tmp_path):
+    """`id IN (...)` on the bucket column prunes the scan to the
+    union of the values' buckets — and stays correct (every key
+    found). Past the combination cap the pruning disables itself."""
+    t = _mk(spark, tmp_path)
+    all_files = sum(len(v) for v in t.scan_files().values())
+    pruned = sum(len(v) for v in
+                 t.scan_files([("id", "in", [7, 42, 99])]).values())
+    assert 0 < pruned < all_files
+    rows = t.read(predicates=[("id", "in", [7, 42, 99])]).collect()
+    assert sorted(r["id"] for r in rows) == [7, 42, 99]
+    # over the cap: no bucket pruning, still correct
+    big = list(range(200))
+    assert t.read(predicates=[("id", "in", big)]).count() == 200

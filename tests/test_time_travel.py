@@ -34,3 +34,38 @@ def test_as_of_missing_version_raises(spark, tmp_path):
     t = Table.create(spark, str(tmp_path / "t"), "id bigint")
     with pytest.raises(FileNotFoundError):
         t.read(as_of=99)
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE rolls the table back to a historical manifest version
+    as a NEW version (append-only history): content equals the old
+    snapshot, later data disappears, and the restore itself can be
+    restored away. Swept data files fail fast."""
+    import pytest
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    t = Table.create(spark, str(tmp_path / "rst"), "id bigint, v double")
+    t.insert(spark.range(10).select("id", (F.col("id") * 1.0).alias("v")))
+    v1 = t.manifest.load()["version"]
+    t.insert(spark.range(10, 20).select("id", (F.col("id") * 1.0).alias("v")))
+    from cdh_integrate_carbondata2_3_spark.operators import dml
+    dml.delete_rows(t, "id < 3")
+    assert t.read().count() == 17
+
+    t.restore(v1)
+    assert t.read().count() == 10                 # snapshot content
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(10))
+    v_after = t.manifest.load()["version"]
+    assert v_after > v1                           # history is append-only
+
+    # the pre-restore state is itself still restorable
+    t.restore(v_after - 1)
+    assert t.read().count() == 17
+
+    # a version whose files were swept cannot be restored
+    t.restore(v1)
+    t.truncate()
+    t.clean_files()
+    with pytest.raises(FileNotFoundError):
+        t.restore(v1)
