@@ -1138,20 +1138,83 @@ class Table:
             from ..operators.mor import horizontal_compact
             horizontal_compact(self, force=True)
 
-    def clean_files(self) -> int:
-        """Physically delete data of MARKED_FOR_DELETE / COMPACTED
-        segments (reference CarbonCleanFilesCommand; docs clean-files.md).
-        Returns number of segments cleaned."""
+    def clean_files(self, *, force: bool = False,
+                    stale_inprogress: bool = False,
+                    dryrun: bool = False) -> int | dict:
+        """CLEAN FILES (reference CarbonCleanFilesCommand; docs
+        clean-files.md). Default: MARKED_FOR_DELETE / COMPACTED
+        segments leave the manifest and their data moves to the table
+        TRASH (``.trash/``); trash entries older than
+        ``carbon.trash.retention.days`` (default 7) are purged on
+        every run — so a fat-fingered clean is recoverable for the
+        retention window. Options mirror the reference:
+
+        - ``force``: delete immediately AND empty the trash; gated by
+          table property ``carbon.clean.file.force.allowed`` exactly
+          as the reference gates it on the carbon property.
+        - ``stale_inprogress``: also clean INSERT_IN_PROGRESS
+          segments past retention age (a crashed writer's leftovers);
+          with ``force``, immediately.
+        - ``dryrun``: report what WOULD be cleaned + current trash
+          size, mutate nothing (returns a dict).
+
+        Returns number of segments cleaned (int), or the dryrun dict."""
+        props = self.manifest.properties()
+        if force and str(props.get("carbon.clean.file.force.allowed",
+                                   "false")).lower() != "true":
+            raise PermissionError(
+                "clean files with force requires table property "
+                "carbon.clean.file.force.allowed=true (reference "
+                "carbon.clean.file.force.allowed, docs/clean-files.md)")
+        retention_s = float(
+            props.get("carbon.trash.retention.days", 7)) * 86400.0
+        trash_root = os.path.join(self.table_dir, ".trash")
+        now = time.time()
+
+        def _dir_bytes(d: str) -> int:
+            return sum(os.path.getsize(os.path.join(r, f))
+                       for r, _, fs in os.walk(d) for f in fs)
+
+        def _stale_iip(s: dict) -> bool:
+            return (stale_inprogress
+                    and s["status"] == SegmentStatus.INSERT_IN_PROGRESS
+                    and (force or now - s["load_time"] > retention_s))
+
+        if dryrun:
+            doc = self.manifest.load(_attach=False)
+            would = [s["id"] for s in doc["segments"]
+                     if s["status"] in (SegmentStatus.MARKED_FOR_DELETE,
+                                        SegmentStatus.COMPACTED)
+                     or _stale_iip(s)]
+            trash_bytes = (_dir_bytes(trash_root)
+                           if os.path.isdir(trash_root) else 0)
+            return {"would_clean_segments": would,
+                    "trash_bytes": trash_bytes,
+                    "force": force, "stale_inprogress": stale_inprogress}
+
         cleaned = {"n": 0}
+
+        def _dispose(seg_dir: str, sid) -> None:
+            if not os.path.isdir(seg_dir):
+                return
+            if force:
+                shutil.rmtree(seg_dir, ignore_errors=True)
+            else:
+                os.makedirs(trash_root, exist_ok=True)
+                dst = os.path.join(
+                    trash_root, f"{int(now)}_{uuid.uuid4().hex[:8]}"
+                                f"_segment_{sid}")
+                os.rename(seg_dir, dst)
 
         def mutate(doc: dict) -> None:
             remaining = []
             for s in doc["segments"]:
-                if s["status"] in (SegmentStatus.MARKED_FOR_DELETE,
-                                   SegmentStatus.COMPACTED):
+                if (s["status"] in (SegmentStatus.MARKED_FOR_DELETE,
+                                    SegmentStatus.COMPACTED)
+                        or _stale_iip(s)):
                     if not s.get("external_path"):
-                        seg_dir = os.path.join(self.table_dir, f"segment_{s['id']}")
-                        shutil.rmtree(seg_dir, ignore_errors=True)
+                        _dispose(os.path.join(self.table_dir,
+                                              f"segment_{s['id']}"), s["id"])
                     cleaned["n"] += 1
                 else:
                     remaining.append(s)
@@ -1177,6 +1240,16 @@ class Table:
                                       ignore_errors=True)
                         cleaned["n_orphans"] = cleaned.get("n_orphans", 0) + 1
         self.manifest.update(mutate)
+        # purge trash past retention (everything, under force)
+        if os.path.isdir(trash_root):
+            for name in os.listdir(trash_root):
+                try:
+                    born = float(name.split("_", 1)[0])
+                except ValueError:
+                    born = 0.0
+                if force or now - born > retention_s:
+                    shutil.rmtree(os.path.join(trash_root, name),
+                                  ignore_errors=True)
         # crash-leftover stats sidecars (committed sidecar, uncommitted
         # JSON) are unreferenced by every version — safe to drop
         self.manifest.gc_stats_sidecars()

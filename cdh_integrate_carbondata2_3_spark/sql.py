@@ -83,7 +83,8 @@ _SHOW_HISTORY_SEGMENTS = _ci(
 _SHOW_SEGMENTS = _ci(
     r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?(\w+)\s*"
     r"(?:LIMIT\s+(\d+))?\s*$")
-_CLEAN_FILES = _ci(r"^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\w+)\s*$")
+_CLEAN_FILES = _ci(r"^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\w+)"
+                   r"(?:\s+OPTIONS\s*\((.*?)\))?\s*$")
 _ALTER_COMPACT = _ci(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+COMPACT\s+'(\w+)'\s*"
     r"(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([\d\s,]+)\))?\s*$")
@@ -1672,8 +1673,18 @@ class Engine:
             return self.table(m.group(1)).show_segments(
                 limit=int(m.group(2)) if m.group(2) else None)
         if m := _CLEAN_FILES.match(text):
-            n = self.table(m.group(1)).clean_files()
-            return self._ok(f"cleaned {n}")
+            opts = _parse_props(m.group(2)) if m.group(2) else {}
+            res = self.table(m.group(1)).clean_files(
+                force=opts.get("force", "false").lower() == "true",
+                stale_inprogress=opts.get(
+                    "stale_inprogress", "false").lower() == "true",
+                dryrun=opts.get("dryrun", "false").lower() == "true")
+            if isinstance(res, dict):       # dryrun report
+                return self._df(
+                    [(json.dumps(res["would_clean_segments"]),
+                      res["trash_bytes"])],
+                    "would_clean_segments string, trash_bytes bigint")
+            return self._ok(f"cleaned {res}")
         if m := _ALTER_COMPACT.match(text):
             kind = m.group(2).lower()
             if kind in ("streaming", "close_streaming"):

@@ -846,3 +846,75 @@ def test_minmax_metadata_empty_table(spark, tmp_path):
     assert e.table("et").manifest.minmax_metadata(["v"]) == {
         "v": (None, None)}
     assert e.sql("SELECT MIN(v) AS m FROM et").first()["m"] is None
+
+
+def test_clean_files_trash_retention_and_force(spark, tmp_path):
+    """CLEAN FILES parity with docs/clean-files.md: default moves
+    cleaned segments to the table trash (recoverable within
+    carbon.trash.retention.days), dryrun mutates nothing, force
+    empties trash immediately but requires
+    carbon.clean.file.force.allowed=true."""
+    import os
+    import pytest
+
+    e = Engine(spark, str(tmp_path / "whc"))
+    e.sql("CREATE TABLE ct (id BIGINT)")
+    e.sql("INSERT INTO ct SELECT * FROM VALUES (1),(2) t(id)")
+    e.sql("INSERT INTO ct SELECT * FROM VALUES (3) t(id)")
+    e.sql("DELETE FROM TABLE ct WHERE SEGMENT.ID IN (0)")
+    t = e.table("ct")
+
+    rep = t.clean_files(dryrun=True)
+    assert rep["would_clean_segments"] == [0] and rep["trash_bytes"] == 0
+    assert len(t.manifest.load(_attach=False)["segments"]) == 2  # unchanged
+
+    assert t.clean_files() == 1
+    trash = os.path.join(t.table_dir, ".trash")
+    assert os.path.isdir(trash) and len(os.listdir(trash)) == 1
+    assert not os.path.isdir(os.path.join(t.table_dir, "segment_0"))
+    assert e.sql("SELECT COUNT(*) FROM ct").first()[0] == 1
+
+    # force without the allow property → refused
+    with pytest.raises(PermissionError):
+        t.clean_files(force=True)
+    e.sql("ALTER TABLE ct SET TBLPROPERTIES("
+          "'carbon.clean.file.force.allowed'='true')")
+    e.sql("INSERT INTO ct SELECT * FROM VALUES (4) t(id)")
+    e.sql("DELETE FROM TABLE ct WHERE SEGMENT.ID IN (1)")
+    e.sql("CLEAN FILES FOR TABLE ct OPTIONS('force'='true')")
+    assert not os.listdir(trash)                 # trash emptied
+    assert e.sql("SELECT COUNT(*) FROM ct").first()[0] == 1
+
+    # retention: entry younger than retention survives a normal clean
+    e.sql("INSERT INTO ct SELECT * FROM VALUES (5) t(id)")
+    e.sql("DELETE FROM TABLE ct WHERE SEGMENT.ID IN (2)")
+    t.clean_files()
+    assert len(os.listdir(trash)) == 1
+    t.clean_files()                              # still within retention
+    assert len(os.listdir(trash)) == 1
+
+
+def test_clean_files_stale_inprogress(spark, tmp_path):
+    """stale_inprogress sweeps crashed-writer INSERT_IN_PROGRESS
+    segments past retention (immediately under force)."""
+    from cdh_integrate_carbondata2_3_spark.catalog.manifest import (
+        SegmentStatus)
+
+    e = Engine(spark, str(tmp_path / "whs"))
+    e.sql("CREATE TABLE st (id BIGINT) TBLPROPERTIES("
+          "'carbon.clean.file.force.allowed'='true')")
+    e.sql("INSERT INTO st SELECT * FROM VALUES (1) t(id)")
+    t = e.table("st")
+
+    def fake_iip(doc):
+        doc["segments"].append({
+            "id": 99, "status": SegmentStatus.INSERT_IN_PROGRESS,
+            "format": "parquet", "files": [], "load_time": 0.0,
+            "source": "insert", "external_path": None})
+    t.manifest.update(fake_iip)
+
+    assert t.clean_files() == 0                      # not without the option
+    assert t.clean_files(stale_inprogress=True) == 1  # load_time 0 → stale
+    assert all(s["id"] != 99 for s in
+               t.manifest.load(_attach=False)["segments"])
+    assert e.sql("SELECT COUNT(*) FROM st").first()[0] == 1
