@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 import time
 import uuid
@@ -241,8 +242,9 @@ class Table:
 
     # ----------------------------------------------------------------- load
 
-    def _apply_load_sort(self, df: DataFrame) -> DataFrame:
-        props = self.manifest.properties()
+    def _apply_load_sort(self, df: DataFrame,
+                         overrides: dict | None = None) -> DataFrame:
+        props = {**self.manifest.properties(), **(overrides or {})}
         scope = props.get("sort_scope", "no_sort").lower()
         sort_cols = props.get("sort_columns", [])
         range_col = props.get("range_column")
@@ -314,11 +316,13 @@ class Table:
                 .drop("__z__"))
 
 
-    def _write_segment_files(self, df: DataFrame, fmt: str = "parquet") -> str:
+    def _write_segment_files(self, df: DataFrame, fmt: str = "parquet",
+                             sort_override: dict | None = None) -> str:
         """Write df to a temp dir inside the table; returns tmp dir."""
         tmp = os.path.join(self.table_dir, f"_tmp_{uuid.uuid4().hex}")
         props = self.manifest.properties()
-        writer = self._apply_load_sort(df).write.mode("overwrite")
+        writer = self._apply_load_sort(df, sort_override) \
+            .write.mode("overwrite")
         partition_by = props.get("partition_by") or []
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -392,10 +396,14 @@ class Table:
             for c, f in zip(df.columns, struct.fields)])
 
     def insert(self, df: DataFrame, overwrite: bool = False,
-               source: str = "insert") -> int:
+               source: str = "insert",
+               sort_override: dict | None = None) -> int:
         """INSERT INTO/OVERWRITE as a new segment
-        (reference CarbonInsertIntoCommand.scala:96-126)."""
-        tmp = self._write_segment_files(self._cast_to_schema(df))
+        (reference CarbonInsertIntoCommand.scala:96-126).
+        ``sort_override`` replaces sort properties for THIS load only
+        (the per-load SORT_SCOPE / GLOBAL_SORT_PARTITIONS options)."""
+        tmp = self._write_segment_files(self._cast_to_schema(df),
+                                        sort_override=sort_override)
         seg = self._commit_segment_dir(tmp, source, overwrite=overwrite)
         self._maybe_auto_compact()
         return seg
@@ -421,14 +429,66 @@ class Table:
     def load_csv(self, path: str, header: bool = True,
                  delimiter: str = ",", overwrite: bool = False,
                  schema: str | None = None,
-                 bad_records_action: str = "FORCE") -> int:
-        """LOAD DATA INPATH (reference CarbonLoadDataCommand; bad-record
-        actions per docs/dml-of-carbondata.md — FORCE nulls bad cells,
-        FAIL aborts, IGNORE drops bad rows, REDIRECT quarantines bad
-        rows under <table>/_meta/badrecords/ and loads the rest)."""
+                 bad_records_action: str = "FORCE",
+                 quotechar: str = '"', escapechar: str = "\\",
+                 commentchar: str | None = None,
+                 multiline: bool = False,
+                 line_separator: str | None = None,
+                 skip_empty_line: bool = True,
+                 fileheader: list[str] | None = None,
+                 complex_delimiter: str = "\001",
+                 sort_scope: str | None = None,
+                 global_sort_partitions: int | None = None) -> int:
+        """LOAD DATA INPATH (reference CarbonLoadDataCommand; option
+        surface per docs/dml-of-carbondata.md). Bad-record actions —
+        FORCE nulls bad cells, FAIL aborts, IGNORE drops bad rows,
+        REDIRECT quarantines bad rows under <table>/_meta/badrecords/
+        and loads the rest. QUOTECHAR/ESCAPECHAR/COMMENTCHAR/
+        MULTILINE/LINE_SEPARATOR/SKIP_EMPTY_LINE map onto Spark's CSV
+        reader; FILEHEADER names the columns of a headerless file;
+        COMPLEX_DELIMITER_LEVEL_1 splits array<primitive> columns of
+        the table schema out of delimited cells (deeper nesting needs
+        the parquet/SDK path); SORT_SCOPE / GLOBAL_SORT_PARTITIONS
+        override the table-level load sort FOR THIS LOAD only."""
         action = bad_records_action.upper()
         reader = (self.spark.read.option("header", header)
-                  .option("delimiter", delimiter))
+                  .option("delimiter", delimiter)
+                  .option("quote", quotechar)
+                  .option("escape", escapechar)
+                  .option("multiLine", multiline))
+        if commentchar:
+            reader = reader.option("comment", commentchar)
+        if line_separator:
+            reader = reader.option("lineSep", line_separator)
+        if not skip_empty_line:
+            reader = reader.option("ignoreEmptyLines", False)
+        sort_override = {}
+        if sort_scope is not None:
+            sort_override["sort_scope"] = sort_scope
+        if global_sort_partitions is not None:
+            sort_override["global_sort_partitions"] = str(
+                global_sort_partitions)
+
+        def _post(df: DataFrame) -> DataFrame:
+            if fileheader:
+                if len(fileheader) != len(df.columns):
+                    raise ValueError(
+                        f"FILEHEADER names {len(fileheader)} columns, "
+                        f"file has {len(df.columns)}")
+                df = df.toDF(*fileheader)
+            # COMPLEX_DELIMITER_LEVEL_1: table columns typed
+            # array<primitive> arrive as delimited strings in the csv
+            for f in self._schema_struct().fields:
+                if (f.name in df.columns
+                        and f.dataType.typeName() == "array"
+                        and dict(df.dtypes).get(f.name) == "string"):
+                    elem = f.dataType.elementType.simpleString()
+                    df = df.withColumn(
+                        f.name,
+                        F.transform(F.split(F.col(f.name),
+                                            re.escape(complex_delimiter)),
+                                    lambda x: x.cast(elem)))
+            return df
         if action == "REDIRECT":
             if not schema:
                 raise ValueError("REDIRECT needs an explicit schema")
@@ -442,7 +502,8 @@ class Table:
             if bad.limit(1).count():
                 bad.write.mode("overwrite").text(quarantine)
             good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-            return self.insert(good, overwrite=overwrite, source="load")
+            return self.insert(_post(good), overwrite=overwrite,
+                               source="load", sort_override=sort_override)
         if schema:
             reader = reader.schema(schema)
         else:
@@ -450,7 +511,8 @@ class Table:
         mode = {"FORCE": "PERMISSIVE", "IGNORE": "DROPMALFORMED",
                 "FAIL": "FAILFAST"}.get(action, "PERMISSIVE")
         df = reader.option("mode", mode).csv(path)
-        return self.insert(df, overwrite=overwrite, source="load")
+        return self.insert(_post(df), overwrite=overwrite, source="load",
+                           sort_override=sort_override)
 
     def add_segment(self, external_path: str, fmt: str = "parquet") -> int:
         """ADD SEGMENT: register an existing folder (any supported format)

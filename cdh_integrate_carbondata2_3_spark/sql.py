@@ -1503,12 +1503,16 @@ def _ensure_brics_udf(spark) -> None:
 
 
 def _parse_props(s: str | None) -> dict:
-    """'k1'='v1', 'k2'='v2' → dict (list-valued for comma strings)."""
+    """'k1'='v1', 'k2'='v2' → dict (list-valued for comma strings).
+    Values may be double-quoted instead ('QUOTECHAR'="'") so a value
+    containing a single quote is expressible."""
     props: dict = {}
     if not s:
         return props
-    for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", s):
+    for k, v1, v2 in re.findall(
+            r"'([^']+)'\s*=\s*(?:'([^']*)'|\"([^\"]*)\")", s):
         k = k.lower()
+        v = v1 if v1 or not v2 else v2
         if k in ("sort_columns", "bucket_columns", "partition_by"):
             props[k] = [c.strip() for c in v.split(",") if c.strip()]
         else:
@@ -1588,11 +1592,25 @@ class Engine:
             return self._ok(f"dropped {m.group(1)}")
         if m := _LOAD_DATA.match(text):
             opts = _parse_props(m.group(4))
+            gsp = opts.get("global_sort_partitions")
+            fh = opts.get("fileheader")
             seg = self.table(m.group(3)).load_csv(
                 m.group(1), overwrite=bool(m.group(2)),
                 delimiter=opts.get("delimiter", ","),
                 header=opts.get("header", "true").lower() != "false",
-                bad_records_action=opts.get("bad_records_action", "FORCE"))
+                bad_records_action=opts.get("bad_records_action", "FORCE"),
+                quotechar=opts.get("quotechar", '"'),
+                escapechar=opts.get("escapechar", "\\"),
+                commentchar=opts.get("commentchar"),
+                multiline=opts.get("multiline", "false").lower() == "true",
+                line_separator=opts.get("line_separator"),
+                skip_empty_line=opts.get(
+                    "skip_empty_line", "true").lower() != "false",
+                fileheader=[c.strip() for c in fh.split(",")] if fh else None,
+                complex_delimiter=opts.get(
+                    "complex_delimiter_level_1", "\001"),
+                sort_scope=opts.get("sort_scope"),
+                global_sort_partitions=int(gsp) if gsp else None)
             return self._ok(f"segment {seg}")
         if m := _INSERT_STAGE.match(text):
             opts = _parse_props(m.group(2))

@@ -52,3 +52,49 @@ def test_redirect_quarantines(spark, tmp_path):
     assert quarantined
     content = "".join(open(f).read() for f in quarantined)
     assert "xx" in content
+
+
+def test_load_csv_full_option_surface(spark, tmp_path):
+    """docs/dml-of-carbondata.md LOAD options: QUOTECHAR, ESCAPECHAR,
+    COMMENTCHAR, FILEHEADER (headerless file), SKIP_EMPTY_LINE,
+    COMPLEX_DELIMITER_LEVEL_1 (array column from a delimited cell),
+    and the per-load SORT_SCOPE / GLOBAL_SORT_PARTITIONS override."""
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE lt (id BIGINT, name STRING, "
+            "tags ARRAY<INT>)")
+    csv = tmp_path / "opt.csv"
+    csv.write_text(
+        "# a comment line\n"
+        "1;'al;pha';7\00142\n"
+        "2;'be''ta';9\n"
+        "\n"
+        "3;gamma;1\0012\0013\n")
+    eng.sql(f"LOAD DATA INPATH '{csv}' INTO TABLE lt OPTIONS("
+            "'DELIMITER'=';', 'QUOTECHAR'=\"'\", 'HEADER'='false', "
+            "'COMMENTCHAR'='#', 'FILEHEADER'='id, name, tags', "
+            "'SORT_SCOPE'='global_sort', 'GLOBAL_SORT_PARTITIONS'='1')")
+    t = eng.table("lt")
+    rows = {r["id"]: (r["name"], list(r["tags"]))
+            for r in t.read().collect()}
+    assert rows[1] == ("al;pha", [7, 42])        # quoted delimiter kept
+    assert rows[2][1] == [9]
+    assert rows[3] == ("gamma", [1, 2, 3])
+    assert len(rows) == 3                         # comment+empty skipped
+    # the per-load global_sort override produced ONE data file
+    segs = t.manifest.queryable_segments()
+    assert sum(len(s.files) for s in segs) == 1
+    # table-level props untouched by the per-load override
+    assert t.manifest.properties().get("sort_scope") is None
+
+
+def test_load_csv_fileheader_arity_check(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    t = Table.create(spark, str(tmp_path / "fh"), "a bigint, b string")
+    csv = tmp_path / "x.csv"
+    csv.write_text("1,foo\n")
+    import pytest
+    with pytest.raises(ValueError, match="FILEHEADER"):
+        t.load_csv(str(csv), header=False, fileheader=["a", "b", "c"])
