@@ -24,8 +24,10 @@ _STATTABLE = {"INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY", "INT96"}
 def _norm(v: Any) -> Any:
     """JSON-comparable normalization: timestamps/dates → ISO strings
     (lexicographically ordered), bytes → utf8 str, numbers unchanged."""
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
         return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):      # date has no sep kwarg
+        return v.isoformat()
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")

@@ -437,6 +437,8 @@ class Table:
                  skip_empty_line: bool = True,
                  fileheader: list[str] | None = None,
                  complex_delimiter: str = "\001",
+                 dateformat: str | None = None,
+                 timestampformat: str | None = None,
                  sort_scope: str | None = None,
                  global_sort_partitions: int | None = None) -> int:
         """LOAD DATA INPATH (reference CarbonLoadDataCommand; option
@@ -460,8 +462,19 @@ class Table:
             reader = reader.option("comment", commentchar)
         if line_separator:
             reader = reader.option("lineSep", line_separator)
+        if dateformat:
+            reader = reader.option("dateFormat", dateformat)
+        if timestampformat:
+            reader = reader.option("timestampFormat", timestampformat)
         if not skip_empty_line:
-            reader = reader.option("ignoreEmptyLines", False)
+            # Spark's CSV parser always drops blank lines; loading them
+            # as null rows (the reference's 'false' behavior) has no
+            # Spark-side switch — refuse loudly instead of silently
+            # differing
+            raise NotImplementedError(
+                "SKIP_EMPTY_LINE='false' (blank line → null row) is not "
+                "supported by Spark's CSV reader; preprocess the file or "
+                "load via the SDK path")
         sort_override = {}
         if sort_scope is not None:
             sort_override["sort_scope"] = sort_scope

@@ -1609,6 +1609,8 @@ class Engine:
                 fileheader=[c.strip() for c in fh.split(",")] if fh else None,
                 complex_delimiter=opts.get(
                     "complex_delimiter_level_1", "\001"),
+                dateformat=opts.get("dateformat"),
+                timestampformat=opts.get("timestampformat"),
                 sort_scope=opts.get("sort_scope"),
                 global_sort_partitions=int(gsp) if gsp else None)
             return self._ok(f"segment {seg}")

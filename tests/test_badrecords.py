@@ -98,3 +98,26 @@ def test_load_csv_fileheader_arity_check(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="FILEHEADER"):
         t.load_csv(str(csv), header=False, fileheader=["a", "b", "c"])
+
+
+def test_load_csv_date_timestamp_formats(spark, tmp_path):
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    import datetime
+
+    t = Table.create(spark, str(tmp_path / "dt"), "id bigint, d date")
+    csv = tmp_path / "d.csv"
+    csv.write_text("id,d\n1,2020|01|31\n")
+    t.load_csv(str(csv), schema="id bigint, d date",
+               dateformat="yyyy|MM|dd")
+    assert t.read().first()["d"] == datetime.date(2020, 1, 31)
+
+
+def test_load_csv_skip_empty_line_false_refused(spark, tmp_path):
+    import pytest
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    t = Table.create(spark, str(tmp_path / "se"), "a bigint")
+    csv = tmp_path / "y.csv"
+    csv.write_text("a\n1\n")
+    with pytest.raises(NotImplementedError):
+        t.load_csv(str(csv), skip_empty_line=False)
