@@ -25,8 +25,10 @@ Predicate = tuple[str, str, Any]    # (column, op, value); op ∈ =,!=,<,<=,>,>=
 
 
 def _norm_value(v: Any) -> Any:
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
         return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):      # date has no sep kwarg
+        return v.isoformat()
     return v
 
 

@@ -232,3 +232,30 @@ def test_alter_to_zorder_applies_on_next_load(spark, tmp_path):
     total = sum(len(v) for v in t.scan_files().values())
     px = sum(len(v) for v in t.scan_files([("x", "<", 4)]).values())
     assert px < total
+
+
+def test_date_column_stats_and_pruning(spark, tmp_path):
+    """DATE columns harvest footer min/max (ISO strings — they order
+    lexicographically) and prune point/range predicates given either
+    a string or a datetime.date; regression for the date.isoformat
+    crash in stats harvest + _norm_value."""
+    import datetime
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    t = Table.create(spark, str(tmp_path / "dates"), "id bigint, d date")
+    for lo in (0, 100):
+        t.insert(spark.range(lo, lo + 100).select(
+            "id",
+            F.date_add(F.lit("2020-01-01").cast("date"),
+                       F.col("id").cast("int")).alias("d")))
+    allf = sum(len(v) for v in t.scan_files().values())
+    assert allf > 1
+    for pred in (("d", "=", "2020-01-15"),
+                 ("d", "=", datetime.date(2020, 1, 15)),
+                 ("d", "between", ("2020-01-10", "2020-01-20"))):
+        kept = sum(len(v) for v in t.scan_files([pred]).values())
+        assert kept < allf, pred
+    assert t.read(predicates=[("d", "=", "2020-01-15")]).count() == 1
+    assert t.read(
+        predicates=[("d", "=", datetime.date(2020, 1, 15))]).count() == 1
