@@ -129,7 +129,7 @@ _DEFER_TO_NEXT: tuple[str, ...] = (
     # (locally hash-green at sf0.001/0.01/0.1) — first in line for r7
     "dedup_incremental_minhash", "agg_minmax_metadata",
     "sample_exact_allocation", "stats_equidepth_histogram",
-    "table_restore_version",
+    "table_restore_version", "dedup_cross_source_matrix",
     "complex_array_functions",
     "select_pareto_skyline", "join_fuzzy_editdist",
     "table_fts_porter_analyzer", "table_fts_porter_phrase",

@@ -689,3 +689,60 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docsets, spark.read.parquet(sig_dir),
         _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
     return pairs
+
+
+def _cross_source_oracle() -> str:
+    from .pipeline import _minhash_sql_oracle
+    return f"""
+WITH pairs AS ({_minhash_sql_oracle()})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(p.jaccard AS DECIMAL(12,4))) AS DOUBLE) AS sum_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_cross_source_matrix", oracle=_cross_source_oracle())
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts and mean
+    similarity per unordered source pair — the planning view for
+    corpus mixing (how much of crawl duplicates curated sets decides
+    which side survives dedup). Composes the batch MinHash pair
+    operator with two small dimension joins; the matrix is
+    |sources|², driver-tiny. Scale shape: the pair relation is the
+    LSH output (banded, never quadratic), the source lookup is a
+    broadcast join on doc_id."""
+    from ..operators.dedup import incremental_minhash_pairs
+    from .pipeline import _BANDS, _JACCARD_THRESHOLD, _MH_COEFFS
+
+    arr = F.col("arr")
+    tri = F.transform(
+        F.when(F.size(arr) >= 3, F.sequence(F.lit(1), F.size(arr) - 2))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.concat_ws(" ", F.element_at(arr, i),
+                              F.element_at(arr, i + 1),
+                              F.element_at(arr, i + 2)))
+    docs = cache_tracked(_docs(spark, sf_dir))
+    docsets = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("arr")) \
+        .select("doc_id", F.array_distinct(tri).alias("shs"))
+    pairs, _ = incremental_minhash_pairs(
+        docsets, None, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("sb"))
+    return (pairs.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .groupBy(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"))
+            # DECIMAL sum of the (already 4dp-rounded) jaccards — an
+            # AVG + round would hit half-rounding ties between engines
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.col("jaccard").cast("decimal(12,4)"))
+                 .cast("double").alias("sum_jaccard")))
