@@ -441,6 +441,12 @@ class Manifest:
         doc = self.load(_attach=False)
         if doc.get("delete_deltas"):
             return None
+        # unknown column → let the scan path raise the proper
+        # AnalysisException instead of answering NULL from metadata
+        schema_cols = {p.split()[0].strip("`")
+                       for p in doc.get("schema", "").split(",") if p.strip()}
+        if schema_cols and not set(cols) <= schema_cols:
+            return None
         wanted = None if segment_ids is None else set(segment_ids)
         segs = [s for s in doc["segments"] if s["status"] in QUERYABLE
                 and (wanted is None or s["id"] in wanted)]

@@ -918,3 +918,14 @@ def test_clean_files_stale_inprogress(spark, tmp_path):
     assert all(s["id"] != 99 for s in
                t.manifest.load(_attach=False)["segments"])
     assert e.sql("SELECT COUNT(*) FROM st").first()[0] == 1
+
+
+def test_minmax_metadata_unknown_column_raises(spark, tmp_path):
+    """MIN/MAX over a nonexistent column must raise the normal
+    AnalysisException, not answer NULL from metadata."""
+    e = Engine(spark, str(tmp_path / "whu"))
+    e.sql("CREATE TABLE u (id BIGINT)")
+    e.sql("INSERT INTO u SELECT * FROM VALUES (1) t(id)")
+    assert e.table("u").manifest.minmax_metadata(["nosuch"]) is None
+    with pytest.raises(Exception, match="nosuch"):
+        e.sql("SELECT MIN(nosuch) AS m FROM u").collect()
