@@ -268,6 +268,32 @@ class Table:
                         .sortWithinPartitions(*sort_cols))
             return df.orderBy(*sort_cols)
         if scope == "local_sort" and sort_cols:
+            bounds = props.get("sort_column_bounds")
+            if bounds:
+                # SORT_COLUMN_BOUNDS (docs dml-of-carbondata.md): route
+                # each record to the partition whose explicit bound
+                # range holds its sort-key tuple (lexicographic struct
+                # compare, bounds cast to the column types), then sort
+                # locally — the user-supplied split points sidestep
+                # sampling skew. n bounds → n+1 partitions/files.
+                tuples = [b.split(",") for b in str(bounds).split(";")
+                          if b.strip()]
+                if any(len(t) != len(sort_cols) for t in tuples):
+                    raise ValueError(
+                        "SORT_COLUMN_BOUNDS: each bound needs one value "
+                        f"per sort column ({len(sort_cols)})")
+                types = {f.name: f.dataType
+                         for f in self._schema_struct().fields}
+                key = F.struct(*[F.col(c) for c in sort_cols])
+                rid = F.lit(0)
+                for t in tuples:
+                    b = F.struct(*[F.lit(v).cast(types[c]).alias(c)
+                                   for c, v in zip(sort_cols, t)])
+                    rid = rid + (key >= b).cast("int")
+                return (df.withColumn("__range_id", rid)
+                        .repartitionByRange(len(tuples) + 1, "__range_id")
+                        .sortWithinPartitions(*sort_cols)
+                        .drop("__range_id"))
             return df.sortWithinPartitions(*sort_cols)
         if scope == "range_sort" and range_col:
             n = max(df.rdd.getNumPartitions(), 1)
@@ -440,6 +466,7 @@ class Table:
                  dateformat: str | None = None,
                  timestampformat: str | None = None,
                  sort_scope: str | None = None,
+                 sort_column_bounds: str | None = None,
                  global_sort_partitions: int | None = None) -> int:
         """LOAD DATA INPATH (reference CarbonLoadDataCommand; option
         surface per docs/dml-of-carbondata.md). Bad-record actions —
@@ -478,6 +505,8 @@ class Table:
         sort_override = {}
         if sort_scope is not None:
             sort_override["sort_scope"] = sort_scope
+        if sort_column_bounds is not None:
+            sort_override["sort_column_bounds"] = sort_column_bounds
         if global_sort_partitions is not None:
             sort_override["global_sort_partitions"] = str(
                 global_sort_partitions)

@@ -1612,6 +1612,7 @@ class Engine:
                 dateformat=opts.get("dateformat"),
                 timestampformat=opts.get("timestampformat"),
                 sort_scope=opts.get("sort_scope"),
+                sort_column_bounds=opts.get("sort_column_bounds"),
                 global_sort_partitions=int(gsp) if gsp else None)
             return self._ok(f"segment {seg}")
         if m := _INSERT_STAGE.match(text):

@@ -259,3 +259,33 @@ def test_date_column_stats_and_pruning(spark, tmp_path):
     assert t.read(predicates=[("d", "=", "2020-01-15")]).count() == 1
     assert t.read(
         predicates=[("d", "=", datetime.date(2020, 1, 15))]).count() == 1
+
+
+def test_sort_column_bounds_routing(spark, tmp_path):
+    """SORT_COLUMN_BOUNDS (docs/dml-of-carbondata.md): explicit split
+    points route records to n+1 range partitions under local_sort —
+    files carry disjoint sort-key ranges (min/max prune-friendly)
+    without a sampling pass, and every row survives."""
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    t = Table.create(spark, str(tmp_path / "scb"), "id bigint, v string",
+                     {"sort_columns": ["id"], "sort_scope": "local_sort"})
+    t.insert(spark.range(1000).select(
+        "id", F.concat(F.lit("v"), F.col("id")).alias("v")),
+        sort_override={"sort_column_bounds": "250;500;750"})
+    segs = t.manifest.queryable_segments()
+    files = [f for s in segs for f in s.files]
+    assert len(files) == 4
+    ranges = sorted((f.minmax["id"][0], f.minmax["id"][1]) for f in files)
+    # disjoint, covering [0, 999], split at the given bounds
+    assert ranges == [(0, 249), (250, 499), (500, 749), (750, 999)]
+    assert t.read().count() == 1000
+    # point lookups prune to one file
+    assert sum(len(v) for v in t.scan_files([("id", "=", 600)]).values()) == 1
+
+    import pytest
+    with pytest.raises(ValueError, match="SORT_COLUMN_BOUNDS"):
+        t.insert(spark.range(5).select(
+            "id", F.lit("x").alias("v")),
+            sort_override={"sort_column_bounds": "1,2;3,4"})
