@@ -467,7 +467,9 @@ class Table:
                  timestampformat: str | None = None,
                  sort_scope: str | None = None,
                  sort_column_bounds: str | None = None,
-                 global_sort_partitions: int | None = None) -> int:
+                 global_sort_partitions: int | None = None,
+                 bad_record_path: str | None = None,
+                 is_empty_data_bad_record: bool = False) -> int:
         """LOAD DATA INPATH (reference CarbonLoadDataCommand; option
         surface per docs/dml-of-carbondata.md). Bad-record actions —
         FORCE nulls bad cells, FAIL aborts, IGNORE drops bad rows,
@@ -531,6 +533,24 @@ class Table:
                                             re.escape(complex_delimiter)),
                                     lambda x: x.cast(elem)))
             return df
+        # IS_EMPTY_DATA_BAD_RECORD: a row with an empty string cell
+        # counts as bad and follows BAD_RECORDS_ACTION (docs
+        # dml-of-carbondata.md bad-records-handling). Spark's CSV
+        # reader surfaces empty input (quoted or not) as NULL for
+        # string columns, so "empty data" here is NULL-or-'' — the
+        # coalesce keeps the predicate two-valued (a raw NULL == ''
+        # comparison is NULL and would silently drop the row from
+        # BOTH the good and the bad side)
+        def _empty_cell(df: DataFrame):
+            scols = [c for c, t in df.dtypes if t == "string"
+                     and c != "_corrupt"]
+            if not scols:
+                return F.lit(False)
+            cond = F.lit(False)
+            for c in scols:
+                cond = cond | F.col(c).isNull() | (F.col(c) == "")
+            return cond
+
         if action == "REDIRECT":
             if not schema:
                 raise ValueError("REDIRECT needs an explicit schema")
@@ -538,12 +558,18 @@ class Table:
             df = (reader.schema(aug).option("mode", "PERMISSIVE")
                   .option("columnNameOfCorruptRecord", "_corrupt").csv(path))
             df = df.cache()
-            bad = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
-            quarantine = os.path.join(self.table_dir, "_meta", "badrecords",
-                                      uuid.uuid4().hex)
+            is_bad = F.col("_corrupt").isNotNull()
+            if is_empty_data_bad_record:
+                is_bad = is_bad | _empty_cell(df)
+            bad = (df.filter(is_bad)
+                   .select(F.coalesce(F.col("_corrupt"),
+                                      F.to_json(F.struct("*")))
+                           .alias("_corrupt")))
+            quarantine = bad_record_path or os.path.join(
+                self.table_dir, "_meta", "badrecords", uuid.uuid4().hex)
             if bad.limit(1).count():
                 bad.write.mode("overwrite").text(quarantine)
-            good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            good = df.filter(~is_bad).drop("_corrupt")
             return self.insert(_post(good), overwrite=overwrite,
                                source="load", sort_override=sort_override)
         if schema:
@@ -553,6 +579,20 @@ class Table:
         mode = {"FORCE": "PERMISSIVE", "IGNORE": "DROPMALFORMED",
                 "FAIL": "FAILFAST"}.get(action, "PERMISSIVE")
         df = reader.option("mode", mode).csv(path)
+        if is_empty_data_bad_record:
+            bad_cond = _empty_cell(df)
+            if action == "FAIL":
+                if df.filter(bad_cond).limit(1).count():
+                    raise ValueError(
+                        "bad record: empty cell with "
+                        "IS_EMPTY_DATA_BAD_RECORD=true and action FAIL")
+            elif action == "IGNORE":
+                df = df.filter(~bad_cond)
+            else:                       # FORCE: null the empty cells
+                df = df.select(*[
+                    F.when(F.col(c) == "", None).otherwise(F.col(c))
+                    .alias(c) if t == "string" else F.col(c)
+                    for c, t in df.dtypes])
         return self.insert(_post(df), overwrite=overwrite, source="load",
                            sort_override=sort_override)
 

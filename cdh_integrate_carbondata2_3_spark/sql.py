@@ -1613,7 +1613,10 @@ class Engine:
                 timestampformat=opts.get("timestampformat"),
                 sort_scope=opts.get("sort_scope"),
                 sort_column_bounds=opts.get("sort_column_bounds"),
-                global_sort_partitions=int(gsp) if gsp else None)
+                global_sort_partitions=int(gsp) if gsp else None,
+                bad_record_path=opts.get("bad_record_path"),
+                is_empty_data_bad_record=opts.get(
+                    "is_empty_data_bad_record", "false").lower() == "true")
             return self._ok(f"segment {seg}")
         if m := _INSERT_STAGE.match(text):
             opts = _parse_props(m.group(2))

@@ -121,3 +121,48 @@ def test_load_csv_skip_empty_line_false_refused(spark, tmp_path):
     csv.write_text("a\n1\n")
     with pytest.raises(NotImplementedError):
         t.load_csv(str(csv), skip_empty_line=False)
+
+
+def test_empty_data_bad_record_actions(spark, tmp_path):
+    """IS_EMPTY_DATA_BAD_RECORD routes empty-string cells through the
+    bad-record action: FORCE nulls them, IGNORE drops the row,
+    REDIRECT quarantines it (custom BAD_RECORD_PATH honored), FAIL
+    aborts."""
+    import os
+    import pytest
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    csv = tmp_path / "e.csv"
+    csv.write_text('id,name\n1,alpha\n2,""\n3,gamma\n')
+    sch = "id bigint, name string"
+
+    def mk(n):
+        return Table.create(spark, str(tmp_path / n), sch)
+
+    t = mk("force")
+    t.load_csv(str(csv), schema=sch, is_empty_data_bad_record=True)
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert rows == {1: "alpha", 2: None, 3: "gamma"}
+
+    t2 = mk("ign")
+    t2.load_csv(str(csv), schema=sch, bad_records_action="IGNORE",
+                is_empty_data_bad_record=True)
+    assert sorted(r["id"] for r in t2.read().collect()) == [1, 3]
+
+    t3 = mk("redir")
+    badp = str(tmp_path / "quarantine")
+    t3.load_csv(str(csv), schema=sch, bad_records_action="REDIRECT",
+                bad_record_path=badp, is_empty_data_bad_record=True)
+    assert sorted(r["id"] for r in t3.read().collect()) == [1, 3]
+    assert os.path.isdir(badp) and any(
+        f.endswith(".txt") for f in os.listdir(badp))
+
+    t4 = mk("fail")
+    with pytest.raises(ValueError, match="empty cell"):
+        t4.load_csv(str(csv), schema=sch, bad_records_action="FAIL",
+                    is_empty_data_bad_record=True)
+
+    # default: empty string is NOT a bad record
+    t5 = mk("dflt")
+    t5.load_csv(str(csv), schema=sch)
+    assert t5.read().count() == 3
