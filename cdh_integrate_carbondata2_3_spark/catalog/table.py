@@ -349,6 +349,13 @@ class Table:
         props = self.manifest.properties()
         writer = self._apply_load_sort(df, sort_override) \
             .write.mode("overwrite")
+        if fmt == "parquet" and props.get("table_blocksize"):
+            # TABLE_BLOCKSIZE (MB) → parquet row-group size, the
+            # closest physical analogue of the reference's HDFS block
+            # target (ddl-of-carbondata.md table-block-size)
+            writer = writer.option(
+                "parquet.block.size",
+                int(float(props["table_blocksize"]) * 1024 * 1024))
         partition_by = props.get("partition_by") or []
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -1402,24 +1409,37 @@ class Table:
     # ---------------------------------------------------------- compaction
 
     def compact(self, kind: str = "minor", segment_ids: list[int] | None = None,
-                minor_threshold: int = 4, major_size_mb: float = 1024.0) -> int | None:
+                minor_threshold: int = 4,
+                major_size_mb: float | None = None) -> int | None:
         """Compaction (reference CompactionType.java:26-37,
         CarbonTableCompactor.scala). MINOR merges ≥ threshold adjacent
-        loads, MAJOR merges all SUCCESS segments below the size cap,
-        CUSTOM merges the given ids, HORIZONTAL consolidates
-        merge-on-read delete deltas without touching data files
-        (reference HorizontalCompaction.scala). Returns new segment
-        id or None."""
+        loads, MAJOR merges all SUCCESS segments below the size cap
+        (``major_size_mb`` arg, else table property
+        MAJOR_COMPACTION_SIZE, else 1024), CUSTOM merges the given
+        ids, HORIZONTAL consolidates merge-on-read delete deltas
+        without touching data files (HorizontalCompaction.scala).
+        COMPACTION_PRESERVE_SEGMENTS (table property, reference
+        carbon.numberof.preserve.segments) shields the N latest
+        loads from MINOR/MAJOR. Returns new segment id or None."""
         kind = kind.lower()
         if kind == "horizontal":
             from ..operators.mor import horizontal_compact
             horizontal_compact(self, force=True)
             return None
+        props = self.manifest.properties()
         segs = [s for s in self.manifest.segments({SegmentStatus.SUCCESS})
                 if s.format == "parquet" and not s.external_path]
+        preserve = int(props.get("compaction_preserve_segments", 0) or 0)
+        if preserve and kind in ("minor", "major") and segs:
+            shielded = {s.id for s in sorted(segs, key=lambda s: s.id)
+                        [-preserve:]}
+            segs = [s for s in segs if s.id not in shielded]
         if kind == "custom":
             chosen = [s for s in segs if s.id in set(segment_ids or [])]
         elif kind == "major":
+            if major_size_mb is None:
+                major_size_mb = float(
+                    props.get("major_compaction_size", 1024.0))
             cap = major_size_mb * 1024 * 1024
             chosen = [s for s in segs if s.bytes <= cap]
         else:

@@ -289,3 +289,46 @@ def test_sort_column_bounds_routing(spark, tmp_path):
         t.insert(spark.range(5).select(
             "id", F.lit("x").alias("v")),
             sort_override={"sort_column_bounds": "1,2;3,4"})
+
+
+def test_compaction_preserve_segments_and_major_size_prop(spark, tmp_path):
+    """COMPACTION_PRESERVE_SEGMENTS shields the N latest loads from
+    minor/major compaction; MAJOR_COMPACTION_SIZE table property is
+    the default size cap (ddl-of-carbondata.md compaction props)."""
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+
+    t = Table.create(spark, str(tmp_path / "cp"), "id bigint",
+                     {"compaction_preserve_segments": "2"})
+    for lo in range(6):
+        t.insert(spark.range(lo * 10, lo * 10 + 10).select("id"))
+    new = t.compact("minor")
+    assert new is not None
+    live = {s.id for s in t.manifest.queryable_segments()}
+    # segments 4 and 5 (latest two) preserved; 0-3 merged into new
+    assert {4, 5, new} <= live and not ({0, 1, 2, 3} & live)
+    assert t.read().count() == 60
+
+    # MAJOR honors the property cap: 0 MB → nothing qualifies
+    t2 = Table.create(spark, str(tmp_path / "cp2"), "id bigint",
+                      {"major_compaction_size": "0.000001"})
+    for lo in range(2):
+        t2.insert(spark.range(100).select("id"))
+    assert t2.compact("major") is None
+
+
+def test_table_blocksize_rowgroup(spark, tmp_path):
+    """TABLE_BLOCKSIZE flows into the parquet row-group size — many
+    small row groups instead of one per file when set tiny."""
+    import pyarrow.parquet as pq
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    from pyspark.sql import functions as F
+
+    t = Table.create(spark, str(tmp_path / "bs"),
+                     "id bigint, payload string",
+                     {"table_blocksize": "0.01"})       # ~10 KB groups
+    t.insert(spark.range(20000).coalesce(1).select(
+        "id", F.repeat(F.lit("x"), 100).alias("payload")))
+    f = [f for s in t.manifest.queryable_segments() for f in s.files][0]
+    n_groups = pq.ParquetFile(t._abs(f.path)).metadata.num_row_groups
+    assert n_groups > 1, "tiny TABLE_BLOCKSIZE must split row groups"
