@@ -922,3 +922,57 @@ def table_insert_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT COUNT(*) AS n_rows, "
         "CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys, "
         "COUNT(DISTINCT n_regionkey) AS n_regions FROM stg")
+
+
+@query("stream_heavy_hitters_parity", oracle="""
+SELECT w AS key, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents) t
+WHERE w != ''
+GROUP BY w
+ORDER BY cnt DESC, w
+LIMIT 10
+""")
+def stream_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra–Gries (streaming/stateful.heavy_hitter_stream:
+    per-hash-bucket summaries living in checkpointed state) replayed
+    over the documents table with trigger=availableNow, then the
+    batch exact refine over the emitted candidates — must equal the
+    full-shuffle top-10 (agg_heavy_hitters' oracle verbatim). The
+    exactness certificate is asserted in-gate exactly like the batch
+    operator: a key escapes a bucket's m-counter summary only if its
+    count ≤ N_bucket/(m+1) ≤ N/(m+1), so a refined 10th count above
+    N/(m+1) proves the candidate set covered the true top-10."""
+    from ..streaming.stateful import heavy_hitter_stream
+
+    m = 256
+    ckpt = _scratch("hh_parity_ckpt", sf_dir)
+    src_dir = _scratch("hh_parity_src", sf_dir)
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
+               os.path.join(src_dir, "documents.parquet"))
+    sch = ("doc_id bigint, text string, lang string, source string, "
+           "n_chars bigint")
+    words_s = (spark.readStream.schema(sch).parquet(src_dir)
+               .select(F.explode(F.split(F.trim("text"), r"\s+"))
+                       .alias("w")).filter("w != ''"))
+    name = "hh_parity_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_")
+    q = (heavy_hitter_stream(words_s, "w", m=m, buckets=8)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination()
+    cands = spark.table(name).select("key").distinct()
+
+    words = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select(F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("key")).filter("key != ''"))
+    exact = (words.join(F.broadcast(cands), "key", "left_semi")
+             .groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("key")).limit(10))
+    rows = exact.collect()
+    n_total = words.count()
+    assert len(rows) == 10 and rows[-1]["cnt"] * (m + 1) > n_total, \
+        "streaming summary cannot certify the top-10; grow m"
+    return spark.createDataFrame(rows, "key string, cnt bigint")
