@@ -793,6 +793,31 @@ def sdk_reader_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .dedup_extra import _simhash_oracle  # noqa: E402
 
+
+def _stage_stream_src(sf_dir: str, name: str) -> str:
+    """Stage documents.parquet into a scratch dir for a file-stream
+    source via symlinks (testdata is read-only). The table may be a
+    single FILE (driver testdata) or a Spark-written DIRECTORY of
+    part files (scale replicas) — the file stream lists the source
+    dir non-recursively and would silently see ZERO input through a
+    symlinked subdirectory, so directory tables get their parts
+    linked individually."""
+    src_dir = _scratch(name, sf_dir)
+    os.makedirs(src_dir, exist_ok=True)
+    p = os.path.abspath(f"{sf_dir}/documents.parquet")
+    if os.path.isdir(p):
+        linked = 0
+        for f in sorted(os.listdir(p)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.symlink(os.path.join(p, f),
+                           os.path.join(src_dir, f"part{linked}.parquet"))
+                linked += 1
+        if not linked:
+            raise FileNotFoundError(f"no parquet parts under {p}")
+    else:
+        os.symlink(p, os.path.join(src_dir, "documents.parquet"))
+    return src_dir
+
 # The streaming per-row signature form (simhash_signature_col) caps at
 # 32 bits — one array-aggregate per bit rides the expression — so the
 # parity gate pins its OWN 32/4 constants instead of the batch gate's
@@ -836,12 +861,7 @@ def stream_near_dup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import near_dup_candidate_stream
 
     ckpt = _scratch("nd_parity_ckpt", sf_dir)
-    # the file-stream source wants a DIRECTORY: stage the documents
-    # parquet into scratch via symlink (testdata is read-only)
-    src_dir = _scratch("nd_parity_src", sf_dir)
-    os.makedirs(src_dir, exist_ok=True)
-    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
-               os.path.join(src_dir, "documents.parquet"))
+    src_dir = _stage_stream_src(sf_dir, "nd_parity_src")
     sch = ("doc_id bigint, text string, lang string, source string, "
            "n_chars bigint")
     # bound to the first 1000 docs: a no-op at the gate's sf0.01
@@ -947,10 +967,7 @@ def stream_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = 256
     ckpt = _scratch("hh_parity_ckpt", sf_dir)
-    src_dir = _scratch("hh_parity_src", sf_dir)
-    os.makedirs(src_dir, exist_ok=True)
-    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
-               os.path.join(src_dir, "documents.parquet"))
+    src_dir = _stage_stream_src(sf_dir, "hh_parity_src")
     sch = ("doc_id bigint, text string, lang string, source string, "
            "n_chars bigint")
     words_s = (spark.readStream.schema(sch).parquet(src_dir)
