@@ -36,9 +36,11 @@ HEADLINE = (
     "dedup_canonical_pick",
     # round 6 additions (NOT in the r5 37-query total — compare
     # like-for-like on the shared prefix): merge-on-read DELETE and
-    # incremental view maintenance (end-to-end lifecycle ops), and
-    # PQ-compressed ANN (the memory-bound scale path)
+    # incremental view maintenance (end-to-end lifecycle ops),
+    # PQ-compressed ANN (the memory-bound scale path), and
+    # incremental dedup (sign-only-new + persisted sidecar)
     "table_delete_mor", "table_mv_ivm_delete", "similarity_ann_pq",
+    "dedup_incremental_minhash",
 )
 
 
