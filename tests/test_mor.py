@@ -707,3 +707,64 @@ def test_segment_scoped_count_and_truncate(spark, tmp_path):
     t.truncate()
     assert "delete_deltas" not in t.manifest.load()
     assert t.read().count() == 0
+
+
+def test_randomized_lifecycle_with_restore_matches_model(spark, tmp_path):
+    """Randomized op sequences including RESTORE and CLEAN FILES
+    against a versioned dict model: restore must reproduce the
+    recorded snapshot exactly (including through later deltas and
+    compactions), cleaning drops restorability (the model forgets
+    its snapshots), and content/count equality holds after every
+    op."""
+    import random as _random
+    for seed in (7, 42):
+        rng = _random.Random(seed)
+        d = str(tmp_path / f"rl{seed}")
+        t = Table.create(spark, d, "id bigint, grp int, v double",
+                         {"iud.mode": "mor",
+                          "horizontal_compaction_threshold": "2"})
+        model: dict[int, tuple[int, float]] = {}
+        snaps: dict[int, dict] = {}
+        next_id = 0
+
+        def check():
+            got = {r["id"]: (r["grp"], r["v"]) for r in t.read().collect()}
+            assert got == model, f"seed={seed} mismatch"
+            assert t.count() == len(model)
+
+        for step in range(12):
+            op = rng.choice(["insert", "delete", "update", "compact",
+                             "restore", "snapshot", "clean"])
+            if op == "insert" or not model:
+                k = rng.randint(3, 10)
+                rows = [(next_id + i, rng.randint(0, 3),
+                         float(rng.randint(0, 99))) for i in range(k)]
+                next_id += k
+                t.insert(spark.createDataFrame(
+                    rows, "id bigint, grp int, v double"))
+                model.update({i: (g, v) for i, g, v in rows})
+            elif op == "delete":
+                g = rng.randint(0, 3)
+                dml.delete_rows(t, f"grp = {g}")
+                model = {i: gv for i, gv in model.items() if gv[0] != g}
+            elif op == "update":
+                g = rng.randint(0, 3)
+                dml.update_rows(t, {"v": "v + 7"}, f"grp = {g}")
+                model = {i: (gg, vv + 7 if gg == g else vv)
+                         for i, (gg, vv) in model.items()}
+            elif op == "compact":
+                t.compact("custom", segment_ids=[
+                    s.id for s in t.manifest.queryable_segments()][:2])
+            elif op == "snapshot":
+                snaps[t.manifest.load()["version"]] = dict(model)
+            elif op == "restore" and snaps:
+                v = rng.choice(sorted(snaps))
+                t.restore(v)
+                model = dict(snaps[v])
+            elif op == "clean":
+                t.clean_files()
+                snaps.clear()        # restorability gone conservatively
+            check()
+        t2 = Table.open(spark, d)
+        assert {r["id"]: (r["grp"], r["v"])
+                for r in t2.read().collect()} == model
