@@ -57,12 +57,18 @@ class QuerySpec:
     """A SPJG aggregate query over one table: optional filter (SQL
     string), group columns, aggregations {out_alias: AggSpec}, and an
     optional timeseries bucket (ts_col, granularity) added to the
-    grouping."""
+    grouping. ``joins`` extends the shape to a star/snowflake of
+    inner equi-joins off the fact table (the reference MVMatcher's
+    join scope): each entry is ``(dim_table, fact_key, dim_key)``
+    where ``fact_key`` is a column of the accumulated join tree and
+    ``dim_key`` one of ``dim_table``; group/agg/filter columns may
+    then reference dimension columns."""
     group_cols: list[str]
     aggs: dict[str, AggSpec]
     filter: str | None = None
     timeseries: tuple[str, str] | None = None
     ts_alias: str = "ts_bucket"
+    joins: list[tuple["Table", str, str]] | None = None
 
 
 @dataclass
@@ -78,24 +84,77 @@ class MVMeta:
     # the MV (incremental-view-maintenance state); a mismatch with
     # the source's current delta list marks the MV stale
     deltas: list | None = None
+    # star/snowflake join spec: [[dim_table_dir, fact_key, dim_key]]
+    # (dims addressed by table_dir so ``answer``/``refresh`` can
+    # reopen them without an engine-level resolver)
+    joins: list | None = None
+    # {dim_table_dir: manifest fingerprint at (last) refresh} — any
+    # dim mutation (load/IUD/compaction that changes visible rows)
+    # changes the fingerprint and marks the MV stale; incremental
+    # fact-side refresh is only sound while dims are unchanged
+    dim_state: dict | None = None
 
     def to_json(self) -> dict:
         return {"name": self.name, "group_cols": self.group_cols,
                 "aggs": [[a.fn, a.col] for a in self.aggs],
                 "filter": self.filter, "timeseries": self.timeseries,
                 "watermark": self.watermark, "deferred": self.deferred,
-                "deltas": self.deltas}
+                "deltas": self.deltas, "joins": self.joins,
+                "dim_state": self.dim_state}
 
     @staticmethod
     def from_json(d: dict) -> "MVMeta":
         return MVMeta(d["name"], d["group_cols"],
                       [AggSpec(f, c) for f, c in d["aggs"]],
                       d["filter"], d.get("timeseries"), d["watermark"],
-                      d.get("deferred", False), d.get("deltas"))
+                      d.get("deferred", False), d.get("deltas"),
+                      d.get("joins"), d.get("dim_state"))
 
 
 def _canon_filter(f: str | None) -> str | None:
     return " ".join(f.lower().split()) if f else None
+
+
+def _table_fingerprint(t: Table) -> str:
+    """Stable digest of a table's VISIBLE state: queryable segment
+    ids + file paths + merge-on-read delete-delta paths. Any load,
+    IUD, restore, or compaction that changes what a scan returns
+    changes the fingerprint (a pure metadata no-op like SHOW does
+    not)."""
+    import hashlib
+    doc = t.manifest.load()
+    segs = sorted((s.id, tuple(sorted(f.path for f in s.files)))
+                  for s in t.manifest.queryable_segments())
+    deltas = sorted(d["path"] for d in doc.get("delete_deltas", []))
+    return hashlib.md5(repr((segs, deltas)).encode()).hexdigest()
+
+
+def _canon_joins(joins) -> list[list[str]]:
+    """Canonical join spec — (dim table_dir, fact_key, dim_key)
+    triples, order-insensitive (inner equi-joins commute)."""
+    out = []
+    for dim, fk, dk in joins or []:
+        d = dim.table_dir if isinstance(dim, Table) else dim
+        out.append([os.path.normpath(d), fk, dk])
+    return sorted(out)
+
+
+def _apply_joins(df: DataFrame, joins: list[tuple[Table, str, str]]
+                 ) -> DataFrame:
+    """Inner equi-join the dims onto the accumulated tree. The dim
+    key is renamed to the fact key and joined USING, so exactly one
+    key column survives and Catalyst sees a plain equi-join it can
+    broadcast (small dims) or shuffle (large) on its own."""
+    for dim_t, fk, dk in joins:
+        d = dim_t.read()
+        if dk != fk:
+            if fk in d.columns:
+                raise ValueError(
+                    f"join MV: dim table already has a column named "
+                    f"{fk!r}; cannot rename its key {dk!r} onto it")
+            d = d.withColumnRenamed(dk, fk)
+        df = df.join(d, on=fk)
+    return df
 
 
 class MVManager:
@@ -108,8 +167,15 @@ class MVManager:
     def create(self, name: str, group_cols: list[str],
                aggs: list[AggSpec], filter: str | None = None,
                timeseries: tuple[str, str] | None = None,
-               deferred: bool = False) -> None:
-        """CREATE MATERIALIZED VIEW [WITH DEFERRED REFRESH]."""
+               deferred: bool = False,
+               joins: list[tuple[Table, str, str]] | None = None) -> None:
+        """CREATE MATERIALIZED VIEW [WITH DEFERRED REFRESH]. ``joins``
+        extends the MV to a star/snowflake SPJG over inner equi-joins
+        (reference MVMatcher join scope): each (dim_table, fact_key,
+        dim_key) joins a dimension onto the fact; group/agg/filter
+        columns may reference dim columns. The MV stays anchored to
+        the FACT table (stored under its ``_meta/mvs``); dim state is
+        fingerprinted so any dim mutation marks the MV stale."""
         if os.path.exists(self._meta_path(name)):
             raise FileExistsError(f"MV {name} exists")
         for a in aggs:
@@ -120,10 +186,19 @@ class MVManager:
         os.makedirs(self.mv_root, exist_ok=True)
         meta = MVMeta(name, group_cols, self._storage_aggs(aggs),
                       _canon_filter(filter), list(timeseries) if timeseries else None,
-                      watermark=-1, deferred=deferred)
+                      watermark=-1, deferred=deferred,
+                      joins=_canon_joins(joins) or None)
         self._save(meta)
         if not deferred:
             self.refresh(name)
+
+    def _join_tables(self, meta: MVMeta) -> list[tuple[Table, str, str]]:
+        return [(Table.open(self.source.spark, d), fk, dk)
+                for d, fk, dk in (meta.joins or [])]
+
+    def _dim_state_now(self, meta: MVMeta) -> dict[str, str]:
+        return {d: _table_fingerprint(Table.open(self.source.spark, d))
+                for d, _fk, _dk in (meta.joins or [])}
 
     @staticmethod
     def _storage_aggs(aggs: list[AggSpec]) -> list[AggSpec]:
@@ -158,8 +233,14 @@ class MVManager:
             # stale when segments advanced OR the source's
             # merge-on-read delete-delta set differs from what this
             # MV has applied (incremental-view-maintenance state)
-            m["stale"] = (m["watermark"] < src_wm
-                          or set(m.get("deltas") or []) != src_deltas)
+            # OR any joined dimension's visible state changed since
+            # the last refresh (join MVs)
+            stale = (m["watermark"] < src_wm
+                     or set(m.get("deltas") or []) != src_deltas)
+            if not stale and m.get("joins"):
+                meta = MVMeta.from_json(m)
+                stale = self._dim_state_now(meta) != (m.get("dim_state") or {})
+            m["stale"] = stale
             out.append(m)
         return out
 
@@ -212,11 +293,16 @@ class MVManager:
         mv_dir = os.path.join(self.mv_root, name)
         mv_exists = os.path.exists(os.path.join(mv_dir, "_meta", "tablestatus.json"))
 
+        dim_state_now = self._dim_state_now(meta)
         full = (not incremental or not mv_exists or meta.watermark < 0
                 # delta history rewritten (horizontal compaction /
                 # trim) — per-row attribution of the merged sidecar
                 # to "already applied" vs "new" is lost
                 or bool(applied - set(cur_deltas))
+                # a joined dimension changed: rows the MV already
+                # reflects joined against the OLD dim state, so
+                # fact-side increments can't reconcile them
+                or dim_state_now != (meta.dim_state or {})
                 or (new_delta_paths and (
                     any(a.fn in ("min", "max") for a in meta.aggs)
                     or src_doc.get("schema_evolved")
@@ -259,6 +345,7 @@ class MVManager:
                 os.rename(tmp_dir, mv_dir)
         meta.watermark = src_wm
         meta.deltas = sorted(cur_deltas)
+        meta.dim_state = dim_state_now or None
         self._save(meta)
 
     def _aggregate_deleted(self, meta: MVMeta,
@@ -298,6 +385,11 @@ class MVManager:
                        "__dd_p": F.col("_metadata.row_index")})
                    .join(dd, ["__dd_fp", "__dd_p"], "left_semi")
                    .drop("__dd_fp", "__dd_p"))
+        if meta.joins:
+            # dims are unchanged on this path (refresh() forces full
+            # otherwise), so the deleted fact rows join exactly the
+            # dim rows their positive contributions joined
+            deleted = _apply_joins(deleted, self._join_tables(meta))
         if meta.filter:
             deleted = deleted.filter(F.expr(meta.filter))
         keys: list[Column] = [F.col(c) for c in meta.group_cols]
@@ -318,6 +410,12 @@ class MVManager:
     def _aggregate_source(self, meta: MVMeta,
                           segments: list[int] | None) -> DataFrame:
         df = self.source.read(segments=segments)
+        if meta.joins:
+            # incremental soundness: this is only called with
+            # segments != None when the dims are UNCHANGED since the
+            # last refresh (refresh() forces full otherwise), so new
+            # fact rows join the same dim state the MV reflects
+            df = _apply_joins(df, self._join_tables(meta))
         if meta.filter:
             df = df.filter(F.expr(meta.filter))
         keys: list[Column] = [F.col(c) for c in meta.group_cols]
@@ -354,9 +452,7 @@ class MVManager:
         """Answer a query from the best matching *fresh* MV, else fall
         back to the source scan. Returns (df, mv_name|None)."""
         for m in self.show():
-            meta = MVMeta.from_json({k: m[k] for k in
-                                     ("name", "group_cols", "aggs", "filter",
-                                      "timeseries", "watermark", "deferred")})
+            meta = MVMeta.from_json(m)
             if m["stale"]:
                 continue                       # unsound → skip (deferred MVs
             if self._matches(meta, q):         # are used only when fresh)
@@ -364,6 +460,10 @@ class MVManager:
         return self._direct(q), None
 
     def _matches(self, meta: MVMeta, q: QuerySpec) -> bool:
+        # join trees must match exactly — same dims, same keys
+        # (inner equi-joins commute, so order-insensitive)
+        if _canon_joins(q.joins) != (meta.joins or []):
+            return False
         if set(q.group_cols) - set(meta.group_cols):
             return False
         if _canon_filter(q.filter) != meta.filter:
@@ -431,6 +531,10 @@ class MVManager:
 
     def _direct(self, q: QuerySpec) -> DataFrame:
         df = self.source.read()
+        if q.joins:
+            df = _apply_joins(df, [
+                (Table.open(self.source.spark, d) if not isinstance(d, Table)
+                 else d, fk, dk) for d, fk, dk in q.joins])
         if q.filter:
             df = df.filter(F.expr(q.filter))
         keys = [F.col(c) for c in q.group_cols]

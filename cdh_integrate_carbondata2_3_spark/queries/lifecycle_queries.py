@@ -448,6 +448,78 @@ def table_mv_ivm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_rows")
 
 
+@query("table_mv_join_rewrite", oracle="""
+SELECT o.o_orderpriority,
+       CAST(ROUND(SUM(CAST(l.l_quantity AS DOUBLE)), 4) AS DOUBLE)
+         AS sum_qty,
+       CAST(ROUND(AVG(CAST(l.l_quantity AS DOUBLE)), 4) AS DOUBLE)
+         AS avg_qty,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""")
+def table_mv_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-JOIN MV: created through the SQL surface (CREATE
+    MATERIALIZED VIEW ... FROM fact JOIN dim ON ... GROUP BY), kept
+    fresh INCREMENTALLY across a fact-side load that arrives after
+    the build (the reference MVMatcher's join scope,
+    mv/plan/MVMatcher + MVRefresher.scala:61-200 — new fact segments
+    join the unchanged dim and merge by re-aggregation of the
+    decomposed partials; any DIM mutation instead fingerprints the
+    MV stale and forces a full rebuild, tested in tests/test_mv.py).
+    The rollup query is answered FROM the MV (asserted), and the
+    oracle recomputes the full join-aggregate from scratch in
+    DuckDB, so a green hash proves increment ≡ rebuild through the
+    join — including AVG via its SUM/COUNT decomposition."""
+    from ..sql import Engine
+    eng = Engine(spark, _scratch("mv_join", sf_dir))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", F.col("l_quantity").cast("double")
+                  .alias("qty")))
+    (spark.read.parquet(f"{sf_dir}/orders.parquet")
+     .select("o_orderkey", "o_orderpriority")
+     .createOrReplaceTempView("__mvj_ord"))
+    li.where("l_orderkey % 3 != 0").createOrReplaceTempView("__mvj_li0")
+    li.where("l_orderkey % 3 = 0").createOrReplaceTempView("__mvj_li1")
+    eng.sql("CREATE TABLE fact (l_orderkey BIGINT, qty DOUBLE)")
+    eng.sql("CREATE TABLE dim (o_orderkey BIGINT, o_orderpriority STRING)")
+    eng.sql("INSERT INTO fact SELECT * FROM __mvj_li0")
+    eng.sql("INSERT INTO dim SELECT * FROM __mvj_ord")
+    eng.sql("CREATE MATERIALIZED VIEW mvj AS "
+            "SELECT o_orderpriority, SUM(qty) AS sq, AVG(qty) AS aq "
+            "FROM fact JOIN dim ON fact.l_orderkey = dim.o_orderkey "
+            "GROUP BY o_orderpriority")
+    # fact-side load AFTER the build → incremental join refresh
+    eng.sql("INSERT INTO fact SELECT * FROM __mvj_li1")
+    mgr = MVManager(eng.table("fact"))
+    assert any(m["name"] == "mvj" and m["stale"] for m in mgr.show()), \
+        "MV must be stale after the fact load"
+    full_calls = []
+    orig = MVManager._aggregate_source
+    MVManager._aggregate_source = (
+        lambda self, meta, segments: full_calls.append(segments)
+        or orig(self, meta, segments))
+    try:
+        eng.sql("REFRESH MATERIALIZED VIEW mvj ON TABLE fact")
+    finally:
+        MVManager._aggregate_source = orig
+    assert None not in full_calls, \
+        "fact-only load must refresh the join MV incrementally"
+    df, mv_used = mgr.answer(QuerySpec(
+        ["o_orderpriority"],
+        {"sum_qty": AggSpec("sum", "qty"),
+         "avg_qty": AggSpec("avg", "qty"),
+         "n_rows": AggSpec("count", "*")},
+        joins=[(eng.table("dim"), "l_orderkey", "o_orderkey")]))
+    assert mv_used == "mvj", "join query was not answered from the MV"
+    return df.select("o_orderpriority",
+                     F.round(F.col("sum_qty"), 4).cast("double")
+                     .alias("sum_qty"),
+                     F.round(F.col("avg_qty"), 4).cast("double")
+                     .alias("avg_qty"),
+                     "n_rows")
+
+
 @query("table_mv_rewrite", oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS sum_qty,

@@ -178,8 +178,10 @@ _MINMAX_AGG = _ci(
     r"\s+FROM\s+(\w+)\s*$")
 _MINMAX_ITEM = _ci(r"(MIN|MAX)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?")
 # SPJG shape for the MV-rewrite fast path
-_SPJG = _ci(r"^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s*"
+_SPJG = _ci(r"^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)"
+            r"((?:\s+JOIN\s+\w+\s+ON\s+\w+\.\w+\s*=\s*\w+\.\w+)*)\s*"
             r"(?:WHERE\s+(.*?))?\s*GROUP\s+BY\s+(.*?)\s*$")
+_JOIN_CLAUSE = _ci(r"JOIN\s+(\w+)\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)")
 _AGG_ITEM = _ci(r"^\s*(sum|count|min|max|avg)\s*\(\s*(\*|\w+)\s*\)\s*"
                 r"(?:AS\s+(\w+))?\s*$")
 _TS_ITEM = _ci(r"^\s*timeseries\s*\(\s*(\w+)\s*,\s*'(\w+)'\s*\)\s*"
@@ -2378,14 +2380,41 @@ class Engine:
         return self._df([(msg,)], "result string")
 
     def _parse_spjg(self, sql: str):
-        """SELECT g..., aggs... FROM t [WHERE f] GROUP BY g... → pieces
-        (None if the query isn't that shape)."""
+        """SELECT g..., aggs... FROM t [JOIN d ON t.k = d.k ...]
+        [WHERE f] GROUP BY g... → pieces (None if the query isn't
+        that shape). Joins are the reference MVMatcher's scope:
+        inner equi-joins forming a star/snowflake off the fact
+        table, keys qualified ``tbl.col`` on both sides; qualifiers
+        are stripped from the remaining clauses (every column must
+        be unambiguous across the join tree — the engine's managed
+        tables are resolved by name)."""
         m = _SPJG.match(sql)
         if not m:
             return None
         select_items = [s.strip() for s in m.group(1).split(",")]
-        table, where = m.group(2), m.group(3)
-        group_by = [g.strip() for g in m.group(4).split(",")]
+        table, join_text, where = m.group(2), m.group(3), m.group(4)
+        group_by = [g.strip() for g in m.group(5).split(",")]
+        joins: list[tuple[str, str, str]] = []
+        if join_text and join_text.strip():
+            tree = {table.lower()}
+            for dim, lq, lc, rq, rc in _JOIN_CLAUSE.findall(join_text):
+                # orient the ON sides: one qualifier must be the new
+                # dim, the other a table already in the join tree
+                if rq.lower() == dim.lower() and lq.lower() in tree:
+                    fk, dk = lc, rc
+                elif lq.lower() == dim.lower() and rq.lower() in tree:
+                    fk, dk = rc, lc
+                else:
+                    return None
+                joins.append((dim, fk, dk))
+                tree.add(dim.lower())
+            # strip table qualifiers from the remaining clauses so
+            # the spec is canonical (columns must be unambiguous)
+            strip = _ci(r"\b(" + "|".join(re.escape(t) for t in tree)
+                        + r")\.")
+            select_items = [strip.sub("", s) for s in select_items]
+            group_by = [strip.sub("", g) for g in group_by]
+            where = strip.sub("", where) if where else where
         aggs: dict[str, AggSpec] = {}
         plain: list[str] = []
         timeseries = None
@@ -2412,30 +2441,51 @@ class Engine:
             group_cols.append(g)
         if set(plain) - set(group_cols):
             return None
-        return table, QuerySpec(group_cols, aggs, where, timeseries, ts_alias)
+        return table, QuerySpec(group_cols, aggs, where, timeseries,
+                                ts_alias, joins=joins or None)
+
+    def _resolve_spec_joins(self, spec: QuerySpec) -> bool:
+        """Replace dim NAMES from the parser with managed Table
+        handles; False if any dim isn't a managed table."""
+        if not spec.joins:
+            return True
+        if any(d not in self.tables() for d, _fk, _dk in spec.joins):
+            return False
+        spec.joins = [(self.table(d), fk, dk) for d, fk, dk in spec.joins]
+        return True
 
     def _try_mv_rewrite(self, sql: str) -> DataFrame | None:
         parsed = self._parse_spjg(sql)
         if not parsed:
             return None
         table, spec = parsed
-        if table not in self.tables():
+        if table not in self.tables() or not self._resolve_spec_joins(spec):
             return None
         mgr = MVManager(self.table(table))
         if not mgr.show():
             return None
-        df, _mv = mgr.answer(spec)
+        try:
+            df, _mv = mgr.answer(spec)
+        except Exception:
+            # fall back to direct execution on any doubt (reference
+            # MVRewriteRule.scala:56-67) — e.g. a join query whose
+            # unqualified columns are ambiguous across the tree only
+            # under the rewrite's USING-join column layout
+            return None
         return df
 
     def _create_mv(self, name: str, deferred: bool, select_sql: str) -> DataFrame:
         parsed = self._parse_spjg(select_sql)
         if not parsed:
-            raise ValueError("MV must be a single-table SPJG aggregate "
+            raise ValueError("MV must be a [star-join] SPJG aggregate "
                              "(same scope the reference's matcher covers)")
         table, spec = parsed
+        if not self._resolve_spec_joins(spec):
+            raise ValueError("MV join dims must be managed tables")
         MVManager(self.table(table)).create(
             name, spec.group_cols, list(spec.aggs.values()),
-            filter=spec.filter, timeseries=spec.timeseries, deferred=deferred)
+            filter=spec.filter, timeseries=spec.timeseries, deferred=deferred,
+            joins=spec.joins)
         return self._ok(f"mv {name}")
 
     def _explain(self, select_sql: str) -> DataFrame:

@@ -171,3 +171,203 @@ def test_show_and_drop(spark, sales):
     assert {m["name"] for m in mgr.show()} == {"mva", "mvb"}
     mgr.drop("mva")
     assert {m["name"] for m in mgr.show()} == {"mvb"}
+
+
+# ---------------------------------------------------------------- join MVs
+
+
+@pytest.fixture()
+def star(spark, tmp_path):
+    """Fact (sales rows keyed by store) + dim (store → region)."""
+    fact = Table.create(spark, str(tmp_path / "fact"),
+                        "id bigint, store_id bigint, qty double")
+    fact.insert(spark.range(0, 900).select(
+        "id", (F.col("id") % 10).alias("store_id"),
+        (F.col("id") % 5).cast("double").alias("qty")))
+    dim = Table.create(spark, str(tmp_path / "dim"),
+                       "s_id bigint, region string")
+    dim.insert(spark.range(0, 10).select(
+        F.col("id").alias("s_id"),
+        F.when(F.col("id") < 5, "east").otherwise("west").alias("region")))
+    return fact, dim
+
+
+def _join_spec(dim, aggs, group_cols=("region",), filter=None):
+    return QuerySpec(group_cols=list(group_cols), aggs=aggs, filter=filter,
+                     joins=[(dim, "store_id", "s_id")])
+
+
+def test_join_mv_rewrite_matches_direct(spark, star):
+    fact, dim = star
+    mgr = MVManager(fact)
+    mgr.create("jmv", ["region"], [AggSpec("sum", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    q = _join_spec(dim, {"total": AggSpec("sum", "qty"),
+                         "n": AggSpec("count", "*")})
+    df, used = mgr.answer(q)
+    assert used == "jmv"
+    direct = mgr._direct(q)
+    assert _rows(df, "region", "total", "n") == \
+        _rows(direct, "region", "total", "n")
+
+
+def test_join_mv_mismatched_join_not_rewritten(spark, star):
+    fact, dim = star
+    mgr = MVManager(fact)
+    mgr.create("jmv2", ["region"], [AggSpec("sum", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    # same agg shape but NO join → must not be answered from the join MV
+    q = QuerySpec(group_cols=[], aggs={"total": AggSpec("sum", "qty")})
+    _df, used = mgr.answer(q)
+    assert used is None
+    # different join key → no match either
+    q2 = QuerySpec(group_cols=["region"],
+                   aggs={"total": AggSpec("sum", "qty")},
+                   joins=[(dim, "id", "s_id")])
+    _df2, used2 = mgr.answer(q2)
+    assert used2 is None
+
+
+def test_join_mv_incremental_fact_load(spark, star):
+    fact, dim = star
+    mgr = MVManager(fact)
+    mgr.create("jinc", ["region"], [AggSpec("avg", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    fact.insert(spark.range(900, 1500).select(
+        "id", (F.col("id") % 10).alias("store_id"),
+        F.lit(9.0).alias("qty")))
+    assert any(m["name"] == "jinc" and m["stale"] for m in mgr.show())
+
+    full_calls = []
+    orig = MVManager._aggregate_source
+    MVManager._aggregate_source = (
+        lambda self, meta, segments: full_calls.append(segments)
+        or orig(self, meta, segments))
+    try:
+        mgr.refresh("jinc", incremental=True)
+    finally:
+        MVManager._aggregate_source = orig
+    assert None not in full_calls, "fact-only load should refresh incrementally"
+
+    q = _join_spec(dim, {"avg_qty": AggSpec("avg", "qty"),
+                         "n": AggSpec("count", "*")})
+    df, used = mgr.answer(q)
+    assert used == "jinc"
+    direct = mgr._direct(q)
+    got = {r["region"]: (round(r["avg_qty"], 6), r["n"]) for r in df.collect()}
+    want = {r["region"]: (round(r["avg_qty"], 6), r["n"])
+            for r in direct.collect()}
+    assert got == want
+
+
+def test_join_mv_dim_change_forces_full_rebuild(spark, star):
+    fact, dim = star
+    mgr = MVManager(fact)
+    mgr.create("jdim", ["region"], [AggSpec("sum", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    assert not any(m["stale"] for m in mgr.show())
+    # dim mutation: a store moves region → every reflected fact row's
+    # join output changes; incremental fact-side refresh is unsound
+    from cdh_integrate_carbondata2_3_spark.operators import dml
+    dml.update_rows(dim, {"region": "'north'"}, "s_id = 3")
+    assert any(m["name"] == "jdim" and m["stale"] for m in mgr.show())
+
+    full_calls = []
+    orig = MVManager._aggregate_source
+    MVManager._aggregate_source = (
+        lambda self, meta, segments: full_calls.append(segments)
+        or orig(self, meta, segments))
+    try:
+        mgr.refresh("jdim", incremental=True)
+    finally:
+        MVManager._aggregate_source = orig
+    assert full_calls == [None], "dim change must force a FULL rebuild"
+
+    q = _join_spec(dim, {"total": AggSpec("sum", "qty")})
+    df, used = mgr.answer(q)
+    assert used == "jdim"
+    assert _rows(df, "region", "total") == _rows(mgr._direct(q),
+                                                 "region", "total")
+    assert "north" in {r["region"] for r in df.collect()}
+
+
+def test_join_mv_mor_delete_ivm(spark, tmp_path):
+    """Fact mor DELETE after the build: the negative partials join
+    the (unchanged) dim, so one incremental merge ≡ rebuild."""
+    fact = Table.create(spark, str(tmp_path / "factm"),
+                        "id bigint, store_id bigint, qty double",
+                        properties={"iud.mode": "mor"})
+    fact.insert(spark.range(0, 800).select(
+        "id", (F.col("id") % 8).alias("store_id"),
+        (F.col("id") % 3).cast("double").alias("qty")))
+    dim = Table.create(spark, str(tmp_path / "dimm"),
+                       "s_id bigint, region string")
+    dim.insert(spark.range(0, 8).select(
+        F.col("id").alias("s_id"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("region")))
+    mgr = MVManager(fact)
+    mgr.create("jmor", ["region"], [AggSpec("sum", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    from cdh_integrate_carbondata2_3_spark.operators import dml
+    dml.delete_rows(fact, "id % 7 = 1")
+
+    full_calls = []
+    orig = MVManager._aggregate_source
+    MVManager._aggregate_source = (
+        lambda self, meta, segments: full_calls.append(segments)
+        or orig(self, meta, segments))
+    try:
+        mgr.refresh("jmor", incremental=True)
+    finally:
+        MVManager._aggregate_source = orig
+    assert None not in full_calls, "mor delete should apply via IVM"
+
+    q = QuerySpec(group_cols=["region"],
+                  aggs={"total": AggSpec("sum", "qty"),
+                        "n": AggSpec("count", "*")},
+                  joins=[(dim, "store_id", "s_id")])
+    df, used = mgr.answer(q)
+    assert used == "jmor"
+    assert _rows(df, "region", "total", "n") == \
+        _rows(mgr._direct(q), "region", "total", "n")
+
+
+def test_join_mv_sql_surface(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW ... JOIN through the Engine parser,
+    rewrite through engine.sql, non-managed dim rejected."""
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+    e = Engine(spark, str(tmp_path / "whj"))
+    e.sql("CREATE TABLE f (id BIGINT, store_id BIGINT, qty DOUBLE)")
+    e.sql("CREATE TABLE d (s_id BIGINT, region STRING)")
+    spark.range(0, 600).select(
+        "id", (F.col("id") % 6).alias("store_id"),
+        (F.col("id") % 4).cast("double").alias("qty")) \
+        .createOrReplaceTempView("src_f")
+    spark.range(0, 6).select(
+        F.col("id").alias("s_id"),
+        F.when(F.col("id") < 3, "east").otherwise("west").alias("region")) \
+        .createOrReplaceTempView("src_d")
+    e.sql("INSERT INTO f SELECT * FROM src_f")
+    e.sql("INSERT INTO d SELECT * FROM src_d")
+    e.sql("CREATE MATERIALIZED VIEW jm AS "
+          "SELECT region, SUM(qty) AS sq FROM f "
+          "JOIN d ON f.store_id = d.s_id GROUP BY region")
+    got = {(r["region"], r["sq"]) for r in
+           e.sql("SELECT region, SUM(qty) AS sq FROM f "
+                 "JOIN d ON f.store_id = d.s_id GROUP BY region").collect()}
+    want = {(r["region"], r["sq"]) for r in
+            spark.sql("SELECT region, SUM(qty) AS sq FROM src_f f "
+                      "JOIN src_d d ON f.store_id = d.s_id "
+                      "GROUP BY region").collect()}
+    assert got == want
+    # the rewrite actually used the MV (manager-level assert)
+    t = e.table("f")
+    mgr = MVManager(t)
+    q = QuerySpec(group_cols=["region"], aggs={"sq": AggSpec("sum", "qty")},
+                  joins=[(e.table("d"), "store_id", "s_id")])
+    _df, used = mgr.answer(q)
+    assert used == "jm"
+    with pytest.raises(ValueError, match="managed tables"):
+        e.sql("CREATE MATERIALIZED VIEW bad AS "
+              "SELECT region, SUM(qty) AS sq FROM f "
+              "JOIN nosuch ON f.store_id = nosuch.s_id GROUP BY region")
