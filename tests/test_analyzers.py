@@ -675,3 +675,27 @@ def test_porter_dict_fastpath_cap(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert sorted(r["id"] for r in df.collect()) == [1, 2]
     assert "EvalPython" in plan  # 4 distinct surfaces > cap of 2
+
+
+def test_fts_multi_column_index_cross_field_queries(spark, tmp_path):
+    """One Lucene index over TWO columns (reference
+    LuceneFineGrainIndex supports multi-column index tables):
+    cross-field AND/OR/NOT resolve each field against its own
+    column's postings and refine predicates."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE mc (id INT, title STRING, body STRING)")
+    eng.sql("INSERT INTO mc SELECT * FROM VALUES "
+            "(1,'spark engine','fast scan query'),"
+            "(2,'duck db','analytics query'),"
+            "(3,'spark sql','slow sort merge'),"
+            "(4,'carbon data','index spark') t(i,t,b)")
+    eng.sql("CREATE INDEX mcx ON TABLE mc (title, body) AS 'lucene'")
+
+    def ids(q):
+        return sorted(r["id"] for r in eng.sql(
+            f"SELECT id FROM mc WHERE text_match('{q}')").collect())
+
+    assert ids("title:spark AND body:query") == [1]
+    assert ids("title:spark OR body:analytics") == [1, 2, 3]
+    assert ids("body:spark") == [4]          # same term, other field
+    assert ids("title:spark AND NOT body:merge") == [1]
