@@ -264,3 +264,33 @@ def test_english_fts_predicates_stay_jvm_side(spark):
         plan = plan_of(docs.filter(pred))
         assert "BatchEvalPython" not in plan, q
         assert "ArrowEvalPython" not in plan, q
+
+
+def test_join_mv_rewrite_scans_only_the_mv(spark, tmp_path):
+    """A query answered from a star-join MV must read the MV's
+    (pre-aggregated, tiny) segments ONLY — neither the fact's nor
+    the dim's data files appear in the scan, and no join runs at
+    query time. At 100 TB the rewrite turns a fact-scale
+    shuffle-join-aggregate into a scan of the rollup."""
+    from cdh_integrate_carbondata2_3_spark.catalog import Table
+    from cdh_integrate_carbondata2_3_spark.mv import (
+        AggSpec, MVManager, QuerySpec)
+    fact = Table.create(spark, str(tmp_path / "factp"),
+                        "id bigint, store_id bigint, qty double")
+    fact.insert(spark.range(0, 500).selectExpr(
+        "id", "id % 10 as store_id", "cast(id % 4 as double) as qty"))
+    dim = Table.create(spark, str(tmp_path / "dimp"),
+                       "s_id bigint, region string")
+    dim.insert(spark.range(0, 10).selectExpr(
+        "id as s_id", "case when id < 5 then 'east' else 'west' end as region"))
+    mgr = MVManager(fact)
+    mgr.create("pmv", ["region"], [AggSpec("sum", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    df, used = mgr.answer(QuerySpec(
+        ["region"], {"total": AggSpec("sum", "qty")},
+        joins=[(dim, "store_id", "s_id")]))
+    assert used == "pmv"
+    plan = plan_of(df)
+    assert "factp/segment" not in plan and "dimp/segment" not in plan, plan
+    assert "_meta/mvs/pmv" in plan, plan
+    assert "Join" not in plan, plan     # rollup re-agg only, no join
