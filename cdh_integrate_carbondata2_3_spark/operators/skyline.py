@@ -129,21 +129,46 @@ def _skyline_2d(df: DataFrame, cols: Sequence[str],
 
 
 def _pareto_front(pdf: pd.DataFrame, wc: Sequence[str]) -> pd.DataFrame:
-    """Exact skyline of one pandas frame: scan in coordinate-sum
-    descending order (a point is only ever dominated by one with a
-    strictly larger sum, so each point need only check the frontier
-    accumulated so far)."""
+    """Exact skyline of one pandas frame. Duplicate criterion vectors
+    collapse FIRST (equal points never dominate each other, so every
+    duplicate of a kept vector is kept and of a dominated vector is
+    dominated) — on tie-heavy data the frontier scan then runs over
+    |distinct vectors|, not rows, which is what kept the 30× replica
+    (30 identical copies of every frontier point) from going
+    quadratic. The distinct vectors scan in coordinate-sum descending
+    order (a point is only ever dominated by one with a strictly
+    larger sum, so each need only check the frontier so far)."""
+    import numpy as np
     m = pdf[wc].to_numpy(float)
-    order = (-m.sum(axis=1)).argsort(kind="stable")
-    kept_rows: list[int] = []
-    for ridx in order:
-        v = m[ridx]
-        if kept_rows:
-            km = m[kept_rows]
-            if ((km >= v).all(axis=1) & (km > v).any(axis=1)).any():
+    uniq, inverse = np.unique(m, axis=0, return_inverse=True)
+    order = (-uniq.sum(axis=1)).argsort(kind="stable")
+    # chunked scan: each chunk is vetted against the ACCUMULATED
+    # frontier in one broadcast comparison (the per-point python
+    # loop then only resolves domination within the chunk's own
+    # survivors — sum order guarantees no later chunk can dominate
+    # an earlier one), so the pass is numpy-bound at ~chunk granularity
+    kept: list[int] = []
+    chunk = 256
+    for s in range(0, len(order), chunk):
+        idx = order[s:s + chunk]
+        if kept:
+            # vectors are DISTINCT post-unique, so km >= v in every
+            # dim already implies strict domination (equality in all
+            # dims is impossible) — no separate strict check needed
+            km = uniq[kept]                                   # (K, d)
+            v = uniq[idx]                                     # (C, d)
+            dom = (km[:, None, :] >= v[None, :, :]).all(axis=2).any(axis=0)
+            idx = idx[~dom]
+        fresh: list[int] = []
+        for ridx in idx:
+            v1 = uniq[ridx]
+            if fresh and (uniq[fresh] >= v1).all(axis=1).any():
                 continue
-        kept_rows.append(int(ridx))
-    return pdf.iloc[sorted(kept_rows)]
+            fresh.append(int(ridx))
+        kept.extend(fresh)
+    keep_mask = np.zeros(len(uniq), dtype=bool)
+    keep_mask[kept] = True
+    return pdf.iloc[np.flatnonzero(keep_mask[inverse])]
 
 
 def _skyline_nd(df: DataFrame, cols: Sequence[str],
