@@ -101,3 +101,16 @@ def test_skyline_validates_inputs(spark):
         skyline(df, ["a", "b"], ["max", "up"])
     with pytest.raises(ValueError, match="pair"):
         skyline(df, ["a", "b"], ["max"])
+
+
+def test_nd_phase1_keeps_shuffle_boundary(spark):
+    """The global pass must sit behind an Exchange (repartition), not
+    a Coalesce: coalescing to 1 would merge phase 1 into the single
+    final task and run the whole local-frontier scan serially
+    (measured 17 s vs 2.6 s on 4.5 M rows × 3 criteria)."""
+    df = spark.range(0, 5000).selectExpr(
+        "id", "rand(1) as a", "rand(2) as b", "rand(3) as c")
+    plan = skyline(df, ["a", "b", "c"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" in plan or "REPARTITION" in plan, plan
+    assert "Coalesce" not in plan, plan
