@@ -371,3 +371,33 @@ def test_join_mv_sql_surface(spark, tmp_path):
         e.sql("CREATE MATERIALIZED VIEW bad AS "
               "SELECT region, SUM(qty) AS sq FROM f "
               "JOIN nosuch ON f.store_id = nosuch.s_id GROUP BY region")
+
+
+def test_join_mv_with_timeseries_rollup(spark, tmp_path):
+    """Join + timeseries compose: MV bucketed at 'hour' over a
+    star join answers a 'day'-granularity join query by rollup."""
+    fact = Table.create(spark, str(tmp_path / "factt"),
+                        "id bigint, store_id bigint, qty double, ts timestamp")
+    fact.insert(spark.range(0, 2000).selectExpr(
+        "id", "id % 4 as store_id", "cast(id % 7 as double) as qty",
+        "timestamp'2024-03-01 00:00:00' + make_dt_interval(0, 0, "
+        "cast(id % 2000 as int), 0) as ts"))
+    dim = Table.create(spark, str(tmp_path / "dimt"),
+                       "s_id bigint, region string")
+    dim.insert(spark.range(0, 4).selectExpr(
+        "id as s_id",
+        "case when id % 2 = 0 then 'north' else 'south' end as region"))
+    mgr = MVManager(fact)
+    mgr.create("jts", ["region"], [AggSpec("sum", "qty")],
+               timeseries=("ts", "hour"),
+               joins=[(dim, "store_id", "s_id")])
+    q = QuerySpec(group_cols=["region"],
+                  aggs={"total": AggSpec("sum", "qty"),
+                        "n": AggSpec("count", "*")},
+                  timeseries=("ts", "day"), ts_alias="day_bucket",
+                  joins=[(dim, "store_id", "s_id")])
+    df, used = mgr.answer(q)
+    assert used == "jts"
+    direct = mgr._direct(q)
+    assert _rows(df, "region", "day_bucket", "total", "n") == \
+        _rows(direct, "region", "day_bucket", "total", "n")
