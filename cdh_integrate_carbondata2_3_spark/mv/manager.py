@@ -144,16 +144,31 @@ def _apply_joins(df: DataFrame, joins: list[tuple[Table, str, str]]
     """Inner equi-join the dims onto the accumulated tree. The dim
     key is renamed to the fact key and joined USING, so exactly one
     key column survives and Catalyst sees a plain equi-join it can
-    broadcast (small dims) or shuffle (large) on its own."""
-    for dim_t, fk, dk in joins:
-        d = dim_t.read()
-        if dk != fk:
-            if fk in d.columns:
-                raise ValueError(
-                    f"join MV: dim table already has a column named "
-                    f"{fk!r}; cannot rename its key {dk!r} onto it")
-            d = d.withColumnRenamed(dk, fk)
-        df = df.join(d, on=fk)
+    broadcast (small dims) or shuffle (large) on its own.
+
+    Joins apply in DEPENDENCY order, not list order: a snowflake
+    dim keyed on another dim's column (its fact_key only exists
+    after that dim joins) waits until its key is present — the
+    canonical spec is sorted for matching, which would otherwise
+    break chains whose sorted order precedes their dependency."""
+    pending = list(joins)
+    while pending:
+        ready = [j for j in pending if j[1] in df.columns]
+        if not ready:
+            missing = [(t.table_dir, fk, dk) for t, fk, dk in pending]
+            raise ValueError(
+                f"join MV: no pending join's fact_key exists in the "
+                f"accumulated tree — unresolvable chain {missing}")
+        for dim_t, fk, dk in ready:
+            d = dim_t.read()
+            if dk != fk:
+                if fk in d.columns:
+                    raise ValueError(
+                        f"join MV: dim table already has a column named "
+                        f"{fk!r}; cannot rename its key {dk!r} onto it")
+                d = d.withColumnRenamed(dk, fk)
+            df = df.join(d, on=fk)
+            pending.remove((dim_t, fk, dk))
     return df
 
 

@@ -401,3 +401,35 @@ def test_join_mv_with_timeseries_rollup(spark, tmp_path):
     direct = mgr._direct(q)
     assert _rows(df, "region", "day_bucket", "total", "n") == \
         _rows(direct, "region", "day_bucket", "total", "n")
+
+
+def test_join_mv_snowflake_chain_dependency_order(spark, tmp_path):
+    """Snowflake MV: city joins on a STORE column, and the city dim's
+    table_dir sorts BEFORE the store's in the canonical (sorted) spec
+    — the join application must resolve by key availability, not
+    list order."""
+    fact = Table.create(spark, str(tmp_path / "zfact"),
+                        "id bigint, s_id bigint, qty double")
+    fact.insert(spark.range(0, 600).selectExpr(
+        "id", "id % 12 as s_id", "cast(id % 5 as double) as qty"))
+    store = Table.create(spark, str(tmp_path / "bstore"),
+                         "st_key bigint, city_id bigint")
+    store.insert(spark.range(0, 12).selectExpr(
+        "id as st_key", "id % 4 as city_id"))
+    city = Table.create(spark, str(tmp_path / "acity"),
+                        "c_key bigint, region string")
+    city.insert(spark.range(0, 4).selectExpr(
+        "id as c_key",
+        "case when id < 2 then 'north' else 'south' end as region"))
+    mgr = MVManager(fact)
+    mgr.create("snow", ["region"], [AggSpec("sum", "qty")],
+               joins=[(city, "city_id", "c_key"),
+                      (store, "s_id", "st_key")])
+    q = QuerySpec(group_cols=["region"],
+                  aggs={"total": AggSpec("sum", "qty")},
+                  joins=[(store, "s_id", "st_key"),
+                         (city, "city_id", "c_key")])
+    df, used = mgr.answer(q)
+    assert used == "snow"
+    assert _rows(df, "region", "total") == \
+        _rows(mgr._direct(q), "region", "total")
