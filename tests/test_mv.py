@@ -433,3 +433,53 @@ def test_join_mv_snowflake_chain_dependency_order(spark, tmp_path):
     assert used == "snow"
     assert _rows(df, "region", "total") == \
         _rows(mgr._direct(q), "region", "total")
+
+
+def test_join_mv_randomized_lifecycle(spark, tmp_path):
+    """Randomized op sequence against a star-join MV — after every
+    refresh, the MV answer must equal a from-scratch recompute. Ops:
+    fact load, fact mor DELETE, dim mor UPDATE (forces the full path
+    via the dim fingerprint), refresh. Seeded; failures reproduce."""
+    import random
+    from cdh_integrate_carbondata2_3_spark.operators import dml
+    rng = random.Random(42)
+    fact = Table.create(spark, str(tmp_path / "rfact"),
+                        "id bigint, store_id bigint, qty double",
+                        properties={"iud.mode": "mor"})
+    fact.insert(spark.range(0, 400).selectExpr(
+        "id", "id % 6 as store_id", "cast(id % 9 as double) as qty"))
+    dim = Table.create(spark, str(tmp_path / "rdim"),
+                       "s_id bigint, region string",
+                       properties={"iud.mode": "mor"})
+    dim.insert(spark.range(0, 6).selectExpr(
+        "id as s_id", "concat('r', cast(id % 3 as string)) as region"))
+    mgr = MVManager(fact)
+    mgr.create("rmv", ["region"], [AggSpec("avg", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    q = QuerySpec(group_cols=["region"],
+                  aggs={"avg_qty": AggSpec("avg", "qty"),
+                        "n": AggSpec("count", "*")},
+                  joins=[(dim, "store_id", "s_id")])
+    next_id = 400
+    for step in range(8):
+        op = rng.choice(["load", "fact_delete", "dim_update", "noop"])
+        if op == "load":
+            fact.insert(spark.range(next_id, next_id + 150).selectExpr(
+                "id", "id % 6 as store_id",
+                "cast(id % 11 as double) as qty"))
+            next_id += 150
+        elif op == "fact_delete":
+            k = rng.randrange(3, 13)
+            dml.delete_rows(fact, f"id % {k} = 1")
+        elif op == "dim_update":
+            s = rng.randrange(0, 6)
+            dml.update_rows(dim, {"region": f"'u{step}'"}, f"s_id = {s}")
+        mgr.refresh("rmv", incremental=True)
+        assert not any(m["stale"] for m in mgr.show()), (step, op)
+        df, used = mgr.answer(q)
+        assert used == "rmv", (step, op)
+        got = {r["region"]: (round(r["avg_qty"], 6), r["n"])
+               for r in df.collect()}
+        want = {r["region"]: (round(r["avg_qty"], 6), r["n"])
+                for r in mgr._direct(q).collect()}
+        assert got == want, (step, op, got, want)
