@@ -490,10 +490,15 @@ def incremental_minhash_pairs(
     new_sigs = minhash_signatures(new_sets, coeffs, "doc_id", "shs", prime)
     all_sigs = (old_sigs.unionByName(new_sigs)
                 if old_sigs is not None else new_sigs)
-    new_keys = _band_keys(new_sigs, bands).select(
+    # first run (old_sigs=None): all ≡ new — build the band keys ONCE
+    # and self-join, instead of two separately-derived key plans that
+    # each recompute the signature aggregation
+    keys = _band_keys(new_sigs, bands)
+    new_keys = keys.select(
         F.col("doc_id").alias("doc_n"), F.col("n_tok").alias("nn"),
         "bi", "bk")
-    all_keys = _band_keys(all_sigs, bands).select(
+    all_keys = (keys if old_sigs is None
+                else _band_keys(all_sigs, bands)).select(
         F.col("doc_id").alias("doc_o"), F.col("n_tok").alias("no"),
         "bi", "bk")
     cand = (new_keys.join(all_keys, ["bi", "bk"])
