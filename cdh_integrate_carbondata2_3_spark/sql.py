@@ -2409,12 +2409,20 @@ class Engine:
                 joins.append((dim, fk, dk))
                 tree.add(dim.lower())
             # strip table qualifiers from the remaining clauses so
-            # the spec is canonical (columns must be unambiguous)
+            # the spec is canonical (columns must be unambiguous) —
+            # but never inside 'string literals', where a value that
+            # happens to contain "tablename." must survive verbatim
             strip = _ci(r"\b(" + "|".join(re.escape(t) for t in tree)
                         + r")\.")
-            select_items = [strip.sub("", s) for s in select_items]
-            group_by = [strip.sub("", g) for g in group_by]
-            where = strip.sub("", where) if where else where
+
+            def unqualify(s: str) -> str:
+                parts = re.split(r"('(?:[^']|'')*')", s)
+                return "".join(p if i % 2 else strip.sub("", p)
+                               for i, p in enumerate(parts))
+
+            select_items = [unqualify(s) for s in select_items]
+            group_by = [unqualify(g) for g in group_by]
+            where = unqualify(where) if where else where
         aggs: dict[str, AggSpec] = {}
         plain: list[str] = []
         timeseries = None

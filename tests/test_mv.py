@@ -483,3 +483,29 @@ def test_join_mv_randomized_lifecycle(spark, tmp_path):
         want = {r["region"]: (round(r["avg_qty"], 6), r["n"])
                 for r in mgr._direct(q).collect()}
         assert got == want, (step, op, got, want)
+
+
+def test_join_mv_qualifier_strip_preserves_string_literals(spark, tmp_path):
+    """WHERE literals containing 'tablename.' must survive the
+    qualifier stripping in the join-SPJG parser verbatim — a mangled
+    literal would silently change filter semantics."""
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+    e = Engine(spark, str(tmp_path / "whq"))
+    e.sql("CREATE TABLE f (id BIGINT, d_id BIGINT, tag STRING)")
+    e.sql("CREATE TABLE d (k BIGINT, grp STRING)")
+    spark.sql("SELECT id, id % 3 AS d_id, "
+              "CASE WHEN id % 2 = 0 THEN 'f.x' ELSE 'other' END AS tag "
+              "FROM range(60)").createOrReplaceTempView("srcq")
+    spark.sql("SELECT id AS k, concat('g', id) AS grp FROM range(3)") \
+        .createOrReplaceTempView("srcd")
+    e.sql("INSERT INTO f SELECT * FROM srcq")
+    e.sql("INSERT INTO d SELECT * FROM srcd")
+    e.sql("CREATE MATERIALIZED VIEW qm AS "
+          "SELECT grp, COUNT(*) AS n FROM f "
+          "JOIN d ON f.d_id = d.k WHERE tag = 'f.x' GROUP BY grp")
+    got = {(r["grp"], r["n"]) for r in
+           e.sql("SELECT grp, COUNT(*) AS n FROM f "
+                 "JOIN d ON f.d_id = d.k WHERE tag = 'f.x' "
+                 "GROUP BY grp").collect()}
+    # 30 rows carry tag 'f.x' (even ids), 10 per d_id group
+    assert got == {("g0", 10), ("g1", 10), ("g2", 10)}, got
