@@ -52,7 +52,10 @@ def main() -> None:
                                 ".scratch", "scale", "sf1")]
     spark = get_spark("scale_curves")
     qs = all_queries()
-    names = tuple(HEADLINE) + EXTRA
+    # dedupe while preserving order — queries promoted into bench's
+    # HEADLINE later may still be listed in EXTRA, and a duplicate
+    # name would append four sec entries and skew its ratio
+    names = tuple(dict.fromkeys(tuple(HEADLINE) + EXTRA))
     skip = set(os.environ.get("SCALE_SKIP", "").split(","))
     names = tuple(n for n in names if n not in skip)
     out: dict[str, dict] = {n: {"sec": []} for n in names}
