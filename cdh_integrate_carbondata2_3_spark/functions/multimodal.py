@@ -53,12 +53,21 @@ def attach_binary(df: DataFrame, id_col: str = "doc_id",
 
 
 def decode_media(content: bytes, fmt: str):
-    """REAL decode path — requires pillow (image) / librosa (audio) /
-    av (video), none of which ship in this container. The Spark-side
-    plumbing calls :func:`fake_decode` instead; swap this in when the
-    libraries are available."""
-    raise NotImplementedError(
-        f"real {fmt} decode needs pillow/librosa/av; use fake_decode")
+    """REAL decode path. Container-built-in formats decode for real —
+    WAV (stdlib wave), PPM and 24-bit BMP (struct+numpy) via
+    :mod:`..functions.codecs` (gate ``multimodal_wav_decode`` proves
+    encode → decode → aggregate exact against a SQL oracle).
+    Compressed formats (JPEG/PNG/MP3/MP4) still require pillow /
+    librosa / av, none of which ship here — those blobs raise so the
+    caller routes them through the ``extract_features(decode=...)``
+    injection seam."""
+    from .codecs import sniff_and_decode
+    try:
+        return sniff_and_decode(content)
+    except NotImplementedError:
+        raise NotImplementedError(
+            f"real {fmt} decode for this blob needs pillow/librosa/av; "
+            "inject via extract_features(decode=...) or use fake_decode")
 
 
 def fake_decode(content: bytes) -> dict:

@@ -81,3 +81,62 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("content")).alias("total_bytes"),
                  F.round(F.avg("meta.width"), 3).cast("double").alias("avg_width"),
                  F.max("meta.height").alias("max_height")))
+
+
+@query("multimodal_wav_decode", oracle="""
+WITH samp AS (
+    SELECT doc_id, source,
+           ((doc_id * 31 + i * 7) % 65536) - 32768 AS s
+    FROM documents,
+         unnest(generate_series(0, 50 + doc_id % 64 - 1)) AS t(i))
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_blobs,
+       COUNT(*) AS total_samples,
+       CAST(SUM(s) AS BIGINT) AS total_amplitude
+FROM samp
+GROUP BY source
+""")
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end — no media libraries: each doc_id
+    deterministically generates PCM16 samples, a stdlib-wave WAV blob
+    is built per row inside one Arrow batch stage, and the engine's
+    built-in RIFF/WAVE decoder (functions/codecs.decode_wav, reached
+    through the magic-byte sniffer) decodes it back inside the
+    mapInPandas feature extractor. The oracle recomputes the sample
+    formula in SQL, so a green hash proves encode → REAL decode →
+    aggregate is exact. Compressed formats keep the documented
+    library-injection seam (sniff raises for unknown magic)."""
+    import pandas as pd
+
+    from ..functions.codecs import encode_wav_pcm16, sniff_and_decode
+    from ..functions.multimodal import extract_features
+
+    def attach(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 50 + d % 64
+                blobs.append(encode_wav_pcm16(
+                    [((d * 31 + i * 7) % 65536) - 32768 for i in range(n)],
+                    sample_rate=16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "source": pdf["source"],
+                                "content": blobs})
+
+    media = _docs(spark, sf_dir).select("doc_id", "source").mapInPandas(
+        attach, "doc_id bigint, source string, content binary")
+
+    def wav_features(content: bytes) -> dict:
+        d = sniff_and_decode(content)
+        return {"n_samples": d["n_samples"],
+                "sum_samples": d["sum_samples"]}
+
+    feats = extract_features(
+        media.select("doc_id", "content"), decode=wav_features,
+        schema="doc_id bigint, n_samples bigint, sum_samples bigint")
+    return (feats.join(media.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_blobs"),
+                 F.sum("n_samples").alias("total_samples"),
+                 F.sum("sum_samples").alias("total_amplitude")))

@@ -1,0 +1,133 @@
+"""Real in-container media decode (functions/codecs): WAV via stdlib
+wave, PPM/BMP via struct+numpy — closing the library-gated half of
+the multimodal seam for the formats that need no codec library."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_wav_pcm16,
+    sniff_and_decode,
+)
+
+
+def test_wav_roundtrip_pcm16():
+    samples = [0, 100, -100, 32767, -32768, 7]
+    blob = encode_wav_pcm16(samples, sample_rate=8000)
+    d = decode_wav(blob)
+    assert d["kind"] == "audio"
+    assert d["channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_samples"] == 6
+    assert d["sum_samples"] == sum(samples)
+    assert d["peak"] == 32768
+    assert d["duration_ms"] == 6 * 1000 // 8000
+
+
+def test_wav_stereo_and_8bit():
+    inter = [1, -2, 3, -4]                       # L R L R
+    blob = encode_wav_pcm16(inter, sample_rate=44100, channels=2)
+    d = decode_wav(blob)
+    assert d["channels"] == 2 and d["n_samples"] == 2
+    assert d["sum_samples"] == sum(inter)
+    # 8-bit unsigned, centered on 128
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 130, 126]))
+    d8 = decode_wav(buf.getvalue())
+    assert d8["sum_samples"] == 0 + 2 - 2
+    assert d8["peak"] == 2
+
+
+def test_ppm_decode_with_comment():
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    d = decode_ppm(blob)
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["sum_r"] == int(px[:, :, 0].sum())
+    assert d["sum_g"] == int(px[:, :, 1].sum())
+    assert d["sum_b"] == int(px[:, :, 2].sum())
+
+
+def _bmp24(px_topdown: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (bottom-up, padded)."""
+    h, w, _ = px_topdown.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):               # bottom-up
+        row = px_topdown[r][:, ::-1].tobytes()   # RGB → BGR
+        body += row + b"\0" * (row_bytes - len(row))
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(body), 2835, 2835, 0, 0))
+    return bytes(hdr) + bytes(body)
+
+
+def test_bmp_decode_padding_and_bottom_up():
+    px = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+    d = decode_bmp(_bmp24(px))
+    assert (d["width"], d["height"]) == (3, 3)
+    assert d["sum_r"] == int(px[:, :, 0].sum())
+    assert d["sum_g"] == int(px[:, :, 1].sum())
+    assert d["sum_b"] == int(px[:, :, 2].sum())
+
+
+def test_sniff_dispatch_and_unknown_magic():
+    assert sniff_and_decode(encode_wav_pcm16([5]))["kind"] == "audio"
+    assert sniff_and_decode(b"P6\n1 1\n255\n\x01\x02\x03")["kind"] == "image"
+    with pytest.raises(NotImplementedError, match="inject"):
+        sniff_and_decode(b"\x89PNG\r\n")        # compressed → library seam
+
+
+def test_real_decode_through_spark_pipeline(spark):
+    """End-to-end: WAV blobs built per row, decoded by the REAL wave
+    decoder inside the mapInPandas feature extractor, verified against
+    the generation formula."""
+    import pandas as pd
+
+    from cdh_integrate_carbondata2_3_spark.functions.multimodal import (
+        extract_features)
+
+    def make_blob(doc_id: int) -> bytes:
+        n = 50 + doc_id % 64
+        s = [((doc_id * 31 + i * 7) % 65536) - 32768 for i in range(n)]
+        return encode_wav_pcm16(s, sample_rate=16000)
+
+    def attach(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [make_blob(int(d)) for d in pdf["doc_id"]]})
+
+    media = spark.range(0, 200).selectExpr("id as doc_id") \
+        .mapInPandas(attach, "doc_id bigint, content binary")
+
+    def wav_features(content: bytes) -> dict:
+        d = sniff_and_decode(content)
+        return {"n_samples": d["n_samples"],
+                "sum_samples": d["sum_samples"],
+                "sample_rate": d["sample_rate"]}
+
+    out = extract_features(
+        media, decode=wav_features,
+        schema="doc_id bigint, n_samples bigint, sum_samples bigint, "
+               "sample_rate int").collect()
+    assert len(out) == 200
+    for r in out:
+        n = 50 + r["doc_id"] % 64
+        want = sum(((r["doc_id"] * 31 + i * 7) % 65536) - 32768
+                   for i in range(n))
+        assert (r["n_samples"], r["sum_samples"], r["sample_rate"]) == \
+            (n, want, 16000), r["doc_id"]
