@@ -131,7 +131,7 @@ _DEFER_TO_NEXT: tuple[str, ...] = (
     "sample_exact_allocation", "stats_equidepth_histogram",
     "table_restore_version", "dedup_cross_source_matrix",
     "stream_heavy_hitters_parity", "table_mv_join_rewrite",
-    "multimodal_wav_decode",
+    "multimodal_wav_decode", "multimodal_image_decode",
     "complex_array_functions",
     "select_pareto_skyline", "join_fuzzy_editdist",
     "table_fts_porter_analyzer", "table_fts_porter_phrase",

@@ -140,3 +140,65 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_blobs"),
                  F.sum("n_samples").alias("total_samples"),
                  F.sum("sum_samples").alias("total_amplitude")))
+
+
+@query("multimodal_image_decode", oracle="""
+WITH px AS (
+    SELECT doc_id, source, i,
+           (doc_id * 13 + i * 5) % 256 AS v
+    FROM documents,
+         unnest(generate_series(
+             0, (4 + doc_id % 8) * (3 + doc_id % 5) * 3 - 1)) AS t(i))
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_imgs,
+       CAST(COUNT(*) / 3 AS BIGINT) AS total_px,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+FROM px
+GROUP BY source
+""")
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end — no media libraries: per doc a
+    binary PPM (P6) blob is synthesized from a pixel formula
+    (interleaved RGB bytes, w/h derived from doc_id), parsed back by
+    the engine's built-in PPM decoder (functions/codecs.decode_ppm
+    via the magic-byte sniffer) inside the Arrow feature extractor;
+    per-source image counts, pixel counts (from the DECODED
+    dimensions), and R/B channel sums hash-check against the formula
+    recomputed in SQL over the exploded byte index."""
+    import pandas as pd
+
+    from ..functions.codecs import sniff_and_decode
+    from ..functions.multimodal import extract_features
+
+    def attach(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 8, 3 + d % 5
+                body = bytes(((d * 13 + i * 5) % 256)
+                             for i in range(w * h * 3))
+                blobs.append(f"P6\n{w} {h}\n255\n".encode() + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "source": pdf["source"],
+                                "content": blobs})
+
+    media = _docs(spark, sf_dir).select("doc_id", "source").mapInPandas(
+        attach, "doc_id bigint, source string, content binary")
+
+    def img_features(content: bytes) -> dict:
+        d = sniff_and_decode(content)
+        return {"w": d["width"], "h": d["height"],
+                "sum_r": d["sum_r"], "sum_b": d["sum_b"]}
+
+    feats = extract_features(
+        media.select("doc_id", "content"), decode=img_features,
+        schema="doc_id bigint, w int, h int, sum_r bigint, sum_b bigint")
+    return (feats.join(media.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_imgs"),
+                 F.sum(F.col("w").cast("bigint") * F.col("h"))
+                 .alias("total_px"),
+                 F.sum("sum_r").alias("sum_r"),
+                 F.sum("sum_b").alias("sum_b")))
