@@ -41,6 +41,11 @@ HEADLINE = (
     # incremental dedup (sign-only-new + persisted sidecar)
     "table_delete_mor", "table_mv_ivm_delete", "similarity_ann_pq",
     "dedup_incremental_minhash",
+    # round-6 third-session additions: star-join MV (incremental
+    # refresh + rewrite end-to-end), n-d skyline (post serial-phase
+    # fix), REAL WAV decode through the Arrow extractor
+    "table_mv_join_rewrite", "select_pareto_multid",
+    "multimodal_wav_decode",
 )
 
 

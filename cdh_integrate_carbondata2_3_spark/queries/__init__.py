@@ -113,16 +113,16 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "multimodal_meta_stats",
 )
 
-# Round-7 window plan: lead with complex_array_functions (yielded its
-# r6 slot above) plus the nine rows whose code changed in r6 AFTER
-# their r5 stamps (porter dictionary fast path, sloppy-repeat
-# injection, the 2-D skyline local-frontier fix, the editdist
-# single-pass guard): select_pareto_skyline, join_fuzzy_editdist,
-# table_fts_porter_{analyzer,phrase,fuzzy_range,regexp},
-# table_fts_limit_ranked_porter, table_fts_sloppy_phrase,
-# table_fts_english_phrase — all locally hash-green on the conf-naked
-# gate after the change, and plan-asserted, but the driver artifact
-# should say so. They sort right after the r6 window via
+# Round-7 window plan: lead with the never-stamped round-6 gates
+# added after the 50-slot window filled (incremental dedup, metadata
+# MIN/MAX, exact allocation, equi-depth histogram, RESTORE,
+# cross-source matrix, streaming heavy hitters, star-join MV, REAL
+# WAV/PPM decode), then complex_array_functions (yielded its r6 slot)
+# and the rows whose code changed in r6 AFTER their r5 stamps (porter
+# dictionary fast path, sloppy-repeat injection, the skyline fixes,
+# the editdist single-pass guard) — all locally hash-green on the
+# conf-naked gate after the change, and plan-asserted, but the driver
+# artifact should say so. They sort right after the r6 window via
 # _DEFER_TO_NEXT so the 50-slot cap excludes exactly them.
 _DEFER_TO_NEXT: tuple[str, ...] = (
     # never-stamped gates added mid-round-6 AFTER the window filled
