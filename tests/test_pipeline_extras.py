@@ -27,9 +27,17 @@ def test_fake_decode_deterministic():
     assert a["head_word"] == int(a["digest"][:8], 16)
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_builtin_formats_and_library_stub():
+    # unknown/compressed magic → still the documented library stub
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"\x00", "image")
+    # container-built-in formats decode for REAL (functions/codecs)
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        encode_wav_pcm16)
+    d = mm.decode_media(encode_wav_pcm16([3, -3]), "audio")
+    assert d["kind"] == "audio" and d["n_samples"] == 2
+    p = mm.decode_media(b"P6\n1 1\n255\n\x05\x06\x07", "image")
+    assert (p["kind"], p["sum_r"], p["sum_b"]) == ("image", 5, 7)
 
 
 def test_attach_binary_schema(spark):
