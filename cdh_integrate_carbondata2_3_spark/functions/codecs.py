@@ -50,6 +50,13 @@ def decode_wav(content: bytes) -> dict:
     else:
         raise NotImplementedError(f"WAV sample width {sw} bytes "
                                   "(PCM 8/16-bit supported)")
+    if len(samples) != nframes * nch:
+        # truncated data chunk: the header promises more frames than
+        # the blob holds — raise instead of returning an internally
+        # inconsistent (header-count, actual-sum) pair
+        raise ValueError(
+            f"truncated WAV: header declares {nframes} frames × {nch} "
+            f"channel(s), data chunk holds {len(samples)} samples")
     return {
         "kind": "audio",
         "channels": nch,
@@ -87,6 +94,14 @@ def decode_ppm(content: bytes) -> dict:
     w, h, maxval, off = _ppm_header(content)
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
+    if len(content) - off != w * h * 3:
+        # the spec allows exactly ONE whitespace byte after maxval;
+        # a '\r\n' writer or padded/truncated raster would otherwise
+        # decode one byte off and return silently wrong channel sums
+        raise ValueError(
+            f"PPM raster size mismatch: header says {w}×{h}×3 = "
+            f"{w * h * 3} bytes, blob holds {len(content) - off} "
+            "after the single post-maxval whitespace")
     px = np.frombuffer(content, dtype=np.uint8,
                        count=w * h * 3, offset=off).reshape(h, w, 3)
     return {

@@ -2,10 +2,13 @@
 
 The engine treats media as opaque ``binary`` content plus a typed
 metadata struct — the schema/partitioning/UDF-batch shape is real and
-tested; the actual pixel/sample decoding is stubbed because the
-decode libraries (pillow/librosa/av) are not in this container
-(SURVEY.md §7 "LLM-pipeline extras"; the reference has no multimodal
-surface — this is a scale-pipeline extension).
+tested. Decoding is REAL in-container for WAV / PPM / 24-bit BMP
+(:mod:`.codecs` — stdlib wave + struct/numpy, gates
+``multimodal_{wav,image}_decode``); compressed formats (JPEG/PNG/
+MP3/MP4) need pillow/librosa/av, which are not in this container, so
+those route through the ``decode=...`` injection seam (SURVEY.md §7
+"LLM-pipeline extras"; the reference has no multimodal surface —
+this is a scale-pipeline extension).
 
 Patterns demonstrated:
 - binary column + ``struct<fmt,width,height,sample_rate>`` metadata;

@@ -211,9 +211,37 @@ class MVManager:
         return [(Table.open(self.source.spark, d), fk, dk)
                 for d, fk, dk in (meta.joins or [])]
 
-    def _dim_state_now(self, meta: MVMeta) -> dict[str, str]:
-        return {d: _table_fingerprint(Table.open(self.source.spark, d))
-                for d, _fk, _dk in (meta.joins or [])}
+    def has_mvs(self) -> bool:
+        """Cheap existence probe (directory listing only) — the
+        per-query rewrite guard, so tables WITHOUT MVs never pay
+        manifest reads or dim fingerprints on the SQL hot path."""
+        if not os.path.isdir(self.mv_root):
+            return False
+        return any(f.endswith(".json") and not f.endswith(".json.tmp")
+                   for f in os.listdir(self.mv_root))
+
+    def _dim_state_now(self, meta: MVMeta,
+                       memo: dict[str, str] | None = None) -> dict[str, str]:
+        """Fingerprint each joined dim's visible state. A dim whose
+        table no longer exists (dropped/moved) fingerprints as
+        '<missing>' — never raises, so the MV just reads as STALE
+        (skipped by the rewrite) instead of crashing every SPJG
+        query and SHOW MATERIALIZED VIEWS on the fact table.
+        ``memo`` (dir → fingerprint) dedups work across the MVs of
+        one show() pass when they share dims."""
+        out: dict[str, str] = {}
+        for d, _fk, _dk in (meta.joins or []):
+            if memo is not None and d in memo:
+                out[d] = memo[d]
+                continue
+            try:
+                fp = _table_fingerprint(Table.open(self.source.spark, d))
+            except Exception:
+                fp = "<missing>"
+            if memo is not None:
+                memo[d] = fp
+            out[d] = fp
+        return out
 
     @staticmethod
     def _storage_aggs(aggs: list[AggSpec]) -> list[AggSpec]:
@@ -240,6 +268,7 @@ class MVManager:
             return out
         src_wm = self._source_watermark()
         src_deltas = self._source_delta_paths()
+        dim_memo: dict[str, str] = {}
         for f in sorted(os.listdir(self.mv_root)):
             if not f.endswith(".json") or f.endswith(".json.tmp"):
                 continue
@@ -249,12 +278,14 @@ class MVManager:
             # merge-on-read delete-delta set differs from what this
             # MV has applied (incremental-view-maintenance state)
             # OR any joined dimension's visible state changed since
-            # the last refresh (join MVs)
+            # the last refresh (join MVs; a DROPPED dim fingerprints
+            # '<missing>' → stale, never an exception)
             stale = (m["watermark"] < src_wm
                      or set(m.get("deltas") or []) != src_deltas)
             if not stale and m.get("joins"):
                 meta = MVMeta.from_json(m)
-                stale = self._dim_state_now(meta) != (m.get("dim_state") or {})
+                stale = (self._dim_state_now(meta, dim_memo)
+                         != (m.get("dim_state") or {}))
             m["stale"] = stale
             out.append(m)
         return out

@@ -62,12 +62,29 @@ def skyline(df: DataFrame, cols: Sequence[str],
             max_candidates: int = 1_000_000) -> DataFrame:
     """Rows of ``df`` not dominated on ``cols`` (each 'max' or 'min',
     default all-max). Exact duplicates on the criteria all survive
-    together (equal points never dominate each other)."""
+    together (equal points never dominate each other).
+
+    Rows with a NULL (or floating NaN) criterion are INCOMPARABLE —
+    an unknown value can neither dominate nor be dominated — so they
+    are excluded from the domination analysis and returned
+    unconditionally. (Explicit contract since round 6: the previous
+    paths disagreed — the n-d semi-join silently DROPPED null rows
+    while the old whole-row path kept them by NaN-comparison
+    accident.)"""
     if len(cols) < 2:
         raise ValueError("skyline needs >= 2 criteria")
-    if len(cols) == 2:
-        return _skyline_2d(df, cols, directions)
-    return _skyline_nd(df, cols, directions, max_candidates)
+    from pyspark.sql.types import DoubleType, FloatType
+    null_cond = F.lit(False)
+    for c in cols:
+        cc = F.col(c).isNull()
+        if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
+            cc = cc | F.isnan(F.col(c))
+        null_cond = null_cond | cc
+    incomparable = df.filter(null_cond)
+    clean = df.filter(~null_cond)
+    res = (_skyline_2d(clean, cols, directions) if len(cols) == 2
+           else _skyline_nd(clean, cols, directions, max_candidates))
+    return res.unionByName(incomparable)
 
 
 def _front_2d(pdf: pd.DataFrame, a: str, b: str) -> pd.DataFrame:

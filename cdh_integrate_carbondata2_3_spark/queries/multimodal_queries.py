@@ -124,7 +124,8 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "source": pdf["source"],
                                 "content": blobs})
 
-    media = _docs(spark, sf_dir).select("doc_id", "source").mapInPandas(
+    base = _docs(spark, sf_dir).select("doc_id", "source")
+    media = base.mapInPandas(
         attach, "doc_id bigint, source string, content binary")
 
     def wav_features(content: bytes) -> dict:
@@ -135,7 +136,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(
         media.select("doc_id", "content"), decode=wav_features,
         schema="doc_id bigint, n_samples bigint, sum_samples bigint")
-    return (feats.join(media.select("doc_id", "source"), "doc_id")
+    # join source from the RAW docs frame, not media — joining media
+    # would re-run the attach stage and synthesize every blob twice
+    return (feats.join(base, "doc_id")
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_blobs"),
                  F.sum("n_samples").alias("total_samples"),
@@ -184,7 +187,8 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "source": pdf["source"],
                                 "content": blobs})
 
-    media = _docs(spark, sf_dir).select("doc_id", "source").mapInPandas(
+    base = _docs(spark, sf_dir).select("doc_id", "source")
+    media = base.mapInPandas(
         attach, "doc_id bigint, source string, content binary")
 
     def img_features(content: bytes) -> dict:
@@ -195,7 +199,8 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(
         media.select("doc_id", "content"), decode=img_features,
         schema="doc_id bigint, w int, h int, sum_r bigint, sum_b bigint")
-    return (feats.join(media.select("doc_id", "source"), "doc_id")
+    # join source from the raw docs frame — see multimodal_wav_decode
+    return (feats.join(base, "doc_id")
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_imgs"),
                  F.sum(F.col("w").cast("bigint") * F.col("h"))

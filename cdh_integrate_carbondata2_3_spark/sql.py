@@ -2470,7 +2470,10 @@ class Engine:
         if table not in self.tables() or not self._resolve_spec_joins(spec):
             return None
         mgr = MVManager(self.table(table))
-        if not mgr.show():
+        # cheap directory probe, NOT show(): answer() runs its own
+        # show(), and doubling it would fingerprint every joined dim
+        # twice per SPJG query on the SQL hot path
+        if not mgr.has_mvs():
             return None
         try:
             df, _mv = mgr.answer(spec)

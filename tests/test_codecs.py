@@ -131,3 +131,28 @@ def test_real_decode_through_spark_pipeline(spark):
                    for i in range(n))
         assert (r["n_samples"], r["sum_samples"], r["sample_rate"]) == \
             (n, want, 16000), r["doc_id"]
+
+
+def test_truncated_wav_raises():
+    """Header promising more frames than the data chunk holds must
+    raise, not return an inconsistent (header-count, actual-sum)."""
+    import io
+    import wave
+    blob = bytearray(encode_wav_pcm16([1, 2, 3, 4, 5], sample_rate=8000))
+    cut = bytes(blob[:-4])            # drop 2 samples, keep header
+    with wave.open(io.BytesIO(cut)) as w:
+        assert w.getnframes() == 5    # wave trusts the header count
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(cut)
+
+
+def test_ppm_raster_size_mismatch_raises():
+    """'\\r\\n' after maxval (or any padding/truncation) must raise —
+    a one-byte offset would silently rotate every channel sum."""
+    px = bytes(range(12))             # 2x2 RGB
+    with pytest.raises(ValueError, match="raster size mismatch"):
+        decode_ppm(b"P6\n2 2\n255\r\n" + px)
+    with pytest.raises(ValueError, match="raster size mismatch"):
+        decode_ppm(b"P6\n2 2\n255\n" + px[:-1])
+    ok = decode_ppm(b"P6\n2 2\n255\n" + px)
+    assert (ok["width"], ok["height"]) == (2, 2)

@@ -509,3 +509,24 @@ def test_join_mv_qualifier_strip_preserves_string_literals(spark, tmp_path):
                  "GROUP BY grp").collect()}
     # 30 rows carry tag 'f.x' (even ids), 10 per d_id group
     assert got == {("g0", 10), ("g1", 10), ("g2", 10)}, got
+
+
+def test_join_mv_dropped_dim_marks_stale_never_crashes(spark, star, tmp_path):
+    """Dropping a join MV's dim table must NOT crash show() (and with
+    it every SPJG query and SHOW MATERIALIZED VIEWS on the fact) —
+    the dim fingerprints '<missing>', the MV reads stale, queries
+    fall through to direct execution."""
+    import shutil
+    fact, dim = star
+    mgr = MVManager(fact)
+    mgr.create("jdrop", ["region"], [AggSpec("sum", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    assert not any(m["stale"] for m in mgr.show())
+    shutil.rmtree(dim.table_dir)
+    listing = mgr.show()                       # must not raise
+    assert any(m["name"] == "jdrop" and m["stale"] for m in listing)
+    # a plain (non-join) aggregate on the fact still answers directly
+    q = QuerySpec(group_cols=["store_id"],
+                  aggs={"total": AggSpec("sum", "qty")})
+    df, used = mgr.answer(q)
+    assert used is None and df.count() == 10

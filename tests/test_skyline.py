@@ -114,3 +114,18 @@ def test_nd_phase1_keeps_shuffle_boundary(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" in plan or "REPARTITION" in plan, plan
     assert "Coalesce" not in plan, plan
+
+
+def test_null_and_nan_criteria_are_incomparable(spark):
+    """NULL/NaN criterion rows are excluded from domination analysis
+    and returned unconditionally — for BOTH the 2-D and n-d paths
+    (pre-r6 they disagreed: n-d's semi-join silently dropped them)."""
+    rows = [(1, 5.0, 5.0, 5.0), (2, None, 9.0, 9.0),
+            (3, 1.0, 1.0, 1.0), (4, float("nan"), 0.0, 0.0)]
+    df = spark.createDataFrame(
+        rows, "id bigint, a double, b double, c double")
+    got3 = {r["id"] for r in skyline(df, ["a", "b", "c"]).collect()}
+    assert got3 == {1, 2, 4}          # 3 dominated by 1; 2 and 4 kept
+    got2 = {r["id"] for r in skyline(df.select("id", "a", "b"),
+                                     ["a", "b"]).collect()}
+    assert got2 == {1, 2, 4}
