@@ -530,3 +530,49 @@ def test_join_mv_dropped_dim_marks_stale_never_crashes(spark, star, tmp_path):
                   aggs={"total": AggSpec("sum", "qty")})
     df, used = mgr.answer(q)
     assert used is None and df.count() == 10
+
+
+def test_spjg_parser_randomized_equivalence(spark, tmp_path):
+    """Seeded random SPJG join queries through Engine.sql must equal
+    plain spark.sql over equivalent temp views — whether a query is
+    answered from an MV, from the manager's direct path, or falls
+    back to vanilla SQL is an implementation detail the results must
+    never reveal."""
+    import random
+    from cdh_integrate_carbondata2_3_spark.sql import Engine
+    rng = random.Random(7)
+    e = Engine(spark, str(tmp_path / "whr"))
+    e.sql("CREATE TABLE f (id BIGINT, s_id BIGINT, qty DOUBLE, n BIGINT)")
+    e.sql("CREATE TABLE d (s_id2 BIGINT, region STRING, tier BIGINT)")
+    spark.sql("SELECT id, id % 7 AS s_id, CAST(id % 5 AS DOUBLE) AS qty, "
+              "id % 11 AS n FROM range(400)").createOrReplaceTempView("vf")
+    spark.sql("SELECT id AS s_id2, concat('r', id % 3) AS region, "
+              "id % 2 AS tier FROM range(7)").createOrReplaceTempView("vd")
+    e.sql("INSERT INTO f SELECT * FROM vf")
+    e.sql("INSERT INTO d SELECT * FROM vd")
+    # one MV so the rewrite path is live (matching queries use it)
+    e.sql("CREATE MATERIALIZED VIEW rmv AS SELECT region, SUM(qty) AS sq "
+          "FROM f JOIN d ON f.s_id = d.s_id2 GROUP BY region")
+
+    aggs = [("SUM(qty)", "a1"), ("COUNT(*)", "a2"), ("AVG(qty)", "a3"),
+            ("MIN(n)", "a4"), ("MAX(n)", "a5"), ("SUM(n)", "a6")]
+    wheres = ["", "WHERE n > 3", "WHERE qty > 1 AND n < 9", "WHERE tier = 1"]
+    for trial in range(25):
+        joined = rng.random() < 0.7
+        gcols = rng.sample(["region", "tier"] if joined else ["s_id", "n"],
+                           rng.randrange(1, 3))
+        ag = rng.sample(aggs, rng.randrange(1, 4))
+        w = rng.choice(wheres if joined else wheres[:3])
+        sel = ", ".join(gcols + [f"{x} AS {al}" for x, al in ag])
+        jn = "JOIN d ON f.s_id = d.s_id2 " if joined else ""
+        q = (f"SELECT {sel} FROM f {jn}{w} GROUP BY " + ", ".join(gcols))
+        ref_q = (q.replace("FROM f", "FROM vf f")
+                 .replace("JOIN d ", "JOIN vd d "))
+        def canon(rows):
+            # round floats: AVG answered from the MV's SUM/COUNT
+            # decomposition may differ from direct AVG in the last ulp
+            return {tuple(round(v, 9) if isinstance(v, float) else v
+                          for v in r) for r in rows}
+        got = canon(e.sql(q).collect())
+        want = canon(spark.sql(ref_q).collect())
+        assert got == want, (trial, q)
