@@ -374,9 +374,14 @@ def test_operators_tolerate_null_and_empty_inputs(spark):
     sd = spark.createDataFrame(
         [(1, 1.0, None), (2, 2.0, 3.0), (3, None, None), (4, 1.0, 4.0)],
         "id bigint, a double, b double")
-    # rows with NULL criteria are not comparable → excluded, not a crash
+    # rows with NULL criteria are INCOMPARABLE → excluded from the
+    # domination analysis but RETURNED unconditionally (the public
+    # contract since the r6 null fix — previously the 2-D path
+    # silently dropped them; see skyline() docstring and
+    # test_skyline::test_null_and_nan_criteria_are_incomparable)
     assert sorted(x["id"] for x in
-                  skyline(sd, ["a", "b"], ["max", "max"]).collect()) == [2, 4]
+                  skyline(sd, ["a", "b"], ["max", "max"]).collect()) \
+        == [1, 2, 3, 4]
 
     j = spark.createDataFrame(
         [(0, ["a", "b"]), (1, []), (2, None), (3, ["a", "b"])],
