@@ -1,0 +1,89 @@
+"""Distributed ridge / OLS regression via sufficient statistics.
+
+The 100 TB-correct shape for fitting a small linear model (quality
+classifier, length predictor, calibration curve) over a huge corpus:
+
+1. ONE aggregation pass computes the Gram matrix ``XᵀX`` and moment
+   vector ``Xᵀy`` as d(d+1)/2 + d scalar sums — map-side partial
+   aggregation, a single tiny exchange, nothing corpus-sized moves;
+2. the (d+1)×(d+1) normal-equation solve happens on the DRIVER with
+   numpy (d is model width, never data size);
+3. scoring is a broadcast of d+1 LITERALS folded into a column
+   expression — whole-stage codegen, no UDF, no second shuffle.
+
+This is deliberately NOT an iterative SGD: for linear least squares
+the sufficient statistics are exact, so one pass beats any number of
+epochs. Reference analogue: none (the reference has no ML surface);
+pipeline role per SURVEY.md §7 "LLM-pipeline extras" — e.g. fitting
+a document-quality score y ≈ β·features on a sample, then scoring
+the full corpus JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ridge_fit(df: DataFrame, feature_cols: Sequence[str],
+              target_col: str, l2: float = 0.0,
+              intercept: bool = True) -> dict:
+    """Fit ``target ≈ β · features`` by ridge-regularized least
+    squares in ONE aggregation pass. Returns
+    ``{"coef": {col: β}, "intercept": b, "n": rows}``.
+
+    ``l2`` penalizes the feature weights only (never the intercept),
+    matching the standard ridge convention. Rows with a NULL feature
+    or target are excluded (they carry no information for the normal
+    equations)."""
+    cols = list(feature_cols)
+    if not cols:
+        raise ValueError("ridge_fit: need at least one feature column")
+    clean = df
+    for c in [*cols, target_col]:
+        clean = clean.where(F.col(c).isNotNull())
+    terms = [F.col(c).cast("double") for c in cols]
+    if intercept:
+        terms.append(F.lit(1.0))
+    y = F.col(target_col).cast("double")
+    d = len(terms)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"__g_{i}_{j}"))
+        aggs.append(F.sum(terms[i] * y).alias(f"__m_{i}"))
+    row = clean.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n == 0:
+        raise ValueError("ridge_fit: no complete rows to fit on")
+    g = np.zeros((d, d))
+    m = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            g[i, j] = g[j, i] = row[f"__g_{i}_{j}"]
+        m[i] = row[f"__m_{i}"]
+    if l2:
+        reg = np.eye(d) * float(l2)
+        if intercept:
+            reg[d - 1, d - 1] = 0.0          # never penalize the intercept
+        g = g + reg
+    beta = np.linalg.solve(g, m)
+    coef = {c: float(b) for c, b in zip(cols, beta)}
+    return {"coef": coef,
+            "intercept": float(beta[-1]) if intercept else 0.0,
+            "n": int(n)}
+
+
+def ridge_score(df: DataFrame, model: dict,
+                out: str = "score") -> DataFrame:
+    """Attach ``out = intercept + Σ βᵢ·featureᵢ`` as a column
+    expression — the coefficients fold in as literals, so scoring
+    stays inside whole-stage codegen (no UDF, no shuffle, no
+    broadcast join; at 100 TB this is a free map)."""
+    expr = F.lit(float(model.get("intercept", 0.0)))
+    for c, b in model["coef"].items():
+        expr = expr + F.col(c).cast("double") * F.lit(float(b))
+    return df.withColumn(out, expr)

@@ -757,3 +757,59 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string").orderBy("rank")
+
+
+@query("ml_ols_fit_score", oracle=r"""
+WITH feats AS (
+    SELECT source,
+           len(list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '')) AS x,
+           n_chars AS y
+    FROM documents),
+st AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * x) AS sxx, SUM(x * y) AS sxy
+    FROM feats),
+co AS (
+    SELECT (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS b1,
+           (sy - (n * sxy - sx * sy)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / CAST(n AS DOUBLE) AS b0
+    FROM st)
+SELECT f.source,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(MAX(co.b1), 6) AS DOUBLE) AS slope,
+       CAST(ROUND(SUM(co.b0 + co.b1 * f.x), 3) AS DOUBLE) AS sum_pred
+FROM feats f, co
+GROUP BY f.source
+""")
+def ml_ols_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares fit + corpus scoring
+    (operators/regression): y = n_chars regressed on token count in
+    ONE sufficient-statistics pass (map-side partials, nothing
+    corpus-sized shuffles — plan-asserted in tests/test_regression),
+    solved on the driver, then the whole corpus scored by a
+    coefficient-literal column expression (UDF-free, codegen). The
+    oracle re-derives slope/intercept from the closed-form normal
+    equations over exact integer sums and recomputes the per-source
+    predicted-score sums, so a green hash proves the one-pass fit ≡
+    textbook OLS and the scoring expression applies the same model.
+    The pipeline role: fit a doc-quality regression on features, then
+    score 100 TB as a free map."""
+    from ..operators.regression import ridge_fit, ridge_score
+    d = cache_tracked(
+        _docs(spark, sf_dir).select(
+            "source",
+            # filter empties so an all-whitespace doc counts 0 tokens
+            # on both sides (oracle: list_filter(t -> t <> ''))
+            F.size(F.filter(F.split(F.trim(F.col("text")), " +"),
+                            lambda t: t != "")).alias("x"),
+            F.col("n_chars").alias("y")))
+    model = ridge_fit(d, ["x"], "y")
+    scored = ridge_score(d, model, out="pred")
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.lit(model["coef"]["x"]), 6).cast("double")
+                 .alias("slope"),
+                 F.round(F.sum("pred"), 3).cast("double")
+                 .alias("sum_pred")))

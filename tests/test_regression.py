@@ -1,0 +1,90 @@
+"""Distributed ridge/OLS via sufficient statistics
+(operators/regression): numpy-lstsq parity, ridge shrinkage, NULL
+exclusion, and the scale plan shape (one tiny agg, UDF-free scoring)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.operators.regression import (
+    ridge_fit,
+    ridge_score,
+)
+
+
+def _data(spark, n=500, seed=3):
+    rng = np.random.default_rng(seed)
+    x1 = rng.normal(0, 2, n)
+    x2 = rng.normal(5, 1, n)
+    y = 3.0 * x1 - 1.5 * x2 + 4.0 + rng.normal(0, 0.1, n)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)]
+    return spark.createDataFrame(rows, "x1 double, x2 double, y double"), \
+        np.column_stack([x1, x2, np.ones(n)]), y
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    df, X, y = _data(spark)
+    m = ridge_fit(df, ["x1", "x2"], "y")
+    want, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert m["n"] == 500
+    assert m["coef"]["x1"] == pytest.approx(want[0], rel=1e-9)
+    assert m["coef"]["x2"] == pytest.approx(want[1], rel=1e-9)
+    assert m["intercept"] == pytest.approx(want[2], rel=1e-9)
+
+
+def test_ridge_matches_numpy_closed_form_and_shrinks(spark):
+    df, X, y = _data(spark)
+    lam = 50.0
+    m = ridge_fit(df, ["x1", "x2"], "y", l2=lam)
+    reg = np.eye(3) * lam
+    reg[2, 2] = 0.0                       # intercept not penalized
+    want = np.linalg.solve(X.T @ X + reg, X.T @ y)
+    assert m["coef"]["x1"] == pytest.approx(want[0], rel=1e-9)
+    assert m["coef"]["x2"] == pytest.approx(want[1], rel=1e-9)
+    ols = ridge_fit(df, ["x1", "x2"], "y")
+    assert abs(m["coef"]["x1"]) < abs(ols["coef"]["x1"])  # shrinkage
+
+
+def test_null_rows_excluded(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (None, 99.0), (3.0, None), (3.0, 6.0)],
+        "x double, y double")
+    m = ridge_fit(df, ["x"], "y")
+    assert m["n"] == 3
+    assert m["coef"]["x"] == pytest.approx(2.0, abs=1e-9)
+    assert m["intercept"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_score_is_codegen_expression_no_udf_no_shuffle(spark):
+    df, _X, _y = _data(spark, n=100)
+    m = ridge_fit(df, ["x1", "x2"], "y")
+    scored = ridge_score(df, m)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+    r = scored.select(F.max(F.abs(F.col("score") - F.col("y")))).first()[0]
+    assert r < 1.0                        # noise-scale residuals
+
+
+def test_fit_plan_is_single_partial_aggregate(spark):
+    """The whole fit is ONE tiny aggregation — corpus never shuffles,
+    partial aggregation runs map-side (the 100 TB property)."""
+    df, _X, _y = _data(spark, n=100)
+    clean = df
+    for c in ("x1", "x2", "y"):
+        clean = clean.where(F.col(c).isNotNull())
+    agg = clean.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("x1") * F.col("y")).alias("m0"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower(), plan
+    assert plan.count("Exchange") == 1, plan      # only the final combine
+
+
+def test_empty_and_no_features_raise(spark):
+    df = spark.createDataFrame([], "x double, y double")
+    with pytest.raises(ValueError, match="no complete rows"):
+        ridge_fit(df, ["x"], "y")
+    with pytest.raises(ValueError, match="at least one feature"):
+        ridge_fit(df, [], "y")
