@@ -77,6 +77,82 @@ def ridge_fit(df: DataFrame, feature_cols: Sequence[str],
             "n": int(n)}
 
 
+def logit_fit(df: DataFrame, feature_cols: Sequence[str],
+              target_col: str, l2: float = 0.0,
+              max_iter: int = 25, tol: float = 1e-8) -> dict:
+    """Fit a binary logistic model P(y=1) = σ(β·x + b) by IRLS
+    (Newton-Raphson): each iteration is ONE aggregation pass
+    computing the weighted Gram ``XᵀWX`` and gradient ``Xᵀ(y−p)``
+    with the current β folded in as literals (p = σ(β·x) evaluates
+    JVM-side), then a (d+1)-dim driver solve — the classic
+    scale-correct shape for a CCNet/fastText-style quality
+    classifier: the corpus never shuffles, per pass one tiny
+    exchange. Converges quadratically; ``max_iter`` bounds passes.
+
+    Returns ``{"coef", "intercept", "n", "iters", "grad_norm"}`` —
+    ``grad_norm`` is the final max|Xᵀ(y−p)| (≈0 at the optimum, an
+    algorithm-independent optimality certificate; ridge shifts it by
+    the penalty term, already accounted for)."""
+    cols = list(feature_cols)
+    if not cols:
+        raise ValueError("logit_fit: need at least one feature column")
+    clean = df
+    for c in [*cols, target_col]:
+        clean = clean.where(F.col(c).isNotNull())
+    d = len(cols) + 1
+    beta = np.zeros(d)
+    n = None
+    grad_norm = float("inf")
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        terms = [F.col(c).cast("double") for c in cols] + [F.lit(1.0)]
+        y = F.col(target_col).cast("double")
+        eta = F.lit(float(beta[-1]))
+        for c, b in zip(cols, beta):
+            eta = eta + F.col(c).cast("double") * F.lit(float(b))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(F.sum(w * terms[i] * terms[j])
+                            .alias(f"__h_{i}_{j}"))
+            aggs.append(F.sum((y - p) * terms[i]).alias(f"__g_{i}"))
+        row = clean.agg(*aggs).collect()[0]
+        n = row["__n"]
+        if n == 0:
+            raise ValueError("logit_fit: no complete rows to fit on")
+        h = np.zeros((d, d))
+        g = np.zeros(d)
+        for i in range(d):
+            for j in range(i, d):
+                h[i, j] = h[j, i] = row[f"__h_{i}_{j}"]
+            g[i] = row[f"__g_{i}"]
+        if l2:
+            reg = np.eye(d) * float(l2)
+            reg[d - 1, d - 1] = 0.0
+            h = h + reg
+            g = g - np.append(beta[:-1], 0.0) * float(l2)
+        step = np.linalg.solve(h + np.eye(d) * 1e-12, g)
+        beta = beta + step
+        grad_norm = float(np.abs(g).max())
+        if np.abs(step).max() < tol:
+            break
+    return {"coef": {c: float(b) for c, b in zip(cols, beta)},
+            "intercept": float(beta[-1]), "n": int(n),
+            "iters": iters, "grad_norm": grad_norm}
+
+
+def logit_score(df: DataFrame, model: dict,
+                out: str = "prob") -> DataFrame:
+    """Attach P(y=1) = σ(intercept + Σ βᵢ·featureᵢ) as a pure column
+    expression (codegen, no UDF — the 100 TB scoring map)."""
+    eta = F.lit(float(model.get("intercept", 0.0)))
+    for c, b in model["coef"].items():
+        eta = eta + F.col(c).cast("double") * F.lit(float(b))
+    return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
+
+
 def ridge_score(df: DataFrame, model: dict,
                 out: str = "score") -> DataFrame:
     """Attach ``out = intercept + Σ βᵢ·featureᵢ`` as a column

@@ -88,3 +88,47 @@ def test_empty_and_no_features_raise(spark):
         ridge_fit(df, ["x"], "y")
     with pytest.raises(ValueError, match="at least one feature"):
         ridge_fit(df, [], "y")
+
+
+def test_logit_recovers_planted_coefficients_and_optimality(spark):
+    """IRLS logistic fit: the gradient at the solution is ~0 (an
+    algorithm-independent optimality certificate), planted
+    coefficients are recovered within sampling error, and scoring is
+    a codegen expression."""
+    from cdh_integrate_carbondata2_3_spark.operators.regression import (
+        logit_fit, logit_score)
+    rng = np.random.default_rng(11)
+    n = 4000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    eta = 1.2 * x1 - 0.8 * x2 + 0.5
+    y = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y bigint")
+    m = logit_fit(df, ["x1", "x2"], "y")
+    assert m["grad_norm"] < 1e-6          # stationary point reached
+    assert m["coef"]["x1"] == pytest.approx(1.2, abs=0.2)
+    assert m["coef"]["x2"] == pytest.approx(-0.8, abs=0.2)
+    assert m["intercept"] == pytest.approx(0.5, abs=0.2)
+    scored = logit_score(df, m)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan, plan
+    # probabilities calibrated in bulk: mean(prob) == mean(y) exactly
+    # at the MLE (score equation for the intercept)
+    mp, my = scored.agg(F.avg("prob"), F.avg("y")).first()
+    assert mp == pytest.approx(my, abs=1e-6)
+
+
+def test_logit_ridge_shrinks_and_separable_data_is_bounded(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.regression import (
+        logit_fit)
+    # perfectly separable data: unpenalized MLE diverges; the ridge
+    # penalty keeps coefficients finite and the fit usable
+    rows = [(float(i), 1 if i > 0 else 0) for i in range(-40, 41) if i != 0]
+    df = spark.createDataFrame(rows, "x double, y bigint")
+    m = logit_fit(df, ["x"], "y", l2=1.0, max_iter=50)
+    assert np.isfinite(m["coef"]["x"]) and m["coef"]["x"] > 0
+    assert abs(m["coef"]["x"]) < 50
+    m2 = logit_fit(df, ["x"], "y", l2=10.0, max_iter=50)
+    assert abs(m2["coef"]["x"]) < abs(m["coef"]["x"])    # shrinkage
