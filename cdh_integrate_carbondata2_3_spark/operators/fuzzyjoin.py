@@ -114,3 +114,64 @@ def editdist_join(left: DataFrame, right: DataFrame,
             .distinct()
             .withColumn("dist", dist)
             .where(F.col("dist") <= max_edits))
+
+
+def sequence_similarity_join(df: DataFrame, id_col: str, seq_col: str,
+                             max_dist: int,
+                             band: int | None = None) -> DataFrame:
+    """All-pairs sequence-similarity join for LONG sequences and
+    LARGE distance budgets — the regime :func:`editdist_join` (short
+    keys, ≤2 edits, deletion neighborhoods) does not cover. Returns
+    (id_a, id_b, dist) for unordered pairs with
+    ``levenshtein(seq_a, seq_b) <= max_dist``.
+
+    Blocking: the LENGTH lower bound ``|len(a) − len(b)| ≤ dist`` —
+    sequences land in length buckets of width ``band`` (default
+    ``max_dist + 1``) and only same-or-adjacent buckets join, so the
+    candidate space is Σ per-band n·(n+neighbors) instead of n²/2.
+    The exact levenshtein refine runs JVM-side (codegen) on
+    candidates only. REPOSE-style trajectory top-k (ICDE 2021) is
+    the composition: per-entity sequence extraction → this join →
+    per-id argmin. Knob honesty: a corpus whose sequences all share
+    one length keeps n² inside the band — like every similarity
+    join, blocking quality is data-dependent; band width is the
+    caller's lever and the output remains exact regardless."""
+    if max_dist < 0:
+        raise ValueError("sequence_similarity_join: max_dist must be >= 0")
+    b = band or (max_dist + 1)
+    s = (df.select(F.col(id_col).alias("id"),
+                   F.col(seq_col).cast("string").alias("seq"))
+         .where(F.col("seq").isNotNull())
+         .withColumn("len", F.length("seq"))
+         .withColumn("bkt", (F.col("len") / b).cast("bigint")))
+    # each row probes its own bucket plus the next ⌈max_dist/b⌉ ones
+    # — buckets of a qualifying pair (|len diff| <= max_dist) can
+    # differ by at most that much, so coverage holds for ANY band
+    # width, including caller-narrowed bands
+    k = max_dist // b + 1
+    probe = s.select(
+        F.col("id").alias("id_a"), F.col("seq").alias("sa"),
+        F.col("len").alias("la"),
+        F.explode(F.array(*[F.col("bkt") + i for i in range(k + 1)]))
+        .alias("bkt"))
+    build = s.select(F.col("id").alias("id_b"), F.col("seq").alias("sb"),
+                     F.col("len").alias("lb"), "bkt")
+    # the probe fans out UPWARD only, so the lower-bucket member of a
+    # pair always reaches the higher-bucket one regardless of id
+    # order — ids canonicalize (least, greatest) AFTER the match
+    # (filtering id_a < id_b before would miss pairs whose smaller id
+    # sits in the higher bucket)
+    dist = F.levenshtein("sa", "sb")
+    cand = (probe.join(build, "bkt")
+            .where(F.col("id_a") != F.col("id_b"))
+            .where(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    F.when(F.col("id_a") < F.col("id_b"), F.col("sa"))
+                    .otherwise(F.col("sb")).alias("sa"),
+                    F.when(F.col("id_a") < F.col("id_b"), F.col("sb"))
+                    .otherwise(F.col("sa")).alias("sb"))
+            .distinct())
+    return (cand.withColumn("dist", dist)
+            .where(F.col("dist") <= max_dist)
+            .drop("sa", "sb"))

@@ -132,7 +132,7 @@ _DEFER_TO_NEXT: tuple[str, ...] = (
     "table_restore_version", "dedup_cross_source_matrix",
     "stream_heavy_hitters_parity", "table_mv_join_rewrite",
     "multimodal_wav_decode", "multimodal_image_decode",
-    "ml_ols_fit_score",
+    "ml_ols_fit_score", "trajectory_similarity_nn",
     "complex_array_functions",
     "select_pareto_skyline", "join_fuzzy_editdist",
     "table_fts_porter_analyzer", "table_fts_porter_phrase",

@@ -138,3 +138,59 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.expr("substring(c_name, 1, length(c_name) - 1)"))
         .otherwise(F.col("c_name")).alias("pname"))
     return editdist_join(left, right, "c_name", "pname", max_edits=1)
+
+
+@query("trajectory_similarity_nn", oracle="""
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             AS s
+    FROM events GROUP BY user_id),
+pairs AS (
+    SELECT a.user_id AS ua, b.user_id AS ub, levenshtein(a.s, b.s) AS d
+    FROM seqs a JOIN seqs b ON a.user_id <> b.user_id
+    WHERE abs(length(a.s) - length(b.s)) <= 60
+      AND levenshtein(a.s, b.s) <= 60),
+ranked AS (
+    SELECT ua, ub, d,
+           ROW_NUMBER() OVER (PARTITION BY ua ORDER BY d, ub) AS rn
+    FROM pairs)
+SELECT ua AS user_id, ub AS nn_user, CAST(d AS BIGINT) AS nn_dist
+FROM ranked WHERE rn = 1
+""")
+def trajectory_similarity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-trajectory nearest neighbor (REPOSE ICDE 2021
+    line of work, discrete-sequence variant): each user's time-ordered
+    event-type sequence is one trajectory string; the all-pairs
+    sequence-similarity join blocks on the LENGTH lower bound
+    (|len(a)−len(b)| ≤ dist → same/adjacent length bands only, no
+    cross join — plan-asserted in tests/test_fuzzyjoin) with the
+    exact levenshtein refine JVM-side, then one min_by partial
+    aggregate picks each user's nearest neighbor (ties to the lower
+    user id). The oracle brute-forces the small gate corpus with a
+    nested-loop self-join, so the blocking's COMPLETENESS is what's
+    hash-checked."""
+    from . import cache_tracked
+    from ..operators.fuzzyjoin import sequence_similarity_join
+    # both the join (probe+build branches) and the symmetrizing union
+    # reference these frames more than once — cache the derived form
+    # or the events scan + sequence build + 22k levenshteins rerun
+    # per branch (the round-6 recomputation pitfall)
+    seqs = cache_tracked(
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                "ts", "event_id",
+                F.substring("event_type", 1, 1).alias("c")))),
+            lambda r: r["c"])).alias("s")))
+    pairs = cache_tracked(
+        sequence_similarity_join(seqs, "user_id", "s", max_dist=60))
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"),
+                     F.col("id_a").alias("id_b"), "dist"))
+    return (sym.groupBy(F.col("id_a").alias("user_id"))
+            .agg(F.min_by(F.col("id_b"), F.struct("dist", "id_b"))
+                 .alias("nn_user"),
+                 F.min(F.struct("dist", "id_b")).getField("dist")
+                 .alias("nn_dist")))

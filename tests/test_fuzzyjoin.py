@@ -91,3 +91,48 @@ def test_editdist_join_rejects_bad_edits(spark):
     L = spark.createDataFrame([("a",)], "s string")
     with pytest.raises(ValueError, match="max_edits"):
         editdist_join(L, L, "s", "s", max_edits=3)
+
+
+def test_sequence_similarity_matches_bruteforce(spark):
+    """Length-band blocking is complete: exact parity with a
+    brute-force cross join on random variable-length strings, for
+    the default band and a caller-narrowed one."""
+    import random
+    from cdh_integrate_carbondata2_3_spark.operators.fuzzyjoin import (
+        sequence_similarity_join)
+    rng = random.Random(5)
+    rows = [(i, "".join(rng.choice("abcd")
+                        for _ in range(rng.randrange(3, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    pdf = dict(rows)
+
+    def brute(maxd):
+        import itertools
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                             prev + (ca != cb))
+            return dp[len(b)]
+        return {(a, b, lev(pdf[a], pdf[b]))
+                for a, b in itertools.combinations(sorted(pdf), 2)
+                if lev(pdf[a], pdf[b]) <= maxd}
+
+    for maxd, band in ((6, None), (6, 2), (15, 4)):
+        got = {(r["id_a"], r["id_b"], r["dist"]) for r in
+               sequence_similarity_join(df, "id", "s", maxd,
+                                        band=band).collect()}
+        assert got == brute(maxd), (maxd, band)
+
+
+def test_sequence_similarity_plan_has_no_cartesian(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.fuzzyjoin import (
+        sequence_similarity_join)
+    df = spark.range(100).selectExpr("id", "repeat('a', cast(id % 30 as int)) as s")
+    plan = sequence_similarity_join(df, "id", "s", 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
