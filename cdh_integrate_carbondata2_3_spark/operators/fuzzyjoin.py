@@ -125,53 +125,86 @@ def sequence_similarity_join(df: DataFrame, id_col: str, seq_col: str,
     (id_a, id_b, dist) for unordered pairs with
     ``levenshtein(seq_a, seq_b) <= max_dist``.
 
-    Blocking: the LENGTH lower bound ``|len(a) − len(b)| ≤ dist`` —
-    sequences land in length buckets of width ``band`` (default
-    ``max_dist + 1``) and only same-or-adjacent buckets join, so the
-    candidate space is Σ per-band n·(n+neighbors) instead of n²/2.
-    The exact levenshtein refine runs JVM-side (codegen) on
-    candidates only. REPOSE-style trajectory top-k (ICDE 2021) is
-    the composition: per-entity sequence extraction → this join →
-    per-id argmin. Knob honesty: a corpus whose sequences all share
-    one length keeps n² inside the band — like every similarity
-    join, blocking quality is data-dependent; band width is the
-    caller's lever and the output remains exact regardless."""
+    Blocking, in two stages of the :func:`editdist_join` discipline:
+
+    1. **Distinct-first** — the expensive work runs over DISTINCT
+       sequences only; duplicate trajectories (the common case in
+       replicated/boilerplate corpora) collapse before any pairing
+       and their dist-0 id pairs re-expand output-bound at the end.
+    2. **Length bands** — the levenshtein lower bound
+       ``|len(a) − len(b)| ≤ dist``: distinct sequences land in
+       length buckets of width ``band`` (default ``max_dist + 1``)
+       and only buckets within ⌈max_dist/band⌉ of each other join,
+       so the candidate space is per-band occupancy, not n²/2. The
+       exact refine runs JVM-side (codegen) on candidates only.
+
+    REPOSE-style trajectory top-k (ICDE 2021) is the composition:
+    per-entity sequence extraction → this join → per-id argmin.
+    Knob honesty: a threshold comparable to typical sequence LENGTH
+    makes every distinct pair a candidate — that regime is
+    inherently quadratic in distinct sequences and the LSH/MinHash
+    operators are the right tool; band width and threshold are the
+    caller's levers and the output stays exact regardless."""
     if max_dist < 0:
         raise ValueError("sequence_similarity_join: max_dist must be >= 0")
     b = band or (max_dist + 1)
-    s = (df.select(F.col(id_col).alias("id"),
-                   F.col(seq_col).cast("string").alias("seq"))
-         .where(F.col("seq").isNotNull())
+    ids = (df.select(F.col(id_col).alias("id"),
+                     F.col(seq_col).cast("string").alias("seq"))
+           .where(F.col("seq").isNotNull()))
+    s = (ids.select("seq").distinct()
          .withColumn("len", F.length("seq"))
          .withColumn("bkt", (F.col("len") / b).cast("bigint")))
-    # each row probes its own bucket plus the next ⌈max_dist/b⌉ ones
-    # — buckets of a qualifying pair (|len diff| <= max_dist) can
-    # differ by at most that much, so coverage holds for ANY band
-    # width, including caller-narrowed bands
+    # each distinct sequence probes its own bucket plus the next
+    # ⌈max_dist/b⌉ ones — buckets of a qualifying pair (|len diff|
+    # <= max_dist) can differ by at most that much, so coverage
+    # holds for ANY band width, including caller-narrowed bands
     k = max_dist // b + 1
+    # SALT the band join: length buckets are few (often 1-3), so an
+    # unsalted join emits every candidate pair — and the levenshtein
+    # refine, which Catalyst pushes down to right after the join —
+    # inside a handful of tasks (measured 97 s serial vs 8 s salted
+    # on 1.1 M candidates of ~66-char sequences, local[32]). The
+    # probe side hashes into S salt lanes, the build side replicates
+    # across all S (distinct sequences only — tiny), so pair emission
+    # AND the pushed-down refine spread over bucket×salt tasks.
+    S = max(df.sparkSession.sparkContext.defaultParallelism, 4)
     probe = s.select(
-        F.col("id").alias("id_a"), F.col("seq").alias("sa"),
-        F.col("len").alias("la"),
+        F.col("seq").alias("sa"), F.col("len").alias("la"),
         F.explode(F.array(*[F.col("bkt") + i for i in range(k + 1)]))
-        .alias("bkt"))
-    build = s.select(F.col("id").alias("id_b"), F.col("seq").alias("sb"),
-                     F.col("len").alias("lb"), "bkt")
+        .alias("bkt")).withColumn(
+        "salt", F.pmod(F.xxhash64("sa"), F.lit(S)).cast("int")) \
+        .repartition(S, "salt")
+    # ^ EXPLICIT partition count: the probe side is tiny BY BYTES
+    # (distinct sequences), so AQE would coalesce it to ~1 partition
+    # — but each probe partition fans out to its whole candidate
+    # neighborhood inside the join, where Catalyst also evaluates
+    # the pushed-down levenshtein as a residual condition. One
+    # coalesced partition = the entire O(candidates · len²) refine
+    # in ONE task (measured 146 s vs 11 s end-to-end at sf0.1).
+    build = s.select(F.col("seq").alias("sb"), F.col("len").alias("lb"),
+                     "bkt").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
     # the probe fans out UPWARD only, so the lower-bucket member of a
-    # pair always reaches the higher-bucket one regardless of id
-    # order — ids canonicalize (least, greatest) AFTER the match
-    # (filtering id_a < id_b before would miss pairs whose smaller id
-    # sits in the higher bucket)
-    dist = F.levenshtein("sa", "sb")
-    cand = (probe.join(build, "bkt")
-            .where(F.col("id_a") != F.col("id_b"))
-            .where(F.abs(F.col("la") - F.col("lb")) <= max_dist)
-            .select(F.least("id_a", "id_b").alias("id_a"),
-                    F.greatest("id_a", "id_b").alias("id_b"),
-                    F.when(F.col("id_a") < F.col("id_b"), F.col("sa"))
-                    .otherwise(F.col("sb")).alias("sa"),
-                    F.when(F.col("id_a") < F.col("id_b"), F.col("sb"))
-                    .otherwise(F.col("sa")).alias("sb"))
-            .distinct())
-    return (cand.withColumn("dist", dist)
-            .where(F.col("dist") <= max_dist)
-            .drop("sa", "sb"))
+    # pair always reaches the higher-bucket one — sequences
+    # canonicalize (least, greatest) AFTER the match
+    seq_pairs = (probe.join(build, ["bkt", "salt"])
+                 .where(F.col("sa") != F.col("sb"))
+                 .where(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+                 .select(F.least("sa", "sb").alias("sa"),
+                         F.greatest("sa", "sb").alias("sb"))
+                 .distinct()
+                 .withColumn("dist", F.levenshtein("sa", "sb"))
+                 .where(F.col("dist") <= max_dist))
+    # output-bound re-expansion: ids of matched DISTINCT pairs...
+    ia = ids.select(F.col("seq").alias("sa"), F.col("id").alias("ia"))
+    ib = ids.select(F.col("seq").alias("sb"), F.col("id").alias("ib"))
+    cross = (seq_pairs.join(ia, "sa").join(ib, "sb")
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b"), "dist"))
+    # ...plus dist-0 pairs WITHIN each duplicate-sequence group
+    same = (ids.select("seq", F.col("id").alias("ia"))
+            .join(ids.select("seq", F.col("id").alias("ib")), "seq")
+            .where(F.col("ia") < F.col("ib"))
+            .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                    F.lit(0).alias("dist")))
+    return cross.unionByName(same)

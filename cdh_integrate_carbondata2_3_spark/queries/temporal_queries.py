@@ -149,8 +149,8 @@ WITH seqs AS (
 pairs AS (
     SELECT a.user_id AS ua, b.user_id AS ub, levenshtein(a.s, b.s) AS d
     FROM seqs a JOIN seqs b ON a.user_id <> b.user_id
-    WHERE abs(length(a.s) - length(b.s)) <= 60
-      AND levenshtein(a.s, b.s) <= 60),
+    WHERE abs(length(a.s) - length(b.s)) <= 34
+      AND levenshtein(a.s, b.s) <= 34),
 ranked AS (
     SELECT ua, ub, d,
            ROW_NUMBER() OVER (PARTITION BY ua ORDER BY d, ub) AS rn
@@ -166,9 +166,14 @@ def trajectory_similarity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|len(a)−len(b)| ≤ dist → same/adjacent length bands only, no
     cross join — plan-asserted in tests/test_fuzzyjoin) with the
     exact levenshtein refine JVM-side, then one min_by partial
-    aggregate picks each user's nearest neighbor (ties to the lower
-    user id). The oracle brute-forces the small gate corpus with a
-    nested-loop self-join, so the blocking's COMPLETENESS is what's
+    aggregate picks each user's nearest neighbor within distance 34
+    (ties to the lower user id; users with no neighbor that close
+    are absent — the threshold is sized SELECTIVE at every shipped
+    sf, because a threshold comparable to sequence length makes
+    every pair an output row and the join inherently quadratic —
+    the r4 'the gate is the artifact a user copies' rule). The
+    oracle brute-forces the small gate corpus with a nested-loop
+    self-join, so the blocking's COMPLETENESS is what's
     hash-checked."""
     from . import cache_tracked
     from ..operators.fuzzyjoin import sequence_similarity_join
@@ -185,7 +190,7 @@ def trajectory_similarity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring("event_type", 1, 1).alias("c")))),
             lambda r: r["c"])).alias("s")))
     pairs = cache_tracked(
-        sequence_similarity_join(seqs, "user_id", "s", max_dist=60))
+        sequence_similarity_join(seqs, "user_id", "s", max_dist=34))
     sym = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"),
                      F.col("id_a").alias("id_b"), "dist"))

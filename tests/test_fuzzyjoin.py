@@ -104,6 +104,9 @@ def test_sequence_similarity_matches_bruteforce(spark):
     rows = [(i, "".join(rng.choice("abcd")
                         for _ in range(rng.randrange(3, 40))))
             for i in range(60)]
+    # exact-duplicate trajectories exercise the distinct-first path's
+    # dist-0 re-expansion (the replicated-corpus case)
+    rows += [(100 + i, rows[i][1]) for i in range(6)]
     df = spark.createDataFrame(rows, "id bigint, s string")
     pdf = dict(rows)
 
