@@ -147,7 +147,10 @@ def sequence_similarity_join(df: DataFrame, id_col: str, seq_col: str,
     caller's levers and the output stays exact regardless."""
     if max_dist < 0:
         raise ValueError("sequence_similarity_join: max_dist must be >= 0")
-    b = band or (max_dist + 1)
+    if band is not None and band < 1:
+        raise ValueError("sequence_similarity_join: band must be >= 1 "
+                         f"(got {band})")
+    b = band if band is not None else max_dist + 1
     ids = (df.select(F.col(id_col).alias("id"),
                      F.col(seq_col).cast("string").alias("seq"))
            .where(F.col("seq").isNotNull()))
@@ -167,7 +170,10 @@ def sequence_similarity_join(df: DataFrame, id_col: str, seq_col: str,
     # probe side hashes into S salt lanes, the build side replicates
     # across all S (distinct sequences only — tiny), so pair emission
     # AND the pushed-down refine spread over bucket×salt tasks.
-    S = max(df.sparkSession.sparkContext.defaultParallelism, 4)
+    # capped: the build side replicates across every salt lane, so a
+    # cluster-width S would scale build replication with cluster size
+    # — 64 lanes bound the single-task refine without that blowup
+    S = min(max(df.sparkSession.sparkContext.defaultParallelism, 4), 64)
     probe = s.select(
         F.col("seq").alias("sa"), F.col("len").alias("la"),
         F.explode(F.array(*[F.col("bkt") + i for i in range(k + 1)]))

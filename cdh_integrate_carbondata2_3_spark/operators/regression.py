@@ -28,6 +28,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _ridge_stats_frame(df: DataFrame, cols: list[str], target_col: str,
+                       intercept: bool) -> tuple[DataFrame, int]:
+    """The ONE-pass sufficient-statistics frame ridge_fit collects —
+    factored out so tests can assert the actual plan shape (single
+    partial-aggregating exchange, no UDF, corpus never shuffles)."""
+    clean = df
+    for c in [*cols, target_col]:
+        clean = clean.where(F.col(c).isNotNull())
+    terms = [F.col(c).cast("double") for c in cols]
+    if intercept:
+        terms.append(F.lit(1.0))
+    y = F.col(target_col).cast("double")
+    d = len(terms)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"__g_{i}_{j}"))
+        aggs.append(F.sum(terms[i] * y).alias(f"__m_{i}"))
+    return clean.agg(*aggs), d
+
+
 def ridge_fit(df: DataFrame, feature_cols: Sequence[str],
               target_col: str, l2: float = 0.0,
               intercept: bool = True) -> dict:
@@ -42,20 +63,8 @@ def ridge_fit(df: DataFrame, feature_cols: Sequence[str],
     cols = list(feature_cols)
     if not cols:
         raise ValueError("ridge_fit: need at least one feature column")
-    clean = df
-    for c in [*cols, target_col]:
-        clean = clean.where(F.col(c).isNotNull())
-    terms = [F.col(c).cast("double") for c in cols]
-    if intercept:
-        terms.append(F.lit(1.0))
-    y = F.col(target_col).cast("double")
-    d = len(terms)
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for i in range(d):
-        for j in range(i, d):
-            aggs.append(F.sum(terms[i] * terms[j]).alias(f"__g_{i}_{j}"))
-        aggs.append(F.sum(terms[i] * y).alias(f"__m_{i}"))
-    row = clean.agg(*aggs).collect()[0]
+    agg_df, d = _ridge_stats_frame(df, cols, target_col, intercept)
+    row = agg_df.collect()[0]
     n = row["__n"]
     if n == 0:
         raise ValueError("ridge_fit: no complete rows to fit on")
@@ -90,21 +99,23 @@ def logit_fit(df: DataFrame, feature_cols: Sequence[str],
     exchange. Converges quadratically; ``max_iter`` bounds passes.
 
     Returns ``{"coef", "intercept", "n", "iters", "grad_norm"}`` —
-    ``grad_norm`` is the final max|Xᵀ(y−p)| (≈0 at the optimum, an
-    algorithm-independent optimality certificate; ridge shifts it by
-    the penalty term, already accounted for)."""
+    ``grad_norm`` is max|Xᵀ(y−p)| evaluated AT THE RETURNED
+    coefficients (≈0 at the optimum, an algorithm-independent
+    optimality certificate; ridge shifts the gradient by the penalty
+    term, already accounted for). When the loop exits by
+    ``max_iter`` a final gradient-only pass refreshes it so the
+    certificate always describes the returned model."""
     cols = list(feature_cols)
     if not cols:
         raise ValueError("logit_fit: need at least one feature column")
+    if max_iter < 1:
+        raise ValueError("logit_fit: max_iter must be >= 1")
     clean = df
     for c in [*cols, target_col]:
         clean = clean.where(F.col(c).isNotNull())
     d = len(cols) + 1
-    beta = np.zeros(d)
-    n = None
-    grad_norm = float("inf")
-    iters = 0
-    for iters in range(1, max_iter + 1):
+
+    def one_pass(beta: np.ndarray, want_h: bool):
         terms = [F.col(c).cast("double") for c in cols] + [F.lit(1.0)]
         y = F.col(target_col).cast("double")
         eta = F.lit(float(beta[-1]))
@@ -114,30 +125,50 @@ def logit_fit(df: DataFrame, feature_cols: Sequence[str],
         w = p * (F.lit(1.0) - p)
         aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
         for i in range(d):
-            for j in range(i, d):
-                aggs.append(F.sum(w * terms[i] * terms[j])
-                            .alias(f"__h_{i}_{j}"))
+            if want_h:
+                for j in range(i, d):
+                    aggs.append(F.sum(w * terms[i] * terms[j])
+                                .alias(f"__h_{i}_{j}"))
             aggs.append(F.sum((y - p) * terms[i]).alias(f"__g_{i}"))
         row = clean.agg(*aggs).collect()[0]
-        n = row["__n"]
-        if n == 0:
+        if row["__n"] == 0:
             raise ValueError("logit_fit: no complete rows to fit on")
         h = np.zeros((d, d))
         g = np.zeros(d)
         for i in range(d):
-            for j in range(i, d):
-                h[i, j] = h[j, i] = row[f"__h_{i}_{j}"]
+            if want_h:
+                for j in range(i, d):
+                    h[i, j] = h[j, i] = row[f"__h_{i}_{j}"]
             g[i] = row[f"__g_{i}"]
         if l2:
-            reg = np.eye(d) * float(l2)
-            reg[d - 1, d - 1] = 0.0
-            h = h + reg
             g = g - np.append(beta[:-1], 0.0) * float(l2)
-        step = np.linalg.solve(h + np.eye(d) * 1e-12, g)
-        beta = beta + step
+            if want_h:
+                reg = np.eye(d) * float(l2)
+                reg[d - 1, d - 1] = 0.0
+                h = h + reg
+        return int(row["__n"]), h, g
+
+    beta = np.zeros(d)
+    n = 0
+    grad_norm = float("inf")
+    stepped_last = False
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        n, h, g = one_pass(beta, want_h=True)
         grad_norm = float(np.abs(g).max())
+        step = np.linalg.solve(h + np.eye(d) * 1e-12, g)
         if np.abs(step).max() < tol:
+            # β is already stationary — grad_norm above was measured
+            # at exactly the β being returned
+            stepped_last = False
             break
+        beta = beta + step
+        stepped_last = True
+    if stepped_last:
+        # exited after stepping (converged on the last allowed step
+        # or hit max_iter): refresh the certificate at the FINAL β
+        n, _h, g = one_pass(beta, want_h=False)
+        grad_norm = float(np.abs(g).max())
     return {"coef": {c: float(b) for c, b in zip(cols, beta)},
             "intercept": float(beta[-1]), "n": int(n),
             "iters": iters, "grad_norm": grad_norm}

@@ -800,9 +800,10 @@ def ml_ols_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = cache_tracked(
         _docs(spark, sf_dir).select(
             "source",
-            # filter empties so an all-whitespace doc counts 0 tokens
-            # on both sides (oracle: list_filter(t -> t <> ''))
-            F.size(F.filter(F.split(F.trim(F.col("text")), " +"),
+            # split on ALL whitespace and filter empties — the exact
+            # tokenization the oracle uses (string_split_regex '\s+'
+            # + list_filter), robust to tabs/newlines in documents
+            F.size(F.filter(F.split(F.trim(F.col("text")), "\\s+"),
                             lambda t: t != "")).alias("x"),
             F.col("n_chars").alias("y")))
     model = ridge_fit(d, ["x"], "y")

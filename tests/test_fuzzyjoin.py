@@ -139,3 +139,14 @@ def test_sequence_similarity_plan_has_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sequence_similarity_rejects_bad_band(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.fuzzyjoin import (
+        sequence_similarity_join)
+    df = spark.createDataFrame([(1, "ab")], "id bigint, s string")
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="band must be >= 1"):
+            sequence_similarity_join(df, "id", "s", 3, band=bad)
+    with pytest.raises(ValueError, match="max_dist"):
+        sequence_similarity_join(df, "id", "s", -1)

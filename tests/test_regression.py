@@ -70,16 +70,18 @@ def test_score_is_codegen_expression_no_udf_no_shuffle(spark):
 
 def test_fit_plan_is_single_partial_aggregate(spark):
     """The whole fit is ONE tiny aggregation — corpus never shuffles,
-    partial aggregation runs map-side (the 100 TB property)."""
+    partial aggregation runs map-side (the 100 TB property). Asserted
+    on ridge_fit's OWN sufficient-statistics frame, so a regression
+    inside the operator (extra pass, repartition, UDF) fails here."""
+    from cdh_integrate_carbondata2_3_spark.operators.regression import (
+        _ridge_stats_frame)
     df, _X, _y = _data(spark, n=100)
-    clean = df
-    for c in ("x1", "x2", "y"):
-        clean = clean.where(F.col(c).isNotNull())
-    agg = clean.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("x1") * F.col("y")).alias("m0"))
+    agg, d = _ridge_stats_frame(df, ["x1", "x2"], "y", intercept=True)
+    assert d == 3
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan.lower(), plan
     assert plan.count("Exchange") == 1, plan      # only the final combine
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
 
 
 def test_empty_and_no_features_raise(spark):
@@ -132,3 +134,25 @@ def test_logit_ridge_shrinks_and_separable_data_is_bounded(spark):
     assert abs(m["coef"]["x"]) < 50
     m2 = logit_fit(df, ["x"], "y", l2=10.0, max_iter=50)
     assert abs(m2["coef"]["x"]) < abs(m["coef"]["x"])    # shrinkage
+
+
+def test_logit_grad_norm_describes_returned_beta_and_max_iter_guard(spark):
+    """The optimality certificate must be measured AT the returned
+    coefficients even when the loop exits by max_iter mid-descent."""
+    from cdh_integrate_carbondata2_3_spark.operators.regression import (
+        logit_fit, logit_score)
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, 800)
+    y = (rng.random(800) < 1 / (1 + np.exp(-(2.0 * x)))).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "x double, y bigint")
+    m = logit_fit(df, ["x"], "y", max_iter=2)       # deliberately early
+    # recompute the gradient at the RETURNED model independently
+    scored = logit_score(df, m)
+    g = scored.select(
+        F.sum((F.col("y") - F.col("prob")) * F.col("x")),
+        F.sum(F.col("y") - F.col("prob"))).first()
+    indep = max(abs(g[0]), abs(g[1]))
+    assert m["grad_norm"] == pytest.approx(indep, rel=1e-6, abs=1e-9)
+    with pytest.raises(ValueError, match="max_iter"):
+        logit_fit(df, ["x"], "y", max_iter=0)
