@@ -11,11 +11,17 @@ with decoders built from the standard library + numpy only:
   frombuffer; real image decode.
 - **BMP** (BITMAPINFOHEADER, uncompressed 24-bit) — struct header +
   row-padded numpy view, bottom-up row order honored.
+- **PNG** (8-bit gray/RGB/palette/gray-alpha/RGBA, non-interlaced) —
+  chunk walk with CRC verification, stdlib ``zlib`` inflate of the
+  IDAT stream, and all five scanline filters (None/Sub/Up/Average/
+  Paeth) unfiltered with numpy; a real compressed-image decode with
+  no external library.
 
-Compressed formats (JPEG/PNG/MP3/MP4...) still need the library
-seam — :func:`sniff_and_decode` raises ``NotImplementedError`` for
-unknown magic bytes so the caller can route those blobs to an
-injected decoder instead of silently mis-parsing them.
+Formats needing codecs the stdlib lacks (JPEG/MP3/MP4...) still use
+the library seam — :func:`sniff_and_decode` raises
+``NotImplementedError`` for unknown magic bytes so the caller can
+route those blobs to an injected decoder instead of silently
+mis-parsing them.
 
 Every decoder returns plain-python feature dicts shaped for
 ``extract_features(decode=...)`` Arrow batches; sums are exact ints
@@ -149,6 +155,182 @@ def decode_bmp(content: bytes) -> dict:
     }
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth_predict(a, b, c):
+    """PNG Paeth predictor, vectorized over a pixel's channels
+    (int32 numpy arrays): nearest of left/up/upper-left to a+b-c,
+    ties broken left, up, upper-left (PNG spec 9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunks(content: bytes):
+    """Walk PNG chunks, verifying each CRC; yields (type, data)."""
+    import zlib
+    pos = 8
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk "
+                             f"{ctype!r} (want {length} bytes)")
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline filters → (h, w*ch) uint8 samples.
+    Sub is a per-channel cumulative sum (vectorized); Average/Paeth
+    need the in-row left neighbor, so they walk pixels with the
+    channel math vectorized."""
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size mismatch: {h} rows × (1+{stride}) = "
+            f"{h * (stride + 1)} bytes, inflate produced {len(raw)}")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=off + 1).astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:      # Sub: recon[x] = filt[x] + recon[x-1 px]
+            cur = (np.cumsum(row.reshape(w, ch), axis=0) % 256).ravel()
+        elif ft == 2:      # Up
+            cur = (row + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-dependent, per-pixel
+            cur = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                up = prev[x * ch:(x + 1) * ch]
+                pred = ((left + up) // 2 if ft == 3
+                        else _paeth_predict(left, up, upleft))
+                left = (row[x * ch:(x + 1) * ch] + pred) % 256
+                cur[x * ch:(x + 1) * ch] = left
+                upleft = up
+        else:
+            raise ValueError(f"PNG scanline filter {ft} is invalid")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    return recon
+
+
+def decode_png(content: bytes) -> dict:
+    """Decode a PNG (8-bit, non-interlaced; color types 0/2/3/4/6) to
+    pixel statistics — stdlib ``zlib`` + numpy, no image library.
+    Gray and gray-alpha report the gray value on all three channels;
+    palette images resolve through PLTE; alpha is not premultiplied
+    (sums are over the stored samples, exactly recomputable)."""
+    import zlib
+    if content[:8] != PNG_SIG:
+        raise ValueError("not a PNG blob")
+    ihdr = plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(content):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (8 supported)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if comp or filt or ctype_n not in _PNG_CHANNELS:
+        raise ValueError(
+            f"invalid PNG header (compression={comp}, filter={filt}, "
+            f"color type={ctype_n})")
+    ch = _PNG_CHANNELS[ctype_n]
+    samples = _png_unfilter(zlib.decompress(bytes(idat)), w, h, ch)
+    px = samples.reshape(h, w, ch)
+    if ctype_n == 3:                       # palette → RGB lookup
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[px[:, :, 0]]
+    elif ctype_n in (0, 4):                # gray(+alpha)
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:                                  # RGB / RGBA
+        rgb = px[:, :, :3]
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "sum_r": int(rgb[:, :, 0].sum(dtype=np.int64)),
+        "sum_g": int(rgb[:, :, 1].sum(dtype=np.int64)),
+        "sum_b": int(rgb[:, :, 2].sum(dtype=np.int64)),
+    }
+
+
+def encode_png(px, filters=0) -> bytes:
+    """Write an (h, w, 3) uint8 RGB array as a truecolor PNG —
+    stdlib ``zlib`` deflate + CRC chunks; the test/gate-side
+    generator for :func:`decode_png`. ``filters`` picks the forward
+    scanline filter: one int for all rows or a per-row list — lets
+    tests exercise every unfilter path with round-trip exactness."""
+    import zlib
+    arr = np.ascontiguousarray(np.asarray(px, dtype=np.uint8))
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png wants an (h, w, 3) uint8 array")
+    h, w, _ = arr.shape
+    fts = ([int(filters)] * h if np.isscalar(filters) else
+           [int(f) for f in filters])
+    if len(fts) != h:
+        raise ValueError(f"need {h} per-row filters, got {len(fts)}")
+    prev = np.zeros((w, 3), dtype=np.int32)
+    lines = bytearray()
+    for y in range(h):
+        row = arr[y].astype(np.int32)
+        ft = fts[y]
+        left = np.zeros((w, 3), dtype=np.int32)
+        left[1:] = row[:-1]
+        upleft = np.zeros((w, 3), dtype=np.int32)
+        upleft[1:] = prev[:-1]
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = row - left
+        elif ft == 2:
+            out = row - prev
+        elif ft == 3:
+            out = row - (left + prev) // 2
+        elif ft == 4:
+            out = row - _paeth_predict(left, prev, upleft)
+        else:
+            raise ValueError(f"PNG filter {ft} is invalid")
+        lines += bytes([ft]) + (out % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
 def sniff_and_decode(content: bytes) -> dict:
     """Dispatch on magic bytes to a REAL decoder; unknown/compressed
     formats raise ``NotImplementedError`` so callers route them to an
@@ -159,6 +341,8 @@ def sniff_and_decode(content: bytes) -> dict:
         return decode_ppm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == PNG_SIG:
+        return decode_png(content)
     raise NotImplementedError(
         f"no built-in decoder for magic {content[:4]!r}; inject a "
         "library-backed decoder via extract_features(decode=...)")

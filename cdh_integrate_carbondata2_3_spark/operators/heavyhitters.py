@@ -10,15 +10,25 @@ shape of Metwally et al.'s Space-Saving):
    ``m`` counters per partition, O(m) memory regardless of distinct
    count, one pass, no shuffle. Runs in ``mapInPandas`` — the
    generator closure keeps the summary across batches, so state
-   never leaves the executor.
+   never leaves the executor. Each partition's summary also carries
+   ONE sentinel row (key = NULL, lb = partition row count), so the
+   global N is a sum over the tiny summary frame — the source is
+   never re-scanned just to count it.
 2. **Candidate union** — the pigeonhole guarantee: any key with
    global count > N/m must exceed N_p/m in at least one partition,
    and per-partition MG keeps every key whose local count > N_p/m.
-   So the union of survivors (≤ partitions × m keys, driver-small)
-   is a SUPERSET of every global heavy hitter.
+   So the union of survivors (≤ partitions × m keys) is a SUPERSET
+   of every global heavy hitter. The union stays DISTRIBUTED — a
+   semi-join on the cached summary frame, never a driver collect —
+   so 10⁵ partitions × m keys is an executor-side frame, not a
+   driver-memory event.
 3. **Exact refine**: one filtered aggregation counts only the
    candidate keys — the shuffle touches ≤ partitions × m keys, not
    the key space. The result is exact, not an estimate.
+
+Total passes over the source: exactly TWO (summary, refine). The
+summary frame is cached so N, the candidate count, and the semi-join
+all read the ≤ partitions×(m+1)-row cache, not the source.
 
 ``verified`` in the result certifies exactness: if the k-th
 candidate's exact count exceeds N/m, the true top-k provably lies
@@ -41,12 +51,15 @@ def _mg_partition(col: str, m: int):
     """Misra–Gries over a partition's Arrow batches: keep ≤ m
     counters; overflow decrements all (classic amortized eviction via
     offset subtraction). Yields the surviving (key, lower-bound
-    count) pairs once, after the last batch."""
+    count) pairs once after the last batch, plus one sentinel row
+    (key=NULL, lb=partition row count) so N rides the summaries."""
     import pandas as pd
 
     def run(batches):
         counts: dict = {}
+        n_p = 0
         for pdf in batches:
+            n_p += int(len(pdf))
             for key, c in pdf[col].value_counts().items():
                 counts[key] = counts.get(key, 0) + int(c)
             if len(counts) > m:
@@ -56,47 +69,56 @@ def _mg_partition(col: str, m: int):
                 # undercount ≤ N_p/(m+1)
                 s = sorted(counts.values(), reverse=True)[m]
                 counts = {k2: v - s for k2, v in counts.items() if v > s}
-        yield pd.DataFrame({"key": list(counts),
-                            "lb": list(counts.values())})
+        yield pd.DataFrame({"key": list(counts) + [None],
+                            "lb": list(counts.values()) + [n_p]})
     return run
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int,
                   m: int = 1024) -> DataFrame:
     """EXACT top-``k`` most frequent values of ``col`` with the
-    shuffle bounded by candidates, not distinct keys. Raises when the
-    exactness certificate fails (k-th count ≤ N/m → grow ``m``).
-    Returns (key, cnt) ordered by (cnt desc, key)."""
+    shuffle bounded by candidates, not distinct keys, and exactly two
+    passes over the source (MG summary, candidate refine). Raises
+    when the exactness certificate fails (k-th count ≤ N/m → grow
+    ``m``). Returns (key, cnt) ordered by (cnt desc, key)."""
     if k < 1 or m <= k:
         raise ValueError("need 1 <= k < m")
     src = (df.select(F.col(col).cast("string").alias(col))
            .filter(F.col(col).isNotNull()))
+    # Source nulls are filtered above, so key IS NULL unambiguously
+    # marks the per-partition row-count sentinel.
     summaries = src.mapInPandas(_mg_partition(col, m),
-                                "key string, lb bigint")
-    cand = [r["key"] for r in
-            summaries.select("key").distinct().collect()]
-    n_total = src.count()
-    if not cand:
-        if n_total:
-            raise ValueError(
-                "heavy_hitters: no candidates survived the summaries "
-                f"(near-uniform data); increase m from {m}")
-        return df.sparkSession.createDataFrame([], "key string, cnt bigint")
-    if len(cand) <= 5000:
-        filt = src.filter(F.col(col).isin(cand))
-    else:
-        # many partitions × m — keep the candidate set out of codegen
-        cdf = df.sparkSession.createDataFrame(
-            [(c,) for c in cand], f"{col} string")
-        filt = src.join(F.broadcast(cdf), col, "left_semi")
-    exact = (filt.groupBy(F.col(col).alias("key"))
-             .agg(F.count(F.lit(1)).alias("cnt"))
-             .orderBy(F.desc("cnt"), F.asc("key"))).cache()
+                                "key string, lb bigint").cache()
     try:
-        rows = exact.limit(k).collect()
-        cand_mass = exact.agg(F.sum("cnt")).first()[0] or 0
+        n_total = (summaries.filter(F.col("key").isNull())
+                   .agg(F.sum("lb")).first()[0] or 0)  # pass 1 runs here
+        cand_df = (summaries.filter(F.col("key").isNotNull())
+                   .select(F.col("key").alias(col)).distinct())
+        n_cand = cand_df.count()  # cached summaries — no source pass
+        if n_cand == 0:
+            if n_total:
+                raise ValueError(
+                    "heavy_hitters: no candidates survived the summaries "
+                    f"(near-uniform data); increase m from {m}")
+            return df.sparkSession.createDataFrame(
+                [], "key string, cnt bigint")
+        if n_cand <= 2_000_000:
+            filt = src.join(F.broadcast(cand_df), col, "left_semi")
+        else:
+            # candidate set past broadcast comfort (mis-sized m at
+            # extreme partition counts) — shuffled semi-join still
+            # keeps everything distributed
+            filt = src.join(cand_df, col, "left_semi")
+        exact = (filt.groupBy(F.col(col).alias("key"))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .orderBy(F.desc("cnt"), F.asc("key"))).cache()
+        try:
+            rows = exact.limit(k).collect()  # pass 2 (refine) runs here
+            cand_mass = exact.agg(F.sum("cnt")).first()[0] or 0
+        finally:
+            exact.unpersist()
     finally:
-        exact.unpersist()
+        summaries.unpersist()
     # exactness certificates:
     # - full page: the k-th exact count beats the MG threshold N/m
     #   (every non-candidate key is provably below that), so the true

@@ -184,24 +184,30 @@ def update_rows_mor(table: Table, set_exprs: dict[str, str],
     return n
 
 
-def apply_deltas(table: Table, min_fraction: float = 0.3) -> int:
-    """Targeted delta application — the policy real merge-on-read
-    systems run between horizontal and major compaction: rewrite ONLY
-    the files whose deleted-row fraction reached ``min_fraction``
-    (their anti-join work is mostly waste by then), drop their delta
-    rows, and leave lightly-deleted files alone. Bounds the read
-    path's standing delete debt at O(min_fraction) per file without
-    ever paying a full MAJOR compaction. Returns the number of files
-    rewritten.
+# past this many TOTAL sidecar rows (from manifest counts — no read
+# needed to decide) per-file dead counts come from a Spark aggregation
+# over the sidecars instead of a driver pyarrow pass: driver memory
+# stays O(touched files) (manifest-bounded) instead of O(delta rows),
+# which a corpus-wide 10⁹-row DELETE would otherwise make a
+# driver-memory event
+MAX_DRIVER_DELTA_ROWS = 10_000_000
 
-    Driver cost: one pyarrow pass over the delta sidecars for
-    per-file deleted counts (the same order as the sidecars
-    themselves); executor cost: one CoW rewrite of just the chosen
-    files through the delta-aware rescan."""
-    doc = table.manifest.load()
-    entries = doc.get("delete_deltas") or []
-    if not entries:
-        return 0
+
+def _per_file_dead(table: Table, entries: list) -> dict[str, int]:
+    """Per-file deleted-row counts across all delta sidecars. Small
+    deltas: one driver pyarrow pass (cheaper than a Spark job). Past
+    ``MAX_DRIVER_DELTA_ROWS``: a distributed groupBy whose collect is
+    one row per TOUCHED FILE, never per delta row. Both paths sum
+    duplicates identically (no distinct — matches the count()
+    invariant's over-subtraction semantics until horizontal
+    compaction dedupes)."""
+    total = sum(int(e.get("rows", 0)) for e in entries)
+    if total > MAX_DRIVER_DELTA_ROWS:
+        dd = table.spark.read.parquet(
+            *[table._abs(e["path"]) for e in entries])
+        return {r["file"]: int(r["dead"]) for r in
+                (dd.groupBy("file")
+                 .agg(F.count(F.lit(1)).alias("dead"))).collect()}
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     per_file: dict[str, int] = {}
@@ -212,6 +218,29 @@ def apply_deltas(table: Table, min_fraction: float = 0.3) -> int:
         for item in vc.to_pylist():
             per_file[item["values"]] = (per_file.get(item["values"], 0)
                                         + item["counts"])
+    return per_file
+
+
+def apply_deltas(table: Table, min_fraction: float = 0.3) -> int:
+    """Targeted delta application — the policy real merge-on-read
+    systems run between horizontal and major compaction: rewrite ONLY
+    the files whose deleted-row fraction reached ``min_fraction``
+    (their anti-join work is mostly waste by then), drop their delta
+    rows, and leave lightly-deleted files alone. Bounds the read
+    path's standing delete debt at O(min_fraction) per file without
+    ever paying a full MAJOR compaction. Returns the number of files
+    rewritten.
+
+    Attribution cost: one pass over the delta sidecars for per-file
+    deleted counts — driver pyarrow while the sidecars are small, a
+    distributed aggregation past ``MAX_DRIVER_DELTA_ROWS``; executor
+    cost: one CoW rewrite of just the chosen files through the
+    delta-aware rescan."""
+    doc = table.manifest.load()
+    entries = doc.get("delete_deltas") or []
+    if not entries:
+        return 0
+    per_file = _per_file_dead(table, entries)
     rows_of = {f.path: f.rows for s in table.manifest.queryable_segments()
                for f in s.files}
     chosen = [p for p, dead in per_file.items()

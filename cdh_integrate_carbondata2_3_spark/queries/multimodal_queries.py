@@ -207,3 +207,75 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_px"),
                  F.sum("sum_r").alias("sum_r"),
                  F.sum("sum_b").alias("sum_b")))
+
+
+@query("multimodal_png_decode", oracle="""
+WITH px AS (
+    SELECT doc_id, source, i,
+           (doc_id * 17 + i * 3) % 256 AS v
+    FROM documents,
+         unnest(generate_series(
+             0, (4 + doc_id % 6) * (3 + doc_id % 4) * 3 - 1)) AS t(i))
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_imgs,
+       CAST(COUNT(*) / 3 AS BIGINT) AS total_px,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+FROM px
+GROUP BY source
+""")
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end — no image library:
+    per doc an RGB pixel array from a deterministic formula is
+    DEFLATE-compressed into a PNG (functions/codecs.encode_png) with
+    the scanline filter CYCLING per row (None/Sub/Up/Average/Paeth —
+    every unfilter path runs in the gate), then decoded back by the
+    engine's stdlib-zlib PNG decoder through the magic-byte sniffer
+    inside the Arrow feature extractor. Per-source image counts,
+    pixel counts from the DECODED dimensions, and all three channel
+    sums hash-check against the pixel formula recomputed in SQL —
+    a green hash proves chunk walk + CRC + inflate + unfilter are
+    exact. (VERDICT r6 'Next round' item 4.)"""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import encode_png, sniff_and_decode
+    from ..functions.multimodal import extract_features
+
+    def attach(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 6, 3 + d % 4
+                flat = ((d * 17 + np.arange(w * h * 3) * 3) % 256)
+                blobs.append(encode_png(
+                    flat.astype(np.uint8).reshape(h, w, 3),
+                    filters=[(d + y) % 5 for y in range(h)]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "source": pdf["source"],
+                                "content": blobs})
+
+    base = _docs(spark, sf_dir).select("doc_id", "source")
+    media = base.mapInPandas(
+        attach, "doc_id bigint, source string, content binary")
+
+    def png_features(content: bytes) -> dict:
+        d = sniff_and_decode(content)
+        return {"w": d["width"], "h": d["height"], "sum_r": d["sum_r"],
+                "sum_g": d["sum_g"], "sum_b": d["sum_b"]}
+
+    feats = extract_features(
+        media.select("doc_id", "content"), decode=png_features,
+        schema=("doc_id bigint, w int, h int, sum_r bigint, "
+                "sum_g bigint, sum_b bigint"))
+    # join source from the raw docs frame — see multimodal_wav_decode
+    return (feats.join(base, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_imgs"),
+                 F.sum(F.col("w").cast("bigint") * F.col("h"))
+                 .alias("total_px"),
+                 F.sum("sum_r").alias("sum_r"),
+                 F.sum("sum_g").alias("sum_g"),
+                 F.sum("sum_b").alias("sum_b")))

@@ -156,3 +156,106 @@ def test_ppm_raster_size_mismatch_raises():
         decode_ppm(b"P6\n2 2\n255\n" + px[:-1])
     ok = decode_ppm(b"P6\n2 2\n255\n" + px)
     assert (ok["width"], ok["height"]) == (2, 2)
+
+
+def _rng_px(h, w, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_png_roundtrip_every_filter():
+    """encode (forward filter) → decode (unfilter) recovers exact
+    channel sums for each of the five scanline filters, and for a
+    mixed per-row assignment — the filter paths are independent code,
+    so round-trip exactness is a real check."""
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        decode_png, encode_png)
+    px = _rng_px(9, 13)
+    want = {c: int(px[:, :, i].sum(dtype=np.int64))
+            for i, c in enumerate("rgb")}
+    for ft in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4, 4, 3, 2, 1]):
+        d = decode_png(encode_png(px, filters=ft))
+        assert d["kind"] == "image"
+        assert (d["width"], d["height"]) == (13, 9)
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (
+            want["r"], want["g"], want["b"]), f"filter {ft}"
+
+
+def test_png_sniff_dispatch():
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        encode_png)
+    px = _rng_px(4, 5, seed=3)
+    d = sniff_and_decode(encode_png(px, filters=4))
+    assert d["width"] == 5 and d["height"] == 4
+    assert d["sum_g"] == int(px[:, :, 1].sum(dtype=np.int64))
+
+
+def test_png_crc_and_truncation_rejected():
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        decode_png, encode_png)
+    blob = bytearray(encode_png(_rng_px(3, 3)))
+    # flip a byte inside IHDR data → CRC mismatch
+    bad = bytearray(blob)
+    bad[16] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # chop the stream before IEND → truncation, not a silent partial
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob[:-10]))
+
+
+def test_png_gray_and_palette():
+    """Hand-built gray (color type 0) and palette (type 3) PNGs
+    decode with gray replicated across channels / PLTE resolved."""
+    import zlib
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        PNG_SIG, decode_png)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # 2x2 gray: values 10 20 / 30 40, filter 0 rows
+    raw = bytes([0, 10, 20, 0, 30, 40])
+    g = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    d = decode_png(g)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (100, 100, 100)
+    # 2x1 palette: indices 0,1 → PLTE [(1,2,3), (200,100,50)]
+    raw = bytes([0, 0, 1])
+    plte = bytes([1, 2, 3, 200, 100, 50])
+    p = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+         + chunk(b"PLTE", plte)
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    d = decode_png(p)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (201, 102, 53)
+    # out-of-range palette index rejected
+    raw_bad = bytes([0, 0, 2])
+    pb = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+          + chunk(b"PLTE", plte)
+          + chunk(b"IDAT", zlib.compress(raw_bad)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(pb)
+
+
+def test_png_rgba_and_interlace_gate():
+    """RGBA sums ignore alpha; Adam7 raises NotImplementedError
+    (routes to the injection seam, never mis-parses)."""
+    import zlib
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        PNG_SIG, decode_png)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # 1x2 RGBA rows: (1,2,3,255), (4,5,6,0)
+    raw = bytes([0, 1, 2, 3, 255, 4, 5, 6, 0])
+    b = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    d = decode_png(b)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (5, 7, 9)
+    i = (PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 1))
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="interlace|Adam7"):
+        decode_png(i)
