@@ -62,39 +62,105 @@ def word_counts(df: DataFrame, text_col: str,
 
 def train_bpe(df: DataFrame, text_col: str, num_merges: int,
               lowercase: bool = True,
-              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+              checkpoint_every: int = 8,
+              batch: int = 1) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from ``df[text_col]``.
-    Returns the ranked merge list [(left, right), ...]."""
+    Returns the ranked merge list [(left, right), ...].
+
+    ``batch`` > 1 accepts up to that many pairs per counting round
+    and is PROVABLY EXACT — any budget's merge list is identical to
+    classic one-at-a-time training. Per round, candidates walk in
+    (count desc, a, b) order (= sequential's exact pick order,
+    tie-break included) and a pair joins the tentative set iff its
+    {left, right, left+right} tokens are disjoint from every
+    higher-ranked candidate's. The round then keeps only the prefix
+    whose counts STRICTLY exceed ``bound`` = max(every non-accepted
+    page count, the page floor if the page was full), falling back
+    to the top-1 (= classic argmax, always exact) when the prefix is
+    empty. Why this is exact:
+
+    - Disjoint merges commute and leave each other's counts intact
+      (destroying an occurrence needs a shared input symbol,
+      creating one needs one's output as the other's input — both
+      excluded), so each accepted count is the count sequential
+      would see at its turn.
+    - Any pair a batch merge CREATES, (x, left+right) or
+      (left+right, y), has count ≤ the current count of the
+      overlapping pair (x, left) / (right, y) — which shares a token
+      with the accepted pair, hence was rejected in the walk (or
+      lies under the page floor) and is therefore ≤ bound.
+    - Any pair a batch merge CHANGES only loses count, and its
+      pre-count was ≤ bound for the same reason.
+    - So every accepted pair, strictly above bound, beats every
+      created/changed/unaccepted pair at its sequential turn, with
+      no tie to re-break.
+
+    Chained merges (the Sennrich worked example) make bound equal
+    the head count, so the batch falls back to top-1 — automatically
+    sequential. On realistic zipf vocabularies the head counts
+    separate and the rounds×latency axis drops toward B×.
+    ``batch=1`` skips the machinery and is classic sequential BPE."""
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     vocab = word_counts(df, text_col, lowercase).select(
         F.concat(F.split(F.col("word"), ""),
                  F.array(F.lit(EOW))).alias("syms"),
         "n").localCheckpoint()
     merges: list[tuple[str, str]] = []
+    last_cp = 0
     pair_expr = ("zip_with(slice(syms, 1, size(syms) - 1), "
                  "slice(syms, 2, size(syms) - 1), "
                  "(x, y) -> struct(x AS a, y AS b))")
-    for r in range(num_merges):
+    while len(merges) < num_merges:
         pairs = (vocab
                  .select(F.explode(F.expr(pair_expr)).alias("p"), "n")
                  .select("p.a", "p.b", "n")
                  .groupBy("a", "b").agg(F.sum("n").alias("cnt"))
                  # the sentinel may END a pair but never start one
                  .filter(F.col("a") != EOW))
-        top = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect())
-        if not top or top[0]["cnt"] < 2:
+        k = min(batch, num_merges - len(merges))
+        # over-fetch: overlap rejections thin the page (driver sees
+        # a few tiny rows per round, never the pair space)
+        page_limit = max(4 * k, k + 4)
+        top = (pairs.orderBy(F.desc("cnt"), "a", "b")
+               .limit(page_limit).collect())
+        tentative: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        ceiling = 0  # max count among walked-but-rejected candidates
+        for row in top:
+            if row["cnt"] < 2:
+                break   # below BPE's support floor (and sorted desc)
+            a, b = row["a"], row["b"]
+            toks = {a, b, a + b}
+            if toks & used:
+                ceiling = max(ceiling, int(row["cnt"]))
+            else:
+                tentative.append((a, b, int(row["cnt"])))
+            used |= toks
+        if not tentative:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        has = (f"exists(zip_with(slice(syms, 1, size(syms) - 1), "
-               f"slice(syms, 2, size(syms) - 1), (x, y) -> "
-               f"x = '{a.replace(chr(39), chr(39)*2)}' AND "
-               f"y = '{b.replace(chr(39), chr(39)*2)}'), z -> z)")
-        vocab = vocab.withColumn(
-            "syms", F.when(F.expr(has),
-                           F.expr(_merge_fold_sql("syms", a, b)))
-            .otherwise(F.col("syms")))
-        if (r + 1) % checkpoint_every == 0:
+        # pairs outside a FULL page are bounded by its last count
+        page_floor = int(top[-1]["cnt"]) if len(top) == page_limit else 0
+        bound = max(ceiling, page_floor)
+        accepted = [(a, b) for i, (a, b, c) in enumerate(tentative)
+                    if i < k and c > bound]
+        if not accepted:
+            # top-1 is the global argmax with sequential's tie-break —
+            # always exact
+            accepted = [tentative[0][:2]]
+        for a, b in accepted:
+            merges.append((a, b))
+            has = (f"exists(zip_with(slice(syms, 1, size(syms) - 1), "
+                   f"slice(syms, 2, size(syms) - 1), (x, y) -> "
+                   f"x = '{a.replace(chr(39), chr(39)*2)}' AND "
+                   f"y = '{b.replace(chr(39), chr(39)*2)}'), z -> z)")
+            vocab = vocab.withColumn(
+                "syms", F.when(F.expr(has),
+                               F.expr(_merge_fold_sql("syms", a, b)))
+                .otherwise(F.col("syms")))
+        if len(merges) - last_cp >= checkpoint_every:
             vocab = vocab.localCheckpoint()
+            last_cp = len(merges)
     return merges
 
 

@@ -746,14 +746,18 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     et al. 2016): the corpus collapses to a word-count table in ONE
     pass, then each of the 24 merge rounds runs entirely JVM-side
     over that vocabulary state (pair explode → weighted count →
-    argmax; greedy fold rewrite). Deterministic — ties break
+    argmax; greedy fold rewrite). Runs in batched mode (batch=8):
+    rounds accept every head pair strictly above the round's safety
+    bound — provably the same list as one-at-a-time training (see
+    train_bpe's proof), so the output is unchanged while the
+    rounds×latency axis shrinks. Deterministic — ties break
     lexicographically — so the returned ranked merge table is stable
     across runs and machines; exactness is pinned against the
     canonical worked example in tests/test_bpe.py (no SQL oracle: the
     training loop is inherently iterative)."""
     from ..operators.bpe import train_bpe
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % _BPE_MOD == 0)
-    merges = train_bpe(d, "text", _BPE_MERGES)
+    merges = train_bpe(d, "text", _BPE_MERGES, batch=8)
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string").orderBy("rank")

@@ -69,3 +69,59 @@ def test_stops_when_no_pair_repeats(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")
     m = train_bpe(df, "text", 50)
     assert len(m) < 50                   # converged, didn't loop 50×
+
+
+def test_batched_training_collapses_on_chained_merges(spark):
+    """The Sennrich example is maximal chaining (each merge's count
+    ties the rejected overlapping pairs), so the safety bound forces
+    top-1 fallback every round — batch>1 reproduces the EXACT
+    sequential merge list."""
+    df = _corpus(spark)
+    assert train_bpe(df, "text", 6, batch=8) == train_bpe(df, "text", 6)
+
+
+def test_batched_training_exact_on_tied_word_final_pairs(spark):
+    """Every word-final pair ties its (last, </w>) companion, so the
+    bound rejects multi-accept rounds here too — batch must still be
+    EXACTLY the sequential list, and encodes identically."""
+    rows = [("xy " * 10 + "qr " * 9,), ("mn " * 8 + "st " * 7,)]
+    df = spark.createDataFrame(rows, "text string")
+    seq = train_bpe(df, "text", 8, batch=1)
+    bat = train_bpe(df, "text", 8, batch=4)
+    assert seq == bat
+    probe = spark.createDataFrame([("xy qr mn st xyqr",)], "text string")
+    enc_seq = bpe_encode(probe, "text", seq).select("bpe_tokens").first()[0]
+    enc_bat = bpe_encode(probe, "text", bat).select("bpe_tokens").first()[0]
+    assert enc_seq == enc_bat
+
+
+def test_batched_training_fewer_rounds_when_heads_separate(spark,
+                                                          monkeypatch):
+    """Separated head counts ((a,b):8 strictly above every
+    overlapping/rejected pair at 4, (q,r):6 likewise) let one round
+    accept both — same exact merge list as sequential, observably
+    fewer counting rounds (one driver collect per round)."""
+    rows = [("xaby " * 4 + "zabw " * 4 + "mqrn " * 3 + "pqrs " * 3,)]
+    df = spark.createDataFrame(rows, "text string")
+    from pyspark.sql.classic.dataframe import DataFrame as DF
+    calls = {"n": 0}
+    orig = DF.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DF, "collect", counting)
+    seq = train_bpe(df, "text", 2, batch=1)
+    n_seq, calls["n"] = calls["n"], 0
+    bat = train_bpe(df, "text", 2, batch=4)
+    n_bat = calls["n"]
+    assert bat == seq == [("a", "b"), ("q", "r")]
+    assert n_bat < n_seq
+
+
+def test_batched_training_respects_budget(spark):
+    rows = [("xy " * 10 + "qr " * 9 + "mn " * 8,)]
+    df = spark.createDataFrame(rows, "text string")
+    m = train_bpe(df, "text", 3, batch=16)
+    assert len(m) == 3                    # batch never overshoots
