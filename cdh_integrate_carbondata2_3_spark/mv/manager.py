@@ -93,6 +93,14 @@ class MVMeta:
     # changes the fingerprint and marks the MV stale; incremental
     # fact-side refresh is only sound while dims are unchanged
     dim_state: dict | None = None
+    # dim table_dirs certified FK-LIKE at the last refresh (dim key
+    # unique + join tree preserves the fact row count ⇒ every fact
+    # row matched exactly one row of EVERY dim): a query joining only
+    # a SUBSET of the MV's dims may then be answered from the MV
+    # (reference MVMatcher join-arity subsumption). Currency is free:
+    # dims changed since refresh ⇒ dim_state mismatch ⇒ MV stale ⇒
+    # never consulted.
+    fk_dims: list | None = None
 
     def to_json(self) -> dict:
         return {"name": self.name, "group_cols": self.group_cols,
@@ -100,7 +108,7 @@ class MVMeta:
                 "filter": self.filter, "timeseries": self.timeseries,
                 "watermark": self.watermark, "deferred": self.deferred,
                 "deltas": self.deltas, "joins": self.joins,
-                "dim_state": self.dim_state}
+                "dim_state": self.dim_state, "fk_dims": self.fk_dims}
 
     @staticmethod
     def from_json(d: dict) -> "MVMeta":
@@ -108,11 +116,20 @@ class MVMeta:
                       [AggSpec(f, c) for f, c in d["aggs"]],
                       d["filter"], d.get("timeseries"), d["watermark"],
                       d.get("deferred", False), d.get("deltas"),
-                      d.get("joins"), d.get("dim_state"))
+                      d.get("joins"), d.get("dim_state"),
+                      d.get("fk_dims"))
 
 
 def _canon_filter(f: str | None) -> str | None:
     return " ".join(f.lower().split()) if f else None
+
+
+# fingerprint memo keyed by the manifest file's (mtime_ns, size):
+# once a table has a join MV, every SPJG query re-fingerprints the
+# joined dims on answer() — with the memo an unchanged dim costs one
+# stat() instead of a manifest JSON load + sort. The manifest swap is
+# an atomic rename, so any visible-state change moves mtime_ns.
+_FP_CACHE: dict[str, tuple[tuple[int, int], str]] = {}
 
 
 def _table_fingerprint(t: Table) -> str:
@@ -120,13 +137,26 @@ def _table_fingerprint(t: Table) -> str:
     ids + file paths + merge-on-read delete-delta paths. Any load,
     IUD, restore, or compaction that changes what a scan returns
     changes the fingerprint (a pure metadata no-op like SHOW does
-    not)."""
+    not). Memoized on the manifest file's stat signature."""
     import hashlib
+    sp = t.manifest.status_path
+    try:
+        st = os.stat(sp)
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        sig = None
+    if sig is not None:
+        hit = _FP_CACHE.get(sp)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
     doc = t.manifest.load()
     segs = sorted((s.id, tuple(sorted(f.path for f in s.files)))
                   for s in t.manifest.queryable_segments())
     deltas = sorted(d["path"] for d in doc.get("delete_deltas", []))
-    return hashlib.md5(repr((segs, deltas)).encode()).hexdigest()
+    fp = hashlib.md5(repr((segs, deltas)).encode()).hexdigest()
+    if sig is not None:
+        _FP_CACHE[sp] = (sig, fp)
+    return fp
 
 
 def _canon_joins(joins) -> list[list[str]]:
@@ -392,7 +422,48 @@ class MVManager:
         meta.watermark = src_wm
         meta.deltas = sorted(cur_deltas)
         meta.dim_state = dim_state_now or None
+        meta.fk_dims = self._verify_fk_dims(meta, mv_dir)
         self._save(meta)
+
+    def _verify_fk_dims(self, meta: MVMeta, mv_dir: str) -> list | None:
+        """FK-likeness certificate enabling join subsumption
+        (_matches): certify the star's dims iff (a) every dim key is
+        UNIQUE — so a fact row can match at most one row per dim, no
+        duplication possible — and (b) the unfiltered join tree
+        preserves the fact row count — with (a), total preservation
+        means no fact row dropped either, so every fact row matched
+        EXACTLY one row of every dim. Returns all dim dirs or None
+        (all-or-nothing: with a non-unique dim in the tree, the count
+        invariant can no longer isolate the other dims).
+
+        Cost at refresh: one tiny aggregation per dim (dims are
+        broadcast-scale by definition) + for (b) either a sum of the
+        MV's stored count(*) partials (unfiltered MVs — the stored
+        count invariant, no join re-run) or one joined count job
+        (filtered MVs). The fact row count is metadata-only."""
+        if not meta.joins:
+            return None
+        try:
+            joins = self._join_tables(meta)
+            for d, _fk, dk in joins:
+                dup = (d.read().groupBy(dk)
+                       .agg(F.count(F.lit(1)).alias("c"))
+                       .filter("c > 1").limit(1).count())
+                if dup:
+                    return None
+            n_fact = self.source.count()
+            if meta.filter is None:
+                mv_t = Table.open(self.source.spark, mv_dir)
+                n_join = (mv_t.read()
+                          .agg(F.sum(AggSpec("count", "*").key()))
+                          .first()[0] or 0)
+            else:
+                n_join = _apply_joins(self.source.read(), joins).count()
+            if int(n_join) != int(n_fact):
+                return None
+            return [os.path.normpath(d.table_dir) for d, _fk, _dk in joins]
+        except Exception:
+            return None    # uncertifiable ⇒ subsumption just refuses
 
     def _aggregate_deleted(self, meta: MVMeta,
                            entries: list[dict]) -> DataFrame | None:
@@ -506,10 +577,17 @@ class MVManager:
         return self._direct(q), None
 
     def _matches(self, meta: MVMeta, q: QuerySpec) -> bool:
-        # join trees must match exactly — same dims, same keys
-        # (inner equi-joins commute, so order-insensitive)
-        if _canon_joins(q.joins) != (meta.joins or []):
-            return False
+        # join trees match exactly (inner equi-joins commute, so
+        # order-insensitive) — or the query joins a certified SUBSET
+        # of the MV's dims (reference MVMatcher join-arity
+        # subsumption): an unused dim is safe to ignore iff it was
+        # FK-verified at refresh (every fact row matched exactly one
+        # dim row), because then joining it neither dropped nor
+        # duplicated any aggregated row
+        qj, mj = _canon_joins(q.joins), (meta.joins or [])
+        if qj != mj:
+            if not self._subsumes(meta, qj, mj):
+                return False
         if set(q.group_cols) - set(meta.group_cols):
             return False
         if _canon_filter(q.filter) != meta.filter:
@@ -544,6 +622,34 @@ class MVManager:
             elif (a.fn, a.col) not in stored:
                 return False
         return True
+
+    def _subsumes(self, meta: MVMeta, qj: list, mj: list) -> bool:
+        """True iff the query's join set is a strict subset of the
+        MV's and every DROPPED dim is safe to ignore: FK-certified at
+        the last refresh (see _verify_fk_dims; currency is implied —
+        a changed dim stales the MV before answer() consults it),
+        and no retained join or query column depends on a dropped
+        dim (a retained fact_key supplied by a dropped dim's schema
+        would change the join tree's shape)."""
+        qset = {tuple(j) for j in qj}
+        mset = {tuple(j) for j in mj}
+        if not mj or not qset <= mset:
+            return False
+        dropped = [j for j in mj if tuple(j) not in qset]
+        certified = set(meta.fk_dims or [])
+        if any(os.path.normpath(d_dir) not in certified
+               for d_dir, _fk, _dk in dropped):
+            return False
+        dropped_cols: set[str] = set()
+        for d_dir, _fk, _dk in dropped:
+            try:
+                t = Table.open(self.source.spark, d_dir)
+                dropped_cols |= {f.name for f in t._schema_struct().fields}
+            except Exception:
+                return False
+        # conservative: any name collision between a retained join's
+        # fact_key and a dropped dim's columns refuses the rewrite
+        return not any(fk in dropped_cols for _d, fk, _dk in qj)
 
     @staticmethod
     def _filter_identifiers(f: str) -> list[str]:

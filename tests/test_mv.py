@@ -216,16 +216,111 @@ def test_join_mv_mismatched_join_not_rewritten(spark, star):
     mgr = MVManager(fact)
     mgr.create("jmv2", ["region"], [AggSpec("sum", "qty")],
                joins=[(dim, "store_id", "s_id")])
-    # same agg shape but NO join → must not be answered from the join MV
+    # NO-join query: the dim is FK-certified at refresh (unique key,
+    # count-preserving join), so join-arity SUBSUMPTION answers it
+    # from the MV — and the answer must equal the fact-only direct
     q = QuerySpec(group_cols=[], aggs={"total": AggSpec("sum", "qty")})
-    _df, used = mgr.answer(q)
-    assert used is None
-    # different join key → no match either
+    df, used = mgr.answer(q)
+    assert used == "jmv2"
+    assert _rows(df, "total") == _rows(mgr._direct(q), "total")
+    # different join key → not a subset of the MV's join set → no match
     q2 = QuerySpec(group_cols=["region"],
                    aggs={"total": AggSpec("sum", "qty")},
                    joins=[(dim, "id", "s_id")])
     _df2, used2 = mgr.answer(q2)
     assert used2 is None
+
+
+def test_join_mv_subsumption_two_dim_star(spark, tmp_path):
+    """A fact+2-dim MV answers a fact+1-dim query (reference
+    MVMatcher join-arity subsumption): the dropped dim was
+    FK-certified at refresh, so ignoring it is exact — values must
+    equal the 1-dim direct aggregate."""
+    fact = Table.create(spark, str(tmp_path / "fact"),
+                        "id bigint, store_id bigint, item_id bigint, "
+                        "qty double")
+    fact.insert(spark.range(0, 900).select(
+        "id", (F.col("id") % 10).alias("store_id"),
+        (F.col("id") % 7).alias("item_id"),
+        (F.col("id") % 5).cast("double").alias("qty")))
+    dim_s = Table.create(spark, str(tmp_path / "dim_s"),
+                         "s_id bigint, region string")
+    dim_s.insert(spark.range(0, 10).select(
+        F.col("id").alias("s_id"),
+        F.when(F.col("id") < 5, "east").otherwise("west").alias("region")))
+    dim_i = Table.create(spark, str(tmp_path / "dim_i"),
+                         "i_id bigint, brand string")
+    dim_i.insert(spark.range(0, 7).select(
+        F.col("id").alias("i_id"),
+        F.concat(F.lit("b"), (F.col("id") % 3)).alias("brand")))
+    mgr = MVManager(fact)
+    mgr.create("star2", ["region", "brand"],
+               [AggSpec("sum", "qty"), AggSpec("count", "*")],
+               joins=[(dim_s, "store_id", "s_id"),
+                      (dim_i, "item_id", "i_id")])
+    meta = mgr._load("star2")
+    assert meta.fk_dims and len(meta.fk_dims) == 2
+    q = QuerySpec(group_cols=["region"],
+                  aggs={"total": AggSpec("sum", "qty"),
+                        "n": AggSpec("count", "*")},
+                  joins=[(dim_s, "store_id", "s_id")])
+    df, used = mgr.answer(q)
+    assert used == "star2"
+    assert _rows(df, "region", "total", "n") == \
+        _rows(mgr._direct(q), "region", "total", "n")
+
+
+def test_join_mv_subsumption_refused_without_fk_certificate(spark,
+                                                            tmp_path):
+    """Fact rows with NO dim match (orphan keys) break the count
+    invariant → fk_dims is None → a subset-join query is NOT
+    answered from the MV (the inner join dropped rows, so ignoring
+    it would be wrong), while the exact-join query still matches."""
+    fact = Table.create(spark, str(tmp_path / "fact"),
+                        "id bigint, store_id bigint, qty double")
+    fact.insert(spark.range(0, 100).select(
+        "id", (F.col("id") % 12).alias("store_id"),   # 10,11 orphaned
+        F.lit(1.0).alias("qty")))
+    dim = Table.create(spark, str(tmp_path / "dim"),
+                       "s_id bigint, region string")
+    dim.insert(spark.range(0, 10).select(
+        F.col("id").alias("s_id"), F.lit("r").alias("region")))
+    mgr = MVManager(fact)
+    mgr.create("jfk", ["region"], [AggSpec("sum", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    assert mgr._load("jfk").fk_dims is None
+    q = QuerySpec(group_cols=[], aggs={"total": AggSpec("sum", "qty")})
+    _df, used = mgr.answer(q)
+    assert used is None
+    qx = QuerySpec(group_cols=["region"],
+                   aggs={"total": AggSpec("sum", "qty")},
+                   joins=[(dim, "store_id", "s_id")])
+    _dfx, usedx = mgr.answer(qx)
+    assert usedx == "jfk"
+
+
+def test_join_mv_subsumption_refused_on_duplicate_dim_key(spark,
+                                                          tmp_path):
+    """A dim with a DUPLICATED key fans fact rows out — even if some
+    other invariant held, fk certification must refuse so the MV is
+    never used for a query that skips that dim."""
+    fact = Table.create(spark, str(tmp_path / "fact"),
+                        "id bigint, store_id bigint, qty double")
+    fact.insert(spark.range(0, 50).select(
+        "id", (F.col("id") % 5).alias("store_id"),
+        F.lit(1.0).alias("qty")))
+    dim = Table.create(spark, str(tmp_path / "dim"),
+                       "s_id bigint, region string")
+    dim.insert(spark.createDataFrame(
+        [(i, "r") for i in range(5)] + [(0, "dup")],
+        "s_id bigint, region string"))
+    mgr = MVManager(fact)
+    mgr.create("jdup", ["region"], [AggSpec("sum", "qty")],
+               joins=[(dim, "store_id", "s_id")])
+    assert mgr._load("jdup").fk_dims is None
+    q = QuerySpec(group_cols=[], aggs={"total": AggSpec("sum", "qty")})
+    _df, used = mgr.answer(q)
+    assert used is None
 
 
 def test_join_mv_incremental_fact_load(spark, star):
