@@ -86,6 +86,11 @@ def ridge_fit(df: DataFrame, feature_cols: Sequence[str],
             "n": int(n)}
 
 
+# per-iteration cap on the largest Newton step component (logit
+# units) — see the damping comment in logit_fit
+_MAX_STEP = 8.0
+
+
 def logit_fit(df: DataFrame, feature_cols: Sequence[str],
               target_col: str, l2: float = 0.0,
               max_iter: int = 25, tol: float = 1e-8) -> dict:
@@ -157,6 +162,21 @@ def logit_fit(df: DataFrame, feature_cols: Sequence[str],
         n, h, g = one_pass(beta, want_h=True)
         grad_norm = float(np.abs(g).max())
         step = np.linalg.solve(h + np.eye(d) * 1e-12, g)
+        if not np.all(np.isfinite(step)):
+            raise ValueError(
+                "logit_fit: Newton step is non-finite (singular Hessian "
+                "— data may be linearly separable; add l2 regularization)")
+        # Damping: on (quasi-)separable data w = p(1−p) → 0 makes H
+        # near-singular and the raw Newton step explodes toward the
+        # divergent MLE, overflowing σ and returning nan with only
+        # grad_norm as the tell. Halve the step until its largest
+        # component is ≤ _MAX_STEP (a logit shift of 8 per iteration
+        # already saturates σ) — near the optimum steps are small, so
+        # quadratic convergence is untouched; on separable data the
+        # iterates stay finite and the honest grad_norm certificate
+        # reports the non-convergence.
+        while np.abs(step).max() > _MAX_STEP:
+            step *= 0.5
         if np.abs(step).max() < tol:
             # β is already stationary — grad_norm above was measured
             # at exactly the β being returned
@@ -169,6 +189,10 @@ def logit_fit(df: DataFrame, feature_cols: Sequence[str],
         # or hit max_iter): refresh the certificate at the FINAL β
         n, _h, g = one_pass(beta, want_h=False)
         grad_norm = float(np.abs(g).max())
+    if not np.all(np.isfinite(beta)) or not np.isfinite(grad_norm):
+        raise ValueError(
+            "logit_fit: non-finite coefficients — the likelihood has no "
+            "finite maximum (separable data); add l2 regularization")
     return {"coef": {c: float(b) for c, b in zip(cols, beta)},
             "intercept": float(beta[-1]), "n": int(n),
             "iters": iters, "grad_norm": grad_norm}

@@ -818,3 +818,65 @@ def ml_ols_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("slope"),
                  F.round(F.sum("pred"), 3).cast("double")
                  .alias("sum_pred")))
+
+
+@query("ml_logit_fit_calibrate", oracle=r"""
+WITH f AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'),
+                           t -> t <> '')) AS x,
+           CASE WHEN n_chars + 23 * (doc_id % 13) > 450
+                THEN 1 ELSE 0 END AS y
+    FROM documents WHERE doc_id % 4 = 0),
+b AS (
+    SELECT y, NTILE(5) OVER (ORDER BY x, doc_id) AS bucket FROM f)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(ROUND(AVG(CAST(y AS DOUBLE)), 4) AS DOUBLE) AS mean_label
+FROM b GROUP BY bucket
+""")
+def ml_logit_fit_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IRLS logistic regression end-to-end
+    (operators/regression.logit_fit — one weighted-Gram pass per
+    Newton step, driver solve, codegen σ scoring): a length-based
+    label with doc_id-noise overlap (non-separable by construction)
+    is fit on the TRAIN split (doc_id % 4 != 0), then the HOLDOUT is
+    scored through logit_score. In-gate asserts pin the optimality
+    certificate (grad_norm ≈ 0 at the returned β — the score
+    equations, so train Σp = Σy exactly) and per-bucket calibration
+    on the holdout (|mean prob − mean label| bounded). The returned
+    frame — holdout feature-quintile, doc count, mean label — is
+    recomputed by DuckDB over the same deterministic NTILE order, so
+    a green hash proves the splits/buckets/labels align exactly;
+    the probabilities themselves are certified in-gate because no
+    SQL oracle can re-derive the iteratively-fitted β.
+    (VERDICT r6 'Next round' item 7.)"""
+    from ..operators.regression import logit_fit, logit_score
+    feats = cache_tracked(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(F.filter(F.split(F.trim(F.col("text")), "\\s+"),
+                            lambda t: t != "")).alias("x"),
+            F.when(F.col("n_chars") + 23 * (F.col("doc_id") % 13) > 450,
+                   1.0).otherwise(0.0).alias("y")))
+    train = feats.filter("doc_id % 4 != 0")
+    hold = feats.filter("doc_id % 4 = 0")
+    model = logit_fit(train, ["x"], "y")
+    assert model["grad_norm"] < 1e-6, \
+        f"IRLS certificate failed: grad_norm={model['grad_norm']}"
+    # score equation with intercept ⇒ Σ(y − p) = 0 on train
+    tr = (logit_score(train, model, out="p")
+          .agg(F.sum("p").alias("sp"), F.sum("y").alias("sy")).first())
+    assert abs(tr["sp"] - tr["sy"]) < 1e-4, "train calibration broken"
+    from pyspark.sql import Window
+    w = Window.orderBy("x", "doc_id")
+    scored = (logit_score(hold, model, out="p")
+              .withColumn("bucket", F.ntile(5).over(w)))
+    out = (scored.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("y"), 4).cast("double").alias("mean_label"),
+                F.avg("p").alias("__mean_p")))
+    for r in out.collect():
+        assert abs(r["__mean_p"] - r["mean_label"]) < 0.2, \
+            f"holdout bucket {r['bucket']} miscalibrated: " \
+            f"p̄={r['__mean_p']:.3f} ȳ={r['mean_label']:.3f}"
+    return out.drop("__mean_p")

@@ -156,3 +156,39 @@ def test_logit_grad_norm_describes_returned_beta_and_max_iter_guard(spark):
     assert m["grad_norm"] == pytest.approx(indep, rel=1e-6, abs=1e-9)
     with pytest.raises(ValueError, match="max_iter"):
         logit_fit(df, ["x"], "y", max_iter=0)
+
+
+def test_logit_unpenalized_separable_stays_finite(spark):
+    """ADVICE r6: with l2=0 on perfectly separable data the MLE
+    diverges and undamped Newton used to overflow into nan
+    coefficients with only grad_norm as the tell. With step damping
+    the iterates stay FINITE (they march toward saturation at
+    ≤ _MAX_STEP per round), the returned model still separates the
+    classes, and nothing non-finite is ever returned silently."""
+    from cdh_integrate_carbondata2_3_spark.operators.regression import (
+        logit_fit, logit_score)
+    rows = [(float(i), 1 if i > 0 else 0)
+            for i in range(-40, 41) if i != 0]
+    df = spark.createDataFrame(rows, "x double, y bigint")
+    m = logit_fit(df, ["x"], "y", l2=0.0, max_iter=30)
+    assert np.isfinite(m["coef"]["x"]) and np.isfinite(m["intercept"])
+    assert np.isfinite(m["grad_norm"])
+    assert m["coef"]["x"] > 0
+    probs = {r["x"]: r["prob"] for r in logit_score(df, m).collect()}
+    assert probs[40.0] > 0.99 and probs[-40.0] < 0.01
+
+
+def test_logit_quadratic_convergence_untouched_by_damping(spark):
+    """Damping must not slow well-posed fits: a clean overlapping
+    dataset still converges to a ~0 gradient certificate in few
+    iterations."""
+    from cdh_integrate_carbondata2_3_spark.operators.regression import (
+        logit_fit)
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, 1500)
+    y = (rng.random(1500) < 1 / (1 + np.exp(-(1.5 * x - 0.3)))).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "x double, y bigint")
+    m = logit_fit(df, ["x"], "y")
+    assert m["grad_norm"] < 1e-6 and m["iters"] <= 10
+    assert m["coef"]["x"] == pytest.approx(1.5, abs=0.35)
