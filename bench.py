@@ -46,6 +46,12 @@ HEADLINE = (
     # fix), REAL WAV decode through the Arrow extractor
     "table_mv_join_rewrite", "select_pareto_multid",
     "multimodal_wav_decode",
+    # round 7 additions: real PNG decode (stdlib zlib inflate +
+    # unfilter through the Arrow extractor), MV join-arity
+    # subsumption (2-dim MV answering a 1-dim rollup), IRLS logistic
+    # fit + calibrated holdout scoring
+    "multimodal_png_decode", "table_mv_subsumed_rollup",
+    "ml_logit_fit_calibrate",
 )
 
 

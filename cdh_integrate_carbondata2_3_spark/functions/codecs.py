@@ -343,6 +343,9 @@ def sniff_and_decode(content: bytes) -> dict:
         return decode_bmp(content)
     if content[:8] == PNG_SIG:
         return decode_png(content)
+    if content[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(content)
     raise NotImplementedError(
         f"no built-in decoder for magic {content[:4]!r}; inject a "
         "library-backed decoder via extract_features(decode=...)")

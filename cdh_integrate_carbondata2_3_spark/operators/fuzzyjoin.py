@@ -201,10 +201,16 @@ def sequence_similarity_join(df: DataFrame, id_col: str, seq_col: str,
                  .distinct()
                  .withColumn("dist", F.levenshtein("sa", "sb"))
                  .where(F.col("dist") <= max_dist))
-    # output-bound re-expansion: ids of matched DISTINCT pairs...
+    # output-bound re-expansion: ids of matched DISTINCT pairs. An id
+    # carrying TWO distinct sequences within max_dist (non-unique
+    # id_col) would otherwise emit a self-pair (id, id, dist) and
+    # duplicate (id_a, id_b) rows at different dists — filter the
+    # self-pairs and keep the MIN dist per unordered pair so the
+    # output honors the contract for non-unique ids too
     ia = ids.select(F.col("seq").alias("sa"), F.col("id").alias("ia"))
     ib = ids.select(F.col("seq").alias("sb"), F.col("id").alias("ib"))
     cross = (seq_pairs.join(ia, "sa").join(ib, "sb")
+             .where(F.col("ia") != F.col("ib"))
              .select(F.least("ia", "ib").alias("id_a"),
                      F.greatest("ia", "ib").alias("id_b"), "dist"))
     # ...plus dist-0 pairs WITHIN each duplicate-sequence group
@@ -213,4 +219,5 @@ def sequence_similarity_join(df: DataFrame, id_col: str, seq_col: str,
             .where(F.col("ia") < F.col("ib"))
             .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
                     F.lit(0).alias("dist")))
-    return cross.unionByName(same)
+    return (cross.unionByName(same)
+            .groupBy("id_a", "id_b").agg(F.min("dist").alias("dist")))

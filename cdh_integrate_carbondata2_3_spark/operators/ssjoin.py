@@ -47,9 +47,53 @@ def canonicalize(df: DataFrame, id_col: str, tokens_col: str
                 lambda s: s["tok"]).alias("toks")))
 
 
+def _lsh_candidates(hot_sets: DataFrame, t: float,
+                    bands: int, rows: int) -> DataFrame:
+    """Banded-MinHash candidate pairs among the hot-slice sets
+    (id, toks, n): ``bands×rows`` murmur min-hashes over the full
+    token set, one band-bucket join, the same length filter the
+    exact path applies. Returns the exact-verify input columns —
+    verification downstream is identical, so LSH only affects which
+    candidates are SEEN (recall ≈ 1−(1−τ^rows)^bands), never
+    whether a reported pair is a true ≥τ match."""
+    k = bands * rows
+
+    def _minhash(seed: int):
+        # NOTE: closing over the seed via a helper, NOT a default-arg
+        # lambda — pyspark treats a two-parameter HOF lambda as
+        # (element, INDEX), so `lambda tk, s=seed:` would silently
+        # hash (token, position) and collapse every "seed" to the
+        # same signature
+        return F.array_min(F.transform(
+            "toks", lambda tk: F.hash(tk, F.lit(seed))))
+
+    sigs = hot_sets.select(
+        "id", "toks", "n",
+        *[_minhash(s).alias(f"__h{s}") for s in range(k)])
+    band_keys = F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.hash(*[F.col(f"__h{b * rows + r}")
+                          for r in range(rows)]).alias("k"))
+        for b in range(bands)])
+    bl = sigs.select("id", "toks", "n",
+                     F.explode(band_keys).alias("bk"))
+    return (bl.select(F.col("id").alias("id_l"),
+                      F.col("toks").alias("toks_l"),
+                      F.col("n").alias("n_l"), "bk")
+            .join(bl.select(F.col("id").alias("id_r"),
+                            F.col("toks").alias("toks_r"),
+                            F.col("n").alias("n_r"), "bk"), "bk")
+            .filter(F.col("id_l") < F.col("id_r"))
+            .filter(F.least("n_l", "n_r")
+                    >= F.greatest("n_l", "n_r") * F.lit(t))
+            .select("id_l", "id_r", "toks_l", "toks_r", "n_l", "n_r"))
+
+
 def jaccard_join(df: DataFrame, id_col: str, tokens_col: str,
                  threshold: float,
-                 bucket_cap: int = 100_000) -> DataFrame:
+                 bucket_cap: int = 100_000,
+                 on_hot: str = "raise",
+                 lsh_bands: int = 16, lsh_rows: int = 4) -> DataFrame:
     """All pairs (id_l < id_r, jacc) with Jaccard(tokens_l, tokens_r)
     ≥ ``threshold`` — exact, no sampling, no hashing. ``tokens_col``
     is an array column; duplicates within a set are ignored (set
@@ -61,10 +105,27 @@ def jaccard_join(df: DataFrame, id_col: str, tokens_col: str,
     means the corpus has a large family of sets built ENTIRELY from
     frequent tokens — candidate generation is then quadratic by
     problem statement, and the right tool is the MinHash/SimHash LSH
-    operators, not an exact join. Raising is explicit, never a
-    silent runaway stage."""
+    operators, not an exact join. ``on_hot`` picks the response:
+
+    - ``'raise'`` (default): fail explicitly, never a silent runaway
+      stage — the result, when it returns, is EXACT.
+    - ``'lsh'``: only the over-cap prefix buckets are excluded from
+      the exact candidate join; the sets touching them instead
+      generate candidates through a banded-MinHash pass
+      (``lsh_bands`` × ``lsh_rows`` signature over the FULL token
+      set), and every candidate — exact or LSH — goes through the
+      same exact verification. Soundness partition: a qualifying
+      pair shares ≥1 prefix token; if any shared prefix token is
+      cold, the exact path finds the pair (no recall loss); pairs
+      whose EVERY shared prefix token is hot have both members in
+      the LSH pass. The result is therefore exact except for LSH
+      recall (≈ 1−(1−τ^rows)^bands at Jaccard τ) on that hot slice
+      only — the documented 100 TB degradation path for u³-skewed
+      corpora, instead of an error."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if on_hot not in ("raise", "lsh"):
+        raise ValueError("on_hot must be 'raise' or 'lsh'")
     t = float(threshold)
     sets = canonicalize(df, id_col, tokens_col)
     sz = F.size("toks")
@@ -75,13 +136,23 @@ def jaccard_join(df: DataFrame, id_col: str, tokens_col: str,
                         F.posexplode(F.slice("toks", 1, plen))
                         .alias("pos", "tok")))
     wb = W.partitionBy("tok")
-    cap_msg = (f"jaccard_join: a prefix token is shared by more than "
-               f"bucket_cap={bucket_cap} sets — candidate generation "
-               "is quadratic on this corpus; use the LSH near-dup "
-               "operators or raise bucket_cap knowingly")
-    guarded = pref.withColumn("__ok", F.assert_true(
-        F.count(F.lit(1)).over(wb) <= F.lit(bucket_cap),
-        F.lit(cap_msg))).where(F.col("__ok").isNull()).drop("__ok")
+    bc = F.count(F.lit(1)).over(wb)
+    hot_sets = None
+    if on_hot == "raise":
+        cap_msg = (f"jaccard_join: a prefix token is shared by more "
+                   f"than bucket_cap={bucket_cap} sets — candidate "
+                   "generation is quadratic on this corpus; use "
+                   "on_hot='lsh', the LSH near-dup operators, or "
+                   "raise bucket_cap knowingly")
+        guarded = pref.withColumn("__ok", F.assert_true(
+            bc <= F.lit(bucket_cap),
+            F.lit(cap_msg))).where(F.col("__ok").isNull()).drop("__ok")
+    else:
+        tagged = pref.withColumn("__bc", bc)
+        guarded = (tagged.where(F.col("__bc") <= bucket_cap)
+                   .drop("__bc"))
+        hot_sets = (tagged.where(F.col("__bc") > bucket_cap)
+                    .select("id", "toks", "n").distinct())
     l = guarded.select(F.col("id").alias("id_l"),
                        F.col("toks").alias("toks_l"),
                        F.col("n").alias("n_l"),
@@ -111,8 +182,11 @@ def jaccard_join(df: DataFrame, id_col: str, tokens_col: str,
             .filter(F.least("n_l", "n_r")
                     >= F.greatest("n_l", "n_r") * F.lit(t))
             .filter(upper >= alpha)
-            .select("id_l", "id_r", "toks_l", "toks_r", "n_l", "n_r")
-            .dropDuplicates(["id_l", "id_r"]))
+            .select("id_l", "id_r", "toks_l", "toks_r", "n_l", "n_r"))
+    if hot_sets is not None:
+        cand = cand.unionByName(
+            _lsh_candidates(hot_sets, t, lsh_bands, lsh_rows))
+    cand = cand.dropDuplicates(["id_l", "id_r"])
     inter = F.size(F.array_intersect("toks_l", "toks_r"))
     jacc = inter / (F.col("n_l") + F.col("n_r") - inter)
     # threshold on the UNROUNDED value (rounding must not flip

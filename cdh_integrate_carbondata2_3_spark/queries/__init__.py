@@ -74,26 +74,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-6 window plan (VERDICT r5 "Next round" item 1): the driver's
-# 50-slot window = 12 never-stamped round-6 gates (heavy hitters,
-# Jaccard join, the mor IUD trio, MV incremental refresh +
-# IVM-under-delete/update, sloppy-repeat FTS, BPE training, PQ ANN,
-# time-travel diff — they sort first automatically) + 38 of the 39
-# rows whose last driver stamp is round 2: TPC-H q2/q4/q8/q9/q11-q22,
-# the CoW DML trio, MV rewrite, compaction, mixed-format segments,
-# streaming handoff, schema evolution, partition pruning,
-# segment-scoped reads, the r2 geo/sampling rows and chunking —
-# every one green on the conf-naked local full gate all along, but
-# three rounds stale in the driver artifact. Rows whose r5 stamp was
-# superseded by round-6 code changes are queued immediately after
-# the window via _DEFER_TO_NEXT below.
+# Round-7 window plan (VERDICT r6 "Next round" item 1: drain the
+# driver-stamp queue). The 50-slot window = the new round-7 gates
+# (multimodal_png_decode, table_mv_subsumed_rollup,
+# ml_logit_fit_calibrate — never stamped, they sort first
+# automatically) + the 22 _DEFER_TO_NEXT names from round 6 (12
+# never-stamped r6 gates, complex_array_functions which last
+# stamped r2, and the 9 rows whose code changed after their r5
+# stamps) + the oldest r3-stamped rows (TPC-H q1/q3/q5/q6/q7/q10,
+# filters, windows, setops, scalars) filling the remainder. All are
+# green on the conf-naked local gate; the driver artifact should
+# say so. Every further new gate added this round pushes one r3 row
+# out of the window — the r6 queue drains first either way.
 _ROTATE_BACK_IN: tuple[str, ...] = (
-    # (1) the round-2-stale driver rows (all 39 but
-    # complex_array_functions, which yields its slot to the three
-    # never-stamped round-6 gates added mid-round — ann_pq,
-    # mv_ivm_update, timetravel_diff; it is the lowest-risk stale row:
-    # pure built-in array functions, unchanged since r2, with sibling
-    # complex_map/nested gates stamped r3)
+    # (1) the round-6 deferred queue — never-stamped r6 gates first
+    "dedup_incremental_minhash", "agg_minmax_metadata",
+    "sample_exact_allocation", "stats_equidepth_histogram",
+    "table_restore_version", "dedup_cross_source_matrix",
+    "stream_heavy_hitters_parity", "table_mv_join_rewrite",
+    "multimodal_wav_decode", "multimodal_image_decode",
+    "ml_ols_fit_score", "trajectory_similarity_nn",
+    # (2) stamped r2, yielded its r6 slot
+    "complex_array_functions",
+    # (3) changed-after-r5-stamp rows (skyline, editdist, porter set)
+    "select_pareto_skyline", "join_fuzzy_editdist",
+    "table_fts_porter_analyzer", "table_fts_porter_phrase",
+    "table_fts_porter_fuzzy_range", "table_fts_porter_regexp",
+    "table_fts_limit_ranked_porter",
+    "table_fts_sloppy_phrase", "table_fts_english_phrase",
+    # (4) oldest r3-stamped rows, filling the window
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q10_returned_items",
+    "filter_point_lookup", "filter_range_scan", "filter_in_like_null",
+    "count_star_metadata", "agg_count_distinct", "agg_rollup",
+    "agg_cube", "agg_having",
+    "window_rank_customers", "window_running_lag",
+    "window_ntile_buckets",
+    "join_semi_anti", "join_outer_counts", "join_full_outer",
+    "setop_union_distinct", "setop_intersect", "setop_except",
+    "scalar_string_funcs", "scalar_date_funcs",
+)
+
+# nothing queued past the r7 window yet; new gates landing after the
+# window fills should move here (they sort right after it)
+_DEFER_TO_NEXT: tuple[str, ...] = ()
+
+# Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
+# correctness gate checks only the FIRST 50 entries of queries() per
+# round, so entries verified in a previous round yield their slot to
+# not-yet-stamped ones (they stay registered and keep running in
+# pytest/bench; only the dict ordering changes).
+_STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # round 6 (CORRECTNESS_r06.json, 49 hash-green + 1 rows-only):
+    "agg_heavy_hitters", "join_jaccard_exact", "similarity_ann_pq",
+    "table_delete_mor", "table_update_mor", "table_merge_upsert_mor",
+    "table_mv_incremental_refresh", "table_mv_ivm_delete",
+    "table_mv_ivm_update", "table_fts_sloppy_repeat", "text_bpe_train",
+    "table_timetravel_diff", "select_pareto_multid",
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q12_shipmode_priority",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
@@ -111,42 +149,6 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "sample_stratified_lang", "sample_train_shards",
     "quality_filter_funnel", "text_chunk_windows",
     "multimodal_meta_stats",
-)
-
-# Round-7 window plan: lead with the never-stamped round-6 gates
-# added after the 50-slot window filled (incremental dedup, metadata
-# MIN/MAX, exact allocation, equi-depth histogram, RESTORE,
-# cross-source matrix, streaming heavy hitters, star-join MV, REAL
-# WAV/PPM decode), then complex_array_functions (yielded its r6 slot)
-# and the rows whose code changed in r6 AFTER their r5 stamps (porter
-# dictionary fast path, sloppy-repeat injection, the skyline fixes,
-# the editdist single-pass guard) — all locally hash-green on the
-# conf-naked gate after the change, and plan-asserted, but the driver
-# artifact should say so. They sort right after the r6 window via
-# _DEFER_TO_NEXT so the 50-slot cap excludes exactly them.
-_DEFER_TO_NEXT: tuple[str, ...] = (
-    # never-stamped gates added mid-round-6 AFTER the window filled
-    # (locally hash-green at sf0.001/0.01/0.1) — first in line for r7
-    "dedup_incremental_minhash", "agg_minmax_metadata",
-    "sample_exact_allocation", "stats_equidepth_histogram",
-    "table_restore_version", "dedup_cross_source_matrix",
-    "stream_heavy_hitters_parity", "table_mv_join_rewrite",
-    "multimodal_wav_decode", "multimodal_image_decode",
-    "ml_ols_fit_score", "trajectory_similarity_nn",
-    "complex_array_functions",
-    "select_pareto_skyline", "join_fuzzy_editdist",
-    "table_fts_porter_analyzer", "table_fts_porter_phrase",
-    "table_fts_porter_fuzzy_range", "table_fts_porter_regexp",
-    "table_fts_limit_ranked_porter",
-    "table_fts_sloppy_phrase", "table_fts_english_phrase",
-)
-
-# Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
-# correctness gate checks only the FIRST 50 entries of queries() per
-# round, so entries verified in a previous round yield their slot to
-# not-yet-stamped ones (they stay registered and keep running in
-# pytest/bench; only the dict ordering changes).
-_STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # round 5 (CORRECTNESS_r05.json, 50/50 green — the first
     # all-green driver window since r1):
     "table_fts_fuzzy_transpose", "table_fts_english_analyzer",

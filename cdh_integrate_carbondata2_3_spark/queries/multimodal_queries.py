@@ -261,7 +261,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = base.mapInPandas(
         attach, "doc_id bigint, source string, content binary")
 
-    def png_features(content: bytes) -> dict:
+    def png_features(content: bytes) -> dict:  # noqa: D401
         d = sniff_and_decode(content)
         return {"w": d["width"], "h": d["height"], "sum_r": d["sum_r"],
                 "sum_g": d["sum_g"], "sum_b": d["sum_b"]}
@@ -278,4 +278,84 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_px"),
                  F.sum("sum_r").alias("sum_r"),
                  F.sum("sum_g").alias("sum_g"),
+                 F.sum("sum_b").alias("sum_b")))
+
+
+@query("multimodal_jpeg_decode", oracle="""
+WITH tiles AS (
+    SELECT doc_id, source, i,
+           128 + 2 * ((doc_id * 7 + i * 3) % 51 - 25) AS v
+    FROM documents,
+         unnest(generate_series(
+             0, (2 + doc_id % 3) * (1 + doc_id % 2) - 1)) AS t(i))
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_imgs,
+       CAST(COUNT(*) * 64 AS BIGINT) AS total_px,
+       CAST(SUM(v * 64) AS BIGINT) AS sum_r,
+       CAST(SUM(v * 64) AS BIGINT) AS sum_b
+FROM tiles GROUP BY source
+""")
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end — no image library: per
+    doc an image of flat 8×8 gray tiles (values from a deterministic
+    formula, even offsets from 128 so the DC quantization is exact
+    and chroma is exactly 128) is DCT-encoded into a baseline JPEG
+    (functions/jpeg.encode_jpeg — Annex-K quant tables, per-image
+    canonical Huffman written to DHT, restart markers on every 4th
+    doc), then decoded back by the engine's stdlib+numpy JPEG decoder
+    (marker walk → Huffman entropy decode → dequantize → IDCT →
+    YCbCr→RGB) through the magic-byte sniffer inside the Arrow
+    feature extractor. Flat tiles make the lossy codec bit-exact, so
+    per-source channel sums hash-check against the tile formula
+    recomputed in SQL — a green hash proves the ENTIRE pipeline
+    (both Huffman directions, quantization, both DCT directions,
+    color transform) is exact on this family."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import sniff_and_decode
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.multimodal import extract_features
+
+    def attach(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tw, th = 2 + d % 3, 1 + d % 2
+                t = np.arange(tw * th)
+                v = 128 + 2 * ((d * 7 + t * 3) % 51 - 25)
+                tiles = v.reshape(th, tw)
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                rgb = np.stack([img] * 3, axis=2).astype(np.uint8)
+                blobs.append(encode_jpeg(
+                    rgb, restart_interval=2 if d % 4 == 0 else 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "source": pdf["source"],
+                                "content": blobs})
+
+    base = _docs(spark, sf_dir).select("doc_id", "source")
+    media = base.mapInPandas(
+        attach, "doc_id bigint, source string, content binary")
+
+    def jpeg_features(content: bytes) -> dict:
+        d = sniff_and_decode(content)
+        # gray input ⇒ the three decoded channels must agree exactly;
+        # a YCbCr/chroma bug would break this before the hash could
+        assert d["sum_r"] == d["sum_g"] == d["sum_b"], \
+            "JPEG gray decode channels diverged"
+        return {"w": d["width"], "h": d["height"],
+                "sum_r": d["sum_r"], "sum_b": d["sum_b"]}
+
+    feats = extract_features(
+        media.select("doc_id", "content"), decode=jpeg_features,
+        schema=("doc_id bigint, w int, h int, sum_r bigint, "
+                "sum_b bigint"))
+    # join source from the raw docs frame — see multimodal_wav_decode
+    return (feats.join(base, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_imgs"),
+                 F.sum(F.col("w").cast("bigint") * F.col("h"))
+                 .alias("total_px"),
+                 F.sum("sum_r").alias("sum_r"),
                  F.sum("sum_b").alias("sum_b")))

@@ -150,3 +150,21 @@ def test_sequence_similarity_rejects_bad_band(spark):
             sequence_similarity_join(df, "id", "s", 3, band=bad)
     with pytest.raises(ValueError, match="max_dist"):
         sequence_similarity_join(df, "id", "s", -1)
+
+
+def test_seqsim_non_unique_ids_no_self_pairs(spark):
+    """ADVICE r6: an id carrying two distinct sequences within
+    max_dist must not produce a self-pair, and each unordered id
+    pair appears ONCE with the minimum distance over its sequence
+    combinations."""
+    from cdh_integrate_carbondata2_3_spark.operators.fuzzyjoin import (
+        sequence_similarity_join)
+    rows = [(1, "abcde"), (1, "abcdx"),      # same id, two close seqs
+            (2, "abcdy"), (3, "zzzzz")]
+    df = spark.createDataFrame(rows, "id bigint, seq string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           sequence_similarity_join(df, "id", "seq", max_dist=2)
+           .collect()}
+    assert all(a != b for a, b in got)            # no self-pairs
+    # (1,2): min over {abcde~abcdy=1, abcdx~abcdy=1} = 1, one row
+    assert got == {(1, 2): 1}

@@ -1,0 +1,101 @@
+"""Baseline JPEG codec (functions/jpeg.py): flat-tile bit-exactness
+(the oracle lever), lossy-roundtrip accuracy on dense images, restart
+markers, canonical-Huffman table plumbing, and honest rejection of
+non-baseline streams."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cdh_integrate_carbondata2_3_spark.functions.jpeg import (
+    decode_jpeg, encode_jpeg)
+
+
+def _flat_tiles(th, tw, seed=3):
+    rng = np.random.RandomState(seed)
+    tiles = rng.randint(-25, 25, size=(th, tw)) * 2 + 128  # even offsets
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    return np.stack([img] * 3, axis=2).astype(np.uint8), int(img.sum())
+
+
+def test_flat_gray_tiles_bit_exact():
+    """8×8-aligned flat gray tiles with even offsets have only an
+    exactly-quantizable DC coefficient (chroma is exactly 128), so
+    the lossy codec round-trips them BIT-EXACTLY — the property the
+    SQL oracle of the gate leans on."""
+    rgb, total = _flat_tiles(3, 4)
+    d = decode_jpeg(encode_jpeg(rgb))
+    assert d["kind"] == "image"
+    assert (d["width"], d["height"]) == (32, 24)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (total, total, total)
+
+
+def test_dense_random_image_close():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=90))
+    for i, ch in enumerate("rgb"):
+        a = int(img[:, :, i].astype(np.int64).sum())
+        assert abs(d[f"sum_{ch}"] - a) / a < 0.01, ch
+
+
+def test_gradient_and_odd_dims():
+    g = np.clip(np.add.outer(np.arange(13) * 9, np.arange(21) * 5),
+                0, 255)
+    img = np.stack([g, 255 - g, g // 2], axis=2).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=85))
+    assert (d["width"], d["height"]) == (21, 13)   # non-8-multiple crop
+    for i, ch in enumerate("rgb"):
+        a = int(img[:, :, i].astype(np.int64).sum())
+        assert abs(d[f"sum_{ch}"] - a) / max(a, 1) < 0.02, ch
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn every 3 MCUs: the decoder must realign and reset DC
+    predictors; flat tiles stay bit-exact through restarts."""
+    rgb, total = _flat_tiles(4, 5, seed=11)
+    blob = encode_jpeg(rgb, restart_interval=3)
+    assert struct.pack(">H", 3) in blob            # DRI emitted
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+    d = decode_jpeg(blob)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (total, total, total)
+
+
+def test_quality_monotonic():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    errs = []
+    for q in (25, 50, 90):
+        d = decode_jpeg(encode_jpeg(img, quality=q))
+        a = int(img.astype(np.int64).sum())
+        got = d["sum_r"] + d["sum_g"] + d["sum_b"]
+        errs.append(abs(got - a))
+    assert errs[2] <= errs[0]                      # q90 at least as close
+
+
+def test_progressive_and_truncation_rejected():
+    rgb, _ = _flat_tiles(2, 2)
+    blob = bytearray(encode_jpeg(rgb))
+    # rewrite SOF0 (FFC0) to SOF2 (FFC2) → progressive → refuse
+    i = blob.index(b"\xff\xc0")
+    prog = bytearray(blob)
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # chop mid-scan: entropy decode must fail loudly, not return
+    # partial sums silently
+    with pytest.raises(Exception):
+        decode_jpeg(bytes(blob[: i + 40]))
+
+
+def test_sniffer_dispatch():
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        sniff_and_decode)
+    rgb, total = _flat_tiles(2, 3, seed=1)
+    d = sniff_and_decode(encode_jpeg(rgb))
+    assert d["sum_g"] == total

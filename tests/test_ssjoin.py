@@ -80,3 +80,46 @@ def test_canonical_order_is_rarest_first(spark):
          canonicalize(df, "id", "toks").collect()}
     assert c[1] == ["rare1", "common"]
     assert c[2] == ["rare2", "common"]
+
+
+def test_on_hot_lsh_completes_where_raise_fails(spark):
+    """u³-style skew: a family of sets built entirely from a handful
+    of frequent tokens drives every prefix bucket over the cap. The
+    default mode raises (explicit quadratic-death guard); with
+    on_hot='lsh' the hot buckets route through banded MinHash, the
+    join COMPLETES under the same cap, and — because every candidate
+    passes the same exact verification — every reported pair is a
+    true >= t match, with near-full recall at this size."""
+    import pytest
+    rng = random.Random(7)
+    hot_vocab = [f"h{i}" for i in range(8)]     # tiny hot vocabulary
+    rows = [(i, rng.sample(hot_vocab, 6)) for i in range(300)]
+    # plus a cold tail that the exact path still handles
+    cold_vocab = [f"c{i}" for i in range(500)]
+    rows += [(1000 + i, rng.sample(cold_vocab, 8)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, toks array<string>")
+    t = 0.7
+    with pytest.raises(Exception, match="bucket_cap"):
+        jaccard_join(df, "id", "toks", t, bucket_cap=50).collect()
+    got = {(r["id_l"], r["id_r"]) for r in
+           jaccard_join(df, "id", "toks", t, bucket_cap=50,
+                        on_hot="lsh").collect()}
+    exp = _brute(rows, t)
+    assert got <= exp, "LSH fallback reported a false positive"
+    assert len(got) >= 0.9 * len(exp), \
+        f"hot-slice recall too low: {len(got)}/{len(exp)}"
+
+
+def test_on_hot_lsh_equals_exact_when_no_hot_buckets(spark):
+    """With no bucket over the cap the LSH path contributes nothing:
+    on_hot='lsh' must return exactly the exact-mode result."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(80)]
+    rows = [(i, rng.sample(vocab, rng.randint(4, 10)))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, toks array<string>")
+    a = {(r["id_l"], r["id_r"]) for r in
+         jaccard_join(df, "id", "toks", 0.6).collect()}
+    b = {(r["id_l"], r["id_r"]) for r in
+         jaccard_join(df, "id", "toks", 0.6, on_hot="lsh").collect()}
+    assert a == b == _brute(rows, 0.6)
