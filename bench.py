@@ -52,6 +52,9 @@ HEADLINE = (
     # fit + calibrated holdout scoring
     "multimodal_png_decode", "table_mv_subsumed_rollup",
     "ml_logit_fit_calibrate",
+    # round-7 second-session additions: baseline JPEG decode (Huffman
+    # + IDCT), MP3/MP4 container metadata parsing
+    "multimodal_jpeg_decode", "multimodal_av_meta",
 )
 
 

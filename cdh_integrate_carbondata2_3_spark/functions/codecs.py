@@ -346,9 +346,184 @@ def sniff_and_decode(content: bytes) -> dict:
     if content[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg
         return decode_jpeg(content)
+    if content[4:8] == b"ftyp":
+        return decode_mp4_meta(content)
+    if content[:3] == b"ID3" or (len(content) > 1 and content[0] == 0xFF
+                                 and (content[1] & 0xE6) == 0xE2):
+        return decode_mp3_meta(content)
     raise NotImplementedError(
         f"no built-in decoder for magic {content[:4]!r}; inject a "
         "library-backed decoder via extract_features(decode=...)")
+
+
+# MPEG-1/2 Layer III bitrate (kbps) and sample-rate tables, by
+# (version_bits, bitrate_index) / (version_bits, samplerate_index)
+_MP3_BITRATE_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                   224, 256, 320]
+_MP3_BITRATE_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                   144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000],     # MPEG-1
+              2: [22050, 24000, 16000],     # MPEG-2
+              0: [11025, 12000, 8000]}      # MPEG-2.5
+
+
+def decode_mp3_meta(content: bytes) -> dict:
+    """Parse an MPEG Layer III stream's FRAME HEADERS (no audio
+    decode): walks sync words frame-by-frame using the exact header
+    bitrate/samplerate/padding arithmetic, skipping ID3v2 tags.
+    Returns frame count, sample rate, duration_ms (from samples per
+    frame × frames), and mean bitrate. A real container/framing
+    parse — the PCM synthesis filterbank stays behind the library
+    seam."""
+    pos = 0
+    if content[:3] == b"ID3":           # ID3v2: syncsafe 28-bit size
+        sz = ((content[6] & 0x7F) << 21 | (content[7] & 0x7F) << 14
+              | (content[8] & 0x7F) << 7 | (content[9] & 0x7F))
+        pos = 10 + sz
+    frames = 0
+    total_samples = 0
+    total_kbps = 0
+    rate = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF or (content[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"MP3 sync lost at byte {pos}")
+        h1, h2 = content[pos + 1], content[pos + 2]
+        version = (h1 >> 3) & 0x3       # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (h1 >> 1) & 0x3         # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise ValueError("not an MPEG Layer III frame")
+        bi = (h2 >> 4) & 0xF
+        si = (h2 >> 2) & 0x3
+        pad = (h2 >> 1) & 0x1
+        if bi in (0, 15) or si == 3:
+            raise ValueError("MP3 free-form/invalid bitrate or rate")
+        kbps = (_MP3_BITRATE_V1 if version == 3 else _MP3_BITRATE_V2)[bi]
+        sr = _MP3_RATES[version][si]
+        if rate is None:
+            rate = sr
+        spf = 1152 if version == 3 else 576   # samples per L3 frame
+        flen = (144 if version == 3 else 72) * kbps * 1000 // sr + pad
+        frames += 1
+        total_samples += spf
+        total_kbps += kbps
+        pos += flen
+    if not frames:
+        raise ValueError("no MP3 frames found")
+    return {"kind": "audio", "container": "mp3", "frames": frames,
+            "sample_rate": rate,
+            "duration_ms": total_samples * 1000 // rate,
+            "mean_kbps": total_kbps // frames}
+
+
+def encode_mp3_frames(n_frames: int, sample_rate: int = 44100,
+                      kbps: int = 128) -> bytes:
+    """Generate a syntactically-valid MPEG-1 Layer III frame stream
+    (silent payloads) — the test/gate-side generator for
+    decode_mp3_meta; headers are real, audio payload is zeros."""
+    si = _MP3_RATES[3].index(sample_rate)
+    bi = _MP3_BITRATE_V1.index(kbps)
+    out = bytearray()
+    for _ in range(n_frames):
+        flen = 144 * kbps * 1000 // sample_rate
+        hdr = bytes([0xFF, 0xFB, (bi << 4) | (si << 2), 0xC0])
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+def decode_mp4_meta(content: bytes) -> dict:
+    """Parse an ISO-BMFF (MP4/MOV) box tree — ftyp brand, mvhd
+    movie duration/timescale, per-track tkhd dimensions and mdhd
+    media timescale. Real container parsing (big-endian box walk,
+    version-0/1 headers); sample decode stays behind the seam."""
+    def boxes(data: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4:pos + 8]
+            if size == 1:               # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", data, pos + 8)
+                body = pos + 16
+            elif size == 0:             # to end of enclosing box
+                size = end - pos
+                body = pos + 8
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > end:
+                raise ValueError("malformed MP4 box")
+            yield btype, body, pos + size
+            pos += size
+
+    brand = None
+    duration_ms = None
+    tracks = []
+    for btype, body, bend in boxes(content, 0, len(content)):
+        if btype == b"ftyp":
+            brand = content[body:body + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            for b2, p2, e2 in boxes(content, body, bend):
+                if b2 == b"mvhd":
+                    ver = content[p2]
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", content,
+                                                     p2 + 20)
+                    else:
+                        ts, dur = struct.unpack_from(">II", content,
+                                                     p2 + 12)
+                    duration_ms = dur * 1000 // ts
+                elif b2 == b"trak":
+                    trk = {}
+                    for b3, p3, e3 in boxes(content, p2, e2):
+                        if b3 == b"tkhd":
+                            # width/height are the LAST 8 bytes of
+                            # tkhd in both version-0 and version-1
+                            # layouts (16.16 fixed point)
+                            wfx, hfx = struct.unpack_from(
+                                ">II", content, e3 - 8)
+                            trk["width"] = wfx >> 16
+                            trk["height"] = hfx >> 16
+                        elif b3 == b"mdia":
+                            for b4, p4, _e4 in boxes(content, p3, e3):
+                                if b4 == b"mdhd":
+                                    ver = content[p4]
+                                    if ver == 1:
+                                        (mts,) = struct.unpack_from(
+                                            ">I", content, p4 + 20)
+                                    else:
+                                        (mts,) = struct.unpack_from(
+                                            ">I", content, p4 + 12)
+                                    trk["timescale"] = mts
+                    tracks.append(trk)
+    if brand is None or duration_ms is None:
+        raise ValueError("not an MP4 (missing ftyp/moov/mvhd)")
+    return {"kind": "video", "container": "mp4", "brand": brand,
+            "duration_ms": duration_ms, "n_tracks": len(tracks),
+            "tracks": tracks}
+
+
+def encode_mp4_meta(duration_ms: int, width: int, height: int,
+                    timescale: int = 1000) -> bytes:
+    """Build a minimal valid ISO-BMFF box tree (ftyp + moov with
+    mvhd and one video trak) — the test/gate-side generator for
+    decode_mp4_meta. No media samples, headers only."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(b"mvhd", struct.pack(">B3x", 0)
+               + struct.pack(">II", 0, 0)        # ctime mtime
+               + struct.pack(">II", timescale, dur)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", struct.pack(">B3x", 0)
+               + struct.pack(">IIII", 0, 0, 1, 0)  # times, id, rsvd
+               + b"\x00" * 56          # dur, rsvd, layer/vol, matrix
+               + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3x", 0)
+               + struct.pack(">IIII", 0, 0, timescale, dur)
+               + b"\x00" * 4)
+    mdia = box(b"mdia", mdhd)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov
 
 
 def encode_wav_pcm16(samples, sample_rate: int = 16000,

@@ -259,3 +259,43 @@ def test_png_rgba_and_interlace_gate():
          + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="interlace|Adam7"):
         decode_png(i)
+
+
+def test_mp3_frame_walk():
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        decode_mp3_meta, encode_mp3_frames)
+    blob = encode_mp3_frames(38, sample_rate=44100, kbps=128)
+    d = decode_mp3_meta(blob)
+    assert d["frames"] == 38 and d["sample_rate"] == 44100
+    assert d["mean_kbps"] == 128
+    assert d["duration_ms"] == 38 * 1152 * 1000 // 44100
+    # ID3v2 tag prefix is skipped (syncsafe size)
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"x" * 10
+    assert decode_mp3_meta(tag + blob)["frames"] == 38
+    # corrupt sync mid-stream raises instead of returning partials
+    flen = 144 * 128 * 1000 // 44100          # 417 bytes per frame
+    bad = bytearray(blob)
+    bad[flen * 19] = 0x00                     # clobber frame 19's header
+    with pytest.raises(ValueError, match="sync|Layer"):
+        decode_mp3_meta(bytes(bad))
+
+
+def test_mp4_box_walk():
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        decode_mp4_meta, encode_mp4_meta)
+    blob = encode_mp4_meta(duration_ms=61500, width=1920, height=1080)
+    d = decode_mp4_meta(blob)
+    assert d["brand"] == "isom" and d["duration_ms"] == 61500
+    assert d["n_tracks"] == 1
+    assert d["tracks"][0]["width"] == 1920
+    assert d["tracks"][0]["height"] == 1080
+    assert d["tracks"][0]["timescale"] == 1000
+    with pytest.raises(ValueError):
+        decode_mp4_meta(b"\x00\x00\x00\x08free")    # no ftyp/moov
+
+
+def test_mp3_mp4_sniff_dispatch():
+    from cdh_integrate_carbondata2_3_spark.functions.codecs import (
+        encode_mp3_frames, encode_mp4_meta, sniff_and_decode)
+    assert sniff_and_decode(encode_mp4_meta(5000, 64, 48))["kind"] == "video"
+    assert sniff_and_decode(encode_mp3_frames(5))["kind"] == "audio"
