@@ -47,6 +47,21 @@ def canonicalize(df: DataFrame, id_col: str, tokens_col: str
                 lambda s: s["tok"]).alias("toks")))
 
 
+def _auto_rows(bands: int, t: float) -> int:
+    """Threshold-adaptive signature rows: place the LSH S-curve
+    midpoint (1/bands)^(1/rows) just under τ. Too few rows is the
+    quadratic trap — a large family of mutually FAR-below-τ sets
+    (J≈0.4 under τ=0.8, the hot-slice shape that triggered the
+    fallback in the first place) collides in nearly every band and
+    the band join re-creates the all-pairs explosion the cap
+    guarded against. Rows chosen here keep collision probability at
+    J≈τ/2 in the per-mille range while recall at τ stays
+    1−(1−τ^rows)^bands (≈0.95 for τ=0.8, 16 bands)."""
+    import math
+    mid = max(0.05, 0.9 * t)
+    return max(2, min(12, round(math.log(bands) / -math.log(mid))))
+
+
 def _lsh_candidates(hot_sets: DataFrame, t: float,
                     bands: int, rows: int) -> DataFrame:
     """Banded-MinHash candidate pairs among the hot-slice sets
@@ -93,7 +108,8 @@ def jaccard_join(df: DataFrame, id_col: str, tokens_col: str,
                  threshold: float,
                  bucket_cap: int = 100_000,
                  on_hot: str = "raise",
-                 lsh_bands: int = 16, lsh_rows: int = 4) -> DataFrame:
+                 lsh_bands: int = 16,
+                 lsh_rows: int | None = None) -> DataFrame:
     """All pairs (id_l < id_r, jacc) with Jaccard(tokens_l, tokens_r)
     ≥ ``threshold`` — exact, no sampling, no hashing. ``tokens_col``
     is an array column; duplicates within a set are ignored (set
@@ -121,11 +137,16 @@ def jaccard_join(df: DataFrame, id_col: str, tokens_col: str,
       the LSH pass. The result is therefore exact except for LSH
       recall (≈ 1−(1−τ^rows)^bands at Jaccard τ) on that hot slice
       only — the documented 100 TB degradation path for u³-skewed
-      corpora, instead of an error."""
+      corpora, instead of an error. ``lsh_rows`` defaults to a
+      threshold-adaptive value (see _auto_rows) — passing too few
+      rows for a high τ re-creates the quadratic explosion inside
+      the band buckets."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     if on_hot not in ("raise", "lsh"):
         raise ValueError("on_hot must be 'raise' or 'lsh'")
+    if lsh_rows is None:
+        lsh_rows = _auto_rows(lsh_bands, threshold)
     t = float(threshold)
     sets = canonicalize(df, id_col, tokens_col)
     sz = F.size("toks")

@@ -101,9 +101,13 @@ def test_on_hot_lsh_completes_where_raise_fails(spark):
     t = 0.7
     with pytest.raises(Exception, match="bucket_cap"):
         jaccard_join(df, "id", "toks", t, bucket_cap=50).collect()
+    # explicit lsh_rows=4: the hot family here is tiny (300 sets),
+    # so the more-collision-permissive signature is affordable and
+    # pushes recall at J=0.714 to ~0.99; the threshold-adaptive
+    # default (rows=6 at τ=0.7) is for production-sized hot slices
     got = {(r["id_l"], r["id_r"]) for r in
            jaccard_join(df, "id", "toks", t, bucket_cap=50,
-                        on_hot="lsh").collect()}
+                        on_hot="lsh", lsh_rows=4).collect()}
     exp = _brute(rows, t)
     assert got <= exp, "LSH fallback reported a false positive"
     assert len(got) >= 0.9 * len(exp), \
