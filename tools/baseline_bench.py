@@ -54,7 +54,9 @@ def main() -> None:
     # while the oracle is one SELECT over raw parquet — the ratio would
     # measure the lifecycle, not query overhead.
     not_comparable = {"agg_hll_mergeable_rollup",
-                      "table_delete_mor", "table_mv_ivm_delete"}
+                      "table_delete_mor", "table_mv_ivm_delete",
+                      "table_mv_join_rewrite", "table_mv_subsumed_rollup",
+                      "ml_logit_fit_calibrate"}
 
     out = {}
     for name in HEADLINE:
