@@ -94,6 +94,12 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int,
     - So every accepted pair, strictly above bound, beats every
       created/changed/unaccepted pair at its sequential turn, with
       no tie to re-break.
+    - EXCEPT self-pairs (a, a): merging one creates pairs whose
+      counts are bounded by the accepted pair's OWN count (runs of
+      ``a`` overlap the pair with itself), which ``bound`` does not
+      cover — so the round's acceptance walk stops at the first
+      accepted self-pair (it may be the last acceptance, never
+      followed by another in the same round).
 
     Chained merges (the Sennrich worked example) make bound equal
     the head count, so the batch falls back to top-1 — automatically
@@ -142,8 +148,24 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int,
         # pairs outside a FULL page are bounded by its last count
         page_floor = int(top[-1]["cnt"]) if len(top) == page_limit else 0
         bound = max(ceiling, page_floor)
-        accepted = [(a, b) for i, (a, b, c) in enumerate(tentative)
-                    if i < k and c > bound]
+        accepted = []
+        for i, (a, b, c) in enumerate(tentative):
+            if i >= k or c <= bound:
+                break
+            accepted.append((a, b))
+            if a == b:
+                # Self-pair: merging (a, a) CREATES pairs — (aa, aa)
+                # from runs of 4+, (aa, a) from odd runs — whose counts
+                # are bounded by THIS pair's count, not by ``bound``
+                # (the overlapping-pair argument above needs the
+                # overlapping pair to be a *rejected* candidate; for a
+                # run it's the accepted pair itself). A later
+                # acceptance in the same round could therefore be
+                # overtaken by a created pair at its sequential turn.
+                # Counts walk non-increasing, so nothing after this
+                # point can strictly beat the created pairs' ceiling —
+                # the round must end here to stay exact.
+                break
         if not accepted:
             # top-1 is the global argmax with sequential's tie-break —
             # always exact

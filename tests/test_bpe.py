@@ -120,6 +120,30 @@ def test_batched_training_fewer_rounds_when_heads_separate(spark,
     assert n_bat < n_seq
 
 
+def test_batched_training_exact_on_run_heavy_corpus(spark):
+    """Self-pair regression: merging (a, a) creates (aa, aa)/(aa, a)
+    pairs whose counts are bounded by the ACCEPTED pair's count, not
+    by the round's safety bound — a naive batch accepts a second pair
+    in the same round that sequential would rank AFTER the created
+    (aa, aa). The walk must stop at the first accepted self-pair."""
+    rows = [("bbaaaaaa " * 28 + "aabbabba " * 10 + "bbbaabba " * 2,)]
+    df = spark.createDataFrame(rows, "text string")
+    seq = train_bpe(df, "text", 3, batch=1)
+    assert seq == [("a", "a"), ("aa", "aa"), ("b", "b")]
+    for b in (2, 4, 8):
+        assert train_bpe(df, "text", 3, batch=b) == seq
+
+
+def test_batched_training_exact_on_long_runs(spark):
+    """Pure run corpus (every merge is a self-pair) — batch>1 must
+    degrade to one accept per round and match sequential exactly."""
+    rows = [("a" * 32 + " " + "a" * 31,), ("b" * 16 + " " + "b" * 15,)]
+    df = spark.createDataFrame(rows, "text string")
+    seq = train_bpe(df, "text", 6, batch=1)
+    bat = train_bpe(df, "text", 6, batch=8)
+    assert seq == bat
+
+
 def test_batched_training_respects_budget(spark):
     rows = [("xy " * 10 + "qr " * 9 + "mn " * 8,)]
     df = spark.createDataFrame(rows, "text string")
