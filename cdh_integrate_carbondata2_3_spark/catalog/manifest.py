@@ -53,6 +53,53 @@ QUERYABLE = {SegmentStatus.SUCCESS, SegmentStatus.STREAMING,
              SegmentStatus.STREAMING_FINISH}
 
 
+class ConcurrentModificationError(RuntimeError):
+    """The manifest advanced past the version a writer's plan was
+    computed from (optimistic concurrency — the reference's
+    tablestatus + locks discipline, core/.../locks/). Callers
+    re-snapshot, recompute, and retry."""
+
+    def __init__(self, base: int, found: int):
+        super().__init__(
+            f"manifest advanced from version {base} to {found} while "
+            f"the update was being computed; retry from a fresh snapshot")
+        self.base = base
+        self.found = found
+
+
+def retry_on_conflict(attempt, attempts: int = 5):
+    """Optimistic-concurrency driver loop: ``attempt()`` must read a
+    fresh manifest snapshot, compute its mutation from it, and commit
+    with ``update(..., base_version=<snapshot version>)``. When another
+    writer lands in between, the commit raises
+    :class:`ConcurrentModificationError` and the whole attempt —
+    including the recompute — re-runs against the new state, so the
+    loser can never clobber the winner's commit. Raises the last
+    conflict after ``attempts`` tries (lock-starved pathological
+    churn)."""
+    for i in range(attempts):
+        try:
+            return attempt()
+        except ConcurrentModificationError:
+            if i == attempts - 1:
+                raise
+
+
+def version_token(status_path: str) -> int | None:
+    """The manifest's monotonic version counter via a 64-byte prefix
+    read — ``_write`` pins ``"version"`` as the first JSON key so no
+    parse is needed. None (caller must not trust stat-only keys) when
+    the prefix doesn't match or the file is unreadable."""
+    import re
+    try:
+        with open(status_path, "rb") as f:
+            head = f.read(64)
+    except OSError:
+        return None
+    m = re.match(rb'\{\s*"version":\s*(\d+)', head)
+    return int(m.group(1)) if m else None
+
+
 @dataclass
 class FileStat:
     path: str                       # relative to table dir
@@ -202,9 +249,16 @@ class Manifest:
             doc = json.load(f)
         return self._attach_files(doc) if _attach else doc
 
-    def _stat_key(self) -> tuple[int, int]:
+    def _stat_key(self) -> tuple[int, int, int | None]:
+        # (mtime, size) alone is racy: two swaps of identical size
+        # within one mtime tick (coarse-timestamp filesystems, fast
+        # successive IUD+compaction) would serve the stale parse. The
+        # version counter is bumped on EVERY update() and serialized
+        # first, so a 64-byte prefix read disambiguates without a
+        # JSON parse.
         st = os.stat(self.status_path)
-        return (st.st_mtime_ns, st.st_size)
+        return (st.st_mtime_ns, st.st_size,
+                version_token(self.status_path))
 
     def versions(self) -> list[int]:
         out = []
@@ -225,11 +279,13 @@ class Manifest:
             # torn manifest)
             ref = f"filestats.v{doc['version']}.parquet"
             self._write_filestats(doc, ref)
-            out = {**doc, "files_ref": ref,
+            # "version" pinned first: version_token() reads it from the
+            # file prefix without a JSON parse
+            out = {"version": doc["version"], **doc, "files_ref": ref,
                    "segments": [{**s, "files": []}
                                 for s in doc["segments"]]}
         else:
-            out = {**doc}
+            out = {"version": doc["version"], **doc}
             out.pop("files_ref", None)
         tmp = os.path.join(self.meta_dir, f".tablestatus.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
@@ -475,13 +531,25 @@ class Manifest:
         return {c: tuple(out[c]) if c in out else (None, None)
                 for c in cols}
 
-    def update(self, mutate) -> dict:
+    def update(self, mutate, *, base_version: int | None = None) -> dict:
         """Read-modify-write under the writer lock; ``mutate(doc)`` edits
-        the manifest dict in place."""
+        the manifest dict in place.
+
+        ``base_version`` is the optimistic-concurrency guard for
+        writers whose mutation was COMPUTED from an earlier snapshot
+        (CoW rewrites, compaction): pass the version the plan read,
+        and the commit re-checks it under the lock —
+        :class:`ConcurrentModificationError` if another writer landed
+        in between, so a slow rewrite can never clobber a concurrent
+        commit it didn't account for. Mutators that only read the
+        in-lock doc (append a segment, flip a status) don't need it."""
         with ManifestLock(self.meta_dir):
             # fresh parse: the mutator edits this dict in place, so it
             # must never be the cached (shared, read-only) object
             doc = self.load(_use_cache=False)
+            if base_version is not None and doc["version"] != base_version:
+                raise ConcurrentModificationError(base_version,
+                                                  doc["version"])
             mutate(doc)
             doc["version"] += 1
             self._write(doc)

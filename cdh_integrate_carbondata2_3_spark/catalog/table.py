@@ -1426,6 +1426,18 @@ class Table:
             from ..operators.mor import horizontal_compact
             horizontal_compact(self, force=True)
             return None
+        from .manifest import retry_on_conflict
+        return retry_on_conflict(
+            lambda: self._compact_attempt(kind, segment_ids,
+                                          minor_threshold, major_size_mb))
+
+    def _compact_attempt(self, kind: str, segment_ids, minor_threshold,
+                         major_size_mb) -> int | None:
+        # optimistic-concurrency base: the chosen-segment snapshot and
+        # the merged data are computed from this version; the commit
+        # verifies it so a concurrent IUD (whose delete delta the
+        # merged files would silently resurrect) forces a recompute
+        base = self.manifest.load(_attach=False)["version"]
         props = self.manifest.properties()
         segs = [s for s in self.manifest.segments({SegmentStatus.SUCCESS})
                 if s.format == "parquet" and not s.external_path]
@@ -1491,8 +1503,10 @@ class Table:
                 files=stats, load_time=time.time(), source="compact").to_json())
             new_id["id"] = seg_id
 
-        self.manifest.update(mutate)
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            self.manifest.update(mutate, base_version=base)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         # the merged segment read through read() already excludes
         # merge-on-read deleted rows; delta rows referencing the
         # now-COMPACTED sources are stale — re-trim so count() math

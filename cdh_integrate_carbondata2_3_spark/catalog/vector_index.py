@@ -34,6 +34,18 @@ from pyspark.sql import functions as F
 from .index import _index_dir, _meta_path
 
 
+def _seed_frame(v: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-means seeds = the k smallest ids, planned as a
+    distributed TakeOrderedAndProject (per-partition top-k → driver
+    merge of k×partitions rows). NOT a row_number() over a global
+    no-partition window — that would funnel the ENTIRE corpus through
+    one partition before k-means even starts, the first thing to die
+    on a 100 TB embedding column (tests/test_vector_index.py asserts
+    the plan)."""
+    return (v.orderBy("id").limit(k)
+            .select(F.col("id").alias("cid"), F.col("e").alias("ce")))
+
+
 class VectorIndexManager:
     def __init__(self, table):
         self.table = table
@@ -70,10 +82,7 @@ class VectorIndexManager:
              .select(F.col(id_col).alias("id"),
                      F.transform(F.col(vec_col),
                                  lambda x: x.cast("double")).alias("e")))
-        w = W.orderBy("id")
-        seeds = (v.withColumn("rn", F.row_number().over(w))
-                 .filter(F.col("rn") <= k)
-                 .select(F.col("id").alias("cid"), F.col("e").alias("ce")))
+        seeds = _seed_frame(v, k)
         assign, cent = kmeans_refine(v, seeds, iters=iters)
         sidecar = assign.select("id", F.col("cluster").alias("list_id"))
         codebooks = None

@@ -222,7 +222,22 @@ def _extend(raw: int, size: int) -> int:
 def decode_jpeg(content: bytes) -> dict:
     """Decode a baseline (SOF0) JPEG to pixel statistics (same shape
     as the PNG/PPM/BMP decoders). Sampling factors up to 2×2; raises
-    ``NotImplementedError`` for progressive/arithmetic streams."""
+    ``NotImplementedError`` for progressive/arithmetic streams and
+    ``ValueError`` for ANY corrupt stream — callers route undecodable
+    blobs to the injected decoder by catching exactly those two, so
+    no internal exception type may escape (truncated headers surface
+    as IndexError/struct.error/StopIteration/KeyError inside)."""
+    try:
+        return _decode_jpeg_inner(content)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, StopIteration, struct.error) as e:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(e).__name__} while "
+            "parsing") from None
+
+
+def _decode_jpeg_inner(content: bytes) -> dict:
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG blob (missing SOI)")
     pos = 2
@@ -339,35 +354,47 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     br = _BitReader(data, pos)
     preds = [0] * len(scan)
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_count and mcu_count % dri == 0:
-                m = br.align_to_marker()
-                if not 0xFFD0 <= m <= 0xFFD7:
-                    raise ValueError(f"expected RST marker, got {m:#x}")
-                preds = [0] * len(scan)
-            try:
-                for si, s in enumerate(scan):
-                    c = s["comp"]
-                    q = qt[c["tq"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            coef, preds[si] = _decode_block(
-                                br, huff[(0, s["dc"])],
-                                huff[(1, s["ac"])], preds[si])
-                            blk = np.zeros((8, 8))
-                            for z, (r, cc) in enumerate(ZIGZAG):
-                                blk[r, cc] = coef[z]
-                            blk *= q
-                            px = _C.T @ blk @ _C + 128.0
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[si][y0:y0 + 8, x0:x0 + 8] = px
-            except _MarkerHit as mh:
-                if mh.marker == 0xFFD9:
-                    raise ValueError("JPEG data truncated mid-scan")
-                raise
-            mcu_count += 1
+    # corrupt streams must surface as ValueError — callers route
+    # undecodable blobs to the injected decoder by catching
+    # ValueError/NotImplementedError, so internal exception types
+    # (_MarkerHit, end-of-data IndexError) must never escape the scan
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    m = br.align_to_marker()
+                    if not 0xFFD0 <= m <= 0xFFD7:
+                        raise ValueError(f"expected RST marker, got {m:#x}")
+                    preds = [0] * len(scan)
+                try:
+                    for si, s in enumerate(scan):
+                        c = s["comp"]
+                        q = qt[c["tq"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                coef, preds[si] = _decode_block(
+                                    br, huff[(0, s["dc"])],
+                                    huff[(1, s["ac"])], preds[si])
+                                blk = np.zeros((8, 8))
+                                for z, (r, cc) in enumerate(ZIGZAG):
+                                    blk[r, cc] = coef[z]
+                                blk *= q
+                                px = _C.T @ blk @ _C + 128.0
+                                y0 = (my * c["v"] + by) * 8
+                                x0 = (mx * c["h"] + bx) * 8
+                                planes[si][y0:y0 + 8, x0:x0 + 8] = px
+                except _MarkerHit as mh:
+                    if mh.marker == 0xFFD9:
+                        raise ValueError(
+                            "corrupt JPEG stream: data truncated "
+                            "mid-scan (EOI inside an MCU)") from None
+                    raise ValueError(
+                        "corrupt JPEG stream: unexpected marker "
+                        f"{mh.marker:#06x} mid-scan") from None
+                mcu_count += 1
+    except IndexError:
+        raise ValueError("corrupt JPEG stream: entropy-coded data "
+                         "ended before the last MCU") from None
     # upsample to full geometry and crop
     full = []
     for si, s in enumerate(scan):

@@ -124,12 +124,16 @@ def _canon_filter(f: str | None) -> str | None:
     return " ".join(f.lower().split()) if f else None
 
 
-# fingerprint memo keyed by the manifest file's (mtime_ns, size):
-# once a table has a join MV, every SPJG query re-fingerprints the
-# joined dims on answer() — with the memo an unchanged dim costs one
-# stat() instead of a manifest JSON load + sort. The manifest swap is
-# an atomic rename, so any visible-state change moves mtime_ns.
-_FP_CACHE: dict[str, tuple[tuple[int, int], str]] = {}
+# fingerprint memo keyed by the manifest file's (mtime_ns, size,
+# version counter): once a table has a join MV, every SPJG query
+# re-fingerprints the joined dims on answer() — with the memo an
+# unchanged dim costs one stat() + 64-byte prefix read instead of a
+# manifest JSON load + sort. (mtime, size) alone is racy — two swaps
+# of identical size within one mtime tick would serve a stale
+# fingerprint and answer queries from a silently-stale MV — so the
+# monotonic version counter (bumped on every manifest update) is
+# folded in; an unreadable token disables caching for that stat.
+_FP_CACHE: dict[str, tuple[tuple, str]] = {}
 
 
 def _table_fingerprint(t: Table) -> str:
@@ -137,12 +141,15 @@ def _table_fingerprint(t: Table) -> str:
     ids + file paths + merge-on-read delete-delta paths. Any load,
     IUD, restore, or compaction that changes what a scan returns
     changes the fingerprint (a pure metadata no-op like SHOW does
-    not). Memoized on the manifest file's stat signature."""
+    not). Memoized on the manifest file's stat+version signature."""
     import hashlib
+
+    from ..catalog.manifest import version_token
     sp = t.manifest.status_path
     try:
         st = os.stat(sp)
-        sig = (st.st_mtime_ns, st.st_size)
+        ver = version_token(sp)
+        sig = (st.st_mtime_ns, st.st_size, ver) if ver is not None else None
     except OSError:
         sig = None
     if sig is not None:
@@ -383,13 +390,22 @@ class MVManager:
                     any(a.fn in ("min", "max") for a in meta.aggs)
                     or src_doc.get("schema_evolved")
                     or src_doc.get("column_renames"))))
+        dims_unchanged = dim_state_now == (meta.dim_state or {})
         if full:
             df = self._aggregate_source(meta, segments=None)
             shutil.rmtree(mv_dir, ignore_errors=True)
             Table.create_as_select(self.source.spark, mv_dir, df)
+            # dim uniqueness is reusable across a full rebuild when
+            # the dims themselves are unchanged (fingerprint-stable)
+            # and were certified before — only the count invariant
+            # (fact side changed arbitrarily) needs re-proving
+            new_fk = self._verify_fk_dims(
+                meta, mv_dir,
+                skip_uniqueness=dims_unchanged and meta.fk_dims is not None)
         else:
             new_segs = [s.id for s in self.source.manifest.queryable_segments()
                         if s.id > meta.watermark]
+            new_fk = self._extend_fk_certificate(meta, new_segs)
             parts = []
             if new_segs:
                 # read() applies ALL deltas, so rows of new segments
@@ -422,10 +438,42 @@ class MVManager:
         meta.watermark = src_wm
         meta.deltas = sorted(cur_deltas)
         meta.dim_state = dim_state_now or None
-        meta.fk_dims = self._verify_fk_dims(meta, mv_dir)
+        meta.fk_dims = new_fk
         self._save(meta)
 
-    def _verify_fk_dims(self, meta: MVMeta, mv_dir: str) -> list | None:
+    def _extend_fk_certificate(self, meta: MVMeta,
+                               new_segs: list[int]) -> list | None:
+        """Incremental FK-certificate maintenance. The incremental
+        path's preconditions guarantee the dims are UNCHANGED since
+        the stored certificate (refresh() forces FULL otherwise), so
+        dim-key uniqueness cannot have changed and is reused, never
+        re-scanned. Deletes only REMOVE fact rows — every survivor
+        still joins exactly one row per dim — so the cached
+        certificate survives them; only NEW fact segments need the
+        count-preservation invariant re-proved, scoped to exactly
+        those segments (join-count(new segs) == row-count(new segs)),
+        ANDed with the prior certificate. Old fact segments are never
+        re-scanned (the reference's incremental-refresh discipline,
+        MVRefresher.scala:61-200). An MV that was uncertified stays
+        so until the next FULL refresh re-verifies from scratch."""
+        if not meta.joins:
+            return None
+        prior = meta.fk_dims
+        if prior is None or not new_segs:
+            return prior
+        try:
+            joins = self._join_tables(meta)
+            inc = self.source.read(segments=new_segs)
+            n_new = inc.count()
+            n_join = _apply_joins(inc, joins).count()
+            if int(n_join) != int(n_new):
+                return None
+            return prior
+        except Exception:
+            return None    # uncertifiable ⇒ subsumption just refuses
+
+    def _verify_fk_dims(self, meta: MVMeta, mv_dir: str, *,
+                        skip_uniqueness: bool = False) -> list | None:
         """FK-likeness certificate enabling join subsumption
         (_matches): certify the star's dims iff (a) every dim key is
         UNIQUE — so a fact row can match at most one row per dim, no
@@ -436,8 +484,11 @@ class MVManager:
         (all-or-nothing: with a non-unique dim in the tree, the count
         invariant can no longer isolate the other dims).
 
-        Cost at refresh: one tiny aggregation per dim (dims are
-        broadcast-scale by definition) + for (b) either a sum of the
+        Cost at FULL refresh only (incremental refreshes go through
+        _extend_fk_certificate instead): one tiny aggregation per dim
+        (dims are broadcast-scale by definition; skipped entirely via
+        ``skip_uniqueness`` when the dims are fingerprint-unchanged
+        since an existing certificate) + for (b) either a sum of the
         MV's stored count(*) partials (unfiltered MVs — the stored
         count invariant, no join re-run) or one joined count job
         (filtered MVs). The fact row count is metadata-only."""
@@ -445,12 +496,13 @@ class MVManager:
             return None
         try:
             joins = self._join_tables(meta)
-            for d, _fk, dk in joins:
-                dup = (d.read().groupBy(dk)
-                       .agg(F.count(F.lit(1)).alias("c"))
-                       .filter("c > 1").limit(1).count())
-                if dup:
-                    return None
+            if not skip_uniqueness:
+                for d, _fk, dk in joins:
+                    dup = (d.read().groupBy(dk)
+                           .agg(F.count(F.lit(1)).alias("c"))
+                           .filter("c > 1").limit(1).count())
+                    if dup:
+                        return None
             n_fact = self.source.count()
             if meta.filter is None:
                 mv_t = Table.open(self.source.spark, mv_dir)
@@ -586,7 +638,7 @@ class MVManager:
         # duplicated any aggregated row
         qj, mj = _canon_joins(q.joins), (meta.joins or [])
         if qj != mj:
-            if not self._subsumes(meta, qj, mj):
+            if not self._subsumes(meta, q, qj, mj):
                 return False
         if set(q.group_cols) - set(meta.group_cols):
             return False
@@ -623,14 +675,19 @@ class MVManager:
                 return False
         return True
 
-    def _subsumes(self, meta: MVMeta, qj: list, mj: list) -> bool:
+    def _subsumes(self, meta: MVMeta, q: QuerySpec,
+                  qj: list, mj: list) -> bool:
         """True iff the query's join set is a strict subset of the
         MV's and every DROPPED dim is safe to ignore: FK-certified at
         the last refresh (see _verify_fk_dims; currency is implied —
         a changed dim stales the MV before answer() consults it),
-        and no retained join or query column depends on a dropped
-        dim (a retained fact_key supplied by a dropped dim's schema
-        would change the join tree's shape)."""
+        and NOTHING the query references depends on a dropped dim —
+        neither a retained join's fact_key (a key supplied by a
+        dropped dim's schema would change the join tree's shape) nor
+        any group/agg/filter/timeseries column (the MV could answer
+        such a query, but DIRECT execution of it would fail to
+        resolve the column — the rewrite must not legitimize an
+        invalid query)."""
         qset = {tuple(j) for j in qj}
         mset = {tuple(j) for j in mj}
         if not mj or not qset <= mset:
@@ -647,9 +704,18 @@ class MVManager:
                 dropped_cols |= {f.name for f in t._schema_struct().fields}
             except Exception:
                 return False
-        # conservative: any name collision between a retained join's
-        # fact_key and a dropped dim's columns refuses the rewrite
-        return not any(fk in dropped_cols for _d, fk, _dk in qj)
+        # conservative: any name collision between a column the query
+        # touches and a dropped dim's columns refuses the rewrite
+        # (falls back to direct execution, which resolves — or raises
+        # — on its own authority)
+        q_cols = set(q.group_cols) | {a.col for a in q.aggs.values()
+                                      if a.col != "*"}
+        if q.filter:
+            q_cols |= set(self._filter_identifiers(q.filter))
+        if q.timeseries:
+            q_cols.add(q.timeseries[0])
+        q_cols.update(fk for _d, fk, _dk in qj)
+        return not (q_cols & dropped_cols)
 
     @staticmethod
     def _filter_identifiers(f: str) -> list[str]:

@@ -79,13 +79,18 @@ def find_touched_files(table: Table, condition: str,
 
 def _replace_files(table: Table, touched_abs: list[str],
                    rewritten: DataFrame | None, source: str,
-                   extra_mutate=None) -> None:
+                   extra_mutate=None,
+                   base_version: int | None = None) -> None:
     """Commit protocol shared by UPDATE/DELETE/MERGE: write rewritten
     rows (if any) as a new segment dir, then in ONE manifest swap drop
     the touched file entries and append the new segment.
     ``extra_mutate(doc)`` rides the same swap (the merge-on-read
     UPDATE path commits its delete-delta entry atomically with the
-    updated-rows segment)."""
+    updated-rows segment). ``base_version`` is the manifest version
+    the caller's touched-file/rewrite plan was computed from — the
+    commit aborts with ConcurrentModificationError if another writer
+    landed in between (the caller recomputes and retries; a slow CoW
+    rewrite can never clobber a concurrent commit)."""
     touched = set(touched_abs)
 
     new_files_info: list = []
@@ -132,10 +137,12 @@ def _replace_files(table: Table, touched_abs: list[str],
         if extra_mutate is not None:
             extra_mutate(doc)
 
-    table.manifest.update(mutate)
-    if tmp is not None:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        table.manifest.update(mutate, base_version=base_version)
+    finally:
+        if tmp is not None:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     if touched_abs and table.manifest.load().get("delete_deltas"):
         # a rewrite dropped files a merge-on-read delta may reference
         # (MERGE on a mor table) — re-trim to keep count() exact
@@ -167,16 +174,25 @@ def delete_rows(table: Table, condition: str, predicates=None) -> int:
         from .mor import delete_rows_mor
         return delete_rows_mor(table, condition, predicates)
     _check_mutable(table)
-    touched = find_touched_files(table, condition, predicates)
-    if not touched:
-        return 0
-    scan = _scan_touched(table, touched)
-    n_before = scan.count()
-    keep = scan.filter(~F.expr(condition))
-    n_kept = keep.count()
-    _replace_files(table, touched, keep if n_kept else None, "delete")
-    _invalidate_mvs(table)
-    return n_before - n_kept
+    from ..catalog.manifest import retry_on_conflict
+
+    def attempt() -> int:
+        # base snapshot FIRST: any commit landing after this point is
+        # detected at swap time and the whole plan recomputes
+        base = table.manifest.load(_attach=False)["version"]
+        touched = find_touched_files(table, condition, predicates)
+        if not touched:
+            return 0
+        scan = _scan_touched(table, touched)
+        n_before = scan.count()
+        keep = scan.filter(~F.expr(condition))
+        n_kept = keep.count()
+        _replace_files(table, touched, keep if n_kept else None, "delete",
+                       base_version=base)
+        _invalidate_mvs(table)
+        return n_before - n_kept
+
+    return retry_on_conflict(attempt)
 
 
 def update_rows(table: Table, set_exprs: dict[str, str],
@@ -189,19 +205,26 @@ def update_rows(table: Table, set_exprs: dict[str, str],
         from .mor import update_rows_mor
         return update_rows_mor(table, set_exprs, condition, predicates)
     _check_mutable(table)
-    touched = find_touched_files(table, condition, predicates)
-    if not touched:
-        return 0
-    scan = _scan_touched(table, touched)
-    cond = F.expr(condition)
-    n_updated = scan.filter(cond).count()
-    cols = []
-    for name in scan.columns:
-        if name in set_exprs:
-            cols.append(F.when(cond, F.expr(set_exprs[name]))
-                        .otherwise(F.col(name)).alias(name))
-        else:
-            cols.append(F.col(name))
-    _replace_files(table, touched, scan.select(*cols), "update")
-    _invalidate_mvs(table)
-    return n_updated
+    from ..catalog.manifest import retry_on_conflict
+
+    def attempt() -> int:
+        base = table.manifest.load(_attach=False)["version"]
+        touched = find_touched_files(table, condition, predicates)
+        if not touched:
+            return 0
+        scan = _scan_touched(table, touched)
+        cond = F.expr(condition)
+        n_updated = scan.filter(cond).count()
+        cols = []
+        for name in scan.columns:
+            if name in set_exprs:
+                cols.append(F.when(cond, F.expr(set_exprs[name]))
+                            .otherwise(F.col(name)).alias(name))
+            else:
+                cols.append(F.col(name))
+        _replace_files(table, touched, scan.select(*cols), "update",
+                       base_version=base)
+        _invalidate_mvs(table)
+        return n_updated
+
+    return retry_on_conflict(attempt)

@@ -102,12 +102,14 @@ def heavy_hitters(df: DataFrame, col: str, k: int,
                     f"(near-uniform data); increase m from {m}")
             return df.sparkSession.createDataFrame(
                 [], "key string, cnt bigint")
-        if n_cand <= 2_000_000:
+        if n_cand <= 100_000:
+            # ~100k strings is single-digit MB materialized on the
+            # driver + per executor — safe at default memory. Past
+            # that (mis-sized m at extreme partition counts) a
+            # broadcast is hundreds of MB everywhere, so fall through
+            # to the shuffled semi-join, which stays distributed.
             filt = src.join(F.broadcast(cand_df), col, "left_semi")
         else:
-            # candidate set past broadcast comfort (mis-sized m at
-            # extreme partition counts) — shuffled semi-join still
-            # keeps everything distributed
             filt = src.join(cand_df, col, "left_semi")
         exact = (filt.groupBy(F.col(col).alias("key"))
                  .agg(F.count(F.lit(1)).alias("cnt"))

@@ -139,10 +139,11 @@ class MergeBuilder:
     # -- execution ---------------------------------------------------------
 
     def execute(self) -> MergeStats:
+        from ..catalog.manifest import retry_on_conflict
         from .dml import _is_mor
         if _is_mor(self.target):
-            return self._execute_mor()
-        return self._execute_cow()
+            return retry_on_conflict(self._execute_mor)
+        return retry_on_conflict(self._execute_cow)
 
     # -- shared clause machinery ------------------------------------------
 
@@ -259,6 +260,9 @@ class MergeBuilder:
 
     def _execute_cow(self) -> MergeStats:
         spark = self.target.spark
+        # optimistic-concurrency base: the touched-file plan below is
+        # computed from this snapshot; the commit verifies it
+        base = self.target.manifest.load(_attach=False)["version"]
         # explicit existence marker — robust even if all source columns
         # are NULL for a row
         src = self.source.withColumn("_src_exists", F.lit(1)).alias("src")
@@ -306,7 +310,8 @@ class MergeBuilder:
             new_data = rewritten
             if inserts is not None:
                 new_data = inserts if new_data is None else new_data.unionByName(inserts)
-            _replace_files(self.target, touched, new_data, "merge")
+            _replace_files(self.target, touched, new_data, "merge",
+                           base_version=base)
             if touched:
                 # data changed in place — incremental MV state is void
                 from .dml import _invalidate_mvs
@@ -327,6 +332,7 @@ class MergeBuilder:
         files), which is the difference between a CDC stream you can
         afford at 100 TB and one you cannot."""
         from .mor import _append_delta, _threshold, _write_delta, horizontal_compact
+        base = self.target.manifest.load(_attach=False)["version"]
         src = self.source.withColumn("_src_exists", F.lit(1)).alias("src")
         stats = MergeStats()
         tgt_all = self.target.read().alias("tgt")
@@ -363,8 +369,19 @@ class MergeBuilder:
         if new_data is not None or delta is not None:
             extra = ((lambda doc: _append_delta(doc, *delta))
                      if delta is not None else None)
-            _replace_files(self.target, [], new_data, "merge",
-                           extra_mutate=extra)
+            try:
+                _replace_files(self.target, [], new_data, "merge",
+                               extra_mutate=extra, base_version=base)
+            except BaseException:
+                if delta is not None:
+                    import os as _os
+                    import shutil as _shutil
+                    _shutil.rmtree(
+                        _os.path.join(self.target.table_dir, delta[0]),
+                        ignore_errors=True)    # orphaned sidecar
+                if cleanup is not None:
+                    cleanup.unpersist()
+                raise
             if (len(self.target.manifest.load().get("delete_deltas", []))
                     > _threshold(self.target)):
                 horizontal_compact(self.target, force=True)

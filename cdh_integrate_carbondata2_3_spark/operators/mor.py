@@ -136,16 +136,34 @@ def delete_rows_mor(table: Table, condition: str, predicates=None) -> int:
     row count. No data file is read beyond the pruned matching set
     and none is rewritten."""
     _check_mor(table)
-    scan = table.read(predicates=predicates, with_rowpos=True)
-    delta = _write_delta(table, scan.filter(F.expr(condition)))
-    if delta is None:
+    from ..catalog.manifest import retry_on_conflict
+
+    def attempt() -> int:
+        # the delta's (file, pos) keys are only valid against the
+        # snapshot they were scanned from — a concurrent rewrite/
+        # compaction invalidates them, so commit checks the version
+        base = table.manifest.load(_attach=False)["version"]
+        scan = table.read(predicates=predicates, with_rowpos=True)
+        delta = _write_delta(table, scan.filter(F.expr(condition)))
+        if delta is None:
+            return 0
+        rel, n, files = delta
+
+        def mutate(doc: dict) -> None:
+            _append_delta(doc, rel, n, files)
+
+        try:
+            table.manifest.update(mutate, base_version=base)
+        except BaseException:
+            import shutil
+            shutil.rmtree(os.path.join(table.table_dir, rel),
+                          ignore_errors=True)    # orphaned sidecar
+            raise
+        return n
+
+    n = retry_on_conflict(attempt)
+    if n == 0:
         return 0
-    rel, n, files = delta
-
-    def mutate(doc: dict) -> None:
-        _append_delta(doc, rel, n, files)
-
-    table.manifest.update(mutate)
     # NO MV invalidation here: dependent MVs detect the new delta
     # path (MVManager.show staleness) and the next refresh applies
     # the deletion ALGEBRAICALLY (mv/manager._aggregate_deleted)
@@ -160,23 +178,39 @@ def update_rows_mor(table: Table, set_exprs: dict[str, str],
     old row versions join the delete delta, updated rows land in a
     fresh segment — one atomic manifest swap commits both."""
     _check_mor(table)
-    scan = table.read(predicates=predicates, with_rowpos=True)
-    hits = scan.filter(F.expr(condition)).cache()
-    try:
-        delta = _write_delta(table, hits)
-        if delta is None:
-            return 0
-        rel, n, files = delta
-        fields = table._schema_struct().fields
-        updated = hits.select(*[
-            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
-            if f.name in set_exprs else F.col(f.name) for f in fields])
-        from .dml import _replace_files
-        _replace_files(table, [], updated, "update",
-                       extra_mutate=lambda doc: _append_delta(
-                           doc, rel, n, files))
-    finally:
-        hits.unpersist()
+    from ..catalog.manifest import retry_on_conflict
+
+    def attempt() -> int:
+        base = table.manifest.load(_attach=False)["version"]
+        scan = table.read(predicates=predicates, with_rowpos=True)
+        hits = scan.filter(F.expr(condition)).cache()
+        try:
+            delta = _write_delta(table, hits)
+            if delta is None:
+                return 0
+            rel, n, files = delta
+            fields = table._schema_struct().fields
+            updated = hits.select(*[
+                F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in set_exprs else F.col(f.name) for f in fields])
+            from .dml import _replace_files
+            try:
+                _replace_files(table, [], updated, "update",
+                               extra_mutate=lambda doc: _append_delta(
+                                   doc, rel, n, files),
+                               base_version=base)
+            except BaseException:
+                import shutil
+                shutil.rmtree(os.path.join(table.table_dir, rel),
+                              ignore_errors=True)    # orphaned sidecar
+                raise
+        finally:
+            hits.unpersist()
+        return n
+
+    n = retry_on_conflict(attempt)
+    if n == 0:
+        return 0
     # MVs: the delta path + new segment both feed the incremental
     # refresh; no invalidation needed (see delete_rows_mor)
     if len(table.manifest.load().get("delete_deltas", [])) > _threshold(table):
@@ -236,26 +270,33 @@ def apply_deltas(table: Table, min_fraction: float = 0.3) -> int:
     distributed aggregation past ``MAX_DRIVER_DELTA_ROWS``; executor
     cost: one CoW rewrite of just the chosen files through the
     delta-aware rescan."""
-    doc = table.manifest.load()
-    entries = doc.get("delete_deltas") or []
-    if not entries:
-        return 0
-    per_file = _per_file_dead(table, entries)
-    rows_of = {f.path: f.rows for s in table.manifest.queryable_segments()
-               for f in s.files}
-    chosen = [p for p, dead in per_file.items()
-              if p in rows_of and rows_of[p] > 0
-              and dead / rows_of[p] >= min_fraction]
-    if not chosen:
-        return 0
-    from .dml import _replace_files, _scan_touched
-    n_survivors = sum(rows_of[p] - per_file[p] for p in chosen)
-    surviving = (_scan_touched(table, [table._abs(p) for p in chosen])
-                 if n_survivors else None)
-    _replace_files(table, [table._abs(p) for p in chosen],
-                   surviving, "delta_apply")
-    # _replace_files already re-trimmed the deltas (files dropped)
-    return len(chosen)
+    from ..catalog.manifest import retry_on_conflict
+
+    def attempt() -> int:
+        doc = table.manifest.load()
+        entries = doc.get("delete_deltas") or []
+        if not entries:
+            return 0
+        per_file = _per_file_dead(table, entries)
+        rows_of = {f.path: f.rows
+                   for s in table.manifest.queryable_segments()
+                   for f in s.files}
+        chosen = [p for p, dead in per_file.items()
+                  if p in rows_of and rows_of[p] > 0
+                  and dead / rows_of[p] >= min_fraction]
+        if not chosen:
+            return 0
+        from .dml import _replace_files, _scan_touched
+        n_survivors = sum(rows_of[p] - per_file[p] for p in chosen)
+        surviving = (_scan_touched(table, [table._abs(p) for p in chosen])
+                     if n_survivors else None)
+        _replace_files(table, [table._abs(p) for p in chosen],
+                       surviving, "delta_apply",
+                       base_version=doc["version"])
+        # _replace_files already re-trimmed the deltas (files dropped)
+        return len(chosen)
+
+    return retry_on_conflict(attempt)
 
 
 def horizontal_compact(table: Table, force: bool = False) -> None:
@@ -265,29 +306,43 @@ def horizontal_compact(table: Table, force: bool = False) -> None:
     Reference HorizontalCompaction.scala — auto-run after IUD past a
     threshold; ours also restores the count() invariant after any
     file-dropping operation (Table._trim_deltas)."""
-    doc = table.manifest.load()
-    deltas = doc.get("delete_deltas") or []
-    if not deltas or (len(deltas) < 2 and not force):
-        return
-    live = [f.path for s in table.manifest.queryable_segments()
-            for f in s.files]
-    dd = (table.spark.read.parquet(*[table._abs(d["path"]) for d in deltas])
-          .distinct())
-    live_df = table.spark.createDataFrame(
-        [(p,) for p in live], "file string")
-    dd = dd.join(F.broadcast(live_df), "file", "left_semi") \
-        .withColumnRenamed("file", "__dd_f").withColumnRenamed("pos", "__dd_p")
-    merged = _write_delta(table, dd)
+    from ..catalog.manifest import retry_on_conflict
 
-    def mutate(d: dict) -> None:
-        if merged:
-            entry = {"path": merged[0], "rows": merged[1]}
-            if merged[2] is not None:
-                entry["files"] = merged[2]
-            d["delete_deltas"] = [entry]
-        else:
-            d.pop("delete_deltas", None)
+    def attempt() -> None:
+        doc = table.manifest.load()
+        deltas = doc.get("delete_deltas") or []
+        if not deltas or (len(deltas) < 2 and not force):
+            return
+        live = [f.path for s in table.manifest.queryable_segments()
+                for f in s.files]
+        dd = (table.spark.read.parquet(
+                  *[table._abs(d["path"]) for d in deltas])
+              .distinct())
+        live_df = table.spark.createDataFrame(
+            [(p,) for p in live], "file string")
+        dd = (dd.join(F.broadcast(live_df), "file", "left_semi")
+              .withColumnRenamed("file", "__dd_f")
+              .withColumnRenamed("pos", "__dd_p"))
+        merged = _write_delta(table, dd)
 
-    table.manifest.update(mutate)
+        def mutate(d: dict) -> None:
+            if merged:
+                entry = {"path": merged[0], "rows": merged[1]}
+                if merged[2] is not None:
+                    entry["files"] = merged[2]
+                d["delete_deltas"] = [entry]
+            else:
+                d.pop("delete_deltas", None)
+
+        try:
+            table.manifest.update(mutate, base_version=doc["version"])
+        except BaseException:
+            if merged:
+                import shutil
+                shutil.rmtree(os.path.join(table.table_dir, merged[0]),
+                              ignore_errors=True)    # orphaned sidecar
+            raise
+
+    retry_on_conflict(attempt)
     # superseded sidecars stay on disk for time travel until CLEAN FILES
 

@@ -99,3 +99,28 @@ def test_sniffer_dispatch():
     rgb, total = _flat_tiles(2, 3, seed=1)
     d = sniff_and_decode(encode_jpeg(rgb))
     assert d["sum_g"] == total
+
+
+def test_corrupt_streams_raise_valueerror_only():
+    """Callers route undecodable blobs to the injected decoder by
+    catching ValueError/NotImplementedError — internal types
+    (_MarkerHit, IndexError, struct.error) must never escape
+    (ADVICE r7). Adversarial inputs: truncated header, truncated
+    entropy data, a stray marker mid-scan, EOI mid-MCU."""
+    rgb, _ = _flat_tiles(2, 2)
+    blob = bytes(encode_jpeg(rgb))
+    sos = blob.index(b"\xff\xda")
+    cases = [
+        blob[:6],                         # truncated in header walk
+        blob[:sos + 14],                  # SOS present, no entropy data
+        blob[:-4],                        # entropy data chopped, no EOI
+        # stray DHT marker as the first entropy bytes (mid-scan hit)
+        blob[:sos + 14] + b"\xff\xc4" + blob[sos + 14:],
+        blob[:sos] + b"\xff\xd9",         # EOI where the scan should be
+        b"\xff\xd8\xff",                  # SOI then dangling marker byte
+    ]
+    for i, bad in enumerate(cases):
+        with pytest.raises((ValueError, NotImplementedError)) as ei:
+            decode_jpeg(bad)
+        assert type(ei.value) in (ValueError, NotImplementedError), \
+            (i, type(ei.value))

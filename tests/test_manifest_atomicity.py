@@ -207,3 +207,149 @@ def test_version_history_kept(tmp_path):
     hist = [f for f in os.listdir(m.meta_dir)
             if f.startswith("tablestatus.v")]
     assert len(hist) >= 3
+
+
+def test_update_base_version_guard(tmp_path):
+    """Optimistic concurrency (VERDICT r7 item 6): update() with the
+    base version the caller's plan was computed from commits iff no
+    other writer landed in between; otherwise it raises BEFORE the
+    mutator runs, and retry_on_conflict re-runs the whole attempt."""
+    from cdh_integrate_carbondata2_3_spark.catalog.manifest import (
+        ConcurrentModificationError, retry_on_conflict)
+
+    m = _mk(tmp_path)
+    base = m.load()["version"]
+    m.update(lambda doc: None, base_version=base)      # matches → commits
+    other = Manifest(m.table_dir)
+    other.update(lambda doc: None)                     # concurrent writer
+    ran = {"mutate": 0}
+
+    def mutate(doc):
+        ran["mutate"] += 1
+
+    with pytest.raises(ConcurrentModificationError):
+        m.update(mutate, base_version=base + 1)        # stale base
+    assert ran["mutate"] == 0, "mutator must not run on a conflict"
+
+    attempts = {"n": 0}
+
+    def attempt():
+        attempts["n"] += 1
+        b = m.load(_use_cache=False)["version"]
+        if attempts["n"] == 1:
+            other.update(lambda doc: None)             # loser's race
+        m.update(lambda doc: None, base_version=b)
+        return "done"
+
+    assert retry_on_conflict(attempt) == "done"
+    assert attempts["n"] == 2                          # retried once
+
+
+def test_version_token_disambiguates_same_tick_swaps(tmp_path):
+    """Two swaps of identical size within one mtime tick must still
+    invalidate the stat-keyed parse cache (ADVICE r7: the old
+    (mtime, size) key could serve a stale doc — and a stale MV dim
+    fingerprint — silently)."""
+    import os as _os
+
+    from cdh_integrate_carbondata2_3_spark.catalog.manifest import (
+        version_token)
+
+    m = _mk(tmp_path)
+    m.update(lambda doc: doc.update(marker="a"))
+    d1 = m.load()
+    st1 = _os.stat(m.status_path)
+    tok1 = version_token(m.status_path)
+    other = Manifest(m.table_dir)
+    other.update(lambda doc: doc.update(marker="b"))   # same-size swap
+    # force the SAME mtime as the first swap — the adversarial tick
+    _os.utime(m.status_path, ns=(st1.st_atime_ns, st1.st_mtime_ns))
+    st2 = _os.stat(m.status_path)
+    assert (st1.st_mtime_ns, st1.st_size) == (st2.st_mtime_ns, st2.st_size)
+    tok2 = version_token(m.status_path)
+    assert tok2 == tok1 + 1                            # token still moves
+    assert m.load()["marker"] == "b", \
+        "stat-keyed cache served a stale doc across a same-tick swap"
+
+
+def test_dml_vs_compaction_race_no_lost_update(spark, tmp_path,
+                                               monkeypatch):
+    """DML racing compaction (VERDICT r7 item 6): the compactor
+    computes its merged segment from a pre-lock snapshot; a DELETE
+    that lands between that snapshot and the compactor's commit must
+    NOT be clobbered (the merged files would silently resurrect the
+    deleted rows, and _trim_deltas would then drop the delta = lost
+    update). The version guard aborts the stale commit and the loser
+    retries from the post-delete state."""
+    from pyspark.sql import functions as F
+
+    from cdh_integrate_carbondata2_3_spark.catalog import Table
+    from cdh_integrate_carbondata2_3_spark.operators import dml
+
+    t1 = Table.create(spark, str(tmp_path / "race"), "id bigint, v int")
+    for lo in range(0, 400, 100):
+        t1.insert(spark.range(lo, lo + 100).select(
+            "id", (F.col("id") % 7).cast("int").alias("v")))
+    t2 = Table.open(spark, t1.table_dir)    # independent writer state
+
+    attempts = {"compact": 0}
+    orig_attempt = Table._compact_attempt
+
+    def counting(self, *a, **k):
+        attempts["compact"] += 1
+        return orig_attempt(self, *a, **k)
+
+    monkeypatch.setattr(Table, "_compact_attempt", counting)
+
+    injected = {"done": False}
+    orig_write = Table._write_segment_files
+
+    def racy_write(self, df):
+        tmp = orig_write(self, df)
+        if not injected["done"] and self is t1:
+            # compactor has read its snapshot and written merged data,
+            # but not committed — land a concurrent DELETE right here
+            injected["done"] = True
+            assert dml.delete_rows(t2,
+                                   "id >= 300 and id % 10 = 3") == 10
+        return tmp
+
+    monkeypatch.setattr(Table, "_write_segment_files", racy_write)
+
+    assert t1.compact("minor", minor_threshold=2) is not None
+    assert attempts["compact"] == 2, "loser must retry, not clobber"
+    assert t1.read().count() == 390
+    assert t1.read().filter("id >= 300 and id % 10 = 3").count() == 0, \
+        "compaction resurrected concurrently-deleted rows"
+    assert t1.count() == 390                 # manifest count math intact
+
+
+def test_cow_delete_vs_concurrent_insert_retries(spark, tmp_path,
+                                                 monkeypatch):
+    """The mirror race: a CoW DELETE's touched-file plan goes stale
+    when another writer commits first — the delete must retry from
+    the new state and BOTH effects must survive."""
+    from pyspark.sql import functions as F
+
+    from cdh_integrate_carbondata2_3_spark.catalog import Table
+    from cdh_integrate_carbondata2_3_spark.operators import dml
+
+    t1 = Table.create(spark, str(tmp_path / "race2"), "id bigint")
+    t1.insert(spark.range(0, 100).select("id"))
+    t2 = Table.open(spark, t1.table_dir)
+
+    injected = {"done": False}
+    orig_find = dml.find_touched_files
+
+    def racy_find(table, condition, predicates=None):
+        out = orig_find(table, condition, predicates)
+        if not injected["done"]:
+            injected["done"] = True
+            t2.insert(spark.range(100, 150).select("id"))
+        return out
+
+    monkeypatch.setattr(dml, "find_touched_files", racy_find)
+    assert dml.delete_rows(t1, "id < 10") == 10
+    ids = sorted(r["id"] for r in t1.read().collect())
+    assert ids == list(range(10, 150)), \
+        "either the delete or the concurrent insert was lost"
