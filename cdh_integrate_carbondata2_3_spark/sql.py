@@ -170,6 +170,9 @@ _REFRESH_TABLE = _ci(r"^\s*REFRESH\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
 _SHOW_METACACHE = _ci(r"^\s*SHOW\s+METACACHE(?:\s+ON\s+TABLE\s+((?:\w+\.)?\w+))?\s*$")
 _DROP_METACACHE = _ci(r"^\s*DROP\s+METACACHE\s+ON\s+TABLE\s+((?:\w+\.)?\w+)\s*$")
 _EXPLAIN = _ci(r"^\s*EXPLAIN\s+(SELECT\b.*)$")
+# EXPLAIN for engine DML/commands (reference CarbonExplainCommand
+# explains commands too, with ExplainCollector pruning info)
+_EXPLAIN_ANY = _ci(r"^\s*EXPLAIN\s+((?:UPDATE|DELETE|MERGE)\b.*)$")
 # DESCRIBE COLUMN col[.nested...] ON table / DESCRIBE SHORT table
 # (reference CarbonSpark2SqlParser.scala:121-135,
 #  CarbonDescribeColumnCommand / CarbonDescribeShortCommand)
@@ -2054,6 +2057,11 @@ class Engine:
             return self._ok(f"dropped cache for {m.group(1)}")
         if m := _EXPLAIN.match(text):
             return self._explain(m.group(1))
+        if m := _EXPLAIN_ANY.match(text):
+            if (df := self._explain_command(m.group(1))) is not None:
+                return df
+            # not an engine DML — fall through (Spark explains its own
+            # SQL via the passthrough below)
         if m := _DESCRIBE_COLUMN.match(text):
             return self._describe_column(m.group(2), m.group(1))
         if m := _DESCRIBE_SHORT.match(text):
@@ -2662,6 +2670,49 @@ class Engine:
                 total = sum(len(s.files)
                             for s in t.manifest.queryable_segments())
                 lines.append((f"table.{name}.total_files", str(total)))
+        return self._df(lines, "item string, value string")
+
+    def _explain_command(self, body: str) -> DataFrame | None:
+        """EXPLAIN UPDATE/DELETE/MERGE (reference CarbonExplainCommand
+        + ExplainCollector — the reference explains DML commands with
+        pruning info, not just SELECT): reports the driver-side
+        manifest prune the mutation's touched-file discovery would
+        use — files before/after, skipped count, participating
+        indexes — WITHOUT executing the mutation. Returns None when
+        the body isn't an engine DML (the caller falls through)."""
+        kind = table = cond = None
+        if m := _UPDATE_TUPLE.match(body):
+            kind, table, cond = "UPDATE", m.group(1), m.group(4)
+        elif (m := _UPDATE_PLAIN.match(body)) and "=" in m.group(2):
+            kind, table, cond = "UPDATE", m.group(1), m.group(3)
+        elif m := _DELETE.match(body):
+            kind, table, cond = "DELETE", m.group(1), m.group(2)
+        elif m := _MERGE.match(body):
+            # MERGE prunes at run time from the SOURCE key min/max
+            # (operators/merge._source_key_preds) — static explain
+            # reports the target's full candidate set
+            kind, table = "MERGE", m.group(1)
+        if kind is None or not self._exists(table):
+            return None
+        t = self.table(table)
+        preds = parse_simple_condition(cond) if cond else None
+        total = sum(len(s.files) for s in t.manifest.queryable_segments())
+        kept = sum(len(v) for v in t.scan_files(preds).values())
+        pred_cols = {p[0] for p in (preds or [])}
+        idx = ([i["name"] for i in t.indexes.show()
+                if set(i.get("columns", [])) & pred_cols]
+               if pred_cols else [])
+        lines = [
+            ("command", kind),
+            ("table", self._canon(table)),
+            ("condition", (cond or "true").strip()),
+            ("pushed_predicates", str(preds or [])),
+            ("files.total", str(total)),
+            ("files.candidate", str(kept)),
+            ("files.skipped", str(total - kept)),
+            ("indexes.participating", ",".join(idx) or "(none)"),
+            ("executed", "false"),
+        ]
         return self._df(lines, "item string, value string")
 
     def _describe_column(self, table: str, path: str) -> DataFrame:

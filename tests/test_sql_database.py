@@ -144,3 +144,39 @@ def test_string_literals_survive_qualify(eng):
     # alias.column expressions are not rewritten
     r = eng.sql("SELECT t2.v AS w FROM a.t t2 WHERE t2.id = 1").first()["w"]
     assert r == "A"
+
+
+def test_explain_dml_shows_pruning_without_executing(eng, spark):
+    """EXPLAIN UPDATE/DELETE/MERGE (reference CarbonExplainCommand
+    explains commands with ExplainCollector pruning info): reports the
+    manifest file prune the mutation would use and must NOT execute."""
+    eng.sql("CREATE TABLE p (id BIGINT, v STRING)")
+    for lo in (0, 100, 200):        # 3 segments with disjoint id ranges
+        spark.range(lo, lo + 100).select(
+            "id", F.lit("x").alias("v")).createOrReplaceTempView("__ex")
+        eng.sql("INSERT INTO p SELECT * FROM __ex")
+
+    def report(sql):
+        return {r["item"]: r["value"] for r in eng.sql(sql).collect()}
+
+    r = report("EXPLAIN DELETE FROM p WHERE id = 5")
+    assert r["command"] == "DELETE" and r["executed"] == "false"
+    total, cand = int(r["files.total"]), int(r["files.candidate"])
+    assert 0 < cand < total, r               # min/max skipped segments
+    assert int(r["files.skipped"]) == total - cand
+    assert eng.sql("SELECT COUNT(*) AS c FROM p").first()["c"] == 300
+
+    r = report("EXPLAIN UPDATE p SET v = 'y' WHERE id = 250")
+    assert r["command"] == "UPDATE" and int(r["files.candidate"]) < total
+    assert eng.sql("SELECT COUNT(*) AS c FROM p WHERE v = 'y'") \
+        .first()["c"] == 0                   # not executed
+
+    eng.sql("CREATE TABLE psrc (id BIGINT, v STRING)")
+    r = report("EXPLAIN MERGE INTO p USING psrc ON p.id = psrc.id "
+               "WHEN MATCHED THEN UPDATE SET v = 'm'")
+    assert r["command"] == "MERGE" and int(r["files.total"]) == total
+
+    # participating index named when the predicate column is indexed
+    eng.sql("CREATE INDEX pb ON TABLE p (id) AS 'bloomfilter'")
+    r = report("EXPLAIN DELETE FROM p WHERE id = 5")
+    assert "pb" in r["indexes.participating"]
