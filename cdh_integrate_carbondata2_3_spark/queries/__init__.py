@@ -74,46 +74,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-7 window plan (VERDICT r6 "Next round" item 1: drain the
-# driver-stamp queue). The 50-slot window = the new round-7 gates
-# (multimodal_png_decode, table_mv_subsumed_rollup,
-# ml_logit_fit_calibrate — never stamped, they sort first
-# automatically) + the 22 _DEFER_TO_NEXT names from round 6 (12
-# never-stamped r6 gates, complex_array_functions which last
-# stamped r2, and the 9 rows whose code changed after their r5
-# stamps) + the oldest r3-stamped rows (TPC-H q1/q3/q5/q6/q7/q10,
-# filters, windows, setops, scalars) filling the remainder. All are
-# green on the conf-naked local gate; the driver artifact should
-# say so. Every further new gate added this round pushes one r3 row
-# out of the window — the r6 queue drains first either way.
+# Round-8 window plan (VERDICT r7 "Next round" item 3: drain the last
+# rotation debt). The 50-slot window = the new r8 gate
+# (table_db_namespace — never stamped, sorts first automatically) +
+# the 26 rows whose latest driver stamp is r3 (the full list from
+# VERDICT r7 item 3, incl. scalar_date_funcs) + every row whose code
+# path CHANGED this round (MV refresh/subsumption certificates, DML
+# optimistic-concurrency commits, heavy-hitters broadcast cutoff,
+# batched-BPE self-pair fix, IVF seed pick, JPEG corrupt-stream
+# guards) + r4-stamped filler. All are green on the local
+# tools/check.py gate; the driver artifact should say so. After this
+# window, no registered row's latest stamp is older than r4.
 _ROTATE_BACK_IN: tuple[str, ...] = (
-    # (1) the round-6 deferred queue — never-stamped r6 gates first
-    "dedup_incremental_minhash", "agg_minmax_metadata",
-    "sample_exact_allocation", "stats_equidepth_histogram",
-    "table_restore_version", "dedup_cross_source_matrix",
-    "stream_heavy_hitters_parity", "table_mv_join_rewrite",
-    "multimodal_wav_decode", "multimodal_image_decode",
-    "ml_ols_fit_score", "trajectory_similarity_nn",
-    # (2) stamped r2, yielded its r6 slot
-    "complex_array_functions",
-    # (3) changed-after-r5-stamp rows (skyline, editdist, porter set)
-    "select_pareto_skyline", "join_fuzzy_editdist",
-    "table_fts_porter_analyzer", "table_fts_porter_phrase",
-    "table_fts_porter_fuzzy_range", "table_fts_porter_regexp",
-    "table_fts_limit_ranked_porter",
-    "table_fts_sloppy_phrase", "table_fts_english_phrase",
-    # (4) oldest r3-stamped rows, filling the window
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q10_returned_items",
-    "filter_point_lookup", "filter_range_scan", "filter_in_like_null",
-    "count_star_metadata", "agg_count_distinct", "agg_rollup",
-    "agg_cube", "agg_having",
-    "window_rank_customers", "window_running_lag",
-    "window_ntile_buckets",
-    "join_semi_anti", "join_outer_counts", "join_full_outer",
-    "setop_union_distinct", "setop_intersect", "setop_except",
-    "scalar_string_funcs", "scalar_date_funcs",
+    "agg_conditional_pivot", "agg_exact_quantiles", "agg_minmax_stats",
+    "complex_map_functions", "complex_nested_two_level", "dedup_components",
+    "embedding_quantize_int8", "events_gap_fill", "events_gap_fill_locf",
+    "events_rolling_window", "join_asof_events", "join_asof_forward_tol",
+    "join_range_events", "sample_weighted_tokens", "scalar_string_funcs",
+    "table_bucket_map_join", "table_runtime_filter_join", "table_vector_index_search",
+    "table_zorder_prune", "text_decontaminate", "text_pack_sequences",
+    "text_pii_redact", "udf_grouped_agg_pandas", "udf_python_udtf",
+    "udf_timeseries_rollup", "scalar_date_funcs", "table_mv_join_rewrite",
+    "table_mv_subsumed_rollup", "table_mv_incremental_refresh", "table_mv_ivm_delete",
+    "table_mv_ivm_update", "table_mv_rewrite", "agg_heavy_hitters",
+    "text_bpe_train", "table_update_cow", "table_delete_cow", "table_merge_upsert",
+    "table_merge_upsert_mor", "table_update_mor", "table_delete_mor",
+    "table_compaction", "multimodal_jpeg_decode", "dedup_substring_spans",
+    "dedup_substring_trim", "table_parquet_stats_manifest", "sample_temperature_mix",
+    "sample_token_budget", "dedup_components_star", "table_si_index_prune",
 )
 
 # nothing queued past the r7 window yet; new gates landing after the
@@ -126,6 +114,23 @@ _DEFER_TO_NEXT: tuple[str, ...] = ()
 # not-yet-stamped ones (they stay registered and keep running in
 # pytest/bench; only the dict ordering changes).
 _STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # round 7 (CORRECTNESS_r07.json, 50/50 hash-green; rows NOT
+    # re-listed in _ROTATE_BACK_IN — changed paths restamp in r8):
+    "agg_count_distinct", "agg_cube", "agg_having", "agg_minmax_metadata",
+    "agg_rollup", "complex_array_functions", "count_star_metadata",
+    "dedup_cross_source_matrix", "dedup_incremental_minhash", "filter_in_like_null",
+    "filter_point_lookup", "filter_range_scan", "join_full_outer",
+    "join_fuzzy_editdist", "join_outer_counts", "join_semi_anti", "ml_logit_fit_calibrate",
+    "ml_ols_fit_score", "multimodal_av_meta", "multimodal_image_decode",
+    "multimodal_png_decode", "multimodal_wav_decode", "q10_returned_items",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "sample_exact_allocation",
+    "select_pareto_skyline", "setop_except", "setop_intersect", "setop_union_distinct",
+    "stats_equidepth_histogram", "stream_heavy_hitters_parity", "table_fts_english_phrase",
+    "table_fts_limit_ranked_porter", "table_fts_porter_analyzer", "table_fts_porter_fuzzy_range",
+    "table_fts_porter_phrase", "table_fts_porter_regexp", "table_fts_sloppy_phrase",
+    "table_restore_version", "trajectory_similarity_nn", "window_ntile_buckets",
+    "window_rank_customers", "window_running_lag",
     # round 6 (CORRECTNESS_r06.json, 49 hash-green + 1 rows-only):
     "agg_heavy_hitters", "join_jaccard_exact", "similarity_ann_pq",
     "table_delete_mor", "table_update_mor", "table_merge_upsert_mor",

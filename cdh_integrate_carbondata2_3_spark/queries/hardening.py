@@ -605,6 +605,7 @@ def search_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(0.5 * (F.col("bm25") / F.col("maxb"))
                            + 0.5 * cos, 6).cast("double").alias("hybrid")))
     top = hyb.orderBy(F.col("hybrid").desc(), "doc_id").limit(_HYBRID_K)
+    # global window over the already-LIMITed top-k frame (k rows)
     w = W.orderBy(F.col("hybrid").desc(), "doc_id")
     return top.select("doc_id", "hybrid",
                       F.row_number().over(w).alias("rk"))

@@ -874,6 +874,10 @@ def ml_logit_fit_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert abs(tr["sp"] - tr["sy"]) < 1e-6 * max(1, model["n"]), \
         "train calibration broken"
     from pyspark.sql import Window
+    # global window by design: the oracle's DuckDB NTILE needs the
+    # same total order, and the frame is the HOLDOUT split (quarter
+    # of the docs table — gate-scale, not operator code); a 100 TB
+    # calibration would bucket by approxQuantile(p) instead
     w = Window.orderBy("x", "doc_id")
     scored = (logit_score(hold, model, out="p")
               .withColumn("bucket", F.ntile(5).over(w)))

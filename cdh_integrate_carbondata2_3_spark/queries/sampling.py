@@ -425,6 +425,8 @@ def sample_exact_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("lang", "n", F.floor(exact).cast("bigint").alias("fq"),
                  (exact - F.floor(exact)).alias("rem")))
     lo = q.agg((F.lit(_ALLOC_BUDGET) - F.sum("fq")).alias("leftover"))
+    # global window over the QUOTA frame — one row per language
+    # (bounded by distinct strata, never corpus-sized)
     wq = W.orderBy(F.desc("rem"), F.asc("lang"))
     quota = (q.crossJoin(F.broadcast(lo))
              .select("lang",
@@ -468,6 +470,9 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").cast("double").alias("p"), "o_orderkey")
+    # global NTILE is THIS operator's exact semantics (docstring:
+    # the 100 TB path is approxQuantile bounds; this is the exact
+    # variant, matched bit-for-bit by the DuckDB oracle's NTILE)
     wb = W.orderBy(F.asc("p"), F.asc("o_orderkey"))
     return (o.select("p", F.ntile(_HIST_BUCKETS).over(wb).alias("bucket"))
             .groupBy("bucket")
