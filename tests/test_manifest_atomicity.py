@@ -353,3 +353,66 @@ def test_cow_delete_vs_concurrent_insert_retries(spark, tmp_path,
     ids = sorted(r["id"] for r in t1.read().collect())
     assert ids == list(range(10, 150)), \
         "either the delete or the concurrent insert was lost"
+
+
+_OCC_WRITER = r"""
+import sys, time
+from cdh_integrate_carbondata2_3_spark.catalog.manifest import (
+    Manifest, retry_on_conflict)
+table_dir, tid, n, delay = (sys.argv[1], sys.argv[2], int(sys.argv[3]),
+                            float(sys.argv[4]))
+m = Manifest(table_dir)
+conflicts = 0
+for i in range(n):
+    def attempt(i=i):
+        global conflicts
+        doc = m.load(_use_cache=False)
+        base = doc["version"]
+        planned = len(doc["segments"])          # plan from the snapshot
+        time.sleep(delay)                       # slow rewrite window
+        def mut(d, planned=planned):
+            # the plan is only valid against the snapshot — the
+            # version guard must have kept it current
+            assert len(d["segments"]) == planned, "stale plan committed"
+            d["segments"].append({
+                "id": planned, "status": "SUCCESS", "format": "parquet",
+                "files": [], "load_time": 0.0, "source": f"w{tid}"})
+        try:
+            m.update(mut, base_version=base)
+        except Exception as e:
+            if type(e).__name__ == "ConcurrentModificationError":
+                conflicts += 1
+            raise
+    retry_on_conflict(attempt, attempts=60)
+print("OK", conflicts)
+"""
+
+
+def test_two_process_optimistic_concurrency(tmp_path):
+    """TWO PROCESSES, each committing plans computed from pre-lock
+    snapshots with a deliberate slow window: the version guard must
+    abort every stale commit (the in-mutator assert would blow on a
+    clobber), the loser retries, and all segments from both writers
+    land. With real contention at least one conflict must actually
+    fire — proving the guard is exercised cross-process, not only
+    in-process."""
+    import subprocess
+    import sys
+
+    m = _mk(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _OCC_WRITER, m.table_dir, str(t),
+         "12", "0.03"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for t in range(2)]
+    outs = [p.communicate(timeout=120) for p in procs]
+    assert all(p.returncode == 0 for p in procs), \
+        [(p.returncode, o, e) for p, (o, e) in zip(procs, outs)]
+    total_conflicts = sum(int(o.split()[-1]) for o, _ in outs)
+    doc = m.load()
+    assert len(doc["segments"]) == 24           # nothing lost
+    assert doc["version"] == 24                 # one bump per commit
+    assert total_conflicts >= 1, \
+        "no conflict ever fired — the race was not exercised"
