@@ -180,3 +180,18 @@ def test_explain_dml_shows_pruning_without_executing(eng, spark):
     eng.sql("CREATE INDEX pb ON TABLE p (id) AS 'bloomfilter'")
     r = report("EXPLAIN DELETE FROM p WHERE id = 5")
     assert "pb" in r["indexes.participating"]
+
+
+def test_mv_rewrite_on_qualified_table(eng):
+    """The SPJG MV fast path accepts a db-qualified FROM without USE:
+    the MV is created and consulted through the qualified name."""
+    _mk(eng, "a.m", 12, "A")
+    eng.sql("CREATE MATERIALIZED VIEW mvq AS "
+            "SELECT v, COUNT(*) AS n FROM a.m GROUP BY v")
+    rows = eng.sql("SHOW MATERIALIZED VIEWS ON TABLE a.m").collect()
+    assert rows and rows[0]["name"] == "mvq"
+    got = eng.sql("SELECT v, COUNT(*) AS n FROM a.m GROUP BY v").collect()
+    assert [(r["v"], r["n"]) for r in got] == [("A", 12)]
+    eng.sql("REFRESH MATERIALIZED VIEW mvq ON TABLE a.m")
+    eng.sql("DROP MATERIALIZED VIEW mvq ON TABLE a.m")
+    assert not eng.sql("SHOW MATERIALIZED VIEWS ON TABLE a.m").collect()
