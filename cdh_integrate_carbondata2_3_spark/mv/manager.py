@@ -464,7 +464,11 @@ class MVManager:
         try:
             joins = self._join_tables(meta)
             inc = self.source.read(segments=new_segs)
-            n_new = inc.count()
+            # metadata-only when clean (Table.count scans only when
+            # deltas make segment-scoped footer math inexact) — the
+            # certificate then costs ONE join-count job over the
+            # increment, nothing else
+            n_new = self.source.count(segments=new_segs)
             n_join = _apply_joins(inc, joins).count()
             if int(n_join) != int(n_new):
                 return None

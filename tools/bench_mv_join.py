@@ -73,6 +73,25 @@ def run(rows: int, inc: int) -> None:
         print(f"rows={rows:,} inc={inc:,}  build={build:.2f}s  "
               f"incremental={incr:.2f}s  full={full:.2f}s  "
               f"mv_query={mv_q:.2f}s  direct={direct_q:.2f}s")
+
+        # FILTERED join MV — the r7-flagged path: its FK certificate
+        # used to re-run the FULL fact join on EVERY refresh
+        # (mv/manager.py r7 line 461), de-incrementalizing it. The r8
+        # fix verifies the count invariant on NEW segments only, so
+        # this number must be flat in fact size.
+        mgr.create("jflt", ["region"], [AggSpec("sum", "qty")],
+                   filter="qty > 10.0",
+                   joins=[(dim, "store_id", "s_id")])
+        fact.insert(spark.range(rows + 2 * inc, rows + 3 * inc)
+                    .selectExpr("id", "id % 10000 as store_id",
+                                "cast(id % 79 as double) as qty"))
+        t0 = time.perf_counter()
+        mgr.refresh("jflt", incremental=True)
+        incr_flt = time.perf_counter() - t0
+        meta = mgr._load("jflt")
+        assert meta.fk_dims, "filtered MV lost its FK certificate"
+        print(f"rows={rows:,} inc={inc:,}  filtered_incremental="
+              f"{incr_flt:.2f}s  (certificate intact)")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
