@@ -55,6 +55,8 @@ HEADLINE = (
     # round-7 second-session additions: baseline JPEG decode (Huffman
     # + IDCT), MP3/MP4 container metadata parsing
     "multimodal_jpeg_decode", "multimodal_av_meta",
+    # round 8 addition: database-qualified DDL/DML/query isolation
+    "table_db_namespace",
 )
 
 

@@ -166,6 +166,49 @@ def _table_fingerprint(t: Table) -> str:
     return fp
 
 
+# above this many dim rows the uniqueness probe goes through Spark
+# (a dim that can't be read driver-side in one gulp shouldn't be)
+_DRIVER_DIM_ROWS = 5_000_000
+
+
+def _dim_key_unique_driver(d: Table, dk: str) -> bool | None:
+    """Driver-side dim-key uniqueness probe: read ONLY the key column
+    of a broadcast-scale dim with pyarrow and compare distinct vs
+    non-null counts — no Spark job (~30 ms for a 150k-row dim vs a
+    ~0.4 s cluster round-trip, the dominant FK-certificate cost at
+    gate scale). Returns None when the dim can't be answered here —
+    merge-on-read deltas pending (row positions matter), schema
+    evolution eras (the key may be era-defaulted), non-parquet
+    segments, partition-column keys (not in the footer), or a dim too
+    big to slurp — and the caller falls back to one Spark job."""
+    try:
+        doc = d.manifest.load(_attach=False)
+        if (doc.get("delete_deltas") or doc.get("schema_evolved")
+                or doc.get("column_renames")):
+            return None
+        segs = d.manifest.queryable_segments()
+        if any(s.format != "parquet" or s.external_path for s in segs):
+            return None
+        if sum(f.rows for s in segs for f in s.files) > _DRIVER_DIM_ROWS:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        chunks = []
+        for s in segs:
+            for f in s.files:
+                t = pq.read_table(d._abs(f.path), columns=[dk])
+                chunks.extend(t.column(0).chunks)
+        if not chunks:
+            return True
+        arr = pa.chunked_array(chunks)
+        nn = len(arr) - arr.null_count
+        nd = pc.count_distinct(arr.drop_null()).as_py()
+        return nn == nd
+    except Exception:
+        return None     # any surprise → the exact Spark path decides
+
+
 def _canon_joins(joins) -> list[list[str]]:
     """Canonical join spec — (dim table_dir, fact_key, dim_key)
     triples, order-insensitive (inner equi-joins commute)."""
@@ -393,27 +436,47 @@ class MVManager:
         dims_unchanged = dim_state_now == (meta.dim_state or {})
         if full:
             df = self._aggregate_source(meta, segments=None)
+            if meta.joins and meta.filter is None:
+                # unfiltered join MV: the certificate's count check
+                # sums this frame's count(*) partials — cache the
+                # group-count-sized result so the check reuses the
+                # build's own aggregation instead of re-reading the MV
+                df = df.cache()
             shutil.rmtree(mv_dir, ignore_errors=True)
             Table.create_as_select(self.source.spark, mv_dir, df)
             # dim uniqueness is reusable across a full rebuild when
             # the dims themselves are unchanged (fingerprint-stable)
             # and were certified before — only the count invariant
             # (fact side changed arbitrarily) needs re-proving
-            new_fk = self._verify_fk_dims(
-                meta, mv_dir,
-                skip_uniqueness=dims_unchanged and meta.fk_dims is not None)
+            try:
+                new_fk = self._verify_fk_dims(
+                    meta, mv_dir,
+                    skip_uniqueness=dims_unchanged
+                    and meta.fk_dims is not None,
+                    built_agg=df)
+            finally:
+                if df.is_cached:
+                    df.unpersist()
         else:
             new_segs = [s.id for s in self.source.manifest.queryable_segments()
                         if s.id > meta.watermark]
-            new_fk = self._extend_fk_certificate(meta, new_segs)
             parts = []
+            inc_agg = None
             if new_segs:
                 # read() applies ALL deltas, so rows of new segments
                 # already deleted again never enter — the delta
                 # subtraction below therefore scopes to files of
                 # segments <= watermark (whose contributions the MV
                 # still carries)
-                parts.append(self._aggregate_source(meta, segments=new_segs))
+                inc_agg = self._aggregate_source(meta, segments=new_segs)
+                if meta.joins and meta.fk_dims and meta.filter is None:
+                    # the certificate's join-count rides the SAME
+                    # aggregate (its count(*) partials sum to the
+                    # joined row count) — cache the group-count-sized
+                    # result so the check below costs a tiny cached
+                    # scan, not a second join over the increment
+                    inc_agg = inc_agg.cache()
+                parts.append(inc_agg)
             if new_delta_paths:
                 neg = self._aggregate_deleted(
                     meta, [cur_deltas[p] for p in new_delta_paths])
@@ -435,14 +498,23 @@ class MVManager:
                 Table.create_as_select(self.source.spark, tmp_dir, merged)
                 shutil.rmtree(mv_dir)
                 os.rename(tmp_dir, mv_dir)
+            # AFTER the merge so the cached increment aggregate is
+            # already materialized when the certificate reads it
+            try:
+                new_fk = self._extend_fk_certificate(meta, new_segs,
+                                                     inc_agg=inc_agg)
+            finally:
+                if inc_agg is not None and inc_agg.is_cached:
+                    inc_agg.unpersist()
         meta.watermark = src_wm
         meta.deltas = sorted(cur_deltas)
         meta.dim_state = dim_state_now or None
         meta.fk_dims = new_fk
         self._save(meta)
 
-    def _extend_fk_certificate(self, meta: MVMeta,
-                               new_segs: list[int]) -> list | None:
+    def _extend_fk_certificate(self, meta: MVMeta, new_segs: list[int],
+                               inc_agg: DataFrame | None = None
+                               ) -> list | None:
         """Incremental FK-certificate maintenance. The incremental
         path's preconditions guarantee the dims are UNCHANGED since
         the stored certificate (refresh() forces FULL otherwise), so
@@ -462,14 +534,24 @@ class MVManager:
         if prior is None or not new_segs:
             return prior
         try:
-            joins = self._join_tables(meta)
-            inc = self.source.read(segments=new_segs)
             # metadata-only when clean (Table.count scans only when
-            # deltas make segment-scoped footer math inexact) — the
-            # certificate then costs ONE join-count job over the
-            # increment, nothing else
+            # deltas make segment-scoped footer math inexact)
             n_new = self.source.count(segments=new_segs)
-            n_join = _apply_joins(inc, joins).count()
+            if inc_agg is not None and meta.filter is None:
+                # UNFILTERED join MV: the increment aggregate's
+                # count(*) partials sum to exactly the joined row
+                # count of the new segments — and the caller cached
+                # that group-count-sized frame during the merge, so
+                # this is a tiny cached scan, zero extra join work
+                n_join = (inc_agg.agg(
+                    F.sum(AggSpec("count", "*").key())).first()[0] or 0)
+            else:
+                # filtered MV: partials are post-filter, so the
+                # count invariant needs its own join over the NEW
+                # segments only (never the accumulated fact)
+                joins = self._join_tables(meta)
+                inc = self.source.read(segments=new_segs)
+                n_join = _apply_joins(inc, joins).count()
             if int(n_join) != int(n_new):
                 return None
             return prior
@@ -477,7 +559,8 @@ class MVManager:
             return None    # uncertifiable ⇒ subsumption just refuses
 
     def _verify_fk_dims(self, meta: MVMeta, mv_dir: str, *,
-                        skip_uniqueness: bool = False) -> list | None:
+                        skip_uniqueness: bool = False,
+                        built_agg: DataFrame | None = None) -> list | None:
         """FK-likeness certificate enabling join subsumption
         (_matches): certify the star's dims iff (a) every dim key is
         UNIQUE — so a fact row can match at most one row per dim, no
@@ -502,13 +585,33 @@ class MVManager:
             joins = self._join_tables(meta)
             if not skip_uniqueness:
                 for d, _fk, dk in joins:
-                    dup = (d.read().groupBy(dk)
-                           .agg(F.count(F.lit(1)).alias("c"))
-                           .filter("c > 1").limit(1).count())
-                    if dup:
+                    # non-null keys unique iff count(dk) ==
+                    # count_distinct(dk) (NULL dim keys never
+                    # inner-equi-join a fact row, so duplicates among
+                    # them cannot fan anything out — exempt from the
+                    # invariant). Dims are broadcast-scale by
+                    # definition, so the probe runs DRIVER-SIDE over
+                    # the key column with pyarrow (~30 ms) and only
+                    # falls back to one Spark aggregation job when the
+                    # dim can't be answered there (mor deltas, schema
+                    # eras, non-parquet, > _DRIVER_DIM_ROWS).
+                    u = _dim_key_unique_driver(d, dk)
+                    if u is None:
+                        r = d.read().agg(
+                            F.count(dk).alias("nn"),
+                            F.count_distinct(F.col(dk)).alias("nd")
+                        ).first()
+                        u = r["nn"] == r["nd"]
+                    if not u:
                         return None
             n_fact = self.source.count()
-            if meta.filter is None:
+            if meta.filter is None and built_agg is not None:
+                # the caller just built (and cached) the full
+                # aggregate — sum its partials directly instead of
+                # re-opening the written MV table
+                n_join = (built_agg.agg(
+                    F.sum(AggSpec("count", "*").key())).first()[0] or 0)
+            elif meta.filter is None:
                 mv_t = Table.open(self.source.spark, mv_dir)
                 n_join = (mv_t.read()
                           .agg(F.sum(AggSpec("count", "*").key()))
