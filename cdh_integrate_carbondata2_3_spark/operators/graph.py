@@ -144,6 +144,107 @@ def _star_components(sym: DataFrame, max_iter: int,
     raise RuntimeError(f"did not converge in {max_iter} rounds")
 
 
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
+             damping: float = 0.85, iterations: int = 10,
+             use_local_checkpoint: bool = True,
+             shuffle_partitions: int | None = None) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list: returns
+    ``(node, rank)`` for every node appearing as a source or target,
+    with ``sum(rank) == 1`` (dangling mass redistributed uniformly —
+    the standard Google-matrix handling, Page et al. 1999).
+
+    The pipeline role: rank domains/documents in a link or citation
+    graph so curation can weight (or cut) by centrality — the classic
+    web-scale quality prior.
+
+    Shuffle discipline for 100 TB edge lists:
+
+    - The degree join happens ONCE before the loop: edges pre-fold to
+      ``(src, dst, inv)`` with ``inv = 1/out_degree(src)`` and that
+      frame is cached/checkpointed — per iteration only the node-sized
+      rank frame moves (one join keyed on src, one groupBy keyed on
+      dst), never a rebuild of the edge weights.
+    - Dangling mass (rank parked on nodes with no out-edges) is folded
+      in via a one-row aggregate cross-joined into the update — it
+      compiles to a broadcast, so each iteration stays ONE job with no
+      driver-side collect of ranks.
+    - Fixed ``iterations`` (no convergence action) keeps the loop
+      free of per-round driver round-trips; ``localCheckpoint``
+      truncates lineage each round (use ``checkpoint`` + a DFS dir on
+      a real cluster).
+    - ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions``
+      to the loop (restored on exit): an iterative algorithm pays the
+      per-task floor ``iterations × stages`` times, so oversized task
+      counts — fine for one-shot queries — dominate wall clock here.
+      Size it to the RANK frame (node count / target partition rows),
+      not the edge bytes.
+    """
+    spark = edges.sparkSession
+    if shuffle_partitions is not None:
+        prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
+        try:
+            # every round materializes via localCheckpoint, so the
+            # scoped conf covers all heavy work; the returned frame is
+            # checkpointed and consumer-side confs no longer matter
+            return pagerank(edges, src, dst, damping=damping,
+                            iterations=iterations,
+                            use_local_checkpoint=use_local_checkpoint)
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prior)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    if use_local_checkpoint:
+        nodes = nodes.localCheckpoint()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(
+        (F.lit(1.0) / F.count(F.lit(1))).alias("inv"))
+    ew = e.join(deg, "src").select("src", "dst", "inv")
+    if use_local_checkpoint:
+        ew = ew.localCheckpoint()
+    # nodes with no out-edges: their whole rank redistributes uniformly
+    dangling = nodes.join(deg.select(F.col("src").alias("node")),
+                          "node", "left_anti")
+    if use_local_checkpoint:
+        dangling = dangling.localCheckpoint()
+    # symmetric / citation-closed graphs have no dangling nodes at
+    # all — decide ONCE (limit-1 probe) and drop the per-iteration
+    # dangling-mass subtree entirely instead of aggregating an empty
+    # join every round
+    has_dangling = dangling.limit(1).count() > 0
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (ew.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("rank") * F.col("inv")).alias("c"))
+                   .withColumnRenamed("dst", "node"))
+        upd = nodes.join(contrib, "node", "left")
+        if has_dangling:
+            dm = (dangling.join(ranks, "node")
+                  .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                       .alias("_dm")))
+            upd = upd.crossJoin(F.broadcast(dm))
+        else:
+            upd = upd.withColumn("_dm", F.lit(0.0))
+        ranks = upd.select(
+            "node",
+            (F.lit(base)
+             + F.lit(damping)
+             * (F.coalesce(F.col("c"), F.lit(0.0))
+                + F.col("_dm") / n_nodes)).alias("rank"))
+        if use_local_checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
 def dedup_survivors(edges: DataFrame, all_ids: DataFrame,
                     id_col: str = "doc_id", src: str = "id_a",
                     dst: str = "id_b") -> DataFrame:

@@ -101,12 +101,16 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "table_merge_upsert_mor", "table_update_mor", "table_delete_mor",
     "table_compaction", "multimodal_jpeg_decode", "dedup_substring_spans",
     "dedup_substring_trim", "table_parquet_stats_manifest", "sample_temperature_mix",
-    "sample_token_budget", "dedup_components_star", "table_si_index_prune",
+    "sample_token_budget",
 )
 
-# nothing queued past the r7 window yet; new gates landing after the
-# window fills should move here (they sort right after it)
-_DEFER_TO_NEXT: tuple[str, ...] = ()
+# The two r8 additions (graph_pagerank_centrality,
+# text_lm_perplexity_filter) are never-stamped so they sort first
+# automatically, taking two window slots; the two r4-stamped filler
+# rows they displace queue here for the r9 window.
+_DEFER_TO_NEXT: tuple[str, ...] = (
+    "dedup_components_star", "table_si_index_prune",
+)
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
 # correctness gate checks only the FIRST 50 entries of queries() per
@@ -238,6 +242,7 @@ def all_queries() -> dict[str, Query]:
     from . import streaming_queries, lifecycle_extra, tpch_rest  # noqa: F401
     from . import udf_surface, sampling, temporal_queries  # noqa: F401
     from . import complex_types, llm_extra, hardening  # noqa: F401
+    from . import graph_lm  # noqa: F401
     never = {n: q for n, q in REGISTRY.items()
              if n not in _STAMPED_PRIOR_ROUNDS
              and n not in _ROTATE_BACK_IN

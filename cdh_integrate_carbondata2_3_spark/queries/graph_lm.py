@@ -1,0 +1,183 @@
+"""Graph-centrality and language-model pipeline gates, round 8:
+PageRank over a link graph and CCNet-style bigram-LM perplexity
+filtering. Both extend the LLM-pipeline surface (SURVEY.md "beyond
+the reference" mandate) with full DuckDB oracles.
+
+PageRank's oracle replays the SAME fixed power iteration (6 rounds,
+damping 0.85) as chained CTEs — one CTE per iteration — so a green
+hash proves the distributed loop computes textbook PageRank, not
+merely something rank-shaped. The gate graph is the symmetrized
+supplier–customer bipartite graph from lineitem ⋈ orders (every node
+has out-edges, so the dangling term is exactly zero on both sides;
+the operator's dangling handling is pinned separately against a
+numpy power iteration in tests/test_graph.py).
+
+Floating-point discipline: both sides compute the identical IEEE
+expression tree per value ((1.0 - 0.85) spelled the same way so the
+unrepresentable 0.15 rounds identically); only summation ORDER
+differs, so values agree to ~1e-15 relative and the gate rounds far
+above that (6–9 dp on 1e-4-magnitude ranks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from . import cache_tracked, query
+from .pipeline import _docs
+
+_PR_ITERS = 6
+_PR_DAMP = 0.85
+
+_LM_MOD = 5          # doc_id % MOD == 0 → held-out scoring split
+_LM_K = 0.5          # add-k smoothing
+_LM_CUT = -7.0       # avg-logprob floor: docs below are cut
+
+
+def _pagerank_oracle() -> str:
+    """Six power-iteration rounds as chained CTEs over the
+    symmetrized supplier–customer graph."""
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT n.node,
+         (1.0 - {_PR_DAMP}) / nn.n
+         + {_PR_DAMP} * COALESCE(c.s, 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT ew.dst, SUM(r{i-1}.rank * ew.inv) AS s
+             FROM ew JOIN r{i-1} ON r{i-1}.node = ew.src
+             GROUP BY ew.dst) c ON c.dst = n.node, nn)""")
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 2 * l.l_suppkey AS src, 2 * o.o_custkey + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT src, dst FROM e0
+      UNION SELECT dst AS src, src AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, 1.0 / deg.d AS inv
+       FROM e JOIN deg ON e.src = deg.src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+{','.join(iters)}
+SELECT CASE WHEN r.node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       deg.d AS degree,
+       COUNT(*) AS n_nodes,
+       CAST(ROUND(SUM(r.rank), 6) AS DOUBLE) AS sum_rank,
+       CAST(ROUND(AVG(r.rank), 9) AS DOUBLE) AS avg_rank
+FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.node
+GROUP BY 1, 2
+"""
+
+
+@query("graph_pagerank_centrality", oracle=_pagerank_oracle())
+def graph_pagerank_centrality(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """PageRank centrality over the supplier–customer link graph
+    (operators/graph.pagerank: degree join folded once before the
+    loop, one job per iteration, dangling mass via a broadcast
+    one-row aggregate). The pipeline role: centrality-weighted
+    curation of a citation/link corpus. The returned frame buckets
+    ranks by node type and degree so the hash pins every iteration's
+    arithmetic without depending on FP-tie ordering of equal-degree
+    nodes."""
+    from ..operators.graph import pagerank
+    # Scope spark.sql.shuffle.partitions to this gate: the cached
+    # edge frame executes without AQE re-planning (cached plans keep
+    # their output partitioning), and an iterative loop multiplies
+    # any oversized task count by iterations × stages. Every heavy
+    # frame materializes inside the scope (pagerank localCheckpoints
+    # each round; the small final rollup is checkpointed eagerly
+    # below), so the restored conf never touches gate work.
+    prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .select((2 * F.col("l_suppkey")).alias("src"),
+                      (2 * F.col("o_custkey") + 1).alias("dst"))
+              .distinct())
+        edges = cache_tracked(e0.union(
+            e0.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst"))))
+        ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree"))
+        return (ranks.join(deg, "node")
+                .groupBy(F.when(F.col("node") % 2 == 0, "supplier")
+                         .otherwise("customer").alias("node_type"),
+                         "degree")
+                .agg(F.count(F.lit(1)).alias("n_nodes"),
+                     F.round(F.sum("rank"), 6).cast("double")
+                     .alias("sum_rank"),
+                     F.round(F.avg("rank"), 9).cast("double")
+                     .alias("avg_rank"))
+                .localCheckpoint())
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+@query("text_lm_perplexity_filter", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+pairs AS (
+  SELECT doc_id, lang, b[1] AS w1, b[2] AS w2
+  FROM (SELECT doc_id, lang,
+               unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS b
+        FROM tok WHERE len(ts) >= 2)),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs
+       WHERE doc_id % {_LM_MOD} <> 0 GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+vv AS (SELECT COUNT(DISTINCT t) AS v
+       FROM (SELECT unnest(ts) AS t FROM tok
+             WHERE doc_id % {_LM_MOD} <> 0)),
+sc AS (
+  SELECT p.doc_id, p.lang,
+         ln((COALESCE(c2.c2, 0) + {_LM_K})
+            / (COALESCE(c1.c1, 0) + {_LM_K} * vv.v)) AS lp
+  FROM pairs p
+  LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+  LEFT JOIN c1 ON p.w1 = c1.w1, vv
+  WHERE p.doc_id % {_LM_MOD} = 0),
+d AS (SELECT doc_id, lang, AVG(lp) AS alp FROM sc GROUP BY doc_id, lang)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN alp < {_LM_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cut,
+       CAST(ROUND(AVG(alp), 6) AS DOUBLE) AS mean_logprob
+FROM d GROUP BY lang
+""")
+def text_lm_perplexity_filter(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (operators/lm.py): an add-k
+    bigram LM trains on the 4/5 in-distribution split in ONE groupBy
+    pass, every held-out document is scored with mean ln P(w2|w1)
+    (model join keyed on the bigram — broadcastable when the vocab is
+    small), and the per-language funnel counts documents below the
+    log-prob floor. The oracle recomputes the identical smoothed
+    probabilities, so a green hash proves train counts, vocabulary
+    size, smoothing, backstop handling for unseen heads, and the
+    cut threshold all agree."""
+    from ..operators.lm import score_logprob, train_bigram_lm
+    docs = cache_tracked(_docs(spark, sf_dir))
+    model = train_bigram_lm(
+        docs.filter(F.col("doc_id") % _LM_MOD != 0), "text", k=_LM_K)
+    held = docs.filter(F.col("doc_id") % _LM_MOD == 0)
+    scored = score_logprob(held, model, id_cols=("doc_id", "lang"),
+                           out="alp")
+    return (scored.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("alp") < _LM_CUT, 1).otherwise(0))
+                 .cast("bigint").alias("n_cut"),
+                 F.round(F.avg("alp"), 6).cast("double")
+                 .alias("mean_logprob")))

@@ -1,0 +1,137 @@
+"""PageRank and bigram-LM operator tests: numpy power-iteration
+parity (directed graphs incl. dangling nodes), mass conservation,
+conf scoping, and hand-computed smoothed-probability checks."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.operators.graph import pagerank
+from cdh_integrate_carbondata2_3_spark.operators.lm import (
+    score_logprob, train_bigram_lm)
+
+
+def _numpy_pagerank(edges, n, damping, iters):
+    """Dense reference: rank <- (1-d)/n + d*(M@rank + dm/n)."""
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[d] += r[s] / out_deg[s]
+        dm = r[out_deg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dm / n)
+    return r
+
+
+@pytest.mark.parametrize("damping,iters", [(0.85, 10), (0.5, 4)])
+def test_pagerank_matches_numpy_with_dangling(spark, damping, iters):
+    # node 4 is dangling (no out-edges); node 0 is a hub
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, damping=damping,
+                             iterations=iters).collect()}
+    want = _numpy_pagerank(edges, 5, damping, iters)
+    assert set(got) == set(range(5))
+    for node, rank in got.items():
+        assert rank == pytest.approx(want[node], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_pagerank_two_component_graph_keeps_total_mass(spark):
+    edges = [(0, 1), (1, 0), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    ranks = pagerank(df, iterations=8).collect()
+    assert len(ranks) == 5
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # a symmetric cycle is regular: every node must get exactly 1/n
+    n = 6
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(d, s) for s, d in edges]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for r in pagerank(df, iterations=7).collect():
+        assert r["rank"] == pytest.approx(1.0 / n, rel=1e-12)
+
+
+def test_pagerank_scoped_shuffle_partitions_restores_conf(spark):
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src int, dst int")
+    out = pagerank(df, iterations=2, shuffle_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+    # the scoped run materialized via localCheckpoint, so the result
+    # is consumable after the conf is restored
+    assert out.count() == 2
+
+
+def test_pagerank_custom_column_names_and_empty(spark):
+    df = spark.createDataFrame([(7, 8)], "a int, b int")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, src="a", dst="b",
+                             iterations=3).collect()}
+    assert set(got) == {7, 8}
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert pagerank(empty, iterations=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_hand_computed_probabilities(spark):
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+    model = train_bigram_lm(train, k=0.5)
+    assert model["v"] == 3  # {a, b, c}
+    c2 = {(r["w1"], r["w2"]): r["c2"]
+          for r in model["bigrams"].collect()}
+    assert c2 == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    held = spark.createDataFrame([(3, "a b x")], "doc_id long, text string")
+    row = score_logprob(held, model).collect()[0]
+    # P(b|a) = (3+.5)/(3+.5*3), P(x|b) = (0+.5)/(2+.5*3)
+    want = (math.log(3.5 / 4.5) + math.log(0.5 / 3.5)) / 2
+    assert row["n_bigrams"] == 2
+    assert row["avg_logprob"] == pytest.approx(want, rel=1e-12)
+
+
+def test_bigram_lm_unseen_head_falls_back_to_uniform(spark):
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    model = train_bigram_lm(train, k=0.5)
+    held = spark.createDataFrame([(2, "z q")], "doc_id long, text string")
+    row = score_logprob(held, model).collect()[0]
+    # head z never seen: (0+k)/(0+k*V) = 1/V
+    assert row["avg_logprob"] == pytest.approx(math.log(1 / 2), rel=1e-12)
+
+
+def test_bigram_lm_short_docs_drop_and_tokenization(spark):
+    train = spark.createDataFrame(
+        [(1, "  A  b\tA b ")], "doc_id long, text string")
+    model = train_bigram_lm(train, k=1.0)
+    # lowercased, whitespace-of-any-kind split: tokens a b a b
+    assert model["v"] == 2
+    held = spark.createDataFrame(
+        [(2, "one"), (3, ""), (4, "a b")], "doc_id long, text string")
+    out = score_logprob(held, model).collect()
+    assert [r["doc_id"] for r in out] == [4]
+
+
+def test_bigram_lm_in_distribution_scores_higher(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bigram_lm(train)
+    held = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "zebra xylophone quark gnu")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in score_logprob(held, model).collect()}
+    assert got[100] > got[101]
