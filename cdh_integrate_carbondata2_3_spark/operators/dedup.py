@@ -519,3 +519,94 @@ def incremental_minhash_pairs(
              .select("doc_a", "doc_b",
                      F.round(jac, 4).cast("double").alias("jaccard")))
     return pairs, all_sigs
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text", *,
+                        k: int = 8, w: int = 4,
+                        id_cols: tuple = ("doc_id",)) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): md5 every character k-gram of
+    the whitespace-normalized lowercased text, slide a window of
+    ``w`` consecutive k-gram hashes, and select each window's minimum
+    (ties → rightmost). The guarantee: any shared substring of length
+    ≥ k + w − 1 between two documents yields at least one SHARED
+    selected fingerprint, so fingerprint equality is a sound local
+    near-dup signal with a tunable density of 2/(w+1).
+
+    Scale shape: everything happens INSIDE one row via array HOFs —
+    gram hashing, window minima, dedup — so the pass is a zero-
+    shuffle map over the corpus (O(len·w) work per row, JVM-side, no
+    UDF, no k-gram explode). Only the final per-(doc, fingerprint)
+    explode leaves the row, and that output is the winnowed set
+    (density 2/(w+1)), not the full gram stream.
+
+    Returns one row per selected fingerprint: id_cols + ``fp`` (md5
+    hex). Documents shorter than k + w − 1 normalized chars emit
+    nothing (no complete window exists).
+    """
+    ids = [F.col(c) for c in id_cols]
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n = F.length(t)
+    m = n - F.lit(k - 1)               # number of k-grams
+    # struct array: (h = md5(gram), pos) for pos 1..m. Guard m >= 1:
+    # sequence(1, 0) would count DOWN.
+    grams = F.when(m >= 1, F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.struct(F.md5(F.encode(F.substring(t, i, k), "UTF-8"))
+                           .alias("h"),
+                           i.alias("pos")))
+    ).otherwise(F.array().cast("array<struct<h:string,pos:int>>"))
+
+    def _windows(g):
+        # g is a BOUND lambda variable — evaluated once per row. The
+        # naive form (referencing the grams expression directly inside
+        # the window transform) re-evaluates every md5 PER WINDOW
+        # after Catalyst's CollapseProject inlines it: O(m²) hashing,
+        # measured 37 s for 250 docs vs ~1 s with this let-binding.
+        mm = F.size(g)
+        pick = lambda s: F.aggregate(    # noqa: E731
+            F.slice(g, s, w),
+            F.lit(None).cast("struct<h:string,pos:int>"),
+            lambda acc, x: F.when(
+                acc.isNull() | (x["h"] < acc["h"])
+                | ((x["h"] == acc["h"]) & (x["pos"] > acc["pos"])),
+                x).otherwise(acc))
+        return F.when(
+            mm >= w,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), mm - F.lit(w - 1)),
+                lambda s: pick(s)["h"]))
+        ).otherwise(F.array().cast("array<string>"))
+
+    # transform-over-one-element-array as a let binding: grams
+    # evaluates ONCE, the window sweep reads the materialized array
+    sel = F.transform(F.array(grams), _windows)[0]
+    return (docs.select(*ids, F.explode(sel).alias("fp")))
+
+
+def winnow_near_dups(docs: DataFrame, text_col: str = "text", *,
+                     k: int = 8, w: int = 4, min_shared: int = 2,
+                     max_df: int | None = None,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by shared winnowed fingerprints: documents
+    sharing ≥ ``min_shared`` selected fingerprints. The join is keyed
+    on the fingerprint (hash-shuffle on md5 — uniform), never
+    all-pairs; per-fingerprint fan-out is bounded by ``max_df``
+    (fingerprints present in more documents are dropped before the
+    pair join — boilerplate substrings carry no dedup signal and
+    would fan out quadratically; the same df-cap discipline as the
+    n-gram Jaccard blocking). Returns (doc_a, doc_b, n_shared)."""
+    fps = winnow_fingerprints(docs, text_col, k=k, w=w,
+                              id_cols=(id_col,))
+    if max_df is not None:
+        kept = (fps.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df).select("fp"))
+        fps = fps.join(kept, "fp")
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -414,3 +414,60 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
                     (F.col("n_members")
                      - F.coalesce(F.col("n_dups"), F.lit(0)))
                     .alias("n_survivors")))
+
+
+def mmr_select(candidates: DataFrame, query_vec: list[float], k: int, *,
+               lam: float = 0.7, id_col: str = "id",
+               vec_col: str = "e") -> list[dict]:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` items maximizing
+    ``lam·cos(q, d) − (1−lam)·max_{s∈picked} cos(d, s)`` — the
+    standard relevance-vs-redundancy knob for retrieval and for
+    diversity-aware training-data selection.
+
+    Scale shape: each of the ``k`` rounds is ONE distributed argmax
+    (TakeOrderedAndProject) over the candidate frame — the corpus
+    never self-joins; picked vectors fold back in as literal arrays,
+    so the redundancy penalty ``max_j cos(d, pick_j)`` evaluates
+    JVM-side with zero extra shuffles. k driver round-trips of one
+    row each. Callers iterating on the same candidates should cache
+    the frame (it is scanned k times).
+
+    Similarities are ROUND(·, 6) with id tie-break — the repo-wide
+    convention that lets a SQL oracle replay the identical greedy
+    walk. Returns the picks in selection order:
+    ``[{"rank", id_col, "score"}, ...]``.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = candidates.select(F.col(id_col),
+                             F.col(vec_col).alias("__v"))
+    rel = F.round(cosine(qv, F.col("__v")), 6)
+    picks: list[dict] = []
+    pick_vecs: list[F.Column] = []
+    for rank in range(k):
+        if pick_vecs:
+            pens = [F.round(cosine(pv, F.col("__v")), 6)
+                    for pv in pick_vecs]
+            pen = pens[0] if len(pens) == 1 else F.greatest(*pens)
+        else:
+            pen = F.lit(0.0)
+        # the score itself is ROUND(·, 6) too (not just the cosines):
+        # selection order and the returned value are then identical
+        # to a SQL replay — rounding happens engine-side so no
+        # Python-vs-SQL half-rounding mismatch can creep in
+        scored = cand.select(
+            id_col, "__v",
+            F.round(F.lit(lam) * rel - F.lit(1.0 - lam) * pen, 6)
+            .alias("__s"))
+        if picks:
+            scored = scored.filter(
+                ~F.col(id_col).isin([p[id_col] for p in picks]))
+        row = (scored.orderBy(F.desc("__s"), F.asc(id_col))
+               .limit(1).collect())
+        if not row:
+            break                      # fewer candidates than k
+        r = row[0]
+        picks.append({"rank": rank, id_col: r[id_col],
+                      "score": float(r["__s"])})
+        pick_vecs.append(F.array(*[F.lit(float(x)) for x in r["__v"]]))
+    return picks

@@ -193,16 +193,17 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "text_bpe_train", "table_update_cow", "table_delete_cow", "table_merge_upsert",
     "table_merge_upsert_mor", "table_update_mor", "table_delete_mor",
     "table_compaction", "multimodal_jpeg_decode", "dedup_substring_spans",
-    "dedup_substring_trim", "table_parquet_stats_manifest", "sample_temperature_mix",
-    "sample_token_budget",
+    "dedup_substring_trim", "table_parquet_stats_manifest",
 )
 
-# The two r8 additions (graph_pagerank_centrality,
-# text_lm_perplexity_filter) are never-stamped so they sort first
-# automatically, taking two window slots; the two r4-stamped filler
+# The four r8 additions (graph_pagerank_centrality,
+# text_lm_perplexity_filter, similarity_mmr_select,
+# dedup_winnow_fingerprints) are never-stamped so they sort first
+# automatically, taking four window slots; the four r4-stamped filler
 # rows they displace queue here for the r9 window.
 _DEFER_TO_NEXT: tuple[str, ...] = (
     "dedup_components_star", "table_si_index_prune",
+    "sample_temperature_mix", "sample_token_budget",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's

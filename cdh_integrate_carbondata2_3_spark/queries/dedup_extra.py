@@ -752,3 +752,67 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.sum(F.col("jaccard").cast("decimal(12,4)"))
                  .cast("double").alias("sum_jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — round 8
+# ---------------------------------------------------------------------------
+
+_WIN_K = 16          # k-gram length (chars, post-normalization)
+_WIN_W = 4           # window width (k-grams); density 2/(w+1)
+_WIN_DF = 10         # drop fingerprints in more docs (boilerplate)
+_WIN_MS = 2          # near-dup pair: >= this many shared fingerprints
+_WIN_TRUNC = 200     # raw-char truncation bounding the oracle replay
+
+
+@query("dedup_winnow_fingerprints", oracle=f"""
+WITH pre AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(substr(text, 1, {_WIN_TRUNC}))),
+                        '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id % 2 = 0),
+g AS (SELECT doc_id, CAST(u.pos AS INT) AS pos,
+             md5(substr(t, CAST(u.pos AS INT), {_WIN_K})) AS h
+      FROM pre, UNNEST(range(1, len(t) - {_WIN_K} + 2)) AS u(pos)),
+mx AS (SELECT doc_id, MAX(pos) AS m FROM g GROUP BY doc_id),
+p AS (SELECT s.doc_id, s.pos AS st, gg.pos, gg.h
+      FROM g s JOIN mx USING (doc_id)
+      JOIN g gg ON gg.doc_id = s.doc_id
+               AND gg.pos BETWEEN s.pos AND s.pos + {_WIN_W} - 1
+      WHERE s.pos <= mx.m - {_WIN_W} + 1),
+win AS (SELECT doc_id, st, MIN(h) AS mh FROM p GROUP BY doc_id, st),
+selp AS (SELECT p.doc_id, p.st, MAX(p.pos) AS pos
+         FROM p JOIN win ON win.doc_id = p.doc_id AND win.st = p.st
+                        AND p.h = win.mh
+         GROUP BY p.doc_id, p.st),
+fps AS (SELECT DISTINCT g.doc_id, g.h
+        FROM (SELECT DISTINCT doc_id, pos FROM selp) sp
+        JOIN g ON g.doc_id = sp.doc_id AND g.pos = sp.pos),
+kept AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= {_WIN_DF}),
+fk AS (SELECT fps.doc_id, fps.h FROM fps JOIN kept USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {_WIN_MS}
+""")
+def dedup_winnow_fingerprints(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Winnowing near-dup detection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS fingerprinter — operators/dedup.winnow_fingerprints):
+    md5 k-grams → per-window rightmost-minimum selection, ALL inside
+    one row via array HOFs (zero-shuffle map, no UDF, no gram
+    explode); the winnowed sets then pair up through a df-capped
+    fingerprint join — the same blocking discipline as the MinHash
+    band join, never all-pairs. The oracle replays gram hashing,
+    window minima with the rightmost tie rule, df cap, and pair
+    counts in SQL, so a green hash proves the HOF fold implements
+    textbook winnowing exactly. Winnowing's guarantee makes this the
+    local-substring near-dup detector: any shared run of
+    ≥ k + w − 1 = 19 chars yields a shared fingerprint."""
+    from ..operators.dedup import winnow_near_dups
+    d = (_docs(spark, sf_dir)
+         .filter(F.col("doc_id") % 2 == 0)
+         .select("doc_id",
+                 F.substring(F.col("text"), 1, _WIN_TRUNC).alias("text")))
+    return winnow_near_dups(d, "text", k=_WIN_K, w=_WIN_W,
+                            min_shared=_WIN_MS, max_df=_WIN_DF)

@@ -890,3 +890,87 @@ def ml_logit_fit_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"holdout bucket {r['bucket']} miscalibrated: " \
             f"p̄={r['__mean_p']:.3f} ȳ={r['mean_label']:.3f}"
     return out.drop("__mean_p")
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse selection — round 8
+# ---------------------------------------------------------------------------
+
+_MMR_K = 8
+_MMR_LAM = 0.75      # 1 − λ = 0.25 exactly representable: both engines
+                     # compute the identical IEEE score expression
+_MMR_QID = 0         # query vector = this embedding row
+_MMR_MOD = 3         # candidates: vec_id % MOD == 1
+
+
+def _mmr_oracle() -> str:
+    """The greedy MMR walk as chained CTEs: pick i joins picks 0..i−1
+    back in to evaluate the redundancy penalty — the exact replay of
+    the operator's k distributed argmax rounds."""
+    def cos(v, p):
+        return (f"ROUND(list_dot_product({v}, {p}) / "
+                f"(sqrt(list_dot_product({v}, {v})) * "
+                f"sqrt(list_dot_product({p}, {p}))), 6)")
+    ctes = [f"""
+p0 AS (SELECT r.vec_id, r.v,
+              ROUND({_MMR_LAM} * r.rel - {1.0 - _MMR_LAM} * 0.0, 6)
+                AS score
+       FROM r ORDER BY score DESC, r.vec_id LIMIT 1)"""]
+    for i in range(1, _MMR_K):
+        prior = ", ".join(f"p{j}" for j in range(i))
+        pens = [cos("r.v", f"p{j}.v") for j in range(i)]
+        pen = pens[0] if i == 1 else f"GREATEST({', '.join(pens)})"
+        not_in = ", ".join(f"p{j}.vec_id" for j in range(i))
+        ctes.append(f"""
+p{i} AS (SELECT r.vec_id, r.v,
+              ROUND({_MMR_LAM} * r.rel - {1.0 - _MMR_LAM} * ({pen}), 6)
+                AS score
+         FROM r, {prior}
+         WHERE r.vec_id NOT IN ({not_in})
+         ORDER BY score DESC, r.vec_id LIMIT 1)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, score FROM p{i}"
+        for i in range(_MMR_K))
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {_MMR_QID}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % {_MMR_MOD} = 1),
+r AS (SELECT c.vec_id, c.v,
+             {cos('c.v', 'q.qv')} AS rel
+      FROM c, q),
+{','.join(ctes)}
+SELECT CAST(rank AS INT) AS rank, vec_id,
+       CAST(score AS DOUBLE) AS score
+FROM ({unions})
+"""
+
+
+@query("similarity_mmr_select", oracle=_mmr_oracle())
+def similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance top-k
+    (operators/similarity.mmr_select, Carbonell & Goldstein 1998):
+    the diversity-aware selection step of retrieval and of
+    training-data curation — each of the k rounds is ONE distributed
+    TakeOrderedAndProject argmax over the candidate corpus, with the
+    already-picked vectors folded back as literal arrays so the
+    redundancy penalty runs JVM-side with zero self-joins. The
+    oracle replays the identical greedy walk as chained CTEs
+    (same ROUND(·,6) + id tie-break at every step), so a green hash
+    proves the distributed argmax sequence equals the textbook
+    algorithm — relevance decomposition, max-penalty, walk order and
+    all."""
+    from ..operators.similarity import mmr_select
+    from ..sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    qv = (emb.filter(F.col("vec_id") == _MMR_QID)
+          .select(to_d("embedding")).first()[0])
+    cand = cache_tracked(
+        emb.filter(F.col("vec_id") % _MMR_MOD == 1)
+        .select("vec_id", to_d("embedding").alias("e")))
+    picks = mmr_select(cand, qv, _MMR_K, lam=_MMR_LAM,
+                       id_col="vec_id", vec_col="e")
+    return spark.createDataFrame(
+        [(p["rank"], p["vec_id"], p["score"]) for p in picks],
+        "rank int, vec_id bigint, score double")

@@ -1,0 +1,142 @@
+"""Winnowing fingerprints vs a literal brute-force reference (incl.
+the rightmost-min tie rule and the shared-substring guarantee) and
+MMR selection vs a numpy replay of the same rounded greedy walk."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.operators.dedup import (
+    winnow_fingerprints, winnow_near_dups)
+from cdh_integrate_carbondata2_3_spark.operators.similarity import mmr_select
+
+
+def _ref_winnow(text: str, k: int, w: int) -> set[str]:
+    t = " ".join(text.strip().lower().split())
+    hs = [hashlib.md5(t[i:i + k].encode()).hexdigest()
+          for i in range(len(t) - k + 1)]
+    sel = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s:s + w]
+        mn = min(win)
+        # rightmost minimum
+        pos = max(i for i, h in enumerate(win) if h == mn)
+        sel.add(win[pos])
+    return sel
+
+
+@pytest.mark.parametrize("text,k,w", [
+    ("the quick brown fox jumps over the lazy dog", 5, 4),
+    ("abababababababababab", 3, 4),          # massive hash ties
+    ("  Mixed   CASE\tand\nwhitespace  here ", 4, 3),
+    ("x" * 50, 8, 4),                        # single repeated gram
+])
+def test_winnow_matches_bruteforce(spark, text, k, w):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r["fp"] for r in
+           winnow_fingerprints(df, k=k, w=w).collect()}
+    assert got == _ref_winnow(text, k, w)
+
+
+def test_winnow_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, "just-right-here")],
+        "doc_id long, text string")
+    out = winnow_fingerprints(df, k=8, w=4).groupBy("doc_id").count()
+    got = {r["doc_id"]: r["count"] for r in out.collect()}
+    # doc 1: 0 grams of len 8 → nothing; doc 3: 15 chars → 8 grams,
+    # 5 windows → some fingerprints
+    assert 1 not in got and 2 not in got and got[3] >= 1
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    # any shared run of >= k + w - 1 chars must yield a shared
+    # fingerprint (the winnowing theorem) — embed one 20-char run in
+    # otherwise-different documents (k=8, w=4 → threshold 11... use
+    # k+w-1 = 11 < 20, satisfied)
+    shared = "zqxj kvwpy gmbtf"      # 16 chars, rare
+    a = "left padding words " + shared + " alpha beta"
+    b = "completely other start " + shared + " gamma"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=8, w=4)
+    both = (fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("n"))
+            .filter(F.col("n") == 2).count())
+    assert both >= 1
+
+
+def test_winnow_near_dups_max_df_drops_boilerplate(spark):
+    # 6 docs all share boilerplate; only 2 share a rare run
+    boiler = "common header appears in every single document here"
+    rare = "unique shared payload fragment"
+    rows = [(i, boiler + f" filler{i} ") for i in range(4)]
+    rows += [(10, boiler + " " + rare), (11, boiler + " " + rare + " x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_near_dups(df, k=8, w=4, min_shared=1, max_df=3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (10, 11) in got
+    # boilerplate-only pairs are gone (their fps exceed max_df)
+    assert all(p == (10, 11) for p in got)
+
+
+# ---------------------------------------------------------------------------
+# MMR
+# ---------------------------------------------------------------------------
+
+
+def _ref_mmr(cands: dict[int, list[float]], q: list[float], k: int,
+             lam: float) -> list[tuple[int, float]]:
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a))
+                          * math.sqrt(sum(x * x for x in b))), 6)
+    picks = []
+    rest = dict(cands)
+    while rest and len(picks) < k:
+        best = None
+        for cid, v in rest.items():
+            pen = max((cos(v, cands[p]) for p, _ in picks), default=0.0)
+            s = round(lam * cos(v, q) - (1 - lam) * pen, 6)
+            if best is None or s > best[1] or (s == best[1] and cid < best[0]):
+                best = (cid, s)
+        picks.append(best)
+        del rest[best[0]]
+    return picks
+
+
+def test_mmr_matches_reference_walk(spark):
+    cands = {1: [1.0, 0.0, 0.0], 2: [0.99, 0.1, 0.0],
+             3: [0.0, 1.0, 0.0], 4: [0.5, 0.5, 0.1],
+             5: [0.0, 0.0, 1.0]}
+    q = [1.0, 0.05, 0.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in cands.items()], "id long, e array<double>")
+    got = mmr_select(df, q, 4, lam=0.75)
+    want = _ref_mmr(cands, q, 4, 0.75)
+    assert [(p["id"], p["score"]) for p in got] == \
+        [(i, pytest.approx(s, abs=1e-9)) for i, s in want]
+    # at λ=0.5 the redundancy penalty dominates: the near-duplicate
+    # of pick 1 (id 2, cos≈0.995 to id 1) must NOT be pick 2
+    got_div = mmr_select(df, q, 3, lam=0.5)
+    want_div = _ref_mmr(cands, q, 3, 0.5)
+    assert [(p["id"], p["score"]) for p in got_div] == \
+        [(i, pytest.approx(s, abs=1e-9)) for i, s in want_div]
+    assert got_div[0]["id"] == 1 and got_div[1]["id"] != 2
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "id long, e array<double>")
+    got = [p["id"] for p in mmr_select(df, [1.0, 0.0], 3, lam=1.0)]
+    assert got == [1, 2, 3]
+
+
+def test_mmr_k_exceeding_candidates_stops_early(spark):
+    df = spark.createDataFrame([(1, [1.0]), (2, [0.5])],
+                               "id long, e array<double>")
+    got = mmr_select(df, [1.0], 10)
+    assert [p["rank"] for p in got] == [0, 1]

@@ -56,7 +56,7 @@ def main() -> None:
     not_comparable = {"agg_hll_mergeable_rollup",
                       "table_delete_mor", "table_mv_ivm_delete",
                       "table_mv_join_rewrite", "table_mv_subsumed_rollup",
-                      "ml_logit_fit_calibrate"}
+                      "ml_logit_fit_calibrate", "table_db_namespace"}
 
     out = {}
     for name in HEADLINE:
