@@ -55,8 +55,13 @@ HEADLINE = (
     # round-7 second-session additions: baseline JPEG decode (Huffman
     # + IDCT), MP3/MP4 container metadata parsing
     "multimodal_jpeg_decode", "multimodal_av_meta",
-    # round 8 addition: database-qualified DDL/DML/query isolation
-    "table_db_namespace",
+    # round 8 additions: database-qualified DDL/DML/query isolation,
+    # PageRank centrality (6 power-iteration rounds), bigram-LM
+    # perplexity filtering, winnowing fingerprint dedup, MMR diverse
+    # top-k (8 distributed argmax rounds)
+    "table_db_namespace", "graph_pagerank_centrality",
+    "text_lm_perplexity_filter", "dedup_winnow_fingerprints",
+    "similarity_mmr_select",
 )
 
 

@@ -586,8 +586,8 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text", *,
 
 def winnow_near_dups(docs: DataFrame, text_col: str = "text", *,
                      k: int = 8, w: int = 4, min_shared: int = 2,
-                     max_df: int | None = None,
-                     id_col: str = "doc_id") -> DataFrame:
+                     max_df: int | None = None, id_col: str = "doc_id",
+                     fingerprints: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by shared winnowed fingerprints: documents
     sharing ≥ ``min_shared`` selected fingerprints. The join is keyed
     on the fingerprint (hash-shuffle on md5 — uniform), never
@@ -595,9 +595,18 @@ def winnow_near_dups(docs: DataFrame, text_col: str = "text", *,
     (fingerprints present in more documents are dropped before the
     pair join — boilerplate substrings carry no dedup signal and
     would fan out quadratically; the same df-cap discipline as the
-    n-gram Jaccard blocking). Returns (doc_a, doc_b, n_shared)."""
-    fps = winnow_fingerprints(docs, text_col, k=k, w=w,
-                              id_cols=(id_col,))
+    n-gram Jaccard blocking). Returns (doc_a, doc_b, n_shared).
+
+    The fingerprint frame feeds the df cap AND both join sides (up to
+    4 plan references); pass ``fingerprints=`` — a cached
+    (id_col, fp) frame from :func:`winnow_fingerprints` — to compute
+    the winnowing map once instead of per reference. The default
+    recomputes (this function never caches: the caller owns
+    persistence lifetime)."""
+    fps = fingerprints
+    if fps is None:
+        fps = winnow_fingerprints(docs, text_col, k=k, w=w,
+                                  id_cols=(id_col,))
     if max_df is not None:
         kept = (fps.groupBy("fp")
                 .agg(F.count(F.lit(1)).alias("__df"))

@@ -809,10 +809,15 @@ def dedup_winnow_fingerprints(spark: SparkSession,
     textbook winnowing exactly. Winnowing's guarantee makes this the
     local-substring near-dup detector: any shared run of
     ≥ k + w − 1 = 19 chars yields a shared fingerprint."""
-    from ..operators.dedup import winnow_near_dups
+    from ..operators.dedup import winnow_fingerprints, winnow_near_dups
     d = (_docs(spark, sf_dir)
          .filter(F.col("doc_id") % 2 == 0)
          .select("doc_id",
                  F.substring(F.col("text"), 1, _WIN_TRUNC).alias("text")))
+    # the fingerprint frame feeds the df cap and both join sides —
+    # cache it so the winnowing map runs once, not 4×
+    fps = cache_tracked(winnow_fingerprints(d, "text",
+                                            k=_WIN_K, w=_WIN_W))
     return winnow_near_dups(d, "text", k=_WIN_K, w=_WIN_W,
-                            min_shared=_WIN_MS, max_df=_WIN_DF)
+                            min_shared=_WIN_MS, max_df=_WIN_DF,
+                            fingerprints=fps)
