@@ -140,3 +140,24 @@ def test_mmr_k_exceeding_candidates_stops_early(spark):
                                "id long, e array<double>")
     got = mmr_select(df, [1.0], 10)
     assert [p["rank"] for p in got] == [0, 1]
+
+
+def test_winnow_randomized_batch_parity(spark):
+    """200 seeded random strings over a small alphabet (maximizing
+    gram collisions and tie cases) — operator output must equal the
+    brute-force reference for every document, in one Spark job."""
+    import random
+    rng = random.Random(20260816)
+    rows = []
+    for i in range(200):
+        n = rng.randrange(0, 60)
+        rows.append((i, "".join(rng.choice("ab c") for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 4, 3
+    got: dict[int, set[str]] = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, text in rows:
+        want = _ref_winnow(text, k, w) if len(
+            " ".join(text.strip().lower().split())) >= k + w - 1 else set()
+        assert got.get(i, set()) == want, (i, text)
