@@ -1,0 +1,83 @@
+"""Ordered-sequence (funnel) analysis over event streams — "users who
+did A, then B, then C, each strictly after the previous step, within
+an optional time window of step A".
+
+Beyond the reference's surface (SURVEY.md "beyond the reference"
+mandate): the standard interaction-analytics operator for the event
+side of a training-data platform (conversion funnels over user/agent
+traces, multi-turn session drop-off).
+
+Semantics (the classic first-touch funnel): step 1's time is the
+user's EARLIEST event matching predicate 1; step i's time is the
+earliest event matching predicate i strictly AFTER the user's step
+i−1 time (and, with ``within``, no later than step 1's time +
+window). Earliest-next is greedy-optimal for "did the user complete
+the sequence": picking any later step-i event can only shrink the
+room for steps > i, so a user completes the funnel under greedy iff
+they complete it at all.
+
+Scale shape: one ``filter → groupBy(user).min(ts)`` pass PER STEP,
+each joined user-keyed onto the accumulated step times — k steps =
+k narrow shuffles keyed on the user id (no window over the whole
+event stream, no per-user sort, no UDF). Each step's filter prunes
+at the scan before anything shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(events: DataFrame, steps: list[tuple[str, Column]], *,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 within_hours: int | None = None) -> DataFrame:
+    """One row per user who completed step 1, with nullable step
+    times: (user_col, t1, t2, ..., tk). Step i's column is NULL for
+    users whose sequence stopped before it."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u = F.col(user_col)
+    acc = (events.filter(steps[0][1])
+           .groupBy(u.alias(user_col))
+           .agg(F.min(ts_col).alias("t1")))
+    for i, (_name, pred) in enumerate(steps[1:], start=2):
+        nxt = (events.filter(pred)
+               .select(u.alias(user_col), F.col(ts_col).alias("__ts")))
+        cond = F.col("__ts") > F.col(f"t{i-1}")
+        if within_hours is not None:
+            cond = cond & (F.col("__ts") <= F.col("t1")
+                           + F.expr(f"INTERVAL {within_hours} HOURS"))
+        acc = (acc.join(nxt, user_col, "left")
+               .select(acc["*"],
+                       F.when(cond, F.col("__ts")).alias("__ok"))
+               .groupBy(*[F.col(c) for c in acc.columns])
+               .agg(F.min("__ok").alias(f"t{i}")))
+    return acc
+
+
+def funnel_counts(events: DataFrame, steps: list[tuple[str, Column]], *,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  within_hours: int | None = None) -> DataFrame:
+    """Per-step completion counts + conversion vs step 1:
+    (step, step_name, n_users, conversion). ``conversion`` is
+    ROUND(n_users / step1_users, 6) so a SQL oracle replays it
+    exactly."""
+    times = funnel_times(events, steps, user_col=user_col,
+                         ts_col=ts_col, within_hours=within_hours)
+    aggs = [F.count(f"t{i}").alias(f"n{i}")
+            for i in range(1, len(steps) + 1)]
+    # ONE distributed aggregation; the k-row summary is then built
+    # driver-side (it is k values — there is nothing left to
+    # distribute). conversion uses Spark's ROUND (HALF_UP, same as
+    # SQL) rather than Python's banker's rounding.
+    row = times.agg(*aggs).first()
+    spark = events.sparkSession
+    counts = spark.createDataFrame(
+        [(i, steps[i - 1][0], int(row[f"n{i}"] or 0))
+         for i in range(1, len(steps) + 1)],
+        "step int, step_name string, n_users bigint")
+    n1 = int(row["n1"] or 0)
+    conv = (F.round(F.col("n_users") / F.lit(n1), 6).cast("double")
+            if n1 else F.lit(0.0))
+    return counts.withColumn("conversion", conv)

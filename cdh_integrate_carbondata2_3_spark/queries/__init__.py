@@ -192,18 +192,20 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "table_mv_ivm_update", "table_mv_rewrite", "agg_heavy_hitters",
     "text_bpe_train", "table_update_cow", "table_delete_cow", "table_merge_upsert",
     "table_merge_upsert_mor", "table_update_mor", "table_delete_mor",
-    "table_compaction", "multimodal_jpeg_decode", "dedup_substring_spans",
-    "dedup_substring_trim", "table_parquet_stats_manifest",
+    "table_compaction", "multimodal_jpeg_decode",
+    "table_parquet_stats_manifest",
 )
 
-# The four r8 additions (graph_pagerank_centrality,
+# The six r8 additions (graph_pagerank_centrality,
 # text_lm_perplexity_filter, similarity_mmr_select,
-# dedup_winnow_fingerprints) are never-stamped so they sort first
-# automatically, taking four window slots; the four r4-stamped filler
+# dedup_winnow_fingerprints, events_funnel_conversion,
+# events_markov_transitions) are never-stamped so they sort first
+# automatically, taking six window slots; the six r4-stamped filler
 # rows they displace queue here for the r9 window.
 _DEFER_TO_NEXT: tuple[str, ...] = (
     "dedup_components_star", "table_si_index_prune",
     "sample_temperature_mix", "sample_token_budget",
+    "dedup_substring_spans", "dedup_substring_trim",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's

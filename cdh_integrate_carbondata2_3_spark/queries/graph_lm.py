@@ -172,6 +172,11 @@ def text_lm_perplexity_filter(spark: SparkSession,
     docs = cache_tracked(_docs(spark, sf_dir))
     model = train_bigram_lm(
         docs.filter(F.col("doc_id") % _LM_MOD != 0), "text", k=_LM_K)
+    # the bigram-count frame feeds the c2 join AND (via its groupBy)
+    # the c1 join — cache it so training's explode+count runs once;
+    # heads shares the same canonicalized subtree so the one cache
+    # serves both joins
+    model["bigrams"] = cache_tracked(model["bigrams"])
     held = docs.filter(F.col("doc_id") % _LM_MOD == 0)
     scored = score_logprob(held, model, id_cols=("doc_id", "lang"),
                            out="alp")

@@ -199,3 +199,108 @@ def trajectory_similarity_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("nn_user"),
                  F.min(F.struct("dist", "id_b")).getField("dist")
                  .alias("nn_dist")))
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis + Markov transitions — round 8
+# ---------------------------------------------------------------------------
+
+_FUN_WINDOW_H = 72          # purchase must land within 72h of the view
+
+
+@query("events_funnel_conversion", oracle=f"""
+WITH e AS (SELECT user_id, ts, event_type, value FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT s1.user_id, s1.t1,
+              MIN(CASE WHEN e.event_type = 'click' AND e.value > 10.0
+                        AND e.ts > s1.t1
+                        AND e.ts <= s1.t1 + INTERVAL {_FUN_WINDOW_H} HOUR
+                       THEN e.ts END) AS t2
+       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+       GROUP BY s1.user_id, s1.t1),
+s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+              MIN(CASE WHEN e.event_type = 'signup' AND e.value > 14.0
+                        AND e.ts > s2.t2
+                        AND e.ts <= s2.t1 + INTERVAL {_FUN_WINDOW_H} HOUR
+                       THEN e.ts END) AS t3
+       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+       GROUP BY s2.user_id, s2.t1, s2.t2),
+s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3,
+              MIN(CASE WHEN e.event_type = 'purchase' AND e.value > 17.0
+                        AND e.ts > s3.t3
+                        AND e.ts <= s3.t1 + INTERVAL {_FUN_WINDOW_H} HOUR
+                       THEN e.ts END) AS t4
+       FROM s3 LEFT JOIN e ON e.user_id = s3.user_id
+       GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3),
+c AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3,
+             COUNT(t4) AS n4 FROM s4)
+SELECT step, step_name, n_users,
+       CAST(ROUND(n_users / CAST(n1 AS DOUBLE), 6) AS DOUBLE)
+         AS conversion
+FROM c, (VALUES (1, 'view'), (2, 'click_gt10'), (3, 'signup_gt14'),
+                (4, 'purchase_gt17')) AS st(step, step_name),
+LATERAL (SELECT CASE st.step WHEN 1 THEN n1 WHEN 2 THEN n2
+                             WHEN 3 THEN n3 ELSE n4 END AS n_users)
+""")
+def events_funnel_conversion(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """First-touch funnel (operators/funnel.py): view → high-value
+    click → high-value signup → high-value purchase, each strictly
+    after the previous step and inside a 72 h window of the first
+    view. One filter→groupBy(user).min(ts) pass per step, user-keyed
+    joins between — no whole-stream window, no per-user sort, no UDF.
+    The oracle replays every step's earliest-next rule (greedy is
+    optimal for completion — see the operator docstring) plus the
+    window arithmetic, so a green hash pins ordering semantics,
+    NULL-step propagation, and the conversion math."""
+    from ..operators.funnel import funnel_counts
+    e = _t(spark, sf_dir, "events")
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click_gt10", (F.col("event_type") == "click")
+         & (F.col("value") > 10.0)),
+        ("signup_gt14", (F.col("event_type") == "signup")
+         & (F.col("value") > 14.0)),
+        ("purchase_gt17", (F.col("event_type") == "purchase")
+         & (F.col("value") > 17.0)),
+    ]
+    return funnel_counts(e, steps, within_hours=_FUN_WINDOW_H)
+
+
+@query("events_markov_transitions", oracle="""
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT cur, nxt, COUNT(*) AS n,
+       CAST(ROUND(COUNT(*) / CAST(SUM(COUNT(*))
+                  OVER (PARTITION BY cur) AS DOUBLE), 6) AS DOUBLE)
+         AS p
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY cur, nxt
+""")
+def events_markov_transitions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-user behavioral Markov chain: (state → next state)
+    transition counts and row-normalized probabilities. LEAD windows
+    partition by user (narrow, user-keyed shuffle — never a global
+    sort), the count groupBy is state-pair-keyed, and the
+    normalization rides a partition-by-state window over the tiny
+    aggregated frame. The session-model view of an interaction log —
+    input for simulation, anomaly scoring, or curriculum mixing."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"))
+    counts = (seq.filter(F.col("nxt").isNotNull())
+              .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")))
+    tot = W.partitionBy("cur")
+    return counts.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).cast("double")
+        .alias("p"))
