@@ -61,7 +61,8 @@ HEADLINE = (
     # top-k (8 distributed argmax rounds)
     "table_db_namespace", "graph_pagerank_centrality",
     "text_lm_perplexity_filter", "dedup_winnow_fingerprints",
-    "similarity_mmr_select",
+    "similarity_mmr_select", "events_funnel_conversion",
+    "events_markov_transitions",
 )
 
 
