@@ -62,7 +62,8 @@ HEADLINE = (
     "table_db_namespace", "graph_pagerank_centrality",
     "text_lm_perplexity_filter", "dedup_winnow_fingerprints",
     "similarity_mmr_select", "events_funnel_conversion",
-    "events_markov_transitions",
+    "events_markov_transitions", "events_time_decay_score",
+    "sample_hard_negatives",
 )
 
 

@@ -258,3 +258,50 @@ def dedup_survivors(edges: DataFrame, all_ids: DataFrame,
     loners = (all_ids.select(id_col)
               .join(in_graph.select(id_col), id_col, "left_anti"))
     return survivors_in_graph.unionByName(loners)
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> int:
+    """Exact global triangle count (Suri & Vassilvitskii 2011 /
+    Cohen's MapReduce scheme): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    self-joining the oriented list on the apex, and close each wedge
+    against the oriented edge set. Each triangle is counted exactly
+    once (its orientation is a DAG on 3 nodes with one apex of
+    out-degree 2).
+
+    Shuffle discipline: degree ordering bounds every node's oriented
+    OUT-degree by O(sqrt(|E|)) — the wedge self-join (the only
+    super-linear step) therefore touches Σ out_deg² = O(|E|^1.5)
+    pairs worst-case instead of Σ deg² (which a hub node makes
+    quadratic). Wedge closing is a plain equi-join keyed on the
+    (b, c) pair. Everything hash-shuffles on node/pair keys; nothing
+    collects but the final count.
+    """
+    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .filter(F.col("u") != F.col("v"))
+          .select(F.least("u", "v").alias("u"),
+                  F.greatest("u", "v").alias("v"))
+          .distinct())
+    sym = e0.union(e0.select(F.col("v").alias("u"),
+                             F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient low (d, id) → high (d, id); total order ⇒ DAG
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    ranked = (e0.join(du, "u").join(dv, "v")
+              .select(F.when((F.col("du") < F.col("dv"))
+                             | ((F.col("du") == F.col("dv"))
+                                & (F.col("u") < F.col("v"))),
+                             F.struct(F.col("u").alias("a"),
+                                      F.col("v").alias("b")))
+                      .otherwise(F.struct(F.col("v").alias("a"),
+                                          F.col("u").alias("b")))
+                      .alias("e"))
+              .select(F.col("e.a").alias("a"), F.col("e.b").alias("b")))
+    w1 = ranked.select(F.col("a"), F.col("b").alias("x"))
+    w2 = ranked.select(F.col("a"), F.col("b").alias("y"))
+    wedges = (w1.join(w2, "a").filter(F.col("x") < F.col("y")))
+    closing = ranked.select(F.least("a", "b").alias("x"),
+                            F.greatest("a", "b").alias("y"))
+    return wedges.join(closing, ["x", "y"], "left_semi").count()

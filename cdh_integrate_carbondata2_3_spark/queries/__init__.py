@@ -189,23 +189,30 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "text_pii_redact", "udf_grouped_agg_pandas", "udf_python_udtf",
     "udf_timeseries_rollup", "scalar_date_funcs", "table_mv_join_rewrite",
     "table_mv_subsumed_rollup", "table_mv_incremental_refresh", "table_mv_ivm_delete",
-    "table_mv_ivm_update", "table_mv_rewrite", "agg_heavy_hitters",
-    "text_bpe_train", "table_update_cow", "table_delete_cow", "table_merge_upsert",
+    "table_mv_ivm_update", "agg_heavy_hitters",
+    "table_delete_cow", "table_merge_upsert",
     "table_merge_upsert_mor", "table_update_mor", "table_delete_mor",
     "table_compaction", "multimodal_jpeg_decode",
     "table_parquet_stats_manifest",
 )
 
-# The six r8 additions (graph_pagerank_centrality,
+# The nine r8 gate additions (graph_pagerank_centrality,
 # text_lm_perplexity_filter, similarity_mmr_select,
 # dedup_winnow_fingerprints, events_funnel_conversion,
-# events_markov_transitions) are never-stamped so they sort first
-# automatically, taking six window slots; the six r4-stamped filler
-# rows they displace queue here for the r9 window.
+# events_markov_transitions, graph_triangle_count,
+# events_time_decay_score, sample_hard_negatives) are never-stamped so
+# they sort first automatically, taking nine window slots (plus
+# table_db_namespace = 10 never-stamped). The displaced rows queue
+# here for the r9 window: six r4-stamped fillers plus the three
+# lowest-marginal-value rotations (table_mv_rewrite/table_update_cow —
+# their changed r8 paths are covered by the five MV and four DML/mor
+# gates still in the window; text_bpe_train — rows-only driver check,
+# its r8 self-pair fix is exactness-pinned in tests/test_bpe.py).
 _DEFER_TO_NEXT: tuple[str, ...] = (
     "dedup_components_star", "table_si_index_prune",
     "sample_temperature_mix", "sample_token_budget",
     "dedup_substring_spans", "dedup_substring_trim",
+    "table_mv_rewrite", "table_update_cow", "text_bpe_train",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's

@@ -186,3 +186,72 @@ def text_lm_perplexity_filter(spark: SparkSession,
                  .cast("bigint").alias("n_cut"),
                  F.round(F.avg("alp"), 6).cast("double")
                  .alias("mean_logprob")))
+
+
+@query("graph_triangle_count", oracle="""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 3 = 0),
+ed AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey),
+deg AS (SELECT u, COUNT(*) AS d
+        FROM (SELECT u FROM ed UNION ALL SELECT v FROM ed) t(u)
+        GROUP BY u),
+tri AS (SELECT COUNT(*) AS t FROM ed e1
+        JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM ed) AS n_edges,
+       (SELECT t FROM tri) AS n_triangles,
+       CAST(ROUND(3.0 * (SELECT t FROM tri)
+                  / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+            AS DOUBLE) AS clustering
+""")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the market-basket graph (parts
+    co-ordered in the same order) — operators/graph.triangle_count:
+    degree-oriented edges bound every wedge fan-out by O(sqrt(E))
+    (Suri & Vassilvitskii 2011), the wedge self-join and the closing
+    semi-join shuffle on node/pair keys, nothing collects but the
+    count. The oracle closes wedges by plain id ordering — a
+    different orientation of the same combinatorial object — so a
+    green hash proves the degree-ordered plan counts EXACTLY the
+    same triangles (543 k at sf0.1). Global clustering coefficient
+    = 3·triangles / wedges rides along, ROUND(·,6)."""
+    from ..operators.graph import triangle_count
+    # everything heavy materializes inside the fn (the count and the
+    # stats row are driver actions), so the scoped shuffle-partition
+    # conf covers all gate work — same discipline as the pagerank gate
+    prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        it = (li.filter(F.col("l_orderkey") % 3 == 0)
+              .select("l_orderkey", "l_partkey").distinct())
+        a = it.alias("a")
+        b = it.alias("b")
+        edges = cache_tracked(
+            a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .select(F.col("a.l_partkey").alias("u"),
+                    F.col("b.l_partkey").alias("v")).distinct())
+        t = triangle_count(edges, "u", "v")
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .alias("wedges")).first()
+        return (spark.range(1).select(
+            F.lit(int(stats["n_nodes"])).cast("bigint").alias("n_nodes"),
+            F.lit(int(stats["n_edges"])).cast("bigint").alias("n_edges"),
+            F.lit(t).cast("bigint").alias("n_triangles"),
+            F.round(F.lit(3.0 * t) / F.lit(float(stats["wedges"])), 6)
+            .cast("double").alias("clustering")))
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)

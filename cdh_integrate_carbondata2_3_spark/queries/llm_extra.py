@@ -974,3 +974,68 @@ def similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(p["rank"], p["vec_id"], p["score"]) for p in picks],
         "rank int, vec_id bigint, score double")
+
+
+# ---------------------------------------------------------------------------
+# Hash-derived negative sampling — round 8
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4            # negatives per anchor
+_NEG_MOD = 17         # anchors: vec_id % MOD == 0
+
+_NEG_HEX12_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+    f" * {16 ** (11 - p)}" for p in range(12)) + ")"
+
+
+@query("sample_hard_negatives", oracle=f"""
+WITH nn AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+anch AS (SELECT vec_id AS a_id, label AS a_label FROM embeddings
+         WHERE vec_id % {_NEG_MOD} = 0),
+cand AS (
+  SELECT a_id, a_label, j,
+         {_NEG_HEX12_SQL} % nn.n AS neg_id
+  FROM (SELECT a.a_id, a.a_label, u.j,
+               md5(CAST(a.a_id AS VARCHAR) || '#'
+                   || CAST(u.j AS VARCHAR)) AS h
+        FROM anch a, UNNEST(range(1, {_NEG_K} + 1)) AS u(j)), nn),
+pairs AS (
+  SELECT c.a_label, e.label AS n_label
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neg_id
+  WHERE c.neg_id <> c.a_id)
+SELECT a_label, n_label, COUNT(*) AS n_pairs
+FROM pairs GROUP BY a_label, n_label
+""")
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-derived negative sampling for contrastive
+    training pairs: each anchor gets k pseudo-random partner ids from
+    md5(anchor#j) folded into the id space — NO cross join, no
+    shuffle of the corpus; the only join is candidate-id-keyed
+    against the (narrow) id→label projection, broadcastable at any
+    anchor count. Self-collisions drop deterministically; ids hashing
+    into gaps drop on the join — both sides replay identically, so
+    the label-pair matrix hash pins the whole derivation. The
+    pipeline role: negative pairs for embedding/contrastive training
+    at 100 TB without materializing a candidate cross product."""
+    from ..sources.registry import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    anch = (emb.filter(F.col("vec_id") % _NEG_MOD == 0)
+            .select(F.col("vec_id").alias("a_id"),
+                    F.col("label").alias("a_label")))
+    key = F.concat(F.col("a_id").cast("string"), F.lit("#"),
+                   F.col("j").cast("string"))
+    cand = (anch.select(
+        "a_id", "a_label",
+        F.explode(F.array(*[F.lit(j) for j in
+                            range(1, _NEG_K + 1)])).alias("j"))
+        .select("a_id", "a_label",
+                (F.conv(F.substring(F.md5(key.cast("binary")), 1, 12),
+                        16, 10).cast("long") % F.lit(n))
+                .alias("neg_id"))
+        .filter(F.col("neg_id") != F.col("a_id")))
+    lab = emb.select(F.col("vec_id").alias("neg_id"),
+                     F.col("label").alias("n_label"))
+    return (cand.join(lab, "neg_id")
+            .groupBy("a_label", "n_label")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

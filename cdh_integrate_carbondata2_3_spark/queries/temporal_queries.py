@@ -304,3 +304,40 @@ def events_markov_transitions(spark: SparkSession,
         "cur", "nxt", "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).cast("double")
         .alias("p"))
+
+
+_DECAY_US = 7 * 86400 * 1_000_000       # half-life-ish: 1/e per week
+
+
+@query("events_time_decay_score", oracle=f"""
+WITH t AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS mx
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value * exp(-((mx - us) / {_DECAY_US}.0))), 6)
+            AS DOUBLE) AS decayed
+FROM t GROUP BY user_id
+""")
+def events_time_decay_score(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per user — the
+    recency-weighted engagement/quality signal (weight 1/e per week
+    of age relative to the user's LAST event). One user-partitioned
+    window (max ts) + one groupBy — both narrow user-keyed shuffles;
+    the decay weight is pure codegen arithmetic. Timezone-proof by
+    construction: Spark diffs TIMESTAMP_NTZ values directly
+    (timestampdiff never consults the session zone) and the oracle
+    diffs epoch_us values — the same integer microseconds — so the
+    hash holds under any driver session timezone."""
+    from pyspark.sql import Window as W
+    e = _t(spark, sf_dir, "events")
+    mx = F.max("ts").over(W.partitionBy("user_id"))
+    w = F.exp(-(F.expr("timestampdiff(MICROSECOND, ts, mx)")
+                / F.lit(float(_DECAY_US))))
+    return (e.select("user_id", "value", mx.alias("mx"), "ts")
+            .select("user_id", (F.col("value") * w).alias("wv"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("wv"), 6).cast("double")
+                 .alias("decayed")))

@@ -135,3 +135,45 @@ def test_bigram_lm_in_distribution_scores_higher(spark):
     got = {r["doc_id"]: r["avg_logprob"]
            for r in score_logprob(held, model).collect()}
     assert got[100] > got[101]
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _ref_triangles(edges):
+    import itertools
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+               if b in adj[a] and c in adj[a] and c in adj[b])
+
+
+def test_triangle_count_known_graphs(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        triangle_count)
+    cases = [
+        ([(0, 1), (1, 2), (2, 0)], 1),                     # one triangle
+        ([(0, 1), (1, 2), (2, 3)], 0),                     # path
+        ([(a, b) for a in range(5) for b in range(a + 1, 5)], 10),  # K5
+        ([(0, 1), (1, 0), (1, 1), (1, 2), (2, 0), (0, 2)], 1),  # dups+loops
+    ]
+    for edges, want in cases:
+        df = spark.createDataFrame(edges, "src int, dst int")
+        assert triangle_count(df) == want, edges
+
+
+def test_triangle_count_random_graph_matches_bruteforce(spark):
+    import random
+    rng = random.Random(7)
+    edges = list({(rng.randrange(25), rng.randrange(25))
+                  for _ in range(120)})
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        triangle_count)
+    df = spark.createDataFrame(edges, "src int, dst int")
+    assert triangle_count(df) == _ref_triangles(edges)
