@@ -115,10 +115,12 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     "sample_token_budget", "select_pareto_skyline",
     "select_pareto_multid", "sample_exact_allocation",
     "stats_equidepth_histogram",
-    # geo_queries.py: excluded entirely — every gate materializes its
-    # derived-points frame during construction (1 job each, caught by
-    # tests/test_plan_only.py); geo_spatial_index_prune also builds
-    # scratch tables
+    # geo_queries.py (geo_spatial_index_prune excluded: scratch
+    # tables; the rest became plan-only once _derived_points switched
+    # to the plan-cached load_table)
+    "geo_polygon_filter", "geo_polygon_join", "geo_polygon_list_filter",
+    "geo_polyline_buffer", "geo_range_list_ops",
+    "geo_polygon_join_range_list", "geo_zorder_geoid",
     # multimodal_queries.py (blob synthesis + decode run inside
     # expressions/Arrow UDFs at execution time)
     "multimodal_feature_extract", "multimodal_frame_sample",

@@ -43,7 +43,11 @@ _LNG_SQL = "((c_custkey * 91) % 3600) / 10.0 - 179.95"
 
 
 def _derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # load_table, not raw spark.read.parquet: the registry's plan
+    # cache skips the per-call footer/schema job, which both speeds
+    # construction and makes these gates plan-only-memoizable
+    from ..sources.registry import load_table
+    cust = load_table(spark, sf_dir, "customer")
     lat = ((F.col("c_custkey") * 37) % 1800) / 10.0 - 89.95
     lng = ((F.col("c_custkey") * 91) % 3600) / 10.0 - 179.95
     return cust.select("c_custkey", "c_nationkey", "c_mktsegment",
