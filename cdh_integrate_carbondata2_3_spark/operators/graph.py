@@ -261,7 +261,8 @@ def dedup_survivors(edges: DataFrame, all_ids: DataFrame,
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> int:
+                   dst: str = "dst", *,
+                   sample_p: float | None = None) -> int:
     """Exact global triangle count (Suri & Vassilvitskii 2011 /
     Cohen's MapReduce scheme): orient every undirected edge from its
     lower-(degree, id) endpoint to the higher one, build wedges by
@@ -277,12 +278,31 @@ def triangle_count(edges: DataFrame, src: str = "src",
     quadratic). Wedge closing is a plain equi-join keyed on the
     (b, c) pair. Everything hash-shuffles on node/pair keys; nothing
     collects but the final count.
+
+    ``sample_p`` is the DOULION scale path (Tsourakakis et al., KDD
+    2009): keep each undirected edge with probability p via a
+    DETERMINISTIC md5 threshold on the edge key (reproducible — the
+    same graph always samples identically, so the sampled count is
+    testable/oracle-replayable), count triangles on the sparsified
+    graph, and return that raw count — callers estimate the true
+    total as count / p³ (unbiased; variance shrinks as edges grow, so
+    at 100 TB the estimator tightens exactly where exact counting
+    gets expensive). The wedge step's cost drops by ~p².
     """
     e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
           .filter(F.col("u") != F.col("v"))
           .select(F.least("u", "v").alias("u"),
                   F.greatest("u", "v").alias("v"))
           .distinct())
+    if sample_p is not None:
+        if not (0.0 < sample_p <= 1.0):
+            raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
+        # first 12 md5 hex digits of "u|v" as an integer in [0, 16^12)
+        thresh = int(sample_p * (16 ** 12))
+        h = F.conv(F.substring(F.md5(F.concat_ws("|", "u", "v")
+                                     .cast("binary")), 1, 12),
+                   16, 10).cast("long")
+        e0 = e0.filter(h < F.lit(thresh))
     sym = e0.union(e0.select(F.col("v").alias("u"),
                              F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))

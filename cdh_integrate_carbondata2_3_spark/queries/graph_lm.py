@@ -255,3 +255,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+_FP_TOPK = 20
+
+
+@query("mine_frequent_pairs", oracle=f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              COUNT(*) AS support
+       FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+       GROUP BY part_a, part_b),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM it),
+ranked AS (SELECT part_a, part_b, support,
+                  ROW_NUMBER() OVER (ORDER BY support DESC,
+                                     part_a, part_b) AS rk
+           FROM pr)
+SELECT r.rk, r.part_a, r.part_b, r.support,
+       CAST(ROUND(r.support / CAST(tot.n AS DOUBLE), 6) AS DOUBLE)
+         AS rel_support
+FROM ranked r, tot WHERE r.rk <= {_FP_TOPK}
+""")
+def mine_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining, pair tier (the A-priori L2 pass):
+    top-{k} co-ordered part pairs by support. ONE groupBy over the
+    within-basket pair explode (baskets are small, so the explode is
+    ~|basket|²/2 per order — linear in line items for bounded
+    baskets), then a TakeOrderedAndProject for the top slice;
+    integer supports with (part_a, part_b) tie-break make the ranking
+    engine-identical. The pipeline role: co-occurrence statistics for
+    negative mining, recommendation priors, or template detection."""
+    from pyspark.sql import Window as W
+    li = load_table(spark, sf_dir, "lineitem")
+    it = li.select("l_orderkey", "l_partkey").distinct()
+    a = it.alias("a")
+    b = it.alias("b")
+    pr = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .groupBy(F.col("a.l_partkey").alias("part_a"),
+                   F.col("b.l_partkey").alias("part_b"))
+          .agg(F.count(F.lit(1)).alias("support")))
+    n = it.select("l_orderkey").distinct().count()
+    rk = F.row_number().over(
+        W.orderBy(F.desc("support"), "part_a", "part_b"))
+    return (pr.select(rk.alias("rk"), "part_a", "part_b", "support")
+            .filter(F.col("rk") <= _FP_TOPK)
+            .select("rk", "part_a", "part_b", "support",
+                    F.round(F.col("support") / F.lit(float(n)), 6)
+                    .cast("double").alias("rel_support")))

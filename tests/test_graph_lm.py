@@ -177,3 +177,26 @@ def test_triangle_count_random_graph_matches_bruteforce(spark):
         triangle_count)
     df = spark.createDataFrame(edges, "src int, dst int")
     assert triangle_count(df) == _ref_triangles(edges)
+
+
+def test_triangle_doulion_sampling_deterministic_and_unbiasedish(spark):
+    """sample_p=1.0 must equal exact; p<1 is deterministic (same count
+    twice) and the 1/p³ estimate lands within a loose factor of truth
+    on a dense graph."""
+    import random
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        triangle_count)
+    rng = random.Random(99)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(420)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    exact = triangle_count(df)
+    assert triangle_count(df, sample_p=1.0) == exact
+    p = 0.7
+    c1 = triangle_count(df, sample_p=p)
+    c2 = triangle_count(df, sample_p=p)
+    assert c1 == c2                     # md5 sampling is deterministic
+    est = c1 / p ** 3
+    assert 0.4 * exact <= est <= 1.9 * exact
+    with pytest.raises(ValueError):
+        triangle_count(df, sample_p=0.0)
