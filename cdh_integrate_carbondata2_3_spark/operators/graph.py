@@ -319,9 +319,16 @@ def triangle_count(edges: DataFrame, src: str = "src",
                                           F.col("u").alias("b")))
                       .alias("e"))
               .select(F.col("e.a").alias("a"), F.col("e.b").alias("b")))
-    w1 = ranked.select(F.col("a"), F.col("b").alias("x"))
-    w2 = ranked.select(F.col("a"), F.col("b").alias("y"))
-    wedges = (w1.join(w2, "a").filter(F.col("x") < F.col("y")))
-    closing = ranked.select(F.least("a", "b").alias("x"),
-                            F.greatest("a", "b").alias("y"))
-    return wedges.join(closing, ["x", "y"], "left_semi").count()
+    # the oriented edge list feeds the wedge self-join TWICE plus the
+    # closing side — cache it for the duration of the single count
+    # action so the degree-orientation join runs once, not three times
+    ranked = ranked.cache()
+    try:
+        w1 = ranked.select(F.col("a"), F.col("b").alias("x"))
+        w2 = ranked.select(F.col("a"), F.col("b").alias("y"))
+        wedges = (w1.join(w2, "a").filter(F.col("x") < F.col("y")))
+        closing = ranked.select(F.least("a", "b").alias("x"),
+                                F.greatest("a", "b").alias("y"))
+        return wedges.join(closing, ["x", "y"], "left_semi").count()
+    finally:
+        ranked.unpersist()
