@@ -1,7 +1,8 @@
-"""Graph-centrality and language-model pipeline gates, round 8:
-PageRank over a link graph and CCNet-style bigram-LM perplexity
-filtering. Both extend the LLM-pipeline surface (SURVEY.md "beyond
-the reference" mandate) with full DuckDB oracles.
+"""Graph and language-model pipeline gates, round 8: PageRank over a
+link graph, exact triangle counting over the market-basket co-order
+graph, frequent-pair mining (the A-priori L2 pass), and CCNet-style
+bigram-LM perplexity filtering. All extend the LLM-pipeline surface
+(SURVEY.md "beyond the reference" mandate) with full DuckDB oracles.
 
 PageRank's oracle replays the SAME fixed power iteration (6 rounds,
 damping 0.85) as chained CTEs — one CTE per iteration — so a green
