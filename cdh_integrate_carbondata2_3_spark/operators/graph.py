@@ -147,11 +147,23 @@ def _star_components(sym: DataFrame, max_iter: int,
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
              damping: float = 0.85, iterations: int = 10,
              use_local_checkpoint: bool = True,
-             shuffle_partitions: int | None = None) -> DataFrame:
+             shuffle_partitions: int | None = None,
+             reset: DataFrame | None = None) -> DataFrame:
     """Power-iteration PageRank over a directed edge list: returns
     ``(node, rank)`` for every node appearing as a source or target,
-    with ``sum(rank) == 1`` (dangling mass redistributed uniformly —
-    the standard Google-matrix handling, Page et al. 1999).
+    with ``sum(rank) == 1`` (dangling mass redistributed via the
+    teleport distribution — the standard Google-matrix handling,
+    Page et al. 1999).
+
+    ``reset`` personalizes the teleport (Haveliwala 2002): a
+    ``(node, w)`` frame with sum(w) = 1 (caller-normalized — the
+    operator never renormalizes, so a SQL oracle can replay the
+    arithmetic bit-for-bit). Restart mass lands on the seed set
+    instead of uniformly, making ranks measure PROXIMITY to the
+    seeds — the related-item / graph-expansion selector for curation.
+    Nodes absent from ``reset`` get weight 0; iteration starts AT the
+    reset distribution (faster mixing, same fixpoint). Default:
+    uniform 1/n — classic PageRank.
 
     The pipeline role: rank domains/documents in a link or citation
     graph so curation can weight (or cut) by centrality — the classic
@@ -190,7 +202,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
             # checkpointed and consumer-side confs no longer matter
             return pagerank(edges, src, dst, damping=damping,
                             iterations=iterations,
-                            use_local_checkpoint=use_local_checkpoint)
+                            use_local_checkpoint=use_local_checkpoint,
+                            reset=reset)
         finally:
             if prior is None:
                 spark.conf.unset("spark.sql.shuffle.partitions")
@@ -219,8 +232,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
     # dangling-mass subtree entirely instead of aggregating an empty
     # join every round
     has_dangling = dangling.limit(1).count() > 0
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    base = (1.0 - damping) / n_nodes
+    if reset is not None:
+        # teleport vector b: reset weight, 0 elsewhere. nodes carries
+        # b through the loop so the per-iteration update needs no
+        # extra join against the reset frame.
+        nodes = (nodes.join(reset.select(F.col("node"),
+                                         F.col("w").alias("_b")),
+                            "node", "left")
+                 .select("node", F.coalesce(F.col("_b"), F.lit(0.0))
+                         .alias("_b")))
+    else:
+        nodes = nodes.withColumn("_b", F.lit(1.0 / n_nodes))
+    if use_local_checkpoint:
+        nodes = nodes.localCheckpoint()
+    ranks = nodes.select("node", F.col("_b").alias("rank"))
     for _ in range(iterations):
         contrib = (ew.join(ranks.withColumnRenamed("node", "src"), "src")
                    .groupBy("dst")
@@ -234,15 +259,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
             upd = upd.crossJoin(F.broadcast(dm))
         else:
             upd = upd.withColumn("_dm", F.lit(0.0))
-        ranks = upd.select(
-            "node",
-            (F.lit(base)
-             + F.lit(damping)
-             * (F.coalesce(F.col("c"), F.lit(0.0))
-                + F.col("_dm") / n_nodes)).alias("rank"))
+        # rank <- (1-d)*b + d*(M@rank + dm*b): restart AND dangling
+        # mass both teleport per b. The uniform case keeps the
+        # literal (1-d)/n + d*(c + dm/n) form: (1-d)*(1/n) is not
+        # bit-identical to (1-d)/n, and the classic gate's oracle
+        # replays the division form.
+        if reset is not None:
+            expr = (F.lit(1.0 - damping) * F.col("_b")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("_dm") * F.col("_b")))
+        else:
+            expr = (F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("_dm") / n_nodes))
+        ranks = upd.select("node", expr.alias("rank"))
         if use_local_checkpoint:
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def dedup_survivors(edges: DataFrame, all_ids: DataFrame,

@@ -194,7 +194,6 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "table_mv_ivm_update", "agg_heavy_hitters",
     "table_delete_cow", "table_merge_upsert",
     "table_merge_upsert_mor", "table_update_mor", "table_delete_mor",
-    "table_compaction",
     "table_parquet_stats_manifest",
 )
 
@@ -218,6 +217,10 @@ _DEFER_TO_NEXT: tuple[str, ...] = (
     # r7-stamped; its r8 change (corrupt-stream ValueError routing)
     # is pinned by tests/test_jpeg.py — displaced by mine_frequent_pairs
     "multimodal_jpeg_decode",
+    # r6-stamped; its r8 changed path (optimistic-concurrency commits)
+    # is covered by the in-window DML/mor gates + test_manifest_atomicity
+    # + the DML fuzz — displaced by graph_ppr_seeded
+    "table_compaction",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's

@@ -305,3 +305,103 @@ def mine_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rk", "part_a", "part_b", "support",
                     F.round(F.col("support") / F.lit(float(n)), 6)
                     .cast("double").alias("rel_support")))
+
+
+_PPR_SEED_MOD = 10      # seeds: suppliers with s_suppkey % MOD == 0
+
+
+def _ppr_oracle() -> str:
+    """Personalized power iteration as chained CTEs: teleport vector
+    b = 1/|seeds| on seed supplier nodes, 0 elsewhere; the bipartite
+    graph is symmetric so the dangling term is exactly zero on both
+    sides and every round is (1-d)*b + d*contrib."""
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT n.node, (1.0 - {_PR_DAMP}) * n.b
+         + {_PR_DAMP} * COALESCE(c.s, 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT ew.dst, SUM(r{i-1}.rank * ew.inv) AS s
+             FROM ew JOIN r{i-1} ON r{i-1}.node = ew.src
+             GROUP BY ew.dst) c ON c.dst = n.node)""")
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 2 * l.l_suppkey AS src, 2 * o.o_custkey + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT src, dst FROM e0
+      UNION SELECT dst AS src, src AS dst FROM e0),
+ns AS (SELECT COUNT(*) AS k FROM
+       (SELECT DISTINCT src FROM e
+        WHERE src % 2 = 0 AND (src / 2) % {_PPR_SEED_MOD} = 0)),
+nodes AS (SELECT node,
+                 CASE WHEN node % 2 = 0
+                       AND (node / 2) % {_PPR_SEED_MOD} = 0
+                      THEN 1.0 / ns.k ELSE 0.0 END AS b
+          FROM (SELECT DISTINCT src AS node FROM e), ns),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+ew AS (SELECT e.src, e.dst, 1.0 / deg.d AS inv
+       FROM e JOIN deg ON e.src = deg.src),
+r0 AS (SELECT node, b AS rank FROM nodes),
+{','.join(iters)}
+SELECT CASE WHEN r.node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       CASE WHEN r.node % 2 = 0 AND (r.node / 2) % {_PPR_SEED_MOD} = 0
+            THEN 1 ELSE 0 END AS is_seed,
+       COUNT(*) AS n_nodes,
+       CAST(ROUND(SUM(r.rank), 6) AS DOUBLE) AS sum_rank,
+       CAST(ROUND(MAX(r.rank), 9) AS DOUBLE) AS max_rank
+FROM r{_PR_ITERS} r GROUP BY node_type, is_seed
+"""
+
+
+@query("graph_ppr_seeded", oracle=_ppr_oracle())
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002 —
+    operators/graph.pagerank(reset=...)): restart mass concentrated
+    on a supplier seed set, so ranks measure graph PROXIMITY to the
+    seeds — the related-item expansion selector for curation (grow a
+    trusted seed corpus along the link graph). Same one-job-per-round
+    loop as classic PageRank; the teleport vector rides the node
+    frame so personalization adds ZERO per-iteration joins. The
+    oracle replays all 6 seeded rounds as chained CTEs; a green hash
+    pins the teleport arithmetic, the seed normalization, and the
+    proximity ordering."""
+    from ..operators.graph import pagerank
+    prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .select((2 * F.col("l_suppkey")).alias("src"),
+                      (2 * F.col("o_custkey") + 1).alias("dst"))
+              .distinct())
+        edges = cache_tracked(e0.union(
+            e0.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst"))))
+        seeds = (edges.select(F.col("src").alias("node")).distinct()
+                 .filter((F.col("node") % 2 == 0)
+                         & ((F.col("node") / 2) % _PPR_SEED_MOD == 0)))
+        k = seeds.count()
+        reset = seeds.withColumn("w", F.lit(1.0 / k))
+        ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP,
+                         reset=reset)
+        is_seed = F.when((F.col("node") % 2 == 0)
+                         & ((F.col("node") / 2) % _PPR_SEED_MOD == 0),
+                         1).otherwise(0)
+        return (ranks.groupBy(
+            F.when(F.col("node") % 2 == 0, "supplier")
+            .otherwise("customer").alias("node_type"),
+            is_seed.alias("is_seed"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.round(F.sum("rank"), 6).cast("double")
+                 .alias("sum_rank"),
+                 F.round(F.max("rank"), 9).cast("double")
+                 .alias("max_rank"))
+            .localCheckpoint())
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)

@@ -200,3 +200,47 @@ def test_triangle_doulion_sampling_deterministic_and_unbiasedish(spark):
     assert 0.4 * exact <= est <= 1.9 * exact
     with pytest.raises(ValueError):
         triangle_count(df, sample_p=0.0)
+
+
+def _numpy_ppr(edges, n, b, damping, iters):
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = b.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[d] += r[s] / out_deg[s]
+        dm = r[out_deg == 0].sum()
+        r = (1 - damping) * b + damping * (contrib + dm * b)
+    return r
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (1, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    reset = spark.createDataFrame([(0, 0.5), (3, 0.5)], "node int, w double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iterations=9, reset=reset).collect()}
+    b = np.zeros(5); b[0] = 0.5; b[3] = 0.5
+    want = _numpy_ppr(edges, 5, b, 0.85, 9)
+    for node, rank in got.items():
+        assert rank == pytest.approx(want[node], rel=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-12)
+    # proximity: the seed-adjacent node 1 outranks the far node it
+    # would tie with under uniform teleport
+    assert got[0] > got[1]
+
+
+def test_personalized_pagerank_with_dangling_teleports_to_seeds(spark):
+    # node 2 dangles; its mass must return to the seed, not uniformly
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    reset = spark.createDataFrame([(0, 1.0)], "node int, w double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iterations=12, reset=reset).collect()}
+    b = np.zeros(3); b[0] = 1.0
+    want = _numpy_ppr(edges, 3, b, 0.85, 12)
+    for node, rank in got.items():
+        assert rank == pytest.approx(want[node], rel=1e-12)
+    assert got[0] > got[1] > got[2]
