@@ -16,8 +16,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from cdh_integrate_carbondata2_3_spark.queries import all_queries  # noqa: E402
 from cdh_integrate_carbondata2_3_spark.session import get_spark  # noqa: E402
 
-GATES = ("graph_pagerank_centrality", "text_lm_perplexity_filter",
-         "dedup_winnow_fingerprints", "similarity_mmr_select")
+GATES = ("graph_pagerank_centrality", "graph_ppr_seeded",
+         "text_lm_perplexity_filter", "dedup_winnow_fingerprints",
+         "similarity_mmr_select", "events_funnel_conversion",
+         "events_markov_transitions", "events_time_decay_score",
+         "sample_hard_negatives", "mine_frequent_pairs")
 
 
 def main() -> None:
