@@ -63,7 +63,7 @@ HEADLINE = (
     "text_lm_perplexity_filter", "dedup_winnow_fingerprints",
     "similarity_mmr_select", "events_funnel_conversion",
     "events_markov_transitions", "events_time_decay_score",
-    "sample_hard_negatives",
+    "sample_hard_negatives", "mine_frequent_pairs",
 )
 
 

@@ -162,7 +162,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
     instead of uniformly, making ranks measure PROXIMITY to the
     seeds — the related-item / graph-expansion selector for curation.
     Nodes absent from ``reset`` get weight 0; iteration starts AT the
-    reset distribution (faster mixing, same fixpoint). Default:
+    reset distribution (faster mixing, same fixpoint). Reset nodes
+    absent from the edge set contribute nothing (their mass would be
+    unreachable anyway) — pass seeds drawn from the graph. Default:
     uniform 1/n — classic PageRank.
 
     The pipeline role: rank domains/documents in a link or citation

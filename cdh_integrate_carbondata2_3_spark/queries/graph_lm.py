@@ -11,7 +11,7 @@ merely something rank-shaped. The gate graph is the symmetrized
 supplier–customer bipartite graph from lineitem ⋈ orders (every node
 has out-edges, so the dangling term is exactly zero on both sides;
 the operator's dangling handling is pinned separately against a
-numpy power iteration in tests/test_graph.py).
+numpy power iteration in tests/test_graph_lm.py).
 
 Floating-point discipline: both sides compute the identical IEEE
 expression tree per value ((1.0 - 0.85) spelled the same way so the
