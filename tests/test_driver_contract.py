@@ -30,3 +30,27 @@ def test_spark_entry_contract_shape(spark):
     assert all(callable(f) for f in qs.values())
     df = entry_mod.entry(spark)
     assert df.columns and df.count() >= 0
+
+
+def test_stamp_window_composition():
+    """The driver stamps the FIRST 50 queries() entries per round.
+    Every never-stamped gate must sit inside that window (a new gate
+    outside it would ship unverified), and the rotation lists must
+    only name registered queries."""
+    import __spark_entry__ as entry
+    from cdh_integrate_carbondata2_3_spark.queries import (
+        _DEFER_TO_NEXT, _ROTATE_BACK_IN, _STAMPED_PRIOR_ROUNDS)
+    qs = list(entry.queries())
+    window = set(qs[:50])
+    never = [n for n in qs
+             if n not in _STAMPED_PRIOR_ROUNDS
+             and n not in _ROTATE_BACK_IN
+             and n not in _DEFER_TO_NEXT]
+    missing = [n for n in never if n not in window]
+    assert not missing, (
+        f"never-stamped gates outside the 50-slot stamp window: "
+        f"{missing}")
+    registered = set(qs)
+    for lst in (_ROTATE_BACK_IN, _DEFER_TO_NEXT):
+        unknown = [n for n in lst if n not in registered]
+        assert not unknown, f"rotation names not registered: {unknown}"
