@@ -99,9 +99,12 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     "text_lang_heuristic", "text_fingerprint", "text_bpe_tokens",
     "docs_by_source_stats", "similarity_cosine_topk",
     "embeddings_label_stats",
-    # temporal_queries.py (temporal.py / fuzzyjoin.py are action-free)
+    # temporal_queries.py (temporal.py / fuzzyjoin.py are action-free;
+    # funnel joined r9 once funnel_counts dropped its driver-side
+    # .first() for a stack() unpivot of the one-row count aggregate)
     "join_asof_events", "join_asof_forward_tol", "join_range_events",
     "join_fuzzy_editdist", "trajectory_similarity_nn",
+    "events_funnel_conversion",
     # dedup_extra.py (dedup.py / ssjoin.py are action-free; the
     # incremental gates write sidecars — excluded)
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_near",

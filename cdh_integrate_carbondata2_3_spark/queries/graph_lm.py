@@ -90,12 +90,15 @@ def graph_pagerank_centrality(spark: SparkSession,
     # Scope spark.sql.shuffle.partitions to this gate: the cached
     # edge frame executes without AQE re-planning (cached plans keep
     # their output partitioning), and an iterative loop multiplies
-    # any oversized task count by iterations × stages. Every heavy
-    # frame materializes inside the scope (pagerank localCheckpoints
-    # each round; the small final rollup is checkpointed eagerly
-    # below), so the restored conf never touches gate work.
+    # any oversized task count by iterations × stages. Sized to the
+    # NODE frame (16k nodes at sf0.1 — the same discipline as the
+    # operator's internal loop auto-sizing), not the edge bytes.
+    # Every heavy frame materializes inside the scope (pagerank
+    # checkpoints on its cadence; the small final rollup is
+    # checkpointed eagerly below), so the restored conf never
+    # touches gate work.
     prior = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         li = load_table(spark, sf_dir, "lineitem")
         orders = load_table(spark, sf_dir, "orders")
@@ -369,7 +372,7 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     proximity ordering."""
     from ..operators.graph import pagerank
     prior = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         li = load_table(spark, sf_dir, "lineitem")
         orders = load_table(spark, sf_dir, "orders")
@@ -380,11 +383,21 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = cache_tracked(e0.union(
             e0.select(F.col("dst").alias("src"),
                       F.col("src").alias("dst"))))
-        seeds = (edges.select(F.col("src").alias("node")).distinct()
-                 .filter((F.col("node") % 2 == 0)
-                         & ((F.col("node") / 2) % _PPR_SEED_MOD == 0)))
-        k = seeds.count()
-        reset = seeds.withColumn("w", F.lit(1.0 / k))
+        # seed set as a predicate over the operator's OWN node frame
+        # (symmetric graph: node set == distinct src set, so the
+        # oracle's DISTINCT-src seed definition is the same set),
+        # with the 1/|seeds| normalization composed lazily via a
+        # broadcast one-row count — no driver count job, no second
+        # edge-sized distinct; the same 1.0/k division the oracle
+        # replays
+        def reset(nodes):
+            seeds = nodes.filter(
+                (F.col("node") % 2 == 0)
+                & ((F.col("node") / 2) % _PPR_SEED_MOD == 0))
+            return (seeds.crossJoin(F.broadcast(
+                        seeds.agg(F.count(F.lit(1)).alias("__k"))))
+                    .select("node",
+                            (F.lit(1.0) / F.col("__k")).alias("w")))
         ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP,
                          reset=reset)
         is_seed = F.when((F.col("node") % 2 == 0)

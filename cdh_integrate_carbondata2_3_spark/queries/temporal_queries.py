@@ -236,8 +236,9 @@ s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3,
 c AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3,
              COUNT(t4) AS n4 FROM s4)
 SELECT step, step_name, n_users,
-       CAST(ROUND(n_users / CAST(n1 AS DOUBLE), 6) AS DOUBLE)
-         AS conversion
+       CASE WHEN n1 = 0 THEN 0.0
+            ELSE CAST(ROUND(n_users / CAST(n1 AS DOUBLE), 6) AS DOUBLE)
+       END AS conversion
 FROM c, (VALUES (1, 'view'), (2, 'click_gt10'), (3, 'signup_gt14'),
                 (4, 'purchase_gt17')) AS st(step, step_name),
 LATERAL (SELECT CASE st.step WHEN 1 THEN n1 WHEN 2 THEN n2
