@@ -1,0 +1,107 @@
+"""Frequent-itemset mining, pair tier (the A-priori L2 pass) — with
+the degenerate-input guards every other pair-forming operator in this
+engine carries (ssjoin.py bucket_cap, fuzzyjoin.py uniq_cap).
+
+Beyond the reference's surface (SURVEY.md "beyond the reference"
+mandate): co-occurrence statistics over baskets/sessions/documents
+feed negative mining, recommendation priors, and template detection
+in a training-data pipeline.
+
+Scale shape (the r8 VERDICT's "What's wrong 3" answer):
+
+- ONE basket-keyed shuffle builds the per-basket distinct item list
+  (``groupBy(basket).collect_set`` — replacing the r8 self-join,
+  which shuffled the item table twice), then the within-basket pair
+  explode runs MAP-SIDE over the sorted array and one pair-keyed
+  shuffle counts support.
+- **A-priori L1 pre-prune** (``min_support > 1``): an item contained
+  in fewer than ``min_support`` baskets cannot be part of a pair
+  with that support, so such items are dropped BEFORE pairing — the
+  classic trick, and on skewed real corpora it is what shrinks the
+  |basket|²/2 explode (the long tail of rare items vanishes).
+- **Hot-basket guard** (``basket_cap``): the explode is
+  |basket|²/2 PER BASKET with nothing else bounding |basket| — a
+  degenerate basket (a crawler session with 1e5 items) would emit
+  5e9 pairs from one key and stall the stage on a single straggler
+  task. ``on_oversize="raise"`` fails the job executor-side (zero
+  extra driver actions — the check rides the pair expression);
+  ``on_oversize="truncate"`` deterministically keeps the
+  ``basket_cap`` smallest items (sorted order, engine-independent)
+  and logs how many baskets were cut.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def frequent_pairs(items: DataFrame, basket_col: str, item_col: str, *,
+                   min_support: int = 1, basket_cap: int = 4096,
+                   on_oversize: str = "raise") -> DataFrame:
+    """Support counts for every within-basket item pair:
+    ``(item_a, item_b, support)`` with ``item_a < item_b`` and
+    ``support >= min_support``. Items are deduplicated per basket;
+    ordering/tie-breaks are by item value, so any SQL engine replays
+    the result exactly.
+    """
+    if on_oversize not in ("raise", "truncate"):
+        raise ValueError(f"on_oversize must be 'raise' or 'truncate',"
+                         f" got {on_oversize!r}")
+    if basket_cap < 2:
+        raise ValueError("basket_cap must be >= 2")
+    it = items.select(F.col(basket_col).alias("__basket"),
+                      F.col(item_col).alias("__item"))
+    if min_support > 1:
+        # L1 prune: global distinct-basket count per item, items below
+        # min_support can never reach it in a pair. The survivor set
+        # is far smaller than the item table — broadcast semi join.
+        l1 = (it.distinct().groupBy("__item")
+              .agg(F.count(F.lit(1)).alias("__s"))
+              .filter(F.col("__s") >= min_support)
+              .select("__item"))
+        it = it.join(F.broadcast(l1), "__item", "left_semi")
+    lists = (it.groupBy("__basket")
+             .agg(F.sort_array(F.collect_set("__item"))
+                  .alias("__items")))
+    n = F.size("__items")
+    if on_oversize == "raise":
+        # executor-side guard: no extra job, the check is part of the
+        # pair expression itself
+        guarded = F.when(n <= basket_cap, F.col("__items")).otherwise(
+            F.raise_error(F.concat(
+                F.lit("frequent_pairs: basket "),
+                F.col("__basket").cast("string"),
+                F.lit(" has "), n.cast("string"),
+                F.lit(f" distinct items > basket_cap={basket_cap};"
+                      " pass on_oversize='truncate' or raise"
+                      " basket_cap"))))
+    else:
+        over = lists.filter(n > basket_cap)
+        n_over = over.limit(1_000_000).count()
+        if n_over:
+            log.warning(
+                "frequent_pairs: truncating %d oversize basket(s) to "
+                "their %d smallest items (deterministic)", n_over,
+                basket_cap)
+        guarded = F.when(n <= basket_cap, F.col("__items")).otherwise(
+            F.slice("__items", 1, basket_cap))
+    # sorted-array pair explode: for the element at 0-based index i,
+    # pair it with every LATER element — emits exactly the item_a <
+    # item_b pairs, map-side, bounded by basket_cap²/2 per basket
+    pairs = (lists.withColumn("__items", guarded)
+             .select(F.explode(F.expr(
+                 "flatten(transform(__items, (x, i) -> "
+                 "transform(slice(__items, i + 2, size(__items) - i - 1),"
+                 " y -> struct(x AS a, y AS b))))")).alias("p"))
+             .select(F.col("p.a").alias("item_a"),
+                     F.col("p.b").alias("item_b")))
+    sup = (pairs.groupBy("item_a", "item_b")
+           .agg(F.count(F.lit(1)).alias("support")))
+    if min_support > 1:
+        sup = sup.filter(F.col("support") >= min_support)
+    return sup

@@ -139,10 +139,33 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     "dedup_semantic_clusters", "search_hybrid_rerank",
 })
 
-# (session, sf_dir, name) -> (session, plan); the session object rides
-# along so an id()-reuse collision is impossible (same scheme as
-# sources.registry._PLAN_CACHE)
-_PLAN_MEMO: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+# (session, sf_dir, name) -> (session, plan, cache_tracked frames);
+# the session object rides along so an id()-reuse collision is
+# impossible (same scheme as sources.registry._PLAN_CACHE). The
+# tracked-frame tuple lets a memo HIT re-register any caches the
+# query built via cache_tracked during construction — without it a
+# hit after release_caches() (fired by ANY other query) returns the
+# same DataFrame with its cache silently gone: still correct, but
+# re-runs execute uncached and measure differently from run one.
+_PLAN_MEMO: dict[tuple, tuple[SparkSession, DataFrame,
+                              tuple[DataFrame, ...]]] = {}
+
+
+def _session_stopped(s: SparkSession) -> bool:
+    try:
+        return s.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
+def _evict_dead_sessions(current: SparkSession) -> None:
+    """Drop memo entries whose session is no longer alive — without
+    this the memo grows monotonically across sessions (test suites,
+    repeated gate runs)."""
+    dead = [k for k, v in _PLAN_MEMO.items()
+            if v[0] is not current and _session_stopped(v[0])]
+    for k in dead:
+        del _PLAN_MEMO[k]
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -158,9 +181,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
                 key = (id(spark), sf_dir, name)
                 hit = _PLAN_MEMO.get(key)
                 if hit is not None and hit[0] is spark:
+                    # re-persist + re-track construction-time caches
+                    # (cache() on a live cache is a no-op; after a
+                    # release it lazily re-registers)
+                    for c in hit[2]:
+                        cache_tracked(c)
                     return hit[1]
+                _evict_dead_sessions(spark)
+                start = len(_TRACKED_CACHES)
                 df = fn(spark, sf_dir)
-                _PLAN_MEMO[key] = (spark, df)
+                _PLAN_MEMO[key] = (spark, df,
+                                   tuple(_TRACKED_CACHES[start:]))
                 return df
             return fn(spark, sf_dir)
 

@@ -34,7 +34,10 @@ _PR_DAMP = 0.85
 
 _LM_MOD = 5          # doc_id % MOD == 0 → held-out scoring split
 _LM_K = 0.5          # add-k smoothing
-_LM_CUT = -7.0       # avg-logprob floor: docs below are cut
+_LM_CUT = -3.55      # avg-logprob floor: docs below are cut (the
+                     # worst ~15-20% tail at sf0.001 AND sf0.01 under
+                     # the interpolated trigram — not sf-degenerate)
+_LM_L1, _LM_L2, _LM_L3 = 0.1, 0.3, 0.6   # interpolation weights
 
 
 def _pagerank_oracle() -> str:
@@ -135,24 +138,42 @@ WITH tok AS (
          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                      t -> t <> '') AS ts
   FROM documents),
-pairs AS (
-  SELECT doc_id, lang, b[1] AS w1, b[2] AS w2
+tri AS (
+  SELECT doc_id, lang, b[1] AS w1, b[2] AS w2, b[3] AS w3
   FROM (SELECT doc_id, lang,
+               unnest(list_zip(ts[1:len(ts)-2], ts[2:len(ts)-1],
+                               ts[3:len(ts)])) AS b
+        FROM tok WHERE len(ts) >= 3)),
+pairs AS (
+  SELECT doc_id, b[1] AS w1, b[2] AS w2
+  FROM (SELECT doc_id,
                unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS b
         FROM tok WHERE len(ts) >= 2)),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri
+       WHERE doc_id % {_LM_MOD} <> 0 GROUP BY w1, w2, w3),
 c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs
        WHERE doc_id % {_LM_MOD} <> 0 GROUP BY w1, w2),
-c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
-vv AS (SELECT COUNT(DISTINCT t) AS v
-       FROM (SELECT unnest(ts) AS t FROM tok
-             WHERE doc_id % {_LM_MOD} <> 0)),
+c1 AS (SELECT t AS w, COUNT(*) AS c1
+       FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+       WHERE doc_id % {_LM_MOD} <> 0 GROUP BY t),
+nv AS (SELECT COUNT(*) AS n, COUNT(DISTINCT t) AS v
+       FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+       WHERE doc_id % {_LM_MOD} <> 0),
 sc AS (
   SELECT p.doc_id, p.lang,
-         ln((COALESCE(c2.c2, 0) + {_LM_K})
-            / (COALESCE(c1.c1, 0) + {_LM_K} * vv.v)) AS lp
-  FROM pairs p
-  LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
-  LEFT JOIN c1 ON p.w1 = c1.w1, vv
+         ln({_LM_L1} * ((COALESCE(u3.c1, 0) + {_LM_K})
+                        / (nv.n + {_LM_K} * nv.v))
+          + {_LM_L2} * ((COALESCE(b23.c2, 0) + {_LM_K})
+                        / (COALESCE(u2.c1, 0) + {_LM_K} * nv.v))
+          + {_LM_L3} * ((COALESCE(t3.c3, 0) + {_LM_K})
+                        / (COALESCE(b12.c2, 0) + {_LM_K} * nv.v)))
+           AS lp
+  FROM tri p
+  LEFT JOIN c3 t3 ON p.w1 = t3.w1 AND p.w2 = t3.w2 AND p.w3 = t3.w3
+  LEFT JOIN c2 b12 ON p.w1 = b12.w1 AND p.w2 = b12.w2
+  LEFT JOIN c2 b23 ON p.w2 = b23.w1 AND p.w3 = b23.w2
+  LEFT JOIN c1 u2 ON p.w2 = u2.w
+  LEFT JOIN c1 u3 ON p.w3 = u3.w, nv
   WHERE p.doc_id % {_LM_MOD} = 0),
 d AS (SELECT doc_id, lang, AVG(lp) AS alp FROM sc GROUP BY doc_id, lang)
 SELECT lang, COUNT(*) AS n_docs,
@@ -163,27 +184,34 @@ FROM d GROUP BY lang
 """)
 def text_lm_perplexity_filter(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity filtering (operators/lm.py): an add-k
-    bigram LM trains on the 4/5 in-distribution split in ONE groupBy
-    pass, every held-out document is scored with mean ln P(w2|w1)
-    (model join keyed on the bigram — broadcastable when the vocab is
-    small), and the per-language funnel counts documents below the
-    log-prob floor. The oracle recomputes the identical smoothed
-    probabilities, so a green hash proves train counts, vocabulary
-    size, smoothing, backstop handling for unseen heads, and the
-    cut threshold all agree."""
-    from ..operators.lm import score_logprob, train_bigram_lm
+    """CCNet-style perplexity filtering, interpolated-trigram tier
+    (operators/lm.py train_trigram_lm / score_logprob_trigram —
+    CCNet uses a 5-gram KenLM; Jelinek-Mercer-interpolated trigram is
+    the distributed middle ground, upgraded from r8's bigram
+    stand-in per the r8 verdict). The LM trains on the 4/5
+    in-distribution split — one groupBy per n-gram order, map-side
+    combined — and every held-out document is scored with mean
+    ln(λ1·p1 + λ2·p2 + λ3·p3), all five count joins keyed on the
+    vocabulary-sized model side. The per-language funnel counts
+    documents below the log-prob floor. The oracle replays the
+    identical interpolated probabilities (same λ order, same add-k
+    floors, same N/V), so a green hash proves train counts, the
+    three smoothing floors, unseen-context backstops, and the cut
+    threshold all agree."""
+    from ..operators.lm import score_logprob_trigram, train_trigram_lm
     docs = cache_tracked(_docs(spark, sf_dir))
-    model = train_bigram_lm(
-        docs.filter(F.col("doc_id") % _LM_MOD != 0), "text", k=_LM_K)
-    # the bigram-count frame feeds the c2 join AND (via its groupBy)
-    # the c1 join — cache it so training's explode+count runs once;
-    # heads shares the same canonicalized subtree so the one cache
-    # serves both joins
+    model = train_trigram_lm(
+        docs.filter(F.col("doc_id") % _LM_MOD != 0), "text", k=_LM_K,
+        lambdas=(_LM_L1, _LM_L2, _LM_L3))
+    # each count frame feeds one-or-two scoring joins — cache the
+    # two that are re-referenced (bigrams: head AND tail context;
+    # unigrams: middle AND tail) so training explodes run once
     model["bigrams"] = cache_tracked(model["bigrams"])
+    model["unigrams"] = cache_tracked(model["unigrams"])
     held = docs.filter(F.col("doc_id") % _LM_MOD == 0)
-    scored = score_logprob(held, model, id_cols=("doc_id", "lang"),
-                           out="alp")
+    scored = score_logprob_trigram(held, model,
+                                   id_cols=("doc_id", "lang"),
+                                   out="alp")
     return (scored.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("alp") < _LM_CUT, 1).otherwise(0))
@@ -282,32 +310,35 @@ SELECT r.rk, r.part_a, r.part_b, r.support,
 FROM ranked r, tot WHERE r.rk <= {_FP_TOPK}
 """)
 def mine_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-itemset mining, pair tier (the A-priori L2 pass):
-    top-{k} co-ordered part pairs by support. ONE groupBy over the
-    within-basket pair explode (baskets are small, so the explode is
-    ~|basket|²/2 per order — linear in line items for bounded
-    baskets), then a TakeOrderedAndProject for the top slice;
-    integer supports with (part_a, part_b) tie-break make the ranking
-    engine-identical. The pipeline role: co-occurrence statistics for
-    negative mining, recommendation priors, or template detection."""
+    """Frequent-itemset mining, pair tier (operators/mining.py —
+    the A-priori L2 pass with the hot-basket guard armed): top-{k}
+    co-ordered part pairs by support. ONE basket-keyed shuffle
+    builds per-order item lists, the pair explode runs map-side over
+    the sorted arrays, and one pair-keyed groupBy counts support;
+    the top slice is an explicit ``orderBy(...).limit(k)`` — a
+    distributed TakeOrderedAndProject — with ranks attached by a
+    window over only the k surviving rows (the r8 shape ranked the
+    FULL pair frame through an unpartitioned window — single-
+    partition WindowExec over 27M pair instances at the 30× probe).
+    Integer supports with (part_a, part_b) tie-break make the
+    ranking engine-identical. The pipeline role: co-occurrence
+    statistics for negative mining, recommendation priors, or
+    template detection."""
     from pyspark.sql import Window as W
+    from ..operators.mining import frequent_pairs
     li = load_table(spark, sf_dir, "lineitem")
-    it = li.select("l_orderkey", "l_partkey").distinct()
-    a = it.alias("a")
-    b = it.alias("b")
-    pr = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-          .groupBy(F.col("a.l_partkey").alias("part_a"),
-                   F.col("b.l_partkey").alias("part_b"))
-          .agg(F.count(F.lit(1)).alias("support")))
+    it = li.select("l_orderkey", "l_partkey")
+    sup = frequent_pairs(it, "l_orderkey", "l_partkey")
+    top = (sup.select(F.col("item_a").alias("part_a"),
+                      F.col("item_b").alias("part_b"), "support")
+           .orderBy(F.desc("support"), "part_a", "part_b")
+           .limit(_FP_TOPK))
     n = it.select("l_orderkey").distinct().count()
     rk = F.row_number().over(
         W.orderBy(F.desc("support"), "part_a", "part_b"))
-    return (pr.select(rk.alias("rk"), "part_a", "part_b", "support")
-            .filter(F.col("rk") <= _FP_TOPK)
-            .select("rk", "part_a", "part_b", "support",
-                    F.round(F.col("support") / F.lit(float(n)), 6)
-                    .cast("double").alias("rel_support")))
+    return (top.select(rk.alias("rk"), "part_a", "part_b", "support",
+                       F.round(F.col("support") / F.lit(float(n)), 6)
+                       .cast("double").alias("rel_support")))
 
 
 _PPR_SEED_MOD = 10      # seeds: suppliers with s_suppkey % MOD == 0

@@ -1668,7 +1668,15 @@ class Engine:
     # ------------------------------------------------------------------ sql
 
     def _require_db(self, name: str) -> None:
-        db, _t = self._resolve(name)
+        db, t = self._resolve(name)
+        if "__" in t:
+            # '__' is the view-namespace separator (_view_name maps
+            # db.t -> 'db__t'), so a default-db table literally named
+            # 'a__b' would collide with database a's table b in the
+            # temp-view namespace — reject at creation/rename time
+            raise ValueError(
+                f"table name {t!r} may not contain '__' (reserved as"
+                " the database-qualified view separator)")
         if db != "default" and db not in self.databases():
             raise FileNotFoundError(
                 f"database {db!r} does not exist — CREATE DATABASE first")
@@ -2472,6 +2480,27 @@ class Engine:
 
     # --------------------------------------------------------------- merge
 
+    @staticmethod
+    def _merge_equi_key(cond: str, tname: str, talias: str | None,
+                        sname: str, salias: str | None) -> str | None:
+        """The merge key when ON is a single same-named equi-join
+        (``tgt.k = src.k`` in either order) — the shape that admits
+        the source-key min/max pre-prune (operators/merge
+        _source_key_preds)."""
+        s = cond
+        for al, rep in ((talias or tname, "tgt"),
+                        (salias or sname, "src")):
+            s = re.sub(rf"\b{re.escape(al)}\s*\.", f"{rep}.", s,
+                       flags=re.IGNORECASE)
+        m = re.fullmatch(
+            r"\s*(?:tgt\.(\w+)\s*=\s*src\.(\w+)"
+            r"|src\.(\w+)\s*=\s*tgt\.(\w+))\s*", s, re.IGNORECASE)
+        if not m:
+            return None
+        a = m.group(1) or m.group(4)
+        b = m.group(2) or m.group(3)
+        return a if a.lower() == b.lower() else None
+
     def _merge_sql(self, tname: str, talias: str | None, sname: str,
                    salias: str | None, cond: str, clauses: str) -> DataFrame:
         """MERGE INTO SQL (reference ANTLR grammar CarbonSqlBase.g4:
@@ -2496,7 +2525,9 @@ class Engine:
             return [p.strip() for p in parts if p.strip()]
 
         b = merge_ops.merge(self.table(tname), self.table(sname).read(),
-                            norm(cond))
+                            norm(cond),
+                            key_hint=self._merge_equi_key(
+                                cond, tname, talias, sname, salias))
         for neg, ccond, act in _MERGE_WHEN.findall(clauses):
             cb = (b.when_not_matched(norm(ccond) if ccond else None) if neg
                   else b.when_matched(norm(ccond) if ccond else None))
@@ -2687,15 +2718,29 @@ class Engine:
             kind, table, cond = "UPDATE", m.group(1), m.group(3)
         elif m := _DELETE.match(body):
             kind, table, cond = "DELETE", m.group(1), m.group(2)
-        elif m := _MERGE.match(body):
-            # MERGE prunes at run time from the SOURCE key min/max
-            # (operators/merge._source_key_preds) — static explain
-            # reports the target's full candidate set
-            kind, table = "MERGE", m.group(1)
+        merge_m = None
+        if kind is None and (m := _MERGE.match(body)):
+            kind, table, merge_m = "MERGE", m.group(1), m
         if kind is None or not self._exists(table):
             return None
         t = self.table(table)
         preds = parse_simple_condition(cond) if cond else None
+        if merge_m is not None and self._exists(merge_m.group(3)):
+            # mirror the runtime prune: equi-key merges pre-prune the
+            # target scan with the source key min/max
+            # (operators/merge._source_key_preds) — the static
+            # explain applies the same bound when the source relation
+            # is resolvable, instead of over-stating files.candidate
+            key = self._merge_equi_key(
+                merge_m.group(5), table, merge_m.group(2),
+                merge_m.group(3), merge_m.group(4))
+            if key:
+                mm = (self.table(merge_m.group(3)).read()
+                      .agg(F.min(key).alias("lo"),
+                           F.max(key).alias("hi")).first())
+                if mm["lo"] is not None:
+                    cond = f"{key} BETWEEN {mm['lo']} AND {mm['hi']}"
+                    preds = [(key, "between", (mm["lo"], mm["hi"]))]
         total = sum(len(s.files) for s in t.manifest.queryable_segments())
         kept = sum(len(v) for v in t.scan_files(preds).values())
         pred_cols = {p[0] for p in (preds or [])}

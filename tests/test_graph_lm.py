@@ -125,6 +125,63 @@ def test_bigram_lm_short_docs_drop_and_tokenization(spark):
     assert [r["doc_id"] for r in out] == [4]
 
 
+def test_trigram_lm_hand_computed_probabilities(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.lm import (
+        score_logprob_trigram, train_trigram_lm)
+    train = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d")], "doc_id long, text string")
+    model = train_trigram_lm(train, k=0.5, lambdas=(0.1, 0.3, 0.6))
+    # tokens: 6 + 3 = 9 total, vocab {a,b,c,d} = 4
+    assert model["n"] == 9 and model["v"] == 4
+    c3 = {(r["w1"], r["w2"], r["w3"]): r["c3"]
+          for r in model["trigrams"].collect()}
+    assert c3 == {("a", "b", "c"): 2, ("b", "c", "a"): 1,
+                  ("c", "a", "b"): 1, ("a", "b", "d"): 1}
+    held = spark.createDataFrame([(3, "a b c x")],
+                                 "doc_id long, text string")
+    row = score_logprob_trigram(held, model).collect()[0]
+    kv = 0.5 * 4
+    # trigram (a,b,c): c3=2, c2(a,b)=3, c2(b,c)=2, c1(b)=3, c1(c)=2
+    p_abc = (0.1 * (2 + 0.5) / (9 + kv)          # unigram c
+             + 0.3 * (2 + 0.5) / (3 + kv)        # bigram (b,c)|b
+             + 0.6 * (2 + 0.5) / (3 + kv))       # trigram |(a,b)
+    # trigram (b,c,x): all x-counts 0; c2(b,c)=2, c1(c)=2
+    p_bcx = (0.1 * (0 + 0.5) / (9 + kv)
+             + 0.3 * (0 + 0.5) / (2 + kv)
+             + 0.6 * (0 + 0.5) / (2 + kv))
+    want = (math.log(p_abc) + math.log(p_bcx)) / 2
+    assert row["n_trigrams"] == 2
+    assert row["avg_logprob"] == pytest.approx(want, rel=1e-12)
+
+
+def test_trigram_lm_unseen_everything_backstop(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.lm import (
+        score_logprob_trigram, train_trigram_lm)
+    train = spark.createDataFrame([(1, "a b c")],
+                                  "doc_id long, text string")
+    model = train_trigram_lm(train, k=0.5, lambdas=(0.1, 0.3, 0.6))
+    held = spark.createDataFrame([(2, "x y z")],
+                                 "doc_id long, text string")
+    row = score_logprob_trigram(held, model).collect()[0]
+    # every count 0: each component floors at k/(den + k*V)
+    kv = 0.5 * 3
+    want = math.log(0.1 * 0.5 / (3 + kv) + 0.3 * 0.5 / kv
+                    + 0.6 * 0.5 / kv)
+    assert row["avg_logprob"] == pytest.approx(want, rel=1e-12)
+
+
+def test_trigram_lm_short_docs_drop(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.lm import (
+        score_logprob_trigram, train_trigram_lm)
+    train = spark.createDataFrame([(1, "a b c d")],
+                                  "doc_id long, text string")
+    model = train_trigram_lm(train)
+    held = spark.createDataFrame(
+        [(2, "a b"), (3, ""), (4, "a b c")], "doc_id long, text string")
+    out = score_logprob_trigram(held, model).collect()
+    assert [r["doc_id"] for r in out] == [4]
+
+
 def test_bigram_lm_in_distribution_scores_higher(spark):
     rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
     train = spark.createDataFrame(rows, "doc_id long, text string")

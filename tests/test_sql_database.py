@@ -182,6 +182,46 @@ def test_explain_dml_shows_pruning_without_executing(eng, spark):
     assert "pb" in r["indexes.participating"]
 
 
+def test_explain_merge_applies_source_key_prune(eng, spark):
+    """EXPLAIN MERGE folds in the same source-key min/max prune the
+    real MERGE performs (operators/merge._source_key_preds) when the
+    source relation is resolvable — files.candidate must reflect the
+    source's key range, not the full target."""
+    eng.sql("CREATE TABLE mp (id BIGINT, v STRING)")
+    for lo in (0, 100, 200):
+        spark.range(lo, lo + 100).select(
+            "id", F.lit("x").alias("v")).createOrReplaceTempView("__mx")
+        eng.sql("INSERT INTO mp SELECT * FROM __mx")
+    eng.sql("CREATE TABLE msrc (id BIGINT, v STRING)")
+    spark.range(210, 240).select(
+        "id", F.lit("s").alias("v")).createOrReplaceTempView("__ms")
+    eng.sql("INSERT INTO msrc SELECT * FROM __ms")
+    r = {row["item"]: row["value"] for row in eng.sql(
+        "EXPLAIN MERGE INTO mp USING msrc ON mp.id = msrc.id "
+        "WHEN MATCHED THEN UPDATE SET v = 'm'").collect()}
+    total, cand = int(r["files.total"]), int(r["files.candidate"])
+    assert 0 < cand < total, r       # only the 200..299 segment kept
+    assert "between" in r["pushed_predicates"]
+    assert r["executed"] == "false"
+    # the mutation really did not run
+    assert eng.sql("SELECT COUNT(*) AS c FROM mp WHERE v = 'm'") \
+        .first()["c"] == 0
+
+
+def test_table_names_with_view_separator_rejected(eng):
+    """'__' is the db-qualified view separator (db.t -> 'db__t'): a
+    default-db table literally named 'a__t' would collide with
+    database a's table t in the temp-view namespace."""
+    _mk(eng, "a.t", 3, "A")
+    with pytest.raises(ValueError, match="__"):
+        eng.sql("CREATE TABLE a__t (id BIGINT, v STRING)")
+    with pytest.raises(ValueError, match="__"):
+        eng.sql("CREATE TABLE b.x__y (id BIGINT, v STRING)")
+    # CTAS and LIKE go through the same guard
+    with pytest.raises(ValueError, match="__"):
+        eng.sql("CREATE TABLE c__d LIKE a.t")
+
+
 def test_mv_rewrite_on_qualified_table(eng):
     """The SPJG MV fast path accepts a db-qualified FROM without USE:
     the MV is created and consulted through the qualified name."""
