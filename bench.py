@@ -64,6 +64,12 @@ HEADLINE = (
     "similarity_mmr_select", "events_funnel_conversion",
     "events_markov_transitions", "events_time_decay_score",
     "sample_hard_negatives", "mine_frequent_pairs",
+    # round 9 additions: unigram tokenizer training (EM over the
+    # word table), streaming-ingest × MV staleness/refresh lifecycle,
+    # personalized PageRank, exact triangle counting (already gated
+    # r8 — benched now so every graph operator has a bench row)
+    "text_unigram_train", "stream_mv_staleness",
+    "graph_ppr_seeded", "graph_triangle_count",
 )
 
 

@@ -1,0 +1,65 @@
+"""Distributed dense ranking: map a (possibly sparse, scattered) id
+column onto the compact rank space 0..n-1 in ascending id order —
+the zipWithIndex of the DataFrame world, WITHOUT the single-partition
+global window (``ROW_NUMBER() OVER (ORDER BY id)`` moves the whole
+frame to one task).
+
+Two-phase shape (the classic zipWithIndex construction):
+
+1. range-repartition the distinct ids (ascending partitions), then
+   ONE bounded driver collect of per-partition counts builds the
+   cumulative offsets — #partitions rows, never data;
+2. rank = partition offset + per-partition ``row_number`` (windows
+   partitioned by the range bucket — parallel, never global).
+
+The ranks equal ``ROW_NUMBER() OVER (ORDER BY id) - 1`` exactly, for
+ANY range boundary choice (ranges are ordered and offsets accumulate
+counts in partition order), so a SQL oracle replays the mapping with
+the plain global window.
+
+Consumer: hash-derived negative sampling (queries/llm_extra.py) folds
+partner hashes into this rank space instead of the raw id space — on
+a sparse id layout (post-filter, post-shard remap) folding into
+max(id)+1 lands mostly in gaps and silently yields zero partners
+(the r8 30× probe's 0-row footgun, VERDICT r8 Next-round 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ranks(df: DataFrame, col: str, *, out: str = "rank",
+                partitions: int | None = None
+                ) -> tuple[DataFrame, int]:
+    """``(ranks, n)``: a ``(col, rank)`` frame assigning each distinct
+    value of ``col`` its 0-based ascending position, and the distinct
+    count ``n``. The distinct-id frame is localCheckpointed so the
+    offset collect and the rank projection see the SAME partitioning
+    (range-repartition boundaries are sampled — two executions could
+    split differently)."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "200"))
+    ids = (df.select(col).distinct()
+           .repartitionByRange(partitions, col)
+           .withColumn("__pid", F.spark_partition_id())
+           .localCheckpoint())
+    counts = {r["__pid"]: r["c"] for r in
+              ids.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)],
+                                   "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(col)
+    ranks = (ids.withColumn("__local", F.row_number().over(w))
+             .join(F.broadcast(off_df), "__pid")
+             .select(F.col(col),
+                     (F.col("__off") + F.col("__local") - 1)
+                     .alias(out)))
+    return ranks, acc

@@ -203,58 +203,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Round-8 window plan (VERDICT r7 "Next round" item 3: drain the last
-# rotation debt). The 50-slot window = the new r8 gate
-# (table_db_namespace — never stamped, sorts first automatically) +
-# the 26 rows whose latest driver stamp is r3 (the full list from
-# VERDICT r7 item 3, incl. scalar_date_funcs) + every row whose code
-# path CHANGED this round (MV refresh/subsumption certificates, DML
-# optimistic-concurrency commits, heavy-hitters broadcast cutoff,
-# batched-BPE self-pair fix, IVF seed pick, JPEG corrupt-stream
-# guards) + r4-stamped filler. All are green on the local
-# tools/check.py gate; the driver artifact should say so. After this
-# window, no registered row's latest stamp is older than r4.
+# Round-9 window plan (VERDICT r8 "Next round" item 6: drain the r4
+# stamp debt). The 50-slot window = the two new r9 gates
+# (text_unigram_train, stream_mv_staleness — never stamped, sort
+# first automatically) + ALL 34 rows whose latest driver stamp is r4
+# (the complete list; afterwards no registered row's stamp is older
+# than r5) + the six r8-stamped rows whose code paths CHANGED this
+# round (funnel user-keyed grouping + stack unpivot, PageRank/PPR
+# cadence + setup rework, frequent-pairs operator promotion,
+# trigram perplexity upgrade, dense-rank negative sampling) + eight
+# r5-stamped fillers, leading with the four plan-only queries that
+# exercise the NEW memo cache-retracking path (similarity_ann_ivf
+# was the ADVICE r8 example). All are green on the local
+# tools/check.py gate; the driver artifact should say so.
 _ROTATE_BACK_IN: tuple[str, ...] = (
-    "agg_conditional_pivot", "agg_exact_quantiles", "agg_minmax_stats",
-    "complex_map_functions", "complex_nested_two_level", "dedup_components",
-    "embedding_quantize_int8", "events_gap_fill", "events_gap_fill_locf",
-    "events_rolling_window", "join_asof_events", "join_asof_forward_tol",
-    "join_range_events", "sample_weighted_tokens", "scalar_string_funcs",
-    "table_bucket_map_join", "table_runtime_filter_join", "table_vector_index_search",
-    "table_zorder_prune", "text_decontaminate", "text_pack_sequences",
-    "text_pii_redact", "udf_grouped_agg_pandas", "udf_python_udtf",
-    "udf_timeseries_rollup", "scalar_date_funcs", "table_mv_join_rewrite",
-    "table_mv_subsumed_rollup", "table_mv_incremental_refresh", "table_mv_ivm_delete",
-    "table_mv_ivm_update", "agg_heavy_hitters",
-    "table_delete_cow", "table_merge_upsert",
-    "table_merge_upsert_mor", "table_update_mor", "table_delete_mor",
-    "table_parquet_stats_manifest",
+    # r9 changed paths (stamped r8, code changed this round)
+    "events_funnel_conversion", "graph_pagerank_centrality",
+    "graph_ppr_seeded", "mine_frequent_pairs",
+    "text_lm_perplexity_filter", "sample_hard_negatives",
+    # the full r4 stamp debt (34 rows)
+    "agg_approx_sketch_bounds", "agg_hll_mergeable_rollup",
+    "agg_salted_twophase", "dedup_canonical_pick",
+    "dedup_components_star", "dedup_exact_groups",
+    "dedup_exact_survivors", "dedup_minhash_lsh",
+    "dedup_substring_spans", "dedup_substring_trim",
+    "distinct_projection", "docs_by_source_stats",
+    "embeddings_label_stats", "events_hourly_rollup",
+    "events_json_extract", "events_sessionize", "geo_polygon_filter",
+    "geo_polygon_list_filter", "geo_polyline_buffer",
+    "join_salted_skew", "orderby_limit_topk", "sample_temperature_mix",
+    "sample_token_budget", "scalar_math_case", "sdk_reader_agg",
+    "similarity_cosine_topk", "stream_cdc_apply",
+    "table_bloom_index_prune", "table_create_like_insert",
+    "table_insert_stage", "table_load_badrecords",
+    "table_si_index_prune", "table_truncate_reload", "text_bpe_tokens",
+    # r5-stamped fillers; the first four are plan-only queries with
+    # construction-time caches — they exercise the r9 memo
+    # cache-retracking fix end-to-end under the driver
+    "similarity_ann_ivf", "similarity_ann_lsh",
+    "dedup_semantic_clusters", "search_hybrid_rerank",
+    "dedup_bloom_prefilter", "corpus_curation_pipeline",
+    "similarity_kmeans_refine", "stream_near_dup_parity",
 )
 
-# The nine r8 gate additions (graph_pagerank_centrality,
-# text_lm_perplexity_filter, similarity_mmr_select,
-# dedup_winnow_fingerprints, events_funnel_conversion,
-# events_markov_transitions, graph_triangle_count,
-# events_time_decay_score, sample_hard_negatives) are never-stamped so
-# they sort first automatically, taking nine window slots (plus
-# table_db_namespace = 10 never-stamped). The displaced rows queue
-# here for the r9 window: six r4-stamped fillers plus the three
-# lowest-marginal-value rotations (table_mv_rewrite/table_update_cow —
-# their changed r8 paths are covered by the five MV and four DML/mor
-# gates still in the window; text_bpe_train — rows-only driver check,
-# its r8 self-pair fix is exactness-pinned in tests/test_bpe.py).
+# Displaced r5-stamped rows queue for the r10 window (all remain
+# green on the local gate; the FTS family's shared code paths are
+# unchanged since r5 and covered by tests/test_analyzers.py).
 _DEFER_TO_NEXT: tuple[str, ...] = (
-    "dedup_components_star", "table_si_index_prune",
-    "sample_temperature_mix", "sample_token_budget",
-    "dedup_substring_spans", "dedup_substring_trim",
-    "table_mv_rewrite", "table_update_cow", "text_bpe_train",
-    # r7-stamped; its r8 change (corrupt-stream ValueError routing)
-    # is pinned by tests/test_jpeg.py — displaced by mine_frequent_pairs
-    "multimodal_jpeg_decode",
-    # r6-stamped; its r8 changed path (optimistic-concurrency commits)
-    # is covered by the in-window DML/mor gates + test_manifest_atomicity
-    # + the DML fuzz — displaced by graph_ppr_seeded
-    "table_compaction",
+    "table_fts_text_match", "udf_text_match", "udf_text_match_limit",
+    "text_bm25_rank", "table_fts_fuzzy", "table_fts_phrase",
+    "sample_split_leakage_free", "text_lm_oov_filter",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
@@ -263,6 +261,32 @@ _DEFER_TO_NEXT: tuple[str, ...] = (
 # not-yet-stamped ones (they stay registered and keep running in
 # pytest/bench; only the dict ordering changes).
 _STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # round 8 (CORRECTNESS_r08.json, 50/50 hash-green):
+    "agg_conditional_pivot", "agg_exact_quantiles", "agg_heavy_hitters",
+    "agg_minmax_stats", "complex_map_functions",
+    "complex_nested_two_level", "dedup_components",
+    "dedup_winnow_fingerprints", "embedding_quantize_int8",
+    "events_funnel_conversion", "events_gap_fill", "events_gap_fill_locf",
+    "events_markov_transitions", "events_rolling_window",
+    "events_time_decay_score", "graph_pagerank_centrality",
+    "graph_ppr_seeded", "graph_triangle_count", "join_asof_events",
+    "join_asof_forward_tol", "join_range_events", "mine_frequent_pairs",
+    "sample_hard_negatives", "sample_weighted_tokens",
+    "scalar_date_funcs", "scalar_string_funcs", "similarity_mmr_select",
+    "table_bucket_map_join", "table_db_namespace", "table_delete_cow",
+    "table_delete_mor", "table_merge_upsert", "table_merge_upsert_mor",
+    "table_mv_incremental_refresh", "table_mv_ivm_delete",
+    "table_mv_ivm_update", "table_mv_join_rewrite",
+    "table_mv_subsumed_rollup", "table_parquet_stats_manifest",
+    "table_runtime_filter_join", "table_update_mor",
+    "table_vector_index_search", "table_zorder_prune",
+    "text_decontaminate", "text_lm_perplexity_filter",
+    "text_pack_sequences", "text_pii_redact", "udf_grouped_agg_pandas",
+    "udf_python_udtf", "udf_timeseries_rollup",
+    # displaced from the r8 window, stamped r4-r7 (kept here so they
+    # never sort as never-stamped):
+    "table_mv_rewrite", "table_update_cow", "text_bpe_train",
+    "multimodal_jpeg_decode", "table_compaction",
     # round 7 (CORRECTNESS_r07.json, 50/50 hash-green; rows NOT
     # re-listed in _ROTATE_BACK_IN — changed paths restamp in r8):
     "agg_count_distinct", "agg_cube", "agg_having", "agg_minmax_metadata",

@@ -763,6 +763,37 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, left string, right string").orderBy("rank")
 
 
+_UNI_VOCAB = 160            # target piece count (demo-scale)
+_UNI_MAXLEN = 6             # longest candidate piece
+_UNI_SEED = 600             # seed substring pool
+
+
+@query("text_unigram_train")   # iterative EM — rows-only driver
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM tokenizer training
+    (operators/unigram.py, Kudo 2018 — SentencePiece's other half
+    next to BPE): the corpus collapses to the SAME word-count table
+    BPE trains on, the seed substring pool is one array-HOF explode
+    + groupBy, and each EM round is one Arrow-batched lattice
+    forward-backward over the word table with a vocabulary-sized
+    collect — no corpus pass after the first, no shuffle bigger
+    than the vocabulary. Deterministic (frequency/probability ties
+    break lexicographically); the lattice E-step, Viterbi encode,
+    and distributed-vs-serial EM parity are pinned against full
+    segmentation-enumeration references in tests/test_unigram.py
+    (no SQL oracle: EM is inherently iterative). Returns the final
+    vocabulary ranked by probability."""
+    from ..operators.unigram import train_unigram
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % _BPE_MOD == 0)
+    vocab = train_unigram(d, "text", _UNI_VOCAB,
+                          max_piece_len=_UNI_MAXLEN,
+                          seed_size=_UNI_SEED, em_iters=1)
+    rows = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(i, p, round(lp, 6)) for i, (p, lp) in enumerate(rows)],
+        "rank int, piece string, logp double").orderBy("rank")
+
+
 @query("ml_ols_fit_score", oracle=r"""
 WITH feats AS (
     SELECT source,
@@ -989,37 +1020,50 @@ _NEG_HEX12_SQL = "(" + " + ".join(
 
 
 @query("sample_hard_negatives", oracle=f"""
-WITH nn AS (SELECT MAX(vec_id) + 1 AS n FROM embeddings),
+WITH ids AS (SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r
+             FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
 anch AS (SELECT vec_id AS a_id, label AS a_label FROM embeddings
          WHERE vec_id % {_NEG_MOD} = 0),
 cand AS (
   SELECT a_id, a_label, j,
-         {_NEG_HEX12_SQL} % nn.n AS neg_id
+         {_NEG_HEX12_SQL} % nn.n AS neg_r
   FROM (SELECT a.a_id, a.a_label, u.j,
                md5(CAST(a.a_id AS VARCHAR) || '#'
                    || CAST(u.j AS VARCHAR)) AS h
         FROM anch a, UNNEST(range(1, {_NEG_K} + 1)) AS u(j)), nn),
 pairs AS (
   SELECT c.a_label, e.label AS n_label
-  FROM cand c JOIN embeddings e ON e.vec_id = c.neg_id
-  WHERE c.neg_id <> c.a_id)
+  FROM cand c
+  JOIN ids i ON i.r = c.neg_r
+  JOIN embeddings e ON e.vec_id = i.vec_id
+  WHERE i.vec_id <> c.a_id)
 SELECT a_label, n_label, COUNT(*) AS n_pairs
 FROM pairs GROUP BY a_label, n_label
 """)
 def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-derived negative sampling for contrastive
-    training pairs: each anchor gets k pseudo-random partner ids from
-    md5(anchor#j) folded into the id space — NO cross join, no
-    shuffle of the corpus; the only join is candidate-id-keyed
-    against the (narrow) id→label projection, broadcastable at any
-    anchor count. Self-collisions drop deterministically; ids hashing
-    into gaps drop on the join — both sides replay identically, so
-    the label-pair matrix hash pins the whole derivation. The
-    pipeline role: negative pairs for embedding/contrastive training
-    at 100 TB without materializing a candidate cross product."""
+    training pairs: each anchor gets k pseudo-random partners from
+    md5(anchor#j) folded into the DENSE RANK space 0..n-1
+    (operators/ranking.dense_ranks — two-phase zipWithIndex, no
+    global window) and mapped rank→id. Folding into ranks instead of
+    the raw id span makes the derivation sparse-id-robust: after any
+    filter/shard remap leaves gaps, raw-span folding lands mostly in
+    holes and silently yields zero partners (the r8 30×-probe
+    footgun); rank folding yields exactly k per anchor minus
+    deterministic self-collisions, on ANY id layout. NO cross join,
+    no shuffle of the corpus — the rank map and the id→label
+    projection are the only joined frames, both narrow. The oracle
+    replays the rank mapping with the plain global-window
+    ROW_NUMBER (same mapping, different physical plan), so the
+    label-pair matrix hash pins the whole derivation. The pipeline
+    role: negative pairs for embedding/contrastive training at
+    100 TB without materializing a candidate cross product."""
+    from ..operators.ranking import dense_ranks
     from ..sources.registry import load_table
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    ranks, n = dense_ranks(emb, "vec_id", out="r")
     anch = (emb.filter(F.col("vec_id") % _NEG_MOD == 0)
             .select(F.col("vec_id").alias("a_id"),
                     F.col("label").alias("a_label")))
@@ -1032,10 +1076,11 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "a_label",
                 (F.conv(F.substring(F.md5(key.cast("binary")), 1, 12),
                         16, 10).cast("long") % F.lit(n))
-                .alias("neg_id"))
-        .filter(F.col("neg_id") != F.col("a_id")))
+                .alias("r")))
     lab = emb.select(F.col("vec_id").alias("neg_id"),
                      F.col("label").alias("n_label"))
-    return (cand.join(lab, "neg_id")
+    return (cand.join(ranks.withColumnRenamed("vec_id", "neg_id"), "r")
+            .filter(F.col("neg_id") != F.col("a_id"))
+            .join(lab, "neg_id")
             .groupBy("a_label", "n_label")
             .agg(F.count(F.lit(1)).alias("n_pairs")))

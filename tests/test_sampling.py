@@ -96,3 +96,48 @@ def test_shards_cover_all_docs(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert total == n_docs
     assert df.count() == 8
+
+
+# ---------------------------------------------------------------------------
+# dense ranks + sparse-id-robust negative sampling (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_dense_ranks_match_global_window(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.ranking import (
+        dense_ranks)
+    ids = [7, 1000003, 52, 999999999, 123456789, 17, 88, 4]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    ranks, n = dense_ranks(df, "vec_id", out="r", partitions=3)
+    got = {r["vec_id"]: r["r"] for r in ranks.collect()}
+    assert n == len(ids)
+    assert got == {v: i for i, v in enumerate(sorted(ids))}
+
+
+def test_hard_negatives_full_yield_on_sparse_ids(spark):
+    """Folding into the dense rank space must yield exactly k
+    partners per anchor on an id layout full of gaps — the raw-span
+    fold yielded (near) zero there."""
+    from cdh_integrate_carbondata2_3_spark.operators.ranking import (
+        dense_ranks)
+    ids = [3, 9001, 77, 123456789012, 40, 500000, 86, 2, 31337, 664]
+    df = spark.createDataFrame([(i, f"l{i % 3}") for i in ids],
+                               "vec_id long, label string")
+    ranks, n = dense_ranks(df, "vec_id", out="r")
+    k = 5
+    key = F.concat(F.col("a_id").cast("string"), F.lit("#"),
+                   F.col("j").cast("string"))
+    cand = (df.select(F.col("vec_id").alias("a_id"))
+            .select("a_id", F.explode(F.array(
+                *[F.lit(j) for j in range(1, k + 1)])).alias("j"))
+            .select("a_id",
+                    (F.conv(F.substring(F.md5(key.cast("binary")),
+                                        1, 12), 16, 10).cast("long")
+                     % F.lit(n)).alias("r")))
+    per = {r["a_id"]: r["c"] for r in
+           cand.join(ranks.withColumnRenamed("vec_id", "neg_id"), "r")
+           .groupBy("a_id").agg(F.count(F.lit(1)).alias("c"))
+           .collect()}
+    # every hash lands on a real row (ranks are gap-free): exactly k
+    # candidates per anchor before the self-collision filter
+    assert per == {i: k for i in ids}

@@ -56,15 +56,27 @@ def main() -> None:
     not_comparable = {"agg_hll_mergeable_rollup",
                       "table_delete_mor", "table_mv_ivm_delete",
                       "table_mv_join_rewrite", "table_mv_subsumed_rollup",
-                      "ml_logit_fit_calibrate", "table_db_namespace"}
+                      "ml_logit_fit_calibrate", "table_db_namespace",
+                      # engine side streams two CSV batches into a
+                      # scratch table, creates+refreshes an MV and
+                      # answers through it; the oracle is one SELECT
+                      # over raw parquet — the ratio would measure
+                      # the ingest lifecycle, not query overhead
+                      "stream_mv_staleness"}
 
     out = {}
     for name in HEADLINE:
         q = qs[name]
-        # interleave and take min-of-2 per side so neither side pays the
-        # cold cache / first-plan cost alone
-        engine_s = min(timed(lambda: q.fn(spark, sf_dir).count())
-                       for _ in range(2))
+        # two timed runs per side; min-of-2 is the headline protocol
+        # (cold cache / first-plan cost excluded on BOTH sides), and
+        # the FIRST run is reported separately as engine_cold_s so
+        # the plan-construction memo's contribution to the ratio
+        # stays visible (ADVICE r8: the memo amortizes engine-side
+        # construction across runs while plain Spark re-parses its
+        # SQL every run — cold-vs-min makes that trade explicit)
+        runs = [timed(lambda: q.fn(spark, sf_dir).count())
+                for _ in range(2)]
+        engine_cold, engine_s = runs[0], min(runs)
         plain_s = None
         if q.oracle and name not in not_comparable:
             try:
@@ -74,13 +86,19 @@ def main() -> None:
                 plain_s = None       # DuckDB-only syntax in the oracle
         out[name] = {
             "engine_s": round(engine_s, 3),
+            "engine_cold_s": round(engine_cold, 3),
             "plain_spark_s": round(plain_s, 3) if plain_s else None,
-            "ratio": round(engine_s / plain_s, 2) if plain_s else None}
+            "ratio": round(engine_s / plain_s, 2) if plain_s else None,
+            "cold_ratio": (round(engine_cold / plain_s, 2)
+                           if plain_s else None)}
     comparable = [v for v in out.values() if v["ratio"] is not None]
     print(json.dumps({
         "sf_dir": sf_dir,
         "queries": out,
         "median_ratio": sorted(v["ratio"] for v in comparable)[
+            len(comparable) // 2] if comparable else None,
+        "median_cold_ratio": sorted(
+            v["cold_ratio"] for v in comparable)[
             len(comparable) // 2] if comparable else None,
     }))
 
