@@ -259,8 +259,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
     # join every round
     _stats = ninfo.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("__outdeg") == 0).cast("int")).alias("nd")).first()
+        F.sum((F.col("__outdeg") == 0).cast("int")).alias("nd"),
+        F.sum("__outdeg").alias("ne")).first()
     n_nodes = int(_stats["n"])
+    n_edges = int(_stats["ne"] or 0)
     if n_nodes == 0:
         out = ninfo.select("node", F.lit(0.0).alias("rank"))
         if use_local_checkpoint:
@@ -285,8 +287,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
         # frame is the big side of every loop join, and planning the
         # composed rounds against an unfilled InMemoryRelation (size
         # unknown) costs 2× wall in measurement — the checkpoint's
-        # known size keeps the rank side broadcast every round
-        ew = ew.localCheckpoint()
+        # known size keeps the rank side broadcast every round.
+        # Partitioning is sized to the EDGE count (known from the
+        # stats pass — sum of out-degrees), not inherited from the
+        # input's layout: every loop round scans this frame, so a
+        # small graph cached across many tiny partitions pays
+        # rounds × partitions task launches for no parallelism
+        # gain, while a big graph keeps at least the input's spread.
+        # coalesce never increases partition count, so a wider input
+        # keeps its spread and a fragmented one merges — no shuffle
+        ew_parts = max(8, -(-n_edges // 250_000))
+        ew = ew.coalesce(ew_parts).localCheckpoint()
     if reset is not None:
         # teleport vector b: reset weight, 0 elsewhere — joined
         # LAZILY on top of the already-cached node frame (joining it

@@ -32,6 +32,27 @@ from .pipeline import _docs
 _PR_ITERS = 6
 _PR_DAMP = 0.85
 
+
+def _graph_parts(sf_dir: str) -> int:
+    """Gate-scoped shuffle-partition count sized to the INPUT BYTES
+    (parquet footprint of lineitem, the edge source) — ~8 MB of input
+    per partition, floored at 8 and capped at 200. The r9 first cut
+    pinned 8 (tuned to sf0.1) and starved the edge stages 30× up; a
+    conf-naked session default (200) instead multiplies per-task
+    floors by iterations × stages on small graphs. Reading file sizes
+    costs no Spark job and scales the pin with the data."""
+    import os
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(os.path.getsize(os.path.join(path, f))
+                       for f in os.listdir(path))
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return 32
+    return max(8, min(200, size // (8 << 20)))
+
 _LM_MOD = 5          # doc_id % MOD == 0 → held-out scoring split
 _LM_K = 0.5          # add-k smoothing
 _LM_CUT = -3.55      # avg-logprob floor: docs below are cut (the
@@ -90,46 +111,45 @@ def graph_pagerank_centrality(spark: SparkSession,
     arithmetic without depending on FP-tie ordering of equal-degree
     nodes."""
     from ..operators.graph import pagerank
-    # Scope spark.sql.shuffle.partitions to this gate: the cached
-    # edge frame executes without AQE re-planning (cached plans keep
-    # their output partitioning), and an iterative loop multiplies
-    # any oversized task count by iterations × stages. Sized to the
-    # NODE frame (16k nodes at sf0.1 — the same discipline as the
-    # operator's internal loop auto-sizing), not the edge bytes.
-    # Every heavy frame materializes inside the scope (pagerank
-    # checkpoints on its cadence; the small final rollup is
-    # checkpointed eagerly below), so the restored conf never
-    # touches gate work.
+    # Data-sized shuffle-partition scope (see _graph_parts): grows
+    # with the edge source's bytes, never the conf-naked 200 default
+    # on small graphs; the operator auto-sizes its LOOP shuffles to
+    # the rank frame internally.
     prior = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(_graph_parts(sf_dir)))
     try:
-        li = load_table(spark, sf_dir, "lineitem")
-        orders = load_table(spark, sf_dir, "orders")
-        e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .select((2 * F.col("l_suppkey")).alias("src"),
-                      (2 * F.col("o_custkey") + 1).alias("dst"))
-              .distinct())
-        edges = cache_tracked(e0.union(
-            e0.select(F.col("dst").alias("src"),
-                      F.col("src").alias("dst"))))
-        ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
-        deg = edges.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("degree"))
-        return (ranks.join(deg, "node")
-                .groupBy(F.when(F.col("node") % 2 == 0, "supplier")
-                         .otherwise("customer").alias("node_type"),
-                         "degree")
-                .agg(F.count(F.lit(1)).alias("n_nodes"),
-                     F.round(F.sum("rank"), 6).cast("double")
-                     .alias("sum_rank"),
-                     F.round(F.avg("rank"), 9).cast("double")
-                     .alias("avg_rank"))
-                .localCheckpoint())
+        return _pagerank_gate_body(spark, sf_dir, pagerank)
     finally:
         if prior is None:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def _pagerank_gate_body(spark, sf_dir, pagerank):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select((2 * F.col("l_suppkey")).alias("src"),
+                  (2 * F.col("o_custkey") + 1).alias("dst"))
+          .distinct())
+    edges = cache_tracked(e0.union(
+        e0.select(F.col("dst").alias("src"),
+                  F.col("src").alias("dst"))))
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    return (ranks.join(deg, "node")
+            .groupBy(F.when(F.col("node") % 2 == 0, "supplier")
+                     .otherwise("customer").alias("node_type"),
+                     "degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.round(F.sum("rank"), 6).cast("double")
+                 .alias("sum_rank"),
+                 F.round(F.avg("rank"), 9).cast("double")
+                 .alias("avg_rank"))
+            .localCheckpoint())
 
 
 @query("text_lm_perplexity_filter", oracle=f"""
@@ -402,50 +422,56 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the teleport arithmetic, the seed normalization, and the
     proximity ordering."""
     from ..operators.graph import pagerank
+    # data-sized partition scope — see _graph_parts
     prior = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(_graph_parts(sf_dir)))
     try:
-        li = load_table(spark, sf_dir, "lineitem")
-        orders = load_table(spark, sf_dir, "orders")
-        e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .select((2 * F.col("l_suppkey")).alias("src"),
-                      (2 * F.col("o_custkey") + 1).alias("dst"))
-              .distinct())
-        edges = cache_tracked(e0.union(
-            e0.select(F.col("dst").alias("src"),
-                      F.col("src").alias("dst"))))
-        # seed set as a predicate over the operator's OWN node frame
-        # (symmetric graph: node set == distinct src set, so the
-        # oracle's DISTINCT-src seed definition is the same set),
-        # with the 1/|seeds| normalization composed lazily via a
-        # broadcast one-row count — no driver count job, no second
-        # edge-sized distinct; the same 1.0/k division the oracle
-        # replays
-        def reset(nodes):
-            seeds = nodes.filter(
-                (F.col("node") % 2 == 0)
-                & ((F.col("node") / 2) % _PPR_SEED_MOD == 0))
-            return (seeds.crossJoin(F.broadcast(
-                        seeds.agg(F.count(F.lit(1)).alias("__k"))))
-                    .select("node",
-                            (F.lit(1.0) / F.col("__k")).alias("w")))
-        ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP,
-                         reset=reset)
-        is_seed = F.when((F.col("node") % 2 == 0)
-                         & ((F.col("node") / 2) % _PPR_SEED_MOD == 0),
-                         1).otherwise(0)
-        return (ranks.groupBy(
-            F.when(F.col("node") % 2 == 0, "supplier")
-            .otherwise("customer").alias("node_type"),
-            is_seed.alias("is_seed"))
-            .agg(F.count(F.lit(1)).alias("n_nodes"),
-                 F.round(F.sum("rank"), 6).cast("double")
-                 .alias("sum_rank"),
-                 F.round(F.max("rank"), 9).cast("double")
-                 .alias("max_rank"))
-            .localCheckpoint())
+        return _ppr_gate_body(spark, sf_dir, pagerank)
     finally:
         if prior is None:
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def _ppr_gate_body(spark, sf_dir, pagerank):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select((2 * F.col("l_suppkey")).alias("src"),
+                  (2 * F.col("o_custkey") + 1).alias("dst"))
+          .distinct())
+    edges = cache_tracked(e0.union(
+        e0.select(F.col("dst").alias("src"),
+                  F.col("src").alias("dst"))))
+    # seed set as a predicate over the operator's OWN node frame
+    # (symmetric graph: node set == distinct src set, so the
+    # oracle's DISTINCT-src seed definition is the same set),
+    # with the 1/|seeds| normalization composed lazily via a
+    # broadcast one-row count — no driver count job, no second
+    # edge-sized distinct; the same 1.0/k division the oracle
+    # replays
+    def reset(nodes):
+        seeds = nodes.filter(
+            (F.col("node") % 2 == 0)
+            & ((F.col("node") / 2) % _PPR_SEED_MOD == 0))
+        return (seeds.crossJoin(F.broadcast(
+                    seeds.agg(F.count(F.lit(1)).alias("__k"))))
+                .select("node",
+                        (F.lit(1.0) / F.col("__k")).alias("w")))
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP,
+                     reset=reset)
+    is_seed = F.when((F.col("node") % 2 == 0)
+                     & ((F.col("node") / 2) % _PPR_SEED_MOD == 0),
+                     1).otherwise(0)
+    return (ranks.groupBy(
+        F.when(F.col("node") % 2 == 0, "supplier")
+        .otherwise("customer").alias("node_type"),
+        is_seed.alias("is_seed"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"),
+             F.round(F.sum("rank"), 6).cast("double")
+             .alias("sum_rank"),
+             F.round(F.max("rank"), 9).cast("double")
+             .alias("max_rank"))
+        .localCheckpoint())
