@@ -87,13 +87,19 @@ def main() -> None:
     warm = qs["q1_pricing_summary"].fn(spark, sf_dir)
     warm.limit(1).collect()
 
-    # min-of-2 per query (same protocol as tools/baseline_bench.py):
-    # a single cold run can't distinguish a real regression from JVM/GC
-    # variance — the r4 round's ~13% "drift" was unfalsifiable for
-    # exactly that reason. Caches a query builds help its second run
-    # (that's the warm path, legitimately part of the query's design),
-    # then are dropped so query N's persisted DataFrames can't build
-    # memory pressure under query N+1.
+    # min-of-2 per query: a single cold run can't distinguish a real
+    # regression from JVM/GC variance — the r4 round's ~13% "drift"
+    # was unfalsifiable for exactly that reason. Caches a query
+    # builds help its second run (that's the warm path, legitimately
+    # part of the query's design), then are dropped so query N's
+    # persisted DataFrames can't build memory pressure under N+1.
+    # The action is count() — kept for longitudinal comparability
+    # with BENCH_r01..r08. Caveat (found r9): Catalyst prunes value
+    # expressions a count doesn't need, so count() UNDER-measures
+    # value-heavy aggregates; it does so identically across rounds,
+    # which is what this file tracks. The engine-vs-plain-Spark
+    # comparison (tools/baseline_bench.py) forces full values with
+    # collect() on both sides — use THAT for absolute claims.
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in HEADLINE:

@@ -27,7 +27,9 @@ Scale shape (the r8 VERDICT's "What's wrong 3" answer):
   extra driver actions — the check rides the pair expression);
   ``on_oversize="truncate"`` deterministically keeps the
   ``basket_cap`` smallest items (sorted order, engine-independent)
-  and logs how many baskets were cut.
+  and logs how many baskets were cut — the logged count costs one
+  extra pass over the basket aggregation (guard mode only; the
+  default raise mode adds zero jobs).
 """
 
 from __future__ import annotations

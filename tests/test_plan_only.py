@@ -78,3 +78,42 @@ def test_memoized_plan_recounts_fresh_each_action(spark, sf_dir, name):
     n1 = df.count()
     n2 = run(spark, sf_dir).count()
     assert n1 == n2 and n1 > 0
+
+
+def test_memo_hit_retracks_construction_caches(spark, sf_dir):
+    """ADVICE r8: a memo hit after release_caches() (fired by any
+    other query) must RE-REGISTER the caches the query built via
+    cache_tracked during construction — otherwise re-runs silently
+    execute uncached and measure differently from run one."""
+    from cdh_integrate_carbondata2_3_spark import queries as Q
+    qs = all_queries()
+    # similarity_ann_ivf is the plan-only + cache_tracked example the
+    # ADVICE named
+    ivf = qs["similarity_ann_ivf"].fn
+    ivf(spark, sf_dir)
+    n_tracked = len(Q._TRACKED_CACHES)
+    assert n_tracked > 0, "expected construction-time caches"
+    # a DIFFERENT query releases them
+    qs["q6_forecast_revenue"].fn(spark, sf_dir)
+    assert len(Q._TRACKED_CACHES) == 0
+    # memo HIT must re-track (and lazily re-persist) the same frames
+    ivf(spark, sf_dir)
+    assert len(Q._TRACKED_CACHES) == n_tracked
+    for c in Q._TRACKED_CACHES:
+        assert c.storageLevel.useMemory, "re-tracked frame not cached"
+
+
+def test_memo_evicts_dead_sessions(spark, sf_dir):
+    from cdh_integrate_carbondata2_3_spark import queries as Q
+
+    class FakeDeadSession:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("stopped")
+
+    key = ("dead", sf_dir, "q6_forecast_revenue")
+    Q._PLAN_MEMO[key] = (FakeDeadSession(), None, ())
+    # a memo MISS for a live session sweeps dead entries
+    Q._PLAN_MEMO.pop((id(spark), sf_dir, "q6_forecast_revenue"), None)
+    all_queries()["q6_forecast_revenue"].fn(spark, sf_dir)
+    assert key not in Q._PLAN_MEMO

@@ -74,13 +74,25 @@ def main() -> None:
         # stays visible (ADVICE r8: the memo amortizes engine-side
         # construction across runs while plain Spark re-parses its
         # SQL every run — cold-vs-min makes that trade explicit)
-        runs = [timed(lambda: q.fn(spark, sf_dir).count())
+        # collect(), not count(): count() lets Catalyst PRUNE work
+        # that doesn't affect row count — an oracle projecting scalar
+        # subqueries (graph_triangle_count) collapses to a free
+        # 1-row plan, and an aggregate oracle whose VALUES aren't
+        # needed for the row count (the pagerank CTE chain) drops its
+        # entire computation: the r8 "plain Spark" graph baselines
+        # were pruned non-measurements. collect() forces every value
+        # on both sides; results are gate-sized. The engine side adds
+        # select("*") to break RDD identity: re-collecting the SAME
+        # memoized DataFrame would reuse its completed shuffle stages
+        # and skip real work — a fresh Dataset per run recomputes
+        # everything while keeping the (legitimate) construction memo.
+        runs = [timed(lambda: q.fn(spark, sf_dir).select("*").collect())
                 for _ in range(2)]
         engine_cold, engine_s = runs[0], min(runs)
         plain_s = None
         if q.oracle and name not in not_comparable:
             try:
-                plain_s = min(timed(lambda: spark.sql(q.oracle).count())
+                plain_s = min(timed(lambda: spark.sql(q.oracle).collect())
                               for _ in range(2))
             except Exception:
                 plain_s = None       # DuckDB-only syntax in the oracle
