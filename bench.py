@@ -70,6 +70,9 @@ HEADLINE = (
     # r8 — benched now so every graph operator has a bench row)
     "text_unigram_train", "stream_mv_staleness",
     "graph_ppr_seeded", "graph_triangle_count",
+    # round-9 late additions: LPA communities, weighted sampling
+    # without replacement
+    "graph_lpa_communities", "sample_weighted_wor",
 )
 
 

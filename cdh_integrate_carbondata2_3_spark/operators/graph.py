@@ -416,6 +416,55 @@ def _power_loop(ranks: DataFrame, nodes: DataFrame, ew: DataFrame,
     return ranks
 
 
+def lpa_communities(edges: DataFrame, src: str = "src",
+                    dst: str = "dst", *, rounds: int = 3,
+                    use_local_checkpoint: bool = True) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an edge list (pass a symmetrized list for the
+    undirected semantics): every node starts labeled with its own id;
+    each round every node adopts the MOST FREQUENT label among its
+    in-neighbors, ties broken toward the smallest label — fully
+    deterministic, so a fixed round count is replayable as chained
+    SQL CTEs. Communities after a few rounds are the dense blobs
+    (near-dup families, topic clusters, link farms) that connected
+    components — which only see reachability — cannot separate.
+
+    Scale shape: one edge-labels join + one (node, label)-keyed
+    count + one node-keyed argmax per round — the same
+    one-job-per-round discipline as :func:`pagerank`; the argmax is
+    a ``max(struct(count, -label))`` aggregation (no window, no
+    single-partition risk). Labels frame is node-sized; lineage
+    truncates per round via localCheckpoint."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    if use_local_checkpoint:
+        nodes = nodes.localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(rounds):
+        cnt = (e.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy("dst", "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        # argmax by (count desc, label asc): max of (c, -lab)
+        new = (cnt.groupBy("dst")
+               .agg(F.max(F.struct(F.col("c"),
+                                   (-F.col("lab")).alias("nl")))
+                    .alias("m"))
+               .select(F.col("dst").alias("node"),
+                       (-F.col("m.nl")).alias("lab")))
+        # nodes with no in-edges keep their current label
+        labels = (nodes.join(new.withColumnRenamed("lab", "__new"),
+                             "node", "left")
+                  .join(labels.withColumnRenamed("lab", "__old"),
+                        "node", "left")
+                  .select("node", F.coalesce(F.col("__new"),
+                                             F.col("__old"))
+                          .alias("lab")))
+        if use_local_checkpoint:
+            labels = labels.localCheckpoint()
+    return labels
+
+
 def dedup_survivors(edges: DataFrame, all_ids: DataFrame,
                     id_col: str = "doc_id", src: str = "id_a",
                     dst: str = "id_b") -> DataFrame:

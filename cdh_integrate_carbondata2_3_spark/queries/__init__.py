@@ -204,14 +204,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Round-9 window plan (VERDICT r8 "Next round" item 6: drain the r4
-# stamp debt). The 50-slot window = the two new r9 gates
-# (text_unigram_train, stream_mv_staleness — never stamped, sort
-# first automatically) + ALL 34 rows whose latest driver stamp is r4
+# stamp debt). The 50-slot window = the four new r9 gates
+# (text_unigram_train, stream_mv_staleness, graph_lpa_communities,
+# sample_weighted_wor — never stamped, sort first automatically) + ALL 34 rows whose latest driver stamp is r4
 # (the complete list; afterwards no registered row's stamp is older
 # than r5) + the six r8-stamped rows whose code paths CHANGED this
 # round (funnel user-keyed grouping + stack unpivot, PageRank/PPR
 # cadence + setup rework, frequent-pairs operator promotion,
-# trigram perplexity upgrade, dense-rank negative sampling) + eight
+# trigram perplexity upgrade, dense-rank negative sampling) + six
 # r5-stamped fillers, leading with the four plan-only queries that
 # exercise the NEW memo cache-retracking path (similarity_ann_ivf
 # was the ADVICE r8 example). All are green on the local
@@ -243,16 +243,18 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "similarity_ann_ivf", "similarity_ann_lsh",
     "dedup_semantic_clusters", "search_hybrid_rerank",
     "dedup_bloom_prefilter", "corpus_curation_pipeline",
-    "similarity_kmeans_refine", "stream_near_dup_parity",
 )
 
 # Displaced r5-stamped rows queue for the r10 window (all remain
 # green on the local gate; the FTS family's shared code paths are
-# unchanged since r5 and covered by tests/test_analyzers.py).
+# unchanged since r5 and covered by tests/test_analyzers.py; the two
+# kmeans/stream fillers yielded their slots to the late-r9
+# never-stamped gates graph_lpa_communities + sample_weighted_wor).
 _DEFER_TO_NEXT: tuple[str, ...] = (
     "table_fts_text_match", "udf_text_match", "udf_text_match_limit",
     "text_bm25_rank", "table_fts_fuzzy", "table_fts_phrase",
     "sample_split_leakage_free", "text_lm_oov_filter",
+    "similarity_kmeans_refine", "stream_near_dup_parity",
 )
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's

@@ -475,3 +475,93 @@ def _ppr_gate_body(spark, sf_dir, pagerank):
              F.round(F.max("rank"), 9).cast("double")
              .alias("max_rank"))
         .localCheckpoint())
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Three synchronous LPA rounds as chained CTEs over the
+    co-ordered-parts graph; argmax per node replayed with a window
+    ordered (count desc, label asc) — same tie rule as the
+    operator's max(struct(c, -lab)) aggregation."""
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+l{i} AS (
+  SELECT node, lab FROM (
+    SELECT t.dst AS node, t.lab,
+           ROW_NUMBER() OVER (PARTITION BY t.dst
+                              ORDER BY t.c DESC, t.lab) AS rn
+    FROM (SELECT e.dst, l{i-1}.lab, COUNT(*) AS c
+          FROM e JOIN l{i-1} ON l{i-1}.node = e.src
+          GROUP BY e.dst, l{i-1}.lab) t)
+  WHERE rn = 1)""")
+    return f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 3 = 0),
+ed AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey),
+e AS (SELECT u AS src, v AS dst FROM ed
+      UNION ALL SELECT v, u FROM ed),
+l0 AS (SELECT node, node AS lab
+       FROM (SELECT DISTINCT src AS node FROM e)),
+{','.join(rounds)}
+SELECT comm_size, CAST(COUNT(*) AS BIGINT) AS n_comms,
+       CAST(SUM(comm_size) AS BIGINT) AS n_nodes
+FROM (SELECT lab, COUNT(*) AS comm_size FROM l{_LPA_ROUNDS}
+      GROUP BY lab)
+GROUP BY comm_size
+"""
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Label-propagation community detection
+    (operators/graph.lpa_communities, Raghavan et al. 2007) over the
+    market-basket co-order graph: 3 synchronous rounds, every node
+    adopting its in-neighbors' most frequent label with a smallest-
+    label tie rule. The pipeline role: density-based grouping
+    (near-dup families, topic/template clusters) that reachability-
+    based connected components cannot separate. The returned
+    community-size histogram pins every round's full label state —
+    any divergence in one node's adopted label shifts two histogram
+    cells. The oracle replays all rounds as chained CTEs with a
+    window argmax under the identical tie rule."""
+    from ..operators.graph import lpa_communities
+    # data-sized partition scope — see _graph_parts
+    prior = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(_graph_parts(sf_dir)))
+    try:
+        return _lpa_gate_body(spark, sf_dir, lpa_communities)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def _lpa_gate_body(spark, sf_dir, lpa_communities):
+    li = load_table(spark, sf_dir, "lineitem")
+    it = (li.filter(F.col("l_orderkey") % 3 == 0)
+          .select("l_orderkey", "l_partkey").distinct())
+    a = it.alias("a")
+    b = it.alias("b")
+    ed = cache_tracked(
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v")).distinct())
+    edges = ed.select(F.col("u").alias("src"), F.col("v").alias("dst")) \
+        .unionAll(ed.select(F.col("v").alias("src"),
+                            F.col("u").alias("dst")))
+    labels = lpa_communities(edges, rounds=_LPA_ROUNDS)
+    return (labels.groupBy("lab")
+            .agg(F.count(F.lit(1)).alias("comm_size"))
+            .groupBy("comm_size")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_comms"),
+                 F.sum("comm_size").cast("bigint").alias("n_nodes"))
+            .localCheckpoint())

@@ -479,3 +479,64 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("p").cast("double").alias("lo"),
                  F.max("p").cast("double").alias("hi")))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (round 9) — Efraimidis &
+# Spirakis 2006 A-Res: draw u ~ U(0,1) per item, rank by the key
+# ln(u)/w (equivalently u^(1/w)) and keep the k LARGEST per group.
+# Inclusion probabilities are exactly the sequential weighted
+# draw-without-replacement process; with the uniform derived from the
+# id md5 the whole sample is deterministic and SQL-replayable — the
+# corpus-mixing primitive for "pick k docs per stratum, long docs
+# proportionally more likely, never twice".
+# ---------------------------------------------------------------------------
+
+_ES_K = 4             # docs kept per language
+_ES_HEX12_SQL = "(" + " + ".join(
+    f"({_W_HEX.format(p=i + 1)}) * {16 ** (11 - i)}" for i in range(12)
+) + ")"
+_ES_DENOM = float(16 ** 12)
+
+
+def weighted_sample_wor(df, group_cols, weight_col, k, *,
+                        id_col: str = "doc_id"):
+    """k-per-group weighted sample without replacement (A-Res).
+    ``u`` is the first 12 md5 hex digits of the id (+0.5 so ln never
+    sees 0); key = ln(u)/w, top-k per group by (key desc, id). ONE
+    group-partitioned window — single shuffle on the group key, no
+    per-group state, reproducible across reruns/partitionings.
+    Weights are floored at 1 so zero/NULL weights stay total."""
+    u = ((F.conv(F.substring(_id_hash(id_col), 1, 12), 16, 10)
+          .cast("double") + F.lit(0.5)) / F.lit(_ES_DENOM))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.log(u) / w
+    win = W.partitionBy(*group_cols).orderBy(F.desc(key), id_col)
+    return (df.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= k))
+
+
+@query("sample_weighted_wor", oracle=f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ln(({_ES_HEX12_SQL} + 0.5) / {16 ** 12}.0)
+           / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS k
+  FROM documents),
+r AS (SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY k DESC, doc_id) AS rk
+      FROM keyed)
+SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= {_ES_K}
+""")
+def sample_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement:
+    the {_ES_K} docs per language, selection probability proportional
+    to length but never repeating a doc — the missing sibling of the
+    weighted Bernoulli (with-replacement-ish rate) and the uniform
+    k-per-group reservoir. The oracle replays the identical
+    ln(u)/w key (same md5-derived uniform, same floor, same
+    tie-break), so a green hash pins the key arithmetic and the
+    per-group walk."""
+    d = _docs(spark, sf_dir)
+    return (weighted_sample_wor(d, ["lang"], "n_chars", _ES_K)
+            .select("lang", "doc_id", "n_chars", "rk"))

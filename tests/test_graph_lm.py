@@ -301,3 +301,55 @@ def test_personalized_pagerank_with_dangling_teleports_to_seeds(spark):
     for node, rank in got.items():
         assert rank == pytest.approx(want[node], rel=1e-12)
     assert got[0] > got[1] > got[2]
+
+
+# ---------------------------------------------------------------------------
+# LPA communities
+# ---------------------------------------------------------------------------
+
+
+def _lpa_ref(edges, rounds):
+    """Serial synchronous LPA: most-frequent in-neighbor label,
+    smallest label on ties; isolated-in-degree nodes keep labels."""
+    nodes = sorted({x for e in edges for x in e})
+    lab = {v: v for v in nodes}
+    inn = {}
+    for s, d in edges:
+        inn.setdefault(d, []).append(s)
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            if v not in inn:
+                new[v] = lab[v]
+                continue
+            cnt = {}
+            for u in inn[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda L: (-cnt[L], L))
+        lab = new
+    return lab
+
+
+@pytest.mark.parametrize("rounds", [1, 3])
+def test_lpa_matches_serial_reference(spark, rounds):
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        lpa_communities)
+    # two triangles bridged by one edge + a directed tail
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = und + [(b, a) for a, b in und] + [(6, 0)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["lab"]
+           for r in lpa_communities(df, rounds=rounds).collect()}
+    assert got == _lpa_ref(edges, rounds)
+
+
+def test_lpa_dense_blob_converges_to_one_label(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        lpa_communities)
+    n = 8
+    und = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    labs = {r["lab"] for r in
+            lpa_communities(df, rounds=2).collect()}
+    assert labs == {0}

@@ -141,3 +141,47 @@ def test_hard_negatives_full_yield_on_sparse_ids(spark):
     # every hash lands on a real row (ranks are gap-free): exactly k
     # candidates per anchor before the self-collision filter
     assert per == {i: k for i in ids}
+
+
+def test_weighted_wor_matches_python_replay(spark):
+    """A-Res selection replayed in pure Python (hashlib md5, same key
+    formula) must pick the same ids in the same order."""
+    import hashlib, math
+    from cdh_integrate_carbondata2_3_spark.queries.sampling import (
+        weighted_sample_wor)
+    rows = [(i, "g" if i % 2 else "h", (i * 37) % 500 + 1)
+            for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {(r["lang"], r["rk"]): r["doc_id"] for r in
+           weighted_sample_wor(df, ["lang"], "n_chars", 3).collect()}
+
+    def key(i, w):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:12]
+        u = (int(h, 16) + 0.5) / 16 ** 12
+        return math.log(u) / max(float(w), 1.0)
+
+    for g in ("g", "h"):
+        members = [(key(i, w), i) for i, lg, w in rows if lg == g]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (_, i) in enumerate(members[:3], start=1):
+            assert got[(g, rk)] == i, (g, rk)
+
+
+def test_weighted_wor_no_repeats_and_weight_bias(spark):
+    from pyspark.sql import functions as F
+    from cdh_integrate_carbondata2_3_spark.queries.sampling import (
+        weighted_sample_wor)
+    # 200 groups; each has one heavy doc (w=10000) and 9 light (w=1)
+    rows = []
+    for g in range(200):
+        rows.append((g * 100, f"g{g}", 10000))
+        rows.extend((g * 100 + j, f"g{g}", 1) for j in range(1, 10))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = weighted_sample_wor(df, ["lang"], "n_chars", 2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 2 == len(set(v)) for v in per.values())
+    heavy_hits = sum(1 for v in per.values() if any(d % 100 == 0 for d in v))
+    # heavy doc has >99.9% inclusion probability per group
+    assert heavy_hits >= 190, heavy_hits
