@@ -1,0 +1,93 @@
+"""Count-Min sketch (Cormode & Muthukrishnan 2005) as a MERGEABLE
+DataFrame-native frequency sketch — the frequency-estimation sibling
+of the HLL++ distinct rollup (`agg_hll_mergeable_rollup`) and the GK
+quantile contracts (`agg_approx_sketch_bounds`).
+
+Representation: a sketch is a sparse cell frame
+``(group_cols..., row, col, c)`` — depth rows of hash functions ×
+width columns, absent cells are zero. Everything is built-in JVM
+expressions (``xxhash64(item, row) % width``) so sketches build
+map-side-combined in ONE groupBy, MERGE by plain cell addition
+(associative + commutative — roll partial sketches up any
+aggregation tree, exactly how a 1000-executor cluster folds
+per-partition state), and answer point queries with a cell join +
+``min`` over rows.
+
+Guarantees (classic CMS): estimates NEVER undercount
+(``est >= true`` deterministically — every occurrence lands in every
+row's counted cell), and overcount by at most ``eps * N`` with
+probability ``1 - delta`` where ``eps = e / width``,
+``delta = e^-depth``, ``N`` the group's total item count.
+
+Pipeline role at 100 TB: fixed-size frequency state where exact
+per-item counts don't fit — hot-token tracking for the ssjoin guard
+tier, per-shard n-gram frequency priors, approximate join-key skew
+detection — with the one-sided error that makes "is this item above
+threshold" filters safe (no false negatives).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_build(df: DataFrame, item_col: str,
+              group_cols: list[str] | None = None, *,
+              width: int = 2048, depth: int = 4,
+              weight_col: str | None = None) -> DataFrame:
+    """One CMS per group over ``item_col`` occurrences (optionally
+    ``weight_col``-weighted): sparse cell frame
+    (group_cols..., row, col, c). ONE hash aggregation — map-side
+    partial sums make the shuffle at most groups × depth × width
+    cells regardless of corpus size."""
+    group_cols = list(group_cols or [])
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    return (df.select(*group_cols, F.col(item_col).alias("__i"),
+                      w.alias("__w"))
+            .withColumn("row", rows)
+            .withColumn("col", F.pmod(F.xxhash64(F.col("__i"),
+                                                 F.col("row")),
+                                      F.lit(width)).cast("int"))
+            .groupBy(*group_cols, "row", "col")
+            .agg(F.sum("__w").alias("c")))
+
+
+def cms_merge(cells: DataFrame,
+              to_group_cols: list[str]) -> DataFrame:
+    """Merge sketches down to a coarser grouping by cell addition —
+    the mergeability that lets partial sketches roll up any
+    aggregation tree (executor → node → cluster)."""
+    return (cells.groupBy(*to_group_cols, "row", "col")
+            .agg(F.sum("c").alias("c")))
+
+
+def cms_estimate(cells: DataFrame, probes: DataFrame, item_col: str,
+                 group_cols: list[str] | None = None, *,
+                 width: int = 2048, depth: int = 4) -> DataFrame:
+    """Point-query estimates for every (group, probe item):
+    min over the depth rows of the item's cells (absent cell = 0 —
+    only reachable when the item never occurred). ``probes`` carries
+    ``group_cols + [item_col]``; the cell join is sketch-keyed and
+    broadcastable (the sketch is fixed-size)."""
+    group_cols = list(group_cols or [])
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    pr = (probes.select(*group_cols, F.col(item_col).alias("__i"))
+          .withColumn("row", rows)
+          .withColumn("col", F.pmod(F.xxhash64(F.col("__i"),
+                                               F.col("row")),
+                                    F.lit(width)).cast("int")))
+    return (pr.join(cells, group_cols + ["row", "col"], "left")
+            .groupBy(*group_cols, "__i")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .alias("est"))
+            .withColumnRenamed("__i", item_col))
+
+
+def cms_eps(width: int) -> float:
+    """The additive error factor: overcount <= eps * N w.h.p."""
+    return math.e / width

@@ -259,3 +259,61 @@ def unigram_encode(df: DataFrame, text_col: str,
 
     enc = pandas_udf(_enc, "array<string>")
     return df.withColumn(out, enc(F.col(text_col)))
+
+
+# ---------------------------------------------------------------- wordpiece
+
+
+def _wordpiece_word(word: str, vocab: set, max_len: int,
+                    unk: str, cont: str) -> list[str]:
+    """Greedy longest-match-first (the WordPiece inference rule,
+    Wu et al. 2016 / BERT tokenizer): repeatedly take the longest
+    vocabulary piece prefixing the remainder; continuation pieces
+    carry the ``cont`` prefix ('##'). A word with an unmatchable
+    remainder becomes [unk] — whole-word, like BERT."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        j = min(n, i + max_len)
+        piece = None
+        while j > i:
+            cand = word[i:j] if i == 0 else cont + word[i:j]
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return [unk]
+        out.append(piece)
+        i = j
+    return out
+
+
+def wordpiece_encode(df: DataFrame, text_col: str, vocab, *,
+                     max_piece_len: int = 20, lowercase: bool = True,
+                     unk: str = "[UNK]", cont: str = "##",
+                     out: str = "pieces") -> DataFrame:
+    """WordPiece greedy segmentation of whitespace tokens with an
+    explicit vocabulary (continuation pieces prefixed ``##``) —
+    the inference half of the BERT tokenizer, completing the
+    tokenizer trio next to BPE merges and unigram Viterbi. Arrow-
+    batched; the vocabulary rides the closure."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    vset = set(vocab)
+    ml = max_piece_len
+
+    def _enc(texts):
+        def one(t):
+            if t is None:
+                return []
+            t = t.lower() if lowercase else t
+            pieces: list[str] = []
+            for w in t.strip().split():
+                pieces.extend(_wordpiece_word(w, vset, ml, unk, cont))
+            return pieces
+        return texts.map(one)
+
+    enc = pandas_udf(_enc, "array<string>")
+    return df.withColumn(out, enc(F.col(text_col)))

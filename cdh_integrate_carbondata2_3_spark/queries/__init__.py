@@ -117,7 +117,7 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     "sample_weighted_tokens", "sample_temperature_mix",
     "sample_token_budget", "select_pareto_skyline",
     "select_pareto_multid", "sample_exact_allocation",
-    "stats_equidepth_histogram",
+    "stats_equidepth_histogram", "sample_weighted_wor",
     # geo_queries.py (geo_spatial_index_prune excluded: scratch
     # tables; the rest became plan-only once _derived_points switched
     # to the plan-cached load_table)
@@ -135,8 +135,10 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     "embedding_quantize_int8", "events_gap_fill", "events_gap_fill_locf",
     "text_lm_oov_filter",
     # corpus_curation_pipeline excluded: 7 construction-time jobs
-    # hardening.py
+    # hardening.py (the CMS rollup is pure cell-frame composition —
+    # sketches build/merge/estimate lazily at action time)
     "dedup_semantic_clusters", "search_hybrid_rerank",
+    "agg_cms_mergeable_rollup",
 })
 
 # (session, sf_dir, name) -> (session, plan, cache_tracked frames);

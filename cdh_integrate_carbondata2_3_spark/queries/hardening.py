@@ -994,3 +994,77 @@ def stream_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(rows) == 10 and rows[-1]["cnt"] * (m + 1) > n_total, \
         "streaming summary cannot certify the top-10; grow m"
     return spark.createDataFrame(rows, "key string, cnt bigint")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch mergeable frequency rollup — round 9
+# ---------------------------------------------------------------------------
+
+_CMS_W = 2048
+_CMS_D = 4
+_CMS_TOPK = 5
+
+
+@query("agg_cms_mergeable_rollup", oracle=f"""
+WITH top AS (
+  SELECT l_partkey FROM (
+    SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+    ORDER BY n DESC, l_partkey LIMIT {_CMS_TOPK})),
+fl AS (SELECT DISTINCT l_returnflag FROM lineitem),
+ex AS (SELECT l_returnflag, l_partkey, COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag, l_partkey)
+SELECT fl.l_returnflag, top.l_partkey,
+       CAST(COALESCE(ex.n, 0) AS BIGINT) AS n_exact,
+       TRUE AS lower_ok, TRUE AS upper_ok
+FROM fl CROSS JOIN top
+LEFT JOIN ex ON ex.l_returnflag = fl.l_returnflag
+            AND ex.l_partkey = top.l_partkey
+""")
+def agg_cms_mergeable_rollup(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Count-Min sketch mergeable frequency rollup
+    (operators/sketch.py, Cormode & Muthukrishnan 2005) — the
+    frequency sibling of the HLL distinct rollup: fine-grained
+    (returnflag, linestatus) sketches over part occurrences MERGE to
+    per-returnflag sketches by plain cell addition (no data
+    re-touch), and the merged sketch answers point queries for the
+    {_CMS_TOPK} globally heaviest parts. ``lower_ok`` pins the CMS
+    one-sided guarantee (estimates never undercount — what makes
+    above-threshold filters safe, zero false negatives);
+    ``upper_ok`` pins the eps·N overcount bound (eps = e/width).
+    The oracle computes the exact counts and TRUE flags — a sketch
+    out of contract fails the hash."""
+    from ..operators.sketch import (cms_build, cms_eps, cms_estimate,
+                                    cms_merge)
+    from ..sources.registry import load_table
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_partkey"))
+    fine = cms_build(li, "l_partkey",
+                     ["l_returnflag", "l_linestatus"],
+                     width=_CMS_W, depth=_CMS_D)
+    coarse = cms_merge(fine, ["l_returnflag"])
+    top = (li.groupBy("l_partkey")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), "l_partkey").limit(_CMS_TOPK)
+           .select("l_partkey"))
+    flags = li.select("l_returnflag").distinct()
+    probes = flags.crossJoin(F.broadcast(top))
+    est = cms_estimate(coarse, probes, "l_partkey",
+                       ["l_returnflag"], width=_CMS_W, depth=_CMS_D)
+    exact = (li.groupBy("l_returnflag", "l_partkey")
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    tot = (li.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n_tot")))
+    return (probes.join(exact, ["l_returnflag", "l_partkey"], "left")
+            .join(est, ["l_returnflag", "l_partkey"])
+            .join(tot, "l_returnflag")
+            .select("l_returnflag", "l_partkey",
+                    F.coalesce(F.col("n_exact"), F.lit(0))
+                    .cast("bigint").alias("n_exact"),
+                    (F.col("est")
+                     >= F.coalesce(F.col("n_exact"), F.lit(0)))
+                    .alias("lower_ok"),
+                    (F.col("est")
+                     <= F.coalesce(F.col("n_exact"), F.lit(0))
+                     + F.lit(cms_eps(_CMS_W)) * F.col("n_tot"))
+                    .alias("upper_ok")))

@@ -1,0 +1,99 @@
+"""Count-Min sketch (operators/sketch.py): numpy reference parity,
+mergeability, the one-sided no-undercount guarantee, and the eps·N
+overcount bound."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from cdh_integrate_carbondata2_3_spark.operators.sketch import (
+    cms_build, cms_eps, cms_estimate, cms_merge)
+
+W, D = 64, 3
+
+
+def _cells_dict(cells_df, group=None):
+    out = {}
+    for r in cells_df.collect():
+        key = (tuple(r[g] for g in group) if group else ())
+        out[key + (r["row"], r["col"])] = r["c"]
+    return out
+
+
+def test_build_matches_reference_hash_cells(spark):
+    rows = [(i % 7,) for i in range(100)]
+    df = spark.createDataFrame(rows, "item long")
+    cells = cms_build(df, "item", width=W, depth=D)
+    # reference: same xxhash64(item, row) % W computed THROUGH Spark
+    # (pin the cell layout, not reimplement xxhash in Python)
+    ref = (df.select("item",
+                     *[F.pmod(F.xxhash64("item", F.lit(r)), F.lit(W))
+                      .cast("int").alias(f"c{r}") for r in range(D)])
+           .collect())
+    want = Counter()
+    for row in ref:
+        for r in range(D):
+            want[(r, row[f"c{r}"])] += 1
+    got = _cells_dict(cells)
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_estimates_never_undercount_and_bound(spark):
+    import random
+    random.seed(7)
+    items = [random.randint(0, 500) for _ in range(3000)]
+    true = Counter(items)
+    df = spark.createDataFrame([(i,) for i in items], "item long")
+    cells = cms_build(df, "item", width=W, depth=D)
+    probes = spark.createDataFrame([(i,) for i in true], "item long")
+    est = {r["item"]: r["est"] for r in
+           cms_estimate(cells, probes, "item",
+                        width=W, depth=D).collect()}
+    n = len(items)
+    over = 0
+    for i, t in true.items():
+        assert est[i] >= t, (i, est[i], t)       # deterministic bound
+        if est[i] > t + cms_eps(W) * n:
+            over += 1
+    # eps·N bound holds w.p. 1 - e^-D per item; allow a small tail
+    assert over <= max(2, int(0.1 * len(true))), over
+
+
+def test_merge_equals_union_build(spark):
+    a = spark.createDataFrame([(1, "g1") for _ in range(10)]
+                              + [(2, "g1") for _ in range(5)],
+                              "item long, g string")
+    b = spark.createDataFrame([(1, "g2") for _ in range(7)],
+                              "item long, g string")
+    both = a.unionByName(b)
+    fine = cms_build(both, "item", ["g"], width=W, depth=D)
+    merged = cms_merge(fine, [])
+    direct = cms_build(both, "item", width=W, depth=D)
+    assert _cells_dict(merged) == _cells_dict(direct)
+    probes = spark.createDataFrame([(1,), (2,)], "item long")
+    est = {r["item"]: r["est"] for r in
+           cms_estimate(merged, probes, "item",
+                        width=W, depth=D).collect()}
+    assert est[1] >= 17 and est[2] >= 5
+
+
+def test_weighted_build(spark):
+    df = spark.createDataFrame([(1, 10), (1, 5), (2, 3)],
+                               "item long, w long")
+    cells = cms_build(df, "item", width=W, depth=D, weight_col="w")
+    probes = spark.createDataFrame([(1,), (2,)], "item long")
+    est = {r["item"]: r["est"] for r in
+           cms_estimate(cells, probes, "item",
+                        width=W, depth=D).collect()}
+    assert est[1] >= 15 and est[2] >= 3
+
+
+def test_absent_item_estimates_zero_or_collision(spark):
+    df = spark.createDataFrame([(1,)], "item long")
+    cells = cms_build(df, "item", width=W, depth=D)
+    probes = spark.createDataFrame([(999,)], "item long")
+    est = cms_estimate(cells, probes, "item",
+                       width=W, depth=D).collect()[0]["est"]
+    assert est in (0, 1)    # 0 unless all D cells collide with item 1

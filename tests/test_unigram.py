@@ -135,3 +135,40 @@ def test_encode_roundtrip(spark):
     out = unigram_encode(df, "text", vocab, max_piece_len=4)
     for r in out.collect():
         assert "".join(r["pieces"]) == "helloholdworld"
+
+
+# ---------------------------------------------------------------------------
+# wordpiece greedy encode
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_canonical_example(spark):
+    """The BERT-paper example: 'unaffable' with {un, ##aff, ##able}."""
+    from cdh_integrate_carbondata2_3_spark.operators.unigram import (
+        wordpiece_encode)
+    vocab = {"un", "##aff", "##able", "the"}
+    df = spark.createDataFrame([(1, "the unaffable")],
+                               "id long, text string")
+    out = wordpiece_encode(df, "text", vocab).collect()[0]["pieces"]
+    assert out == ["the", "un", "##aff", "##able"]
+
+
+def test_wordpiece_longest_match_first(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.unigram import (
+        wordpiece_encode)
+    # 'ab' must win over 'a' at word start
+    vocab = {"a", "ab", "##c", "##bc"}
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    out = wordpiece_encode(df, "text", vocab).collect()[0]["pieces"]
+    assert out == ["ab", "##c"]
+
+
+def test_wordpiece_whole_word_unk(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.unigram import (
+        wordpiece_encode)
+    vocab = {"a", "##b"}
+    df = spark.createDataFrame([(1, "ab axq a")],
+                               "id long, text string")
+    out = wordpiece_encode(df, "text", vocab).collect()[0]["pieces"]
+    # 'axq' has no match for 'x' remainder -> whole-word [UNK]
+    assert out == ["a", "##b", "[UNK]", "a"]

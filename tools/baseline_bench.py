@@ -54,6 +54,7 @@ def main() -> None:
     # while the oracle is one SELECT over raw parquet — the ratio would
     # measure the lifecycle, not query overhead.
     not_comparable = {"agg_hll_mergeable_rollup",
+                      "agg_cms_mergeable_rollup",
                       "table_delete_mor", "table_mv_ivm_delete",
                       "table_mv_join_rewrite", "table_mv_subsumed_rollup",
                       "ml_logit_fit_calibrate", "table_db_namespace",
