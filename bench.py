@@ -73,7 +73,7 @@ HEADLINE = (
     # round-9 late additions: LPA communities, weighted sampling
     # without replacement
     "graph_lpa_communities", "sample_weighted_wor",
-    "agg_cms_mergeable_rollup",
+    "agg_cms_mergeable_rollup", "table_hilbert_prune",
 )
 
 

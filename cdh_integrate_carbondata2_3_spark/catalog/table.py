@@ -41,6 +41,70 @@ from .stats import harvest_file, partition_values_from_relpath
 
 SORT_SCOPES = ("no_sort", "local_sort", "global_sort", "range_sort")
 
+
+def hilbert_index_col(df: DataFrame, x_cols: list[str],
+                      bits: int) -> DataFrame:
+    """Append ``__h__`` = the Hilbert index of the integer coordinate
+    columns ``x_cols`` (each in [0, 2^bits)) — Skilling 2004
+    "Programming the Hilbert curve" AxesToTranspose, then MSB-first
+    bit interleave of the transposed coordinates. Pure bitwise column
+    expressions; every level writes a NAMED intermediate column so
+    the Catalyst tree stays linear in bits × dims (inlining the
+    data-dependent whens would grow it exponentially). Exactness is
+    pinned against a serial reference in tests/test_hilbert.py."""
+    n = len(x_cols)
+    X = list(x_cols)
+    work = df
+    q = 1 << (bits - 1)
+    step = 0
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            cond = F.col(X[i]).bitwiseAND(F.lit(q)) != 0
+            t = (F.col(X[0]).bitwiseXOR(F.col(X[i]))
+                 .bitwiseAND(F.lit(p)))
+            new0 = (F.when(cond, F.col(X[0]).bitwiseXOR(F.lit(p)))
+                    .otherwise(F.col(X[0]).bitwiseXOR(t)))
+            newi = (F.when(cond, F.col(X[i]))
+                    .otherwise(F.col(X[i]).bitwiseXOR(t)))
+            n0, ni = f"__hs{step}_0", f"__hs{step}_i"
+            if i == 0:
+                work = work.withColumn(n0, new0)
+                X[0] = n0
+            else:
+                work = work.withColumn(n0, new0).withColumn(ni, newi)
+                X[0], X[i] = n0, ni
+            step += 1
+        q >>= 1
+    # Gray encode
+    for i in range(1, n):
+        nm = f"__hg{i}"
+        work = work.withColumn(
+            nm, F.col(X[i]).bitwiseXOR(F.col(X[i - 1])))
+        X[i] = nm
+    tcol = None
+    q = 1 << (bits - 1)
+    while q > 1:
+        part = (F.when(F.col(X[n - 1]).bitwiseAND(F.lit(q)) != 0,
+                       F.lit(q - 1)).otherwise(F.lit(0)))
+        tcol = part if tcol is None else tcol.bitwiseXOR(part)
+        q >>= 1
+    work = work.withColumn("__ht",
+                           tcol if tcol is not None else F.lit(0))
+    for i in range(n):
+        nm = f"__hf{i}"
+        work = work.withColumn(
+            nm, F.col(X[i]).bitwiseXOR(F.col("__ht")))
+        X[i] = nm
+    # interleave the transposed bits, MSB first across dims
+    h = None
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            bit = (F.shiftright(F.col(X[i]), j)
+                   .bitwiseAND(F.lit(1)))
+            h = bit if h is None else F.shiftleft(h, 1).bitwiseOR(bit)
+    return work.withColumn("__h__", h)
+
 # (session id, table dir) → the parquet reader's raw file-path prefix
 # (see Table._raw_path_prefix); stable for a filesystem+session
 _RAW_PREFIX_CACHE: dict[tuple, str] = {}
@@ -300,6 +364,8 @@ class Table:
             return df.repartitionByRange(n, range_col)
         if scope == "zorder" and sort_cols:
             return self._apply_zorder(df, sort_cols, props)
+        if scope == "hilbert" and sort_cols:
+            return self._apply_hilbert(df, sort_cols, props)
         return df
 
     _ZORDER_BITS = 6        # 2^6 quantile buckets per column
@@ -341,6 +407,47 @@ class Table:
                 .sortWithinPartitions("__z__")
                 .drop("__z__"))
 
+
+    def _apply_hilbert(self, df: DataFrame, cols: list[str],
+                       props: dict) -> DataFrame:
+        """Hilbert-curve clustering (sort_scope='hilbert'): same
+        quantile bucketization as z-order, but bucket coordinates map
+        to their HILBERT index (Skilling 2004 AxesToTranspose) before
+        the range-partitioned sort. The Hilbert curve preserves
+        locality strictly better than the Z curve (no diagonal jumps
+        between quadrants), so file hyper-rectangles are tighter and
+        min/max pruning skips more — the same trade Delta/Iceberg
+        expose as OPTIMIZE ZORDER vs Hilbert clustering. The bit
+        transform is data-dependent per level; each level writes a
+        NAMED intermediate column so the Catalyst tree stays LINEAR
+        in bits × dims (inlining the whens would grow it
+        exponentially). Numeric columns only."""
+        bits = int(props.get("zorder_bits", self._ZORDER_BITS))
+        n_buckets = (1 << bits) - 1
+        probs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
+        dnum = df.select(*[F.col(c).cast("double").alias(c)
+                           for c in cols])
+        bounds = {c: sorted(set(b))
+                  for c, b in zip(cols, dnum.stat.approxQuantile(
+                      cols, probs, 0.01))}
+        n = len(cols)
+        work = df
+        # bucket coordinates X[0..n-1]
+        for ci, c in enumerate(cols):
+            arr = F.array(*[F.lit(b) for b in bounds[c]])
+            work = work.withColumn(
+                f"__hx{ci}", F.size(F.filter(
+                    arr, lambda b: F.col(c).cast("double") >= b)))
+        work = hilbert_index_col(
+            work, [f"__hx{i}" for i in range(n)], bits)
+        nparts = int(props.get("global_sort_partitions", 0) or 0) \
+            or max(df.rdd.getNumPartitions(), 1)
+        drop = [c for c in work.columns if c.startswith("__h")
+                and c != "__h__"]
+        return (work.drop(*drop)
+                .repartitionByRange(nparts, "__h__")
+                .sortWithinPartitions("__h__")
+                .drop("__h__"))
 
     def _write_segment_files(self, df: DataFrame, fmt: str = "parquet",
                              sort_override: dict | None = None) -> str:

@@ -55,6 +55,9 @@ def main() -> None:
     # measure the lifecycle, not query overhead.
     not_comparable = {"agg_hll_mergeable_rollup",
                       "agg_cms_mergeable_rollup",
+                      # lifecycle: builds TWO clustered tables
+                      # (hilbert + the zorder comparison twin)
+                      "table_hilbert_prune",
                       "table_delete_mor", "table_mv_ivm_delete",
                       "table_mv_join_rewrite", "table_mv_subsumed_rollup",
                       "ml_logit_fit_calibrate", "table_db_namespace",
