@@ -206,15 +206,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Round-9 window plan (VERDICT r8 "Next round" item 6: drain the r4
-# stamp debt). The 50-slot window = the four new r9 gates
+# stamp debt). The 50-slot window = the six new r9 gates
 # (text_unigram_train, stream_mv_staleness, graph_lpa_communities,
-# sample_weighted_wor — never stamped, sort first automatically) + ALL 34 rows whose latest driver stamp is r4
+# sample_weighted_wor, agg_cms_mergeable_rollup, table_hilbert_prune
+# — never stamped, sort first automatically) + ALL 34 rows whose latest driver stamp is r4
 # (the complete list; afterwards no registered row's stamp is older
 # than r5) + the six r8-stamped rows whose code paths CHANGED this
 # round (funnel user-keyed grouping + stack unpivot, PageRank/PPR
 # cadence + setup rework, frequent-pairs operator promotion,
-# trigram perplexity upgrade, dense-rank negative sampling) + six
-# r5-stamped fillers, leading with the four plan-only queries that
+# trigram perplexity upgrade, dense-rank negative sampling) + four
+# r5-stamped fillers (dedup_bloom_prefilter/corpus_curation_pipeline
+# yielded their slots to the late never-stamped gates and queue at
+# 51-52), leading with the plan-only queries that
 # exercise the NEW memo cache-retracking path (similarity_ann_ivf
 # was the ADVICE r8 example). All are green on the local
 # tools/check.py gate; the driver artifact should say so.
