@@ -9,6 +9,8 @@ no SparkSession needed, so these run fast and explore odd inputs:
 
 from __future__ import annotations
 
+from collections import Counter
+
 from hypothesis import given, settings, strategies as st
 
 from cdh_integrate_carbondata2_3_spark.catalog.index import _Bloom
@@ -260,3 +262,116 @@ def test_bloomjoin_bitset_no_false_negatives(data, m_bytes):
         p1 = np.array([a for a, _ in pairs], dtype=np.int64)
         p2 = np.array([b for _, b in pairs], dtype=np.int64)
         assert _test_bits(bits, p1, p2).all()
+
+
+# ---------------------------------------------------------------------------
+# round-9 operator invariants (driver-side references — the Spark
+# operators are pinned to these same reference functions in their own
+# test files; here hypothesis explores odd inputs)
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_ref(coords, bits):
+    X = list(coords)
+    n = len(X)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = 1 << (bits - 1)
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    X = [x ^ t for x in X]
+    h = 0
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << 1) | ((X[i] >> j) & 1)
+    return h
+
+
+@settings(max_examples=25, deadline=None)
+@given(bits=st.integers(min_value=1, max_value=5),
+       dims=st.integers(min_value=1, max_value=3))
+def test_hilbert_reference_bijective_and_adjacent(bits, dims):
+    side = 1 << bits
+    pts = [[]]
+    for _ in range(dims):
+        pts = [p + [c] for p in pts for c in range(side)]
+    hs = {tuple(p): _hilbert_ref(p, bits) for p in pts}
+    assert sorted(hs.values()) == list(range(side ** dims))
+    inv = {h: p for p, h in hs.items()}
+    for h in range(side ** dims - 1):
+        a, b = inv[h], inv[h + 1]
+        assert sum(abs(x - y) for x, y in zip(a, b)) == 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 12)),
+                     max_size=80),
+       min_support=st.integers(min_value=1, max_value=5))
+def test_frequent_pairs_l1_prune_exact_without_truncation(rows,
+                                                          min_support):
+    """With no basket truncation in play, the A-priori L1 prune is
+    EXACT: the surviving pair set equals the unpruned mine filtered
+    to support >= min_support, value-for-value. (Under a truncating
+    cap the prune legitimately changes which items survive the cap —
+    prune happens BEFORE basket formation, by design, in both this
+    reference and the operator.)"""
+    from itertools import combinations
+    baskets: dict[int, set] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+
+    def mine(ms):
+        item_support = Counter()
+        for items in baskets.values():
+            for i in items:
+                item_support[i] += 1
+        sup = Counter()
+        for items in baskets.values():
+            keep = {i for i in items
+                    if ms <= 1 or item_support[i] >= ms}
+            for a, b in combinations(sorted(keep), 2):
+                sup[(a, b)] += 1
+        return {k: v for k, v in sup.items() if v >= ms}
+
+    pruned = mine(min_support)
+    baseline = {k: v for k, v in mine(1).items() if v >= min_support}
+    assert pruned == baseline
+
+
+@settings(max_examples=50, deadline=None)
+@given(ids=st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                    unique=True, max_size=60))
+def test_dense_rank_reference_is_sort_position(ids):
+    want = {v: i for i, v in enumerate(sorted(ids))}
+    # the two-phase construction equals sort position for ANY split:
+    # simulate arbitrary contiguous range partitions
+    import random
+    rnd = random.Random(42)
+    s = sorted(ids)
+    cuts = sorted(rnd.sample(range(len(s) + 1),
+                             min(3, len(s) + 1))) if s else []
+    parts, prev = [], 0
+    for c in cuts:
+        parts.append(s[prev:c])
+        prev = c
+    parts.append(s[prev:])
+    off, got = 0, {}
+    for part in parts:
+        for j, v in enumerate(sorted(part)):
+            got[v] = off + j
+        off += len(part)
+    assert got == want
