@@ -104,7 +104,7 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     # .first() for a stack() unpivot of the one-row count aggregate)
     "join_asof_events", "join_asof_forward_tol", "join_range_events",
     "join_fuzzy_editdist", "trajectory_similarity_nn",
-    "events_funnel_conversion",
+    "events_funnel_conversion", "events_anomaly_mad",
     # dedup_extra.py (dedup.py / ssjoin.py are action-free; the
     # incremental gates write sidecars — excluded)
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_near",

@@ -342,3 +342,61 @@ def events_time_decay_score(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("wv"), 6).cast("double")
                  .alias("decayed")))
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median/MAD) — round 9
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.0          # flag |v - med| > K * 1.4826 * MAD
+_MAD_C = 1.4826       # normal-consistency constant
+
+
+@query("events_anomaly_mad", oracle=f"""
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+d AS (SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS dev
+      FROM events e JOIN m ON e.event_type = m.event_type),
+md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(d.med, 6) AS DOUBLE) AS med,
+       CAST(ROUND(md.mad, 6) AS DOUBLE) AS mad,
+       CAST(SUM(CASE WHEN ROUND(d.dev, 9)
+                       > ROUND({_MAD_K} * {_MAD_C} * md.mad, 9)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM d JOIN md ON d.event_type = md.event_type
+GROUP BY d.event_type, d.med, md.mad
+""")
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection: median/MAD z-scores
+    (Hampel's rule — |v − median| > K·1.4826·MAD), the outlier flag
+    that survives the outliers themselves, unlike mean/stddev which
+    the anomalies drag. Two grouped EXACT percentile aggregations
+    (median, then median absolute deviation) + one flag count — the
+    pipeline pass that screens metric/telemetry streams before they
+    poison a training mix. Deviations and thresholds are rounded to
+    9 dp on BOTH sides before comparison so last-ulp interpolation
+    differences between engines cannot flip a flag; a green hash
+    pins medians, MADs, and every per-row anomaly decision."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = (e.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("med")))
+    d = (e.join(med, "event_type")
+         .withColumn("dev", F.abs(F.col("value") - F.col("med"))))
+    mad = (d.groupBy("event_type")
+           .agg(F.expr("percentile(dev, 0.5)").alias("mad")))
+    return (d.join(mad, "event_type")
+            .groupBy("event_type", "med", "mad")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.round(F.col("dev"), 9)
+                              > F.round(F.lit(_MAD_K * _MAD_C)
+                                        * F.col("mad"), 9), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_anomalies"))
+            .select("event_type", "n",
+                    F.round("med", 6).cast("double").alias("med"),
+                    F.round("mad", 6).cast("double").alias("mad"),
+                    "n_anomalies"))
