@@ -74,7 +74,7 @@ HEADLINE = (
     # without replacement
     "graph_lpa_communities", "sample_weighted_wor",
     "agg_cms_mergeable_rollup", "table_hilbert_prune",
-    "events_anomaly_mad",
+    "events_anomaly_mad", "agg_cms_join_size",
 )
 
 

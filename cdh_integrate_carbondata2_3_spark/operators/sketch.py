@@ -91,3 +91,30 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, item_col: str,
 def cms_eps(width: int) -> float:
     """The additive error factor: overcount <= eps * N w.h.p."""
     return math.e / width
+
+
+def cms_join_size(cells_a: DataFrame, cells_b: DataFrame, *,
+                  depth: int = 4) -> DataFrame:
+    """Equi-join SIZE estimate from two CMS built on the join key
+    (same width/depth/seeds): |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated
+    as min over rows of the per-row cell inner product — the classic
+    CMS second act (Cormode & Muthukrishnan §4.2). NEVER
+    undercounts (hash collisions only ever add cross terms) and
+    overcounts by ≤ eps·N_A·N_B w.h.p. — exactly the one-sided
+    shape a join planner wants for "will this key explode"
+    decisions at 100 TB, from two fixed-size sketches and ZERO scans
+    of either table. Returns a one-row frame ``(est)``; the compute
+    is a cell-keyed join of two sketch frames (at most depth × width
+    rows each)."""
+    a = cells_a.select("row", "col", F.col("c").alias("ca"))
+    b = cells_b.select("row", "col", F.col("c").alias("cb"))
+    per_row = (a.join(b, ["row", "col"])
+               .groupBy("row")
+               .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip")))
+    # a row with NO overlapping cells has inner product 0 — include
+    # it (true join size is then provably 0-bounded by that row)
+    all_rows = cells_a.sparkSession.range(depth) \
+        .select(F.col("id").cast("int").alias("row"))
+    return (all_rows.join(per_row, "row", "left")
+            .agg(F.min(F.coalesce(F.col("ip"), F.lit(0)))
+                 .alias("est")))

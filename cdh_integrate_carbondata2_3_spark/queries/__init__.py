@@ -138,7 +138,7 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     # hardening.py (the CMS rollup is pure cell-frame composition —
     # sketches build/merge/estimate lazily at action time)
     "dedup_semantic_clusters", "search_hybrid_rerank",
-    "agg_cms_mergeable_rollup",
+    "agg_cms_mergeable_rollup", "agg_cms_join_size",
 })
 
 # (session, sf_dir, name) -> (session, plan, cache_tracked frames);

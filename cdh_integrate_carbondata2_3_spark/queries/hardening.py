@@ -1068,3 +1068,40 @@ def agg_cms_mergeable_rollup(spark: SparkSession,
                      <= F.coalesce(F.col("n_exact"), F.lit(0))
                      + F.lit(cms_eps(_CMS_W)) * F.col("n_tot"))
                     .alias("upper_ok")))
+
+
+@query("agg_cms_join_size", oracle="""
+SELECT CAST((SELECT COUNT(*) FROM lineitem l
+             JOIN orders o ON l.l_orderkey = o.o_orderkey) AS BIGINT)
+         AS n_exact,
+       TRUE AS lower_ok, TRUE AS upper_ok
+""")
+def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join size estimation from two Count-Min sketches on the
+    join key (operators/sketch.cms_join_size — the CMS inner-product
+    second act): |lineitem ⋈ orders| estimated from two fixed-size
+    sketches with ZERO scans of either table at estimate time — the
+    join-planner primitive for "will this key explode" decisions.
+    ``lower_ok`` pins the deterministic no-undercount guarantee,
+    ``upper_ok`` the eps·N_A·N_B bound. The oracle computes the
+    exact join size and TRUE flags."""
+    from ..operators.sketch import cms_build, cms_eps, cms_join_size
+    from ..sources.registry import load_table
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    w, d = 4096, 4
+    ca = cms_build(li, "l_orderkey", width=w, depth=d)
+    cb = cms_build(orders, "o_orderkey", width=w, depth=d)
+    est = cms_join_size(ca, cb, depth=d)
+    exact = (li.join(orders,
+                     li.l_orderkey == orders.o_orderkey)
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    na = li.agg(F.count(F.lit(1)).alias("na"))
+    nb = orders.agg(F.count(F.lit(1)).alias("nb"))
+    return (exact.crossJoin(est).crossJoin(na).crossJoin(nb)
+            .select(F.col("n_exact").cast("bigint").alias("n_exact"),
+                    (F.col("est") >= F.col("n_exact"))
+                    .alias("lower_ok"),
+                    (F.col("est") <= F.col("n_exact")
+                     + F.lit(cms_eps(w)) * F.col("na") * F.col("nb"))
+                    .alias("upper_ok")))

@@ -97,3 +97,36 @@ def test_absent_item_estimates_zero_or_collision(spark):
     est = cms_estimate(cells, probes, "item",
                        width=W, depth=D).collect()[0]["est"]
     assert est in (0, 1)    # 0 unless all D cells collide with item 1
+
+
+def test_join_size_estimate_bounds(spark):
+    import random
+    from cdh_integrate_carbondata2_3_spark.operators.sketch import (
+        cms_join_size)
+    random.seed(3)
+    ka = [random.randint(0, 200) for _ in range(1500)]
+    kb = [random.randint(0, 200) for _ in range(900)]
+    A = spark.createDataFrame([(k,) for k in ka], "k long")
+    B = spark.createDataFrame([(k,) for k in kb], "k long")
+    exact = A.join(B, "k").count()
+    ca = cms_build(A, "k", width=256, depth=D)
+    cb = cms_build(B, "k", width=256, depth=D)
+    est = cms_join_size(ca, cb, depth=D).collect()[0]["est"]
+    assert est >= exact                       # one-sided, always
+    eps = 2.718281828 / 256
+    assert est <= exact + eps * len(ka) * len(kb)
+
+
+def test_join_size_disjoint_keys_is_zero(spark):
+    from cdh_integrate_carbondata2_3_spark.operators.sketch import (
+        cms_join_size)
+    A = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    B = spark.createDataFrame([(i + 10_000,) for i in range(50)],
+                              "k long")
+    ca = cms_build(A, "k", width=1024, depth=D)
+    cb = cms_build(B, "k", width=1024, depth=D)
+    est = cms_join_size(ca, cb, depth=D).collect()[0]["est"]
+    # with 1024 cells and 50 keys/side, at least one of D rows is
+    # overwhelmingly likely collision-free -> min hits 0 (and the
+    # estimate is small even if not)
+    assert est <= 50

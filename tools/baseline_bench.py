@@ -54,7 +54,7 @@ def main() -> None:
     # while the oracle is one SELECT over raw parquet — the ratio would
     # measure the lifecycle, not query overhead.
     not_comparable = {"agg_hll_mergeable_rollup",
-                      "agg_cms_mergeable_rollup",
+                      "agg_cms_mergeable_rollup", "agg_cms_join_size",
                       # lifecycle: builds TWO clustered tables
                       # (hilbert + the zorder comparison twin)
                       "table_hilbert_prune",
