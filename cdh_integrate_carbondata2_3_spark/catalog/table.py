@@ -39,7 +39,8 @@ from ..plans.pruning import Predicate, prune_files
 from .manifest import Manifest, Segment, SegmentStatus
 from .stats import harvest_file, partition_values_from_relpath
 
-SORT_SCOPES = ("no_sort", "local_sort", "global_sort", "range_sort")
+SORT_SCOPES = ("no_sort", "local_sort", "global_sort", "range_sort",
+               "zorder", "hilbert")
 
 
 def hilbert_index_col(df: DataFrame, x_cols: list[str],
@@ -51,8 +52,17 @@ def hilbert_index_col(df: DataFrame, x_cols: list[str],
     expressions; every level writes a NAMED intermediate column so
     the Catalyst tree stays linear in bits × dims (inlining the
     data-dependent whens would grow it exponentially). Exactness is
-    pinned against a serial reference in tests/test_hilbert.py."""
+    pinned against a serial reference in tests/test_hilbert.py.
+
+    The interleaved index occupies ``bits × len(x_cols)`` bits; it is
+    accumulated in a LONG (the per-dim coordinates stay int — they
+    only ever hold ``bits`` bits) and widths past 63 are rejected
+    rather than silently wrapping the cluster key."""
     n = len(x_cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"hilbert index needs bits*dims <= 63, got {bits}*{n}="
+            f"{bits * n}; lower zorder_bits or drop sort columns")
     X = list(x_cols)
     work = df
     q = 1 << (bits - 1)
@@ -96,12 +106,13 @@ def hilbert_index_col(df: DataFrame, x_cols: list[str],
         work = work.withColumn(
             nm, F.col(X[i]).bitwiseXOR(F.col("__ht")))
         X[i] = nm
-    # interleave the transposed bits, MSB first across dims
+    # interleave the transposed bits, MSB first across dims; the
+    # accumulator is LONG so bits*dims up to 63 never wraps
     h = None
     for j in range(bits - 1, -1, -1):
         for i in range(n):
             bit = (F.shiftright(F.col(X[i]), j)
-                   .bitwiseAND(F.lit(1)))
+                   .bitwiseAND(F.lit(1)).cast("long"))
             h = bit if h is None else F.shiftleft(h, 1).bitwiseOR(bit)
     return work.withColumn("__h__", h)
 
@@ -366,6 +377,9 @@ class Table:
             return self._apply_zorder(df, sort_cols, props)
         if scope == "hilbert" and sort_cols:
             return self._apply_hilbert(df, sort_cols, props)
+        if scope not in SORT_SCOPES:
+            raise ValueError(
+                f"unknown sort_scope {scope!r}; one of {SORT_SCOPES}")
         return df
 
     _ZORDER_BITS = 6        # 2^6 quantile buckets per column
@@ -381,8 +395,16 @@ class Table:
         ALL the z-columns at once — the lakehouse OPTIMIZE ZORDER
         shape, and the generalization of the spatial index's
         geoid clustering (functions/geo.py latlng_to_geoid).
-        Numeric columns only (quantile sketch requirement)."""
+        Numeric columns only (quantile sketch requirement). The
+        interleaved z-value is accumulated in a LONG (per-bit casts
+        before the cross-dim shift) so bits*dims up to 63 never
+        wraps; wider keys are rejected."""
         bits = int(props.get("zorder_bits", self._ZORDER_BITS))
+        n = len(cols)
+        if bits * n > 63:
+            raise ValueError(
+                f"zorder key needs bits*dims <= 63, got {bits}*{n}="
+                f"{bits * n}; lower zorder_bits or drop sort columns")
         n_buckets = (1 << bits) - 1
         probs = [i / (n_buckets + 1) for i in range(1, n_buckets + 1)]
         dnum = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
@@ -390,14 +412,14 @@ class Table:
                   for c, b in zip(cols, dnum.stat.approxQuantile(
                       cols, probs, 0.01))}
         z = None
-        n = len(cols)
         for ci, c in enumerate(cols):
             arr = F.array(*[F.lit(b) for b in bounds[c]])
             bucket = F.size(F.filter(
                 arr, lambda b: F.col(c).cast("double") >= b))
             for j in range(bits):
                 part = F.shiftleft(
-                    F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                    F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+                    .cast("long"),
                     j * n + ci)
                 z = part if z is None else z.bitwiseOR(part)
         nparts = int(props.get("global_sort_partitions", 0) or 0) \

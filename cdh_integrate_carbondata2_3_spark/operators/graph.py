@@ -432,9 +432,12 @@ def lpa_communities(edges: DataFrame, src: str = "src",
     Scale shape: one edge-labels join + one (node, label)-keyed
     count + one node-keyed argmax per round — the same
     one-job-per-round discipline as :func:`pagerank`; the argmax is
-    a ``max(struct(count, -label))`` aggregation (no window, no
-    single-partition risk). Labels frame is node-sized; lineage
-    truncates per round via localCheckpoint."""
+    a ``min_by(label, struct(-count, label))`` aggregation (no
+    window, no single-partition risk). Only the COUNT is negated —
+    always numeric — so node ids of any orderable type (bigint
+    partkeys, string doc hashes/URLs) keep their exact type and the
+    deterministic smallest-label tie-break. Labels frame is
+    node-sized; lineage truncates per round via localCheckpoint."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node"))).distinct())
@@ -445,13 +448,15 @@ def lpa_communities(edges: DataFrame, src: str = "src",
         cnt = (e.join(labels.withColumnRenamed("node", "src"), "src")
                .groupBy("dst", "lab")
                .agg(F.count(F.lit(1)).alias("c")))
-        # argmax by (count desc, label asc): max of (c, -lab)
+        # argmax by (count desc, label asc) without touching the
+        # label arithmetically: min_by over (-count, label) — works
+        # for string/struct node ids, not just numeric ones
         new = (cnt.groupBy("dst")
-               .agg(F.max(F.struct(F.col("c"),
-                                   (-F.col("lab")).alias("nl")))
-                    .alias("m"))
-               .select(F.col("dst").alias("node"),
-                       (-F.col("m.nl")).alias("lab")))
+               .agg(F.min_by(F.col("lab"),
+                             F.struct((-F.col("c")).alias("nc"),
+                                      F.col("lab").alias("lb")))
+                    .alias("lab"))
+               .withColumnRenamed("dst", "node"))
         # nodes with no in-edges keep their current label
         labels = (nodes.join(new.withColumnRenamed("lab", "__new"),
                              "node", "left")

@@ -47,14 +47,20 @@ def cms_build(df: DataFrame, item_col: str,
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)]))
-    return (df.select(*group_cols, F.col(item_col).alias("__i"),
-                      w.alias("__w"))
-            .withColumn("row", rows)
-            .withColumn("col", F.pmod(F.xxhash64(F.col("__i"),
-                                                 F.col("row")),
-                                      F.lit(width)).cast("int"))
-            .groupBy(*group_cols, "row", "col")
-            .agg(F.sum("__w").alias("c")))
+    out = (df.select(*group_cols, F.col(item_col).alias("__i"),
+                     w.alias("__w"))
+           .withColumn("row", rows)
+           .withColumn("col", F.pmod(F.xxhash64(F.col("__i"),
+                                                F.col("row")),
+                                     F.lit(width)).cast("int"))
+           .groupBy(*group_cols, "row", "col")
+           .agg(F.sum("__w").alias("c")))
+    # Self-describing sketch: width/depth ride the `col` field's
+    # schema metadata (driver-side only, zero runtime cost; survives
+    # groupBy/select because the attribute is reused) so downstream
+    # binary ops can refuse to combine incompatible sketches.
+    return out.withMetadata("col", {"cms_width": width,
+                                    "cms_depth": depth})
 
 
 def cms_merge(cells: DataFrame,
@@ -62,8 +68,21 @@ def cms_merge(cells: DataFrame,
     """Merge sketches down to a coarser grouping by cell addition —
     the mergeability that lets partial sketches roll up any
     aggregation tree (executor → node → cluster)."""
-    return (cells.groupBy(*to_group_cols, "row", "col")
-            .agg(F.sum("c").alias("c")))
+    meta = _cms_meta(cells)
+    out = (cells.groupBy(*to_group_cols, "row", "col")
+           .agg(F.sum("c").alias("c")))
+    return out.withMetadata("col", meta) if meta else out
+
+
+def _cms_meta(cells: DataFrame) -> dict:
+    """width/depth metadata a cms_build frame carries on `col`
+    (empty dict for hand-built cell frames)."""
+    for f in cells.schema.fields:
+        if f.name == "col":
+            m = f.metadata or {}
+            return {k: m[k] for k in ("cms_width", "cms_depth")
+                    if k in m}
+    return {}
 
 
 def cms_estimate(cells: DataFrame, probes: DataFrame, item_col: str,
@@ -94,7 +113,8 @@ def cms_eps(width: int) -> float:
 
 
 def cms_join_size(cells_a: DataFrame, cells_b: DataFrame, *,
-                  depth: int = 4) -> DataFrame:
+                  depth: int | None = None,
+                  width: int | None = None) -> DataFrame:
     """Equi-join SIZE estimate from two CMS built on the join key
     (same width/depth/seeds): |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated
     as min over rows of the per-row cell inner product — the classic
@@ -105,7 +125,33 @@ def cms_join_size(cells_a: DataFrame, cells_b: DataFrame, *,
     decisions at 100 TB, from two fixed-size sketches and ZERO scans
     of either table. Returns a one-row frame ``(est)``; the compute
     is a cell-keyed join of two sketch frames (at most depth × width
-    rows each)."""
+    rows each).
+
+    Both sketches must share width AND depth — different moduli stop
+    (row, col) cells from colliding and the no-undercount guarantee
+    silently dies. cms_build frames self-describe (schema metadata),
+    so mismatched builds are rejected here; hand-built frames can
+    pass ``width=``/``depth=`` and are checked against any metadata
+    present."""
+    ma, mb = _cms_meta(cells_a), _cms_meta(cells_b)
+    for key, arg in (("cms_width", width), ("cms_depth", depth)):
+        va, vb = ma.get(key), mb.get(key)
+        if va is not None and vb is not None and va != vb:
+            raise ValueError(
+                f"cms_join_size: sketches disagree on {key} "
+                f"({va} vs {vb}) — the inner-product estimate is "
+                "only valid for identically-parameterized sketches")
+        known = va if va is not None else vb
+        if known is not None and arg is not None and known != arg:
+            raise ValueError(
+                f"cms_join_size: {key}={arg} passed but sketches "
+                f"were built with {known}")
+    if ma.get("cms_depth") is not None:
+        depth = int(ma["cms_depth"])
+    elif mb.get("cms_depth") is not None:
+        depth = int(mb["cms_depth"])
+    elif depth is None:
+        depth = 4
     a = cells_a.select("row", "col", F.col("c").alias("ca"))
     b = cells_b.select("row", "col", F.col("c").alias("cb"))
     per_row = (a.join(b, ["row", "col"])

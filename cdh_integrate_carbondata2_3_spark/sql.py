@@ -1544,6 +1544,12 @@ class Engine:
     dispatcher. ``Engine(spark, dir).sql(...)`` is the user entry —
     same role as a CarbonSession."""
 
+    # EXPLAIN MERGE may fall back to a real source min/max aggregate
+    # when the manifest can't answer (mor deltas, statless column) —
+    # but only below this source row count, so EXPLAIN never launches
+    # a scan-level job against a large table.
+    _EXPLAIN_SCAN_ROW_CAP = 10_000_000
+
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse_dir)
@@ -2735,12 +2741,28 @@ class Engine:
                 merge_m.group(5), table, merge_m.group(2),
                 merge_m.group(3), merge_m.group(4))
             if key:
-                mm = (self.table(merge_m.group(3)).read()
-                      .agg(F.min(key).alias("lo"),
-                           F.max(key).alias("hi")).first())
-                if mm["lo"] is not None:
-                    cond = f"{key} BETWEEN {mm['lo']} AND {mm['hi']}"
-                    preds = [(key, "between", (mm["lo"], mm["hi"]))]
+                # EXPLAIN stays plan-only: source key bounds come
+                # from the source table's OWN manifest min/max stats
+                # (no Spark job). Only when the metadata can't answer
+                # (mor deltas pending, statless/non-numeric column)
+                # do we fall back to a real min/max aggregate, and
+                # then only under a row-count ceiling so explaining a
+                # MERGE against a huge source never launches a
+                # scan-level job.
+                src_t = self.table(merge_m.group(3))
+                mm_meta = src_t.manifest.minmax_metadata([key])
+                lo = hi = None
+                if mm_meta is not None:
+                    lo, hi = mm_meta.get(key, (None, None))
+                elif src_t.manifest.row_count() \
+                        <= self._EXPLAIN_SCAN_ROW_CAP:
+                    r = (src_t.read()
+                         .agg(F.min(key).alias("lo"),
+                              F.max(key).alias("hi")).first())
+                    lo, hi = r["lo"], r["hi"]
+                if lo is not None:
+                    cond = f"{key} BETWEEN {lo} AND {hi}"
+                    preds = [(key, "between", (lo, hi))]
         total = sum(len(s.files) for s in t.manifest.queryable_segments())
         kept = sum(len(v) for v in t.scan_files(preds).values())
         pred_cols = {p[0] for p in (preds or [])}

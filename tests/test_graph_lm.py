@@ -353,3 +353,22 @@ def test_lpa_dense_blob_converges_to_one_label(spark):
     labs = {r["lab"] for r in
             lpa_communities(df, rounds=2).collect()}
     assert labs == {0}
+
+
+def test_lpa_string_node_ids(spark):
+    """ADVICE r9: the argmax must not negate the LABEL column — node
+    ids are labels, and string ids (doc hashes, URLs) must keep their
+    type and the smallest-label tie-break instead of silently casting
+    to double->NULL. Pinned against the serial reference on the
+    lexicographic order of the string ids."""
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        lpa_communities)
+    und = [("a", "b"), ("b", "c"), ("a", "c"),
+           ("u", "v"), ("v", "w"), ("u", "w"), ("c", "u")]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["lab"]
+           for r in lpa_communities(df, rounds=3).collect()}
+    want = _lpa_ref(edges, 3)
+    assert got == want
+    assert all(isinstance(v, str) for v in got.values())

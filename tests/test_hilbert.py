@@ -100,3 +100,36 @@ def test_hilbert_load_sort_prunes_files(spark, tmp_path, sf_dir):
             .filter((F.col("o_custkey") < 50)
                     & (F.col("o_totalprice") < 100000.0)).count())
     assert got == want
+
+
+def test_wide_keys_use_long_and_over_63_bits_raise(spark):
+    """ADVICE r9: bits*dims > 31 used to wrap the int32 interleave
+    accumulator and scramble the cluster order. The index is now a
+    LONG (pinned against the serial reference past 31 bits) and
+    widths past 63 raise instead of wrapping."""
+    bits, dims = 16, 2            # 32 index bits: wraps under int32
+    coords = [(1 << 15, (1 << 15) + 3), (40000, 1), (65535, 65535)]
+    df = spark.createDataFrame(coords, "x0 int, x1 int")
+    out = hilbert_index_col(df, ["x0", "x1"], bits)
+    assert dict(out.dtypes)["__h__"] == "bigint"
+    got = {(r["x0"], r["x1"]): r["__h__"]
+           for r in out.select("x0", "x1", "__h__").collect()}
+    for c in coords:
+        assert got[c] == _hilbert_ref(list(c), bits)
+        assert got[c] >= 0
+    with pytest.raises(ValueError, match="63"):
+        hilbert_index_col(df, ["x0", "x1"], 32)
+
+
+def test_sort_scope_constant_covers_cluster_scopes(tmp_path, spark):
+    """ADVICE r9: SORT_SCOPES must list every scope _apply_load_sort
+    dispatches (zorder/hilbert were missing), and unknown scopes must
+    raise instead of silently loading unsorted."""
+    from cdh_integrate_carbondata2_3_spark.catalog.table import (
+        SORT_SCOPES)
+    assert "zorder" in SORT_SCOPES and "hilbert" in SORT_SCOPES
+    t = Table.create(spark, str(tmp_path / "badscope"),
+                     "a int, b int",
+                     {"sort_scope": "bogus", "sort_columns": ["a"]})
+    with pytest.raises(ValueError, match="bogus"):
+        t.insert(spark.createDataFrame([(1, 2)], "a int, b int"))

@@ -130,3 +130,35 @@ def test_join_size_disjoint_keys_is_zero(spark):
     # overwhelmingly likely collision-free -> min hits 0 (and the
     # estimate is small even if not)
     assert est <= 50
+
+
+def test_join_size_rejects_mismatched_sketches(spark):
+    """ADVICE r9: two CMS with different widths (or depths) stop
+    colliding on (row, col), silently killing the no-undercount
+    guarantee — cms_build frames self-describe via schema metadata
+    and cms_join_size must refuse to combine them."""
+    import pytest as _pt
+
+    from cdh_integrate_carbondata2_3_spark.operators.sketch import (
+        _cms_meta, cms_join_size)
+    df = spark.createDataFrame([(i % 5,) for i in range(50)],
+                               "item long")
+    a = cms_build(df, "item", width=W, depth=D)
+    assert _cms_meta(a) == {"cms_width": W, "cms_depth": D}
+    # metadata survives a merge (the grouping attribute is reused)
+    assert _cms_meta(cms_merge(a, [])) == {"cms_width": W,
+                                           "cms_depth": D}
+    b_wide = cms_build(df, "item", width=W * 2, depth=D)
+    with _pt.raises(ValueError, match="cms_width"):
+        cms_join_size(a, b_wide)
+    b_deep = cms_build(df, "item", width=W, depth=D + 1)
+    with _pt.raises(ValueError, match="cms_depth"):
+        cms_join_size(a, b_deep)
+    # explicit args must also agree with the embedded metadata
+    with _pt.raises(ValueError, match="cms_width"):
+        cms_join_size(a, cms_build(df, "item", width=W, depth=D),
+                      width=W * 4)
+    # matching sketches still work, depth picked up from metadata
+    est = cms_join_size(
+        a, cms_build(df, "item", width=W, depth=D)).first()["est"]
+    assert est >= 5 * 10 * 10

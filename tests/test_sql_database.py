@@ -235,3 +235,32 @@ def test_mv_rewrite_on_qualified_table(eng):
     eng.sql("REFRESH MATERIALIZED VIEW mvq ON TABLE a.m")
     eng.sql("DROP MATERIALIZED VIEW mvq ON TABLE a.m")
     assert not eng.sql("SHOW MATERIALIZED VIEWS ON TABLE a.m").collect()
+
+
+def test_explain_merge_is_plan_only(eng, spark):
+    """ADVICE r9: EXPLAIN MERGE used to run a full source min/max
+    aggregate (a scan-level Spark job) inside the 'static' explain.
+    The bounds now come from the source table's manifest stats —
+    explain must launch ZERO Spark jobs while still applying the
+    source-key prune."""
+    def jobs() -> int:
+        return spark._jsparkSession.sparkContext().statusStore() \
+            .jobsList(None).size()
+
+    eng.sql("CREATE TABLE ep (id BIGINT, v STRING)")
+    for lo in (0, 100, 200):
+        spark.range(lo, lo + 100).select(
+            "id", F.lit("x").alias("v")).createOrReplaceTempView("__ex")
+        eng.sql("INSERT INTO ep SELECT * FROM __ex")
+    eng.sql("CREATE TABLE esrc (id BIGINT, v STRING)")
+    spark.range(205, 230).select(
+        "id", F.lit("s").alias("v")).createOrReplaceTempView("__es")
+    eng.sql("INSERT INTO esrc SELECT * FROM __es")
+    before = jobs()
+    out = eng.sql("EXPLAIN MERGE INTO ep USING esrc ON ep.id = esrc.id "
+                  "WHEN MATCHED THEN UPDATE SET v = 'm'")
+    assert jobs() == before, "EXPLAIN MERGE launched a Spark job"
+    r = {row["item"]: row["value"] for row in out.collect()}
+    total, cand = int(r["files.total"]), int(r["files.candidate"])
+    assert 0 < cand < total, r          # prune still applied
+    assert "between" in r["pushed_predicates"]
