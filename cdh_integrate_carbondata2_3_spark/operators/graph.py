@@ -27,8 +27,21 @@ Two algorithms behind one API:
   join) — for quasi-clique near-dup graphs the default wins, which is
   why star is opt-in.
 
-``localCheckpoint`` truncates the growing lineage each round (on a
-real cluster use ``checkpoint`` with a DFS dir instead; flag below).
+Lineage per round is truncated through one of two interchangeable
+checkpoint modes (results are bit-identical — only the storage of the
+materialization point moves):
+
+- ``localCheckpoint`` (default): executor-memory/disk-resident. The
+  right call on local mode and short interactive loops, but the
+  truncated lineage is UNRECOVERABLE if an executor dies — on a
+  1000-executor cluster running a 30-round loop, one lost container
+  kills the job.
+- ``checkpoint_dir=``: reliable ``DataFrame.checkpoint()`` into a
+  DFS directory (``sparkContext.setCheckpointDir``). Each checkpoint
+  costs a distributed write, so the cadence knob matters MORE here
+  (compose rounds between checkpoints); in exchange a lost executor
+  re-reads the checkpoint files instead of failing the job — the
+  cluster-mode setting for long loops over 100 TB-derived graphs.
 """
 
 from __future__ import annotations
@@ -37,9 +50,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _Checkpointer:
+    """Per-call checkpoint policy: ``reliable`` when the caller passed
+    a DFS ``checkpoint_dir`` (wired into the SparkContext here),
+    ``local`` for the default localCheckpoint lineage truncation,
+    ``None`` to disable truncation entirely. Both active modes are
+    bit-identical in results; they differ only in where the
+    materialized rounds live (executor memory vs DFS)."""
+
+    def __init__(self, spark, use_local: bool,
+                 checkpoint_dir: str | None):
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            self.mode = "reliable"
+        elif use_local:
+            self.mode = "local"
+        else:
+            self.mode = None
+
+    @property
+    def active(self) -> bool:
+        return self.mode is not None
+
+    def __call__(self, df: DataFrame, *, eager: bool = True) -> DataFrame:
+        if self.mode == "reliable":
+            return df.checkpoint(eager=eager)
+        if self.mode == "local":
+            return df.localCheckpoint(eager=eager)
+        return df
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", *, max_iter: int = 30,
                          use_local_checkpoint: bool = True,
+                         checkpoint_dir: str | None = None,
                          algorithm: str = "label") -> DataFrame:
     """(node, comp) for every node in ``edges``; ``comp`` is the
     component's minimum node id. Edges are undirected; self-loops and
@@ -47,15 +91,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     propagation, O(diameter) rounds — default, best for the
     short-diameter quasi-cliques near-dup blocking emits) or "star"
     (large-star/small-star, O(log n) rounds — for high-diameter
-    graphs)."""
+    graphs). ``checkpoint_dir``: DFS dir for RELIABLE checkpoints
+    (cluster mode — survives executor loss); default localCheckpoint
+    (module docstring)."""
+    ck = _Checkpointer(edges.sparkSession, use_local_checkpoint,
+                       checkpoint_dir)
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v")))
            .distinct())
-    if use_local_checkpoint:
-        sym = sym.localCheckpoint()
+    sym = ck(sym)
     if algorithm == "star":
-        return _star_components(sym, max_iter, use_local_checkpoint)
+        return _star_components(sym, max_iter, ck)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r} "
                          "(expected 'label' or 'star')")
@@ -78,12 +125,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                               (F.coalesce(F.col("nmin"), F.col("comp"))
                                < F.col("comp")).cast("bigint")
                               .alias("_chg")))
-        if use_local_checkpoint:
-            # lazy: the convergence agg below is the action that
-            # materializes the checkpoint — ONE job per round total
-            # (the old shape was eager-checkpoint + join+count = two
-            # jobs and an extra shuffle per round)
-            new_labels = new_labels.localCheckpoint(eager=False)
+        # lazy: the convergence agg below is the action that
+        # materializes the checkpoint — ONE job per round total
+        # (the old shape was eager-checkpoint + join+count = two
+        # jobs and an extra shuffle per round)
+        new_labels = ck(new_labels, eager=False)
         # SUM over zero rows is NULL — an empty edge set must read as
         # "nothing changed", not loop to the round cap
         changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
@@ -94,7 +140,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 
 def _star_components(sym: DataFrame, max_iter: int,
-                     use_local_checkpoint: bool) -> DataFrame:
+                     ck: _Checkpointer) -> DataFrame:
     """Alternating large-star / small-star rounds until the edge set
     is a disjoint union of stars centered at component minima.
 
@@ -103,9 +149,7 @@ def _star_components(sym: DataFrame, max_iter: int,
     m = min(N(u) ∪ {u}), connect u and every smaller neighbor to m.
     Both preserve connectivity; alternation converges in O(log n)
     rounds (Kiveris et al. 2014, thm 2)."""
-    nodes = sym.select(F.col("u").alias("node")).distinct()
-    if use_local_checkpoint:
-        nodes = nodes.localCheckpoint()
+    nodes = ck(sym.select(F.col("u").alias("node")).distinct())
     # directed larger→smaller, self-loops dropped (re-attached at end)
     e = (sym.filter(F.col("u") != F.col("v"))
          .select(F.greatest("u", "v").alias("u"),
@@ -126,8 +170,7 @@ def _star_components(sym: DataFrame, max_iter: int,
         e = (d.join(mins2, "u")
              .selectExpr("stack(2, u, m, v, m) as (u, v)")
              .filter(F.col("u") != F.col("v")).distinct())
-        if use_local_checkpoint:
-            e = e.localCheckpoint()
+        e = ck(e)
         # fixpoint iff depth-1 forest: one distinct target per source
         # and no target is itself a source (stars don't chain)
         multi = (e.groupBy("u").agg(F.count_distinct("v").alias("c"))
@@ -147,6 +190,7 @@ def _star_components(sym: DataFrame, max_iter: int,
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
              damping: float = 0.85, iterations: int = 10,
              use_local_checkpoint: bool = True,
+             checkpoint_dir: str | None = None,
              checkpoint_every: int | None = None,
              shuffle_partitions: int | None = None,
              reset=None) -> DataFrame:
@@ -187,9 +231,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
       compiles to a broadcast, so each iteration stays ONE job with no
       driver-side collect of ranks.
     - Fixed ``iterations`` (no convergence action) keeps the loop
-      free of per-round driver round-trips; ``localCheckpoint``
-      truncates lineage every ``checkpoint_every`` rounds (use
-      ``checkpoint`` + a DFS dir on a real cluster). Materializing
+      free of per-round driver round-trips; lineage truncates every
+      ``checkpoint_every`` rounds — executor-resident
+      ``localCheckpoint`` by default, RELIABLE DFS checkpoints when
+      ``checkpoint_dir=`` is passed (cluster mode: survives executor
+      loss; bit-identical results — module docstring). Materializing
       EVERY round is pure overhead for small fixed iteration counts
       (the r8 3.26×-vs-plain-Spark gap, VERDICT r8 What's-wrong 2):
       between checkpoints the rounds compose into one lazy plan and
@@ -221,6 +267,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
             return pagerank(edges, src, dst, damping=damping,
                             iterations=iterations,
                             use_local_checkpoint=use_local_checkpoint,
+                            checkpoint_dir=checkpoint_dir,
                             checkpoint_every=checkpoint_every,
                             reset=reset)
         finally:
@@ -228,6 +275,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
                 spark.conf.unset("spark.sql.shuffle.partitions")
             else:
                 spark.conf.set("spark.sql.shuffle.partitions", prior)
+    ck = _Checkpointer(spark, use_local_checkpoint, checkpoint_dir)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # ONE exploded-endpoints aggregation yields every node, its
     # out-degree, and (outdeg = 0) the dangling set — replacing the
@@ -243,7 +291,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
                          F.lit(0).alias("o")))).alias("s"))
              .select("s.node", "s.o")
              .groupBy("node").agg(F.sum("o").alias("__outdeg")))
-    if use_local_checkpoint:
+    if ck.active:
         # cache, not localCheckpoint: the stats action right below
         # fills it, so materialization costs no extra job; cadence
         # checkpoints on the rank frame keep lineage bounded.
@@ -265,8 +313,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
     n_edges = int(_stats["ne"] or 0)
     if n_nodes == 0:
         out = ninfo.select("node", F.lit(0.0).alias("rank"))
-        if use_local_checkpoint:
-            out = out.localCheckpoint()
+        if ck.active:
+            out = ck(out)
             ninfo.unpersist()
         return out
     has_dangling = int(_stats["nd"] or 0) > 0
@@ -282,7 +330,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
     if n_nodes <= 1_000_000:
         deg = F.broadcast(deg)
     ew = e.join(deg, "src").select("src", "dst", "inv")
-    if use_local_checkpoint:
+    if ck.active:
         # eager materialization, NOT a lazy cache: the edge-weight
         # frame is the big side of every loop join, and planning the
         # composed rounds against an unfilled InMemoryRelation (size
@@ -297,7 +345,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
         # coalesce never increases partition count, so a wider input
         # keeps its spread and a fragmented one merges — no shuffle
         ew_parts = max(8, -(-n_edges // 250_000))
-        ew = ew.coalesce(ew_parts).localCheckpoint()
+        ew = ck(ew.coalesce(ew_parts))
     if reset is not None:
         # teleport vector b: reset weight, 0 elsewhere — joined
         # LAZILY on top of the already-cached node frame (joining it
@@ -319,7 +367,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
                  .select("node",
                          F.coalesce(F.col("__w"), F.lit(0.0))
                          .alias("_b")))
-        if use_local_checkpoint:
+        if ck.active:
             nodes = nodes.cache()
     else:
         nodes = ninfo.select("node", F.lit(1.0 / n_nodes).alias("_b"))
@@ -350,12 +398,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
             ranks, nodes, ew, dangling, n_nodes=n_nodes,
             damping=damping, iterations=iterations, cadence=cadence,
             has_dangling=has_dangling, has_reset=reset is not None,
-            use_local_checkpoint=use_local_checkpoint)
+            ck=ck)
     finally:
         if loop_parts != cur_parts:
             spark.conf.set("spark.sql.shuffle.partitions",
                            str(cur_parts))
-        if use_local_checkpoint:
+        if ck.active:
             # the returned rank frame is checkpointed (last round is
             # always eager), so nothing downstream depends on these
             ninfo.unpersist()
@@ -367,8 +415,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
 def _power_loop(ranks: DataFrame, nodes: DataFrame, ew: DataFrame,
                 dangling: DataFrame, *, n_nodes: int, damping: float,
                 iterations: int, cadence: int, has_dangling: bool,
-                has_reset: bool,
-                use_local_checkpoint: bool) -> DataFrame:
+                has_reset: bool, ck: _Checkpointer) -> DataFrame:
     reset = has_reset
     # the per-round contribution frame (node-count-sized) is
     # explicitly broadcast into the node join under the same ~1M-node
@@ -410,15 +457,16 @@ def _power_loop(ranks: DataFrame, nodes: DataFrame, ew: DataFrame,
                     * (F.coalesce(F.col("c"), F.lit(0.0))
                        + F.col("_dm") / n_nodes))
         ranks = upd.select("node", expr.alias("rank"))
-        if use_local_checkpoint and ((it + 1) % cadence == 0
-                                     or it + 1 == iterations):
-            ranks = ranks.localCheckpoint()
+        if ck.active and ((it + 1) % cadence == 0
+                          or it + 1 == iterations):
+            ranks = ck(ranks)
     return ranks
 
 
 def lpa_communities(edges: DataFrame, src: str = "src",
                     dst: str = "dst", *, rounds: int = 3,
-                    use_local_checkpoint: bool = True) -> DataFrame:
+                    use_local_checkpoint: bool = True,
+                    checkpoint_dir: str | None = None) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) over an edge list (pass a symmetrized list for the
     undirected semantics): every node starts labeled with its own id;
@@ -437,12 +485,14 @@ def lpa_communities(edges: DataFrame, src: str = "src",
     always numeric — so node ids of any orderable type (bigint
     partkeys, string doc hashes/URLs) keep their exact type and the
     deterministic smallest-label tie-break. Labels frame is
-    node-sized; lineage truncates per round via localCheckpoint."""
+    node-sized; lineage truncates per round — localCheckpoint by
+    default, reliable DFS checkpoints via ``checkpoint_dir=`` on a
+    real cluster (module docstring)."""
+    ck = _Checkpointer(edges.sparkSession, use_local_checkpoint,
+                       checkpoint_dir)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
-    if use_local_checkpoint:
-        nodes = nodes.localCheckpoint()
+    nodes = ck(e.select(F.col("src").alias("node"))
+               .union(e.select(F.col("dst").alias("node"))).distinct())
     labels = nodes.select("node", F.col("node").alias("lab"))
     for _ in range(rounds):
         cnt = (e.join(labels.withColumnRenamed("node", "src"), "src")
@@ -465,8 +515,7 @@ def lpa_communities(edges: DataFrame, src: str = "src",
                   .select("node", F.coalesce(F.col("__new"),
                                              F.col("__old"))
                           .alias("lab")))
-        if use_local_checkpoint:
-            labels = labels.localCheckpoint()
+        labels = ck(labels)
     return labels
 
 

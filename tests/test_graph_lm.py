@@ -372,3 +372,51 @@ def test_lpa_string_node_ids(spark):
     want = _lpa_ref(edges, 3)
     assert got == want
     assert all(isinstance(v, str) for v in got.values())
+
+
+def test_reliable_checkpoint_dir_bit_identical(spark, tmp_path):
+    """VERDICT r9 next-round 3: cluster-mode reliable checkpoints.
+    checkpoint_dir= wires sparkContext.setCheckpointDir and swaps
+    localCheckpoint for DataFrame.checkpoint in every iterative
+    operator; results must be BIT-identical (same arithmetic, only
+    the materialization storage moves) and the DFS dir must actually
+    receive checkpoint files (proving the reliable path ran)."""
+    import os
+
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        connected_components, lpa_communities, pagerank)
+    ckdir = str(tmp_path / "ckpt")
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + \
+            [(i, i + 1) for i in range(0, 38, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    pr_local = {r["node"]: r["rank"]
+                for r in pagerank(df, iterations=6).collect()}
+    pr_rel = {r["node"]: r["rank"]
+              for r in pagerank(df, iterations=6,
+                                checkpoint_dir=ckdir).collect()}
+    assert pr_local == pr_rel          # bit-identical doubles
+
+    cc_local = {(r["node"], r["comp"]) for r in
+                connected_components(df, "src", "dst").collect()}
+    cc_rel = {(r["node"], r["comp"]) for r in
+              connected_components(df, "src", "dst",
+                                   checkpoint_dir=ckdir).collect()}
+    assert cc_local == cc_rel
+    star_rel = {(r["node"], r["comp"]) for r in
+                connected_components(df, "src", "dst",
+                                     algorithm="star",
+                                     checkpoint_dir=ckdir).collect()}
+    assert star_rel == cc_local
+
+    lpa_local = {(r["node"], r["lab"]) for r in
+                 lpa_communities(df, rounds=3).collect()}
+    lpa_rel = {(r["node"], r["lab"]) for r in
+               lpa_communities(df, rounds=3,
+                               checkpoint_dir=ckdir).collect()}
+    assert lpa_local == lpa_rel
+
+    # the reliable path must have written real checkpoint files
+    found = [os.path.join(dp, f) for dp, _, fs in os.walk(ckdir)
+             for f in fs]
+    assert found, "no files written to the reliable checkpoint dir"
