@@ -86,3 +86,68 @@ def partition_values_from_relpath(rel_path: str) -> dict[str, str]:
             k, _, v = comp.partition("=")
             parts[k] = v
     return parts
+
+
+def harvest_orc_footer(abs_path: str, rel_path: str,
+                       partition: dict[str, str] | None = None
+                       ) -> FileStat:
+    """Exact row count from the ORC footer — zero data scan, the ORC
+    analogue of the parquet harvest (reference MixedFormatHandler
+    prunes ORC externals via their own footers,
+    MixedFormatHandler.scala:55-230). pyarrow's ORC reader does not
+    expose column statistics, so min/max needs the opt-in
+    ``stats='scan'`` path (:func:`harvest_scan`); the footer count
+    alone already restores metadata-only COUNT(*) on mixed tables."""
+    from pyarrow import orc
+    f = orc.ORCFile(abs_path)
+    return FileStat(path=rel_path, rows=int(f.nrows),
+                    bytes=os.path.getsize(abs_path), minmax={},
+                    partition=partition or {})
+
+
+def harvest_scan(abs_path: str, rel_path: str, fmt: str,
+                 partition: dict[str, str] | None = None) -> FileStat:
+    """One-time LOCAL stats scan for formats whose footers carry no
+    min/max (orc via pyarrow, csv, line-delimited json): exact row
+    count plus per-column min/max for orderable primitive columns.
+    Opt-in at ADD SEGMENT (``stats='scan'``) because it reads the
+    file once — the same cost the reference pays harvesting stats at
+    LOAD; the default ADD SEGMENT stays O(1) metadata-only.
+
+    Only columns whose pyarrow-inferred type is integer/floating/
+    string/date/timestamp keep stats (matching the parquet harvest's
+    orderable-primitive restriction); anything else — or a type the
+    engine's csv/json reader might infer differently — simply loses
+    its file-skip, which is sound (pruning treats absent stats as
+    "may match")."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if fmt == "orc":
+        from pyarrow import orc
+        tbl = orc.ORCFile(abs_path).read()
+    elif fmt == "csv":
+        from pyarrow import csv as pa_csv
+        tbl = pa_csv.read_csv(abs_path)
+    elif fmt == "json":
+        from pyarrow import json as pa_json
+        tbl = pa_json.read_json(abs_path)
+    else:
+        raise ValueError(f"harvest_scan: unsupported format {fmt!r}")
+    minmax: dict[str, list[Any]] = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        t = col.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_date(t) or pa.types.is_timestamp(t)):
+            continue
+        if col.null_count == len(col) or len(col) == 0:
+            continue
+        mm = pc.min_max(col)
+        mn, mx = _norm(mm["min"].as_py()), _norm(mm["max"].as_py())
+        if mn is None or mx is None:
+            continue
+        minmax[name] = [mn, mx]
+    return FileStat(path=rel_path, rows=int(tbl.num_rows),
+                    bytes=os.path.getsize(abs_path), minmax=minmax,
+                    partition=partition or {})

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from ..plans.pruning import Predicate, prune_files
 from .manifest import Manifest, Segment, SegmentStatus
-from .stats import harvest_file, partition_values_from_relpath
+from .stats import (harvest_file, harvest_orc_footer, harvest_scan,
+                    partition_values_from_relpath)
 
 SORT_SCOPES = ("no_sort", "local_sort", "global_sort", "range_sort",
                "zorder", "hilbert")
@@ -732,9 +733,27 @@ class Table:
         return self.insert(_post(df), overwrite=overwrite, source="load",
                            sort_override=sort_override)
 
-    def add_segment(self, external_path: str, fmt: str = "parquet") -> int:
+    def add_segment(self, external_path: str, fmt: str = "parquet",
+                    *, stats: str = "footer") -> int:
         """ADD SEGMENT: register an existing folder (any supported format)
-        without copying (reference CarbonAddLoadCommand.scala:66-117)."""
+        without copying (reference CarbonAddLoadCommand.scala:66-117).
+
+        ``stats`` controls what the manifest learns about the external
+        files (reference analogue: MixedFormatHandler.scala:55-230
+        prunes ORC/parquet externals via their own footers):
+
+        - ``'footer'`` (default, O(1) per file): parquet keeps full
+          row-count + min/max from its footer; ORC keeps the exact
+          footer row count (pyarrow exposes no ORC column stats);
+          csv/json get ``rows=-1`` (metadata count disabled, pruning
+          conservatively keeps them).
+        - ``'scan'`` (opt-in, one local read per file): csv/json/orc
+          additionally harvest exact rows + per-column min/max, so
+          external segments file-skip and metadata-count like native
+          ones. Same cost the reference pays harvesting at LOAD.
+        """
+        if stats not in ("footer", "scan"):
+            raise ValueError(f"stats={stats!r}: 'footer' or 'scan'")
         exts = {"parquet": "*.parquet", "orc": "*.orc",
                 "csv": "*.csv", "json": "*.json"}
         pattern = exts.get(fmt, "*")
@@ -742,13 +761,19 @@ class Table:
                                  recursive=True))
         if not files:
             raise FileNotFoundError(f"no {fmt} files under {external_path}")
-        stats = []
+        stats_rows = []
         for p in files:
             if fmt == "parquet":
-                stats.append(harvest_file(p, p))       # abs path kept
+                stats_rows.append(harvest_file(p, p))     # abs path kept
+            elif stats == "scan":
+                stats_rows.append(harvest_scan(p, p, fmt))
+            elif fmt == "orc":
+                stats_rows.append(harvest_orc_footer(p, p))
             else:
                 from .manifest import FileStat
-                stats.append(FileStat(path=p, rows=-1, bytes=os.path.getsize(p)))
+                stats_rows.append(FileStat(path=p, rows=-1,
+                                           bytes=os.path.getsize(p)))
+        stats = stats_rows
 
         def mutate(doc: dict) -> None:
             seg_id = self.manifest.next_segment_id(doc)

@@ -378,3 +378,67 @@ def table_hilbert_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
                   .cast("double").alias("sum_price")))
+
+
+@query("table_orc_stats_prune", oracle="""
+WITH k AS (SELECT MAX(s_suppkey) // 3 AS k1,
+                  (MAX(s_suppkey) // 3) * 2 AS k2
+           FROM supplier)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+       MIN(s_suppkey) AS min_sk, MAX(s_suppkey) AS max_sk
+FROM supplier, k
+WHERE s_suppkey <= k.k2
+""")
+def table_orc_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max stats for NON-parquet external segments (ADD SEGMENT
+    with stats='scan', catalog/stats.harvest_scan + the SQL form
+    ALTER TABLE .. ADD SEGMENT OPTIONS(..)): one table with a native
+    parquet segment (low key range), an external ORC segment (mid
+    range) and an external CSV segment (high range); a range
+    predicate must file-skip the out-of-range EXTERNAL files
+    driver-side — the reference prunes ORC externals via their own
+    footers (MixedFormatHandler.scala:55-230) — while in-range ORC
+    rows still read back exactly."""
+    from .lifecycle_queries import _scratch as _sc
+    from ..sql import Engine
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .select("s_suppkey", F.col("s_acctbal").cast("double")
+                   .alias("s_acctbal")))
+    max_sk = sup.agg(F.max("s_suppkey")).first()[0]
+    k1, k2 = max_sk // 3, (max_sk // 3) * 2
+    root = _sc("orcstats", sf_dir)
+    eng = Engine(spark, root)
+    eng.sql("CREATE TABLE sorc (s_suppkey BIGINT, s_acctbal DOUBLE)")
+    sup.filter(F.col("s_suppkey") <= k1) \
+        .createOrReplaceTempView("__orc_low")
+    eng.sql("INSERT INTO sorc SELECT * FROM __orc_low")
+    orc_dir = os.path.join(root, "ext_orc")
+    (sup.filter((F.col("s_suppkey") > k1) & (F.col("s_suppkey") <= k2))
+        .coalesce(1).write.mode("overwrite").orc(orc_dir))
+    eng.sql("ALTER TABLE sorc ADD SEGMENT OPTIONS("
+            f"'path'='{orc_dir}', 'format'='orc', 'stats'='scan')")
+    csv_dir = os.path.join(root, "ext_csv")
+    (sup.filter(F.col("s_suppkey") > k2)
+        .coalesce(1).write.mode("overwrite")
+        .option("header", True).csv(csv_dir))
+    eng.sql("ALTER TABLE sorc ADD SEGMENT OPTIONS("
+            f"'path'='{csv_dir}', 'format'='csv', 'stats'='scan')")
+    t = eng.table("sorc")
+    # prune assert: <= k2 keeps parquet+orc, skips every csv file;
+    # <= k1 additionally skips every orc file
+    mid = [f for fs in t.scan_files([("s_suppkey", "<=", k2)]).values()
+           for f in fs]
+    assert any(".orc" in f for f in mid), mid
+    assert not any(".csv" in f for f in mid), mid
+    low = [f for fs in t.scan_files([("s_suppkey", "<=", k1)]).values()
+           for f in fs]
+    assert not any(".orc" in f or ".csv" in f for f in low), low
+    # external stats also restore the metadata-only count
+    assert t.count() == sup.count()
+    return (t.read(predicates=[("s_suppkey", "<=", k2)])
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_bal"),
+                 F.min("s_suppkey").alias("min_sk"),
+                 F.max("s_suppkey").alias("max_sk")))

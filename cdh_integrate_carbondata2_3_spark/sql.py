@@ -89,6 +89,11 @@ _CLEAN_FILES = _ci(r"^\s*CLEAN\s+FILES\s+FOR\s+TABLE\s+((?:\w+\.)?\w+)"
 _ALTER_COMPACT = _ci(
     r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+COMPACT\s+'(\w+)'\s*"
     r"(?:WHERE\s+SEGMENT\.ID\s+IN\s*\(([\d\s,]+)\))?\s*$")
+# ALTER TABLE t ADD SEGMENT OPTIONS('path'='...','format'='...'
+# [,'stats'='scan']) — reference CarbonAddLoadCommand.scala:66-117
+_ALTER_ADD_SEGMENT = _ci(
+    r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+ADD\s+SEGMENT\s+"
+    r"OPTIONS\s*\((.*?)\)\s*$")
 _ALTER_ADD_COLS = _ci(
     r"^\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+ADD\s+COLUMNS\s*\((.*?)\)\s*"
     r"(?:TBLPROPERTIES\s*\((.*?)\))?\s*$")
@@ -1862,6 +1867,15 @@ class Engine:
                       res["trash_bytes"])],
                     "would_clean_segments string, trash_bytes bigint")
             return self._ok(f"cleaned {res}")
+        if m := _ALTER_ADD_SEGMENT.match(text):
+            opts = {k.lower(): v for k, v in
+                    _parse_props(m.group(2)).items()}
+            if "path" not in opts:
+                raise ValueError("ADD SEGMENT requires a 'path' option")
+            seg = self.table(m.group(1)).add_segment(
+                opts["path"], fmt=opts.get("format", "parquet").lower(),
+                stats=opts.get("stats", "footer").lower())
+            return self._ok(f"added segment {seg}")
         if m := _ALTER_COMPACT.match(text):
             kind = m.group(2).lower()
             if kind in ("streaming", "close_streaming"):
