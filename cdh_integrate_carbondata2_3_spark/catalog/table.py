@@ -1245,6 +1245,17 @@ class Table:
                             f"file {f.path} has no bucket info; "
                             "bucket-scoped read needs a fully bucketed table")
 
+        # Time-travel reads fail FAST when CLEAN FILES already swept a
+        # file of the pinned version — a clear engine error naming the
+        # swept segment instead of a mid-scan FileNotFoundException
+        # from a random executor task (same contract restore() gives;
+        # Delta after VACUUM behaves identically). Only checked for
+        # as_of reads: current-version files are lifecycle-protected.
+        swept: list[tuple[str, str]] = []
+        if as_of is not None:
+            swept = [("delete-delta", d["path"])
+                     for d in (doc.get("delete_deltas") or [])
+                     if not os.path.exists(self._abs(d["path"]))]
         # group surviving files by (format, evolution era): a segment's
         # era decides which added-column defaults fill it on read
         groups: dict[tuple, list[str]] = {}
@@ -1279,6 +1290,9 @@ class Table:
                 pcols = self.manifest.properties().get("partition_by") or []
                 ext_spec = tuple((c, kept[0].partition[c])
                                  for c in pcols if c in kept[0].partition)
+            if as_of is not None:
+                swept += [(f"segment {seg.id}", f.path) for f in kept
+                          if not os.path.exists(self._abs(f.path))]
             for f in kept:
                 # split parquet scans into delta-carrying vs clean
                 # files — clean files never pay the anti-join
@@ -1287,6 +1301,13 @@ class Table:
                 groups.setdefault(
                     (seg.format, fills, ext_spec, needs_dd), []).append(
                     self._abs(f.path))
+        if swept:
+            where, example = swept[0]
+            raise FileNotFoundError(
+                f"cannot read as_of={as_of}: {len(swept)} data file(s) "
+                f"of that version physically removed ({where}, e.g. "
+                f"{example!r}) — CLEAN FILES already swept them; the "
+                "version is no longer time-travelable")
 
         dfs: list[DataFrame] = []
         for (fmt, fills, ext_spec, needs_dd), files in groups.items():
