@@ -740,7 +740,55 @@ _BPE_MERGES = 24            # bounded demo rank count
 _BPE_MOD = 10               # doc_id % MOD == 0 → training subset
 
 
-@query("text_bpe_train")    # iterative — rows-only driver check; the
+def _sql_lit(v) -> str:
+    if isinstance(v, float):
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _pinned_oracle(pin: dict[int, list[tuple]], cols: str) -> str:
+    """Corpus-keyed constant-table oracle for deterministic training
+    gates (VERDICT r9 next-round 6): training is not SQL-expressible,
+    but its output IS deterministic, so the oracle is a pinned VALUES
+    table per known corpus — switched on SUM(n_chars) over documents
+    so one SQL string is hash-checkable at every testdata sf. An
+    unknown corpus matches no branch (0 rows → visible gate FAIL);
+    re-pin with `python tools/pin_tokenizer_oracles.py`."""
+    branches = []
+    for sig, rows in pin.items():
+        vals = ", ".join(
+            "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+        branches.append(
+            f"SELECT v.* FROM (VALUES {vals}) AS v({cols}) "
+            f"WHERE (SELECT SUM(n_chars) FROM documents) = {sig}")
+    return "\nUNION ALL\n".join(branches)
+
+
+def _bpe_ranked(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    from ..operators.bpe import train_bpe
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % _BPE_MOD == 0)
+    merges = train_bpe(d, "text", _BPE_MERGES, batch=8)
+    return [(i, a, b) for i, (a, b) in enumerate(merges)]
+
+
+# pinned by tools/pin_tokenizer_oracles.py — see _pinned_oracle
+_BPE_PIN = {
+    153156: [(0, 'e', 'r'), (1, 'e', '</w>'), (2, 'o', 'r'), (3, 't', '</w>'), (4, 'i', 'n'), (5, 'er', '</w>'), (6, 'o', 'w'), (7, 'ow', '</w>'), (8, 'h', '</w>'), (9, 'a', 's'), (10, 'l', 'u'), (11, 'n', '</w>'), (12, 'g', '</w>'), (13, 'y', '</w>'), (14, 'a', 't'), (15, 'a', 'r'), (16, 'p', 'ar'), (17, 'a', '</w>'), (18, 's', 't'), (19, 'd', 'er</w>'), (20, 'or', 'der</w>'), (21, 'as', 'h</w>'), (22, 'h', 'ash</w>'), (23, 'or', 't</w>')],
+    149174: [(0, 'e', 'r'), (1, 'e', '</w>'), (2, 'er', '</w>'), (3, 's', 't'), (4, 'o', 'r'), (5, 'o', 'w'), (6, 'ow', '</w>'), (7, 'n', '</w>'), (8, 'l', 'u'), (9, 'g', '</w>'), (10, 'a', 'r'), (11, 'p', 'ar'), (12, 't', '</w>'), (13, 'h', '</w>'), (14, 'a', '</w>'), (15, 'a', 't'), (16, 'i', 'n'), (17, 'y', '</w>'), (18, 'c', 'u'), (19, 'cu', 'st'), (20, 'cust', 'o'), (21, 'custo', 'm'), (22, 'custom', 'er</w>'), (23, 'c', 'o')],
+    1485576: [(0, 'e', '</w>'), (1, 'e', 'r'), (2, 'er', '</w>'), (3, 's', 't'), (4, 'i', 'n'), (5, 'o', 'r'), (6, 'o', 'w'), (7, 'ow', '</w>'), (8, 'a', 'l'), (9, 'a', 'r'), (10, 'p', 'ar'), (11, 'a', 't'), (12, 'h', '</w>'), (13, 'g', '</w>'), (14, 'n', '</w>'), (15, 't', '</w>'), (16, 'a', '</w>'), (17, 'y', '</w>'), (18, 'f', 'i'), (19, 'fi', 'l'), (20, 'fil', 't'), (21, 'filt', 'er</w>'), (22, 'p', '</w>'), (23, 'u', 'p</w>')],
+}
+
+_UNI_PIN = {
+    153156: [(0, 'order', -3.260442, '302b8a08f0ec4853646368ee1bbef6ae', 160), (1, 'hash', -3.277982, '302b8a08f0ec4853646368ee1bbef6ae', 160), (2, 'sort', -3.295839, '302b8a08f0ec4853646368ee1bbef6ae', 160), (3, 'line', -3.351409, '302b8a08f0ec4853646368ee1bbef6ae', 160), (4, 'value', -3.360979, '302b8a08f0ec4853646368ee1bbef6ae', 160), (5, 'window', -3.370641, '302b8a08f0ec4853646368ee1bbef6ae', 160), (6, 'column', -3.380397, '302b8a08f0ec4853646368ee1bbef6ae', 160), (7, 'part', -3.380397, '302b8a08f0ec4853646368ee1bbef6ae', 160), (8, 'row', -3.380397, '302b8a08f0ec4853646368ee1bbef6ae', 160), (9, 'agg', -3.380431, '302b8a08f0ec4853646368ee1bbef6ae', 160)],
+    149174: [(0, 'column', -3.236929, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (1, 'er', -3.264022, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (2, 'custom', -3.264036, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (3, 'order', -3.301475, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (4, 'big', -3.350258, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (5, 'window', -3.360308, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (6, 'part', -3.380717, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (7, 'the', -3.380717, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (8, 'agg', -3.380755, '572b6f20b1b467a2b5529c8bd75d77fa', 160), (9, 'slow', -3.39108, '572b6f20b1b467a2b5529c8bd75d77fa', 160)],
+    1485576: [(0, 'filter', -3.343772, '695a5cba494b84186ebb190fe014806e', 160), (1, 'vector', -3.387432, '695a5cba494b84186ebb190fe014806e', 160), (2, 'value', -3.398116, '695a5cba494b84186ebb190fe014806e', 160), (3, 'the', -3.398116, '695a5cba494b84186ebb190fe014806e', 160), (4, 'stream', -3.403501, '695a5cba494b84186ebb190fe014806e', 160), (5, 'batch', -3.408915, '695a5cba494b84186ebb190fe014806e', 160), (6, 'spark', -3.408915, '695a5cba494b84186ebb190fe014806e', 160), (7, 'group', -3.410002, '695a5cba494b84186ebb190fe014806e', 160), (8, 'window', -3.412178, '695a5cba494b84186ebb190fe014806e', 160), (9, 'small', -3.413268, '695a5cba494b84186ebb190fe014806e', 160)],
+}
+
+
+@query("text_bpe_train",
+       oracle=_pinned_oracle(_BPE_PIN, "rank, lhs, rhs"))
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py, Sennrich
     et al. 2016): the corpus collapses to a word-count table in ONE
@@ -751,16 +799,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound — provably the same list as one-at-a-time training (see
     train_bpe's proof), so the output is unchanged while the
     rounds×latency axis shrinks. Deterministic — ties break
-    lexicographically — so the returned ranked merge table is stable
-    across runs and machines; exactness is pinned against the
-    canonical worked example in tests/test_bpe.py (no SQL oracle: the
-    training loop is inherently iterative)."""
-    from ..operators.bpe import train_bpe
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") % _BPE_MOD == 0)
-    merges = train_bpe(d, "text", _BPE_MERGES, batch=8)
+    lexicographically — so the ranked merge table is stable across
+    runs and machines, and the oracle is a corpus-keyed PINNED
+    constant table (_pinned_oracle): hash-checked, not rows-only.
+    Exactness vs the canonical worked example stays pinned in
+    tests/test_bpe.py."""
     return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string").orderBy("rank")
+        _bpe_ranked(spark, sf_dir),
+        "rank int, lhs string, rhs string").orderBy("rank")
 
 
 _UNI_VOCAB = 160            # target piece count (demo-scale)
@@ -768,7 +814,23 @@ _UNI_MAXLEN = 6             # longest candidate piece
 _UNI_SEED = 600             # seed substring pool
 
 
-@query("text_unigram_train")   # iterative EM — rows-only driver
+def _unigram_ranked(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    import hashlib
+
+    from ..operators.unigram import train_unigram
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % _BPE_MOD == 0)
+    vocab = train_unigram(d, "text", _UNI_VOCAB,
+                          max_piece_len=_UNI_MAXLEN,
+                          seed_size=_UNI_SEED, em_iters=1)
+    rows = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    ranked = [(i, p, round(lp, 6)) for i, (p, lp) in enumerate(rows)]
+    digest = hashlib.md5("\x1f".join(
+        f"{i}:{p}:{lp:.6f}" for i, p, lp in ranked).encode()).hexdigest()
+    return [(i, p, lp, digest, len(ranked)) for i, p, lp in ranked[:10]]
+
+
+@query("text_unigram_train",
+       oracle=_pinned_oracle(_UNI_PIN, "rank, piece, logp, vocab_md5, n_pieces"))
 def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed unigram-LM tokenizer training
     (operators/unigram.py, Kudo 2018 — SentencePiece's other half
@@ -781,17 +843,14 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     break lexicographically); the lattice E-step, Viterbi encode,
     and distributed-vs-serial EM parity are pinned against full
     segmentation-enumeration references in tests/test_unigram.py
-    (no SQL oracle: EM is inherently iterative). Returns the final
-    vocabulary ranked by probability."""
-    from ..operators.unigram import train_unigram
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") % _BPE_MOD == 0)
-    vocab = train_unigram(d, "text", _UNI_VOCAB,
-                          max_piece_len=_UNI_MAXLEN,
-                          seed_size=_UNI_SEED, em_iters=1)
-    rows = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    Returns the top-10 vocabulary rows by probability plus an
+    md5 digest of the ENTIRE ranked vocabulary (so the pinned
+    constant-table oracle hash-checks the full training result from
+    10 rows — _pinned_oracle; the old check was rows-only)."""
     return spark.createDataFrame(
-        [(i, p, round(lp, 6)) for i, (p, lp) in enumerate(rows)],
-        "rank int, piece string, logp double").orderBy("rank")
+        _unigram_ranked(spark, sf_dir),
+        "rank int, piece string, logp double, "
+        "vocab_md5 string, n_pieces int").orderBy("rank")
 
 
 @query("ml_ols_fit_score", oracle=r"""
