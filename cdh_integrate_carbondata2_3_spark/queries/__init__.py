@@ -22,6 +22,13 @@ class Query:
     name: str
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    # Spark-parseable twin of `oracle`, used ONLY by
+    # tools/baseline_bench.py when the DuckDB oracle uses
+    # DuckDB-only syntax — so the 2x plain-Spark budget stays
+    # verifiable on every heavyweight operator (VERDICT r9
+    # next-round 2). Semantically identical to `oracle`
+    # (hash-equality pinned in tests/test_spark_oracles.py).
+    spark_oracle: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -170,7 +177,8 @@ def _evict_dead_sessions(current: SparkSession) -> None:
         del _PLAN_MEMO[k]
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(name: str, oracle: str | None = None,
+          spark_oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query {name!r}")
@@ -200,7 +208,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         run.__name__ = fn.__name__
         run.__doc__ = fn.__doc__
         run.__wrapped__ = fn
-        REGISTRY[name] = Query(name, run, oracle)
+        REGISTRY[name] = Query(name, run, oracle, spark_oracle)
         return fn
     return deco
 

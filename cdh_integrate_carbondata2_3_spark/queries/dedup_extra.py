@@ -643,7 +643,16 @@ WHERE doc_a % {_INC_NEW_MOD} = 0 OR doc_b % {_INC_NEW_MOD} = 0
 """
 
 
-@query("dedup_incremental_minhash", oracle=_incremental_oracle())
+def _incremental_spark_oracle() -> str:
+    from .pipeline import _minhash_spark_oracle
+    return f"""
+SELECT * FROM ({_minhash_spark_oracle()})
+WHERE doc_a % {_INC_NEW_MOD} = 0 OR doc_b % {_INC_NEW_MOD} = 0
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_incremental_oracle(),
+       spark_oracle=_incremental_spark_oracle())
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash LSH (operators/dedup.
     incremental_minhash_pairs): the previous run's signatures are
@@ -765,7 +774,42 @@ _WIN_MS = 2          # near-dup pair: >= this many shared fingerprints
 _WIN_TRUNC = 200     # raw-char truncation bounding the oracle replay
 
 
-@query("dedup_winnow_fingerprints", oracle=f"""
+_WINNOW_SPARK_ORACLE = f"""
+WITH pre AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(substr(text, 1, {_WIN_TRUNC}))),
+                        '\\\\s+', ' ') AS t
+  FROM documents WHERE doc_id % 2 = 0),
+g AS (SELECT doc_id, pos, md5(substr(t, pos, {_WIN_K})) AS h
+      FROM pre
+      LATERAL VIEW explode(if(length(t) >= {_WIN_K},
+          sequence(1, length(t) - {_WIN_K} + 1),
+          cast(array() as array<int>))) AS pos),
+mx AS (SELECT doc_id, MAX(pos) AS m FROM g GROUP BY doc_id),
+p AS (SELECT s.doc_id, s.pos AS st, gg.pos, gg.h
+      FROM g s JOIN mx USING (doc_id)
+      JOIN g gg ON gg.doc_id = s.doc_id
+               AND gg.pos BETWEEN s.pos AND s.pos + {_WIN_W} - 1
+      WHERE s.pos <= mx.m - {_WIN_W} + 1),
+win AS (SELECT doc_id, st, MIN(h) AS mh FROM p GROUP BY doc_id, st),
+selp AS (SELECT p.doc_id, p.st, MAX(p.pos) AS pos
+         FROM p JOIN win ON win.doc_id = p.doc_id AND win.st = p.st
+                        AND p.h = win.mh
+         GROUP BY p.doc_id, p.st),
+fps AS (SELECT DISTINCT g.doc_id, g.h
+        FROM (SELECT DISTINCT doc_id, pos FROM selp) sp
+        JOIN g ON g.doc_id = sp.doc_id AND g.pos = sp.pos),
+kept AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= {_WIN_DF}),
+fk AS (SELECT fps.doc_id, fps.h FROM fps JOIN kept USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {_WIN_MS}
+"""
+
+
+@query("dedup_winnow_fingerprints", spark_oracle=_WINNOW_SPARK_ORACLE,
+       oracle=f"""
 WITH pre AS (
   SELECT doc_id,
          regexp_replace(lower(trim(substr(text, 1, {_WIN_TRUNC}))),

@@ -152,7 +152,62 @@ def _pagerank_gate_body(spark, sf_dir, pagerank):
             .localCheckpoint())
 
 
-@query("text_lm_perplexity_filter", oracle=f"""
+_LM_SPARK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         filter(split(lower(trim(text)), '\\\\s+'),
+                t -> t != '') AS ts
+  FROM documents),
+tri AS (
+  SELECT doc_id, lang, element_at(ts, i) AS w1,
+         element_at(ts, i + 1) AS w2, element_at(ts, i + 2) AS w3
+  FROM tok
+  LATERAL VIEW explode(if(size(ts) >= 3, sequence(1, size(ts) - 2),
+                          cast(array() as array<int>))) AS i),
+pairs AS (
+  SELECT doc_id, element_at(ts, i) AS w1,
+         element_at(ts, i + 1) AS w2
+  FROM tok
+  LATERAL VIEW explode(if(size(ts) >= 2, sequence(1, size(ts) - 1),
+                          cast(array() as array<int>))) AS i),
+uni AS (
+  SELECT doc_id, t FROM tok LATERAL VIEW explode(ts) AS t),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri
+       WHERE doc_id % {_LM_MOD} <> 0 GROUP BY w1, w2, w3),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs
+       WHERE doc_id % {_LM_MOD} <> 0 GROUP BY w1, w2),
+c1 AS (SELECT t AS w, COUNT(*) AS c1 FROM uni
+       WHERE doc_id % {_LM_MOD} <> 0 GROUP BY t),
+nv AS (SELECT COUNT(*) AS n, COUNT(DISTINCT t) AS v FROM uni
+       WHERE doc_id % {_LM_MOD} <> 0),
+sc AS (
+  SELECT p.doc_id, p.lang,
+         ln({_LM_L1} * ((COALESCE(u3.c1, 0) + {_LM_K})
+                        / (nv.n + {_LM_K} * nv.v))
+          + {_LM_L2} * ((COALESCE(b23.c2, 0) + {_LM_K})
+                        / (COALESCE(u2.c1, 0) + {_LM_K} * nv.v))
+          + {_LM_L3} * ((COALESCE(t3.c3, 0) + {_LM_K})
+                        / (COALESCE(b12.c2, 0) + {_LM_K} * nv.v)))
+           AS lp
+  FROM tri p
+  LEFT JOIN c3 t3 ON p.w1 = t3.w1 AND p.w2 = t3.w2 AND p.w3 = t3.w3
+  LEFT JOIN c2 b12 ON p.w1 = b12.w1 AND p.w2 = b12.w2
+  LEFT JOIN c2 b23 ON p.w2 = b23.w1 AND p.w3 = b23.w2
+  LEFT JOIN c1 u2 ON p.w2 = u2.w
+  LEFT JOIN c1 u3 ON p.w3 = u3.w
+  CROSS JOIN nv
+  WHERE p.doc_id % {_LM_MOD} = 0),
+d AS (SELECT doc_id, lang, AVG(lp) AS alp FROM sc GROUP BY doc_id, lang)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN alp < {_LM_CUT} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cut,
+       CAST(ROUND(AVG(alp), 6) AS DOUBLE) AS mean_logprob
+FROM d GROUP BY lang
+"""
+
+
+@query("text_lm_perplexity_filter", spark_oracle=_LM_SPARK_ORACLE,
+       oracle=f"""
 WITH tok AS (
   SELECT doc_id, lang,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'),

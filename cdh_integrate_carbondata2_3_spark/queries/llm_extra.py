@@ -365,7 +365,57 @@ _KM_D2_SQL = ("list_sum(list_transform(generate_series(1, len({e})), "
               "i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i])))")
 
 
-@query("similarity_kmeans_refine", oracle=f"""
+_KM_D2_SPARK = ("aggregate(zip_with({e}, {c}, (x, y) -> "
+                "(x - y) * (x - y)), CAST(0.0 AS DOUBLE), "
+                "(acc, z) -> acc + z)")
+
+_KMEANS_SPARK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), c0 AS (
+  SELECT id AS cid, e AS ce FROM v
+  WHERE id IN ({", ".join(str(s) for s in _KM_SEEDS)})
+), a1 AS (
+  SELECT id, e, cid AS cluster FROM (
+    SELECT v.id, v.e, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+             {_KM_D2_SPARK.format(e='v.e', c='c.ce')}, c.cid) AS rn
+    FROM v CROSS JOIN c0 c) WHERE rn = 1
+), dims AS (
+  SELECT cluster, x, i0 + 1 AS i
+  FROM a1 LATERAL VIEW posexplode(e) AS i0, x
+), c1 AS (
+  SELECT cluster AS cid,
+         transform(array_sort(collect_list(named_struct(
+             'i', i, 'm', mval))), s -> s.m) AS ce
+  FROM (SELECT cluster, i,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE)
+                     / COUNT(*), 9) AS mval
+        FROM dims GROUP BY cluster, i)
+  GROUP BY cluster
+), a2 AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT v.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+             {_KM_D2_SPARK.format(e='v.e', c='c.ce')}, c.cid) AS rn
+    FROM v CROSS JOIN c1 c) WHERE rn = 1
+)
+SELECT a2.cluster,
+       COUNT(*) AS n_members,
+       CAST(SUM(a2.id) AS BIGINT) AS sum_ids,
+       CAST(ROUND(sqrt(aggregate(transform(c1.ce, x -> x * x),
+                                 CAST(0.0 AS DOUBLE),
+                                 (acc, z) -> acc + z)), 6)
+            AS DOUBLE) AS centroid_norm
+FROM a2 JOIN c1 ON c1.cid = a2.cluster
+GROUP BY a2.cluster, c1.ce
+"""
+
+
+@query("similarity_kmeans_refine", spark_oracle=_KMEANS_SPARK_ORACLE,
+       oracle=f"""
 WITH v AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
 ), c0 AS (
@@ -993,14 +1043,26 @@ _MMR_QID = 0         # query vector = this embedding row
 _MMR_MOD = 3         # candidates: vec_id % MOD == 1
 
 
-def _mmr_oracle() -> str:
+def _mmr_oracle(dialect: str = "duckdb") -> str:
     """The greedy MMR walk as chained CTEs: pick i joins picks 0..i−1
     back in to evaluate the redundancy penalty — the exact replay of
-    the operator's k distributed argmax rounds."""
+    the operator's k distributed argmax rounds. ``dialect`` renders
+    the same query for DuckDB (the correctness oracle) or Spark SQL
+    (the plain-Spark baseline twin — tools/baseline_bench.py)."""
+    if dialect == "spark":
+        def dot(a, b):
+            return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                    f"CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+        dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    else:
+        def dot(a, b):
+            return f"list_dot_product({a}, {b})"
+        dbl = "embedding::DOUBLE[]"
+
     def cos(v, p):
-        return (f"ROUND(list_dot_product({v}, {p}) / "
-                f"(sqrt(list_dot_product({v}, {v})) * "
-                f"sqrt(list_dot_product({p}, {p}))), 6)")
+        return (f"ROUND({dot(v, p)} / "
+                f"(sqrt({dot(v, v)}) * "
+                f"sqrt({dot(p, p)})), 6)")
     ctes = [f"""
 p0 AS (SELECT r.vec_id, r.v,
               ROUND({_MMR_LAM} * r.rel - {1.0 - _MMR_LAM} * 0.0, 6)
@@ -1022,9 +1084,9 @@ p{i} AS (SELECT r.vec_id, r.v,
         f"SELECT {i} AS rank, vec_id, score FROM p{i}"
         for i in range(_MMR_K))
     return f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+WITH q AS (SELECT {dbl} AS qv FROM embeddings
            WHERE vec_id = {_MMR_QID}),
-c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+c AS (SELECT vec_id, {dbl} AS v FROM embeddings
       WHERE vec_id % {_MMR_MOD} = 1),
 r AS (SELECT c.vec_id, c.v,
              {cos('c.v', 'q.qv')} AS rel
@@ -1036,7 +1098,8 @@ FROM ({unions})
 """
 
 
-@query("similarity_mmr_select", oracle=_mmr_oracle())
+@query("similarity_mmr_select", oracle=_mmr_oracle(),
+       spark_oracle=_mmr_oracle("spark"))
 def similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance top-k
     (operators/similarity.mmr_select, Carbonell & Goldstein 1998):

@@ -100,6 +100,65 @@ _SHINGLE_SQL = """
 """
 
 
+# Spark-parseable twin of the shingle CTE (tools/baseline_bench.py;
+# semantics identical to _SHINGLE_SQL): explode a guarded index
+# sequence instead of DuckDB's generate_series (sequence(1, n) runs
+# DESCENDING when n < 1 under Spark semantics — short docs get an
+# empty index array instead of an ANSI element_at error).
+_SHINGLE_SPARK = """
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', element_at(a, i), element_at(a, i + 1),
+                   element_at(a, i + 2)) AS sh
+  FROM (SELECT doc_id, split(trim(text), ' +') AS a FROM documents)
+  LATERAL VIEW explode(if(size(a) >= 3, sequence(1, size(a) - 2),
+                          cast(array() as array<int>))) AS i
+"""
+_HEX15_SPARK = "(" + " + ".join(
+    f"(instr('0123456789abcdef', substr(md5(sh), {p + 1}, 1)) - 1)"
+    f" * {16 ** (14 - p)}L" for p in range(15)) + ")"
+
+
+def _minhash_spark_oracle() -> str:
+    """Spark-SQL rendering of _minhash_sql_oracle (same CTE chain,
+    same arithmetic) — used only as the plain-Spark baseline twin."""
+    sig_cols = ", ".join(
+        f"MIN(({a} * x + {b}) % {_MH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_COEFFS))
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"CAST(h{i} AS STRING)" for i in band)
+        + f") AS band{bi}"
+        for bi, band in enumerate(_BANDS))
+    band_union = "\nUNION\n".join(f"""
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band{bi} = b.band{bi} AND a.doc_id < b.doc_id"""
+                                    for bi in range(len(_BANDS)))
+    return f"""
+WITH toks AS ({_SHINGLE_SPARK}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+), toksx AS (
+  SELECT doc_id, {_HEX15_SPARK} % {_MH_PRIME} AS x FROM toks
+), sigs AS (
+  SELECT doc_id, {sig_cols} FROM toksx GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, {band_exprs} FROM sigs
+), cand AS ({band_union}
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(CAST(i.n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_common), 4) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
 def _minhash_sql_oracle() -> str:
     sig_cols = ", ".join(
         f"MIN(({a} * x + {b}) % {_MH_PRIME}) AS h{i}"

@@ -94,9 +94,14 @@ def main() -> None:
                 for _ in range(2)]
         engine_cold, engine_s = runs[0], min(runs)
         plain_s = None
-        if q.oracle and name not in not_comparable:
+        # prefer the Spark-parseable twin when the DuckDB oracle uses
+        # DuckDB-only syntax (VERDICT r9 next-round 2: the heavyweight
+        # pipeline rows were no-ratio for exactly this reason)
+        oracle_sql = q.spark_oracle or q.oracle
+        if oracle_sql and name not in not_comparable:
             try:
-                plain_s = min(timed(lambda: spark.sql(q.oracle).collect())
+                plain_s = min(timed(lambda: spark.sql(oracle_sql)
+                                    .collect())
                               for _ in range(2))
             except Exception:
                 plain_s = None       # DuckDB-only syntax in the oracle
