@@ -213,62 +213,49 @@ def query(name: str, oracle: str | None = None,
     return deco
 
 
-# Round-9 window plan (VERDICT r8 "Next round" item 6: drain the r4
-# stamp debt). The 50-slot window = the six new r9 gates
-# (text_unigram_train, stream_mv_staleness, graph_lpa_communities,
-# sample_weighted_wor, agg_cms_mergeable_rollup, table_hilbert_prune
-# — never stamped, sort first automatically) + ALL 34 rows whose latest driver stamp is r4
-# (the complete list; afterwards no registered row's stamp is older
-# than r5) + the six r8-stamped rows whose code paths CHANGED this
-# round (funnel user-keyed grouping + stack unpivot, PageRank/PPR
-# cadence + setup rework, frequent-pairs operator promotion,
-# trigram perplexity upgrade, dense-rank negative sampling) + four
-# r5-stamped fillers (dedup_bloom_prefilter/corpus_curation_pipeline
-# yielded their slots to the late never-stamped gates and queue at
-# 51-52), leading with the plan-only queries that
-# exercise the NEW memo cache-retracking path (similarity_ann_ivf
-# was the ADVICE r8 example). All are green on the local
-# tools/check.py gate; the driver artifact should say so.
+# Round-10 window plan (VERDICT r9 "Next round" items 1/5: drain the
+# r5 stamp debt). The 50-slot window = the one never-stamped r10 gate
+# (table_orc_stats_prune — sorts first automatically) + ALL 39 rows
+# whose latest driver stamp is r5 (the complete list — the 16-gate
+# FTS family, the text-analysis rows, dedup_simhash/ngram/embedding,
+# geo_polygon_join, carbon datasource, multimodal decode twins; all
+# green on the local tools/check.py full-registry gate and unchanged
+# since r5 — afterwards no registered row's stamp is older than r6)
+# + the 10 rows whose code paths or OUTPUT changed this round:
+# text_bpe_train / text_unigram_train flipped from rows-only to
+# corpus-pinned hash-checked oracles (new schemas), LPA's
+# type-agnostic argmax, the Hilbert long-interleave fix, the CMS
+# metadata stamp, and the _Checkpointer refactor under pagerank/PPR/
+# connected-components (bit-identical — pinned by
+# test_reliable_checkpoint_dir_bit_identical).
 _ROTATE_BACK_IN: tuple[str, ...] = (
-    # r9 changed paths (stamped r8, code changed this round)
-    "events_funnel_conversion", "graph_pagerank_centrality",
-    "graph_ppr_seeded", "mine_frequent_pairs",
-    "text_lm_perplexity_filter", "sample_hard_negatives",
-    # the full r4 stamp debt (34 rows)
-    "agg_approx_sketch_bounds", "agg_hll_mergeable_rollup",
-    "agg_salted_twophase", "dedup_canonical_pick",
-    "dedup_components_star", "dedup_exact_groups",
-    "dedup_exact_survivors", "dedup_minhash_lsh",
-    "dedup_substring_spans", "dedup_substring_trim",
-    "distinct_projection", "docs_by_source_stats",
-    "embeddings_label_stats", "events_hourly_rollup",
-    "events_json_extract", "events_sessionize", "geo_polygon_filter",
-    "geo_polygon_list_filter", "geo_polyline_buffer",
-    "join_salted_skew", "orderby_limit_topk", "sample_temperature_mix",
-    "sample_token_budget", "scalar_math_case", "sdk_reader_agg",
-    "similarity_cosine_topk", "stream_cdc_apply",
-    "table_bloom_index_prune", "table_create_like_insert",
-    "table_insert_stage", "table_load_badrecords",
-    "table_si_index_prune", "table_truncate_reload", "text_bpe_tokens",
-    # r5-stamped fillers; the first four are plan-only queries with
-    # construction-time caches — they exercise the r9 memo
-    # cache-retracking fix end-to-end under the driver
-    "similarity_ann_ivf", "similarity_ann_lsh",
-    "dedup_semantic_clusters", "search_hybrid_rerank",
-    "dedup_bloom_prefilter", "corpus_curation_pipeline",
+    # the full r5 stamp debt (39 rows)
+    "corpus_curation_pipeline", "dedup_bloom_prefilter",
+    "dedup_embedding_near", "dedup_ngram_jaccard", "dedup_semantic_clusters",
+    "dedup_simhash", "geo_polygon_join", "multimodal_feature_extract",
+    "multimodal_frame_sample", "sample_split_leakage_free",
+    "search_hybrid_rerank", "select_pareto_multid",
+    "similarity_kmeans_refine", "stream_near_dup_parity",
+    "table_carbon_datasource_read", "table_fts_boolean_group",
+    "table_fts_english_analyzer", "table_fts_english_fuzzy",
+    "table_fts_english_range", "table_fts_fuzzy",
+    "table_fts_fuzzy_transpose", "table_fts_limit_ranked",
+    "table_fts_limit_ranked_english", "table_fts_phrase",
+    "table_fts_range_term", "table_fts_regexp_automaton",
+    "table_fts_regexp_dialect", "table_fts_standard_analyzer",
+    "table_fts_text_match", "text_bm25_rank", "text_fingerprint",
+    "text_lang_heuristic", "text_lm_oov_filter", "text_quality_score",
+    "text_repetition_filters", "text_token_stats", "topk_per_group",
+    "udf_text_match", "udf_text_match_limit",
+    # r10 changed paths / changed outputs (10 rows)
+    "text_bpe_train", "text_unigram_train", "graph_lpa_communities",
+    "table_hilbert_prune", "agg_cms_join_size", "agg_cms_mergeable_rollup",
+    "graph_pagerank_centrality", "graph_ppr_seeded", "dedup_components",
+    "dedup_components_star",
 )
 
-# Displaced r5-stamped rows queue for the r10 window (all remain
-# green on the local gate; the FTS family's shared code paths are
-# unchanged since r5 and covered by tests/test_analyzers.py; the two
-# kmeans/stream fillers yielded their slots to the late-r9
-# never-stamped gates graph_lpa_communities + sample_weighted_wor).
-_DEFER_TO_NEXT: tuple[str, ...] = (
-    "table_fts_text_match", "udf_text_match", "udf_text_match_limit",
-    "text_bm25_rank", "table_fts_fuzzy", "table_fts_phrase",
-    "sample_split_leakage_free", "text_lm_oov_filter",
-    "similarity_kmeans_refine", "stream_near_dup_parity",
-)
+# Nothing deferred this round: 1 + 39 + 10 fills the window exactly.
+_DEFER_TO_NEXT: tuple[str, ...] = ()
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
 # correctness gate checks only the FIRST 50 entries of queries() per
@@ -276,6 +263,25 @@ _DEFER_TO_NEXT: tuple[str, ...] = (
 # not-yet-stamped ones (they stay registered and keep running in
 # pytest/bench; only the dict ordering changes).
 _STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # round 9 (CORRECTNESS_r09.json, 49 hash-green + 1 rows-only):
+    "agg_approx_sketch_bounds", "agg_cms_join_size",
+    "agg_cms_mergeable_rollup", "agg_hll_mergeable_rollup",
+    "agg_salted_twophase", "dedup_canonical_pick", "dedup_components_star",
+    "dedup_exact_groups", "dedup_exact_survivors", "dedup_minhash_lsh",
+    "dedup_substring_spans", "dedup_substring_trim", "distinct_projection",
+    "docs_by_source_stats", "embeddings_label_stats", "events_anomaly_mad",
+    "events_funnel_conversion", "events_hourly_rollup",
+    "events_json_extract", "events_sessionize", "geo_polygon_filter",
+    "geo_polygon_list_filter", "geo_polyline_buffer",
+    "graph_lpa_communities", "graph_pagerank_centrality", "graph_ppr_seeded",
+    "join_salted_skew", "mine_frequent_pairs", "orderby_limit_topk",
+    "sample_hard_negatives", "sample_temperature_mix", "sample_token_budget",
+    "sample_weighted_wor", "scalar_math_case", "sdk_reader_agg",
+    "similarity_ann_ivf", "similarity_ann_lsh", "similarity_cosine_topk",
+    "stream_cdc_apply", "stream_mv_staleness", "table_bloom_index_prune",
+    "table_create_like_insert", "table_hilbert_prune", "table_insert_stage",
+    "table_load_badrecords", "table_si_index_prune", "table_truncate_reload",
+    "text_bpe_tokens", "text_lm_perplexity_filter", "text_unigram_train",
     # round 8 (CORRECTNESS_r08.json, 50/50 hash-green):
     "agg_conditional_pivot", "agg_exact_quantiles", "agg_heavy_hitters",
     "agg_minmax_stats", "complex_map_functions",
