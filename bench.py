@@ -75,6 +75,9 @@ HEADLINE = (
     "graph_lpa_communities", "sample_weighted_wor",
     "agg_cms_mergeable_rollup", "table_hilbert_prune",
     "events_anomaly_mad", "agg_cms_join_size",
+    # round 10 addition: mixed-format external-segment stats
+    # harvesting + pruning (parquet + orc + csv table end-to-end)
+    "table_orc_stats_prune",
 )
 
 

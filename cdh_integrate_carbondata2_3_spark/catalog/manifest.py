@@ -483,7 +483,10 @@ class Manifest:
 
         - merge-on-read delete deltas pending (a deleted row may have
           held the extremum),
-        - a queryable non-parquet segment (no harvested stats),
+        - a queryable non-parquet FILE without harvested stats
+          (footer-only ORC, statless csv/json; ADD SEGMENT
+          stats='scan' harvests exact min/max and re-enables the
+          metadata answer),
         - a non-empty file lacking stats for the column (all-null
           file, unharvestable logical type, schema-evolution era
           where the column didn't exist, or a partition column — its
@@ -506,8 +509,13 @@ class Manifest:
         wanted = None if segment_ids is None else set(segment_ids)
         segs = [s for s in doc["segments"] if s["status"] in QUERYABLE
                 and (wanted is None or s["id"] in wanted)]
-        if any(s["format"] != "parquet" for s in segs):
-            return None
+        # Non-parquet segments ARE answerable when their files carry
+        # harvested stats (ADD SEGMENT stats='scan' computes exact
+        # min/max from the data, r10) — no blanket format guard: the
+        # per-file loop below bails to None on any file with a
+        # missing or non-numeric column stat, which covers
+        # footer-only ORC (rows harvested, no column stats) and
+        # statless csv/json (rows=-1, no minmax) exactly.
         doc = self._attach_files(doc) if doc.get("files_ref") else doc
         by_id = {s["id"]: s for s in doc["segments"]}
         out: dict[str, list] = {}

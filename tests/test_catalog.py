@@ -400,3 +400,28 @@ def test_add_segment_orc_footer_and_scan_stats(spark, tmp_path):
 
     with __import__("pytest").raises(ValueError, match="stats"):
         t2.add_segment(orc_dir, fmt="orc", stats="bogus")
+
+
+def test_minmax_metadata_answers_on_scanned_mixed_table(spark, tmp_path):
+    """Metadata-only MIN/MAX works on a mixed-format table when the
+    external files carry scan-harvested stats (exact, computed from
+    the data), and still falls back to None when any queryable file
+    lacks a column stat (footer-only ORC)."""
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select("id", (F.col("id") * 3).alias("v"))
+    t = Table.create(spark, str(tmp_path / "mm"), "id bigint, v bigint")
+    t.insert(df.filter(F.col("id") < 50))
+    csv_dir = str(tmp_path / "mmcsv")
+    df.filter(F.col("id") >= 50).coalesce(1) \
+        .write.option("header", True).csv(csv_dir)
+    t.add_segment(csv_dir, fmt="csv", stats="scan")
+    assert t.manifest.minmax_metadata(["id", "v"]) == {
+        "id": (0, 99), "v": (0, 297)}
+
+    # footer-only ORC: rows known, column stats absent -> None
+    orc_dir = str(tmp_path / "mmorc")
+    df.filter(F.col("id") < 10).coalesce(1).write.orc(orc_dir)
+    t.add_segment(orc_dir, fmt="orc")            # stats='footer'
+    assert t.manifest.minmax_metadata(["id"]) is None

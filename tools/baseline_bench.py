@@ -37,7 +37,16 @@ def main() -> None:
     register_views(spark, sf_dir, TPCH_TABLES)
     qs = all_queries()
 
-    # warmup
+    # warmup — level the table-plan field: register_views above hands
+    # the PLAIN side every table pre-registered, so the engine side
+    # gets the same registry-level setup (first load_table per table
+    # runs one schema-inference job; without this the engine's COLD
+    # run pays it inside the timing while plain Spark never does —
+    # the r9 sub-second cold-ratio artifact, VERDICT r9 item 7)
+    from cdh_integrate_carbondata2_3_spark.sources.registry import (
+        load_table)
+    for t in TPCH_TABLES:
+        load_table(spark, sf_dir, t)
     qs["q1_pricing_summary"].fn(spark, sf_dir).limit(1).collect()
 
     def timed(fn) -> float:
@@ -55,6 +64,10 @@ def main() -> None:
     # measure the lifecycle, not query overhead.
     not_comparable = {"agg_hll_mergeable_rollup",
                       "agg_cms_mergeable_rollup", "agg_cms_join_size",
+                      # corpus-pinned constant-table oracles (r10):
+                      # "plain Spark" would just evaluate a VALUES
+                      # literal while the engine trains the tokenizer
+                      "text_bpe_train", "text_unigram_train",
                       # lifecycle: builds TWO clustered tables
                       # (hilbert + the zorder comparison twin)
                       "table_hilbert_prune",

@@ -1,11 +1,18 @@
 """Local driver-mimic: run every queries() entry on Spark and its
 oracle on DuckDB, compare row count / columns / order-insensitive
 value hash. Run:  python tools/check.py [sf_dir] [query ...]
+
+Set CHECK_OUT=<path.json> to also write a per-query artifact in the
+driver's CORRECTNESS format — the registry (223) outgrew the driver's
+50-slot stamp window, so each round commits a full-registry
+CORRECTNESS_FULL_r{N}.json next to the driver's window artifact
+(VERDICT r9 next-round 5); stamp age then stops mattering.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -69,6 +76,16 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows_match=None, schema_match=None,
+               hash_match=None, spark_rows=None, oracle_rows=None,
+               err=None):
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err}
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,10 +97,12 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            record(name, err=f"spark:{type(e).__name__}")
             n_fail += 1
             continue
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            record(name, spark_rows=len(sdf), err="no_oracle")
             n_pass += 1
             continue
         try:
@@ -92,10 +111,14 @@ def main() -> int:
             con.close()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            record(name, spark_rows=len(sdf),
+                   err=f"duckdb:{type(e).__name__}")
             n_fail += 1
             continue
         sn, scols, shash = canon(sdf)
         on, ocols, ohash = canon(odf)
+        record(name, rows_match=sn == on, schema_match=scols == ocols,
+               hash_match=shash == ohash, spark_rows=sn, oracle_rows=on)
         if sn != on:
             print(f"FAIL {name}: rows spark={sn} duckdb={on}")
             n_fail += 1
@@ -117,6 +140,14 @@ def main() -> int:
             print(f"PASS {name}: {sn} rows hash={shash[:8]} [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    out_path = os.environ.get("CHECK_OUT")
+    if out_path:
+        import json
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=1)
+        print(f"wrote {out_path}")
     return 1 if n_fail else 0
 
 
