@@ -1614,7 +1614,15 @@ class Table:
         # merged files would silently resurrect) forces a recompute
         base = self.manifest.load(_attach=False)["version"]
         props = self.manifest.properties()
-        segs = [s for s in self.manifest.segments({SegmentStatus.SUCCESS})
+        all_success = self.manifest.segments({SegmentStatus.SUCCESS})
+        # auto policies (minor/major) only ever merge NATIVE parquet
+        # segments; explicit CUSTOM may name external / non-parquet
+        # segments too — the adopt-then-normalize lifecycle (externals
+        # enter via ADD SEGMENT, leave compaction as native parquet
+        # with full footer stats; CLEAN FILES drops the compacted
+        # external entry from the manifest WITHOUT touching its files,
+        # which the table never owned)
+        segs = [s for s in all_success
                 if s.format == "parquet" and not s.external_path]
         preserve = int(props.get("compaction_preserve_segments", 0) or 0)
         if preserve and kind in ("minor", "major") and segs:
@@ -1622,7 +1630,8 @@ class Table:
                         [-preserve:]}
             segs = [s for s in segs if s.id not in shielded]
         if kind == "custom":
-            chosen = [s for s in segs if s.id in set(segment_ids or [])]
+            chosen = [s for s in all_success
+                      if s.id in set(segment_ids or [])]
         elif kind == "major":
             if major_size_mb is None:
                 major_size_mb = float(

@@ -425,3 +425,36 @@ def test_minmax_metadata_answers_on_scanned_mixed_table(spark, tmp_path):
     df.filter(F.col("id") < 10).coalesce(1).write.orc(orc_dir)
     t.add_segment(orc_dir, fmt="orc")            # stats='footer'
     assert t.manifest.minmax_metadata(["id"]) is None
+
+
+def test_mixed_format_custom_compaction_to_parquet(spark, tmp_path):
+    """CUSTOM compaction over a mixed parquet+csv+orc table rewrites
+    the chosen segments as ONE native parquet segment with full
+    footer stats — the adopt-then-normalize lifecycle for external
+    data (reference: compaction is format-normalizing; externals
+    enter via ADD SEGMENT and leave compaction as CarbonData)."""
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    from pyspark.sql import functions as F
+
+    df = spark.range(90).select("id", (F.col("id") % 7).alias("v"))
+    t = Table.create(spark, str(tmp_path / "mixc"), "id bigint, v bigint")
+    t.insert(df.filter(F.col("id") < 30))                       # seg 0
+    csv_dir = str(tmp_path / "mc_csv")
+    df.filter((F.col("id") >= 30) & (F.col("id") < 60)) \
+        .coalesce(1).write.option("header", True).csv(csv_dir)
+    t.add_segment(csv_dir, fmt="csv", stats="scan")             # seg 1
+    orc_dir = str(tmp_path / "mc_orc")
+    df.filter(F.col("id") >= 60).coalesce(1).write.orc(orc_dir)
+    t.add_segment(orc_dir, fmt="orc")                           # seg 2
+
+    new_seg = t.compact("custom", segment_ids=[0, 1, 2])
+    assert new_seg is not None
+    live = {s.id: s for s in t.manifest.queryable_segments()}
+    assert set(live) == {new_seg}
+    assert live[new_seg].format == "parquet"
+    # full footer stats on the merged segment -> metadata answers
+    assert t.count() == 90
+    assert t.manifest.minmax_metadata(["id"]) == {"id": (0, 89)}
+    # data exact after the format normalization
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == list(range(90))
