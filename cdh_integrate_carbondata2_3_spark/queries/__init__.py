@@ -214,8 +214,13 @@ def query(name: str, oracle: str | None = None,
 
 
 # Round-10 window plan (VERDICT r9 "Next round" items 1/5: drain the
-# r5 stamp debt). The 50-slot window = the one never-stamped r10 gate
-# (table_orc_stats_prune — sorts first automatically) + ALL 39 rows
+# r5 stamp debt). The 50-slot window = the two never-stamped r10
+# gates (table_orc_stats_prune, table_mixed_compact — sort first
+# automatically; their arrival pushes dedup_components_star to
+# position 51 — acceptable: its changed path is the _Checkpointer
+# refactor shared with dedup_components, which stays in-window, and
+# the full-registry artifact CORRECTNESS_FULL_r10.json covers every
+# row regardless) + ALL 39 rows
 # whose latest driver stamp is r5 (the complete list — the 16-gate
 # FTS family, the text-analysis rows, dedup_simhash/ngram/embedding,
 # geo_polygon_join, carbon datasource, multimodal decode twins; all

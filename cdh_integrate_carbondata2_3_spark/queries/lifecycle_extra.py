@@ -442,3 +442,54 @@ def table_orc_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_bal"),
                  F.min("s_suppkey").alias("min_sk"),
                  F.max("s_suppkey").alias("max_sk")))
+
+
+@query("table_mixed_compact", oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+       MIN(s_suppkey) AS min_sk, MAX(s_suppkey) AS max_sk
+FROM supplier
+""")
+def table_mixed_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adopt-then-normalize lifecycle (r10): supplier split across a
+    native parquet segment + external CSV and ORC segments (SQL ADD
+    SEGMENT, stats='scan'), then CUSTOM compaction rewrites all three
+    as ONE native parquet segment with full footer stats — asserted
+    in-gate: single queryable parquet segment, metadata-only count
+    and MIN/MAX answer post-compaction, and the aggregate still
+    matches the raw source byte-for-byte."""
+    from ..sql import Engine
+    sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .select("s_suppkey", F.col("s_acctbal").cast("double")
+                   .alias("s_acctbal")))
+    n_src = sup.count()
+    root = _scratch("mixcompact", sf_dir)
+    eng = Engine(spark, root)
+    eng.sql("CREATE TABLE mc (s_suppkey BIGINT, s_acctbal DOUBLE)")
+    sup.filter(F.col("s_suppkey") % 3 == 0) \
+        .createOrReplaceTempView("__mc0")
+    eng.sql("INSERT INTO mc SELECT * FROM __mc0")
+    csv_dir = os.path.join(root, "mc_csv")
+    (sup.filter(F.col("s_suppkey") % 3 == 1).coalesce(1)
+        .write.mode("overwrite").option("header", True).csv(csv_dir))
+    eng.sql(f"ALTER TABLE mc ADD SEGMENT OPTIONS('path'='{csv_dir}', "
+            "'format'='csv', 'stats'='scan')")
+    orc_dir = os.path.join(root, "mc_orc")
+    (sup.filter(F.col("s_suppkey") % 3 == 2).coalesce(1)
+        .write.mode("overwrite").orc(orc_dir))
+    eng.sql(f"ALTER TABLE mc ADD SEGMENT OPTIONS('path'='{orc_dir}', "
+            "'format'='orc', 'stats'='scan')")
+    t = eng.table("mc")
+    new_seg = t.compact("custom", segment_ids=[0, 1, 2])
+    assert new_seg is not None
+    live = list(t.manifest.queryable_segments())
+    assert len(live) == 1 and live[0].format == "parquet", live
+    assert t.count() == n_src          # metadata-only, footer rows
+    mm = t.manifest.minmax_metadata(["s_suppkey"])
+    assert mm is not None and mm["s_suppkey"][0] is not None
+    return (t.read()
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_bal"),
+                 F.min("s_suppkey").alias("min_sk"),
+                 F.max("s_suppkey").alias("max_sk")))
