@@ -92,7 +92,24 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, item_col: str,
     min over the depth rows of the item's cells (absent cell = 0 —
     only reachable when the item never occurred). ``probes`` carries
     ``group_cols + [item_col]``; the cell join is sketch-keyed and
-    broadcastable (the sketch is fixed-size)."""
+    broadcastable (the sketch is fixed-size).
+
+    Probes must hash with the SAME width/depth the sketch was built
+    with — a mismatch silently breaks the no-undercount guarantee
+    (probe cells stop colliding with build cells). cms_build frames
+    self-describe via schema metadata: when present it overrides the
+    defaults here, and an explicitly-passed conflicting value
+    raises."""
+    meta = _cms_meta(cells)
+    for key, arg, dflt in (("cms_width", width, 2048),
+                           ("cms_depth", depth, 4)):
+        known = meta.get(key)
+        if known is not None and arg != dflt and known != arg:
+            raise ValueError(
+                f"cms_estimate: {key}={arg} passed but the sketch "
+                f"was built with {known}")
+    width = int(meta.get("cms_width", width))
+    depth = int(meta.get("cms_depth", depth))
     group_cols = list(group_cols or [])
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)]))
     pr = (probes.select(*group_cols, F.col(item_col).alias("__i"))

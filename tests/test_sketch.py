@@ -162,3 +162,26 @@ def test_join_size_rejects_mismatched_sketches(spark):
     est = cms_join_size(
         a, cms_build(df, "item", width=W, depth=D)).first()["est"]
     assert est >= 5 * 10 * 10
+
+
+def test_estimate_uses_build_metadata_for_hashing(spark):
+    """cms_estimate must hash probes with the sketch's OWN
+    width/depth (schema metadata) — probing a W=64 sketch with the
+    2048 default used to silently break the no-undercount guarantee.
+    Calling with no explicit params on a non-default sketch now
+    works; an explicit conflicting value raises."""
+    import pytest as _pt
+
+    from cdh_integrate_carbondata2_3_spark.operators.sketch import (
+        cms_estimate)
+    df = spark.createDataFrame([(i % 5,) for i in range(60)],
+                               "item long")
+    cells = cms_build(df, "item", width=W, depth=D)   # W=64, not 2048
+    probes = spark.createDataFrame([(k,) for k in range(5)],
+                                   "item long")
+    # defaults: metadata wins, estimates never undercount (true = 12)
+    est = {r["item"]: r["est"]
+           for r in cms_estimate(cells, probes, "item").collect()}
+    assert all(v >= 12 for v in est.values()), est
+    with _pt.raises(ValueError, match="cms_width"):
+        cms_estimate(cells, probes, "item", width=W * 2)
