@@ -318,6 +318,39 @@ class Table:
 
     # ----------------------------------------------------------------- load
 
+    def _target_parts(self, df: DataFrame, props: dict) -> int | None:
+        """File-count target from TARGET_FILESIZE_MB (table property
+        ``target_filesize_mb``): ceil(plan-estimated bytes / target).
+        The small-file governor every lakehouse write path needs at
+        100 TB — without it each load writes one file per upstream
+        task, so a 2000-partition incremental insert of 50 MB lands
+        2000 near-empty files and every later scan pays 2000 opens.
+        The estimate comes from Catalyst's optimized-plan stats
+        (driver-side, no job); unknown/absurd estimates disable the
+        governor (None = keep the input layout)."""
+        mb = props.get("target_filesize_mb")
+        if not mb:
+            return None
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+        except Exception:
+            return None
+        if size <= 0 or size > (1 << 50):      # unknown → Long.Max-ish
+            return None
+        import math
+        return max(1, math.ceil(size / (float(mb) * 1024 * 1024)))
+
+    @staticmethod
+    def _sized(df: DataFrame, n: int | None) -> DataFrame:
+        """Re-lay df to ~n partitions: coalesce when shrinking (no
+        shuffle), round-robin repartition when growing."""
+        if n is None:
+            return df
+        cur = df.rdd.getNumPartitions()
+        return df.coalesce(n) if n < cur else (
+            df if n == cur else df.repartition(n))
+
     def _apply_load_sort(self, df: DataFrame,
                          overrides: dict | None = None) -> DataFrame:
         props = {**self.manifest.properties(), **(overrides or {})}
@@ -326,6 +359,11 @@ class Table:
         range_col = props.get("range_column")
         bucket_cols = props.get("bucket_columns", [])
         bucket_n = int(props.get("bucket_number", 0) or 0)
+        # TARGET_FILESIZE_MB governor — applied per scope where it
+        # doesn't conflict with an explicit layout knob (bucketing
+        # fixes the file count by definition; explicit
+        # global_sort_partitions / sort_column_bounds win)
+        tgt = self._target_parts(df, props)
         if bucket_cols and bucket_n > 0:
             # hash bucketing (reference schema.thrift:171-176 /
             # CarbonDataSourceScan bucket HashPartitioning): task i of
@@ -338,8 +376,10 @@ class Table:
             # option): fix the output file count; range partitioning +
             # per-partition sort is the same total order as orderBy but
             # with a deterministic file fan-out for min/max pruning
-            n = int(props.get("global_sort_partitions", 0) or 0)
+            n = int(props.get("global_sort_partitions", 0) or 0) \
+                or (tgt or 0)
             if n > 0:
+                # same total order as orderBy, deterministic fan-out
                 return (df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
                         .sortWithinPartitions(*sort_cols))
             return df.orderBy(*sort_cols)
@@ -370,9 +410,9 @@ class Table:
                         .repartitionByRange(len(tuples) + 1, "__range_id")
                         .sortWithinPartitions(*sort_cols)
                         .drop("__range_id"))
-            return df.sortWithinPartitions(*sort_cols)
+            return self._sized(df, tgt).sortWithinPartitions(*sort_cols)
         if scope == "range_sort" and range_col:
-            n = max(df.rdd.getNumPartitions(), 1)
+            n = tgt or max(df.rdd.getNumPartitions(), 1)
             return df.repartitionByRange(n, range_col)
         if scope == "zorder" and sort_cols:
             return self._apply_zorder(df, sort_cols, props)
@@ -381,7 +421,7 @@ class Table:
         if scope not in SORT_SCOPES:
             raise ValueError(
                 f"unknown sort_scope {scope!r}; one of {SORT_SCOPES}")
-        return df
+        return self._sized(df, tgt)
 
     _ZORDER_BITS = 6        # 2^6 quantile buckets per column
 
@@ -424,6 +464,7 @@ class Table:
                     j * n + ci)
                 z = part if z is None else z.bitwiseOR(part)
         nparts = int(props.get("global_sort_partitions", 0) or 0) \
+            or self._target_parts(df, props) \
             or max(df.rdd.getNumPartitions(), 1)
         return (df.withColumn("__z__", z)
                 .repartitionByRange(nparts, "__z__")
@@ -464,6 +505,7 @@ class Table:
         work = hilbert_index_col(
             work, [f"__hx{i}" for i in range(n)], bits)
         nparts = int(props.get("global_sort_partitions", 0) or 0) \
+            or self._target_parts(df, props) \
             or max(df.rdd.getNumPartitions(), 1)
         drop = [c for c in work.columns if c.startswith("__h")
                 and c != "__h__"]

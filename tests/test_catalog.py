@@ -458,3 +458,59 @@ def test_mixed_format_custom_compaction_to_parquet(spark, tmp_path):
     # data exact after the format normalization
     got = sorted(r["id"] for r in t.read().collect())
     assert got == list(range(90))
+
+
+def test_target_filesize_governor(spark, tmp_path):
+    """TARGET_FILESIZE_MB (r10): the small-file governor — an insert
+    arriving in many tiny upstream partitions lands as few
+    right-sized files; a local_sort table keeps every file sorted
+    (sizing happens BEFORE the per-partition sort); explicit layout
+    knobs (bucketing, global_sort_partitions) still win."""
+    from cdh_integrate_carbondata2_3_spark.catalog.table import Table
+    from pyspark.sql import functions as F
+
+    wide = spark.range(20000).repartition(32).select(
+        "id", F.repeat(F.lit("x"), 64).alias("pad"))
+
+    # without the governor: one file per upstream partition
+    t0 = Table.create(spark, str(tmp_path / "nogov"),
+                      "id bigint, pad string")
+    t0.insert(wide)
+    n0 = sum(len(s.files) for s in t0.manifest.queryable_segments())
+    assert n0 == 32
+
+    # with it: file count collapses toward ceil(bytes/target)
+    t1 = Table.create(spark, str(tmp_path / "gov"),
+                      "id bigint, pad string",
+                      {"target_filesize_mb": "4"})
+    t1.insert(wide)
+    n1 = sum(len(s.files) for s in t1.manifest.queryable_segments())
+    assert n1 < 8, f"governor did not shrink the file count: {n1}"
+    assert t1.read().count() == 20000
+
+    # local_sort + governor: files shrink AND each file stays sorted
+    t2 = Table.create(spark, str(tmp_path / "govsort"),
+                      "id bigint, pad string",
+                      {"target_filesize_mb": "4",
+                       "sort_scope": "local_sort",
+                       "sort_columns": ["id"]})
+    t2.insert(wide)
+    n2 = sum(len(s.files) for s in t2.manifest.queryable_segments())
+    assert n2 < 8
+    import pyarrow.parquet as pq
+    for s in t2.manifest.queryable_segments():
+        for f in s.files:
+            ids = pq.read_table(t2._abs(f.path), columns=["id"])["id"] \
+                .to_pylist()
+            assert ids == sorted(ids), "per-file sort order broken"
+
+    # explicit global_sort_partitions beats the governor
+    t3 = Table.create(spark, str(tmp_path / "govglobal"),
+                      "id bigint, pad string",
+                      {"target_filesize_mb": "4",
+                       "sort_scope": "global_sort",
+                       "sort_columns": ["id"],
+                       "global_sort_partitions": "5"})
+    t3.insert(wide)
+    n3 = sum(len(s.files) for s in t3.manifest.queryable_segments())
+    assert n3 == 5
