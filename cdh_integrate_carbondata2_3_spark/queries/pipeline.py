@@ -198,7 +198,8 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_common) >= {_JACCA
 """
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_sql_oracle())
+@query("dedup_minhash_lsh", oracle=_minhash_sql_oracle(),
+       spark_oracle=_minhash_spark_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact set Jaccard.
 
@@ -463,7 +464,29 @@ _N_QUERY_VECS = 10
 _TOP_K = 5
 
 
-@query("similarity_cosine_topk", oracle=f"""
+_DOT_SPARK = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+              "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+
+
+def _cosine_topk_spark_oracle() -> str:
+    dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, {dbl} AS qv FROM embeddings WHERE vec_id < {_N_QUERY_VECS}),
+c AS (SELECT vec_id AS c_id, {dbl} AS cv FROM embeddings WHERE vec_id >= {_N_QUERY_VECS}),
+scored AS (
+  SELECT q_id, c_id,
+         CAST(ROUND({_DOT_SPARK.format(a='qv', b='cv')} / (sqrt({_DOT_SPARK.format(a='qv', b='qv')}) * sqrt({_DOT_SPARK.format(a='cv', b='cv')})), 6) AS DOUBLE) AS cos_sim
+  FROM q CROSS JOIN c
+), ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rk
+  FROM scored)
+SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {_TOP_K}
+"""
+
+
+@query("similarity_cosine_topk",
+       spark_oracle=_cosine_topk_spark_oracle(), oracle=f"""
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {_N_QUERY_VECS}),
 c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= {_N_QUERY_VECS}),
 scored AS (

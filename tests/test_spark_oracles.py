@@ -17,7 +17,10 @@ from cdh_integrate_carbondata2_3_spark.sources.registry import (
 
 TWINNED = ("similarity_mmr_select", "dedup_winnow_fingerprints",
            "text_lm_perplexity_filter", "dedup_incremental_minhash",
-           "similarity_kmeans_refine")
+           "similarity_kmeans_refine",
+           # r10 second batch: the shared minhash core + brute-force
+           # cosine — two more heavyweight rows into the ratio table
+           "dedup_minhash_lsh", "similarity_cosine_topk")
 
 
 def _canon(pdf):
