@@ -631,7 +631,22 @@ SELECT comp AS component_id, n_members, node AS canonical_doc,
 FROM ranked WHERE rn = 1""")
 
 
-@query("dedup_canonical_pick", oracle=_canonical_oracle())
+def _canonical_spark_oracle() -> str:
+    from .llm_extra import _cc_spark_body
+    return _cc_spark_body() + """
+, ranked AS (
+  SELECT l.comp, l.node, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.comp
+                            ORDER BY d.n_chars DESC, l.node) AS rn,
+         COUNT(*) OVER (PARTITION BY l.comp) AS n_members
+  FROM lab l JOIN documents d ON d.doc_id = l.node)
+SELECT comp AS component_id, n_members, node AS canonical_doc,
+       n_chars AS canonical_chars
+FROM ranked WHERE rn = 1"""
+
+
+@query("dedup_canonical_pick", oracle=_canonical_oracle(),
+       spark_oracle=_canonical_spark_oracle())
 def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection per near-dup cluster: the same bigram-Jaccard
     components as dedup_components, then ONE min_by partial aggregate

@@ -171,13 +171,80 @@ WITH RECURSIVE grams AS (
   SELECT u AS node, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
 )"""
 
+def _cc_spark_body(rounds: int = 8) -> str:
+    """Spark-parseable twin of _CC_BODY (tools/baseline_bench.py):
+    the same bigram-Jaccard edge derivation in Spark SQL, then
+    min-label propagation UNROLLED as chained non-recursive CTEs
+    instead of DuckDB's recursive transitive closure — Spark 4's
+    recursive CTEs are UNION ALL-only, which diverges on cycles.
+    Near-dup components are quasi-cliques (diameter 2–4), so 8
+    unrolled rounds reach the fixpoint with margin; hash-equality vs
+    the engine is pinned per corpus in tests/test_spark_oracles.py,
+    which would catch a wider-diameter corpus."""
+    # Each round references the PREVIOUS label frame exactly ONCE —
+    # a second reference makes Spark inline the CTE tree 2^rounds
+    # times and the analyzer heap-OOMs. Self-loop edges fold "keep
+    # own label" into the same single min-aggregation.
+    labs = ["lab0 AS (SELECT node, node AS comp FROM nodes)"]
+    for k in range(rounds):
+        labs.append(f"""lab{k + 1} AS (
+  SELECT s.u AS node, MIN(l.comp) AS comp
+  FROM symx s JOIN lab{k} l ON l.node = s.v
+  GROUP BY s.u)""")
+    chain = ",\n".join(labs)
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', element_at(a, i), element_at(a, i + 1)) AS g
+  FROM (SELECT doc_id, split(trim(text), ' +') AS a FROM documents)
+  LATERAL VIEW explode(if(size(a) >= 2, sequence(1, size(a) - 1),
+                          cast(array() as array<int>))) AS i
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id
+), rare AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 100
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM grams a JOIN rare r ON a.g = r.g
+  JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+), edges AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n_g + sb.n_g - i.n_common) >= 0.5
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+), nodes AS (
+  SELECT DISTINCT u AS node FROM sym
+), symx AS (
+  SELECT u, v FROM sym UNION ALL SELECT node, node FROM nodes
+),
+{chain},
+lab AS (SELECT node, comp FROM lab{rounds})
+"""
+
+
+_CC_SPARK_ORACLE = _cc_spark_body() + """
+SELECT comp AS component_id, COUNT(*) AS n_members
+FROM lab GROUP BY comp
+"""
+
+
 _CC_ORACLE = _CC_BODY + """
 SELECT comp AS component_id, COUNT(*) AS n_members
 FROM lab GROUP BY comp
 """
 
 
-@query("dedup_components", oracle=_CC_ORACLE)
+@query("dedup_components", oracle=_CC_ORACLE,
+       spark_oracle=_CC_SPARK_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: bigram-Jaccard pairs (threshold 0.5) as
     edges → connected components via iterative min-label propagation
@@ -195,7 +262,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_members")))
 
 
-@query("dedup_components_star", oracle=_CC_ORACLE)
+@query("dedup_components_star", oracle=_CC_ORACLE,
+       spark_oracle=_CC_SPARK_ORACLE)
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering as dedup_components, run through the
     large-star/small-star algorithm (operators/graph.py, Kiveris et

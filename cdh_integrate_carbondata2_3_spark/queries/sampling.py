@@ -335,7 +335,28 @@ def select_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(m, ["n_tokens", "n_uniq"])
 
 
-@query("select_pareto_multid", oracle=f"""
+_PARETO3_SPARK_ORACLE = r"""
+WITH m AS (
+  SELECT doc_id,
+         size(filter(split(trim(text), ' +'), t -> t != '')) AS n_tokens,
+         size(array_distinct(filter(split(trim(text), ' +'),
+              t -> t != ''))) AS n_uniq,
+         length(regexp_replace(text, '\\s', '')) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_uniq, n_chars
+FROM m p
+WHERE NOT EXISTS (
+  SELECT 1 FROM m q
+  WHERE q.n_tokens >= p.n_tokens AND q.n_uniq >= p.n_uniq
+    AND q.n_chars <= p.n_chars
+    AND (q.n_tokens > p.n_tokens OR q.n_uniq > p.n_uniq
+         OR q.n_chars < p.n_chars))
+"""
+
+
+@query("select_pareto_multid", spark_oracle=_PARETO3_SPARK_ORACLE,
+       oracle=f"""
 WITH m AS (
   SELECT doc_id,
          len(list_filter(string_split_regex(trim(text), ' +'),

@@ -352,7 +352,7 @@ _MAD_K = 3.0          # flag |v - med| > K * 1.4826 * MAD
 _MAD_C = 1.4826       # normal-consistency constant
 
 
-@query("events_anomaly_mad", oracle=f"""
+_MAD_ORACLE = f"""
 WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
            FROM events GROUP BY event_type),
 d AS (SELECT e.event_type, e.value, m.med,
@@ -369,7 +369,14 @@ SELECT d.event_type,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM d JOIN md ON d.event_type = md.event_type
 GROUP BY d.event_type, d.med, md.mad
-""")
+"""
+
+
+# Spark twin: identical SQL — only the exact-percentile function name
+# differs (DuckDB quantile_cont / Spark percentile, same linear
+# interpolation; the 9-dp rounding both sides absorbs ulp drift).
+@query("events_anomaly_mad", oracle=_MAD_ORACLE,
+       spark_oracle=_MAD_ORACLE.replace("quantile_cont", "percentile"))
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group anomaly detection: median/MAD z-scores
     (Hampel's rule — |v − median| > K·1.4826·MAD), the outlier flag

@@ -232,7 +232,38 @@ def table_fts_sloppy_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY source")
 
 
-@query("text_bm25_rank", oracle=r"""
+_BM25_SPARK_ORACLE = r"""
+WITH tf AS (
+  SELECT doc_id,
+         size(filter(split(lower(text), '\\s+'),
+              t -> t != '')) AS dl,
+         size(filter(split(lower(text), '\\s+'),
+              t -> t = 'vector')) AS tf0,
+         size(filter(split(lower(text), '\\s+'),
+              t -> t = 'slow')) AS tf1
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) AS sumdl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+  FROM tf
+)
+SELECT doc_id,
+       CAST(ROUND(
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+           * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n)))
+         + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+           * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (sumdl / n))),
+         4) AS DOUBLE) AS bm25
+FROM tf CROSS JOIN stats
+WHERE tf0 + tf1 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
+@query("text_bm25_rank", spark_oracle=_BM25_SPARK_ORACLE, oracle=r"""
 WITH tf AS (
   SELECT doc_id,
          len(list_filter(string_split_regex(lower(text), '\s+'),

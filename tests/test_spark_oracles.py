@@ -20,7 +20,14 @@ TWINNED = ("similarity_mmr_select", "dedup_winnow_fingerprints",
            "similarity_kmeans_refine",
            # r10 second batch: the shared minhash core + brute-force
            # cosine — two more heavyweight rows into the ratio table
-           "dedup_minhash_lsh", "similarity_cosine_topk")
+           "dedup_minhash_lsh", "similarity_cosine_topk",
+           # r10 third batch: percentile rename, HOF token stats,
+           # correlated-NOT-EXISTS skyline, and the unrolled
+           # min-label CC twin (single back-reference per round —
+           # a second one inlines the CTE tree 2^rounds times)
+           "events_anomaly_mad", "text_bm25_rank",
+           "select_pareto_multid", "dedup_components",
+           "dedup_components_star", "dedup_canonical_pick")
 
 
 def _canon(pdf):
