@@ -186,15 +186,23 @@ def kmeans_refine(v: DataFrame, centroids: DataFrame, iters: int = 1,
     cent = centroids.select(F.col(cid_col).alias("cid"),
                             F.col(cvec_col).alias("ce"))
 
-    def assign_to(c):
+    def assign_to(c, keep_vec: bool = True):
         # per-id argmin as min_by over the (d2, cid) struct key: the
         # PARTIAL aggregate collapses each map task's N×k slice to one
         # row per id before the shuffle (the window-argmin it replaced
-        # shuffled all N×k scored rows)
+        # shuffled all N×k scored rows). keep_vec=False (the FINAL
+        # assignment, whose vectors no later round reads) drops the
+        # vector from the shuffled payload — (id, cluster) rows are
+        # ~dim× smaller than (id, vec, cluster) ones.
         d2 = sq_dist(vec_col, "ce")
-        return (v.crossJoin(F.broadcast(c))
-                .select(id_col, vec_col, "cid", d2.alias("d2"))
-                .groupBy(id_col)
+        base = (v.crossJoin(F.broadcast(c))
+                .select(id_col, vec_col, "cid", d2.alias("d2")))
+        if not keep_vec:
+            return (base.groupBy(id_col)
+                    .agg(F.min_by(F.col("cid"),
+                                  F.struct(F.col("d2"), F.col("cid")))
+                         .alias("cluster")))
+        return (base.groupBy(id_col)
                 .agg(F.min_by(F.struct(F.col(vec_col), F.col("cid")),
                               F.struct(F.col("d2"), F.col("cid")))
                      .alias("b"))
@@ -220,8 +228,10 @@ def kmeans_refine(v: DataFrame, centroids: DataFrame, iters: int = 1,
                  .select(F.col("cluster").alias("cid"), "ce"))
         cent = spark.createDataFrame(
             means.collect(), "cid bigint, ce array<double>")
-    # assignment is w.r.t. the FINAL centroids (one more argmin pass)
-    return assign_to(cent).select(id_col, "cluster"), cent
+    # assignment is w.r.t. the FINAL centroids (one more argmin pass;
+    # vector payload dropped — nothing downstream reads it)
+    return (assign_to(cent, keep_vec=False).select(id_col, "cluster"),
+            cent)
 
 
 def _subvec(vec, sub: int, dsub: int) -> Column:
