@@ -320,6 +320,11 @@ _IVF_QUERY_VECS = 10
 
 _COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
             " * sqrt(list_dot_product({b}, {b})))")
+_DOT_SPARK_T = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+_COS_SPARK = (_DOT_SPARK_T.format(a="{a}", b="{b}")
+              + " / (sqrt(" + _DOT_SPARK_T.format(a="{a}", b="{a}")
+              + ") * sqrt(" + _DOT_SPARK_T.format(a="{b}", b="{b}") + "))")
 
 
 def _ivf_oracle() -> str:

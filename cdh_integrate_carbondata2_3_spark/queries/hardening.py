@@ -332,15 +332,19 @@ _SEM_THRESHOLD = 0.35
 
 # one cosine template repo-wide so oracle semantics can't drift apart
 from .dedup_extra import _COS_SQL as _COS  # noqa: E402
+from .dedup_extra import _COS_SPARK as _COS_SP  # noqa: E402
 
 
-def _semantic_oracle() -> str:
+def _semantic_oracle(dialect: str = "duckdb") -> str:
     ids = ", ".join(str(i) for i in _SEM_CENTROID_IDS)
-    cos_vc = _COS.format(a="v.e", b="c.ce")
-    cos_lr = _COS.format(a="l.e", b="r.e")
+    cos_t = _COS_SP if dialect == "spark" else _COS
+    dbl = ("transform(embedding, x -> CAST(x AS DOUBLE))"
+           if dialect == "spark" else "embedding::DOUBLE[]")
+    cos_vc = cos_t.format(a="v.e", b="c.ce")
+    cos_lr = cos_t.format(a="l.e", b="r.e")
     return f"""
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  SELECT vec_id, {dbl} AS e FROM embeddings
 ), cent AS (
   SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id IN ({ids})
 ), assigned AS (
@@ -368,7 +372,8 @@ FROM members m LEFT JOIN dupc d USING (cid)
 """
 
 
-@query("dedup_semantic_clusters", oracle=_semantic_oracle())
+@query("dedup_semantic_clusters", oracle=_semantic_oracle(),
+       spark_oracle=_semantic_oracle("spark"))
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic dedup: cluster the
     embedding space (broadcast argmax against pinned centroids — the
@@ -525,17 +530,29 @@ _HYBRID_K = 10
 _HYBRID_QVEC = 7
 
 
-def _hybrid_oracle() -> str:
-    cos = _COS.format(a="v.e", b="q.qe")
+def _hybrid_oracle(dialect: str = "duckdb") -> str:
+    if dialect == "spark":
+        cos = _COS_SP.format(a="v.e", b="q.qe")
+        dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+        def tfx(pred):
+            return (r"size(filter(split(lower(text), '\\s+'), "
+                    f"t -> {pred}))")
+        tf_dl, tf_0, tf_1 = tfx("t != ''"), tfx("t = 'vector'"), \
+            tfx("t = 'slow'")
+    else:
+        cos = _COS.format(a="v.e", b="q.qe")
+        dbl = "embedding::DOUBLE[]"
+        def tfx(pred):
+            return (r"len(list_filter(string_split_regex(lower(text), "
+                    rf"'\s+'), t -> {pred}))")
+        tf_dl, tf_0, tf_1 = tfx("t <> ''"), tfx("t = 'vector'"), \
+            tfx("t = 'slow'")
     return rf"""
 WITH tf AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
-             t -> t <> '')) AS dl,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
-             t -> t = 'vector')) AS tf0,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
-             t -> t = 'slow')) AS tf1
+         {tf_dl} AS dl,
+         {tf_0} AS tf0,
+         {tf_1} AS tf1
   FROM documents
 ), stats AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -558,7 +575,7 @@ WITH tf AS (
 ), mx AS (
   SELECT MAX(bm25) AS maxb FROM bm
 ), v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  SELECT vec_id, {dbl} AS e FROM embeddings
 ), q AS (
   SELECT e AS qe FROM v WHERE vec_id = {_HYBRID_QVEC}
 ), hyb AS (
@@ -573,7 +590,8 @@ FROM hyb ORDER BY hybrid DESC, doc_id LIMIT {_HYBRID_K}
 """
 
 
-@query("search_hybrid_rerank", oracle=_hybrid_oracle())
+@query("search_hybrid_rerank", oracle=_hybrid_oracle(),
+       spark_oracle=_hybrid_oracle("spark"))
 def search_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval, the RAG-corpus shape: BM25 lexical candidates
     (functions/text_rank.bm25_topk — corpus stats broadcast, corpus

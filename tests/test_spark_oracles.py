@@ -27,7 +27,9 @@ TWINNED = ("similarity_mmr_select", "dedup_winnow_fingerprints",
            # a second one inlines the CTE tree 2^rounds times)
            "events_anomaly_mad", "text_bm25_rank",
            "select_pareto_multid", "dedup_components",
-           "dedup_components_star", "dedup_canonical_pick")
+           "dedup_components_star", "dedup_canonical_pick",
+           # r10 fourth batch: cosine-template dialects
+           "dedup_semantic_clusters", "search_hybrid_rerank")
 
 
 def _canon(pdf):
