@@ -327,7 +327,18 @@ class Table:
         2000 near-empty files and every later scan pays 2000 opens.
         The estimate comes from Catalyst's optimized-plan stats
         (driver-side, no job); unknown/absurd estimates disable the
-        governor (None = keep the input layout)."""
+        governor (None = keep the input layout).
+
+        Catalyst's sizeInBytes is an in-memory/uncompressed figure
+        while target_filesize_mb means ON-DISK bytes, and encoded+
+        compressed parquet typically lands several times smaller —
+        comparing them raw systematically over-splits (ADVICE r10).
+        The plan estimate is therefore divided by a compression-ratio
+        factor, table property ``target_filesize_compression_ratio``
+        (default 3.0 — conservative for snappy parquet over mixed
+        string/numeric rows; set to 1.0 to recover the raw
+        plan-estimate interpretation, or higher for very
+        repetitive/dictionary-friendly data)."""
         mb = props.get("target_filesize_mb")
         if not mb:
             return None
@@ -338,8 +349,15 @@ class Table:
             return None
         if size <= 0 or size > (1 << 50):      # unknown → Long.Max-ish
             return None
+        try:
+            comp = float(props.get(
+                "target_filesize_compression_ratio", 3.0))
+        except (TypeError, ValueError):
+            comp = 3.0
+        if comp <= 0:
+            comp = 1.0
         import math
-        return max(1, math.ceil(size / (float(mb) * 1024 * 1024)))
+        return max(1, math.ceil(size / comp / (float(mb) * 1024 * 1024)))
 
     @staticmethod
     def _sized(df: DataFrame, n: int | None) -> DataFrame:

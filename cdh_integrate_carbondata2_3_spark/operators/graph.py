@@ -46,6 +46,8 @@ materialization point moves):
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -56,24 +58,66 @@ class _Checkpointer:
     ``local`` for the default localCheckpoint lineage truncation,
     ``None`` to disable truncation entirely. Both active modes are
     bit-identical in results; they differ only in where the
-    materialized rounds live (executor memory vs DFS)."""
+    materialized rounds live (executor memory vs DFS).
+
+    GLOBAL SIDE EFFECT (ADVICE r10): ``setCheckpointDir`` mutates
+    SparkContext-wide state that outlives this operator call — later
+    callers on the same session inherit the last dir set. We set it
+    only when it differs from the current one (idempotent re-entry),
+    but callers mixing DIFFERENT checkpoint_dirs on one session
+    should expect last-writer-wins.
+
+    Reliable-mode cost (ADVICE r10): ``DataFrame.checkpoint`` writes
+    the checkpoint files in a SEPARATE job that recomputes the RDD
+    lineage, so an un-persisted lazy checkpoint costs ~2× compute per
+    round. The checkpointer therefore persists the frame before a
+    reliable checkpoint (the write job then reads the cache) and
+    unpersists the previous round's cache on the next call — by which
+    point its checkpoint files are materialized, because the caller's
+    convergence action runs between rounds. Local mode needs none of
+    this: localCheckpoint stores partitions as the first action
+    computes them — truly one job per round."""
 
     def __init__(self, spark, use_local: bool,
                  checkpoint_dir: str | None):
         if checkpoint_dir is not None:
-            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            sc = spark.sparkContext
+            # getCheckpointDir returns <dir>/<uuid> (setCheckpointDir
+            # appends a fresh UUID subdir) — compare the parent, and
+            # only reset when it actually differs
+            cur = sc.getCheckpointDir()
+            cur_parent = (posixpath.dirname(str(cur).rstrip("/"))
+                          if cur else None)
+            want = checkpoint_dir.rstrip("/").lstrip("/")
+            if cur_parent is None or not cur_parent.endswith(want):
+                sc.setCheckpointDir(checkpoint_dir)
             self.mode = "reliable"
         elif use_local:
             self.mode = "local"
         else:
             self.mode = None
+        self._pinned: list[DataFrame] = []
 
     @property
     def active(self) -> bool:
         return self.mode is not None
 
+    def close(self) -> None:
+        """Release the last round's pinned cache (safe once the
+        caller has run any action: the checkpoint files exist, and
+        the returned plan reads those, not the cache)."""
+        while self._pinned:
+            self._pinned.pop().unpersist()
+
     def __call__(self, df: DataFrame, *, eager: bool = True) -> DataFrame:
         if self.mode == "reliable":
+            # previous round's checkpoint files exist by now (the
+            # caller ran an action between ck() calls) — its cache
+            # is dead weight; drop before pinning this round's
+            while self._pinned:
+                self._pinned.pop().unpersist()
+            df = df.persist()
+            self._pinned.append(df)
             return df.checkpoint(eager=eager)
         if self.mode == "local":
             return df.localCheckpoint(eager=eager)
@@ -126,16 +170,21 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                                < F.col("comp")).cast("bigint")
                               .alias("_chg")))
         # lazy: the convergence agg below is the action that
-        # materializes the checkpoint — ONE job per round total
-        # (the old shape was eager-checkpoint + join+count = two
-        # jobs and an extra shuffle per round)
+        # materializes the checkpoint — ONE job per round in local
+        # mode (the old shape was eager-checkpoint + join+count =
+        # two jobs and an extra shuffle per round). Reliable mode
+        # adds Spark's separate checkpoint-WRITE job, but the
+        # checkpointer persists first so that job reads the cache
+        # rather than recomputing the round (ADVICE r10).
         new_labels = ck(new_labels, eager=False)
         # SUM over zero rows is NULL — an empty edge set must read as
         # "nothing changed", not loop to the round cap
         changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
         labels = new_labels.drop("_chg")
         if changed == 0:
+            ck.close()
             return labels
+    ck.close()
     raise RuntimeError(f"did not converge in {max_iter} rounds")
 
 
@@ -179,11 +228,13 @@ def _star_components(sym: DataFrame, max_iter: int,
                  .join(e.select(F.col("u").alias("v")).distinct(), "v")
                  .limit(1).count())
         if multi == 0 and chain == 0:
+            ck.close()
             return (nodes.join(e.withColumnRenamed("u", "node"),
                                "node", "left")
                     .select("node",
                             F.coalesce(F.col("v"), F.col("node"))
                             .alias("comp")))
+    ck.close()
     raise RuntimeError(f"did not converge in {max_iter} rounds")
 
 
@@ -460,6 +511,7 @@ def _power_loop(ranks: DataFrame, nodes: DataFrame, ew: DataFrame,
         if ck.active and ((it + 1) % cadence == 0
                           or it + 1 == iterations):
             ranks = ck(ranks)
+    ck.close()
     return ranks
 
 
@@ -516,6 +568,7 @@ def lpa_communities(edges: DataFrame, src: str = "src",
                                              F.col("__old"))
                           .alias("lab")))
         labels = ck(labels)
+    ck.close()
     return labels
 
 

@@ -87,7 +87,8 @@ def _cms_meta(cells: DataFrame) -> dict:
 
 def cms_estimate(cells: DataFrame, probes: DataFrame, item_col: str,
                  group_cols: list[str] | None = None, *,
-                 width: int = 2048, depth: int = 4) -> DataFrame:
+                 width: int | None = None,
+                 depth: int | None = None) -> DataFrame:
     """Point-query estimates for every (group, probe item):
     min over the depth rows of the item's cells (absent cell = 0 —
     only reachable when the item never occurred). ``probes`` carries
@@ -97,19 +98,23 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, item_col: str,
     Probes must hash with the SAME width/depth the sketch was built
     with — a mismatch silently breaks the no-undercount guarantee
     (probe cells stop colliding with build cells). cms_build frames
-    self-describe via schema metadata: when present it overrides the
-    defaults here, and an explicitly-passed conflicting value
-    raises."""
+    self-describe via schema metadata; width/depth default to None
+    (ADVICE r10: a non-None default made "explicitly passed the
+    default" indistinguishable from "omitted") so ANY explicitly
+    passed value is checked against the sketch metadata and a
+    conflict raises. Omitted values resolve metadata → cms_build's
+    defaults (2048/4) for hand-built cell frames."""
     meta = _cms_meta(cells)
-    for key, arg, dflt in (("cms_width", width, 2048),
-                           ("cms_depth", depth, 4)):
+    for key, arg in (("cms_width", width), ("cms_depth", depth)):
         known = meta.get(key)
-        if known is not None and arg != dflt and known != arg:
+        if known is not None and arg is not None and known != arg:
             raise ValueError(
                 f"cms_estimate: {key}={arg} passed but the sketch "
                 f"was built with {known}")
-    width = int(meta.get("cms_width", width))
-    depth = int(meta.get("cms_depth", depth))
+    width = int(meta.get("cms_width", width if width is not None
+                         else 2048))
+    depth = int(meta.get("cms_depth", depth if depth is not None
+                         else 4))
     group_cols = list(group_cols or [])
     rows = F.explode(F.array(*[F.lit(i) for i in range(depth)]))
     pr = (probes.select(*group_cols, F.col(item_col).alias("__i"))

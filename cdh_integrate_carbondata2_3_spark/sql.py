@@ -2766,9 +2766,18 @@ class Engine:
                 src_t = self.table(merge_m.group(3))
                 mm_meta = src_t.manifest.minmax_metadata([key])
                 lo = hi = None
+                # rows=-1 sentinels (statless csv/json externals)
+                # would make row_count() an undercount — treat the
+                # cap as unanswerable then, mirroring Table.count's
+                # guard (catalog/table.py), instead of letting a
+                # huge statless table slip under the ceiling
+                src_rows_known = not any(
+                    f.rows < 0
+                    for s in src_t.manifest.queryable_segments()
+                    for f in s.files)
                 if mm_meta is not None:
                     lo, hi = mm_meta.get(key, (None, None))
-                elif src_t.manifest.row_count() \
+                elif src_rows_known and src_t.manifest.row_count() \
                         <= self._EXPLAIN_SCAN_ROW_CAP:
                     r = (src_t.read()
                          .agg(F.min(key).alias("lo"),

@@ -185,3 +185,8 @@ def test_estimate_uses_build_metadata_for_hashing(spark):
     assert all(v >= 12 for v in est.values()), est
     with _pt.raises(ValueError, match="cms_width"):
         cms_estimate(cells, probes, "item", width=W * 2)
+    # ADVICE r10: explicitly passing the old global default (2048)
+    # against a differently-built sketch must ALSO raise — None
+    # defaults make "passed" always distinguishable from "omitted"
+    with _pt.raises(ValueError, match="cms_width"):
+        cms_estimate(cells, probes, "item", width=2048)

@@ -61,3 +61,26 @@ def test_every_headline_row_now_has_a_baseline_side(spark):
     missing = [n for n in bench.HEADLINE
                if not (qs[n].oracle or qs[n].spark_oracle)]
     assert not missing, missing
+
+
+def test_baseline_bench_nulls_ratio_on_diverging_twin(spark, sf_dir):
+    """The ratio tool must never time a plain side that computed a
+    DIFFERENT result than the engine (VERDICT r10 next-round 3): feed
+    bench_one a deliberately diverging twin and assert the ratio is
+    nulled with a twin_mismatch reason; then the true twin and assert
+    the ratio survives the hash gate."""
+    from cdh_integrate_carbondata2_3_spark.queries import Query
+    from tools.baseline_bench import bench_one
+
+    register_views(spark, sf_dir, TPCH_TABLES)
+    real = all_queries()["similarity_cosine_topk"]
+    diverging = Query(real.name, real.fn, real.oracle,
+                      spark_oracle=real.spark_oracle
+                      + " ORDER BY 1 LIMIT 1")
+    row = bench_one(spark, diverging, sf_dir)
+    assert row["ratio"] is None
+    assert row["no_ratio_reason"].startswith("twin_mismatch")
+
+    row = bench_one(spark, real, sf_dir)
+    assert row["ratio"] is not None
+    assert "no_ratio_reason" not in row
