@@ -243,6 +243,16 @@ _ANN_DIM = 64
 _ANN_QUERY_VECS = 10
 _ANN_TOP_K = 5
 
+# one cosine/dot template per dialect, shared by the whole ANN family
+# (and re-exported to hardening.py's SemDeDup/hybrid-rerank oracles)
+_COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+_DOT_SPARK_T = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+_COS_SPARK = (_DOT_SPARK_T.format(a="{a}", b="{b}")
+              + " / (sqrt(" + _DOT_SPARK_T.format(a="{a}", b="{a}")
+              + ") * sqrt(" + _DOT_SPARK_T.format(a="{b}", b="{b}") + "))")
+
 
 def _plane_weights(i: int) -> list[int]:
     """Deterministic pseudo-random hyperplane ±-ish integer weights —
@@ -250,27 +260,45 @@ def _plane_weights(i: int) -> list[int]:
     return [((i * 37 + j * 91) % 19) - 9 for j in range(_ANN_DIM)]
 
 
-def _ann_oracle() -> str:
-    projs = ", ".join(
-        "(CASE WHEN list_dot_product(e, ["
-        + ", ".join(f"{w}.0" for w in _plane_weights(i))
-        + f"]) > 0 THEN {1 << i} ELSE 0 END)" for i in range(_ANN_PLANES))
+def _dot_literal(vec: str, weights: list[int], dialect: str) -> str:
+    """dot(vec, literal weight array) in either SQL dialect."""
+    if dialect == "spark":
+        arr = ", ".join(f"{w}.0D" for w in weights)
+        return (f"aggregate(zip_with({vec}, array({arr}), "
+                "(x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+                "(acc, z) -> acc + z)")
+    arr = ", ".join(f"{w}.0" for w in weights)
+    return f"list_dot_product({vec}, [{arr}])"
+
+
+def _ann_oracle(dialect: str = "duckdb") -> str:
     sig = " + ".join(f"p{i}" for i in range(_ANN_PLANES))
     proj_cols = ", ".join(
-        "(CASE WHEN list_dot_product(e, ["
-        + ", ".join(f"{w}.0" for w in _plane_weights(i))
-        + f"]) > 0 THEN {1 << i} ELSE 0 END) AS p{i}"
+        f"(CASE WHEN {_dot_literal('e', _plane_weights(i), dialect)}"
+        f" > 0 THEN {1 << i} ELSE 0 END) AS p{i}"
         for i in range(_ANN_PLANES))
     flips = ", ".join(str(f) for f in [0] + [1 << i for i in range(_ANN_PLANES)])
+    if dialect == "spark":
+        dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+        cos = _COS_SPARK
+        probe_src = (f"FROM sigs LATERAL VIEW explode(array({flips}))"
+                     " t AS f")
+        xor = "(sig ^ f)"
+    else:
+        dbl = "embedding::DOUBLE[]"
+        cos = _COS_SQL
+        probe_src = f"FROM sigs, unnest([{flips}]) AS t(f)"
+        xor = "xor(sig, f)"
+    cos_qc = cos.format(a="qe", b="ce")
     return f"""
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  SELECT vec_id, {dbl} AS e FROM embeddings
 ), sigs AS (
   SELECT vec_id, e, ({sig}) AS sig
   FROM (SELECT vec_id, e, {proj_cols} FROM v)
 ), q AS (
-  SELECT vec_id AS q_id, e AS qe, xor(sig, f) AS probe
-  FROM sigs, unnest([{flips}]) AS t(f)
+  SELECT vec_id AS q_id, e AS qe, {xor} AS probe
+  {probe_src}
   WHERE vec_id < {_ANN_QUERY_VECS}
 ), c AS (
   SELECT vec_id AS c_id, e AS ce, sig FROM sigs WHERE vec_id >= {_ANN_QUERY_VECS}
@@ -278,8 +306,7 @@ WITH v AS (
   SELECT DISTINCT q_id, c_id, qe, ce FROM q JOIN c ON c.sig = q.probe
 ), scored AS (
   SELECT q_id, c_id,
-         CAST(ROUND(list_dot_product(qe, ce)
-           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS DOUBLE) AS cos_sim
+         CAST(ROUND({cos_qc}, 6) AS DOUBLE) AS cos_sim
   FROM cand
 ), ranked AS (
   SELECT q_id, c_id, cos_sim,
@@ -289,7 +316,8 @@ SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {_ANN_TOP_K}
 """
 
 
-@query("similarity_ann_lsh", oracle=_ann_oracle())
+@query("similarity_ann_lsh", oracle=_ann_oracle(),
+       spark_oracle=_ann_oracle("spark"))
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-probe
     random-hyperplane LSH: 2^planes buckets, query probes its own
@@ -318,23 +346,18 @@ _IVF_NPROBE = 2
 _IVF_TOP_K = 5
 _IVF_QUERY_VECS = 10
 
-_COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-            " * sqrt(list_dot_product({b}, {b})))")
-_DOT_SPARK_T = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
-_COS_SPARK = (_DOT_SPARK_T.format(a="{a}", b="{b}")
-              + " / (sqrt(" + _DOT_SPARK_T.format(a="{a}", b="{a}")
-              + ") * sqrt(" + _DOT_SPARK_T.format(a="{b}", b="{b}") + "))")
 
-
-def _ivf_oracle() -> str:
+def _ivf_oracle(dialect: str = "duckdb") -> str:
     ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
-    cos_ct = _COS_SQL.format(a="c.e", b="t.ce")
-    cos_qt = _COS_SQL.format(a="q.qe", b="t.ce")
-    cos_qc = _COS_SQL.format(a="cand.qe", b="cand.ce")
+    cos = _COS_SPARK if dialect == "spark" else _COS_SQL
+    dbl = ("transform(embedding, x -> CAST(x AS DOUBLE))"
+           if dialect == "spark" else "embedding::DOUBLE[]")
+    cos_ct = cos.format(a="c.e", b="t.ce")
+    cos_qt = cos.format(a="q.qe", b="t.ce")
+    cos_qc = cos.format(a="cand.qe", b="cand.ce")
     return f"""
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  SELECT vec_id, {dbl} AS e FROM embeddings
 ), cent AS (
   SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id IN ({ids})
 ), corpus AS (
@@ -371,7 +394,8 @@ SELECT q_id, c_id, cos_sim, rk FROM ranked WHERE rk <= {_IVF_TOP_K}
 """
 
 
-@query("similarity_ann_ivf", oracle=_ivf_oracle())
+@query("similarity_ann_ivf", oracle=_ivf_oracle(),
+       spark_oracle=_ivf_oracle("spark"))
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor: corpus vectors assigned once
     to their nearest centroid's inverted list (broadcast argmax, no
@@ -408,6 +432,31 @@ WITH toks AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(a) - 7, 0) + 1),
                 i -> array_to_string(a[i:i+7], ' '))) AS g
+  FROM toks
+), dfreq AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS df FROM shingles GROUP BY g
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), dup AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup
+  FROM shingles s JOIN dfreq f ON s.g = f.g AND f.df >= 2
+  GROUP BY s.doc_id
+)
+SELECT p.doc_id,
+       p.n_shingles,
+       COALESCE(d.n_dup, 0) AS n_dup_shingles,
+       CAST(ROUND(COALESCE(d.n_dup, 0) * 1.0 / p.n_shingles, 4) AS DOUBLE)
+         AS dup_ratio
+FROM per_doc p LEFT JOIN dup d USING (doc_id)
+""", spark_oracle=r"""
+WITH toks AS (
+  SELECT doc_id, split(trim(text), ' +') AS a FROM documents
+), shingles AS (
+  SELECT doc_id,
+         explode(transform(
+             CASE WHEN size(a) >= 8 THEN sequence(1, size(a) - 7)
+                  ELSE CAST(array() AS ARRAY<INT>) END,
+             i -> concat_ws(' ', slice(a, i, 8)))) AS g
   FROM toks
 ), dfreq AS (
   SELECT g, COUNT(DISTINCT doc_id) AS df FROM shingles GROUP BY g
@@ -538,34 +587,58 @@ _PQ_D2 = ("list_sum(list_transform(generate_series(1, {n}), "
           "__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i])))")
 
 
-def _pq_oracle() -> str:
-    ids = ", ".join(str(i) for i in _PQ_CODE_IDS)
+def _pq_oracle(dialect: str = "duckdb") -> str:
     codes = ", ".join(f"({c}, {vid})"
                       for c, vid in enumerate(_PQ_CODE_IDS))
-    sub_slice = ("list_slice({v}, sub * {d} + 1, sub * {d} + {d})"
-                 .format(v="{v}", d=_PQ_DSUB))
-    d2_enc = _PQ_D2.format(n=_PQ_DSUB,
-                           a=sub_slice.format(v="c.e"), b="cb.cvec")
-    d2_lut = _PQ_D2.format(n=_PQ_DSUB,
-                           a=sub_slice.format(v="q.qe"), b="cb.cvec")
+    if dialect == "spark":
+        dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+        d2 = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+              "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)")
+        sub_slice = f"slice({{v}}, sub * {_PQ_DSUB} + 1, {_PQ_DSUB})"
+        cb_slice = (f"slice(cbsrc.e, s.sub * {_PQ_DSUB} + 1, {_PQ_DSUB})")
+        subs = f"(SELECT explode(sequence(0, {_PQ_M - 1})) AS sub) s"
+        # ordered list-aggs: sort struct(key, val) pairs, project val
+        codes_agg = ("transform(array_sort(collect_list("
+                     "struct(sub, code))), p -> p.code)")
+        lut_row_agg = ("transform(array_sort(collect_list("
+                       "struct(code, d2))), p -> p.d2)")
+        lut_agg = ("transform(array_sort(collect_list("
+                   "struct(sub, lrow))), p -> p.lrow)")
+        adc = (f"aggregate(sequence(1, {_PQ_M}), CAST(0.0 AS DOUBLE), "
+               "(acc, __s) -> acc + element_at("
+               "element_at(lut.lut, __s), "
+               "element_at(codes.codes, __s) + 1))")
+    else:
+        dbl = "embedding::DOUBLE[]"
+        d2 = _PQ_D2.format(n=_PQ_DSUB, a="{a}", b="{b}")
+        sub_slice = (f"list_slice({{v}}, sub * {_PQ_DSUB} + 1, "
+                     f"sub * {_PQ_DSUB} + {_PQ_DSUB})")
+        cb_slice = (f"list_slice(cbsrc.e, s.sub * {_PQ_DSUB} + 1, "
+                    f"s.sub * {_PQ_DSUB} + {_PQ_DSUB})")
+        subs = f"(SELECT unnest(range({_PQ_M})) AS sub) s"
+        codes_agg = "list(code ORDER BY sub)"
+        lut_row_agg = "list(d2 ORDER BY code)"
+        lut_agg = "list(lrow ORDER BY sub)"
+        adc = (f"list_sum(list_transform(generate_series(1, {_PQ_M}), "
+               "__s -> lut.lut[__s][codes.codes[__s] + 1]))")
+    d2_enc = d2.format(a=sub_slice.format(v="c.e"), b="cb.cvec")
+    d2_lut = d2.format(a=sub_slice.format(v="q.qe"), b="cb.cvec")
     return f"""
 WITH v AS (
-  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+  SELECT vec_id AS id, {dbl} AS e FROM embeddings
 ), cbsrc AS (
   SELECT c.code, v.e FROM (VALUES {codes}) AS c(code, vid)
   JOIN v ON v.id = c.vid
 ), cb AS (
-  SELECT s.sub, cbsrc.code,
-         list_slice(cbsrc.e, s.sub * {_PQ_DSUB} + 1,
-                    s.sub * {_PQ_DSUB} + {_PQ_DSUB}) AS cvec
-  FROM (SELECT unnest(range({_PQ_M})) AS sub) s CROSS JOIN cbsrc
+  SELECT s.sub, cbsrc.code, {cb_slice} AS cvec
+  FROM {subs} CROSS JOIN cbsrc
 ), corpus AS (
   SELECT id, e FROM v WHERE id >= {_PQ_QUERY_VECS}
 ), enc AS (
   SELECT c.id, cb.sub, cb.code, {d2_enc} AS d2
   FROM corpus c CROSS JOIN cb
 ), codes AS (
-  SELECT id, list(code ORDER BY sub) AS codes FROM (
+  SELECT id, {codes_agg} AS codes FROM (
     SELECT id, sub, code,
            ROW_NUMBER() OVER (PARTITION BY id, sub
                               ORDER BY d2, code) AS rn
@@ -576,15 +649,12 @@ WITH v AS (
   SELECT q.q_id, cb.sub, cb.code, {d2_lut} AS d2
   FROM q CROSS JOIN cb
 ), lut AS (
-  SELECT q_id, list(row ORDER BY sub) AS lut FROM (
-    SELECT q_id, sub, list(d2 ORDER BY code) AS row
+  SELECT q_id, {lut_agg} AS lut FROM (
+    SELECT q_id, sub, {lut_row_agg} AS lrow
     FROM lutrows GROUP BY q_id, sub) GROUP BY q_id
 ), scored AS (
   SELECT lut.q_id, codes.id AS c_id,
-         CAST(ROUND(list_sum(list_transform(
-             generate_series(1, {_PQ_M}),
-             __s -> lut.lut[__s][codes.codes[__s] + 1])), 6)
-           AS DOUBLE) AS adc_dist
+         CAST(ROUND({adc}, 6) AS DOUBLE) AS adc_dist
   FROM codes CROSS JOIN lut
 ), ranked AS (
   SELECT q_id, c_id, adc_dist,
@@ -595,7 +665,8 @@ SELECT q_id, c_id, adc_dist, rk FROM ranked WHERE rk <= {_PQ_TOP_K}
 """
 
 
-@query("similarity_ann_pq", oracle=_pq_oracle())
+@query("similarity_ann_pq", oracle=_pq_oracle(),
+       spark_oracle=_pq_oracle("spark"))
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed approximate nearest neighbor: vectors are
     product-quantized to m per-subspace codebook ids at WRITE time

@@ -413,6 +413,24 @@ SELECT c.source,
          AS n_kept
 FROM cand c LEFT JOIN ref r USING (fp)
 GROUP BY c.source
+""", spark_oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN text IS NOT NULL
+              THEN md5(concat_ws(' ', slice(split(trim(text), ' +'), 1, 8)))
+         END AS fp
+  FROM documents
+), ref AS (
+  SELECT DISTINCT fp FROM d WHERE doc_id < 200
+), cand AS (
+  SELECT * FROM d WHERE doc_id >= 200
+)
+SELECT c.source,
+       COUNT(*) AS n_cand,
+       CAST(SUM(CASE WHEN r.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM cand c LEFT JOIN ref r USING (fp)
+GROUP BY c.source
 """)
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Membership dedup against a reference corpus via bloom-prefiltered

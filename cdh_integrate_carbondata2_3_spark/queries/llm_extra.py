@@ -25,6 +25,10 @@ from .pipeline import _docs
 
 _EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.com"
 _PHONE_RE = r"\(555\) [0-9]{3}-[0-9]{4}"
+# Spark string literals consume backslash escapes (DuckDB's don't) —
+# double them so the regex reaching the engine is identical
+_EMAIL_RE_SP = _EMAIL_RE.replace("\\", "\\\\")
+_PHONE_RE_SP = _PHONE_RE.replace("\\", "\\\\")
 
 _PACK_WINDOW = 256          # tokens per packed training sequence
 
@@ -54,6 +58,30 @@ SELECT lang,
        CAST(SUM(CASE WHEN regexp_matches(t, '{_EMAIL_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
        CAST(SUM(CASE WHEN regexp_matches(t, '{_PHONE_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
        CAST(SUM(len(t) - len(r)) AS BIGINT) AS len_delta
+FROM red GROUP BY lang
+""", spark_oracle=f"""
+WITH injected AS (
+  SELECT doc_id, lang,
+         trim(text)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS STRING)
+                      || '@' || source || '.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call (555) 010-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, lang, t,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE_SP}', '<EMAIL>'),
+                        '{_PHONE_RE_SP}', '<PHONE>') AS r
+  FROM injected
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN t RLIKE '{_EMAIL_RE_SP}' THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+       CAST(SUM(CASE WHEN t RLIKE '{_PHONE_RE_SP}' THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+       CAST(SUM(length(t) - length(r)) AS BIGINT) AS len_delta
 FROM red GROUP BY lang
 """)
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +372,21 @@ SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(ntok) AS BIGINT) AS sum_tokens
 FROM c GROUP BY source, bin
+""", spark_oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         size(split(trim(text), ' +')) AS ntok
+  FROM documents
+), c AS (
+  SELECT source, doc_id, ntok,
+         SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(FLOOR((cum - ntok) / {_PACK_WINDOW}.0) AS INT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+FROM c GROUP BY source, bin
 """)
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: concatenate docs per source in doc_id
@@ -382,6 +425,35 @@ WITH v AS (
               AS DECIMAL(18,9)) AS err_mean,
          CAST((SELECT COUNT(*) FROM unnest(e) AS t(x)
                WHERE abs(round(x / scale)) > 127) AS BIGINT) AS n_clip
+  FROM q
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(err_mean) AS DOUBLE) AS sum_err_mean,
+       CAST(MAX(err_max) AS DOUBLE) AS max_err,
+       CAST(SUM(n_clip) AS BIGINT) AS n_clipped
+FROM err GROUP BY label
+""", spark_oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id, label,
+         array_max(transform(e, x -> abs(x))) / 127.0 AS scale,
+         e
+  FROM v
+), err AS (
+  SELECT vec_id, label, scale,
+         CAST(ROUND(array_max(transform(e,
+               x -> abs(round(x / scale) * scale - x))), 9)
+              AS DECIMAL(18,9)) AS err_max,
+         CAST(ROUND(aggregate(transform(e,
+               x -> abs(round(x / scale) * scale - x)),
+               CAST(0.0 AS DOUBLE), (a, x) -> a + x) / size(e), 9)
+              AS DECIMAL(18,9)) AS err_mean,
+         CAST(size(filter(e, x -> abs(round(x / scale)) > 127)) AS BIGINT)
+           AS n_clip
   FROM q
 )
 SELECT label,
@@ -658,6 +730,30 @@ WITH e AS (
 )
 SELECT g.event_type,
        CAST(g.h AS VARCHAR) AS hour,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       CAST(ROUND(COALESCE(a.sv, 0), 4) AS DOUBLE) AS sum_value,
+       CAST(SUM(COALESCE(a.n, 0)) OVER (
+         PARTITION BY g.event_type ORDER BY g.h) AS BIGINT) AS cum_events
+FROM grid g LEFT JOIN actual a
+  ON a.event_type = g.event_type AND a.h = g.h
+""", spark_oracle="""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value
+  FROM events WHERE user_id % 50 = 0
+), bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e
+), hours AS (
+  SELECT explode(sequence(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), grid AS (
+  SELECT t.event_type, hours.h
+  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours
+), actual AS (
+  SELECT event_type, h, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM e GROUP BY event_type, h
+)
+SELECT g.event_type,
+       CAST(g.h AS STRING) AS hour,
        CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
        CAST(ROUND(COALESCE(a.sv, 0), 4) AS DOUBLE) AS sum_value,
        CAST(SUM(COALESCE(a.n, 0)) OVER (
@@ -1223,6 +1319,29 @@ cand AS (
                md5(CAST(a.a_id AS VARCHAR) || '#'
                    || CAST(u.j AS VARCHAR)) AS h
         FROM anch a, UNNEST(range(1, {_NEG_K} + 1)) AS u(j)), nn),
+pairs AS (
+  SELECT c.a_label, e.label AS n_label
+  FROM cand c
+  JOIN ids i ON i.r = c.neg_r
+  JOIN embeddings e ON e.vec_id = i.vec_id
+  WHERE i.vec_id <> c.a_id)
+SELECT a_label, n_label, COUNT(*) AS n_pairs
+FROM pairs GROUP BY a_label, n_label
+""", spark_oracle=f"""
+WITH ids AS (SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r
+             FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+anch AS (SELECT vec_id AS a_id, label AS a_label FROM embeddings
+         WHERE vec_id % {_NEG_MOD} = 0),
+hashed AS (
+  SELECT a.a_id, a.a_label, j,
+         md5(CAST(a.a_id AS STRING) || '#' || CAST(j AS STRING)) AS h
+  FROM anch a LATERAL VIEW explode(sequence(1, {_NEG_K})) u AS j),
+cand AS (
+  SELECT a_id, a_label, j,
+         CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT) % nn.n AS neg_r
+  FROM hashed, nn),
 pairs AS (
   SELECT c.a_label, e.label AS n_label
   FROM cand c

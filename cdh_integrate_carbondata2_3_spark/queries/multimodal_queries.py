@@ -55,6 +55,16 @@ SELECT doc_id,
 FROM documents,
      unnest(generate_series(0, CAST(floor((length(text) - {FRAME_LEN})
                                           / {FRAME_STRIDE}.0) AS BIGINT))) AS t(k)
+""", spark_oracle=f"""
+SELECT doc_id,
+       CAST(k AS INT) AS frame_no,
+       md5(substr(text, k * {FRAME_STRIDE} + 1, {FRAME_LEN})) AS frame_digest
+FROM documents
+LATERAL VIEW explode(
+  CASE WHEN length(text) >= {FRAME_LEN}
+       THEN sequence(0, CAST(floor((length(text) - {FRAME_LEN})
+                                   / {FRAME_STRIDE}.0) AS INT))
+       ELSE CAST(array() AS ARRAY<INT>) END) t AS k
 """)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob → N frames through mapInPandas (video frame-sampling batch

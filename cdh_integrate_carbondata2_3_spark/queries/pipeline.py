@@ -399,9 +399,15 @@ def text_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+# Spark twin: regexp_replace is global by default (no 'g' flag arg —
+# Spark's 4th parameter is a start position, not flags)
 @query("text_fingerprint", oracle="""
 SELECT doc_id,
        md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+""", spark_oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), ' +', ' '))) AS fingerprint
 FROM documents
 """)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -416,14 +416,19 @@ def agg_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # .scala:50-61 — dense_rank / row_number / sum-over)
 # ---------------------------------------------------------------------------
 
-@query("window_rank_customers", oracle="""
+_RANK_BODY = """
 SELECT c_custkey, c_nationkey, c_acctbal,
        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
        RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
        DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
 FROM customer
-QUALIFY rn <= 5
-""")
+"""
+
+
+# Spark twin: QUALIFY is DuckDB-only — same windows, subquery filter
+@query("window_rank_customers",
+       oracle=_RANK_BODY + "QUALIFY rn <= 5",
+       spark_oracle=f"SELECT * FROM ({_RANK_BODY}) WHERE rn <= 5")
 def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number/rank/dense_rank + top-k-per-group filter."""
     cust = _t(spark, sf_dir, "customer")
@@ -706,8 +711,8 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # date_trunc: MVFunctions.scala:28-32, MVTimeGranularity.scala:25-35)
 # ---------------------------------------------------------------------------
 
-@query("events_hourly_rollup", oracle="""
-SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour_bucket,
+_HOURLY_BODY = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS {s}) AS hour_bucket,
        event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
@@ -715,7 +720,13 @@ SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour_bucket,
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
 GROUP BY 1, 2
-""")
+"""
+
+
+# Spark twin: only the string type name differs (VARCHAR needs a
+# length parameter under Spark's ANSI parser)
+@query("events_hourly_rollup", oracle=_HOURLY_BODY.format(s="VARCHAR"),
+       spark_oracle=_HOURLY_BODY.format(s="STRING"))
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timeseries(ts,'hour') equivalent via date_trunc (SURVEY.md §2.4)."""
     from ..functions.timeseries import timeseries_bucket
@@ -781,14 +792,22 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("ts").cast("string").alias("session_start")))
 
 
-@query("agg_exact_quantiles", oracle="""
+_QUANTILES_BODY = """
 SELECT o_orderpriority,
        COUNT(*) AS n,
-       CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS p50,
-       CAST(ROUND(quantile_cont(o_totalprice, 0.95), 4) AS DOUBLE) AS p95,
-       CAST(ROUND(quantile_cont(o_totalprice, 0.99), 4) AS DOUBLE) AS p99
+       CAST(ROUND({q}(o_totalprice, 0.5), 4) AS DOUBLE) AS p50,
+       CAST(ROUND({q}(o_totalprice, 0.95), 4) AS DOUBLE) AS p95,
+       CAST(ROUND({q}(o_totalprice, 0.99), 4) AS DOUBLE) AS p99
 FROM orders GROUP BY o_orderpriority
-""")
+"""
+
+
+# Spark twin: identical SQL, only the exact-percentile function name
+# differs (DuckDB quantile_cont / Spark percentile — same linear
+# interpolation on the sorted group)
+@query("agg_exact_quantiles",
+       oracle=_QUANTILES_BODY.format(q="quantile_cont"),
+       spark_oracle=_QUANTILES_BODY.format(q="percentile"))
 def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`: linear interpolation on the sorted group).

@@ -29,6 +29,8 @@ def _id_hash(col: str = "doc_id") -> F.Column:
 
 
 _ID_HASH_SQL = "md5(CAST(doc_id AS VARCHAR))"
+# Spark spelling of the same id hash (md5 of the decimal string)
+_ID_HASH_SPARK = "md5(CAST(doc_id AS STRING))"
 
 
 @query("sample_hash_bernoulli", oracle=f"""
@@ -47,13 +49,18 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source", "n_chars"))
 
 
-@query("sample_stratified_lang", oracle=f"""
+_STRAT_BODY = """
 SELECT doc_id, lang, n_chars
 FROM documents
-WHERE {_ID_HASH_SQL} < CASE WHEN lang = 'en' THEN '8'
-                            WHEN lang IN ('es', 'fr') THEN '4'
-                            ELSE '1' END
-""")
+WHERE {h} < CASE WHEN lang = 'en' THEN '8'
+                 WHEN lang IN ('es', 'fr') THEN '4'
+                 ELSE '1' END
+"""
+
+
+@query("sample_stratified_lang",
+       oracle=_STRAT_BODY.format(h=_ID_HASH_SQL),
+       spark_oracle=_STRAT_BODY.format(h=_ID_HASH_SPARK))
 def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with per-stratum rates (en 50%, es/fr 25%,
     rest ~6%) — the standard language-rebalancing step of a pretraining
@@ -104,6 +111,17 @@ FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
       FROM documents) d,
      unnest(generate_series(0, CAST(floor((len(toks) - 1) / {_CHUNK}.0) AS BIGINT)))
        AS t(k)
+""", spark_oracle=f"""
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_no,
+       CAST(size(slice(toks, k * {_CHUNK} + 1, {_CHUNK})) AS INT)
+         AS n_tokens,
+       md5(concat_ws(' ', slice(toks, k * {_CHUNK} + 1, {_CHUNK})))
+         AS chunk_digest
+FROM (SELECT doc_id, split(trim(text), ' +') AS toks
+      FROM documents) d
+LATERAL VIEW explode(sequence(0,
+    CAST(floor((size(toks) - 1) / {_CHUNK}.0) AS INT))) t AS k
 """)
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split each document into fixed-size token windows (context-window
@@ -229,7 +247,7 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").cast("bigint").alias("min_doc")))
 
 
-@query("sample_temperature_mix", oracle=f"""
+_TEMP_MIX_BODY = """
 WITH counts AS (
   SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
 ), m AS (SELECT MIN(n_s) AS n_min FROM counts)
@@ -238,9 +256,19 @@ SELECT d.source,
        CAST(MIN(d.doc_id) AS BIGINT) AS min_doc
 FROM documents d, counts c, m
 WHERE d.source = c.source
-  AND ({_W_U16_SQL}) * ({_W_U16_SQL}) * c.n_s < m.n_min * 4294967296
+  AND ({u16}) * ({u16}) * c.n_s < m.n_min * 4294967296
 GROUP BY d.source
-""")
+"""
+
+# Spark spelling of the first-4-hex-digits uniform: conv() instead of
+# the DuckDB strpos ladder — the same u16 integer
+_W_U16_SPARK = ("CAST(conv(substring(md5(CAST(d.doc_id AS STRING)), "
+                "1, 4), 16, 10) AS BIGINT)")
+
+
+@query("sample_temperature_mix",
+       oracle=_TEMP_MIX_BODY.format(u16=_W_U16_SQL),
+       spark_oracle=_TEMP_MIX_BODY.format(u16=_W_U16_SPARK))
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (mT5-style, alpha = 0.5):
     p(keep | source s) = sqrt(n_min / n_s), so over-represented
@@ -537,10 +565,10 @@ def weighted_sample_wor(df, group_cols, weight_col, k, *,
             .filter(F.col("rk") <= k))
 
 
-@query("sample_weighted_wor", oracle=f"""
+_WOR_BODY = f"""
 WITH keyed AS (
   SELECT lang, doc_id, n_chars,
-         ln(({_ES_HEX12_SQL} + 0.5) / {16 ** 12}.0)
+         ln(({{h12}} + 0.5) / {16 ** 12}.0)
            / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS k
   FROM documents),
 r AS (SELECT lang, doc_id, n_chars,
@@ -548,7 +576,16 @@ r AS (SELECT lang, doc_id, n_chars,
                                 ORDER BY k DESC, doc_id) AS rk
       FROM keyed)
 SELECT lang, doc_id, n_chars, rk FROM r WHERE rk <= {_ES_K}
-""")
+"""
+
+# Spark spelling of the 12-hex-digit uniform (conv, exact ≤ 2^48)
+_ES_HEX12_SPARK = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), "
+                   "1, 12), 16, 10) AS DOUBLE)")
+
+
+@query("sample_weighted_wor",
+       oracle=_WOR_BODY.format(h12=_ES_HEX12_SQL),
+       spark_oracle=_WOR_BODY.format(h12=_ES_HEX12_SPARK))
 def sample_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling WITHOUT replacement:
     the {_ES_K} docs per language, selection probability proportional

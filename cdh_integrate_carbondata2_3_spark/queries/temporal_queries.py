@@ -40,6 +40,24 @@ SELECT p.purchase_id, p.user_id,
        COALESCE(CAST(c.ts AS VARCHAR), '') AS click_ts
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""", spark_oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.purchase_id, p.user_id, c.click_id, c.ts AS cts,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.ts DESC) AS rn
+  FROM purchases p LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id,
+       COALESCE(click_id, -1) AS click_id,
+       COALESCE(CAST(cts AS STRING), '') AS click_ts
+FROM j WHERE rn = 1
 """)
 def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: for each purchase, the user's most recent
@@ -317,6 +335,17 @@ WITH t AS (
   FROM events)
 SELECT user_id, COUNT(*) AS n_events,
        CAST(ROUND(SUM(value * exp(-((mx - us) / {_DECAY_US}.0))), 6)
+            AS DOUBLE) AS decayed
+FROM t GROUP BY user_id
+""", spark_oracle=f"""
+WITH t AS (
+  SELECT user_id, value, ts,
+         MAX(ts) OVER (PARTITION BY user_id) AS mx
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value
+                      * exp(-(timestampdiff(MICROSECOND, ts, mx)
+                              / {_DECAY_US}.0))), 6)
             AS DOUBLE) AS decayed
 FROM t GROUP BY user_id
 """)

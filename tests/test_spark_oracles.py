@@ -29,7 +29,21 @@ TWINNED = ("similarity_mmr_select", "dedup_winnow_fingerprints",
            "select_pareto_multid", "dedup_components",
            "dedup_components_star", "dedup_canonical_pick",
            # r10 fourth batch: cosine-template dialects
-           "dedup_semantic_clusters", "search_hybrid_rerank")
+           "dedup_semantic_clusters", "search_hybrid_rerank",
+           # r11 batch (VERDICT r10 next-round 1c): the ANN family +
+           # every remaining dialect-gap headline row — 21 more
+           # hash-pinned twins so the ratio table covers 53/70 rows
+           "window_rank_customers", "events_hourly_rollup",
+           "agg_exact_quantiles", "text_fingerprint",
+           "sample_stratified_lang", "text_chunk_windows",
+           "sample_temperature_mix", "sample_weighted_wor",
+           "join_asof_events", "events_time_decay_score",
+           "text_pii_redact", "text_pack_sequences",
+           "embedding_quantize_int8", "events_gap_fill",
+           "sample_hard_negatives", "multimodal_frame_sample",
+           "similarity_ann_lsh", "similarity_ann_ivf",
+           "similarity_ann_pq", "dedup_substring_spans",
+           "dedup_bloom_prefilter")
 
 
 def _canon(pdf):

@@ -94,6 +94,22 @@ NOT_COMPARABLE: dict[str, str] = {
     "ml_logit_fit_calibrate":
         "oracle pins the calibrated holdout metrics as constants; "
         "plain side would not run IRLS",
+    # codec gates: the engine encodes real WAV/PNG/JPEG/MP3/MP4 blobs
+    # and decodes them with real parsers; the oracle recomputes the
+    # synthetic generator formulas in closed-form SQL — a ratio would
+    # compare a decoder to arithmetic, not engine overhead
+    "multimodal_wav_decode":
+        "codec gate: engine runs a real RIFF/WAVE decoder; oracle is "
+        "the closed-form sample formula, not a decode",
+    "multimodal_png_decode":
+        "codec gate: engine runs a real zlib-inflate PNG decoder; "
+        "oracle is the closed-form pixel formula, not a decode",
+    "multimodal_jpeg_decode":
+        "codec gate: engine runs a real Huffman+IDCT JPEG decoder; "
+        "oracle is the closed-form pixel formula, not a decode",
+    "multimodal_av_meta":
+        "codec gate: engine parses real MP3 frames / MP4 boxes; "
+        "oracle is the closed-form duration formula, not a parse",
 }
 
 
