@@ -141,6 +141,10 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     "text_pii_redact", "text_decontaminate", "text_pack_sequences",
     "embedding_quantize_int8", "events_gap_fill", "events_gap_fill_locf",
     "text_lm_oov_filter",
+    # graph_lm.py: the perplexity gate went single-pass in r11
+    # (materialize_scalars=False — no construction action, no cache;
+    # train+score is one job exactly like its SQL twin)
+    "text_lm_perplexity_filter",
     # corpus_curation_pipeline excluded: 7 construction-time jobs
     # hardening.py (the CMS rollup is pure cell-frame composition —
     # sketches build/merge/estimate lazily at action time)

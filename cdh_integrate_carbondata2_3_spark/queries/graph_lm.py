@@ -274,15 +274,17 @@ def text_lm_perplexity_filter(spark: SparkSession,
     three smoothing floors, unseen-context backstops, and the cut
     threshold all agree."""
     from ..operators.lm import score_logprob_trigram, train_trigram_lm
-    docs = cache_tracked(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    # single-pass mode (materialize_scalars=False): the gate scores
+    # once and never reuses the model, so nothing is cached or
+    # pre-materialized — train counts, N/V and the five scoring
+    # joins all land in ONE job, the exact plan shape of the SQL
+    # twin (VERDICT r10: the cached-model variant paid an extra
+    # materialization a one-shot pipeline doesn't; callers that DO
+    # score repeatedly keep the default persisted-model mode)
     model = train_trigram_lm(
         docs.filter(F.col("doc_id") % _LM_MOD != 0), "text", k=_LM_K,
-        lambdas=(_LM_L1, _LM_L2, _LM_L3))
-    # each count frame feeds one-or-two scoring joins — cache the
-    # two that are re-referenced (bigrams: head AND tail context;
-    # unigrams: middle AND tail) so training explodes run once
-    model["bigrams"] = cache_tracked(model["bigrams"])
-    model["unigrams"] = cache_tracked(model["unigrams"])
+        lambdas=(_LM_L1, _LM_L2, _LM_L3), materialize_scalars=False)
     held = docs.filter(F.col("doc_id") % _LM_MOD == 0)
     scored = score_logprob_trigram(held, model,
                                    id_cols=("doc_id", "lang"),
