@@ -78,6 +78,10 @@ HEADLINE = (
     # round 10 addition: mixed-format external-segment stats
     # harvesting + pruning (parquet + orc + csv table end-to-end)
     "table_orc_stats_prune",
+    # round 11 addition: adopt-then-normalize CUSTOM compaction over
+    # mixed-format segments — benched with per-phase seconds
+    # (build / compact / read) via the phase registry
+    "table_mixed_compact",
 )
 
 
@@ -95,6 +99,17 @@ def main() -> None:
     warm = qs["q1_pricing_summary"].fn(spark, sf_dir)
     warm.limit(1).collect()
 
+    # calibration row (VERDICT r10 next-round 6): a fixed constant-work
+    # Spark job — sum over a generated range at a pinned partition
+    # count, independent of sf and of any engine code — timed FIRST so
+    # cross-round walls are normalizable and a contended run is
+    # self-evident (the r10 driver bench's uniform ~1.29x drift cost a
+    # judge session to adjudicate; this makes it one division).
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id % 7) AS s").collect()
+    calibration_s = round(time.time() - t0, 3)
+
     # min-of-2 per query: a single cold run can't distinguish a real
     # regression from JVM/GC variance — the r4 round's ~13% "drift"
     # was unfalsifiable for exactly that reason. Caches a query
@@ -108,18 +123,31 @@ def main() -> None:
     # which is what this file tracks. The engine-vs-plain-Spark
     # comparison (tools/baseline_bench.py) forces full values with
     # collect() on both sides — use THAT for absolute claims.
+    from cdh_integrate_carbondata2_3_spark import queries as qreg
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     t_all = time.time()
     for name in HEADLINE:
         fn = qs[name].fn
         best = None
+        best_ph: dict[str, float] = {}
         for _ in range(2):
+            qreg.reset_phases()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.count()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best = dt
+                best_ph = qreg.phase_report().get(name, {})
         timings[name] = round(best, 3)
+        if best_ph:
+            # read_s = the timed action minus the recorded setup
+            # phases — the part of a lifecycle gate that answers a
+            # query (VERDICT r10 next-round 7)
+            best_ph["read_s"] = round(
+                max(best - sum(best_ph.values()), 0.0), 3)
+            phases[name] = best_ph
         spark.catalog.clearCache()
     wall = round(time.time() - t_all, 3)
     # headline value = sum of per-query minima (comparable to the
@@ -134,6 +162,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": 2,
         "wall_sec": wall,
+        "calibration_s": calibration_s,
+        "phases": phases,
     }))
     spark.stop()
 

@@ -62,6 +62,26 @@ def release_caches() -> None:
             pass
 
 
+# Per-query phase timings (VERDICT r10 next-round 7): lifecycle gates
+# that build tables in the timed path record their build seconds here
+# so bench.py can report build and read separately — the pruning READ
+# is the claim under test; two table loads are setup. Keyed by query
+# name; reset by the harness before each timed run.
+_PHASES: dict[str, dict[str, float]] = {}
+
+
+def record_phase(query_name: str, phase: str, seconds: float) -> None:
+    _PHASES.setdefault(query_name, {})[phase] = round(seconds, 3)
+
+
+def phase_report() -> dict[str, dict[str, float]]:
+    return {k: dict(v) for k, v in _PHASES.items()}
+
+
+def reset_phases() -> None:
+    _PHASES.clear()
+
+
 # Queries whose fn is PLAN-ONLY: construction runs zero Spark jobs and
 # has zero side effects — it just composes a logical plan over
 # load_table frames. For these, re-invoking fn(spark, sf_dir) in the

@@ -88,6 +88,9 @@ NOT_COMPARABLE: dict[str, str] = {
     "table_orc_stats_prune":
         "lifecycle gate: CREATE+ADD SEGMENT(orc/csv, stats='scan')+ "
         "prune vs one SELECT",
+    "table_mixed_compact":
+        "lifecycle gate: CREATE+2x ADD SEGMENT+CUSTOM compaction vs "
+        "one SELECT; see bench.py per-phase seconds",
     "stream_mv_staleness":
         "lifecycle gate: streams two CSV batches, creates+refreshes "
         "an MV vs one SELECT",
