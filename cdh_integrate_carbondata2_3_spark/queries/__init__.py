@@ -237,31 +237,68 @@ def query(name: str, oracle: str | None = None,
     return deco
 
 
-# Round-10 window plan (VERDICT r9 "Next round" items 1/5: drain the
-# r5 stamp debt). The 50-slot window = the two never-stamped r10
-# gates (table_orc_stats_prune, table_mixed_compact — sort first
-# automatically; their arrival pushes dedup_components_star to
-# position 51 — acceptable: its changed path is the _Checkpointer
-# refactor shared with dedup_components, which stays in-window, and
-# the full-registry artifact CORRECTNESS_FULL_r10.json covers every
-# row regardless) + ALL 39 rows
-# whose latest driver stamp is r5 (the complete list — the 16-gate
-# FTS family, the text-analysis rows, dedup_simhash/ngram/embedding,
-# geo_polygon_join, carbon datasource, multimodal decode twins; all
-# green on the local tools/check.py full-registry gate and unchanged
-# since r5 — afterwards no registered row's stamp is older than r6)
-# + the 10 rows whose code paths or OUTPUT changed this round:
-# text_bpe_train / text_unigram_train flipped from rows-only to
-# corpus-pinned hash-checked oracles (new schemas), LPA's
-# type-agnostic argmax, the Hilbert long-interleave fix, the CMS
-# metadata stamp, and the _Checkpointer refactor under pagerank/PPR/
-# connected-components (bit-identical — pinned by
-# test_reliable_checkpoint_dir_bit_identical).
+# Round-11 window plan (VERDICT r10 "Next round" item 4: drain the
+# r6 stamp debt). No never-stamped rows remain (every registered row
+# has a driver stamp); the 50-slot window = ALL 40 rows whose latest
+# driver stamp is r6 (the complete list from the stamp-age scan over
+# CORRECTNESS_r01..r10 — q2/q4/q8/q9/q11–q22, the geo range-list
+# family, lifecycle rows like table_update_cow / table_compaction /
+# table_schema_evolution / table_mv_rewrite / table_timetravel_diff /
+# stream_ingest_handoff, sampling rows, similarity_ann_pq; all green
+# in CORRECTNESS_FULL_r10 and the local full re-gate — afterwards no
+# registered row's stamp is older than r7) + the 10 rows whose code
+# paths or oracle text changed in r11 (the single-pass perplexity
+# rewrite, phase-instrumented hilbert/mixed-compact, the governor's
+# compression-ratio divisor under every load, and the dialect-twin
+# oracle reassembly).
 _ROTATE_BACK_IN: tuple[str, ...] = (
-    # the full r5 stamp debt (39 rows)
+    # the full r6 stamp debt (40 rows — after this window no
+    # registered row's driver stamp is older than r7)
+    "geo_polygon_join_range_list", "geo_range_list_ops",
+    "geo_spatial_index_prune", "geo_zorder_geoid", "join_jaccard_exact",
+    "multimodal_meta_stats", "q11_important_stock",
+    "q12_shipmode_priority", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_parts_supplier",
+    "q17_small_quantity", "q18_large_volume",
+    "q19_disjunctive_brackets", "q20_nested_in", "q21_waiting_orders",
+    "q22_global_sales", "q2_min_cost_supplier", "q4_order_priority",
+    "q8_market_share", "q9_product_profit", "quality_filter_funnel",
+    "sample_hash_bernoulli", "sample_reservoir_per_source",
+    "sample_stratified_lang", "sample_train_shards",
+    "similarity_ann_pq", "stream_ingest_handoff", "table_compaction",
+    "table_fts_sloppy_repeat", "table_mixed_format_segments",
+    "table_mv_rewrite", "table_partition_pruning",
+    "table_schema_evolution", "table_segment_scoped",
+    "table_timetravel_diff", "table_update_cow", "text_chunk_windows",
+    "udf_insegment_travel",
+    # r11 changed paths / changed outputs (10 rows): the single-pass
+    # perplexity rewrite, the phase-instrumented lifecycle gates +
+    # TARGET_FILESIZE compression-ratio governor under every load,
+    # and the rows whose DuckDB oracle text was reassembled for the
+    # dialect-twin refactor (ANN family, QUALIFY/VARCHAR/percentile)
+    "text_lm_perplexity_filter", "table_hilbert_prune",
+    "table_mixed_compact", "table_orc_stats_prune",
+    "similarity_ann_lsh", "similarity_ann_ivf", "window_rank_customers",
+    "agg_exact_quantiles", "events_hourly_rollup",
+    "sample_temperature_mix",
+)
+
+# Nothing deferred this round: 40 + 10 fills the window exactly.
+_DEFER_TO_NEXT: tuple[str, ...] = ()
+
+# Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
+# correctness gate checks only the FIRST 50 entries of queries() per
+# round, so entries verified in a previous round yield their slot to
+# not-yet-stamped ones (they stay registered and keep running in
+# pytest/bench; only the dict ordering changes).
+_STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # round 10 (CORRECTNESS_r10.json, 50/50 hash-green):
+    "agg_cms_join_size", "agg_cms_mergeable_rollup",
     "corpus_curation_pipeline", "dedup_bloom_prefilter",
-    "dedup_embedding_near", "dedup_ngram_jaccard", "dedup_semantic_clusters",
-    "dedup_simhash", "geo_polygon_join", "multimodal_feature_extract",
+    "dedup_components", "dedup_embedding_near", "dedup_ngram_jaccard",
+    "dedup_semantic_clusters", "dedup_simhash", "geo_polygon_join",
+    "graph_lpa_communities", "graph_pagerank_centrality",
+    "graph_ppr_seeded", "multimodal_feature_extract",
     "multimodal_frame_sample", "sample_split_leakage_free",
     "search_hybrid_rerank", "select_pareto_multid",
     "similarity_kmeans_refine", "stream_near_dup_parity",
@@ -272,26 +309,12 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "table_fts_limit_ranked_english", "table_fts_phrase",
     "table_fts_range_term", "table_fts_regexp_automaton",
     "table_fts_regexp_dialect", "table_fts_standard_analyzer",
-    "table_fts_text_match", "text_bm25_rank", "text_fingerprint",
-    "text_lang_heuristic", "text_lm_oov_filter", "text_quality_score",
-    "text_repetition_filters", "text_token_stats", "topk_per_group",
-    "udf_text_match", "udf_text_match_limit",
-    # r10 changed paths / changed outputs (10 rows)
-    "text_bpe_train", "text_unigram_train", "graph_lpa_communities",
-    "table_hilbert_prune", "agg_cms_join_size", "agg_cms_mergeable_rollup",
-    "graph_pagerank_centrality", "graph_ppr_seeded", "dedup_components",
-    "dedup_components_star",
-)
-
-# Nothing deferred this round: 1 + 39 + 10 fills the window exactly.
-_DEFER_TO_NEXT: tuple[str, ...] = ()
-
-# Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
-# correctness gate checks only the FIRST 50 entries of queries() per
-# round, so entries verified in a previous round yield their slot to
-# not-yet-stamped ones (they stay registered and keep running in
-# pytest/bench; only the dict ordering changes).
-_STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    "table_fts_text_match", "table_hilbert_prune",
+    "table_mixed_compact", "table_orc_stats_prune", "text_bm25_rank",
+    "text_bpe_train", "text_fingerprint", "text_lang_heuristic",
+    "text_lm_oov_filter", "text_quality_score",
+    "text_repetition_filters", "text_token_stats", "text_unigram_train",
+    "topk_per_group", "udf_text_match", "udf_text_match_limit",
     # round 9 (CORRECTNESS_r09.json, 49 hash-green + 1 rows-only):
     "agg_approx_sketch_bounds", "agg_cms_join_size",
     "agg_cms_mergeable_rollup", "agg_hll_mergeable_rollup",
