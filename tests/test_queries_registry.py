@@ -34,3 +34,22 @@ def test_query_runs(spark, sf_dir, name):
     df = QUERIES[name].fn(spark, sf_dir)
     assert df.columns, name
     assert df.count() >= 0
+
+
+def test_phase_registry_records_lifecycle_builds(spark, sf_dir):
+    """bench.py's per-phase split (VERDICT r10 next-round 7) relies on
+    the phase registry: the two instrumented lifecycle gates must
+    record their setup phases on every invocation, and reset must
+    clear them."""
+    from cdh_integrate_carbondata2_3_spark import queries as qreg
+
+    qreg.reset_phases()
+    QUERIES["table_hilbert_prune"].fn(spark, sf_dir).count()
+    ph = qreg.phase_report()["table_hilbert_prune"]
+    assert ph["build_s"] > 0
+    qreg.reset_phases()
+    QUERIES["table_mixed_compact"].fn(spark, sf_dir).count()
+    ph = qreg.phase_report()["table_mixed_compact"]
+    assert ph["build_s"] > 0 and ph["compact_s"] > 0
+    qreg.reset_phases()
+    assert qreg.phase_report() == {}
