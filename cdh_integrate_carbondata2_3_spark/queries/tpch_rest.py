@@ -192,13 +192,16 @@ val AS (
   GROUP BY ps.ps_partkey)
 SELECT ps_partkey, CAST(value AS DOUBLE) AS value
 FROM val
-WHERE value > (SELECT SUM(value) * 0.001 FROM val)
+WHERE value > (SELECT SUM(value) * 2.0 / COUNT(*) FROM val)
 """)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: per-part value filtered against a fraction of the
     global total (HAVING vs scalar subquery). The global total is a
     one-row aggregate broadcast back as a cross join — no second scan
-    shuffle."""
+    shuffle. The spec scales its fraction by 1/SF; a pinned 0.001 is
+    sf-degenerate (0 rows at sf0.1, found by the r11 full-registry
+    sf0.1 gate) — 2× the mean per-part value is the scale-free
+    equivalent cut."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     ger_sup = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -207,7 +210,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(ger_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
            .groupBy("ps_partkey")
            .agg(F.sum("ps_supplycost").alias("value")))
-    total = val.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    total = val.agg((F.sum("value") * F.lit(2.0) / F.count(F.lit(1)))
+                    .alias("threshold"))
     return (val.join(F.broadcast(total))
             .filter(F.col("value") > F.col("threshold"))
             .select("ps_partkey", F.col("value").cast("double").alias("value")))
