@@ -280,11 +280,15 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "table_mixed_compact", "table_orc_stats_prune",
     "similarity_ann_lsh", "similarity_ann_ivf", "window_rank_customers",
     "agg_exact_quantiles", "events_hourly_rollup",
-    "sample_temperature_mix",
+    # output CHANGED r11: rewritten over a scaling key domain (the
+    # nationkey form was 0-row-degenerate at sf0.1)
+    "setop_except",
 )
 
-# Nothing deferred this round: 40 + 10 fills the window exactly.
-_DEFER_TO_NEXT: tuple[str, ...] = ()
+# 40 + 10 fills the window exactly; sample_temperature_mix's oracle
+# change was purely textual (same assembled SQL), so it waits at
+# position 51 — still covered by CORRECTNESS_FULL_r11.
+_DEFER_TO_NEXT: tuple[str, ...] = ("sample_temperature_mix",)
 
 # Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
 # correctness gate checks only the FIRST 50 entries of queries() per

@@ -572,16 +572,23 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("setop_except", oracle="""
-SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 """)
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = (_t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
-         .select(F.col("c_nationkey").alias("nationkey")))
-    s = (_t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
-         .select(F.col("s_nationkey").alias("nationkey")))
-    return c.subtract(s)
+    """EXCEPT over a key domain that scales with the data (customers
+    with a high-value order who never placed an urgent one). The old
+    nationkey form saturated its 25-value domain at sf0.1 — both
+    sides covered every nation and the gate passed on 0 rows (r11
+    full-registry sf0.1 run); a custkey domain keeps the result a
+    roughly fixed fraction at every sf."""
+    o = _t(spark, sf_dir, "orders")
+    hi = (o.filter(F.col("o_totalprice") > 250000)
+          .select(F.col("o_custkey").alias("custkey")))
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("custkey")))
+    return hi.subtract(urgent)
 
 
 # ---------------------------------------------------------------------------
