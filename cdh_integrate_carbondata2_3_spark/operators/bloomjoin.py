@@ -119,7 +119,8 @@ def _build_bloom(ref: DataFrame, key: Column, m_bits: int) -> bytes:
 def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
                     on: str, how: str = "semi",
                     m_bits: int | None = None, n_ref_hint: int = 1 << 20,
-                    refine: bool = True) -> DataFrame:
+                    refine: bool = True,
+                    auto_plain_below: int = 8192) -> DataFrame:
     """Semi ('keep matches') or anti ('keep non-matches') join of
     ``candidates`` against ``reference`` on column ``on``, with a bloom
     prefilter so only bloom-positive candidate rows reach the exact
@@ -153,6 +154,18 @@ def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
         raise ValueError(
             f"key type mismatch on {on!r}: candidates {ctype.simpleString()}"
             f" vs reference {rtype.simpleString()} — cast one side first")
+    if m_bits is None and n_ref_hint <= auto_plain_below:
+        # Below ~10⁴ reference keys the bloom cannot repay its build
+        # job + bitset broadcast: the reference broadcasts whole, so
+        # the exact broadcast semi/anti join already ships zero
+        # candidate rows through a shuffle — the bloom would only add
+        # a second candidate branch (anti) and a UDF pass. This is
+        # the same size gate Spark's own runtime bloom-filter join
+        # applies to its build side. Result is identical (it IS the
+        # exact join, even under refine=False). Passing m_bits
+        # explicitly forces the bloom path regardless of the hint.
+        return candidates.join(F.broadcast(reference.select(on)), on,
+                               f"left_{how}")
     m_bits = m_bits or m_for(n_ref_hint)
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")

@@ -63,3 +63,23 @@ def dense_ranks(df: DataFrame, col: str, *, out: str = "rank",
                      (F.col("__off") + F.col("__local") - 1)
                      .alias(out)))
     return ranks, acc
+
+
+def dense_ranks_lazy(df: DataFrame, col: str, *, out: str = "rank"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Single-window form of :func:`dense_ranks` for small/medium
+    distinct domains: ``(ranks, n_frame)`` where ``ranks`` maps each
+    distinct ``col`` value to ``ROW_NUMBER() OVER (ORDER BY col) - 1``
+    and ``n_frame`` is the 1-row distinct count for the caller to
+    broadcast-cross into its plan. ZERO construction-time jobs — the
+    whole derivation stays one lazy plan (vs the two-phase variant's
+    checkpoint + offset collect, which only repay themselves when the
+    global window's single ordering task would not hold the distinct
+    ids). Rule of thumb: the window task holds n ids of the key type —
+    fine to ~10⁷ bigints; past that use :func:`dense_ranks`. Ranks are
+    IDENTICAL between the two forms (pinned by
+    tests/test_sampling.py::test_dense_ranks_lazy_equals_two_phase)."""
+    ids = df.select(col).distinct()
+    w = Window.orderBy(col)
+    ranks = ids.withColumn(out, F.row_number().over(w) - 1)
+    return ranks, ids.agg(F.count(F.lit(1)).alias("n"))

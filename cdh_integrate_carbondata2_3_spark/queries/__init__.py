@@ -165,6 +165,9 @@ _PLAN_ONLY: frozenset[str] = frozenset({
     # (materialize_scalars=False — no construction action, no cache;
     # train+score is one job exactly like its SQL twin)
     "text_lm_perplexity_filter",
+    # sample_hard_negatives went lazy in r11 (dense_ranks_lazy: the
+    # rank map and the 1-row count both ride the main plan)
+    "sample_hard_negatives",
     # corpus_curation_pipeline excluded: 7 construction-time jobs
     # hardening.py (the CMS rollup is pure cell-frame composition —
     # sketches build/merge/estimate lazily at action time)

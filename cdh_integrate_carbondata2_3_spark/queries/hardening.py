@@ -433,13 +433,17 @@ FROM cand c LEFT JOIN ref r USING (fp)
 GROUP BY c.source
 """)
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Membership dedup against a reference corpus via bloom-prefiltered
-    anti join (operators/bloomjoin.bloom_semi_join): candidates whose
+    """Membership dedup against a reference corpus via
+    operators/bloomjoin.bloom_semi_join: candidates whose
     8-token-prefix fingerprint appears in the reference set are
-    dropped. The bloom answers 'definitely not present' JVM+numpy-side
-    so only bloom positives reach the exact anti join — the shuffle
-    carries the match fraction, not the corpus. Result is EXACTLY the
-    anti join (oracle)."""
+    dropped; result is EXACTLY the anti join (oracle). The operator
+    is size-adaptive (r11): at this gate's reference (< 200 keys by
+    construction — the honest n_ref_hint below) it takes the exact
+    broadcast anti join, because a bloom cannot repay its build job
+    under ~10⁴ reference keys; past the auto_plain_below threshold
+    the bloom prefilter kicks in and only bloom positives reach the
+    shuffle — that path is pinned by the m_bits-forced tests in
+    tests/test_hardening.py and the bloom property tests."""
     docs = load_table(spark, sf_dir, "documents")
     # NULL text → NULL fingerprint (not md5('')): concat_ws over a
     # null token array yields '' in Spark while the oracle's
@@ -451,7 +455,7 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.filter(F.col("doc_id") < 200).select("fp")
     cand = d.filter(F.col("doc_id") >= 200)
     kept = bloom_semi_join(cand, ref, on="fp", how="anti",
-                           n_ref_hint=1 << 16)
+                           n_ref_hint=200)
     n_cand = cand.groupBy("source").agg(F.count(F.lit(1)).alias("n_cand"))
     n_kept = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
     return (n_cand.join(n_kept, "source", "left")

@@ -1355,24 +1355,28 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-derived negative sampling for contrastive
     training pairs: each anchor gets k pseudo-random partners from
     md5(anchor#j) folded into the DENSE RANK space 0..n-1
-    (operators/ranking.dense_ranks — two-phase zipWithIndex, no
-    global window) and mapped rank→id. Folding into ranks instead of
-    the raw id span makes the derivation sparse-id-robust: after any
-    filter/shard remap leaves gaps, raw-span folding lands mostly in
-    holes and silently yields zero partners (the r8 30×-probe
-    footgun); rank folding yields exactly k per anchor minus
-    deterministic self-collisions, on ANY id layout. NO cross join,
-    no shuffle of the corpus — the rank map and the id→label
-    projection are the only joined frames, both narrow. The oracle
-    replays the rank mapping with the plain global-window
-    ROW_NUMBER (same mapping, different physical plan), so the
+    (operators/ranking) and mapped rank→id. Folding into ranks
+    instead of the raw id span makes the derivation sparse-id-robust:
+    after any filter/shard remap leaves gaps, raw-span folding lands
+    mostly in holes and silently yields zero partners (the r8
+    30×-probe footgun); rank folding yields exactly k per anchor
+    minus deterministic self-collisions, on ANY id layout. NO cross
+    join, no shuffle of the corpus — the rank map and the id→label
+    projection are the only joined frames, both narrow. The rank map
+    is the size-adaptive choice (r11): dense_ranks_lazy here — the
+    whole derivation one lazy plan, zero construction jobs, since a
+    single ordering task comfortably holds the gate corpora's
+    distinct ids — and the two-phase checkpoint+offset dense_ranks
+    when the id domain outgrows one task (both produce IDENTICAL
+    ranks, pinned by test_dense_ranks_lazy_equals_two_phase). The
+    oracle replays the same global-window ROW_NUMBER, so the
     label-pair matrix hash pins the whole derivation. The pipeline
     role: negative pairs for embedding/contrastive training at
     100 TB without materializing a candidate cross product."""
-    from ..operators.ranking import dense_ranks
+    from ..operators.ranking import dense_ranks_lazy
     from ..sources.registry import load_table
     emb = load_table(spark, sf_dir, "embeddings")
-    ranks, n = dense_ranks(emb, "vec_id", out="r")
+    ranks, nf = dense_ranks_lazy(emb, "vec_id", out="r")
     anch = (emb.filter(F.col("vec_id") % _NEG_MOD == 0)
             .select(F.col("vec_id").alias("a_id"),
                     F.col("label").alias("a_label")))
@@ -1382,9 +1386,10 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "a_label",
         F.explode(F.array(*[F.lit(j) for j in
                             range(1, _NEG_K + 1)])).alias("j"))
+        .crossJoin(F.broadcast(nf))
         .select("a_id", "a_label",
                 (F.conv(F.substring(F.md5(key.cast("binary")), 1, 12),
-                        16, 10).cast("long") % F.lit(n))
+                        16, 10).cast("long") % F.col("n"))
                 .alias("r")))
     lab = emb.select(F.col("vec_id").alias("neg_id"),
                      F.col("label").alias("n_label"))

@@ -147,3 +147,24 @@ def test_sketch_bounds_plans_two_aggregations(spark):
     assert not any(("approx_count_distinct" in chunk
                     and "count(distinct" in chunk.lower())
                    for chunk in plan.split("Aggregate")[1:])
+
+
+def test_bloom_auto_plain_fallback_small_reference(spark):
+    """Size-adaptive bloom join (r11): a small n_ref_hint (no explicit
+    m_bits) must take the exact broadcast join — same result, no
+    bloom UDF in the plan; explicit m_bits forces the bloom path."""
+    cand = spark.createDataFrame([(f"k{i}",) for i in range(40)],
+                                 "fp string")
+    ref = spark.createDataFrame([(f"k{i}",) for i in range(0, 40, 4)],
+                                "fp string")
+    for how in ("semi", "anti"):
+        got = bloom_semi_join(cand, ref, "fp", how=how, n_ref_hint=10)
+        want = cand.join(ref, "fp", f"left_{how}")
+        assert sorted(r.fp for r in got.collect()) == \
+            sorted(r.fp for r in want.collect())
+        assert not hasattr(got, "_bloom_broadcast")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "may_contain" not in plan
+    forced = bloom_semi_join(cand, ref, "fp", how="semi",
+                             n_ref_hint=10, m_bits=8192)
+    assert hasattr(forced, "_bloom_broadcast")

@@ -185,3 +185,22 @@ def test_weighted_wor_no_repeats_and_weight_bias(spark):
     heavy_hits = sum(1 for v in per.values() if any(d % 100 == 0 for d in v))
     # heavy doc has >99.9% inclusion probability per group
     assert heavy_hits >= 190, heavy_hits
+
+
+def test_dense_ranks_lazy_equals_two_phase(spark):
+    """The size-adaptive rank map (r11): both forms must assign
+    IDENTICAL ranks on a sparse, scattered id domain — the lazy
+    global-window variant is what small corpora use, the two-phase
+    checkpoint+offset variant is the big-domain path."""
+    from cdh_integrate_carbondata2_3_spark.operators.ranking import (
+        dense_ranks, dense_ranks_lazy)
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        ((F.col("id") * 37) % 1000 + 10_000).alias("k"))
+    two, n2 = dense_ranks(df, "k", out="r", partitions=7)
+    lazy, nf = dense_ranks_lazy(df, "k", out="r")
+    assert nf.first()["n"] == n2
+    a = sorted((r["k"], r["r"]) for r in two.collect())
+    b = sorted((r["k"], r["r"]) for r in lazy.collect())
+    assert a == b
