@@ -490,15 +490,17 @@ def incremental_minhash_pairs(
     new_sigs = minhash_signatures(new_sets, coeffs, "doc_id", "shs", prime)
     all_sigs = (old_sigs.unionByName(new_sigs)
                 if old_sigs is not None else new_sigs)
-    # first run (old_sigs=None): all ≡ new — build the band keys ONCE
-    # and self-join, instead of two separately-derived key plans that
-    # each recompute the signature aggregation
+    # build the new side's band keys ONCE; the old side's keys derive
+    # from the PERSISTED signature table directly and union as key
+    # ROWS — the previous shape band-keyed old∪new, which re-evaluated
+    # the new-signature aggregation a second time inside the union
+    # (r11: the increment's dominant redundant work at bench scale)
     keys = _band_keys(new_sigs, bands)
     new_keys = keys.select(
         F.col("doc_id").alias("doc_n"), F.col("n_tok").alias("nn"),
         "bi", "bk")
     all_keys = (keys if old_sigs is None
-                else _band_keys(all_sigs, bands)).select(
+                else _band_keys(old_sigs, bands).unionByName(keys)).select(
         F.col("doc_id").alias("doc_o"), F.col("n_tok").alias("no"),
         "bi", "bk")
     cand = (new_keys.join(all_keys, ["bi", "bk"])
