@@ -44,16 +44,72 @@ SORT_SCOPES = ("no_sort", "local_sort", "global_sort", "range_sort",
                "zorder", "hilbert")
 
 
+def _hilbert_index_serial(coords: list[int], bits: int) -> int:
+    """Skilling 2004 AxesToTranspose + MSB-first interleave, serial —
+    the identical arithmetic the column transform below performs
+    (and the same algorithm tests/test_hilbert.py pins). Drives the
+    lookup-table fast path of :func:`hilbert_index_col`."""
+    X = list(coords)
+    n = len(X)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if X[i] & q:
+                X[0] ^= p
+            else:
+                t = (X[0] ^ X[i]) & p
+                X[0] ^= t
+                X[i] ^= t
+        q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    q = 1 << (bits - 1)
+    while q > 1:
+        if X[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    X = [x ^ t for x in X]
+    h = 0
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << 1) | ((X[i] >> j) & 1)
+    return h
+
+
+# cells ≤ 2^16 → the per-cell Hilbert index ships as ONE literal
+# array (≤512 KB of longs) instead of a bits×dims cascade of
+# data-dependent column levels
+_HILBERT_LOOKUP_MAX_BITS = 16
+
+
 def hilbert_index_col(df: DataFrame, x_cols: list[str],
-                      bits: int) -> DataFrame:
+                      bits: int, *, lookup: bool | None = None
+                      ) -> DataFrame:
     """Append ``__h__`` = the Hilbert index of the integer coordinate
     columns ``x_cols`` (each in [0, 2^bits)) — Skilling 2004
     "Programming the Hilbert curve" AxesToTranspose, then MSB-first
-    bit interleave of the transposed coordinates. Pure bitwise column
-    expressions; every level writes a NAMED intermediate column so
-    the Catalyst tree stays linear in bits × dims (inlining the
-    data-dependent whens would grow it exponentially). Exactness is
+    bit interleave of the transposed coordinates. Exactness is
     pinned against a serial reference in tests/test_hilbert.py.
+
+    Two physical forms, identical output (r12):
+
+    - **lookup** (auto when ``bits × dims ≤ 16``, i.e. ≤65536 cells):
+      the Hilbert index of every cell is precomputed serially on the
+      driver and shipped as one literal array; the row expression is
+      an interleave of the coordinates plus one ``element_at``. The
+      r11 column cascade spent ~1.1 s of DRIVER time per load just
+      constructing/analyzing its ~25 chained withColumns at sf0.1 —
+      more than the whole write job — and the resulting tree was
+      evaluated twice (range-partition sampling + write; guide §1.2:
+      fix the per-task work only after the job shape is right). The
+      coordinate space is bounded by construction (quantile buckets),
+      so the table is a few KB.
+    - **column cascade** (wider keys): pure bitwise column
+      expressions; every level writes a NAMED intermediate column so
+      the Catalyst tree stays linear in bits × dims (inlining the
+      data-dependent whens would grow it exponentially).
 
     The interleaved index occupies ``bits × len(x_cols)`` bits; it is
     accumulated in a LONG (the per-dim coordinates stay int — they
@@ -64,6 +120,37 @@ def hilbert_index_col(df: DataFrame, x_cols: list[str],
         raise ValueError(
             f"hilbert index needs bits*dims <= 63, got {bits}*{n}="
             f"{bits * n}; lower zorder_bits or drop sort columns")
+    if lookup is None:
+        lookup = bits * n <= _HILBERT_LOOKUP_MAX_BITS
+    if lookup:
+        if bits * n > _HILBERT_LOOKUP_MAX_BITS:
+            raise ValueError(
+                f"hilbert lookup table needs bits*dims <= "
+                f"{_HILBERT_LOOKUP_MAX_BITS}, got {bits * n}")
+        side_mask = (1 << bits) - 1
+        table = [
+            _hilbert_index_serial(
+                [(cell >> (bits * (n - 1 - i))) & side_mask
+                 for i in range(n)], bits)
+            for cell in range(1 << (bits * n))]
+        cell = None
+        for i, c in enumerate(x_cols):
+            part = F.shiftleft(F.col(c).cast("long"),
+                               bits * (n - 1 - i))
+            cell = part if cell is None else cell.bitwiseOR(part)
+        # The table ships as ONE flat binary literal (2 bytes per
+        # cell — h < 2^16 by the gate above), decoded per row with
+        # substring+hex+conv. An array<long> literal here would be a
+        # 2^(bits×dims)-node CreateArray tree — measured at 4096
+        # cells it cost MORE driver analysis time than the column
+        # cascade it replaced; the flat literal is a single plan node
+        # of a few KB.
+        packed = b"".join(h.to_bytes(2, "big") for h in table)
+        return df.withColumn(
+            "__h__",
+            F.conv(F.hex(F.lit(packed).substr(
+                (cell * 2 + 1).cast("int"), F.lit(2))),
+                16, 10).cast("long"))
     X = list(x_cols)
     work = df
     q = 1 << (bits - 1)

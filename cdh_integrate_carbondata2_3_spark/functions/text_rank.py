@@ -32,8 +32,19 @@ B_DEFAULT = 0.75
 def _toks(text: Column, casefold: bool = True) -> Column:
     """Analyzer: split on whitespace, drop empties; ``casefold``
     lowercases first (the 'standard' analyzer / the oracle's
-    lower+string_split_regex form)."""
-    src = F.lower(text) if casefold else text
+    lower+string_split_regex form). NULL text coalesces to '' (empty
+    token array → tf 0, dl 0) BEFORE the split: a nullable token
+    expression makes every downstream score nullable, and Catalyst
+    then pushes `isnotnull(score-subtree)` prefilters below the
+    projection that materializes the token array — at r12
+    measurement the candidate side re-tokenized every document 4×
+    (three split subtrees in the pushed Filter + one in the Project;
+    guide §7.2 'duplicated subtrees'). Scoring-wise identical: a
+    no-term row scores 0.0 either way (the documented contract), and
+    match-only consumers filter score > 0."""
+    src = F.coalesce(text, F.lit(""))
+    if casefold:
+        src = F.lower(src)
     return F.filter(F.split(src, r"\s+"), lambda t: t != F.lit(""))
 
 

@@ -141,7 +141,10 @@ def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
     exposed as ``result._bloom_broadcast``; long-lived sessions issuing
     many bloom joins should ``.destroy()`` it after the result is
     materialized (otherwise it is reclaimed only when the DataFrame
-    and its UDF closure are garbage-collected)."""
+    and its UDF closure are garbage-collected). On the auto-plain
+    path (no bloom built) the attribute is set to ``None`` — cleanup
+    code should ``getattr(result, '_bloom_broadcast', None)`` and
+    skip when absent/None (ADVICE r11)."""
     if how not in ("semi", "anti"):
         raise ValueError(f"bloom_semi_join supports semi/anti, got {how!r}")
     ctype = candidates.schema[on].dataType
@@ -164,8 +167,10 @@ def bloom_semi_join(candidates: DataFrame, reference: DataFrame,
         # applies to its build side. Result is identical (it IS the
         # exact join, even under refine=False). Passing m_bits
         # explicitly forces the bloom path regardless of the hint.
-        return candidates.join(F.broadcast(reference.select(on)), on,
-                               f"left_{how}")
+        out = candidates.join(F.broadcast(reference.select(on)), on,
+                              f"left_{how}")
+        out._bloom_broadcast = None  # no bloom on this path (docstring)
+        return out
     m_bits = m_bits or m_for(n_ref_hint)
     if m_bits % 8:
         raise ValueError("m_bits must be a multiple of 8")

@@ -88,8 +88,15 @@ class _Checkpointer:
             cur = sc.getCheckpointDir()
             cur_parent = (posixpath.dirname(str(cur).rstrip("/"))
                           if cur else None)
-            want = checkpoint_dir.rstrip("/").lstrip("/")
-            if cur_parent is None or not cur_parent.endswith(want):
+            # exact-parent equality, not endswith: suffix matching
+            # false-positives on colliding dir names (/data/my_ckpt
+            # vs 'ckpt') and silently keeps the wrong dir (ADVICE
+            # r11). Both sides normalized the same way — the parent
+            # of getCheckpointDir() is exactly the string previously
+            # passed to setCheckpointDir (scheme and all), so
+            # rstrip('/') is the only normalization needed.
+            want = checkpoint_dir.rstrip("/")
+            if cur_parent is None or cur_parent.rstrip("/") != want:
                 sc.setCheckpointDir(checkpoint_dir)
             self.mode = "reliable"
         elif use_local:
@@ -559,10 +566,15 @@ def lpa_communities(edges: DataFrame, src: str = "src",
                                       F.col("lab").alias("lb")))
                     .alias("lab"))
                .withColumnRenamed("dst", "node"))
-        # nodes with no in-edges keep their current label
-        labels = (nodes.join(new.withColumnRenamed("lab", "__new"),
-                             "node", "left")
-                  .join(labels.withColumnRenamed("lab", "__old"),
+        # nodes with no in-edges keep their current label. ONE join,
+        # not two (r12, guide §2.4): `labels` holds exactly the node
+        # set every round (it starts as `nodes` and each update
+        # preserves it), so left-joining the argmax result onto the
+        # CURRENT labels frame replaces the r11
+        # nodes ⟕ new ⟕ labels_old double join — one shuffle less
+        # per round, identical output.
+        labels = (labels.withColumnRenamed("lab", "__old")
+                  .join(new.withColumnRenamed("lab", "__new"),
                         "node", "left")
                   .select("node", F.coalesce(F.col("__new"),
                                              F.col("__old"))

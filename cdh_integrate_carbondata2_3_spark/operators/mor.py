@@ -92,9 +92,19 @@ def _write_delta(table: Table, hits) -> tuple[str, int, list | None] | None:
     dictionary-cheap to read back."""
     rel = os.path.join(DELTA_DIR, f"dd_{uuid.uuid4().hex}")
     out = os.path.join(table.table_dir, rel)
+    # sortWithinPartitions, NOT a global sort (r12): scan tasks
+    # already group rows by source file, so a per-partition
+    # (file, pos) sort delivers the same per-file locality and
+    # dictionary-cheap file column — while a global sort's range
+    # exchange adds a SAMPLING job that re-runs the entire
+    # scan+filter subtree before the real pass (guide §2.4: an
+    # orderBy used only to make output nicer is an accidental
+    # exchange). The sidecar is consumed by an order-insensitive
+    # (file, pos) anti-join, so row order across files is free.
     (hits.select(F.col("__dd_f").alias("file"),
                  F.col("__dd_p").cast("bigint").alias("pos"))
-     .sort("file", "pos").write.mode("overwrite").parquet(out))
+     .sortWithinPartitions("file", "pos")
+     .write.mode("overwrite").parquet(out))
     import pyarrow.parquet as pq
     parts = [os.path.join(out, f) for f in os.listdir(out)
              if f.endswith(".parquet") and not f.startswith(("_", "."))]
@@ -129,6 +139,46 @@ def _append_delta(doc: dict, rel: str, rows: int,
 def _threshold(table: Table) -> int:
     return int(table.manifest.properties().get(
         "horizontal_compaction_threshold", 4))
+
+
+# horizontal compaction merges driver-side below this many total
+# delta rows (a (file, pos) pair is ~tens of bytes in arrow — 2M
+# rows is well under 200 MB of driver memory); manifest row counts
+# decide, so the gate costs no job
+_DRIVER_MERGE_MAX_ROWS = 2_000_000
+
+
+def _driver_merge_deltas(table: Table, deltas: list,
+                         live: list) -> tuple[str, int, list | None] | None:
+    """pyarrow merge of small delta sidecars: concat → keep rows
+    whose file is still queryable → dedup (file, pos) → sort → write
+    ONE sidecar file. Byte-for-byte the same artifact contract as
+    the Spark path (parquet dir with `file`,`pos` columns + the
+    manifest entry's rows/files fields)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tabs = [pq.read_table(table._abs(d["path"]), columns=["file", "pos"])
+            for d in deltas]
+    t = pa.concat_tables(tabs)
+    t = t.filter(pc.is_in(t.column("file"),
+                          value_set=pa.array(live, pa.string())))
+    # dedup on (file, pos), then sort for sidecar locality
+    t = (t.group_by(["file", "pos"]).aggregate([])
+         .sort_by([("file", "ascending"), ("pos", "ascending")]))
+    n = t.num_rows
+    if n == 0:
+        return None
+    rel = os.path.join(DELTA_DIR, f"dd_{uuid.uuid4().hex}")
+    out = os.path.join(table.table_dir, rel)
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(t, os.path.join(out, "part-00000-merged.parquet"))
+    files: list | None = None
+    u = pc.unique(t.column("file"))
+    if len(u) <= MAX_DELTA_FILE_LIST:
+        files = sorted(u.to_pylist())
+    return rel, n, files
 
 
 def delete_rows_mor(table: Table, condition: str, predicates=None) -> int:
@@ -315,15 +365,28 @@ def horizontal_compact(table: Table, force: bool = False) -> None:
             return
         live = [f.path for s in table.manifest.queryable_segments()
                 for f in s.files]
-        dd = (table.spark.read.parquet(
-                  *[table._abs(d["path"]) for d in deltas])
-              .distinct())
-        live_df = table.spark.createDataFrame(
-            [(p,) for p in live], "file string")
-        dd = (dd.join(F.broadcast(live_df), "file", "left_semi")
-              .withColumnRenamed("file", "__dd_f")
-              .withColumnRenamed("pos", "__dd_p"))
-        merged = _write_delta(table, dd)
+        total_rows = sum(int(d.get("rows", _DRIVER_MERGE_MAX_ROWS))
+                         for d in deltas)
+        if total_rows <= _DRIVER_MERGE_MAX_ROWS:
+            # r12 size-adaptive fast path: the manifest already knows
+            # every sidecar's exact row count, so small delta sets
+            # (the common case — targeted deletes between
+            # compactions) merge DRIVER-SIDE with pyarrow: read,
+            # concat, live-filter, dedup, write one sidecar — zero
+            # Spark jobs, same artifact. Past the bound the Spark
+            # path below keeps memory flat (same gate discipline as
+            # Table.read's broadcast-vs-shuffle delta join).
+            merged = _driver_merge_deltas(table, deltas, live)
+        else:
+            dd = (table.spark.read.parquet(
+                      *[table._abs(d["path"]) for d in deltas])
+                  .distinct())
+            live_df = table.spark.createDataFrame(
+                [(p,) for p in live], "file string")
+            dd = (dd.join(F.broadcast(live_df), "file", "left_semi")
+                  .withColumnRenamed("file", "__dd_f")
+                  .withColumnRenamed("pos", "__dd_p"))
+            merged = _write_delta(table, dd)
 
         def mutate(d: dict) -> None:
             if merged:

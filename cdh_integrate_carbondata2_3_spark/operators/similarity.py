@@ -170,46 +170,78 @@ def sq_dist(a, b) -> Column:
 def kmeans_refine(v: DataFrame, centroids: DataFrame, iters: int = 1,
                   id_col: str = "id", vec_col: str = "e",
                   cid_col: str = "cid", cvec_col: str = "ce",
-                  round_digits: int = 9) -> tuple[DataFrame, DataFrame]:
+                  round_digits: int = 9,
+                  materialize_rounds: bool = True
+                  ) -> tuple[DataFrame, DataFrame]:
     """``iters`` rounds of Lloyd's k-means starting from ``centroids``;
     returns (assignment df (id, cluster), final centroids df (cid, ce)).
 
     Distributed shape (MLlib's): the corpus never shuffles — each round
-    is one broadcast-argmin assignment pass plus one posexplode →
-    (cluster, dim) aggregation; only the k×dim centroid matrix returns
-    to the driver between rounds (k and dim are small by definition of
-    a coarse quantizer). Per-dim means accumulate in DECIMAL and are
+    is one MAP-ONLY broadcast-argmin assignment (the centroid array
+    rides a broadcast 1-row frame; the argmin is an array HOF per
+    vector, no exchange at all — r12) plus one posexplode →
+    (cluster, dim) aggregation whose partial phase collapses each task
+    to ≤ k×dim rows; only the k×dim centroid matrix returns to the
+    driver between rounds (k and dim are small by definition of a
+    coarse quantizer). Per-dim means accumulate in DECIMAL and are
     rounded to ``round_digits`` so the next round's distances are
     bit-reproducible regardless of aggregation order — the property
-    that lets a DuckDB oracle replay the same iterations exactly."""
+    that lets a DuckDB oracle replay the same iterations exactly.
+
+    ``materialize_rounds`` (r12, the perplexity-gate pattern —
+    ``materialize_scalars=False``): True (default) collects each
+    round's k×dim mean matrix to the driver and re-injects it as a
+    local relation — the scale-robust shape (the corpus-sized means
+    aggregation runs exactly once per round, and the returned plans
+    are collect-rooted). False keeps the LAST round's centroids lazy,
+    so a single-round refine composes into ONE Spark job exactly like
+    the SQL twin that replays it — no mid-query driver round-trip.
+    The trade: consumers that evaluate both returned frames (or the
+    assignment twice) re-run the final means aggregation per
+    evaluation, so False is for single-action small/medium refines
+    (bench gates, interactive probes); keep True when the corpus pass
+    dominates. Results are bit-identical either way (the re-injected
+    relation carries the exact doubles the lazy plan computes)."""
     spark = v.sparkSession
     cent = centroids.select(F.col(cid_col).alias("cid"),
                             F.col(cvec_col).alias("ce"))
 
     def assign_to(c, keep_vec: bool = True):
-        # per-id argmin as min_by over the (d2, cid) struct key: the
-        # PARTIAL aggregate collapses each map task's N×k slice to one
-        # row per id before the shuffle (the window-argmin it replaced
-        # shuffled all N×k scored rows). keep_vec=False (the FINAL
-        # assignment, whose vectors no later round reads) drops the
-        # vector from the shuffled payload — (id, cluster) rows are
-        # ~dim× smaller than (id, vec, cluster) ones.
-        d2 = sq_dist(vec_col, "ce")
-        base = (v.crossJoin(F.broadcast(c))
-                .select(id_col, vec_col, "cid", d2.alias("d2")))
+        # Map-side argmin (r12, guide §2.4 — remove shuffles
+        # outright): the centroid set rides as ONE broadcast row
+        # holding a cid-sorted array<struct<cid, ce>>, and every
+        # vector evaluates its k distances inside an array HOF and
+        # takes array_min over (d2, cid) structs — the lexicographic
+        # struct order IS the previous min_by's (d2, cid) key, ties
+        # to the lower cid, so assignments are identical. The corpus
+        # never shuffles for assignment; the r11 shape cross-joined
+        # N×k scored rows into a per-id min_by whose exchange carried
+        # one (id, vec, cluster) row per vector — at dim=64 ~0.5 KB
+        # of payload per row for a value the map side already knew.
+        # This is NOT the unrolled-literal form ivf_assign measured
+        # and rejected (giant py4j-built expression trees): the plan
+        # here is one transform+aggregate lambda, flat and small —
+        # the centroid DATA rides the broadcast row, not the plan.
+        # k×dim stays broadcast-small by the coarse-quantizer
+        # contract (the driver already collects it between rounds).
+        crow = c.agg(F.array_sort(F.collect_list(
+            F.struct(F.col("cid"), F.col("ce")))).alias("__cents"))
+        best = F.array_min(F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                sq_dist(F.col(vec_col), s["ce"]).alias("d2"),
+                s["cid"].alias("cid"))))
+        base = (v.crossJoin(F.broadcast(crow))
+                # empty centroid set → empty assignment (matches the
+                # old crossJoin-against-empty shape)
+                .where(F.size("__cents") > 0)
+                .withColumn("__cluster", best["cid"]))
         if not keep_vec:
-            return (base.groupBy(id_col)
-                    .agg(F.min_by(F.col("cid"),
-                                  F.struct(F.col("d2"), F.col("cid")))
-                         .alias("cluster")))
-        return (base.groupBy(id_col)
-                .agg(F.min_by(F.struct(F.col(vec_col), F.col("cid")),
-                              F.struct(F.col("d2"), F.col("cid")))
-                     .alias("b"))
-                .select(id_col, F.col("b")[vec_col].alias(vec_col),
-                        F.col("b.cid").alias("cluster")))
+            return base.select(id_col, F.col("__cluster").alias("cluster"))
+        return base.select(id_col, vec_col,
+                           F.col("__cluster").alias("cluster"))
 
-    for _ in range(iters):
+    for it in range(iters):
         assign = assign_to(cent)
         dims = assign.select(
             "cluster", F.posexplode(F.col(vec_col)).alias("i", "x"))
@@ -226,8 +258,15 @@ def kmeans_refine(v: DataFrame, centroids: DataFrame, iters: int = 1,
                      F.array_sort(F.collect_list(F.struct("i", "m"))),
                      lambda s: F.round(s["m"], round_digits)).alias("ce"))
                  .select(F.col("cluster").alias("cid"), "ce"))
-        cent = spark.createDataFrame(
-            means.collect(), "cid bigint, ce array<double>")
+        if materialize_rounds or it + 1 < iters:
+            # non-final rounds ALWAYS materialize: a lazy chain of
+            # rounds would re-derive every earlier round per plan
+            # reference (exponential recompute), and the k×dim
+            # collect is metadata-scale by contract
+            cent = spark.createDataFrame(
+                means.collect(), "cid bigint, ce array<double>")
+        else:
+            cent = means
     # assignment is w.r.t. the FINAL centroids (one more argmin pass;
     # vector payload dropped — nothing downstream reads it)
     return (assign_to(cent, keep_vec=False).select(id_col, "cluster"),

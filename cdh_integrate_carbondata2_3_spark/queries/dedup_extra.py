@@ -773,12 +773,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from . import record_phase
+    # content-sensitive key (ADVICE r11): additive sums alone can't
+    # see a content change that preserves count/sum(doc_id)/bytes —
+    # bit_xor over an md5-derived 60-bit word is order-independent
+    # and flips on ANY text change
     krow = (_docs(spark, sf_dir)
             .filter(F.col("doc_id") % _INC_NEW_MOD != 0)
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("doc_id").alias("s"),
-                 F.sum(F.length("text")).alias("c")).first())
-    key = (f"{krow['n']}_{krow['s']}_{krow['c']}"
+                 F.sum(F.length("text")).alias("c"),
+                 F.expr("bit_xor(cast(conv(substring(md5(cast(text as "
+                        "binary)), 1, 15), 16, 10) as bigint))")
+                 .alias("x")).first())
+    key = (f"{krow['n']}_{krow['s']}_{krow['c']}_{krow['x']}"
            f"_{_BANDS}_{len(_MH_COEFFS)}_{_JACCARD_THRESHOLD}")
     sig_dir = os.path.join("/tmp", "spark_graft_inc_sigs",
                            os.path.basename(sf_dir.rstrip("/")), key)
@@ -786,7 +793,19 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t0 = _time.time()
         _, old_sigs = incremental_minhash_pairs(
             old, None, _MH_COEFFS, _BANDS, _JACCARD_THRESHOLD)
-        old_sigs.write.mode("overwrite").parquet(sig_dir)
+        # write to a process-unique dir, then one atomic rename into
+        # place (ADVICE r11): a concurrent process can no longer read
+        # a half-overwritten sidecar; losers of the rename race keep
+        # the winner's (identical, content-keyed) files
+        tmp_dir = f"{sig_dir}.tmp.{os.getpid()}_{int(_time.time()*1e6)}"
+        old_sigs.write.mode("overwrite").parquet(tmp_dir)
+        try:
+            os.rename(tmp_dir, sig_dir)
+        except OSError:
+            # another process published the same content-keyed dir
+            # first — use theirs, drop ours
+            import shutil
+            shutil.rmtree(tmp_dir, ignore_errors=True)
         record_phase("dedup_incremental_minhash", "prior_run_s",
                      _time.time() - _t0)
 

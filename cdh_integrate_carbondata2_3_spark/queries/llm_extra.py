@@ -607,14 +607,21 @@ def similarity_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # cache the decoded corpus: Lloyd's scans it once per round for
-    # the assign, once for the means, once for the final assignment —
-    # without the cache each scan re-runs the interpreted element-cast
-    # transform (same lesson as similarity_ann_ivf's cache)
-    v = cache_tracked(emb.select(F.col("vec_id").alias("id"), dv.alias("e")))
+    # r12: no cache — measured at sf0.1 (2000×64d) the columnar cache
+    # fill costs MORE than re-running the element-cast decode per scan
+    # (cold 15.3 s vs 7.3 s, warm neutral; guide §5: cache only when
+    # recompute beats the memory/serialization cost), and
+    # materialize_rounds=False composes the whole refine into ONE
+    # Spark job exactly like the SQL twin (the r11 shape paid a
+    # mid-query collect job boundary — half the gate's wall at this
+    # corpus size). Cluster-scale callers (catalog/vector_index.py)
+    # keep the defaults: driver-materialized rounds, corpus pass
+    # running exactly once per round.
+    v = emb.select(F.col("vec_id").alias("id"), dv.alias("e"))
     seeds = v.filter(F.col("id").isin(list(_KM_SEEDS))).select(
         F.col("id").alias("cid"), F.col("e").alias("ce"))
-    assign, cent = kmeans_refine(v, seeds, iters=1)
+    assign, cent = kmeans_refine(v, seeds, iters=1,
+                                 materialize_rounds=False)
     cnorm = F.round(F.sqrt(F.aggregate(
         F.transform(F.col("ce"), lambda x: x * x),
         F.lit(0.0), lambda a, x: a + x)), 6).cast("double")
@@ -1373,10 +1380,16 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-pair matrix hash pins the whole derivation. The pipeline
     role: negative pairs for embedding/contrastive training at
     100 TB without materializing a candidate cross product."""
-    from ..operators.ranking import dense_ranks_lazy
+    from ..operators.ranking import dense_ranks_auto
     from ..sources.registry import load_table
     emb = load_table(spark, sf_dir, "embeddings")
-    ranks, nf = dense_ranks_lazy(emb, "vec_id", out="r")
+    # auto gate (r12): lazy single-window while the distinct-id hint
+    # fits one ordering task, two-phase past ~10⁷ — the per-call-site
+    # choice VERDICT r11 flagged as a 100 TB copy-paste footgun now
+    # lives behind one entry point (ranks identical either way,
+    # pinned by test_dense_ranks_lazy_equals_two_phase)
+    ranks, nf = dense_ranks_auto(emb, "vec_id", out="r",
+                                 n_hint=1 << 20)
     anch = (emb.filter(F.col("vec_id") % _NEG_MOD == 0)
             .select(F.col("vec_id").alias("a_id"),
                     F.col("label").alias("a_label")))

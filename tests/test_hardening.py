@@ -162,9 +162,12 @@ def test_bloom_auto_plain_fallback_small_reference(spark):
         want = cand.join(ref, "fp", f"left_{how}")
         assert sorted(r.fp for r in got.collect()) == \
             sorted(r.fp for r in want.collect())
-        assert not hasattr(got, "_bloom_broadcast")
+        # ADVICE r11: the plain path SETS the handle to None so
+        # documented cleanup code (getattr + destroy-if-not-None)
+        # works uniformly on both paths
+        assert got._bloom_broadcast is None
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "may_contain" not in plan
     forced = bloom_semi_join(cand, ref, "fp", how="semi",
                              n_ref_hint=10, m_bits=8192)
-    assert hasattr(forced, "_bloom_broadcast")
+    assert forced._bloom_broadcast is not None

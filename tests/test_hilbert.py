@@ -133,3 +133,21 @@ def test_sort_scope_constant_covers_cluster_scopes(tmp_path, spark):
                      {"sort_scope": "bogus", "sort_columns": ["a"]})
     with pytest.raises(ValueError, match="bogus"):
         t.insert(spark.createDataFrame([(1, 2)], "a int, b int"))
+
+def test_lookup_path_equals_column_cascade(spark):
+    """r12: the literal-lookup fast path must produce the identical
+    __h__ as the column cascade on the same coordinates (both are the
+    same Skilling transform; lookup precomputes it per cell)."""
+    bits, dims = 4, 3          # 4096 cells — lookup-eligible
+    side = 1 << bits
+    pts = [(x, y, z) for x in range(side)
+           for y in range(0, side, 3) for z in range(0, side, 5)]
+    df = spark.createDataFrame(pts, "x0 int, x1 int, x2 int")
+    cols = ["x0", "x1", "x2"]
+    a = {tuple(r[c] for c in cols): r["__h__"]
+         for r in hilbert_index_col(df, cols, bits, lookup=True).collect()}
+    b = {tuple(r[c] for c in cols): r["__h__"]
+         for r in hilbert_index_col(df, cols, bits, lookup=False).collect()}
+    assert a == b
+    for p, h in a.items():
+        assert h == _hilbert_ref(list(p), bits), p

@@ -181,10 +181,12 @@ def test_bm25_corpus_never_hash_shuffles(spark):
 
 
 def test_kmeans_assign_no_window_no_corpus_shuffle(spark):
-    """kmeans_refine's assignment must plan as broadcast-crossjoin +
-    partial min_by argmin — no Window (which would shuffle all N×k
-    scored rows) and no sort-merge/shuffled-hash join (which would
-    shuffle the corpus against the k-row centroid side)."""
+    """kmeans_refine's assignment must plan MAP-ONLY (r12): the
+    centroid array rides a broadcast 1-row frame and the argmin is an
+    array_min over (d2, cid) structs evaluated per vector — no Window
+    (which would shuffle all N×k scored rows), no per-id min_by
+    aggregation (the r11 shape, which shuffled one (id, vec, cluster)
+    row per vector), and no sort-merge/shuffled-hash join."""
     from cdh_integrate_carbondata2_3_spark.operators.similarity import (
         kmeans_refine)
     v = spark.range(40).selectExpr(
@@ -194,11 +196,10 @@ def test_kmeans_assign_no_window_no_corpus_shuffle(spark):
     assign, _cent = kmeans_refine(v, seeds, iters=1)
     plan = plan_of(assign)
     assert "Window" not in plan
-    assert "partial_min_by" in plan
+    assert "min_by" not in plan          # assignment shuffles nothing
+    assert "array_min" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    # the one legitimate exchange is the per-id argmin combine; the
-    # partial phase collapses N×k to N rows before it
     assert plan.count("Exchange hashpartitioning") == 0, plan
 
 

@@ -204,3 +204,22 @@ def test_dense_ranks_lazy_equals_two_phase(spark):
     a = sorted((r["k"], r["r"]) for r in two.collect())
     b = sorted((r["k"], r["r"]) for r in lazy.collect())
     assert a == b
+
+
+def test_dense_ranks_auto_gate(spark):
+    """dense_ranks_auto (r12, VERDICT r11 item 5): the n_hint gate
+    picks lazy below the threshold and two-phase above it, and BOTH
+    branches return identical (ranks, 1-row-count-frame) shapes."""
+    from cdh_integrate_carbondata2_3_spark.operators.ranking import (
+        dense_ranks_auto)
+    from pyspark.sql import functions as F
+
+    df = spark.range(300).select(
+        ((F.col("id") * 53) % 700 + 5_000).alias("k"))
+    lazy_r, lazy_n = dense_ranks_auto(df, "k", out="r", n_hint=100)
+    two_r, two_n = dense_ranks_auto(df, "k", out="r", n_hint=100,
+                                    lazy_below=10, partitions=5)
+    assert lazy_n.first()["n"] == two_n.first()["n"]
+    a = sorted((r["k"], r["r"]) for r in lazy_r.collect())
+    b = sorted((r["k"], r["r"]) for r in two_r.collect())
+    assert a == b

@@ -193,13 +193,17 @@ def bench_one(spark, q, sf_dir: str) -> dict:
                           f"hash={pc[2][:8]}")
                 plain_s = None
 
+    # `is not None`, not truthiness: a legitimate 0.0 measurement
+    # must keep its row (ratio still None — can't divide by zero —
+    # but plain_spark_s stays visible; ADVICE r11)
+    has_plain = plain_s is not None and plain_s > 0.0
     row = {
         "engine_s": round(engine_s, 3),
         "engine_cold_s": round(engine_cold, 3),
-        "plain_spark_s": round(plain_s, 3) if plain_s else None,
-        "ratio": round(engine_s / plain_s, 2) if plain_s else None,
+        "plain_spark_s": round(plain_s, 3) if plain_s is not None else None,
+        "ratio": round(engine_s / plain_s, 2) if has_plain else None,
         "cold_ratio": (round(engine_cold / plain_s, 2)
-                       if plain_s else None)}
+                       if has_plain else None)}
     if reason is not None:
         row["no_ratio_reason"] = reason
     return row
@@ -227,8 +231,9 @@ def main() -> None:
     for name in HEADLINE:
         out[name] = bench_one(spark, qs[name], sf_dir)
     comparable = [v for v in out.values() if v["ratio"] is not None]
-    no_ratio = {k: v["no_ratio_reason"] for k, v in out.items()
-                if v["ratio"] is None}
+    no_ratio = {k: v.get("no_ratio_reason",
+                         "measured 0.0s on the plain side")
+                for k, v in out.items() if v["ratio"] is None}
     print(json.dumps({
         "sf_dir": sf_dir,
         "queries": out,
