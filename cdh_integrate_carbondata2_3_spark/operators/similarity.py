@@ -486,18 +486,33 @@ def mmr_select(candidates: DataFrame, query_vec: list[float], k: int, *,
     convention that lets a SQL oracle replay the identical greedy
     walk. Returns the picks in selection order:
     ``[{"rank", id_col, "score"}, ...]``.
+
+    Driver-overhead note (r12): the picked vectors ride ONE
+    ``F.expr("array(array(...), ...)")`` literal per round and the
+    per-pick penalty cosines evaluate through an ``array_max`` over a
+    ``transform`` lambda. The r8–r11 form built a 64-node
+    ``F.array(F.lit(...))`` tree per pick per round — O(k²·dim) py4j
+    round trips that measured ~0.4–0.8 s of pure driver time PER
+    ROUND at k=8 (the compute itself is microseconds). Same IEEE
+    expression per value (zip_with/aggregate dot, ROUND(·,6), max
+    over the same set), so the walk and scores are bit-identical.
     """
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    def _arr_sql(vec) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+
+    qv = F.expr(_arr_sql(query_vec))
     cand = candidates.select(F.col(id_col),
                              F.col(vec_col).alias("__v"))
     rel = F.round(cosine(qv, F.col("__v")), 6)
     picks: list[dict] = []
-    pick_vecs: list[F.Column] = []
+    pick_rows: list[list[float]] = []
     for rank in range(k):
-        if pick_vecs:
-            pens = [F.round(cosine(pv, F.col("__v")), 6)
-                    for pv in pick_vecs]
-            pen = pens[0] if len(pens) == 1 else F.greatest(*pens)
+        if pick_rows:
+            parr = F.expr(
+                "array(" + ",".join(_arr_sql(v) for v in pick_rows) + ")")
+            pen = F.array_max(F.transform(
+                parr, lambda p: F.round(cosine(p, F.col("__v")), 6)))
         else:
             pen = F.lit(0.0)
         # the score itself is ROUND(·, 6) too (not just the cosines):
@@ -518,5 +533,5 @@ def mmr_select(candidates: DataFrame, query_vec: list[float], k: int, *,
         r = row[0]
         picks.append({"rank": rank, id_col: r[id_col],
                       "score": float(r["__s"])})
-        pick_vecs.append(F.array(*[F.lit(float(x)) for x in r["__v"]]))
+        pick_rows.append([float(x) for x in r["__v"]])
     return picks

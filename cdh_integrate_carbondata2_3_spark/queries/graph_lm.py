@@ -63,11 +63,21 @@ _LM_L1, _LM_L2, _LM_L3 = 0.1, 0.3, 0.6   # interpolation weights
 
 def _pagerank_oracle() -> str:
     """Six power-iteration rounds as chained CTEs over the
-    symmetrized supplier–customer graph."""
+    symmetrized supplier–customer graph.
+
+    Every CTE is ``AS MATERIALIZED`` (r12): DuckDB 1.0 inlines
+    single-reference CTEs, so the chained rounds otherwise plan as
+    ONE nested tree whose hash tables are all alive at once — at the
+    ≈sf1 replica that exhausted the oracle's 24 GB + spill budget
+    (CORRECTNESS_SF1_SUBSET_r11: duckdb:IOException) while the engine
+    side computed fine. Materializing pins the working set to one
+    round (the rank vector is |nodes| rows) and computes the shared
+    edge frame once instead of once per round. Same algebra, same
+    result — the gate hash is unchanged at every sf."""
     iters = []
     for i in range(1, _PR_ITERS + 1):
         iters.append(f"""
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
          (1.0 - {_PR_DAMP}) / nn.n
          + {_PR_DAMP} * COALESCE(c.s, 0.0) AS rank
@@ -76,17 +86,17 @@ r{i} AS (
              FROM ew JOIN r{i-1} ON r{i-1}.node = ew.src
              GROUP BY ew.dst) c ON c.dst = n.node, nn)""")
     return f"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT 2 * l.l_suppkey AS src, 2 * o.o_custkey + 1 AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-e AS (SELECT src, dst FROM e0
+e AS MATERIALIZED (SELECT src, dst FROM e0
       UNION SELECT dst AS src, src AS dst FROM e0),
-nodes AS (SELECT DISTINCT src AS node FROM e),
-nn AS (SELECT COUNT(*) AS n FROM nodes),
-deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
-ew AS (SELECT e.src, e.dst, 1.0 / deg.d AS inv
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / deg.d AS inv
        FROM e JOIN deg ON e.src = deg.src),
-r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
 {','.join(iters)}
 SELECT CASE WHEN r.node % 2 = 0 THEN 'supplier' ELSE 'customer' END
          AS node_type,
@@ -425,11 +435,15 @@ def _ppr_oracle() -> str:
     """Personalized power iteration as chained CTEs: teleport vector
     b = 1/|seeds| on seed supplier nodes, 0 elsewhere; the bipartite
     graph is symmetric so the dangling term is exactly zero on both
-    sides and every round is (1-d)*b + d*contrib."""
+    sides and every round is (1-d)*b + d*contrib.
+
+    All CTEs ``AS MATERIALIZED`` (r12) for the same reason as
+    ``_pagerank_oracle``: bound the oracle's working set to one
+    iteration so the ≈sf1 replay fits the 24 GB + spill budget."""
     iters = []
     for i in range(1, _PR_ITERS + 1):
         iters.append(f"""
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node, (1.0 - {_PR_DAMP}) * n.b
          + {_PR_DAMP} * COALESCE(c.s, 0.0) AS rank
   FROM nodes n
@@ -437,23 +451,23 @@ r{i} AS (
              FROM ew JOIN r{i-1} ON r{i-1}.node = ew.src
              GROUP BY ew.dst) c ON c.dst = n.node)""")
     return f"""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT 2 * l.l_suppkey AS src, 2 * o.o_custkey + 1 AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-e AS (SELECT src, dst FROM e0
+e AS MATERIALIZED (SELECT src, dst FROM e0
       UNION SELECT dst AS src, src AS dst FROM e0),
-ns AS (SELECT COUNT(*) AS k FROM
+ns AS MATERIALIZED (SELECT COUNT(*) AS k FROM
        (SELECT DISTINCT src FROM e
         WHERE src % 2 = 0 AND (src / 2) % {_PPR_SEED_MOD} = 0)),
-nodes AS (SELECT node,
+nodes AS MATERIALIZED (SELECT node,
                  CASE WHEN node % 2 = 0
                        AND (node / 2) % {_PPR_SEED_MOD} = 0
                       THEN 1.0 / ns.k ELSE 0.0 END AS b
           FROM (SELECT DISTINCT src AS node FROM e), ns),
-deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
-ew AS (SELECT e.src, e.dst, 1.0 / deg.d AS inv
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / deg.d AS inv
        FROM e JOIN deg ON e.src = deg.src),
-r0 AS (SELECT node, b AS rank FROM nodes),
+r0 AS MATERIALIZED (SELECT node, b AS rank FROM nodes),
 {','.join(iters)}
 SELECT CASE WHEN r.node % 2 = 0 THEN 'supplier' ELSE 'customer' END
          AS node_type,

@@ -227,8 +227,14 @@ def main() -> None:
         load_table(spark, sf_dir, t)
     qs["q1_pricing_summary"].fn(spark, sf_dir).limit(1).collect()
 
+    # optional subset: tools/baseline_bench.py <name> [name ...] —
+    # the sf1 amortization rows (VERDICT r11 item 3) ratio-measure a
+    # handful of near-budget gates at the 10× replica without paying
+    # the full 71-row sweep there
+    only = set(sys.argv[1:])
+    names = [n for n in HEADLINE if not only or n in only]
     out = {}
-    for name in HEADLINE:
+    for name in names:
         out[name] = bench_one(spark, qs[name], sf_dir)
     comparable = [v for v in out.values() if v["ratio"] is not None]
     no_ratio = {k: v.get("no_ratio_reason",
