@@ -322,7 +322,13 @@ def hyperplane_signature(vec_col: str, planes: int, dim: int) -> Column:
     ``planes ≈ log2(N) - 12`` for ~4k occupancy."""
     sig = None
     for i in range(planes):
-        w = F.array(*[F.lit(float(x)) for x in plane_weights(i, dim)])
+        # one F.expr per plane, not dim F.lit py4j round trips — the
+        # same float literals (repr round-trips IEEE-exactly), so the
+        # projections and signature bits are bit-identical (r12; the
+        # per-element form cost ~0.4 s of pure driver time at
+        # planes=8 × dim=64 before the first job even started)
+        w = F.expr("array(" + ",".join(
+            f"{float(x)!r}D" for x in plane_weights(i, dim)) + ")")
         proj = dot(F.col(vec_col), w)
         term = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
