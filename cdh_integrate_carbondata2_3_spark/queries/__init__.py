@@ -259,8 +259,12 @@ def query(name: str, oracle: str | None = None,
 # re-tokenization removed), sample_hard_negatives
 # (dense_ranks_auto), graph_lpa_communities (single-join round
 # update). Other r12-touched gates (mor sidecar write/merge, hilbert
-# lookup table, bloom auto-plain handle) are stamped r8+ and covered
-# by CORRECTNESS_FULL_r12.
+# lookup table, bloom auto-plain handle, similarity_mmr_select's
+# expr-literal rounds, the hyperplane-signature expr literals
+# [dedup_embedding_near / similarity_ann_lsh], and the
+# pagerank/PPR MATERIALIZED oracle CTEs) are stamped r8+ and covered
+# by CORRECTNESS_FULL_r12 at sf0.01 AND sf0.1 plus the 66-gate sf1
+# subset.
 _ROTATE_BACK_IN: tuple[str, ...] = (
     # the full r7 stamp debt (46 rows)
     "agg_count_distinct", "agg_cube", "agg_having",

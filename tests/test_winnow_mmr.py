@@ -161,3 +161,22 @@ def test_winnow_randomized_batch_parity(spark):
         want = _ref_winnow(text, k, w) if len(
             " ".join(text.strip().lower().split())) >= k + w - 1 else set()
         assert got.get(i, set()) == want, (i, text)
+
+
+def test_mmr_expr_literal_roundtrip_awkward_floats(spark):
+    """r12: picked vectors re-enter the plan as F.expr array literals
+    (one parse instead of dim F.lit py4j calls). repr() of a double
+    must round-trip through the Spark SQL parser IEEE-exactly even
+    for exponent-notation, negative and subnormal-ish magnitudes —
+    this pins the literal path with exactly those shapes."""
+    cands = {1: [1e-17, -0.0, 123456789.123456789],
+             2: [-1e-17, 5e-324, 0.1],          # 5e-324 = min subnormal
+             3: [0.30000000000000004, -2.5e16, 1.0],
+             4: [1e-17, -0.0, 123456789.0]}
+    q = [1.0, 1e-8, -1e8]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in cands.items()], "id long, e array<double>")
+    got = mmr_select(df, q, 4, lam=0.75)
+    want = _ref_mmr(cands, q, 4, 0.75)
+    assert [(p["id"], p["score"]) for p in got] == \
+        [(i, pytest.approx(s, abs=1e-12)) for i, s in want]
