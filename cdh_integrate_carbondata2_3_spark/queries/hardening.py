@@ -456,11 +456,21 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = d.filter(F.col("doc_id") >= 200)
     kept = bloom_semi_join(cand, ref, on="fp", how="anti",
                            n_ref_hint=200)
-    n_cand = cand.groupBy("source").agg(F.count(F.lit(1)).alias("n_cand"))
-    n_kept = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
-    return (n_cand.join(n_kept, "source", "left")
-            .select("source", "n_cand",
-                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")))
+    # ONE aggregation over a tagged union instead of two per-source
+    # aggregates + a join (r12, guide §2.4): every cand row carries
+    # is_kept=0 and every surviving row is_kept=1, so n_cand =
+    # count of tag-0 rows and n_kept = sum of tags — same counts,
+    # sources with zero survivors get 0 from the sum exactly like
+    # the old coalesce(left join). One exchange on a 5-source key
+    # replaces two exchanges + a join's.
+    tagged = (cand.select("source", F.lit(0).alias("is_kept"))
+              .unionByName(kept.select("source",
+                                       F.lit(1).alias("is_kept"))))
+    return (tagged.groupBy("source")
+            .agg(F.count(F.when(F.col("is_kept") == 0, 1))
+                 .alias("n_cand"),
+                 F.sum("is_kept").alias("n_kept"))
+            .select("source", "n_cand", F.col("n_kept")))
 
 
 # ---------------------------------------------------------------------------
