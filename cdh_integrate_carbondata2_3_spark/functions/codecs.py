@@ -212,17 +212,33 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
             cur = (np.cumsum(row.reshape(w, ch), axis=0) % 256).ravel()
         elif ft == 2:      # Up
             cur = (row + prev) % 256
-        elif ft in (3, 4):  # Average / Paeth: left-dependent, per-pixel
-            cur = np.zeros(stride, dtype=np.int32)
-            left = np.zeros(ch, dtype=np.int32)
-            upleft = np.zeros(ch, dtype=np.int32)
-            for x in range(w):
-                up = prev[x * ch:(x + 1) * ch]
-                pred = ((left + up) // 2 if ft == 3
-                        else _paeth_predict(left, up, upleft))
-                left = (row[x * ch:(x + 1) * ch] + pred) % 256
-                cur[x * ch:(x + 1) * ch] = left
-                upleft = up
+        elif ft in (3, 4):  # Average / Paeth: left-dependent, walk
+            # pixels in Python ints (all values 0..255, so //2, abs
+            # and %256 are exact; a numpy-op-per-pixel walk pays ~µs
+            # of dispatch per pixel and dominated small-image decode)
+            r_ = row.tolist()
+            p_ = prev.tolist() if not isinstance(prev, list) else prev
+            out = [0] * stride
+            left = [0] * ch
+            upleft = [0] * ch
+            for x in range(0, stride, ch):
+                for c in range(ch):
+                    up = p_[x + c]
+                    if ft == 3:
+                        pred = (left[c] + up) // 2
+                    else:
+                        pp = left[c] + up - upleft[c]
+                        pa = pp - left[c] if pp >= left[c] else left[c] - pp
+                        pb = pp - up if pp >= up else up - pp
+                        pc_ = (pp - upleft[c] if pp >= upleft[c]
+                               else upleft[c] - pp)
+                        pred = (left[c] if pa <= pb and pa <= pc_
+                                else up if pb <= pc_ else upleft[c])
+                    v = (r_[x + c] + pred) % 256
+                    out[x + c] = v
+                    left[c] = v
+                upleft = p_[x:x + ch]
+            cur = np.array(out, dtype=np.int32)
         else:
             raise ValueError(f"PNG scanline filter {ft} is invalid")
         recon[y] = cur.astype(np.uint8)

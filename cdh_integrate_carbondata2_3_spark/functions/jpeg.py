@@ -41,6 +41,11 @@ for _s in range(15):
     _d = [(i, _s - i) for i in range(max(0, _s - 7), min(7, _s) + 1)]
     ZIGZAG.extend(_d if _s % 2 else _d[::-1])
 
+# flat raster index of each zigzag position: blk.flat[_ZZ_FLAT[z]] is
+# the coefficient transmitted at zigzag position z (vectorized
+# (de)zigzag — a pure permutation, value-exact vs the (r, c) loops)
+_ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG], dtype=np.intp)
+
 # Annex K.1/K.2 quantization tables (quality 50), zigzag order
 _QL_RASTER = np.array([
     [16, 11, 10, 16, 24, 40, 51, 61],
@@ -269,10 +274,9 @@ def _decode_jpeg_inner(content: bytes) -> dict:
                     vals = np.frombuffer(seg, dtype=np.uint8, count=64,
                                          offset=i).astype(np.int32)
                     i += 64
-                q = np.zeros((8, 8), dtype=np.int32)
-                for z, (r, c) in enumerate(ZIGZAG):
-                    q[r, c] = vals[z]
-                qt[tq] = q
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZZ_FLAT] = vals
+                qt[tq] = q.reshape(8, 8)
         elif marker == 0xC4:    # DHT
             i = 0
             while i < len(seg):
@@ -315,8 +319,8 @@ def _decode_jpeg_inner(content: bytes) -> dict:
 
 
 def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
-                  pred: int) -> tuple[np.ndarray, int]:
-    coef = np.zeros(64, dtype=np.int32)
+                  pred: int) -> tuple[list, int]:
+    coef = [0] * 64
     size = _decode_symbol(br, dc_tab)
     pred += _extend(br.read(size), size) if size else 0
     coef[0] = pred
@@ -346,11 +350,16 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
         raise NotImplementedError("JPEG sampling factors > 2")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for s in scan:
-        c = s["comp"]
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                               dtype=np.float64))
+    # entropy decode collects each component's quantized coefficients
+    # (zigzag order, one row per block in (my, mx, by, bx) order);
+    # dezigzag + dequantize + IDCT then run batched over all blocks —
+    # the same per-block arithmetic, without 64-iteration Python
+    # loops and 8×8-at-a-time numpy calls
+    coefs = [np.zeros((mcuy * mcux * s["comp"]["v"] * s["comp"]["h"], 64),
+                      dtype=np.int32) for s in scan]
+    nblk = [0] * len(scan)
+    tabs = [(huff[(0, s["dc"])], huff[(1, s["ac"])],
+             s["comp"]["v"] * s["comp"]["h"]) for s in scan]
     br = _BitReader(data, pos)
     preds = [0] * len(scan)
     mcu_count = 0
@@ -367,22 +376,12 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
                         raise ValueError(f"expected RST marker, got {m:#x}")
                     preds = [0] * len(scan)
                 try:
-                    for si, s in enumerate(scan):
-                        c = s["comp"]
-                        q = qt[c["tq"]]
-                        for by in range(c["v"]):
-                            for bx in range(c["h"]):
-                                coef, preds[si] = _decode_block(
-                                    br, huff[(0, s["dc"])],
-                                    huff[(1, s["ac"])], preds[si])
-                                blk = np.zeros((8, 8))
-                                for z, (r, cc) in enumerate(ZIGZAG):
-                                    blk[r, cc] = coef[z]
-                                blk *= q
-                                px = _C.T @ blk @ _C + 128.0
-                                y0 = (my * c["v"] + by) * 8
-                                x0 = (mx * c["h"] + bx) * 8
-                                planes[si][y0:y0 + 8, x0:x0 + 8] = px
+                    for si, (dc_tab, ac_tab, nb) in enumerate(tabs):
+                        for _ in range(nb):
+                            coef, preds[si] = _decode_block(
+                                br, dc_tab, ac_tab, preds[si])
+                            coefs[si][nblk[si]] = coef
+                            nblk[si] += 1
                 except _MarkerHit as mh:
                     if mh.marker == 0xFFD9:
                         raise ValueError(
@@ -395,6 +394,19 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     except IndexError:
         raise ValueError("corrupt JPEG stream: entropy-coded data "
                          "ended before the last MCU") from None
+    planes = []
+    for si, s in enumerate(scan):
+        c = s["comp"]
+        cv, ch = c["v"], c["h"]
+        q = qt[c["tq"]]
+        blks = np.zeros((len(coefs[si]), 64))
+        blks[:, _ZZ_FLAT] = coefs[si]          # dezigzag (permutation)
+        blks = blks.reshape(-1, 8, 8) * q      # dequantize
+        px = _C.T @ blks @ _C + 128.0          # batched 8×8 IDCT
+        # block order is (my, mx, by, bx); reassemble the plane
+        planes.append(px.reshape(mcuy, mcux, cv, ch, 8, 8)
+                      .transpose(0, 2, 4, 1, 3, 5)
+                      .reshape(mcuy * cv * 8, mcux * ch * 8))
     # upsample to full geometry and crop
     full = []
     for si, s in enumerate(scan):
@@ -444,18 +456,21 @@ def encode_jpeg(px, quality: int = 50, restart_interval: int = 0) -> bytes:
     pw = (w + 7) // 8 * 8
 
     def pad(p):
+        if ph == h and pw == w:
+            return p
         return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
 
     planes = [(pad(y), ql), (pad(cb), qc), (pad(cr), qc)]
-    # pass 1: quantized coefficients per block per component
-    blocks: list[list[np.ndarray]] = [[], [], []]
-    for ci, (p, q) in enumerate(planes):
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                blk = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
-                coef = _C @ blk @ _C.T
-                qz = np.round(coef / q).astype(np.int32)
-                blocks[ci].append(qz)
+    # pass 1: quantized ZIGZAG coefficient rows per component —
+    # blockify via reshape, batched 8×8 DCT, one fancy-index zigzag
+    # (same per-block arithmetic as the old slice-at-a-time loop)
+    blocks: list[list[list[int]]] = []
+    for p, q in planes:
+        blks = (p.reshape(ph // 8, 8, pw // 8, 8)
+                .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0)
+        coef = _C @ blks @ _C.T
+        qz = np.round(coef / q).astype(np.int32)
+        blocks.append(qz.reshape(-1, 64)[:, _ZZ_FLAT].tolist())
     # pass 2: symbol statistics (DC sizes, AC run/size) per class
     dc_freq: list[dict[int, int]] = [{}, {}]
     ac_freq: list[dict[int, int]] = [{}, {}]
@@ -463,20 +478,22 @@ def encode_jpeg(px, quality: int = 50, restart_interval: int = 0) -> bytes:
     for ci in range(3):
         cls = 0 if ci == 0 else 1
         pred = 0
-        for i, qz in enumerate(blocks[ci]):
+        for i, zz in enumerate(blocks[ci]):
             if restart_interval and i and i % restart_interval == 0:
                 pred = 0                     # RSTn resets DC predictors
-            zz = np.array([qz[r_, c_] for r_, c_ in ZIGZAG])
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
+            diff = zz[0] - pred
+            pred = zz[0]
             dsize, dbits = _magnitude(diff)
             dc_freq[cls][dsize] = dc_freq[cls].get(dsize, 0) + 1
             acs = []
             run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
+            last = 0
+            for k in range(63, 0, -1):
+                if zz[k]:
+                    last = k
+                    break
             for k in range(1, last + 1):
-                v = int(zz[k])
+                v = zz[k]
                 if v == 0:
                     run += 1
                     continue
@@ -526,7 +543,7 @@ def encode_jpeg(px, quality: int = 50, restart_interval: int = 0) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     def zz_bytes(q: np.ndarray) -> bytes:
-        return bytes(int(q[r_, c_]) for r_, c_ in ZIGZAG)
+        return bytes(q.reshape(64)[_ZZ_FLAT].tolist())
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, b"\x00" + zz_bytes(ql))
