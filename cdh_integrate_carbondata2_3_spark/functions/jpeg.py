@@ -164,28 +164,44 @@ class _BitWriter:
 
 # --------------------------------------------------------------- huffman
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
-    """Canonical Huffman (T.81 C.2): {(length, code): symbol}."""
-    table: dict[tuple[int, int], int] = {}
+def _build_decode_table(bits: list[int], vals: list[int]) -> tuple:
+    """Canonical Huffman (T.81 C.2) as (minlen, mincode, maxcode,
+    valptr, vals) arrays for the F.2.2.3-style decoder: one bulk
+    read of the shortest code length, then one extra bit per longer
+    length — same MSB-first bit consumption as the old bit-at-a-time
+    dict walk, without a tuple-keyed dict lookup per bit."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17          # empty lengths never match
+    valptr = [0] * 17
     code = 0
     k = 0
+    minlen = 0
     for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
+        n = bits[length - 1]
+        if n:
+            if not minlen:
+                minlen = length
+            valptr[length] = k
+            mincode[length] = code
+            maxcode[length] = code + n - 1
+            code += n
+            k += n
         code <<= 1
-    return table
+    if k:
+        vals[k - 1]              # truncated DHT payload -> IndexError
+    return (minlen or 16, mincode, maxcode, valptr, vals)
 
 
-def _decode_symbol(br: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
+def _decode_symbol(br: _BitReader, table: tuple) -> int:
+    minlen, mincode, maxcode, valptr, vals = table
+    code = br.read(minlen)
+    length = minlen
+    while code > maxcode[length]:
+        length += 1
+        if length > 16:
+            raise ValueError("invalid JPEG Huffman code")
         code = (code << 1) | br.read(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+    return vals[valptr[length] + code - mincode[length]]
 
 
 def _canonical_encode_table(freqs: dict[int, int]) -> tuple[
@@ -318,15 +334,114 @@ def _decode_jpeg_inner(content: bytes) -> dict:
     raise ValueError("JPEG stream has no SOS scan")
 
 
-def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
+def _decode_block(br: _BitReader, dc_tab: tuple, ac_tab: tuple,
                   pred: int) -> tuple[list, int]:
+    # the entropy-decode hot loop: _BitReader state is held in locals
+    # and every read/fill/symbol-decode is inlined straight-line (the
+    # function-call-per-bit-read overhead dominated small-image
+    # decode). Identical bit consumption and symbols as the helper
+    # form; error paths (_MarkerHit, IndexError) abort the whole scan
+    # as ValueError, so state write-back on them is irrelevant.
     coef = [0] * 64
-    size = _decode_symbol(br, dc_tab)
-    pred += _extend(br.read(size), size) if size else 0
+    data = br.data
+    pos = br.pos
+    bits = br.bits
+    nbits = br.nbits
+    dc_minlen, dc_mincode, dc_maxcode, dc_valptr, dc_vals = dc_tab
+    ac_minlen, ac_mincode, ac_maxcode, ac_valptr, ac_vals = ac_tab
+
+    # ---- DC symbol (canonical decode) + magnitude bits
+    n = dc_minlen
+    while nbits < n:
+        b = data[pos]
+        if b == 0xFF:
+            if data[pos + 1] == 0x00:
+                pos += 2
+            else:
+                raise _MarkerHit(0xFF00 | data[pos + 1])
+        else:
+            pos += 1
+        bits = (bits << 8) | b
+        nbits += 8
+    nbits -= n
+    code = (bits >> nbits) & ((1 << n) - 1)
+    bits &= (1 << nbits) - 1
+    length = dc_minlen
+    while code > dc_maxcode[length]:
+        length += 1
+        if length > 16:
+            raise ValueError("invalid JPEG Huffman code")
+        while nbits < 1:
+            b = data[pos]
+            if b == 0xFF:
+                if data[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    raise _MarkerHit(0xFF00 | data[pos + 1])
+            else:
+                pos += 1
+            bits = (bits << 8) | b
+            nbits += 8
+        nbits -= 1
+        code = (code << 1) | ((bits >> nbits) & 1)
+        bits &= (1 << nbits) - 1
+    size = dc_vals[dc_valptr[length] + code - dc_mincode[length]]
+    if size:
+        while nbits < size:
+            b = data[pos]
+            if b == 0xFF:
+                if data[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    raise _MarkerHit(0xFF00 | data[pos + 1])
+            else:
+                pos += 1
+            bits = (bits << 8) | b
+            nbits += 8
+        nbits -= size
+        raw = (bits >> nbits) & ((1 << size) - 1)
+        bits &= (1 << nbits) - 1
+        pred += (raw if raw >= (1 << (size - 1))
+                 else raw - (1 << size) + 1)
     coef[0] = pred
     k = 1
     while k < 64:
-        rs = _decode_symbol(br, ac_tab)
+        # ---- AC symbol (canonical decode)
+        n = ac_minlen
+        while nbits < n:
+            b = data[pos]
+            if b == 0xFF:
+                if data[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    raise _MarkerHit(0xFF00 | data[pos + 1])
+            else:
+                pos += 1
+            bits = (bits << 8) | b
+            nbits += 8
+        nbits -= n
+        code = (bits >> nbits) & ((1 << n) - 1)
+        bits &= (1 << nbits) - 1
+        length = ac_minlen
+        while code > ac_maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("invalid JPEG Huffman code")
+            while nbits < 1:
+                b = data[pos]
+                if b == 0xFF:
+                    if data[pos + 1] == 0x00:
+                        pos += 2
+                    else:
+                        raise _MarkerHit(0xFF00 | data[pos + 1])
+                else:
+                    pos += 1
+                bits = (bits << 8) | b
+                nbits += 8
+            nbits -= 1
+            code = (code << 1) | ((bits >> nbits) & 1)
+            bits &= (1 << nbits) - 1
+        rs = ac_vals[ac_valptr[length] + code - ac_mincode[length]]
         run, size = rs >> 4, rs & 0xF
         if size == 0:
             if run == 15:       # ZRL
@@ -336,8 +451,26 @@ def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
         k += run
         if k > 63:
             raise ValueError("JPEG AC run past block end")
-        coef[k] = _extend(br.read(size), size)
+        while nbits < size:
+            b = data[pos]
+            if b == 0xFF:
+                if data[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    raise _MarkerHit(0xFF00 | data[pos + 1])
+            else:
+                pos += 1
+            bits = (bits << 8) | b
+            nbits += 8
+        nbits -= size
+        raw = (bits >> nbits) & ((1 << size) - 1)
+        bits &= (1 << nbits) - 1
+        coef[k] = (raw if raw >= (1 << (size - 1))
+                   else raw - (1 << size) + 1)
         k += 1
+    br.pos = pos
+    br.bits = bits
+    br.nbits = nbits
     return coef, pred
 
 

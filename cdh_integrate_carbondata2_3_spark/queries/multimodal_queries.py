@@ -23,6 +23,27 @@ from . import query
 from .pipeline import _docs
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a small frame out to one partition per available core
+    before a CPU-bound codec stage. Tiny parquet inputs plan as a
+    single input split (maxPartitionBytes is byte-based), which
+    serializes the synth-encode/decode mapInPandas work on one task
+    while every other core idles — the classic "partitioning tuned
+    for bytes, not CPU" straggler (guide §2). defaultParallelism
+    follows the session's core count (the driver benches at several
+    core counts), so the fan-out is scale-adaptive, and the shuffled
+    frame is ids+source only — the blobs are synthesized AFTER the
+    exchange, so nothing heavy moves.
+
+    Applied ONLY where a same-session A/B showed the codec work
+    outweighs the exchange + per-task Arrow overhead (min-of-3 at
+    sf0.1 on local[32]): jpeg 3.27→1.31 s, av_meta 1.51→1.01 s,
+    png 1.13→0.98 s. wav (0.75→1.05 s) and image/PPM+BMP
+    (0.65→1.01 s) decode too fast to pay for the fan-out — those
+    gates keep the single-split plan."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _head_word_sql(h: str) -> str:
     """int(md5_hex[:8], 16) from hex chars (no hex-parse builtin needed)."""
     terms = [
@@ -268,7 +289,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "content": blobs})
 
     base = _docs(spark, sf_dir).select("doc_id", "source")
-    media = base.mapInPandas(
+    media = _spread(base).mapInPandas(
         attach, "doc_id bigint, source string, content binary")
 
     def png_features(content: bytes) -> dict:  # noqa: D401
@@ -345,7 +366,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "content": blobs})
 
     base = _docs(spark, sf_dir).select("doc_id", "source")
-    media = base.mapInPandas(
+    media = _spread(base).mapInPandas(
         attach, "doc_id bigint, source string, content binary")
 
     def jpeg_features(content: bytes) -> dict:
@@ -414,7 +435,7 @@ def multimodal_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "mp3": mp3s, "mp4": mp4s})
 
     base = _docs(spark, sf_dir).select("doc_id", "source")
-    media = base.mapInPandas(
+    media = _spread(base).mapInPandas(
         attach, "doc_id bigint, source string, mp3 binary, mp4 binary")
 
     def av_features(mp3: bytes, mp4: bytes) -> dict:

