@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import time as _time
+from concurrent.futures import ThreadPoolExecutor as _TPE
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -366,8 +367,14 @@ def table_hilbert_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t
 
     _t0 = _time.time()
-    th = build("hilbert", "th")
-    tz = build("zorder", "tz")
+    # The two clustered loads are independent (separate table dirs,
+    # separate manifests); overlap them so the second load's jobs
+    # back-fill executors idled by the first's shuffle tail instead
+    # of paying the two quantile+sample+write pipelines end-to-end.
+    with _TPE(max_workers=2) as pool:
+        fh = pool.submit(build, "hilbert", "th")
+        tz = build("zorder", "tz")
+        th = fh.result()
     # build phase ends here: two clustered loads are SETUP for the
     # pruning claim — bench.py reports them separately from the
     # pruned read (VERDICT r10 next-round 7)

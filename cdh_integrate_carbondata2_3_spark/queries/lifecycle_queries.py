@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor as _TPE
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -551,15 +552,22 @@ def table_mv_subsumed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_partkey",
                   F.col("l_quantity").cast("double").alias("qty")))
-    fact = Table.create_as_select(spark, _scratch("mv_sub_fact", sf_dir), li)
-    dim_o = Table.create_as_select(
-        spark, _scratch("mv_sub_dimo", sf_dir),
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .select("o_orderkey", "o_orderpriority"))
-    dim_p = Table.create_as_select(
-        spark, _scratch("mv_sub_dimp", sf_dir),
-        spark.read.parquet(f"{sf_dir}/part.parquet")
-        .select("p_partkey", "p_brand"))
+    # three independent CTAS loads (separate table dirs) — overlap
+    # them so the dim loads back-fill the fact load's idle executors
+    with _TPE(max_workers=2) as pool:
+        f_o = pool.submit(
+            Table.create_as_select, spark,
+            _scratch("mv_sub_dimo", sf_dir),
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey", "o_orderpriority"))
+        f_p = pool.submit(
+            Table.create_as_select, spark,
+            _scratch("mv_sub_dimp", sf_dir),
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey", "p_brand"))
+        fact = Table.create_as_select(
+            spark, _scratch("mv_sub_fact", sf_dir), li)
+        dim_o, dim_p = f_o.result(), f_p.result()
     mgr = MVManager(fact)
     mgr.create("mv_sub", ["o_orderpriority", "p_brand"],
                [AggSpec("sum", "qty"), AggSpec("count", "*")],
