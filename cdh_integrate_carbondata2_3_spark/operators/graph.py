@@ -601,7 +601,8 @@ def dedup_survivors(edges: DataFrame, all_ids: DataFrame,
 
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst", *,
-                   sample_p: float | None = None) -> int:
+                   sample_p: float | None = None,
+                   assume_canonical: bool = False) -> int:
     """Exact global triangle count (Suri & Vassilvitskii 2011 /
     Cohen's MapReduce scheme): orient every undirected edge from its
     lower-(degree, id) endpoint to the higher one, build wedges by
@@ -627,12 +628,26 @@ def triangle_count(edges: DataFrame, src: str = "src",
     total as count / p³ (unbiased; variance shrinks as edges grow, so
     at 100 TB the estimator tightens exactly where exact counting
     gets expensive). The wedge step's cost drops by ~p².
+
+    ``assume_canonical=True`` skips the canonicalization pass when
+    the caller GUARANTEES the input is already canonical undirected:
+    ``src < dst`` on every row, no duplicates, no self-loops (r13,
+    guide §2.4 — blocked-dedup pipelines and the gate graphs build
+    exactly that shape, so re-deriving it cost one full
+    distinct shuffle of the edge set for nothing). With the guarantee
+    the two plans are identical downstream; violating it silently
+    over- or under-counts — leave the default off unless the input's
+    construction proves the invariant (parity pinned in
+    tests/test_graph_lm.py).
     """
-    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-          .filter(F.col("u") != F.col("v"))
-          .select(F.least("u", "v").alias("u"),
-                  F.greatest("u", "v").alias("v"))
-          .distinct())
+    if assume_canonical:
+        e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+              .distinct())
     if sample_p is not None:
         if not (0.0 < sample_p <= 1.0):
             raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")

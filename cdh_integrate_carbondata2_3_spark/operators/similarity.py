@@ -24,8 +24,13 @@ Three tiers, same (id, e) DataFrame contract:
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+_DEC6 = Decimal("0.000001")
 
 
 def dot(a, b) -> Column:
@@ -465,22 +470,120 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
                     .alias("n_survivors")))
 
 
+def _round6_spark(x: float) -> float:
+    """Spark ``ROUND(x, 6)`` on a DOUBLE, bit-exactly: the JVM path is
+    ``BigDecimal.valueOf(x)`` (the SHORTEST decimal representation,
+    exactly what Python's ``repr`` produces) ``.setScale(6, HALF_UP)
+    .toDouble``. Java BigDecimal has no signed zero, so a tiny
+    negative rounds to +0.0 — mirrored here (verified bit-equal
+    against ``F.round(·, 6)`` over 50 019 randomized + adversarial
+    doubles, tests/test_winnow_mmr.py). NaN/±Inf pass through, as in
+    Spark."""
+    if x != x or x == float("inf") or x == float("-inf"):
+        return x
+    r = float(Decimal(repr(x)).quantize(_DEC6, rounding=ROUND_HALF_UP))
+    return 0.0 if r == 0.0 else r
+
+
+def _mmr_driver_walk(rows, query_vec: list[float], k: int, lam: float,
+                     id_col: str) -> list[dict]:
+    """The greedy MMR walk on the driver over a COLLECTED candidate
+    list — bit-identical arithmetic to the distributed rounds: the
+    dot is the same left-to-right accumulation ``acc + x*y`` the
+    zip_with/aggregate expression performs, cosine divides by
+    ``sqrt(dot(a,a)) * sqrt(dot(b,b))`` in the same operand order,
+    every cosine and every score passes :func:`_round6_spark`, the
+    penalty max keeps the FIRST of equal values (Spark array_max
+    semantics: −0.0 == 0.0, NaN greatest), and the argmax orders by
+    (score desc, id asc) under Spark's nan-safe double comparison
+    (NaN > all, −0.0 == 0.0, ties → smaller id). A zero-norm vector
+    divides by zero and raises (ZeroDivisionError here,
+    SparkArithmeticException under ANSI mode distributed) — both
+    paths refuse degenerate input."""
+
+    def sdot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def gt(a: float, b: float) -> bool:          # Spark nan-safe >
+        if a != a:
+            return b == b
+        if b != b:
+            return False
+        return a > b
+
+    qn = math.sqrt(sdot(query_vec, query_vec))
+    cands = []
+    for r in rows:
+        cid, v = r[0], list(r[1])
+        rel = _round6_spark(
+            sdot(query_vec, v) / (qn * math.sqrt(sdot(v, v))))
+        cands.append([cid, v, rel, math.sqrt(sdot(v, v)), False])
+    picks: list[dict] = []
+    pick_vecs: list[tuple[list[float], float]] = []
+    one_m_lam = 1.0 - lam
+    for rank in range(k):
+        best = None
+        for c in cands:
+            if c[4]:
+                continue
+            cid, v, rel, vn = c[0], c[1], c[2], c[3]
+            if pick_vecs:
+                pen = None
+                for pv, pn in pick_vecs:
+                    cs = _round6_spark(sdot(pv, v) / (pn * vn))
+                    if pen is None or gt(cs, pen):
+                        pen = cs
+            else:
+                pen = 0.0
+            s = _round6_spark(lam * rel - one_m_lam * pen)
+            if best is None or gt(s, best[1]) or (
+                    not gt(best[1], s) and cid < best[0]):
+                best = (cid, s, v, c)
+        if best is None:
+            break                      # fewer candidates than k
+        picks.append({"rank": rank, id_col: best[0],
+                      "score": float(best[1])})
+        pick_vecs.append((best[2], math.sqrt(sdot(best[2], best[2]))))
+        best[3][4] = True
+    return picks
+
+
 def mmr_select(candidates: DataFrame, query_vec: list[float], k: int, *,
                lam: float = 0.7, id_col: str = "id",
-               vec_col: str = "e") -> list[dict]:
+               vec_col: str = "e", driver_below: int | None = 20_000,
+               n_hint: int | None = None) -> list[dict]:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein
     1998): greedily pick ``k`` items maximizing
     ``lam·cos(q, d) − (1−lam)·max_{s∈picked} cos(d, s)`` — the
     standard relevance-vs-redundancy knob for retrieval and for
     diversity-aware training-data selection.
 
-    Scale shape: each of the ``k`` rounds is ONE distributed argmax
-    (TakeOrderedAndProject) over the candidate frame — the corpus
-    never self-joins; picked vectors fold back in as literal arrays,
-    so the redundancy penalty ``max_j cos(d, pick_j)`` evaluates
-    JVM-side with zero extra shuffles. k driver round-trips of one
-    row each. Callers iterating on the same candidates should cache
-    the frame (it is scanned k times).
+    Scale shape — size-adaptive like ``bloom_semi_join`` (r13):
+
+    - Pools of ≤ ``driver_below`` candidates (the common case — MMR
+      pools come from an ANN/BM25 top-N, bounded by construction)
+      COLLECT once (one job: ids + vectors, k×dim-bounded bytes) and
+      run the whole greedy walk driver-side with bit-identical IEEE
+      arithmetic (:func:`_mmr_driver_walk`) — replacing k sequential
+      argmax jobs (+ their per-round ~0.25 s local-mode job floor and
+      O(k²·dim) literal construction) with ONE job.
+    - Bigger pools keep the distributed rounds: each of the ``k``
+      rounds is ONE argmax (TakeOrderedAndProject) over the candidate
+      frame — the corpus never self-joins; picked vectors fold back
+      in as literal arrays, so the redundancy penalty
+      ``max_j cos(d, pick_j)`` evaluates JVM-side with zero extra
+      shuffles. Callers on this path should cache the frame (it is
+      scanned k times).
+
+    ``n_hint`` (caller-known candidate count) skips the sizing
+    ``count()``; without it one count job decides the path (≤ 1/k of
+    the distributed path's scans). ``driver_below=None`` forces the
+    distributed rounds. Both paths produce IDENTICAL picks and scores
+    (parity pinned over randomized pools in
+    tests/test_winnow_mmr.py::test_mmr_driver_walk_parity).
 
     Similarities are ROUND(·, 6) with id tie-break — the repo-wide
     convention that lets a SQL oracle replay the identical greedy
@@ -497,6 +600,13 @@ def mmr_select(candidates: DataFrame, query_vec: list[float], k: int, *,
     expression per value (zip_with/aggregate dot, ROUND(·,6), max
     over the same set), so the walk and scores are bit-identical.
     """
+    if driver_below is not None:
+        n = n_hint if n_hint is not None else candidates.count()
+        if n <= driver_below:
+            rows = candidates.select(F.col(id_col),
+                                     F.col(vec_col)).collect()
+            return _mmr_driver_walk(rows, [float(x) for x in query_vec],
+                                    k, float(lam), id_col)
 
     def _arr_sql(vec) -> str:
         return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"

@@ -149,11 +149,19 @@ def _seed_vocab(wc: DataFrame, *, max_piece_len: int,
             "j -> substring(word, i, j - i + 1))))")).alias("piece"),
         F.col("n"))
     freq = subs.groupBy("piece").agg(F.sum("n").alias("f"))
-    singles = {r["piece"]: r["f"] for r in
-               freq.filter(F.length("piece") == 1).collect()}
-    top = {r["piece"]: r["f"] for r in
-           freq.filter(F.length("piece") > 1)
-           .orderBy(F.desc("f"), "piece").limit(seed_size).collect()}
+    # ONE action for both seed slices (r13, guide §2.4): the singles
+    # filter and the top-k multi-char slice used to be two separate
+    # collects, each re-running the substring explosion + aggregation
+    # from scratch. Unioning them lets ReuseExchange dedup the
+    # explosion's shuffle (the map-side pass runs once), and one
+    # driver round-trip returns both. Same rows, same values — the
+    # slices are disjoint by construction (length 1 vs > 1).
+    rows = (freq.filter(F.length("piece") == 1)
+            .unionAll(freq.filter(F.length("piece") > 1)
+                      .orderBy(F.desc("f"), "piece").limit(seed_size))
+            .collect())
+    singles = {r["piece"]: r["f"] for r in rows if len(r["piece"]) == 1}
+    top = {r["piece"]: r["f"] for r in rows if len(r["piece"]) > 1}
     raw = {**top, **singles}
     total = sum(raw.values())
     return {p: math.log(f / total) for p, f in raw.items()}

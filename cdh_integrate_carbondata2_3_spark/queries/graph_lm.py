@@ -354,7 +354,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
             .select(F.col("a.l_partkey").alias("u"),
                     F.col("b.l_partkey").alias("v")).distinct())
-        t = triangle_count(edges, "u", "v")
+        # the cached edge set is canonical by construction (u < v from
+        # the join predicate, distinct above, no self-loops possible)
+        # — skip the operator's re-canonicalization distinct (r13)
+        t = triangle_count(edges, "u", "v", assume_canonical=True)
         sym = edges.union(edges.select(F.col("v").alias("u"),
                                        F.col("u").alias("v")))
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -415,12 +418,19 @@ def mine_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mining import frequent_pairs
     li = load_table(spark, sf_dir, "lineitem")
     it = li.select("l_orderkey", "l_partkey")
-    sup = frequent_pairs(it, "l_orderkey", "l_partkey")
+    # n_baskets rides the operator's own basket aggregation (r13):
+    # the old separate it.select(basket).distinct().count() re-scanned
+    # lineitem and re-shuffled 600k rows to derive a number the
+    # basket-lists frame already is — cache_tracked scopes the cached
+    # lists to this registry query, the count fills the cache, and
+    # the pair explode reads it. Same n (groupBy rows ≡ distinct
+    # baskets), same support counts, one full pass less.
+    sup, n = frequent_pairs(it, "l_orderkey", "l_partkey",
+                            with_n_baskets=True, cache=cache_tracked)
     top = (sup.select(F.col("item_a").alias("part_a"),
                       F.col("item_b").alias("part_b"), "support")
            .orderBy(F.desc("support"), "part_a", "part_b")
            .limit(_FP_TOPK))
-    n = it.select("l_orderkey").distinct().count()
     rk = F.row_number().over(
         W.orderBy(F.desc("support"), "part_a", "part_b"))
     return (top.select(rk.alias("rk"), "part_a", "part_b", "support",

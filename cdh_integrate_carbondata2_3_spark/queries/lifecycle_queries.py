@@ -488,8 +488,12 @@ def table_mv_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.where("l_orderkey % 3 = 0").createOrReplaceTempView("__mvj_li1")
     eng.sql("CREATE TABLE fact (l_orderkey BIGINT, qty DOUBLE)")
     eng.sql("CREATE TABLE dim (o_orderkey BIGINT, o_orderpriority STRING)")
-    eng.sql("INSERT INTO fact SELECT * FROM __mvj_li0")
-    eng.sql("INSERT INTO dim SELECT * FROM __mvj_ord")
+    # fact and dim loads are independent tables — overlap them on a
+    # 2-thread pool (guide §2.6; the table_mv_subsumed_rollup /
+    # table_db_namespace pattern). The MV build below waits on both.
+    with _TPE(max_workers=2) as pool:
+        list(pool.map(eng.sql, ("INSERT INTO fact SELECT * FROM __mvj_li0",
+                                "INSERT INTO dim SELECT * FROM __mvj_ord")))
     eng.sql("CREATE MATERIALIZED VIEW mvj AS "
             "SELECT o_orderpriority, SUM(qty) AS sq, AVG(qty) AS aq "
             "FROM fact JOIN dim ON fact.l_orderkey = dim.o_orderkey "
@@ -781,10 +785,19 @@ def table_db_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
            "qty DOUBLE)")
     eng.sql(f"CREATE TABLE dba.t {ddl}")
     eng.sql(f"CREATE TABLE dbb.t {ddl}")
-    eng.sql("INSERT INTO dba.t SELECT * FROM __dbns_src")
-    eng.sql("INSERT INTO dbb.t SELECT * FROM __dbns_src")
-    eng.sql("UPDATE dba.t SET qty = 0.0 WHERE l_orderkey < 100")
-    eng.sql("DELETE FROM dbb.t WHERE l_linenumber = 7")
+    # the two databases are INDEPENDENT by the gate's own thesis
+    # (write isolation), so their loads — and then their DMLs —
+    # overlap on a 2-thread pool (guide §2.6: submit independent
+    # jobs concurrently so one load's task tail back-fills the
+    # other's executors; same pattern as table_mv_subsumed_rollup's
+    # dim loads). Statement order WITHIN each database is unchanged,
+    # and the cross-db read runs after both pools drain.
+    with _TPE(max_workers=2) as pool:
+        list(pool.map(eng.sql, ("INSERT INTO dba.t SELECT * FROM __dbns_src",
+                                "INSERT INTO dbb.t SELECT * FROM __dbns_src")))
+    with _TPE(max_workers=2) as pool:
+        list(pool.map(eng.sql, ("UPDATE dba.t SET qty = 0.0 WHERE l_orderkey < 100",
+                                "DELETE FROM dbb.t WHERE l_linenumber = 7")))
     return eng.sql(
         "SELECT 'dba' AS db, COUNT(*) AS n_rows, "
         "CAST(ROUND(SUM(qty), 4) AS DOUBLE) AS sum_qty FROM dba.t "

@@ -236,6 +236,28 @@ def test_triangle_count_random_graph_matches_bruteforce(spark):
     assert triangle_count(df) == _ref_triangles(edges)
 
 
+def test_triangle_count_assume_canonical_parity(spark):
+    """r13: assume_canonical=True skips the canonicalization distinct
+    when the caller guarantees src < dst, deduped, loop-free input —
+    the count must equal the default path on exactly such input
+    (random graphs included), and differ only when the guarantee is
+    violated (documented sharp edge)."""
+    import random
+    from cdh_integrate_carbondata2_3_spark.operators.graph import (
+        triangle_count)
+    rng = random.Random(11)
+    raw = list({(rng.randrange(30), rng.randrange(30))
+                for _ in range(200)})
+    canon = sorted({(min(u, v), max(u, v)) for u, v in raw if u != v})
+    df = spark.createDataFrame(canon, "src int, dst int")
+    assert triangle_count(df, assume_canonical=True) == \
+        triangle_count(df) == _ref_triangles(canon)
+    # K5 canonical form too
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    dfk = spark.createDataFrame(k5, "src int, dst int")
+    assert triangle_count(dfk, assume_canonical=True) == 10
+
+
 def test_triangle_doulion_sampling_deterministic_and_unbiasedish(spark):
     """sample_p=1.0 must equal exact; p<1 is deterministic (same count
     twice) and the 1/p³ estimate lands within a loose factor of truth

@@ -163,6 +163,66 @@ def test_winnow_randomized_batch_parity(spark):
         assert got.get(i, set()) == want, (i, text)
 
 
+def test_mmr_driver_walk_parity(spark):
+    """r13: pools ≤ driver_below run the greedy walk on the driver
+    with emulated Spark arithmetic (sequential dot, HALF_UP round-6,
+    nan-safe ordering). Pin bit-exact pick/score parity against the
+    distributed argmax rounds (driver_below=None) over randomized
+    pools, including near-tie geometry and awkward magnitudes."""
+    import random
+    import struct
+    rng = random.Random(20260818)
+    for trial in range(4):
+        dim = rng.choice([3, 8, 16])
+        n = rng.randrange(5, 40)
+        rows = []
+        for i in range(n):
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+            if rng.random() < 0.3 and rows:          # near-duplicates
+                base = rows[rng.randrange(len(rows))][1]
+                v = [x + rng.uniform(-1e-9, 1e-9) for x in base]
+            rows.append((i, v))
+        q = [rng.uniform(-1, 1) for _ in range(dim)]
+        lam = rng.choice([0.5, 0.7, 0.75, 1.0])
+        k = rng.randrange(1, min(9, n + 1))
+        df = spark.createDataFrame(rows, "id long, e array<double>")
+        drv = mmr_select(df, q, k, lam=lam)                 # driver walk
+        dist = mmr_select(df, q, k, lam=lam,
+                          driver_below=None)                # Spark rounds
+        assert [p["id"] for p in drv] == [p["id"] for p in dist], trial
+        for a, b in zip(drv, dist):
+            assert struct.pack(">d", a["score"]) == \
+                struct.pack(">d", b["score"]), (trial, a, b)
+
+
+def test_mmr_round6_matches_spark_round(spark):
+    """The driver walk's _round6_spark must be bit-equal to
+    F.round(·, 6) — randomized + adversarial doubles (the −0.0
+    normalization class included: Java BigDecimal has no signed
+    zero)."""
+    import random
+    import struct
+    from cdh_integrate_carbondata2_3_spark.operators.similarity import (
+        _round6_spark)
+    rng = random.Random(7)
+    vals = [rng.uniform(-1, 1) for _ in range(2000)]
+    vals += [rng.uniform(-1e-7, 1e-7) for _ in range(1000)]
+    vals += [0.1234565, -0.1234565, 0.9999995, -0.9999995, 1e-17,
+             -0.0, 0.0, 5e-324, 0.30000000000000004, 0.0000005,
+             -0.0000005, 0.0000015, 123456789.1234565, -2.5e-6,
+             float("inf"), float("-inf")]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, x double")
+    got = {r["i"]: r["r"]
+           for r in df.select("i", F.round("x", 6).alias("r")).collect()}
+    for i, v in enumerate(vals):
+        p = _round6_spark(v)
+        assert struct.pack(">d", p) == struct.pack(">d", got[i]), \
+            (repr(v), repr(p), repr(got[i]))
+    # NaN passthrough (can't struct-compare canonicalized NaNs)
+    assert _round6_spark(float("nan")) != _round6_spark(float("nan"))
+
+
 def test_mmr_expr_literal_roundtrip_awkward_floats(spark):
     """r12: picked vectors re-enter the plan as F.expr array literals
     (one parse instead of dim F.lit py4j calls). repr() of a double
