@@ -244,29 +244,57 @@ def query(name: str, oracle: str | None = None,
     return deco
 
 
-# Round-12 window plan (VERDICT r11 "Next round" item 7: drain the
-# r7 stamp cohort). The 50-slot window = ALL 46 rows whose latest
-# driver stamp is r7 (the complete `tools/stamp_ages.py` list over
-# CORRECTNESS_r01..r11 — q1/q3/q5-q7/q10, the agg/filter/join
-# families, the multimodal decode family, ml_*, the porter FTS
-# family, setops, pareto/histogram/sampling rows; all green in
-# CORRECTNESS_FULL_r11 at sf0.01 AND sf0.1 — afterwards no
-# registered row's driver stamp is older than r8) + the 4 rows whose
-# physical plans were rewritten in the r12 optimization round
-# (results hash-identical, re-verified locally at sf0.01 and sf0.1):
-# similarity_kmeans_refine (map-side argmin + lazy rounds),
-# text_bm25_rank (null-safe tokens — the pushed-prefilter 4×
-# re-tokenization removed), sample_hard_negatives
-# (dense_ranks_auto), graph_lpa_communities (single-join round
-# update). Other r12-touched gates (mor sidecar write/merge, hilbert
-# lookup table, bloom auto-plain handle, similarity_mmr_select's
-# expr-literal rounds, the hyperplane-signature expr literals
-# [dedup_embedding_near / similarity_ann_lsh], and the
-# pagerank/PPR MATERIALIZED oracle CTEs) are stamped r8+ and covered
-# by CORRECTNESS_FULL_r12 at sf0.01 AND sf0.1 plus the 66-gate sf1
-# subset.
+# Round-13 window plan: the complete r8 stamp cohort — ALL 42 rows
+# whose latest driver stamp is r8 (`tools/stamp_ages.py` over
+# CORRECTNESS_r01..r12; afterwards no registered row's stamp is
+# older than r9) — which already contains 4 of this round's 7
+# changed-path gates (graph_triangle_count, similarity_mmr_select,
+# table_db_namespace, table_mv_join_rewrite), + the other 3 r13
+# changed-path gates (mine_frequent_pairs, text_unigram_train,
+# table_hilbert_prune — results hash-identical, re-verified locally
+# at sf0.001/sf0.01/sf0.1), + 5 rows from the r9 cohort to fill the
+# window. The r12 window (r7 debt + r12 plan rewrites) moved to
+# _STAMPED_PRIOR_ROUNDS under its CORRECTNESS_r12.json stamp.
 _ROTATE_BACK_IN: tuple[str, ...] = (
-    # the full r7 stamp debt (46 rows)
+    # the full r8 stamp debt (42 rows)
+    "agg_conditional_pivot", "agg_heavy_hitters", "agg_minmax_stats",
+    "complex_map_functions", "complex_nested_two_level",
+    "dedup_winnow_fingerprints", "embedding_quantize_int8",
+    "events_gap_fill", "events_gap_fill_locf",
+    "events_markov_transitions", "events_rolling_window",
+    "events_time_decay_score", "graph_triangle_count",
+    "join_asof_events", "join_asof_forward_tol", "join_range_events",
+    "sample_weighted_tokens", "scalar_date_funcs",
+    "scalar_string_funcs", "similarity_mmr_select",
+    "table_bucket_map_join", "table_db_namespace", "table_delete_cow",
+    "table_delete_mor", "table_merge_upsert", "table_merge_upsert_mor",
+    "table_mv_incremental_refresh", "table_mv_ivm_delete",
+    "table_mv_ivm_update", "table_mv_join_rewrite",
+    "table_mv_subsumed_rollup", "table_parquet_stats_manifest",
+    "table_runtime_filter_join", "table_update_mor",
+    "table_vector_index_search", "table_zorder_prune",
+    "text_decontaminate", "text_pack_sequences", "text_pii_redact",
+    "udf_grouped_agg_pandas", "udf_python_udtf",
+    "udf_timeseries_rollup",
+    # r13 changed-path gates not already in the r8 cohort (3 rows)
+    "mine_frequent_pairs", "text_unigram_train", "table_hilbert_prune",
+    # r9-cohort fill (5 rows)
+    "agg_approx_sketch_bounds", "agg_hll_mergeable_rollup",
+    "agg_salted_twophase", "dedup_canonical_pick",
+    "dedup_components_star",
+)
+
+# 46 + 4 fills the window exactly; nothing deferred this round.
+_DEFER_TO_NEXT: tuple[str, ...] = ()
+
+# Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
+# correctness gate checks only the FIRST 50 entries of queries() per
+# round, so entries verified in a previous round yield their slot to
+# not-yet-stamped ones (they stay registered and keep running in
+# pytest/bench; only the dict ordering changes).
+_STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # round 12 (CORRECTNESS_r12.json, 50/50 hash-green — the r7
+    # stamp-debt window + the 4 r12 plan-rewrite rows):
     "agg_count_distinct", "agg_cube", "agg_having",
     "agg_minmax_metadata", "agg_rollup", "complex_array_functions",
     "count_star_metadata", "dedup_cross_source_matrix",
@@ -286,21 +314,8 @@ _ROTATE_BACK_IN: tuple[str, ...] = (
     "table_fts_porter_phrase", "table_fts_porter_regexp",
     "table_fts_sloppy_phrase", "table_restore_version",
     "trajectory_similarity_nn", "window_ntile_buckets",
-    "window_running_lag",
-    # r12 plan rewrites (4 rows — outputs unchanged, plans new)
-    "similarity_kmeans_refine", "text_bm25_rank",
+    "window_running_lag", "similarity_kmeans_refine", "text_bm25_rank",
     "sample_hard_negatives", "graph_lpa_communities",
-)
-
-# 46 + 4 fills the window exactly; nothing deferred this round.
-_DEFER_TO_NEXT: tuple[str, ...] = ()
-
-# Queries stamped green in CORRECTNESS_r01..r04.json. The driver's
-# correctness gate checks only the FIRST 50 entries of queries() per
-# round, so entries verified in a previous round yield their slot to
-# not-yet-stamped ones (they stay registered and keep running in
-# pytest/bench; only the dict ordering changes).
-_STAMPED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # round 11 (CORRECTNESS_r11.json, 50/50 hash-green — the r6
     # stamp-debt window + the r11 changed-path rows, plus the one
     # deferred textual-oracle row covered by CORRECTNESS_FULL_r11):

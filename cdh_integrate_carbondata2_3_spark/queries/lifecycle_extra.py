@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog.table import Table
-from . import query, record_phase
+from . import cache_tracked, query, record_phase
 from .lifecycle_queries import _scratch
 
 
@@ -350,10 +350,17 @@ def table_hilbert_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-order on identical data, pinning the locality claim, not just
     the mechanism."""
     root = _scratch("hilbert", sf_dir)
-    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
-           .select("o_orderkey", "o_custkey",
-                   F.col("o_totalprice").cast("double"),
-                   "o_orderpriority"))
+    # cache the source frame (r13, guide §5 cache-when-reused): the
+    # two clustered loads each scan it three times (approxQuantile
+    # bucketization, repartitionByRange sampling, the write itself) —
+    # six parquet scans of the same projection; the cache fills on
+    # the first quantile job and the other five read it. Registry-
+    # scoped lifetime via cache_tracked; values unchanged.
+    src = cache_tracked(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey",
+                F.col("o_totalprice").cast("double"),
+                "o_orderpriority"))
     preds = [("o_custkey", "<", 300), ("o_totalprice", "<", 100000.0)]
 
     def build(scope, name):
