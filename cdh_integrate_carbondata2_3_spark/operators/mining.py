@@ -44,28 +44,22 @@ log = logging.getLogger(__name__)
 
 def frequent_pairs(items: DataFrame, basket_col: str, item_col: str, *,
                    min_support: int = 1, basket_cap: int = 4096,
-                   on_oversize: str = "raise",
-                   with_n_baskets: bool = False,
-                   cache=None):
+                   on_oversize: str = "raise") -> DataFrame:
     """Support counts for every within-basket item pair:
     ``(item_a, item_b, support)`` with ``item_a < item_b`` and
     ``support >= min_support``. Items are deduplicated per basket;
     ordering/tie-breaks are by item value, so any SQL engine replays
     the result exactly.
 
-    ``with_n_baskets=True`` additionally returns the distinct-basket
-    count as ``(sup, n_baskets)`` — read off the basket-lists frame
-    this operator builds ANYWAY (its row count IS the distinct-basket
-    count), so relative-support callers skip their own full
-    scan + distinct + count pass over the item table (r13, guide
-    §2.4: the second scan was a pure re-derivation). ``cache`` (a
-    ``df -> df`` callable, e.g. the registry's ``cache_tracked``) is
-    applied to the basket-lists frame first, so the count action
-    fills the cache and the pair explode reads it instead of
-    re-aggregating; without ``cache`` the count recomputes the
-    basket aggregation once (still strictly cheaper than the
-    separate distinct the caller would run — same shuffle, no second
-    scan of the wider item table).
+    Relative-support callers: derive the basket total LAZILY (a
+    broadcast one-row ``count`` aggregate cross-joined into the
+    result) instead of a separate ``distinct().count()`` driver
+    action — the whole query then runs as ONE job. A r13 interim
+    design cached this operator's basket-lists frame to read the
+    count off it; measured at the 10× replica the array-frame cache
+    fill cost MORE than the narrow distinct it replaced (and a
+    corpus-scale materialization is exactly wrong at 100 TB), so the
+    in-plan broadcast count is the shape the gate ships.
     """
     if on_oversize not in ("raise", "truncate"):
         raise ValueError(f"on_oversize must be 'raise' or 'truncate',"
@@ -86,11 +80,6 @@ def frequent_pairs(items: DataFrame, basket_col: str, item_col: str, *,
     lists = (it.groupBy("__basket")
              .agg(F.sort_array(F.collect_set("__item"))
                   .alias("__items")))
-    n_baskets = None
-    if with_n_baskets:
-        if cache is not None:
-            lists = cache(lists)
-        n_baskets = lists.count()
     n = F.size("__items")
     if on_oversize == "raise":
         # executor-side guard: no extra job, the check is part of the
@@ -127,6 +116,4 @@ def frequent_pairs(items: DataFrame, basket_col: str, item_col: str, *,
            .agg(F.count(F.lit(1)).alias("support")))
     if min_support > 1:
         sup = sup.filter(F.col("support") >= min_support)
-    if with_n_baskets:
-        return sup, n_baskets
     return sup

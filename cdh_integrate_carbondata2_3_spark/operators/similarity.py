@@ -515,38 +515,45 @@ def _mmr_driver_walk(rows, query_vec: list[float], k: int, lam: float,
         return a > b
 
     qn = math.sqrt(sdot(query_vec, query_vec))
+    # per-candidate state: [id, vec, rel, norm, picked, pen]
+    # pen is MEMOIZED across ranks — max over picked is monotone, so
+    # folding in ONE new cosine per rank (pen' = max(pen, cs_new),
+    # first-of-equals kept exactly like Spark's array_max) yields the
+    # same VALUE as re-maxing the whole pick set each round, and the
+    # walk drops from O(k²·n·dim) to O(k·n·dim) — the difference
+    # between ~2 s and ~0.4 s at a 6 700-candidate sf1 pool. pen is
+    # None until the first pick (the operator's rank-0 penalty is the
+    # literal 0.0, NOT max(0, cos): a first-pick negative cosine must
+    # replace it, not be clipped).
     cands = []
     for r in rows:
         cid, v = r[0], list(r[1])
         rel = _round6_spark(
             sdot(query_vec, v) / (qn * math.sqrt(sdot(v, v))))
-        cands.append([cid, v, rel, math.sqrt(sdot(v, v)), False])
+        cands.append([cid, v, rel, math.sqrt(sdot(v, v)), False, None])
     picks: list[dict] = []
-    pick_vecs: list[tuple[list[float], float]] = []
     one_m_lam = 1.0 - lam
+    last_pick: tuple[list[float], float] | None = None
     for rank in range(k):
         best = None
         for c in cands:
             if c[4]:
                 continue
-            cid, v, rel, vn = c[0], c[1], c[2], c[3]
-            if pick_vecs:
-                pen = None
-                for pv, pn in pick_vecs:
-                    cs = _round6_spark(sdot(pv, v) / (pn * vn))
-                    if pen is None or gt(cs, pen):
-                        pen = cs
-            else:
-                pen = 0.0
-            s = _round6_spark(lam * rel - one_m_lam * pen)
+            if last_pick is not None:
+                cs = _round6_spark(
+                    sdot(last_pick[0], c[1]) / (last_pick[1] * c[3]))
+                if c[5] is None or gt(cs, c[5]):
+                    c[5] = cs
+            pen = 0.0 if c[5] is None else c[5]
+            s = _round6_spark(lam * c[2] - one_m_lam * pen)
             if best is None or gt(s, best[1]) or (
-                    not gt(best[1], s) and cid < best[0]):
-                best = (cid, s, v, c)
+                    not gt(best[1], s) and c[0] < best[0]):
+                best = (c[0], s, c[1], c)
         if best is None:
             break                      # fewer candidates than k
         picks.append({"rank": rank, id_col: best[0],
                       "score": float(best[1])})
-        pick_vecs.append((best[2], math.sqrt(sdot(best[2], best[2]))))
+        last_pick = (best[2], math.sqrt(sdot(best[2], best[2])))
         best[3][4] = True
     return picks
 

@@ -418,24 +418,31 @@ def mine_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mining import frequent_pairs
     li = load_table(spark, sf_dir, "lineitem")
     it = li.select("l_orderkey", "l_partkey")
-    # n_baskets rides the operator's own basket aggregation (r13):
-    # the old separate it.select(basket).distinct().count() re-scanned
-    # lineitem and re-shuffled 600k rows to derive a number the
-    # basket-lists frame already is — cache_tracked scopes the cached
-    # lists to this registry query, the count fills the cache, and
-    # the pair explode reads it. Same n (groupBy rows ≡ distinct
-    # baskets), same support counts, one full pass less.
-    sup, n = frequent_pairs(it, "l_orderkey", "l_partkey",
-                            with_n_baskets=True, cache=cache_tracked)
+    sup = frequent_pairs(it, "l_orderkey", "l_partkey")
     top = (sup.select(F.col("item_a").alias("part_a"),
                       F.col("item_b").alias("part_b"), "support")
            .orderBy(F.desc("support"), "part_a", "part_b")
            .limit(_FP_TOPK))
+    # basket total as a LAZY broadcast one-row aggregate (r13): the
+    # old it.select(basket).distinct().count() was a separate driver
+    # ACTION — a full scan + distinct shuffle before the real query
+    # even started. Cross-joining the count frame makes the whole
+    # gate ONE job; support / n is the same bigint-over-double
+    # division (a < 2^53 count casts to double exactly), so values
+    # and the oracle hash are unchanged. (An interim r13 design
+    # cached the operator's basket lists to read n off them — at the
+    # 10x replica the array-frame cache fill cost MORE than the
+    # narrow distinct, and a corpus-scale cache is wrong at 100 TB;
+    # measured and replaced with this shape.)
+    nb = F.broadcast(it.select("l_orderkey").distinct()
+                     .agg(F.count(F.lit(1)).cast("double")
+                          .alias("__n")))
     rk = F.row_number().over(
         W.orderBy(F.desc("support"), "part_a", "part_b"))
-    return (top.select(rk.alias("rk"), "part_a", "part_b", "support",
-                       F.round(F.col("support") / F.lit(float(n)), 6)
-                       .cast("double").alias("rel_support")))
+    return (top.crossJoin(nb)
+            .select(rk.alias("rk"), "part_a", "part_b", "support",
+                    F.round(F.col("support") / F.col("__n"), 6)
+                    .cast("double").alias("rel_support")))
 
 
 _PPR_SEED_MOD = 10      # seeds: suppliers with s_suppkey % MOD == 0
